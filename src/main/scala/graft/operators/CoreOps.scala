@@ -1,0 +1,579 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.ScalarLib
+import graft.sources.Tables
+
+/** The reference's relational-operator inventory (SURVEY.md §2), each shape
+  * demonstrated as an equivalent-structure query over the driver testdata and
+  * verified against a DuckDB oracle (`oracles` below, same column names).
+  *
+  * Scale notes (local[32] today, 1000 executors tomorrow):
+  *  - dimension-sized frames (part, per-group aggregates) are explicitly
+  *    `broadcast()` so joins stay shuffle-free on the fact side;
+  *  - every aggregate is a hash aggregate with map-side partial rows
+  *    (plain groupBy/agg — Catalyst does partial+final automatically);
+  *  - window queries partition on the natural key (one shuffle, no sort of
+  *    the whole table);
+  *  - money sums go through DecimalType so results are order-independent —
+  *    a double sum would be nondeterministic across partition counts.
+  *
+  * Citations `body:`/`spec:` = the reference's pkg_batch_util files.
+  */
+object CoreOps {
+
+  /** Exact, order-independent sum of a 2-decimal money double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast(DoubleType)
+
+  // S1/P1/P3 — scan + projection + equality predicate (body:133-143).
+  // Filter and 4-column projection both reach the parquet scan
+  // (PushedFilters + pruned ReadSchema); at 100 TB this is the difference
+  // between reading 4 columns of one predicate's row-groups and reading
+  // the whole table.
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // P4 — case-insensitive equality UPPER(a)=UPPER(b) (body:136, 1179).
+  def qFilterCi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(upper(col("c_mktsegment")) === upper(lit("Building")))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // P5 — NULL-safe equality, the reference's NVL(a,' ')=NVL(b,' ') idiom
+  // (body:228-235) as Spark's <=> over derived nullable columns.
+  def qNullsafeEq(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(nullif(col("l_returnflag"), lit("N")) <=> nullif(col("l_linestatus"), lit("O")))
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // P6 — IS NULL / IS NOT NULL predicates (body:97, 137-140, 499).
+  def qNullPred(s: SparkSession, dir: String): DataFrame = {
+    val prio = nullif(col("o_orderpriority"), lit("5-LOW"))
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(prio.isNull, 1).otherwise(0)).as("n_null"),
+        sum(when(prio.isNotNull, 1).otherwise(0)).as("n_notnull"))
+      .orderBy("o_orderstatus")
+  }
+
+  // P7/P8 — 3-level compound boolean with AND/OR/NOT and inequalities
+  // (body:137-143, 290-320).
+  def qBoolCompound(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        (col("l_returnflag") === "R" && col("l_quantity") > 25.0) ||
+        (col("l_linestatus") === "F" && !(col("l_discount") < 0.05) && col("l_tax") =!= 0.02))
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // P9 — IN-list predicate (body:465 `run_status IN ('RUNNING','WAITING')`).
+  def qInList(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  // P10 — TRUNC(date) equality + trunc-grouped counts (body:179, 230-232).
+  def qDateTruncEq(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(date_trunc("DAY", col("o_orderdate")) === col("o_orderdate"))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("order_month")
+
+  // P12 — SUBSTR/INSTR prefix extraction (body:290-320).
+  def qSubstrInstr(s: SparkSession, dir: String): DataFrame = {
+    val pos = instr(col("p_name"), " ")
+    val head = when(pos > 0, expr("substring(p_name, 1, instr(p_name, ' ') - 1)"))
+      .otherwise(col("p_name"))
+    Tables.part(s, dir)
+      .select(head.as("name_head"))
+      .groupBy("name_head").agg(count(lit(1)).as("n"))
+      .orderBy("name_head")
+  }
+
+  // J1 — nested-loop lookup join (body:258-267) → broadcast hash join:
+  // part is dimension-sized, so the 100 TB lineitem side never shuffles.
+  def qJoinLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+
+  /** Latest row per group (W1): the reference's `ORDER BY run_date DESC` +
+    * `ROWNUM < 2` intent (body:158-165 — see SURVEY §2.5 on the latent
+    * ROWNUM-before-ORDER-BY bug; we implement the intent: latest).
+    */
+  private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // J2 — equi-join with latest-run lookup (body:269-322).
+  def qJoinLatest(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(latestOrderPerCustomer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("o_orderkey").as("last_orderkey"), col("o_orderdate").as("last_orderdate"))
+      .orderBy("c_custkey")
+
+  // J3 — correlated EXISTS with MAX subquery (body:224-237) → left-semi
+  // join against a groupBy/max derived frame (broadcast: group count is
+  // dimension-sized even when the fact table is not).
+  def qSemiExists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val latest = o.groupBy(col("o_custkey").as("k")).agg(max("o_orderdate").as("d"))
+    o.join(broadcast(latest),
+        col("o_custkey") === col("k") && col("o_orderdate") === col("d"), "leftsemi")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  // J4/A2 — scalar subquery on MIN in predicate (body:140-143) → join on
+  // the per-group aggregate.
+  def qMinLevel(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val mins = p.groupBy(col("p_brand").as("b")).agg(min("p_size").as("ms"))
+    p.join(broadcast(mins), col("p_brand") === col("b") && col("p_size") === col("ms"))
+      .select("p_brand", "p_partkey", "p_size")
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  // J5 — anti-join, the reference's NO_DATA_FOUND branch (body:326-337).
+  def qAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "leftanti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // A1 — NVL(MAX(...), default) (body:175-179).
+  def qAggMax(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        coalesce(max("l_quantity"), lit(0.0)).as("max_qty"),
+        coalesce(min("l_quantity"), lit(0.0)).as("min_qty"))
+      .orderBy("l_returnflag")
+
+  // A5 — row counting (cursor%ROWCOUNT, body:937) + distinct count.
+  def qCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // A7 — run-id assignment MAX(run_id)+1 per module per day (body:170-182),
+  // done the scalable way: one windowed row_number pass assigns ids for ALL
+  // groups at once instead of a per-run max+1 round trip.
+  def qRunidAssign(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("DAY", col("ts"))
+    val w = Window.partitionBy(col("user_id"), day).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), day.as("run_day"), col("event_id"),
+        row_number().over(w).cast(LongType).as("run_id"))
+      .orderBy("user_id", "run_day", "run_id")
+  }
+
+  // W1/O1 — latest-per-group standalone (body:158-165).
+  def qTopnPergroup(s: SparkSession, dir: String): DataFrame =
+    latestOrderPerCustomer(s, dir).orderBy("o_custkey")
+
+  // O3 — ROWNUM-style top-k (body:164, 322): global sort + limit; Spark
+  // plans this as TakeOrderedAndProject (per-partition top-k, no full sort).
+  def qLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5)
+      .select("o_orderkey", "o_totalprice")
+
+  // §2.8 DECODE — nested 2-level DECODE (body:271-279) as chained when().
+  def qCaseDecode(s: SparkSession, dir: String): DataFrame = {
+    val label =
+      when(col("l_returnflag") === "R",
+        when(col("l_linestatus") === "F", "returned-final").otherwise("returned-open"))
+      .when(col("l_returnflag") === "A", "accepted")
+      .otherwise("none")
+    Tables.lineitem(s, dir)
+      .select(label.as("status_label"))
+      .groupBy("status_label").agg(count(lit(1)).as("n"))
+      .orderBy("status_label")
+  }
+
+  // §2.8 scalar-string battery: NVL, UPPER, INITCAP, REPLACE, LENGTH,
+  // LTRIM/RTRIM (body:62, 136, 407, 748, 826, 1055-1067, 1099-1102).
+  def qScalarString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        expr("replace(c_name, 'Customer#', 'C-')").as("name_replaced"),
+        length(col("c_name")).as("name_len"),
+        initcap(col("c_mktsegment")).as("seg_initcap"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_nvl"),
+        ltrim(rtrim(concat(lit("  "), col("c_name"), lit("  ")))).as("name_trim"))
+      .orderBy("c_custkey")
+
+  // §2.8 — Oracle `||` treats NULL as '' (q_concat_null pins our chosen
+  // semantics: explicit coalesce on both engines; SURVEY §7.2.6).
+  def qConcatNull(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        concat(coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("")),
+          lit("/"), col("c_name")).as("tag"))
+      .orderBy("c_custkey")
+
+  // §2.8 TO_CHAR/TO_DATE — Oracle DD-MON-YYYY / HH24:MI:SS round trip
+  // (body:116, 956-966, 1109). try_to_timestamp keeps ANSI mode safe.
+  def qDateFmt(s: SparkSession, dir: String): DataFrame = {
+    val dStr = date_format(col("o_orderdate"), ScalarLib.OracleDateFmt)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), dStr.as("d_str"),
+        try_to_timestamp(dStr, lit(ScalarLib.OracleDateFmt)).as("d_rt"),
+        date_format(col("o_orderdate"), "HH:mm:ss").as("t_str"))
+      .orderBy("o_orderkey")
+  }
+
+  // §2.8 date arithmetic — date−date in *fractional days* (body:21,
+  // 946-949) and date+N days (body:230, 929), on exact microsecond ints.
+  def qDateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(86400000000.0), 6)
+          .as("span_days"),
+        (date_trunc("DAY", max(col("ts"))) + expr("INTERVAL 7 DAYS")).as("purge_horizon"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  // §2.8 math — TRUNC(n)→floor, MOD (body:31-33).
+  def qMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(pmod(col("l_orderkey"), lit(7L)).as("bucket"),
+        floor(col("l_quantity") / 7.0).cast(LongType).as("qbucket"))
+      .groupBy("bucket", "qbucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket", "qbucket")
+
+  // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
+  def qDatediff(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .select(col("user_id"),
+        ScalarLib.datediffHms(col("first_ts"), col("last_ts")).as("elapsed_hms"))
+      .orderBy("user_id")
+
+  // U2 — func_check_date validation cascade (spec:67-70, body:90-123),
+  // exercised across all five outcome branches.
+  def qCheckDate(s: SparkSession, dir: String): DataFrame = {
+    val cand = when(pmod(col("o_orderkey"), lit(5L)) === 0, date_format(col("o_orderdate"), ScalarLib.OracleDateFmt))
+      .when(pmod(col("o_orderkey"), lit(5L)) === 1, lit("XX-XXX-9999"))
+      .when(pmod(col("o_orderkey"), lit(5L)) === 2, lit("short"))
+      .when(pmod(col("o_orderkey"), lit(5L)) === 3, lit("TOO-LONG-DATE-99"))
+      .otherwise(lit(null).cast("string"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), cand.as("cand"))
+      .select(col("o_orderkey"), col("cand"),
+        ScalarLib.checkDateCode(col("cand")).as("code"),
+        ScalarLib.checkDateNormalized(col("cand")).as("normalized"))
+      .orderBy("o_orderkey")
+  }
+
+  // U3 — func_field_counter (spec:72-77, body:729-762).
+  def qFieldCount(s: SparkSession, dir: String): DataFrame = {
+    val sCol = concat_ws(",", col("c_name"), col("c_mktsegment"), col("c_nationkey").cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), ScalarLib.fieldCount(sCol, ",").cast(LongType).as("n_fields"))
+      .orderBy("c_custkey")
+  }
+
+  // U4 — func_get_nth_field (spec:79-85, body:768-814).
+  def qNthField(s: SparkSession, dir: String): DataFrame = {
+    val sCol = concat_ws(",", col("c_name"), col("c_mktsegment"), col("c_nationkey").cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        ScalarLib.nthField(sCol, ",", 2).as("field_2"),
+        ScalarLib.nthField(sCol, ",", 3).as("field_3"))
+      .orderBy("c_custkey")
+  }
+
+  // U5/U6 — func_string_to_number digit-run atoi (spec:87-91, body:817-857).
+  def qAtoi(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ScalarLib.atoi(concat(col("l_linenumber").cast("string"), col("l_returnflag"))).as("atoi_digits"),
+        ScalarLib.atoi(concat(col("l_returnflag"), col("l_linenumber").cast("string"))).as("atoi_alpha"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // S6 — retention purge as filter-rewrite (body:926-939): keep >= horizon.
+  // The 1-row max aggregate is broadcast so the fact scan is a single pass
+  // with no shuffle; at 100 TB the same plan holds (AQE turns the cross
+  // join of a 1-row frame into a broadcast nested loop).
+  def qRetentionFilter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val mx = e.agg(max("ts").as("mx_ts"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("mx_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("d")
+  }
+
+  // Flagship: E3 func_get_loader_file_name (spec:116-120, body:1163-1251) —
+  // scan → expression-project with ${DAY} templating (body:1175-1176) →
+  // case-insensitive filter (body:1179) → 3-branch UNION ALL (body:1174-1197)
+  // → seq-ordered string aggregation (body:1214-1224). The cursor
+  // concat-loop becomes one sorted-collect expression per group: partial
+  // collect_list is map-side, the sort is per-group in the agg expression,
+  // so the only shuffle is the groupBy hash exchange.
+  def qUnionStragg(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    def branch(brand: String, prefix: String, suffix: String): DataFrame =
+      p.filter(upper(col("p_brand")) === upper(lit(brand)))
+        .select(col("p_brand").as("batch"), col("p_partkey").as("file_seq"),
+          concat(lit(prefix), expr("replace(p_name, ' ', '_')"), lit("_${DAY}" + suffix)).as("file_tpl"))
+    val u = branch("brand#11", "F_", ".dat")
+      .unionAll(branch("brand#12", "AVG_", ".vdn"))
+      .unionAll(branch("brand#13", "F_", ".log"))
+      .withColumn("fname", regexp_replace(col("file_tpl"), "\\$\\{DAY\\}", "MON"))
+    u.groupBy("batch")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(named_struct('k', file_seq, 'v', fname))), s -> s.v), ' ')")
+          .as("files"),
+        count(lit(1)).as("n_files"))
+      .orderBy("batch")
+  }
+
+  /** Query registry (name → builder). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project"    -> qScanProject _,
+    "q_filter_ci"       -> qFilterCi _,
+    "q_nullsafe_eq"     -> qNullsafeEq _,
+    "q_null_pred"       -> qNullPred _,
+    "q_bool_compound"   -> qBoolCompound _,
+    "q_in_list"         -> qInList _,
+    "q_date_trunc_eq"   -> qDateTruncEq _,
+    "q_substr_instr"    -> qSubstrInstr _,
+    "q_join_lookup"     -> qJoinLookup _,
+    "q_join_latest"     -> qJoinLatest _,
+    "q_semi_exists"     -> qSemiExists _,
+    "q_min_level"       -> qMinLevel _,
+    "q_anti"            -> qAnti _,
+    "q_agg_max"         -> qAggMax _,
+    "q_count"           -> qCount _,
+    "q_runid_assign"    -> qRunidAssign _,
+    "q_topn_pergroup"   -> qTopnPergroup _,
+    "q_limit"           -> qLimit _,
+    "q_case_decode"     -> qCaseDecode _,
+    "q_scalar_string"   -> qScalarString _,
+    "q_concat_null"     -> qConcatNull _,
+    "q_date_fmt"        -> qDateFmt _,
+    "q_date_arith"      -> qDateArith _,
+    "q_math"            -> qMath _,
+    "q_datediff"        -> qDatediff _,
+    "q_check_date"      -> qCheckDate _,
+    "q_field_count"     -> qFieldCount _,
+    "q_nth_field"       -> qNthField _,
+    "q_atoi"            -> qAtoi _,
+    "q_retention_filter" -> qRetentionFilter _,
+    "q_union_stragg"    -> qUnionStragg _,
+  )
+
+  /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_ci" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE upper(c_mktsegment) = upper('Building') ORDER BY c_custkey""".stripMargin,
+    "q_nullsafe_eq" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |WHERE nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_null_pred" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NOT NULL THEN 1 ELSE 0 END) AS n_notnull
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bool_compound" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_quantity > 25.0)
+        |   OR (l_linestatus = 'F' AND NOT (l_discount < 0.05) AND l_tax <> 0.02)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_in_list" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_trunc_eq" ->
+      """SELECT cast(date_trunc('month', o_orderdate) AS timestamp) AS order_month, count(*) AS n
+        |FROM orders
+        |WHERE date_trunc('day', o_orderdate) = o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_substr_instr" ->
+      """SELECT CASE WHEN instr(p_name, ' ') > 0
+        |            THEN substr(p_name, 1, instr(p_name, ' ') - 1)
+        |            ELSE p_name END AS name_head, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_lookup" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_latest" ->
+      """SELECT c_custkey, c_name, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+        |FROM customer JOIN (
+        |  SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderdate,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) t WHERE rn = 1) lo ON c_custkey = lo.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_exists" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT o_custkey AS k, max(o_orderdate) AS d FROM orders GROUP BY 1) m
+        |  WHERE m.k = o.o_custkey AND m.d = o.o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_min_level" ->
+      """SELECT p_brand, p_partkey, p_size FROM part p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT p_brand AS b, min(p_size) AS ms FROM part GROUP BY 1) m
+        |  WHERE m.b = p.p_brand AND m.ms = p.p_size)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_max" ->
+      """SELECT l_returnflag, coalesce(max(l_quantity), 0.0) AS max_qty,
+        |  coalesce(min(l_quantity), 0.0) AS min_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_runid_assign" ->
+      """SELECT user_id, cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS run_day, event_id,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('day', cast(ts AS timestamp))
+        |                     ORDER BY ts, event_id) AS run_id
+        |FROM events ORDER BY user_id, run_day, run_id""".stripMargin,
+    "q_topn_pergroup" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+    "q_case_decode" ->
+      """SELECT CASE l_returnflag
+        |  WHEN 'R' THEN (CASE l_linestatus WHEN 'F' THEN 'returned-final' ELSE 'returned-open' END)
+        |  WHEN 'A' THEN 'accepted' ELSE 'none' END AS status_label, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  replace(c_name, 'Customer#', 'C-') AS name_replaced,
+        |  length(c_name) AS name_len,
+        |  upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg_initcap,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_nvl,
+        |  ltrim(rtrim('  ' || c_name || '  ')) AS name_trim
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_concat_null" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '') || '/' || c_name AS tag
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_fmt" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d-%b-%Y') AS d_str,
+        |  try_strptime(strftime(o_orderdate, '%d-%b-%Y'), '%d-%b-%Y') AS d_rt,
+        |  strftime(o_orderdate, '%H:%M:%S') AS t_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT user_id,
+        |  round((max(epoch_us(cast(ts AS timestamp))) - min(epoch_us(cast(ts AS timestamp)))) / 86400000000.0, 6) AS span_days,
+        |  cast(date_trunc('day', max(cast(ts AS timestamp))) + INTERVAL 7 DAY AS timestamp) AS purge_horizon,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_math" ->
+      """SELECT mod(l_orderkey, 7) AS bucket,
+        |  cast(floor(l_quantity / 7.0) AS bigint) AS qbucket, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_datediff" ->
+      """SELECT user_id,
+        |  cast(secs // 3600 AS varchar) || ':' || cast((secs % 3600) // 60 AS varchar)
+        |    || ':' || cast(secs % 60 AS varchar) AS elapsed_hms
+        |FROM (SELECT user_id,
+        |        (max(epoch_us(cast(ts AS timestamp))) - min(epoch_us(cast(ts AS timestamp)))) // 1000000 AS secs
+        |      FROM events GROUP BY 1) t
+        |ORDER BY user_id""".stripMargin,
+    "q_check_date" ->
+      """SELECT o_orderkey, cand,
+        |  CASE WHEN cand IS NULL OR length(cand) < 10 THEN -1
+        |       WHEN length(cand) > 11 THEN 1
+        |       WHEN try_strptime(cand, '%d-%b-%Y') IS NULL THEN 2
+        |       ELSE 0 END AS code,
+        |  CASE WHEN cand IS NOT NULL AND length(cand) BETWEEN 10 AND 11
+        |       THEN try_strptime(cand, '%d-%b-%Y') END AS normalized
+        |FROM (SELECT o_orderkey,
+        |        CASE mod(o_orderkey, 5)
+        |          WHEN 0 THEN strftime(o_orderdate, '%d-%b-%Y')
+        |          WHEN 1 THEN 'XX-XXX-9999'
+        |          WHEN 2 THEN 'short'
+        |          WHEN 3 THEN 'TOO-LONG-DATE-99'
+        |          ELSE NULL END AS cand
+        |      FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_field_count" ->
+      """SELECT c_custkey,
+        |  length(s) - length(replace(s, ',', '')) + 1 AS n_fields
+        |FROM (SELECT c_custkey,
+        |        concat_ws(',', c_name, c_mktsegment, cast(c_nationkey AS varchar)) AS s
+        |      FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+    "q_nth_field" ->
+      """SELECT c_custkey, split_part(s, ',', 2) AS field_2, split_part(s, ',', 3) AS field_3
+        |FROM (SELECT c_custkey,
+        |        concat_ws(',', c_name, c_mktsegment, cast(c_nationkey AS varchar)) AS s
+        |      FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+    "q_atoi" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(try_cast(regexp_extract(trim(cast(l_linenumber AS varchar) || l_returnflag), '^([0-9]{1,18})', 1) AS bigint), 0) AS atoi_digits,
+        |  coalesce(try_cast(regexp_extract(trim(l_returnflag || cast(l_linenumber AS varchar)), '^([0-9]{1,18})', 1) AS bigint), 0) AS atoi_alpha
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_retention_filter" ->
+      """SELECT cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS d, count(*) AS n
+        |FROM events, (SELECT max(cast(ts AS timestamp)) AS mx_ts FROM events) mx
+        |WHERE cast(ts AS timestamp) >= mx_ts - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_union_stragg" ->
+      """SELECT batch, string_agg(fname, ' ' ORDER BY file_seq) AS files, count(*) AS n_files
+        |FROM (
+        |  SELECT p_brand AS batch, p_partkey AS file_seq,
+        |    replace('F_' || replace(p_name, ' ', '_') || '_${DAY}.dat', '${DAY}', 'MON') AS fname
+        |  FROM part WHERE upper(p_brand) = upper('brand#11')
+        |  UNION ALL
+        |  SELECT p_brand, p_partkey,
+        |    replace('AVG_' || replace(p_name, ' ', '_') || '_${DAY}.vdn', '${DAY}', 'MON')
+        |  FROM part WHERE upper(p_brand) = upper('brand#12')
+        |  UNION ALL
+        |  SELECT p_brand, p_partkey,
+        |    replace('F_' || replace(p_name, ' ', '_') || '_${DAY}.log', '${DAY}', 'MON')
+        |  FROM part WHERE upper(p_brand) = upper('brand#13')
+        |) u GROUP BY batch ORDER BY batch""".stripMargin,
+  )
+}
