@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.CoreOps
+import graft.operators.{CoreOps, Dedup, EventOps, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreOps.qUnionStragg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * training-data-pipeline extensions (dedup, similarity, text analysis,
+    * multimodal, event ops).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreOps.queries
+    CoreOps.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ EventOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreOps.oracles
+    CoreOps.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ EventOps.oracles ++ Multimodal.oracles
 }

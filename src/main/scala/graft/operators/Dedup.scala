@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (north-star extensions, SURVEY §7.6): exact, n-gram Jaccard, MinHash-LSH
+  * and SimHash near-dup detection.
+  *
+  * Scale design: every variant is blocking-based — documents are first
+  * mapped to small candidate keys (content hash / prefix bucket / LSH band
+  * / SimHash band), pairs are generated ONLY within a bucket via a
+  * self-equi-join on the key, never by all-pairs crossJoin. At 100 TB the
+  * bucket join shuffles on the band key (uniformly distributed hash →
+  * no skew), and per-bucket pair counts stay bounded by design.
+  */
+object Dedup {
+
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z ]", ""), " +", " "))
+
+  // ---- exact dedup (hash-groupBy) ----------------------------------------
+  // Group by a 128-bit content hash, keep the lowest doc_id. Grouping by
+  // md5 instead of the raw text keeps shuffle rows small at scale.
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  // ---- n-gram Jaccard near-dup -------------------------------------------
+  /** Distinct word-3-gram set of the normalized text (requires >= 3 words). */
+  private def gramSet: Column = expr(
+    """array_distinct(transform(sequence(1, size(words) - 2),
+      |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+      |""".stripMargin)
+
+  /** Candidate blocking key: 40-char prefix of the normalized text. A real
+    * pipeline would use MinHash bands (below) — the prefix block keeps this
+    * variant fully SQL-expressible for the differential oracle.
+    */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("words", split(col("norm"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), md5(substring(col("norm"), 1, 40).cast("binary")).as("bucket"),
+        gramSet.as("grams"))
+    val a = base.select(col("doc_id").as("doc_a"), col("bucket"), col("grams").as("grams_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("bucket"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val union = size(col("grams_a")) + size(col("grams_b")) - inter
+    a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(inter / union.cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
+  //      DedupSpec against the exact-Jaccard ground truth) -----------------
+  /** Permutation family: h_i(x) = xxhash64(x, i). Seeding a 64-bit hash
+    * with the permutation index gives independent min-hashes without the
+    * classic a*x+b multiply (which would trip ANSI overflow checking). */
+  private val NumHashes = 16
+  private val Bands = 4 // 16 hashes = 4 bands × 4 rows
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band. `n_bands` is the
+    * number of agreeing bands; with 4 bands × 4 rows the collision curve
+    * crosses ~50% at Jaccard ≈ (1/4)^(1/4) ≈ 0.71.
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("words", split(col("norm"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hashes", expr(
+        "transform(sequence(1, size(words) - 2), " +
+        "i -> xxhash64(concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))"))
+    // 16 min-hash columns, fully inside codegen (no UDF, no explode of grams).
+    val withSig = (0 until NumHashes).foldLeft(base) { (df, i) =>
+      df.withColumn(f"mh_$i",
+        array_min(transform(col("hashes"), h => xxhash64(h, lit(i)))))
+    }
+    // Band key = hash of 4 consecutive signature rows; explode to (band, key).
+    val banded = withSig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((b * 4 until (b + 1) * 4).map(i => col(f"mh_$i")): _*)
+      }: _*)).as(Seq("band", "band_key")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast(LongType).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- SimHash (Spark-native; verified by DedupSpec) ---------------------
+  /** 64-bit SimHash over word hashes: bit b of the fingerprint is the sign
+    * of sum over tokens of ±1 depending on bit b of xxhash64(token).
+    * Near-dups = pairs sharing a 16-bit band whose Hamming distance ≤ 3.
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // One shuffle, all codegen: explode tokens, then 64 conditional SUMs in
+    // a single hash aggregate (map-side partials) — NOT a nested
+    // aggregate-over-bits lambda, which runs interpreted and re-walks the
+    // token array 64 times per document.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(f"b$b")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // Reassemble the 64-bit fingerprint from the per-bit majority signs.
+    // (Adding distinct powers of two never overflows two's complement, so
+    // this stays ANSI-safe even for bit 63.)
+    val fp = (0 until 64).map(b =>
+      when(col(f"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val base = sums.select(col("doc_id"), fp.as("simhash"))
+    val banded = base.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> qDedupExact _,
+    "q_dedup_ngram"   -> qDedupNgram _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+  )
+
+  /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
+    * (xxhash64 has no DuckDB equivalent) — driver records rows-only;
+    * DedupSpec checks them against exact-Jaccard ground truth instead.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
+        |  WHERE length(string_split(norm, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
+        |    list_distinct(list_transform(range(1, length(words) - 1),
+        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
+        |  FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(length(list_intersect(a.grams, b.grams)) /
+        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) AS jaccard
+        |FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE round(length(list_intersect(a.grams, b.grams)) /
+        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

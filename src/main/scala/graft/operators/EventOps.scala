@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.sources.Tables
+
+/** Event-stream batch operators over `events` (SURVEY §2.10 T4): gap-based
+  * sessionization and time-bucketed aggregation. These are the batch twins
+  * of the Structured Streaming path in graft.streaming — same logical
+  * shapes, verified against the DuckDB oracle here where streaming output
+  * can't be.
+  *
+  * Scale: both queries shuffle exactly once, partitioned by user_id /
+  * (hour, type). Session assignment is the standard lag-gap + running-sum
+  * pattern — no per-user collect, no iterative driver loop, so a 100 TB
+  * event log sessionizes in one window pass per partition.
+  */
+object EventOps {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
+
+  // Gap-based sessionization: new session when the previous event of the
+  // same user is more than 30 min older; session_id = running count of
+  // session starts (ROWS frame pinned explicitly so the oracle's window
+  // semantics match exactly).
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSess = when(prevTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(prevTs)) > GapUs, 1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .select("user_id", "event_id", "ts", "session_id")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // Hourly windowed aggregation (batch twin of the streaming
+  // window(ts, "1 hour") aggregation). Sum runs in decimal so the result
+  // is independent of partitioning/accumulation order.
+  def qWindowHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast(DoubleType).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize"    -> qSessionize _,
+    "q_window_hourly" -> qWindowHourly _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """SELECT user_id, event_id, cast(ts AS timestamp) AS ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(cast(ts AS timestamp))
+        |              - epoch_us(cast(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS timestamp))
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) t
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_window_hourly" ->
+      """SELECT cast(date_trunc('hour', cast(ts AS timestamp)) AS timestamp) AS hour_ts, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star, SURVEY §7.6): media payloads as
+  * opaque `binary` columns with typed metadata, processed per-partition in
+  * batches — the Scala analogue of a Pandas-UDF/mapInPandas stage.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * STUB: `fakeDecode` derives deterministic pseudo-features from the raw
+  * bytes. Everything around it — the schema contract, the typed Dataset
+  * boundary, per-partition batching, and the column plumbing — is real and
+  * is what a codec would drop into.
+  *
+  * Scale: decode runs via mapPartitions so per-record codec setup is
+  * amortized per partition (the reason mapInPandas/mapPartitions exists);
+  * payload bytes never shuffle — metadata extraction happens before any
+  * exchange and only the small typed features flow onward.
+  */
+object Multimodal {
+
+  /** One media payload: id + raw bytes + declared kind ("image"/"audio"). */
+  final case class MediaRecord(media_id: Long, payload: Array[Byte], kind: String)
+
+  /** Extracted features — what a real decoder would emit. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, frames: Int, checksum: Long)
+
+  /** STUB decode (???-equivalent): a real implementation would hand
+    * `payload` to a codec here. Deterministic fake: dimensions/frames are
+    * arithmetic over the byte length, checksum is a rolling polynomial —
+    * stable across JVMs, partitionings and reruns, so specs can pin exact
+    * outputs.
+    */
+  def fakeDecode(r: MediaRecord): MediaFeatures = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xFF); i += 1 }
+    MediaFeatures(
+      media_id = r.media_id,
+      kind = r.kind,
+      n_bytes = r.payload.length.toLong,
+      width = (r.payload.length % 640) + 1,
+      height = (r.media_id % 480).toInt + 1,
+      frames = if (r.kind == "video") (r.payload.length % 25) + 1 else 1,
+      checksum = h)
+  }
+
+  /** The mapInPandas-shaped stage: batch-decode per partition. */
+  def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition setup would open the codec once here
+      it.map(fakeDecode)
+    }
+  }
+
+  /** documents.text → binary payloads (the testdata carries no real media;
+    * utf-8 bytes stand in so the byte-level plumbing is exercised).
+    */
+  def asMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, "image").otherwise("audio").as("kind"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end mapPartitions decode pipeline (Spark-only rows check; the
+    * checksum column is pinned exactly by MultimodalSpec).
+    */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    decodeAll(asMedia(s, dir)).toDF().orderBy("media_id")
+
+  /** SQL-expressible metadata slice (byte length, content hash, stub dims)
+    * — the differential-testable face of the same plumbing.
+    */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("content_hash"),
+        (pmod(octet_length(encode(col("text"), "UTF-8")).cast(LongType), lit(640L)) + 1).as("fake_w"),
+        (pmod(col("doc_id"), lit(480L)) + 1).as("fake_h"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta"   -> qMultimodalMeta _,
+    "q_multimodal_decode" -> qMultimodalDecode _,
+  )
+
+  /** q_multimodal_decode has no SQL oracle (mapPartitions stage) — driver
+    * records rows-only; MultimodalSpec pins its outputs exactly. */
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  octet_length(encode(text)) % 640 + 1 AS fake_w,
+        |  doc_id % 480 + 1 AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID, quality scoring, token counting, fingerprinting
+  * (north-star extensions, SURVEY §7.6).
+  *
+  * All of these are single-pass, shuffle-free column expressions — at
+  * 100 TB they stream through the scan at full codegen speed; the only
+  * exchange in this file is the final orderBy the harness needs for
+  * deterministic comparison (drop it in production use).
+  */
+object TextOps {
+
+  /** lowercase, strip non [a-z ], collapse runs of spaces, trim. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z ]", ""), " +", " "))
+
+  /** Whitespace word count. */
+  private def wordCount(c: Column): Column =
+    size(split(trim(c), " +")).cast(LongType)
+
+  /** Substring occurrence count via the length-difference trick — exact,
+    * codegen-friendly, and expressible identically in the DuckDB oracle.
+    */
+  private def occ(c: Column, w: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(w), ""))) / w.length)
+      .cast(LongType)
+
+  // Language ID: marker-word heuristic (n-gram-style presence scoring).
+  // NOTE the synthetic corpus shares one vocabulary across langs, so
+  // accuracy against the `lang` column is meaningless here — the operator
+  // demonstrates the deterministic scoring plumbing, which is what a real
+  // fastText-style scorer would slot into.
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), normText(col("text")), lit(" "))
+    val pred = when(occ(t, " the ") >= 1, "en")
+      .when(occ(t, " der ") >= 1, "de")
+      .when(occ(t, " le ") >= 1, "fr")
+      .when(occ(t, " el ") >= 1, "es")
+      .otherwise("und")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // Quality scoring: length/punctuation/stopword ratios + linear score.
+  // (Deliberately no transcendental functions: exp/log differ across libm
+  // implementations and would break bit-exact differential testing.)
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWords = wordCount(t)
+    val punct = length(t) - length(regexp_replace(t, "[a-z ]", ""))
+    val punctRatio = punct / length(t).cast("double")
+    val stopCnt = occ(t, "the")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(length(regexp_replace(t, " ", "")) / nWords.cast("double"), 6).as("avg_word_len"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopCnt / nWords.cast("double"), 6).as("stop_ratio"),
+        round(lit(0.001) * nWords + lit(1.0) - punctRatio, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // Token counting: whitespace tokens + a BPE-ish estimate (chars/4 is the
+  // standard subword-per-char rule of thumb; a real tokenizer would be a
+  // broadcast vocab + the same per-row expression shape).
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        wordCount(col("text")).as("ws_tokens"),
+        ceil(length(col("text")) / 4.0).cast(LongType).as("bpe_est_tokens"))
+      .orderBy("doc_id")
+
+  // Document fingerprinting: md5 over the normalized text + a coarse
+  // length bucket — the join key for exact-dedup at scale (group by the
+  // 128-bit fingerprint, never by the raw multi-KB text column).
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fingerprint"),
+        floor(col("n_chars") / 100).cast(LongType).as("len_bucket"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id"     -> qLangId _,
+    "q_text_quality" -> qTextQuality _,
+    "q_token_count" -> qTokenCount _,
+    "q_fingerprint" -> qFingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    ' ' || trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) || ' ' AS t
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= 1 THEN 'en'
+        |       WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= 1 THEN 'de'
+        |       WHEN (length(t) - length(replace(t, ' le ', ''))) / 4 >= 1 THEN 'fr'
+        |       WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= 1 THEN 'es'
+        |       ELSE 'und' END AS pred_lang,
+        |  CASE WHEN (CASE WHEN (length(t) - length(replace(t, ' the ', ''))) / 5 >= 1 THEN 'en'
+        |       WHEN (length(t) - length(replace(t, ' der ', ''))) / 5 >= 1 THEN 'de'
+        |       WHEN (length(t) - length(replace(t, ' le ', ''))) / 4 >= 1 THEN 'fr'
+        |       WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= 1 THEN 'es'
+        |       ELSE 'und' END) = lang THEN 1 ELSE 0 END AS is_match
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  length(regexp_split_to_array(trim(text), ' +')) AS n_words,
+        |  round(length(replace(text, ' ', '')) /
+        |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS avg_word_len,
+        |  round((length(text) - length(regexp_replace(text, '[a-z ]', '', 'g'))) /
+        |        cast(length(text) AS double), 6) AS punct_ratio,
+        |  round(((length(text) - length(replace(text, 'the', ''))) / 3) /
+        |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS stop_ratio,
+        |  round(0.001 * length(regexp_split_to_array(trim(text), ' +')) + 1.0 -
+        |        (length(text) - length(regexp_replace(text, '[a-z ]', '', 'g'))) /
+        |        cast(length(text) AS double), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  length(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
+        |  cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  n_chars // 100 AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps
+
+/** Structural invariants of the core operator set on sf0.001 — value-level
+  * correctness is the DuckDB differential gate's job; these pin contract
+  * properties a hash compare can't express.
+  */
+class CoreOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("entry (flagship union+string-agg) returns rows on sf0.001") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 3) // one group per dispatched brand branch
+    rows.foreach { r =>
+      val files = r.getAs[String]("files")
+      assert(files.nonEmpty && files.contains("_MON."), s"templating applied: $files")
+      assert(r.getAs[Long]("n_files") == files.split(" ").length.toLong)
+    }
+  }
+
+  test("every registered query has either an oracle or a documented rows-only check") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_multimodal_decode"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("latest-per-group yields exactly one row per customer with orders") {
+    val t = CoreOps.qTopnPergroup(spark, dir)
+    val dupes = t.groupBy("o_custkey").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    val custWithOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(t.count() == custWithOrders)
+  }
+
+  test("run-id assignment is dense 1..n per (user, day)") {
+    val r = CoreOps.qRunidAssign(spark, dir)
+    val bad = r.groupBy("user_id", "run_day")
+      .agg(count(lit(1)).as("n"), max("run_id").as("mx"), min("run_id").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+  }
+
+  test("anti-join + semi-join partition the key space") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val without = CoreOps.qAnti(spark, dir).count()
+    val withOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(without + withOrders == cust)
+  }
+
+  test("broadcast join is planned for the dimension lookup (J1)") {
+    val plan = CoreOps.qJoinLookup(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("scan-level pushdown: filter and projection reach the parquet reader") {
+    val plan = CoreOps.qScanProject(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
+    assert(!plan.contains("l_extendedprice"), "projection should prune unused columns")
+  }
+}

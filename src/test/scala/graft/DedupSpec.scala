@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** MinHash-LSH and SimHash candidate generation, validated against the
+  * exact n-gram-Jaccard ground truth (q_dedup_ngram, itself verified by
+  * the DuckDB differential gate).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    Dedup.qDedupNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  private lazy val minhashPairs: Set[(Long, Long)] =
+    Dedup.qDedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val simhashPairs: Set[(Long, Long)] =
+    Dedup.qDedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup groups every document exactly once") {
+    val total = Dedup.qDedupExact(spark, dir)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("testdata contains planted near-duplicates (ground truth non-empty)") {
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.values.forall(j => j >= 0.5 && j <= 1.0))
+  }
+
+  test("minhash-LSH recalls all high-Jaccard pairs (j >= 0.9)") {
+    val high = exactPairs.filter(_._2 >= 0.9).keySet
+    val missed = high -- minhashPairs
+    assert(missed.isEmpty, s"minhash missed high-similarity pairs: $missed")
+  }
+
+  test("minhash-LSH candidate set is not a trivial superset (precision sanity)") {
+    // With 4x4 banding on this corpus the candidates should overwhelmingly
+    // be genuine near-dups, not random collisions.
+    val genuine = minhashPairs.count(exactPairs.contains)
+    assert(minhashPairs.nonEmpty)
+    assert(genuine.toDouble / minhashPairs.size >= 0.5,
+      s"only $genuine of ${minhashPairs.size} minhash candidates are genuine")
+  }
+
+  test("simhash finds near-identical pairs and nothing wildly dissimilar") {
+    assert(simhashPairs.nonEmpty)
+    val genuine = simhashPairs.count(exactPairs.contains)
+    assert(genuine.toDouble / simhashPairs.size >= 0.5,
+      s"only $genuine of ${simhashPairs.size} simhash pairs are genuine near-dups")
+  }
+
+  test("minhash is deterministic across runs") {
+    val again = Dedup.qDedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == minhashPairs)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The mapPartitions decode pipeline: schema contract, determinism, and
+  * agreement between the typed path and the SQL-expressible metadata path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("decode emits one feature row per media record, stable schema") {
+    val out = Multimodal.qMultimodalDecode(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"))
+    assert(out.count() == Multimodal.asMedia(spark, dir).count())
+  }
+
+  test("decode is deterministic across runs and partitionings") {
+    val a = Multimodal.qMultimodalDecode(spark, dir).collect().toSeq
+    val b = Multimodal.qMultimodalDecode(spark, dir).repartition(7).orderBy("media_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("typed path agrees with the SQL metadata path on byte length") {
+    val typed = Multimodal.qMultimodalDecode(spark, dir).select(col("media_id"), col("n_bytes"))
+    val sqlp = Multimodal.qMultimodalMeta(spark, dir)
+      .select(col("doc_id").as("media_id"), col("n_bytes").as("n_bytes_sql"))
+    val joined = typed.join(sqlp, "media_id")
+    assert(joined.filter(col("n_bytes") =!= col("n_bytes_sql")).count() == 0)
+  }
+
+  test("stub decode invariants: dims in range, checksum matches direct call") {
+    val rows = Multimodal.qMultimodalDecode(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
+      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 480)
+    }
+    // pin one checksum against a direct driver-side call
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).collect()(0)
+    val expected = Multimodal.fakeDecode(Multimodal.MediaRecord(
+      0L, doc.getAs[String]("text").getBytes("UTF-8"), "image"))
+    val got = rows.find(_.getAs[Long]("media_id") == 0L).get
+    assert(got.getAs[Long]("checksum") == expected.checksum)
+    assert(got.getAs[Long]("n_bytes") == expected.n_bytes)
+  }
+}
