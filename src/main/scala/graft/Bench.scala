@@ -1,5 +1,8 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +10,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // X5 observability: per-run stage/task counters via SparkListener
+    // (the engine analogue of DBMS_APPLICATION_INFO session longops,
+    // body:1253-1266) — logged per query so regressions localize.
+    val stages = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks)
+      }
+    })
     val results = SparkEntry.queries.map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, s"graft bench: $name", interruptOnCancel = false)
+      val s0 = stages.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    System.err.println(s"[bench] total stages=${stages.get()} tasks=${tasks.get()}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -60,9 +60,13 @@ object ScalarLib {
       .when(try_to_timestamp(s, lit(OracleDateFmt)).isNull, lit(2))
       .otherwise(lit(0))
 
-  /** Normalized timestamp for valid inputs, NULL otherwise (body:112-116). */
+  /** Normalized timestamp for valid inputs, NULL otherwise (body:112-116).
+    * Single parse per row: a failed parse is already NULL, so the only guard
+    * needed is the length cascade (re-running checkDateCode here would
+    * evaluate try_to_timestamp a second time in the same projection).
+    */
   def checkDateNormalized(s: Column): Column =
-    when(checkDateCode(s) === 0, try_to_timestamp(s, lit(OracleDateFmt)))
+    when(s.isNotNull && length(s).between(10, 11), try_to_timestamp(s, lit(OracleDateFmt)))
 
   // --- U3: func_field_counter (spec:72-77, body:729-762) ------------------
   /** Field count of a delimited string: the reference counts *delimiter
@@ -101,7 +105,10 @@ object ScalarLib {
     val t = s.trim
     var i = 0
     var acc = 0L
-    while (i < t.length && t.charAt(i).isDigit && i < 18) {
+    // ASCII digits only ('0'..'9'), matching the Column twin's [0-9] and the
+    // reference's ASCII BETWEEN 48 AND 57 (body:830) — Character.isDigit
+    // would also accept Unicode digits and diverge.
+    while (i < t.length && t.charAt(i) >= '0' && t.charAt(i) <= '9' && i < 18) {
       acc = acc * 10 + (t.charAt(i) - '0')
       i += 1
     }

@@ -408,8 +408,8 @@ object CoreOps {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_null_pred" ->
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS n_null,
-        |  sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NOT NULL THEN 1 ELSE 0 END) AS n_notnull
+        |  cast(sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+        |  cast(sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_notnull
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bool_compound" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem

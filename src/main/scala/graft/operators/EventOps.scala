@@ -58,8 +58,8 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->
       """SELECT user_id, event_id, cast(ts AS timestamp) AS ts,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
         |FROM (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

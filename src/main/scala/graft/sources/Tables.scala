@@ -35,9 +35,15 @@ object Tables {
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
     * convert with integer division — ns epoch values (~1.7e18) exceed
     * 2^53, so this MUST be `div`, never a double-typed `/`.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set it at session construction (Verify/Bench/TestSpark do). Loaders are
+    * side-effect-free: a table getter must never silently change how every
+    * later read in the session treats TIMESTAMP(NANOS).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build time to read events.parquet")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
