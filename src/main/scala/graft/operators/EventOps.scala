@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sources.Tables
+import graft.state.StateStore
 
 /** Event-stream batch operators over `events` (SURVEY §2.10 T4): gap-based
   * sessionization and time-bucketed aggregation. These are the batch twins
@@ -50,9 +51,21 @@ object EventOps {
         sum(col("value").cast("decimal(18,6)")).cast(DoubleType).as("sum_value"))
       .orderBy("hour_ts", "event_type")
 
+  // S5/X2 state view — the event-sourced batch_monitor "current state"
+  // (StateStore.latestState, the W1 window) demonstrated on the events
+  // table: treat each user's event stream as a status log and read the
+  // latest event per user. This is the exact code path Lifecycle reads
+  // for duplicate-run checks, dependency status, and resumption.
+  def qStateLatest(s: SparkSession, dir: String): DataFrame =
+    StateStore.latestState(Tables.events(s, dir),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "ts", "event_type")
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
+    "q_state_latest"  -> qStateLatest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,5 +87,10 @@ object EventOps {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_state_latest" ->
+      """SELECT user_id, event_id, cast(ts AS timestamp) AS ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

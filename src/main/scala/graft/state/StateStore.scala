@@ -1,0 +1,144 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sourced control-table store (SURVEY §7.1): the Spark-native
+  * replacement for the reference's mutable Oracle control tables.
+  *
+  *  - In-place UPDATE + autonomous transaction (body:192-214, 438-466, 676)
+  *    → immediate, independent parquet append of a status event (X1): the
+  *    event is durable the moment `appendMonitorEvent` returns, decoupled
+  *    from the batch job's own outputs, exactly the write-ahead property
+  *    the AUTONOMOUS_TRANSACTION pragma provided.
+  *  - "Current state" (the monitor row the reference reads back,
+  *    body:158-165, 224-237, 269-322) → the W1 latest-event-per-run view.
+  *  - Chunked DELETE retention (body:926-939) → filter-rewrite (S6); no
+  *    5000-row commit loop because immutable storage has no undo pressure.
+  *
+  * Scale: control tables are tiny relative to the data they orchestrate
+  * (one event per run transition), so single-file appends are fine; a
+  * long-lived deployment would periodically compact the event dir — the
+  * read path (plain `spark.read.parquet`) is unchanged by compaction.
+  * Concurrent drivers would put the event log on a transactional table
+  * format; the store API is the seam where that swap happens.
+  */
+class StateStore(val spark: SparkSession, val dir: String) {
+
+  private def p(name: String): String = s"$dir/$name"
+
+  private def readOrEmpty[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      name: String): DataFrame = {
+    val schema = Encoders.product[T].schema
+    if (Files.exists(Paths.get(p(name))))
+      spark.read.schema(schema).parquet(p(name))
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  private def append[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      name: String, rows: Seq[T]): Unit =
+    spark.createDataset(rows)(Encoders.product[T]).write.mode("append").parquet(p(name))
+
+  // ---- batch_master (registry dimension) ---------------------------------
+  def batchMaster: Dataset[BatchMaster] =
+    readOrEmpty[BatchMaster]("batch_master").as(Encoders.product[BatchMaster])
+  def putBatchMaster(rows: Seq[BatchMaster]): Unit = append("batch_master", rows)
+
+  // ---- batch_monitor event log (S5/X1/X2) --------------------------------
+  /** Monotonic event sequence; initialized from the existing log so a
+    * restarted driver continues where it stopped (single-assigner design,
+    * SURVEY §7.6). */
+  private lazy val seq: AtomicLong = {
+    val mx =
+      if (Files.exists(Paths.get(p("batch_monitor_events"))))
+        monitorEvents.agg(coalesce(max("event_seq"), lit(0L))).head().getLong(0)
+      else 0L
+    new AtomicLong(mx)
+  }
+
+  def nextSeq(): Long = seq.incrementAndGet()
+
+  /** X1: durable the moment this returns, independent of any job outcome. */
+  def appendMonitorEvent(ev: MonitorEvent): Unit = append("batch_monitor_events", Seq(ev))
+
+  def monitorEvents: DataFrame = readOrEmpty[MonitorEvent]("batch_monitor_events")
+
+  /** Current batch_monitor state: latest event per run (W1 over run_key). */
+  def monitorState: DataFrame =
+    StateStore.latestState(monitorEvents, Seq("run_key"), Seq(col("event_seq").desc))
+
+  // ---- batch_dependency (DAG edges, body:258-261) ------------------------
+  def dependencies: Dataset[BatchDependency] =
+    readOrEmpty[BatchDependency]("batch_dependency").as(Encoders.product[BatchDependency])
+  def putDependencies(rows: Seq[BatchDependency]): Unit = append("batch_dependency", rows)
+
+  // ---- batch_log (append-only, 7-day retention) --------------------------
+  def appendLog(rec: BatchLogRec): Unit = append("batch_log", Seq(rec))
+  def batchLog: DataFrame = readOrEmpty[BatchLogRec]("batch_log")
+
+  /** S6 retention purge (body:926-939) as filter-rewrite: keep rows newer
+    * than the horizon; write-to-temp-then-swap because Spark cannot
+    * overwrite a path it is reading. */
+  def purgeBatchLog(horizon: java.sql.Timestamp): Unit = {
+    val path = Paths.get(p("batch_log"))
+    if (!Files.exists(path)) return
+    val tmp = Paths.get(p("batch_log.purging"))
+    batchLog.filter(col("run_date") >= lit(horizon))
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(path)
+    Files.move(tmp, path)
+  }
+
+  // ---- envvar config store (S9, body:861-875) ----------------------------
+  def envvarEvents: DataFrame = readOrEmpty[EnvVarEvent]("envvar_events")
+
+  /** func_get_env_from_db (body:861-875): current value or None. */
+  def getEnv(name: String): Option[String] = {
+    val rows = StateStore.latestState(
+        envvarEvents.filter(col("variable_name") === name),
+        Seq("variable_name"), Seq(col("event_seq").desc))
+      .select("value").collect()
+    rows.headOption.map(_.getString(0))
+  }
+
+  /** pack_envvar.proc_upd_env analogue (body:919-922): append new value. */
+  def updEnv(name: String, value: String): Unit =
+    append("envvar_events", Seq(EnvVarEvent(name, value, nextSeq())))
+
+  // ---- tmp_run_batch (U8, body:994-1009) ---------------------------------
+  def runCommands: Dataset[RunCommand] =
+    readOrEmpty[RunCommand]("tmp_run_batch").as(Encoders.product[RunCommand])
+  def putRunCommands(rows: Seq[RunCommand]): Unit = append("tmp_run_batch", rows)
+
+  /** func_get_run_command (body:994-1009): lookup; ANY failure → "0"
+    * (the reference's WHEN OTHERS contract, body:1006-1008). The spec's
+    * `PRAGMA restrict_references (WNDS)` purity (spec:107) is simply a
+    * read-only function here. */
+  def getRunCommand(batchName: String): String =
+    try {
+      val rows = runCommands.filter(col("batch_name") === batchName)
+        .select("run_command").collect()
+      if (rows.length == 1) rows.head.getString(0) else "0"
+    } catch { case _: Throwable => "0" }
+
+  private def deleteRecursively(path: Path): Unit = {
+    if (Files.isDirectory(path))
+      Files.list(path).forEach(deleteRecursively(_))
+    Files.deleteIfExists(path)
+  }
+}
+
+object StateStore {
+  /** W1 latest-row-per-group view (body:158-165 intent — see SURVEY §2.5):
+    * one window pass partitioned by the key; at scale this shuffles once on
+    * the key and never collects a group to the driver. */
+  def latestState(events: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

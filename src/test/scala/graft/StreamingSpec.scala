@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+final case class StreamEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** EventStreams is one logical shape for two execution modes: the batch
+  * run must agree with EventOps' oracle-verified queries, and the
+  * streaming run (MemoryStream micro-batches) must agree with the batch
+  * run on the same rows. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("batch hourlyAgg equals the oracle-verified qWindowHourly") {
+    val viaStream = EventStreams.hourlyAgg(Tables.events(spark, TestSpark.sfDir))
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    val viaBatch = EventOps.qWindowHourly(spark, TestSpark.sfDir)
+      .select(col("hour_ts"), col("event_type"), col("n"), col("sum_value"))
+      .collect().toSeq
+    assert(viaStream === viaBatch)
+  }
+
+  test("streaming hourlyAgg over MemoryStream micro-batches equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val events = Seq(
+      StreamEvent(ts("2026-08-12T10:05:00Z"), 1, "click", 1.5),
+      StreamEvent(ts("2026-08-12T10:55:00Z"), 2, "click", 2.5),
+      StreamEvent(ts("2026-08-12T11:05:00Z"), 1, "view", 4.0),
+      StreamEvent(ts("2026-08-12T10:30:00Z"), 3, "click", 8.0))
+    val q = EventStreams.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2)) // second micro-batch updates state
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("hour_ts", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      val expected = EventStreams.hourlyAgg(events.toDF())
+        .orderBy("hour_ts", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === expected)
+      assert(got.map(_._3).sum === 4L)
+    } finally q.stop()
+  }
+
+  test("sessionAgg agrees with batch qSessionize on session membership") {
+    // Sessions from the interval view: per user, number of sessions and
+    // total events must match the lag-gap sessionization.
+    val fromWindows = EventStreams.sessionAgg(Tables.events(spark, TestSpark.sfDir))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").cast("long").as("n_events"))
+    val fromLagGap = EventOps.qSessionize(spark, TestSpark.sfDir)
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    val a = fromWindows.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = fromLagGap.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b)
+  }
+}
