@@ -103,23 +103,16 @@ object Dedup {
     * Near-dups = pairs sharing a 16-bit band whose Hamming distance ≤ 3.
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // One shuffle, all codegen: explode tokens, then 64 conditional SUMs in
-    // a single hash aggregate (map-side partials) — NOT a nested
-    // aggregate-over-bits lambda, which runs interpreted and re-walks the
-    // token array 64 times per document.
+    // One shuffle, one aggregate buffer: explode tokens, then a single
+    // typed SimHash aggregate (graft.functions.SimHash) that maintains the
+    // 64 bit-counters in one array with map-side partials — replacing the
+    // previous 64-conditional-SUM formulation that was the bench's single
+    // hottest query (11.6 s → one narrow ObjectHashAggregate).
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(f"b$b")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // Reassemble the 64-bit fingerprint from the per-bit majority signs.
-    // (Adding distinct powers of two never overflows two's complement, so
-    // this stays ANSI-safe even for bit 63.)
-    val fp = (0 until 64).map(b =>
-      when(col(f"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val base = sums.select(col("doc_id"), fp.as("simhash"))
+    val base = toks.groupBy("doc_id")
+      .agg(graft.functions.SimHash.simhash64(col("h")).as("simhash"))
     val banded = base.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))
