@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Session extension registering the engine's native Catalyst expressions
+  * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
+  * Verify/Bench/tests do this). Queries degrade gracefully when the
+  * extension is absent — see Similarity.dotCol's interpreted fallback —
+  * so a plain session can still run every query, just slower.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -41,14 +42,27 @@ object Dedup {
   /** Candidate blocking key: 40-char prefix of the normalized text. A real
     * pipeline would use MinHash bands (below) — the prefix block keeps this
     * variant fully SQL-expressible for the differential oracle.
+    *
+    * Skew safety: prefix buckets are NOT uniformly distributed (shared
+    * boilerplate headers collapse into one bucket), so each bucket is
+    * capped at [[NgramBucketCap]] members — deterministically, lowest
+    * doc_ids kept — bounding per-bucket pair counts at cap²/2 no matter
+    * how skewed the corpus. The cap never binds at test SF (max bucket ≈
+    * dup-cluster size), so the oracle stays exact; at 100 TB it trades
+    * bounded recall loss inside mega-buckets for a bounded join.
     */
+  private val NgramBucketCap = 256
+
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("words", split(col("norm"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), md5(substring(col("norm"), 1, 40).cast("binary")).as("bucket"),
         gramSet.as("grams"))
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= NgramBucketCap).drop("rn")
     val a = base.select(col("doc_id").as("doc_a"), col("bucket"), col("grams").as("grams_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("bucket"), col("grams").as("grams_b"))
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
@@ -148,11 +162,15 @@ object Dedup {
         |w AS (
         |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
         |  WHERE length(string_split(norm, ' ')) >= 3),
-        |g AS (
+        |g0 AS (
         |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
         |    list_distinct(list_transform(range(1, length(words) - 1),
         |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
-        |  FROM w)
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, bucket, grams FROM (
+        |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
+        |  WHERE rn <= 256)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(length(list_intersect(a.grams, b.grams)) /
         |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) AS jaccard

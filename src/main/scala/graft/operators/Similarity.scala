@@ -10,71 +10,51 @@ import graft.sources.Tables
   * 64-dim) — north-star extensions, SURVEY §7.6.
   *
   * Three tiers:
-  *  - `qEmbedNeardup`: blocked pairwise cosine (near-dup detection);
+  *  - `qEmbedNeardup`: near-dup pair detection with bounded blocking —
+  *    banded sign-LSH (OR-construction: a pair is a candidate if ANY band
+  *    bucket agrees) inside each label, then the exact cosine filter.
+  *    Per-band buckets bound the join fan-out, so no label can go
+  *    quadratic (the scale-killer in an unbounded label block).
   *  - `qAnnTopk`: brute-force cosine top-k — the exact baseline. The query
-  *    set is broadcast, so the corpus is scanned once with no shuffle and
-  *    the per-query top-k is a TakeOrdered-style window; at 100 TB this is
-  *    the classic "small query batch × huge corpus" scan shape.
-  *  - `qAnnLsh`: random-hyperplane LSH buckets — the scale path. Each
-  *    vector maps to a small bucket id; search touches only the probed
-  *    bucket (corpus pre-partitionable by bucket at write time, so a query
-  *    reads ~1/2^bits of the data). Verified for recall against the
-  *    brute-force tier in SimilaritySpec, not by SQL oracle.
+  *    set is broadcast, so the corpus is scanned once with no shuffle;
+  *    at 100 TB this is the classic "small query batch × huge corpus"
+  *    scan shape.
+  *  - `qAnnLsh`: multi-probe sign-LSH buckets — the scale path. Each
+  *    corpus vector lives in one bucket; each query probes its own bucket
+  *    plus all Hamming-1 neighbors, recovering most of the recall that a
+  *    single probe loses (recall vs brute force asserted in
+  *    SimilaritySpec, not by SQL oracle).
   *
-  * All dot products run as codegen'd higher-order functions over the float
-  * array, accumulated in double, sequentially — bit-identical to the
-  * DuckDB oracle's list arithmetic, which is what makes differential
-  * testing of float math possible at all.
+  * Dot products run through the native codegen'd `graft_dot` expression
+  * (graft.functions.DotProduct, injected by GraftExtensions) when the
+  * session has it, falling back to the interpreted `aggregate`/`zip_with`
+  * higher-order functions otherwise. Both accumulate sequentially in
+  * double — bit-identical to each other and to the DuckDB oracle's
+  * `list_aggregate(..., 'sum')`, which is what makes differential testing
+  * of float math possible at all.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors in double precision. */
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+  private val Dim = 64
 
-  private def norm(a: String): Column = sqrt(dot(a, a))
+  /** ANN bucket planes: 16 buckets; with Hamming-1 multi-probe each query
+    * touches 5/16 of the bucket space. On clustered production embeddings
+    * more planes (deeper buckets) keep the probed fraction small; on the
+    * synthetic near-uniform corpus this depth is what sustains recall —
+    * the tradeoff is planes vs recall, and the probe set scales linearly
+    * with planes either way. */
+  private val AnnPlanes = 4
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", norm("embedding"))
+  /** Near-dup banding: 4 bands × 2 planes (OR-construction). A pair
+    * collides if any band agrees: recall 1-(1-p²)⁴ for per-plane
+    * agreement p; block size is bounded per (label, band, bucket). */
+  private val NdBands = 4
+  private val NdPlanesPerBand = 2
+  /** Distinct plane family for the near-dup bands (offset 100 keeps them
+    * independent of the ANN planes). */
+  private def ndPlaneIds(band: Int): Seq[Int] =
+    (0 until NdPlanesPerBand).map(j => 100 + band * NdPlanesPerBand + j)
 
-  // ---- cosine near-dup pairs, blocked by label --------------------------
-  // (The synthetic corpus has no planted high-cosine dup clusters — max
-  // pairwise cosine ≈ 0.51 — so the demo threshold is 0.4; the operator
-  // shape is what matters: block → pair within block → threshold.)
-  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= 0.4)
-      .select("label", "id_a", "id_b", "cosine")
-      .orderBy("label", "id_a", "id_b")
-  }
-
-  // ---- brute-force cosine top-k -----------------------------------------
-  /** Top-5 neighbors for each query vector (vec_id ≡ 0 mod 100). Ranking
-    * uses the ROUNDED cosine with vec_id tiebreak so ordering is identical
-    * across engines even at float-tie boundaries.
-    */
-  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir))
-    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", round(dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rank")
-  }
-
-  // ---- LSH-bucketed ANN (Spark-native scale path) -----------------------
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * uniform in [-0.5, 0.5), derived from a 64-bit avalanche hash so no
     * RNG state is needed (reproducible across executors by construction).
@@ -87,38 +67,97 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
-  private val NumPlanes = 8
-  private val Dim = 64
+  /** Sequential-fold dot product in double precision: the injected native
+    * expression when the session has GraftExtensions, else interpreted
+    * HOFs (same result, slower). */
+  private def dotCol(s: SparkSession, a: Column, b: Column): Column =
+    if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
-  /** Sign-bucket of a vector under the fixed hyperplane family. */
-  def lshBucket(embedding: Column): Column = {
-    val bits = (0 until NumPlanes).map { p =>
-      val proj = expr(
-        s"aggregate(zip_with(embedding, ${planeExpr(p)}, (x, y) -> cast(x as double) * y), " +
-          "cast(0 as double), (acc, v) -> acc + v)")
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  private def planeArr(p: Int): Column =
+    array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
+
+  /** Sign-bucket of `embedding` under the given plane family. */
+  def lshBucket(s: SparkSession, embedding: Column, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (p, k) =>
+      when(dotCol(s, embedding, planeArr(p)) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def withNorm(s: SparkSession, df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dotCol(s, col("embedding"), col("embedding"))))
+
+  // ---- cosine near-dup pairs: banded LSH blocking within label ----------
+  // (The synthetic corpus has no planted high-cosine dup clusters — max
+  // pairwise cosine ≈ 0.51 — so the demo threshold is 0.4; the operator
+  // shape is what matters: bounded blocks → pairs within block → exact
+  // cosine threshold.)
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    val bandCols = (0 until NdBands).map(b => lshBucket(s, col("embedding"), ndPlaneIds(b)))
+    val banded = e.select(col("vec_id"), col("label"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkt")))
+    val a = banded.select(col("vec_id").as("id_a"), col("label"), col("band"), col("bkt"))
+    val b = banded.select(col("vec_id").as("id_b"), col("label"), col("band"), col("bkt"))
+    // Candidates agreeing on ≥1 band, deduped on the small key triple
+    // BEFORE touching embeddings again (the distinct is a narrow shuffle).
+    val cand = a.join(b, Seq("label", "band", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("label", "id_a", "id_b").distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .withColumn("cosine", round(dotCol(s, col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("label", "id_a", "id_b", "cosine")
+      .orderBy("label", "id_a", "id_b")
   }
 
-  private def planeExpr(p: Int): String =
-    (0 until Dim).map(d => planeComponent(p, d).toString).mkString("array(", ", ", ")")
+  // ---- brute-force cosine top-k -----------------------------------------
+  /** Top-5 neighbors for each query vector (vec_id ≡ 0 mod 100). Ranking
+    * uses the ROUNDED cosine with vec_id tiebreak so ordering is identical
+    * across engines even at float-tie boundaries.
+    */
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
 
-  /** ANN via single-probe LSH: each query searches only its own sign
-    * bucket (expected corpus fraction 1/2^8). Returns the same schema as
-    * qAnnTopk minus the exactness guarantee; SimilaritySpec measures
-    * recall against the brute-force baseline.
+  // ---- multi-probe LSH ANN (Spark-native scale path) --------------------
+  /** ANN via multi-probe LSH: corpus vectors sit in their own sign bucket
+    * (pre-partitionable by bucket at write time, so a probe reads only its
+    * bucket's partition); each query probes its exact bucket plus every
+    * Hamming-1 neighbor — AnnPlanes+1 of 2^AnnPlanes buckets. Same output
+    * schema as qAnnTopk minus the exactness guarantee; SimilaritySpec
+    * asserts recall ≥ 0.5 against the brute-force baseline.
     */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, dir)).withColumn("bucket", lshBucket(col("embedding")))
+    val planes = 0 until AnnPlanes
+    val e = withNorm(s, Tables.embeddings(s, dir))
+      .withColumn("bucket", lshBucket(s, col("embedding"), planes))
+    val probeMasks = array((lit(0L) +: planes.map(p => lit(1L << p))): _*)
     val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      .withColumn("probe", explode(probeMasks))
+      .withColumn("bucket", col("q_bucket").bitwiseXOR(col("probe")))
+      .drop("q_bucket", "probe")
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       col("nrm").as("n_nrm"), col("bucket"))
+    // A corpus vector has exactly one bucket and probe buckets are
+    // distinct, so no (q, n) pair can duplicate across probes.
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", round(dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")), 6))
+      .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
@@ -131,24 +170,50 @@ object Similarity {
     "q_ann_lsh"       -> qAnnLsh _,
   )
 
+  // ---- DuckDB oracle generation -----------------------------------------
+  private def duckPlaneArr(p: Int): String =
+    (0 until Dim).map(d => planeComponent(p, d).toString).mkString("[", ", ", "]")
+
+  private def duckDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast($a[i] AS double) * $b), 'sum')"
+
+  private def duckDotArr(emb: String, arr: String): String =
+    duckDot(emb, s"($arr)[i]")
+
+  private def duckBucket(emb: String, planes: Seq[Int]): String =
+    planes.zipWithIndex.map { case (p, k) =>
+      s"(CASE WHEN ${duckDotArr(emb, duckPlaneArr(p))} > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val duckNorm =
+    "sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))"
+
   /** q_ann_lsh has no SQL oracle (approximate by design) — rows-only check
-    * for the driver; recall vs q_ann_topk asserted in SimilaritySpec. */
+    * for the driver; recall vs q_ann_topk asserted in SimilaritySpec.
+    * q_embed_neardup's oracle replays the banded blocking with the same
+    * plane constants (generated into the SQL), so candidate sets — and
+    * therefore results — are identical by construction. */
   val oracles: Map[String, String] = Map(
-    "q_embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding,
-        |    sqrt(list_aggregate(list_transform(range(1, length(embedding) + 1),
-        |      i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum')) AS nrm
-        |  FROM embeddings)
-        |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_aggregate(list_transform(range(1, length(a.embedding) + 1),
-        |      i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)), 'sum')
-        |    / (a.nrm * b.nrm), 6) AS cosine
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_aggregate(list_transform(range(1, length(a.embedding) + 1),
-        |      i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)), 'sum')
-        |    / (a.nrm * b.nrm), 6) >= 0.4
-        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_embed_neardup" -> {
+      val bkts = (0 until NdBands).map(b => s"    ${duckBucket("embedding", ndPlaneIds(b))} AS bkt$b")
+        .mkString(",\n")
+      val anyBand = (0 until NdBands).map(b => s"a.bkt$b = b.bkt$b").mkString(" OR ")
+      val pairDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double)), 'sum')"
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    $duckNorm AS nrm,
+         |$bkts
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |    AND ($anyBand))
+         |SELECT c.label, c.id_a, c.id_b,
+         |  round($pairDot / (ea.nrm * eb.nrm), 6) AS cosine
+         |FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+         |WHERE round($pairDot / (ea.nrm * eb.nrm), 6) >= 0.4
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -44,12 +44,13 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("single-probe LSH achieves non-trivial recall vs brute force") {
+  test("multi-probe LSH achieves recall >= 0.5 vs brute force") {
     val exactSet = exact.map(h => (h.qId, h.nId)).toSet
     val hit = approx.count(h => exactSet((h.qId, h.nId)))
     val recall = hit.toDouble / exactSet.size
-    // On random (unclustered) vectors a 1/256-bucket single probe has low
-    // recall by construction; require it beats the random-baseline floor.
-    assert(recall > 0.05, f"recall $recall%.3f")
+    // Exact bucket + all Hamming-1 probes recover most single-probe loss
+    // even on this unclustered synthetic corpus (clustered production
+    // embeddings recall far higher at the same probe budget).
+    assert(recall >= 0.5, f"recall $recall%.3f")
   }
 }
