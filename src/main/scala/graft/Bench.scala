@@ -26,6 +26,16 @@ object Bench {
         tasks.addAndGet(sc.stageInfo.numTasks)
       }
     })
+    // Untimed warmup at the smallest SF: touches the parquet reader,
+    // whole-stage codegen, and window paths once so the first measured
+    // query reports its own work instead of JVM/JIT start-up.
+    locally {
+      val w = "/root/testdata/sf0.001"
+      Seq("q_check_date", "q_topn_pergroup", "q_ann_topk").foreach { n =>
+        try SparkEntry.queries.get(n).foreach(f => f(spark, w).count())
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, s"graft bench: $name", interruptOnCancel = false)
       val s0 = stages.get()

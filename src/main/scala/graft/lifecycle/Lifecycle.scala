@@ -428,6 +428,42 @@ class Lifecycle(
       .select("run_status").collect().headOption.map(_.getString(0))
   }
 
+  // ---- S7: func_get_loader_file_name (body:1163-1251) --------------------
+  /** Space-joined loader file names for a batch, `${DAY}` template expanded
+    * (E3, the reference's richest query): flag dispatch — EISU242 takes
+    * branch 3 on SATURDAY else branch 2, every other batch branch 1
+    * (body:1201-1209) — then the 3-branch UNION ALL over tmp_run_loader
+    * with case-insensitive batch match, ordered by file_seq, string-
+    * aggregated (body:1172-1224). Empty → logs 'No Data file name found'
+    * and returns "0" (the reference's NVL(names, 0), body:1228-1237).
+    *
+    * The collect is the function's contract (it RETURNS the joined string
+    * to the driver); the per-batch manifest is dimension-sized. The
+    * distributed rendition of the same pipeline is CoreOps.qUnionStragg.
+    */
+  def getLoaderFileName(batchName: String, runDay: String): String = {
+    val flag =
+      if (batchName.equalsIgnoreCase("EISU242"))
+        (if (runDay.equalsIgnoreCase("SATURDAY")) 3 else 2)
+      else 1
+    val t = store.loaderFiles.filter(upper(col("batch_name")) === batchName.toUpperCase)
+    val avgName = upper(col("file_name")) === "AVG_${DAY}_VDN"
+    val branch1 = t.filter(lit(flag) === 1)
+    val branch2 = t.filter(avgName && lit(flag) === 2)
+    val branch3 = t.filter(!avgName && lit(flag) === 3)
+    val names = branch1.unionAll(branch2).unionAll(branch3)
+      .select(regexp_replace(col("file_name"), "\\$\\{DAY\\}", runDay).as("file_name"),
+        col("file_seq"))
+      .orderBy("file_seq")
+      .select("file_name").collect().map(_.getString(0))
+    if (names.isEmpty) {
+      store.appendLog(graft.state.BatchLogRec(ts(clock.now()), "func_get_loader_file_name",
+        610, "graft.lifecycle", Some(batchName),
+        Some(s"No Data file name found for batch <$batchName>")))
+      "0"
+    } else names.mkString(" ")
+  }
+
   // ---- T1: func_daily000 (body:877-992) ----------------------------------
   /** The daily gate: startup DAILY000 → validate run date → (no flag:
     * publish BATCH_CONTROL_DATE + purge 7-day-old logs) → sleep in ≤600 s

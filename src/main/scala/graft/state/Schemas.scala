@@ -71,3 +71,19 @@ final case class EnvVarEvent(
     event_seq: Long)
 
 final case class RunCommand(batch_name: String, run_command: String)
+
+/** SQL*Loader file-name manifest (body:1174-1197). */
+final case class TmpRunLoader(batch_name: String, file_name: String, file_seq: Long)
+
+/** Email directory (body:1059-1067). */
+final case class MailAddr(stf_id: String, forename: String, name: String)
+
+/** Mail audit sink — the reference's dbmail.send_mail_audit append
+  * (body:1136-1148), an S4 autonomous append like the monitor events. */
+final case class MailAudit(
+    send_date: Timestamp,
+    sender: String,
+    recipient: String,
+    copied: Option[String],
+    blind_copied: Option[String],
+    subject: String)

@@ -125,6 +125,19 @@ class StateStore(val spark: SparkSession, val dir: String) {
       if (rows.length == 1) rows.head.getString(0) else "0"
     } catch { case _: Throwable => "0" }
 
+  // ---- tmp_run_loader manifest (S7, body:1174-1197) ----------------------
+  def loaderFiles: Dataset[TmpRunLoader] =
+    readOrEmpty[TmpRunLoader]("tmp_run_loader").as(Encoders.product[TmpRunLoader])
+  def putLoaderFiles(rows: Seq[TmpRunLoader]): Unit = append("tmp_run_loader", rows)
+
+  // ---- mail directory + audit (S8/S4, body:1059-1067, 1136-1148) ---------
+  def mailAddresses: Dataset[MailAddr] =
+    readOrEmpty[MailAddr]("mail_addr_lookup").as(Encoders.product[MailAddr])
+  def putMailAddresses(rows: Seq[MailAddr]): Unit = append("mail_addr_lookup", rows)
+
+  def appendMailAudit(rec: MailAudit): Unit = append("send_mail_audit", Seq(rec))
+  def mailAudit: DataFrame = readOrEmpty[MailAudit]("send_mail_audit")
+
   private def deleteRecursively(path: Path): Unit = {
     if (Files.isDirectory(path))
       Files.list(path).forEach(deleteRecursively(_))

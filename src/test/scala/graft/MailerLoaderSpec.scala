@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lifecycle._
+import graft.state._
+
+/** S7 loader-file manifest + S8 notifier/mail-audit semantics. */
+class MailerLoaderSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private class FixedClock(t: Instant) extends Clock { def now(): Instant = t }
+
+  private def newStore() =
+    new StateStore(spark, Files.createTempDirectory("graft-mail").toString)
+
+  private def lifecycle(store: StateStore) =
+    new Lifecycle(store, new FixedClock(Instant.parse("2026-08-12T12:00:00Z")), SystemSleeper)
+
+  // ---- S7: func_get_loader_file_name -------------------------------------
+  test("loader file names: templating, ordering, ci-match, empty contract") {
+    val store = newStore()
+    val lc = lifecycle(store)
+    store.putLoaderFiles(Seq(
+      TmpRunLoader("EISU100", "b_${DAY}.dat", 2),
+      TmpRunLoader("EISU100", "a_${DAY}.dat", 1),
+      TmpRunLoader("OTHER", "x.dat", 1)))
+    assert(lc.getLoaderFileName("eisu100", "MON") === "a_MON.dat b_MON.dat",
+      "branch 1: all files, seq order, ${DAY} expanded, case-insensitive batch")
+    assert(lc.getLoaderFileName("MISSING", "MON") === "0",
+      "no rows → NVL(names, 0) (body:1237)")
+    assert(store.batchLog.count() === 1, "empty lookup logs 'No Data file name found'")
+  }
+
+  test("EISU242 flag dispatch: AVG file on weekdays, the rest on Saturday") {
+    val store = newStore()
+    val lc = lifecycle(store)
+    store.putLoaderFiles(Seq(
+      TmpRunLoader("EISU242", "AVG_${DAY}_VDN", 1),
+      TmpRunLoader("EISU242", "F_${DAY}.dat", 2),
+      TmpRunLoader("EISU242", "G_${DAY}.dat", 3)))
+    assert(lc.getLoaderFileName("EISU242", "Monday") === "AVG_Monday_VDN",
+      "flag 2 keeps only the AVG file (body:1182-1188)")
+    assert(lc.getLoaderFileName("EISU242", "SATURDAY") === "F_SATURDAY.dat G_SATURDAY.dat",
+      "flag 3 keeps everything but the AVG file (body:1190-1196)")
+  }
+
+  // ---- S8: proc_send_mail_group ------------------------------------------
+  test("mail: off switch, sender construction, recipient split, audit append") {
+    val store = newStore()
+    val rec = new RecordingNotifier
+    val mailer = new Mailer(store, rec, new FixedClock(Instant.parse("2026-08-12T12:00:00Z")),
+      user = "OPS$JD01", domain = "example.com")
+    // SEND_MAIL unset/off → no-op (body:1041-1043)
+    assert(!mailer.sendMailGroup("a@example.com", "s", "b"))
+    assert(rec.sent.isEmpty)
+
+    store.updEnv("SEND_MAIL", "Y")
+    store.putMailAddresses(Seq(MailAddr("JD01", "jANE", "dOE")))
+    assert(mailer.sendMailGroup("a@example.com  b@example.com", "subj", "body"))
+    val m = rec.sent.head
+    assert(m.sender === "Jane.Doe@example.com", "INITCAP(forename).INITCAP(name)@domain (body:1059-1078)")
+    assert(m.recipients === Seq("a@example.com", "b@example.com"),
+      "space-delimited recipient walk drops empties (body:1089-1106)")
+    assert(store.mailAudit.count() === 0, "no audit unless SEND_MAIL_AUD='Y'")
+
+    store.updEnv("SEND_MAIL_AUD", "Y")
+    mailer.sendMailGroup("c@example.com", "subj2", "body2")
+    val audit = store.mailAudit.collect()
+    assert(audit.length === 1 && audit.head.getAs[String]("subject") === "subj2",
+      "audit row appended (body:1134-1149)")
+
+    store.updEnv("SEND_MAIL_TEST", "Y")
+    mailer.sendMailGroup("real@example.com", "s3", "b3")
+    assert(rec.sent.last.recipients === Seq("test.override@example.com"),
+      "test override reroutes (body:1069-1074)")
+  }
+}
