@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSigDoc, SimHashDoc}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
   * Verify/Bench/tests do this). Queries degrade gracefully when the
-  * extension is absent — see Similarity.dotCol's interpreted fallback —
-  * so a plain session can still run every query, just slower.
+  * extension is absent — Similarity/Dedup fall back to interpreted HOF or
+  * UDF formulations with identical results — so a plain session can still
+  * run every query, just slower.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -18,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashDoc].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashDoc(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigDoc].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSigDoc(children.head)))
   }
 }

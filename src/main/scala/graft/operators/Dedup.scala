@@ -76,11 +76,25 @@ object Dedup {
 
   // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
   //      DedupSpec against the exact-Jaccard ground truth) -----------------
-  /** Permutation family: h_i(x) = xxhash64(x, i). Seeding a 64-bit hash
-    * with the permutation index gives independent min-hashes without the
-    * classic a*x+b multiply (which would trip ANSI overflow checking). */
+  /** Permutation family: h_i(gram) = xxh64(xxh64(gram), seed=i). Seeding a
+    * 64-bit hash with the permutation index gives independent min-hashes
+    * without the classic a*x+b multiply (which would trip ANSI overflow
+    * checking). */
   private val NumHashes = 16
   private val Bands = 4 // 16 hashes = 4 bands × 4 rows
+
+  /** Per-document MinHash signature in ONE codegen'd projection
+    * (graft.functions.MinHashSigDoc): the signature is computed where the
+    * document row lives — no gram explode, no re-group shuffle, no
+    * interpreted transform/array_min walk per permutation. Falls back to a
+    * UDF with identical math on sessions without GraftExtensions. */
+  private def minhashCol(s: SparkSession, words: Column): Column =
+    if (s.catalog.functionExists("graft_minhash")) call_function("graft_minhash", words)
+    else udf((w: Seq[String]) => graft.functions.DocHashes.minhashSeq(w, 3, NumHashes)).apply(words)
+
+  private def simhashCol(s: SparkSession, words: Column): Column =
+    if (s.catalog.functionExists("graft_simhash")) call_function("graft_simhash", words)
+    else udf((w: Seq[String]) => graft.functions.DocHashes.simhashSeq(w, 1)).apply(words)
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. `n_bands` is the
     * number of agreeing bands; with 4 bands × 4 rows the collision curve
@@ -91,18 +105,11 @@ object Dedup {
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("words", split(col("norm"), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("hashes", expr(
-        "transform(sequence(1, size(words) - 2), " +
-        "i -> xxhash64(concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))"))
-    // 16 min-hash columns, fully inside codegen (no UDF, no explode of grams).
-    val withSig = (0 until NumHashes).foldLeft(base) { (df, i) =>
-      df.withColumn(f"mh_$i",
-        array_min(transform(col("hashes"), h => xxhash64(h, lit(i)))))
-    }
+      .select(col("doc_id"), minhashCol(s, col("words")).as("sig"))
     // Band key = hash of 4 consecutive signature rows; explode to (band, key).
-    val banded = withSig.select(col("doc_id"),
+    val banded = base.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
-        xxhash64((b * 4 until (b + 1) * 4).map(i => col(f"mh_$i")): _*)
+        xxhash64((b * 4 until (b + 1) * 4).map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band", "band_key")))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
@@ -117,16 +124,15 @@ object Dedup {
     * Near-dups = pairs sharing a 16-bit band whose Hamming distance ≤ 3.
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // One shuffle, one aggregate buffer: explode tokens, then a single
-    // typed SimHash aggregate (graft.functions.SimHash) that maintains the
-    // 64 bit-counters in one array with map-side partials — replacing the
-    // previous 64-conditional-SUM formulation that was the bench's single
-    // hottest query (11.6 s → one narrow ObjectHashAggregate).
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val base = toks.groupBy("doc_id")
-      .agg(graft.functions.SimHash.simhash64(col("h")).as("simhash"))
+    // ZERO aggregation shuffles: the fingerprint is a pure function of the
+    // document's token array, computed in one codegen'd projection
+    // (graft.functions.SimHashDoc) where the row lives. At 100 TB this
+    // removes a token-cardinality (~100× documents) explode + re-group
+    // shuffle that the aggregate formulations required; the only remaining
+    // shuffle is the banded candidate join.
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .select(col("doc_id"), simhashCol(s, col("words")).as("simhash"))
     val banded = base.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))

@@ -64,4 +64,22 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == minhashPairs)
   }
+
+  test("native fingerprint expressions agree with their UDF fallbacks") {
+    import spark.implicits._
+    import graft.functions.DocHashes
+    val words = split(lower(col("text")), " ")
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "lorem ipsum dolor sit amet", "a b c").toDF("text")
+    val native = docs.select(
+      call_function("graft_simhash", words).as("sh"),
+      call_function("graft_minhash", words).as("mh")).collect()
+    val simUdf = udf((w: Seq[String]) => DocHashes.simhashSeq(w, 1))
+    val mhUdf = udf((w: Seq[String]) => DocHashes.minhashSeq(w, 3, 16))
+    val fallback = docs.select(simUdf(words).as("sh"), mhUdf(words).as("mh")).collect()
+    native.zip(fallback).foreach { case (n, f) =>
+      assert(n.getLong(0) === f.getLong(0))
+      assert(n.getSeq[Long](1) === f.getSeq[Long](1))
+    }
+  }
 }
