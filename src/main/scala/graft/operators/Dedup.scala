@@ -140,8 +140,11 @@ object Dedup {
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // Threshold BEFORE the distinct: hamming is functional on the pair,
+      // so filtering first is equivalent and the dedup shuffle carries only
+      // surviving pairs instead of every band collision.
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
