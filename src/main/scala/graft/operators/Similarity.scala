@@ -164,10 +164,56 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- IVF ANN (inverted-file index, the second scale path) -------------
+  /** IVF parameters: k coarse-quantizer centroids, nProbe lists searched
+    * per query. At 100 TB the corpus is written partitioned by list id
+    * (the "inverted file"), so a query reads ~nProbe/k of the data; the
+    * quantizer itself is driver-side index construction over a tiny
+    * sample, exactly like production IVF training. */
+  private val IvfLists = 16
+  private val IvfProbes = 5
+
+  /** ANN via an inverted-file index: deterministic coarse quantizer — the
+    * k corpus vectors with the smallest xxhash64(vec_id) (a seeded random
+    * sample, reproducible by construction) — corpus rows assigned to the
+    * nearest centroid by cosine, queries probing the nProbe nearest lists.
+    * Same schema as qAnnTopk; recall vs brute force asserted in
+    * SimilaritySpec. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    // Index construction (driver-side, k rows): the IVF training step.
+    val centroids: Array[(Int, Array[Float], Double)] =
+      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfLists)
+        .select("embedding", "nrm").collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](0).toArray, r.getDouble(1)) }
+    // score struct per centroid: (cosine-to-centroid, list id); argmax =
+    // array_max's lexicographic struct order (score first).
+    def scores(emb: Column, nrm: Column): Column = array(centroids.map { case (i, c, cn) =>
+      val cArr = array(c.map(v => lit(v.toDouble)): _*)
+      struct((dotCol(s, emb, cArr) / (nrm * lit(cn))).as("score"), lit(i).as("list_id"))
+    }: _*)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"),
+        array_max(scores(col("embedding"), col("nrm"))).getField("list_id").as("list_id"))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(slice(transform(reverse(array_sort(scores(col("embedding"), col("nrm")))),
+          x => x.getField("list_id")), 1, IvfProbes)).as("list_id"))
+    val scored = corpus.join(broadcast(queries), Seq("list_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_lsh"       -> qAnnLsh _,
+    "q_ann_ivf"       -> qAnnIvf _,
   )
 
   // ---- DuckDB oracle generation -----------------------------------------
