@@ -60,6 +60,33 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a decoded media record. */
+  final case class FrameSample(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, frame_checksum: Long)
+
+  /** Frame sampling (1→N generator shape): every `everyN`-th frame of each
+    * decoded record becomes its own row — the flatMap twin of a
+    * Pandas-UDF frame extractor. The frame checksum is derived (stub, like
+    * fakeDecode) but the fan-out plumbing — row multiplication before any
+    * shuffle, small rows flowing onward — is the real shape.
+    */
+  def sampleFrames(ds: Dataset[MediaFeatures], everyN: Int = 5): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { f =>
+      (0 until f.frames by everyN).map { i =>
+        FrameSample(f.media_id, i, f.width, f.height, f.checksum * 31 + i)
+      }
+    }
+  }
+
+  /** Resize stage (stub dims math, real column plumbing): scales the fake
+    * dimensions preserving aspect, as a codegen-friendly projection — a
+    * real resizer would be another mapPartitions batch stage. */
+  def resizeMeta(df: DataFrame, targetW: Int): DataFrame =
+    df.withColumn("resized_w", lit(targetW))
+      .withColumn("resized_h",
+        greatest(lit(1), (col("height") * targetW / col("width")).cast("int")))
+
   /** documents.text → binary payloads (the testdata carries no real media;
     * utf-8 bytes stand in so the byte-level plumbing is exercised).
     */
@@ -78,6 +105,21 @@ object Multimodal {
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     decodeAll(asMedia(s, dir)).toDF().orderBy("media_id")
 
+  /** Decode → frame-sample pipeline over a corpus that includes "video"
+    * records (every 3rd doc), exercising the 1→N fan-out. Rows-only for
+    * the driver; MultimodalSpec checks the fan-out arithmetic. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, "video")
+          .when(pmod(col("doc_id"), lit(3L)) === 1, "image")
+          .otherwise("audio").as("kind"))
+      .as[MediaRecord]
+    sampleFrames(decodeAll(media)).toDF().orderBy("media_id", "frame_idx")
+  }
+
   /** SQL-expressible metadata slice (byte length, content hash, stub dims)
     * — the differential-testable face of the same plumbing.
     */
@@ -93,6 +135,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
+    "q_multimodal_frames" -> qMultimodalFrames _,
   )
 
   /** q_multimodal_decode has no SQL oracle (mapPartitions stage) — driver

@@ -29,7 +29,7 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_multimodal_decode"),
+      "q_multimodal_decode", "q_multimodal_frames"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -278,6 +278,34 @@ class LifecycleSpec extends AnyFunSuite {
     assert(sleeper.slept.toSeq === Seq(89, 120))
   }
 
+  // ---- end-to-end: lifecycle orchestrating a real query -------------------
+  test("integration: dependency-chained batches run real queries and record counts") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(80, "EXTRACT"), master(81, "AGGREGATE")))
+    store.putDependencies(Seq(BatchDependency(80, 81, "MANDATORY")))
+
+    // parent batch: runs the scan-project workload, records its count
+    val parent = lc.startup("EXTRACT", Some(1), parameters = Some("sf=0.001")).toOption.get
+    parent.capture(Some("main"))
+    val extracted = graft.operators.CoreOps.qScanProject(spark, TestSpark.sfDir).count()
+    assert(lc.endup(parent, RunStatus.Success, Some(extracted), Some(0)))
+    assert(parent.showElapsed(Some("EXTRACT took "), Some("main")).isDefined)
+
+    // child waits on the parent (already SUCCESS → no polling), runs its own query
+    val child = lc.startup("AGGREGATE", Some(1), exclusiveRun = true).toOption.get
+    assert(sleeper.slept.isEmpty, "satisfied dependency must not poll")
+    val aggregated = graft.operators.CoreOps.qCount(spark, TestSpark.sfDir).count()
+    assert(lc.endup(child, RunStatus.Success, Some(aggregated), Some(0)))
+
+    // the state view shows both runs finished with their record counts
+    import org.apache.spark.sql.functions.col
+    val state = store.monitorState.orderBy("module_id").collect()
+    assert(state.map(_.getAs[String]("run_status")).toSeq ===
+      Seq(RunStatus.Success, RunStatus.Success))
+    assert(state.map(_.getAs[Long]("records_processed")).toSeq ===
+      Seq(extracted, aggregated))
+  }
+
   // ---- parameter prefix (body:290-301) ------------------------------------
   test("paramPrefix mirrors the SUBSTR/INSTR semantics incl. NULL edges") {
     val (_, _, _, lc) = fixture()

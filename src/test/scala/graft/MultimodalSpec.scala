@@ -33,6 +33,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("n_bytes") =!= col("n_bytes_sql")).count() == 0)
   }
 
+  test("frame sampling fans out video records and keeps one frame otherwise") {
+    val frames = Multimodal.qMultimodalFrames(spark, dir)
+    val perMedia = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perMedia.nonEmpty)
+    // every 3rd doc is video with `frames = len%25+1` sampled every 5 →
+    // ceil(frames/5) rows; image/audio decode to 1 frame → 1 row
+    perMedia.foreach { case (id, n) =>
+      if (id % 3 == 0) assert(n >= 1 && n <= 5, s"video $id sampled $n frames")
+      else assert(n == 1, s"non-video $id must keep exactly one frame")
+    }
+    assert(perMedia.exists { case (id, n) => id % 3 == 0 && n > 1 },
+      "at least one video record must fan out to multiple frames")
+    // resize stage preserves aspect arithmetic
+    val resized = Multimodal.resizeMeta(frames, 320)
+      .filter(col("resized_h") < 1).count()
+    assert(resized == 0)
+  }
+
   test("stub decode invariants: dims in range, checksum matches direct call") {
     val rows = Multimodal.qMultimodalDecode(spark, dir).collect()
     rows.foreach { r =>
