@@ -135,4 +135,21 @@ object ScalarLib {
     try { (0, java.time.LocalDate.parse(s, fmt)) }
     catch { case _: java.time.format.DateTimeParseException => (2, null) }
   }
+
+  /** SQL-callable surface (SURVEY §7.5): `spark.sql("... func_atoi(c) ...")`
+    * parity with the reference's package functions. These register the
+    * pure-Scala twins as UDFs — convenience for ad-hoc SQL; the Column
+    * versions above stay the codegen-friendly path for engine queries.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("func_string_to_number", (s: String) => atoi(s))
+    spark.udf.register("func_atol", (s: String) => atoi(s))
+    spark.udf.register("func_datediff",
+      (startSec: Long, endSec: Long) => datediffHms(startSec, endSec))
+    spark.udf.register("func_check_date", (s: String) => checkDate(s)._1)
+    spark.udf.register("func_field_counter",
+      (s: String, delim: String) => fieldCount(s, delim.head, unterminated = true))
+    spark.udf.register("func_get_nth_field",
+      (s: String, delim: String, n: Int) => nthField(s, delim.head, n))
+  }
 }

@@ -17,6 +17,14 @@ import graft.sources.Tables
   * self-equi-join on the key, never by all-pairs crossJoin. At 100 TB the
   * bucket join shuffles on the band key (uniformly distributed hash →
   * no skew), and per-bucket pair counts stay bounded by design.
+  *
+  * Note on the self-joins: both join sides derive from the same
+  * fingerprint subquery, so a single-query plan computes fingerprints
+  * twice (linear, fully codegen'd — visible as two scans in `Explain`).
+  * A production pipeline materializes the signature table once (one scan
+  * of the corpus, signatures are ~24 bytes/doc) and self-joins that; the
+  * in-query shape here keeps each operator self-contained for the
+  * differential gate.
   */
 object Dedup {
 

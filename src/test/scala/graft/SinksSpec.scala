@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ScalarLib
+import graft.sources.{Sinks, Tables}
+
+/** Write-side behavior: bucketed co-location eliminates the join shuffle,
+  * and the SQL-callable scalar surface answers from plain spark.sql. */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("co-bucketed tables join with no shuffle exchange") {
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+    val customer = Tables.customer(spark, TestSpark.sfDir)
+    Sinks.saveBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", Seq("o_custkey"), 4)
+    Sinks.saveBucketed(customer.select("c_custkey", "c_name"),
+      "b_customer", Seq("c_custkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the plan must choose sort-merge — which the
+      // bucketing then plans WITHOUT exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free, got:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("SQL-callable scalar surface matches the library semantics") {
+    ScalarLib.registerAll(spark)
+    val r = spark.sql(
+      """SELECT func_string_to_number('12abc') AS a,
+        |       func_atol('  7x ') AS b,
+        |       func_check_date('05-Aug-2026') AS c0,
+        |       func_check_date('bogus date!') AS c2,
+        |       func_datediff(0L, 3723L) AS hms,
+        |       func_field_counter('a,b,c', ',') AS nf,
+        |       func_get_nth_field('a,b,c', ',', 2) AS f2
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("a") === 12L)
+    assert(r.getAs[Long]("b") === 7L)
+    assert(r.getAs[Int]("c0") === 0)
+    assert(r.getAs[Int]("c2") === 2)
+    assert(r.getAs[String]("hms") === "1:2:3")
+    assert(r.getAs[Int]("nf") === 3)
+    assert(r.getAs[String]("f2") === "b")
+  }
+}
