@@ -26,14 +26,20 @@ object Bench {
         tasks.addAndGet(sc.stageInfo.numTasks)
       }
     })
-    // Untimed warmup at the smallest SF: touches the parquet reader,
-    // whole-stage codegen, and window paths once so the first measured
-    // query reports its own work instead of JVM/JIT start-up.
+    // Untimed warmup at the smallest SF available: touches the parquet
+    // reader, whole-stage codegen, and window paths once so the first
+    // measured query reports its own work instead of JVM/JIT start-up.
+    // Falls back to the bench dir itself when no sf0.001 sibling exists;
+    // failures are reported, not swallowed (a silent skip would push the
+    // start-up cost back into the first measured query).
     locally {
-      val w = "/root/testdata/sf0.001"
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      val w = if (sibling.isDirectory) sibling.getPath else sfDir
       Seq("q_check_date", "q_topn_pergroup", "q_ann_topk").foreach { n =>
         try SparkEntry.queries.get(n).foreach(f => f(spark, w).count())
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $n failed on $w: ${e.getMessage}")
+        }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

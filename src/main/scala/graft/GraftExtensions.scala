@@ -14,18 +14,27 @@ import graft.functions.{DotProduct, MinHashSigDoc, SimHashDoc}
   * run every query, just slower.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.size}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("graft_dot", 2, children); DotProduct(c(0), c(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashDoc].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashDoc(children.head)))
+      (children: Seq[Expression]) => SimHashDoc(arity("graft_simhash", 1, children).head)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigDoc].getName, "graft_minhash"),
-      (children: Seq[Expression]) => MinHashSigDoc(children.head)))
+      (children: Seq[Expression]) => MinHashSigDoc(arity("graft_minhash", 1, children).head)))
   }
 }

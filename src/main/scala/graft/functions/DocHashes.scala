@@ -19,17 +19,23 @@ object DocHashes {
   private val Space = UTF8String.fromString(" ")
 
   /** xxhash64 of each `shingle`-word space-joined gram. shingle=1 hashes
-    * single words. Null/absent elements are skipped. */
+    * single words. Grams touching a null element hash as if the null were
+    * the empty string (split() never yields nulls, but SQL callers can
+    * pass arrays with them — never NPE). */
   def shingleHashes(words: ArrayData, shingle: Int): Array[Long] = {
     val n = words.numElements()
     val m = math.max(n - shingle + 1, 0)
     val out = new Array[Long](m)
+    def word(i: Int): UTF8String = {
+      val w = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      if (w == null) UTF8String.EMPTY_UTF8 else w
+    }
     var i = 0
     while (i < m) {
-      var g = words.getUTF8String(i)
+      var g = word(i)
       var j = 1
       while (j < shingle) {
-        g = UTF8String.concat(g, Space, words.getUTF8String(i + j))
+        g = UTF8String.concat(g, Space, word(i + j))
         j += 1
       }
       out(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, Seed)

@@ -140,6 +140,8 @@ object ScalarLib {
     * parity with the reference's package functions. These register the
     * pure-Scala twins as UDFs — convenience for ad-hoc SQL; the Column
     * versions above stay the codegen-friendly path for engine queries.
+    * NULL (or empty-delimiter) inputs yield NULL, mirroring Oracle's
+    * NULL-in/NULL-out scalar semantics, never an exception.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("func_string_to_number", (s: String) => atoi(s))
@@ -147,9 +149,11 @@ object ScalarLib {
     spark.udf.register("func_datediff",
       (startSec: Long, endSec: Long) => datediffHms(startSec, endSec))
     spark.udf.register("func_check_date", (s: String) => checkDate(s)._1)
-    spark.udf.register("func_field_counter",
-      (s: String, delim: String) => fieldCount(s, delim.head, unterminated = true))
-    spark.udf.register("func_get_nth_field",
-      (s: String, delim: String, n: Int) => nthField(s, delim.head, n))
+    spark.udf.register("func_field_counter", (s: String, delim: String) =>
+      if (s == null || delim == null || delim.isEmpty) null
+      else Int.box(fieldCount(s, delim.head, unterminated = true)))
+    spark.udf.register("func_get_nth_field", (s: String, delim: String, n: Int) =>
+      if (s == null || delim == null || delim.isEmpty) null
+      else nthField(s, delim.head, n))
   }
 }

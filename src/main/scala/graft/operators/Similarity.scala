@@ -69,10 +69,13 @@ object Similarity {
 
   /** Sequential-fold dot product in double precision: the injected native
     * expression when the session has GraftExtensions, else interpreted
-    * HOFs (same result, slower). */
+    * HOFs (same result, slower). The coalesce keeps the fallback
+    * result-identical to DotProduct on degenerate inputs too: a null
+    * element or the null padding zip_with adds for unequal lengths
+    * contributes 0 instead of collapsing the whole sum to NULL. */
   private def dotCol(s: SparkSession, a: Column, b: Column): Column =
     if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
-    else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    else aggregate(zip_with(a, b, (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
       lit(0.0), (acc, v) => acc + v)
 
   private def planeArr(p: Int): Column =

@@ -37,6 +37,14 @@ object SkewJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Right/full-outer would emit one null-extended row PER SALT REPLICA
+    // for unmatched small-side rows — not the plain join's result. Only
+    // join types where unmatched SMALL rows vanish (or the large side
+    // drives the output) are salt-safe.
+    val safe = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(safe(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support joinType '$joinType': unmatched small-side rows " +
+        "would duplicate per salt replica (use the plain join or AQE skew handling)")
     val salt = pmod(xxhash64(identityCols.map(col): _*), lit(saltFactor.toLong))
     val saltedLarge = large.withColumn("__salt", salt)
     val saltedSmall = small.withColumn("__salt",

@@ -49,15 +49,20 @@ class StateStore(val spark: SparkSession, val dir: String) {
   def putBatchMaster(rows: Seq[BatchMaster]): Unit = append("batch_master", rows)
 
   // ---- batch_monitor event log (S5/X1/X2) --------------------------------
-  /** Monotonic event sequence; initialized from the existing log so a
-    * restarted driver continues where it stopped (single-assigner design,
+  /** Monotonic event sequence; initialized from the max across EVERY
+    * seq-numbered log (monitor + envvar events) so a restarted driver
+    * continues above all prior writes — initializing from one log alone
+    * could hand out seqs below existing envvar events and make the
+    * latest-value view return stale config (single-assigner design,
     * SURVEY §7.6). */
   private lazy val seq: AtomicLong = {
-    val mx =
-      if (Files.exists(Paths.get(p("batch_monitor_events"))))
-        monitorEvents.agg(coalesce(max("event_seq"), lit(0L))).head().getLong(0)
+    def maxSeq(name: String, df: => DataFrame): Long =
+      if (Files.exists(Paths.get(p(name))))
+        df.agg(coalesce(max("event_seq"), lit(0L))).head().getLong(0)
       else 0L
-    new AtomicLong(mx)
+    new AtomicLong(math.max(
+      maxSeq("batch_monitor_events", monitorEvents),
+      maxSeq("envvar_events", envvarEvents)))
   }
 
   def nextSeq(): Long = seq.incrementAndGet()
@@ -139,8 +144,11 @@ class StateStore(val spark: SparkSession, val dir: String) {
   def mailAudit: DataFrame = readOrEmpty[MailAudit]("send_mail_audit")
 
   private def deleteRecursively(path: Path): Unit = {
-    if (Files.isDirectory(path))
-      Files.list(path).forEach(deleteRecursively(_))
+    if (Files.isDirectory(path)) {
+      val children = Files.list(path)
+      try children.forEach(deleteRecursively(_))
+      finally children.close()
+    }
     Files.deleteIfExists(path)
   }
 }

@@ -82,4 +82,15 @@ class DedupSpec extends AnyFunSuite {
       assert(n.getSeq[Long](1) === f.getSeq[Long](1))
     }
   }
+
+  test("fingerprint expressions tolerate null array elements (SQL surface)") {
+    val r = spark.sql(
+      """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,
+        |       graft_minhash(array('a', CAST(NULL AS STRING), 'b', 'c')) AS mh""".stripMargin)
+      .collect()(0)
+    // null elements hash as empty string — result defined, no NPE
+    assert(r.getSeq[Long](1).length === 16)
+    val same = spark.sql("SELECT graft_simhash(array('a', '', 'b')) AS sh").collect()(0)
+    assert(r.getLong(0) === same.getLong(0))
+  }
 }

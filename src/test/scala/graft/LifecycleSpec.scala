@@ -227,6 +227,18 @@ class LifecycleSpec extends AnyFunSuite {
     assert(store.getRunCommand("b1") === "0", "ambiguous lookup → '0' (WHEN OTHERS, body:1006-1008)")
   }
 
+  test("envvar latest-value survives a store restart (seq spans all logs)") {
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val s1 = new StateStore(spark, dir)
+    s1.updEnv("BATCH_CONTROL_DATE", "12-Aug-2026")
+    s1.updEnv("BATCH_CONTROL_DATE", "13-Aug-2026")
+    // restart: a fresh store over the same dir must continue ABOVE the
+    // existing envvar seqs even with zero monitor events written
+    val s2 = new StateStore(spark, dir)
+    s2.updEnv("BATCH_CONTROL_DATE", "14-Aug-2026")
+    assert(s2.getEnv("BATCH_CONTROL_DATE") === Some("14-Aug-2026"))
+  }
+
   test("session flags and control date come from the envvar store") {
     val (store, clock, _, lc) = fixture()
     assert(lc.sessionFlags() === SessionFlags(false, false, false))

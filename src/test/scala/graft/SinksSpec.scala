@@ -54,5 +54,11 @@ class SinksSpec extends AnyFunSuite {
     assert(r.getAs[String]("hms") === "1:2:3")
     assert(r.getAs[Int]("nf") === 3)
     assert(r.getAs[String]("f2") === "b")
+    // NULL-in/NULL-out, never an exception (Oracle scalar semantics)
+    val nulls = spark.sql(
+      """SELECT func_field_counter(NULL, ',') AS a,
+        |       func_get_nth_field(NULL, ',', 1) AS b,
+        |       func_field_counter('a,b', '') AS c""".stripMargin).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 }

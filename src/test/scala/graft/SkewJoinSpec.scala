@@ -28,6 +28,18 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("salted join rejects right/full outer (per-replica duplication)") {
+    val df = Tables.orders(spark, TestSpark.sfDir).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, TestSpark.sfDir)
+      .select(col("c_custkey").as("o_custkey"))
+    Seq("right_outer", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(df, dim, "o_custkey", Seq("o_orderkey"), 4, jt)
+      }
+      assert(e.getMessage.contains("does not support"))
+    }
+  }
+
   test("salt spreads the hot key across sub-keys") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
       .select("o_orderkey").withColumn("k", lit(1L))
