@@ -269,6 +269,29 @@ object CoreOps {
       .groupBy("bucket", "qbucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket", "qbucket")
 
+  // §2.4 extension — ROLLUP: hierarchical subtotals in ONE pass (partial
+  // aggregation handles the grouping-set expansion map-side; no reference
+  // analogue, listed in SURVEY §2.4 as built-in-if-needed). The grouping_id
+  // disambiguates subtotal rows from genuine NULL keys.
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  // §2.4 extension — PIVOT as conditional aggregation: one hash aggregate,
+  // no extra shuffle vs the plain groupBy (each pivot cell is a map-side
+  // partial). Fixed pivot values keep the schema static — the scalable
+  // form (dynamic pivot needs a values scan first).
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(moneySum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -392,6 +415,8 @@ object CoreOps {
     "q_atoi"            -> qAtoi _,
     "q_retention_filter" -> qRetentionFilter _,
     "q_union_stragg"    -> qUnionStragg _,
+    "q_rollup"          -> qRollup _,
+    "q_pivot"           -> qPivot _,
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
@@ -560,6 +585,18 @@ object CoreOps {
         |FROM events, (SELECT max(cast(ts AS timestamp)) AS mx_ts FROM events) mx
         |WHERE cast(ts AS timestamp) >= mx_ts - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS qty_f,
+        |  cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity AS decimal(18,2)) END) AS double) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_union_stragg" ->
       """SELECT batch, string_agg(fname, ' ' ORDER BY file_seq) AS files, count(*) AS n_files
         |FROM (
