@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal join operators Spark lacks natively (the engine-design
+  * preference order starts with "compose existing ops if semantics
+  * allow" — both of these compose, no custom plan node needed):
+  *
+  *  - **As-of join** (backward, inclusive): for each left row, the latest
+  *    right row with `rightTs <= leftTs` on the same key. Implemented as
+  *    ONE union + window pass: tag both sides, sort within key by (ts,
+  *    side) with right rows first at equal ts, and carry the right values
+  *    forward with `last_value(ignoreNulls)`. One shuffle on the key — no
+  *    range-condition join, no per-key collect, so a 100 TB event log
+  *    as-of joins at the cost of a window aggregation.
+  *
+  *  - **Range join** (interval predicate): banded into an equi-join on
+  *    (key, time bucket). Each probe interval of width ≤ bucket span
+  *    touches exactly two buckets, so the build side joins on equality
+  *    and the exact range predicate filters after — the classic remedy
+  *    for Catalyst planning an inequality join as a nested loop.
+  */
+object TemporalJoins {
+
+  /** Generic backward as-of join.
+    *
+    * @param left      probe side
+    * @param right     reference side (values carried forward)
+    * @param keys      equi-join key columns (same names both sides)
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param valueCols columns of `right` to attach (emitted as
+    *                  `asof_<name>`, NULL when no right row precedes)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Side tag: right rows sort BEFORE left rows at equal timestamps, so
+    // "inclusive" means a left row sees a right row with the same ts.
+    val taggedLeft = valueCols.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val taggedRight = leftCols.foldLeft(
+      right.select(keys.map(col) ++ Seq(col(rightTs).as("__ts")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        .withColumn("__side", lit(0))) {
+      (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val unioned = taggedLeft.select(
+      (leftCols ++ Seq("__ts", "__side") ++ valueCols.map(c => s"__v_$c")).map(col): _*)
+      .unionByName(taggedRight.select(
+        (leftCols ++ Seq("__ts", "__side") ++ valueCols.map(c => s"__v_$c")).map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)
+  }
+
+  /** Each event annotated with the user's most recent (≤ ts) purchase —
+    * the "attach reference data as of event time" shape. */
+  def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    asofJoin(e, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_id", "purchase_ts"))
+      .withColumnRenamed("asof_purchase_id", "last_purchase_id")
+      .withColumnRenamed("asof_purchase_ts", "last_purchase_ts")
+      .orderBy("event_id")
+  }
+
+  /** For each purchase, clicks by the same user within the following hour
+    * — banded range join: clicks keep their hour bucket, each purchase
+    * probes (bucket, bucket+1), the exact interval filters post-join. */
+  def qRangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 3600L * 1000000
+    val ev = Tables.events(s, dir)
+    // integer `div` (micros epoch values would lose precision in the
+    // double-typed `/` operator)
+    val bucket: Column = expr(s"unix_micros(ts) div $BucketUs")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), bucket.as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        explode(array(bucket, bucket + 1)).as("bucket"))
+    val inRange = col("c_ts") > col("p_ts") &&
+      unix_micros(col("c_ts")) <= unix_micros(col("p_ts")) + BucketUs
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .groupBy("event_id")
+      .agg(count(when(inRange, lit(1))).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_purchase"    -> qAsofPurchase _,
+    "q_range_join"       -> qRangeJoinClicks _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_purchase" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.event_id AS last_purchase_id,
+        |  p.ts AS last_purchase_ts
+        |FROM (SELECT event_id, user_id, cast(ts AS timestamp) AS ts FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, cast(ts AS timestamp) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT event_id, user_id, cast(ts AS timestamp) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, cast(ts AS timestamp) AS ts
+        |           FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts > p.ts
+        | AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
