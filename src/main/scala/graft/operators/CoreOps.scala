@@ -292,6 +292,18 @@ object CoreOps {
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
+  // §2.4 extension — HLL sketch distinct count: at 100 TB an exact
+  // countDistinct shuffles every distinct key; approx_count_distinct
+  // carries a fixed-size HyperLogLog++ sketch per group (mergeable
+  // map-side, deterministic — no RNG). No SQL oracle (sketch estimates
+  // are engine-specific); CoreOpsSpec bounds the error vs exact.
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_orderkey", rsd = 0.02).as("n_orders_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -417,6 +429,7 @@ object CoreOps {
     "q_union_stragg"    -> qUnionStragg _,
     "q_rollup"          -> qRollup _,
     "q_pivot"           -> qPivot _,
+    "q_approx_distinct" -> qApproxDistinct _,
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
