@@ -130,6 +130,22 @@ class StateStore(val spark: SparkSession, val dir: String) {
       if (rows.length == 1) rows.head.getString(0) else "0"
     } catch { case _: Throwable => "0" }
 
+  /** Compact an event log: rewrite the many small append files into one
+    * coalesced layout (content unchanged — same events, same seqs). The
+    * read path is unaffected before/after; run it periodically from a
+    * maintenance batch, exactly like the retention purge. */
+  def compactLog(name: String): Unit = {
+    require(Set("batch_monitor_events", "envvar_events", "batch_log").contains(name),
+      s"not a compactable event log: $name")
+    val path = Paths.get(p(name))
+    if (!Files.exists(path)) return
+    val tmp = Paths.get(p(s"$name.compacting"))
+    spark.read.parquet(path.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(path)
+    Files.move(tmp, path)
+  }
+
   // ---- tmp_run_loader manifest (S7, body:1174-1197) ----------------------
   def loaderFiles: Dataset[TmpRunLoader] =
     readOrEmpty[TmpRunLoader]("tmp_run_loader").as(Encoders.product[TmpRunLoader])

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+/** asofJoin edge semantics on tiny in-memory frames (the 10k-row behavior
+  * is hash-verified against DuckDB's native ASOF JOIN by the driver gate).
+  */
+class TemporalJoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  test("as-of join: backward inclusive, per-key, null when nothing precedes") {
+    val left = Seq(
+      (1L, ts("2026-01-01T10:00:00Z")), // before any right row → null
+      (1L, ts("2026-01-01T12:00:00Z")), // exactly at a right row → inclusive
+      (1L, ts("2026-01-01T15:00:00Z")), // between rows → latest earlier
+      (2L, ts("2026-01-01T12:30:00Z")), // other key → that key's rows only
+      (3L, ts("2026-01-01T12:30:00Z"))  // key with no right rows at all
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2026-01-01T12:00:00Z"), "a"),
+      (1L, ts("2026-01-01T14:00:00Z"), "b"),
+      (2L, ts("2026-01-01T12:15:00Z"), "x")
+    ).toDF("k", "rt", "v")
+
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(out === Seq(
+      (1L, None), (1L, Some("a")), (1L, Some("b")),
+      (2L, Some("x")), (3L, None)))
+  }
+
+  test("state-store event-log compaction preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val store = new graft.state.StateStore(spark, dir)
+    (1 to 5).foreach(i => store.updEnv("K", s"v$i")) // 5 small append files
+    val before = store.envvarEvents.orderBy("event_seq").collect().toSeq
+    store.compactLog("envvar_events")
+    val after = store.envvarEvents.orderBy("event_seq").collect().toSeq
+    assert(after === before)
+    assert(store.getEnv("K") === Some("v5"))
+    intercept[IllegalArgumentException](store.compactLog("batch_master"))
+  }
+}
