@@ -88,11 +88,38 @@ object TextOps {
         floor(col("n_chars") / 100).cast(LongType).as("len_bucket"))
       .orderBy("doc_id")
 
+  // PII scrubbing: emails → <EMAIL>, phone-shaped numbers → <PHONE>,
+  // remaining long digit runs → <NUM> — the standard redaction pass of a
+  // training-data pipeline, as three ordered regexp_replace steps (email
+  // first so its digits aren't half-eaten by the number rule). The
+  // synthetic corpus carries no PII, so candidates are constructed
+  // deterministically from the data (the q_check_date pattern); the
+  // regex cascade and its ordering are the operator under test. Patterns
+  // are chosen to evaluate identically under Java regex and DuckDB RE2.
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555-01"),
+      pmod(col("doc_id"), lit(90L)).cast("string").substr(lit(1), lit(2)),
+      lit(" ref "), (col("doc_id") * 37 + 1000).cast("string"))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(contact,
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      "\\b\\d{3}-\\d{2,}\\b", "<PHONE>"),
+      "\\b\\d{4,}\\b", "<NUM>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), redacted.as("redacted"),
+        occ(redacted, "<EMAIL>").as("n_emails"),
+        occ(redacted, "<PHONE>").as("n_phones"),
+        occ(redacted, "<NUM>").as("n_nums"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
+    "q_text_redact" -> qTextRedact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +163,25 @@ object TextOps {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         |  n_chars // 100 AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || cast(doc_id AS varchar)
+        |      || '@mail.example.com or call 555-01'
+        |      || substr(cast(doc_id % 90 AS varchar), 1, 2)
+        |      || ' ref ' || cast(doc_id * 37 + 1000 AS varchar) AS contact
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(contact,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{2,}\b', '<PHONE>', 'g'),
+        |      '\b\d{4,}\b', '<NUM>', 'g') AS redacted
+        |  FROM c)
+        |SELECT doc_id, redacted,
+        |  (length(redacted) - length(replace(redacted, '<EMAIL>', ''))) // 7 AS n_emails,
+        |  (length(redacted) - length(replace(redacted, '<PHONE>', ''))) // 7 AS n_phones,
+        |  (length(redacted) - length(replace(redacted, '<NUM>', ''))) // 5 AS n_nums
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
