@@ -292,6 +292,34 @@ object CoreOps {
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
+  // §2.7 extension — INTERSECT / EXCEPT (distinct set semantics): both
+  // plan as aggregate + semi/anti joins, one shuffle each on the compare
+  // key set. Demonstrated on customer segments.
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val both = building.intersect(buyers).withColumn("src", lit("building_buyer"))
+    val windowShoppers = building.except(buyers).withColumn("src", lit("building_no_order"))
+    both.unionAll(windowShoppers).orderBy("src", "c_custkey")
+  }
+
+  // §2.5 extension — explicit window frames: lag/lead and a bounded
+  // moving aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). One
+  // shuffle on the partition key; frames evaluate inside the window
+  // operator with no extra exchange.
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag("o_orderkey", 1).over(w).as("prev_orderkey"),
+        lead("o_orderkey", 1).over(w).as("next_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wFrame)
+          .cast(DoubleType).as("moving_spend_3"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   // §2.4 extension — HLL sketch distinct count: at 100 TB an exact
   // countDistinct shuffles every distinct key; approx_count_distinct
   // carries a fixed-size HyperLogLog++ sketch per group (mergeable
@@ -430,6 +458,8 @@ object CoreOps {
     "q_rollup"          -> qRollup _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_setops"          -> qSetOps _,
+    "q_window_frames"   -> qWindowFrames _,
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
@@ -598,6 +628,25 @@ object CoreOps {
         |FROM events, (SELECT max(cast(ts AS timestamp)) AS mx_ts FROM events) mx
         |WHERE cast(ts AS timestamp) >= mx_ts - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey, 'building_buyer' AS src FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'building_no_order' AS src FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY src, c_custkey""".stripMargin,
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS double) AS moving_spend_3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue,

@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DoubleType
+
+/** Per-user sessionizer state: last event time + current session number.
+  * Top-level (not nested/private) so the streaming state encoder can
+  * construct it from generated code. */
+final case class SessionState(lastTsMicros: Long, sessionId: Long)
 
 /** Structured Streaming twins of the `graft.operators.EventOps` batch
   * queries (SURVEY §2.10 T4). The reference has no streaming — these are
@@ -46,4 +54,45 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState ------------------------------
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionAssign(user_id: Long, event_id: Long, ts: Timestamp, session_id: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Gap sessionization with STABLE per-user session numbers (1, 2, …) —
+    * what the batch lag-gap query emits and what `session_window` cannot
+    * (it produces intervals, not counters). This is the
+    * `flatMapGroupsWithState` custom-state shape: per-user state =
+    * (last event time, current session number), carried across
+    * micro-batches; each batch's events for a user are ordered in memory
+    * before assignment (per-group, bounded by batch size).
+    *
+    * Works identically over a batch Dataset (each group arrives complete
+    * in one call — asserted equal to the lag-gap query in StreamingSpec)
+    * and over a stream, where correctness across micro-batches relies on
+    * per-user event-time order across batches (the usual replay contract;
+    * out-of-order streams need the watermarked session_window variant).
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val tsUs = micros(e.ts)
+            val newSession = st.sessionId == 0L || tsUs - st.lastTsMicros > gapUs
+            st = SessionState(tsUs, if (newSession) st.sessionId + 1 else st.sessionId)
+            SessionAssign(user, e.event_id, e.ts, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -58,6 +58,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer (flatMapGroupsWithState) equals the batch lag-gap query") {
+    val events = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[graft.streaming.EventStreams.SessionEvent]
+    val stateful = graft.streaming.EventStreams.sessionizeStateful(events)
+      .toDF().orderBy("user_id", "ts", "event_id")
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lagGap = EventOps.qSessionize(spark, TestSpark.sfDir)
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stateful === lagGap)
+  }
+
+  test("stateful sessionizer carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{SessionEvent, sessionizeStateful}
+    val input = MemoryStream[SessionEvent]
+    val q = sessionizeStateful(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart → one session
+      input.addData(
+        SessionEvent(1, 1, ts("2026-08-12T10:00:00Z")),
+        SessionEvent(1, 2, ts("2026-08-12T10:10:00Z")))
+      q.processAllAvailable()
+      // batch 2: +10 min continues session 1; +2 h opens session 2
+      input.addData(
+        SessionEvent(1, 3, ts("2026-08-12T10:20:00Z")),
+        SessionEvent(1, 4, ts("2026-08-12T12:30:00Z")))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").orderBy("event_id")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+      assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)),
+        "state (last ts + session number) must survive the micro-batch boundary")
+    } finally q.stop()
+  }
+
   test("sessionAgg agrees with batch qSessionize on session membership") {
     // Sessions from the interval view: per user, number of sessions and
     // total events must match the lag-gap sessionization.
