@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan audit: the physical-plan properties the 100 TB design
+  * depends on, asserted so a refactor can't silently regress them
+  * (complementing the numeric bench).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project: filter pushed to the scan, projection pruned") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
+      "equality predicate must reach the parquet scan")
+    assert(!p.contains("l_extendedprice"),
+      "columns outside the projection must not be read")
+  }
+
+  test("q_join_lookup: dimension side broadcasts (no fact-side shuffle)") {
+    val p = plan("q_join_lookup")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q_range_join: banded interval join never plans a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "the band equi-key must keep this a hash join")
+  }
+
+  test("q_asof_purchase: one window pass, no join of any kind") {
+    val p = plan("q_asof_purchase")
+    assert(p.contains("Window"), "as-of carries values via a window")
+    assert(!p.contains("Join"), "the union+window formulation must not join")
+  }
+
+  test("dedup banded joins stay equi-joins") {
+    Seq("q_dedup_minhash", "q_dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q must pair only within band buckets via equi-join")
+    }
+  }
+}
