@@ -72,7 +72,8 @@ final class BatchContext(
     val controlDate: Timestamp,
     val exclusiveRun: Boolean,
     val flags: SessionFlags,
-    clock: Clock) {
+    clock: Clock,
+    val calledByForms: Boolean = false) {
 
   // --- U7 timer store (spec:7-12, 32-37; body:39-86) ----------------------
   private val timers = ArrayBuffer.empty[(Instant, Option[String])]
@@ -249,8 +250,18 @@ class Lifecycle(
       batchName: String,
       runLevel: Option[Long] = None,
       exclusiveRun: Boolean = false,
-      parameters: Option[String] = None): Either[BatchError, BatchContext] = {
+      parameters: Option[String] = None,
+      calledByForms: Boolean = false): Either[BatchError, BatchContext] = {
     val params = parameterString(parameters, runLevel)
+    // Forms mode (body:490-542 IF guard, spec:26/45): skip ALL control-
+    // table work — no module fetch, no checks, no monitor events — and
+    // hand back a detached context whose endup is equally a no-op.
+    if (calledByForms)
+      return Right(new BatchContext(
+        BatchMaster(0, batchName, runLevel.getOrElse(0L), None, None),
+        runKey = s"forms-$batchName", runId = 0L, params,
+        ts(clock.now()), today(), exclusiveRun, SessionFlags(false, false, false),
+        clock, calledByForms = true))
     val flags = sessionFlags()
     val controlDate = sessionControlDate()
 
@@ -326,7 +337,8 @@ class Lifecycle(
   def endup(ctx: BatchContext, status: String = RunStatus.Success,
       recordsProcessed: Option[Long] = None,
       recordsInError: Option[Long] = None): Boolean =
-    currentStatus(ctx.runKey) match {
+    if (ctx.calledByForms) false  // forms mode never touches the monitor (body:678, 653)
+    else currentStatus(ctx.runKey) match {
       case Some(s) if RunStatus.active(s) =>
         appendEvent(ctx.runKey, store.nextSeq(), ctx.master.module_id, ctx.runDate,
           ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
@@ -337,6 +349,20 @@ class Lifecycle(
         log(s"endup ignored: run ${ctx.runKey} not active (status=$other)")
         false
     }
+
+  /** Third proc_batch_endup overload (spec:55-60, body:697-722): record
+    * description/value pairs to batch_log, then end the run. The
+    * reference iterates pt_desc/pt_value logging 'desc:    value' lines
+    * via pack_exception.proc_reclog. */
+  def endupWithLog(ctx: BatchContext, status: String,
+      recordsProcessed: Option[Long], recordsInError: Option[Long],
+      logPairs: Seq[(String, Long)]): Boolean = {
+    logPairs.zipWithIndex.foreach { case ((desc, value), i) =>
+      store.appendLog(BatchLogRec(ts(clock.now()), "proc_batch_endup", i + 1,
+        "graft.lifecycle", Some(ctx.master.module_name), Some(s"$desc:    $value")))
+    }
+    endup(ctx, status, recordsProcessed, recordsInError)
+  }
 
   // ---- T3: proc_batch_continue (body:632-645) ----------------------------
   /** Restore a run context from the state view: the latest RUNNING row for

@@ -290,6 +290,24 @@ class LifecycleSpec extends AnyFunSuite {
     assert(sleeper.slept.toSeq === Seq(89, 120))
   }
 
+  test("forms mode bypasses all control-table work; endup-with-log records pairs") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(90, "FORMS_B")))
+    // called_by_forms='Y': no monitor events, run id 0 (body:490-542)
+    val formsCtx = lc.startup("FORMS_B", Some(1), calledByForms = true).toOption.get
+    assert(formsCtx.runId === 0L)
+    assert(store.monitorEvents.count() === 0, "forms mode writes nothing")
+    assert(!lc.endup(formsCtx), "forms endup is a no-op (body:653, 678)")
+    assert(store.monitorEvents.count() === 0)
+    // third endup overload (spec:55-60): desc/value pairs land in batch_log
+    val ctx = lc.startup("FORMS_B", Some(1)).toOption.get
+    assert(lc.endupWithLog(ctx, RunStatus.Success, Some(10), Some(0),
+      Seq("rows read" -> 10L, "rows skipped" -> 2L)))
+    val logs = store.batchLog.orderBy("statement_num").collect()
+    assert(logs.map(_.getAs[String]("message")).toSeq ===
+      Seq(Some("rows read:    10"), Some("rows skipped:    2")).map(_.get))
+  }
+
   // ---- end-to-end: lifecycle orchestrating a real query -------------------
   test("integration: dependency-chained batches run real queries and record counts") {
     val (store, _, sleeper, lc) = fixture()
