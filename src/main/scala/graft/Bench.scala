@@ -43,12 +43,12 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, s"graft bench: $name", interruptOnCancel = false)
       val s0 = stages.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench: $name") {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.clearJobGroup()
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
       name -> sec
     }

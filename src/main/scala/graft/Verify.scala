@@ -20,13 +20,13 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // X5 observability (body:486-487, 1253-1266): tag every job with the
       // query it belongs to, so the Spark UI / event log attributes stages.
-      spark.sparkContext.setJobGroup(name, s"graft verify: $name", interruptOnCancel = false)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      graft.lifecycle.Observability.withJobGroup(spark, name, s"graft verify: $name") {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      finally spark.sparkContext.clearJobGroup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
