@@ -357,6 +357,7 @@ class Lifecycle(
   def endupWithLog(ctx: BatchContext, status: String,
       recordsProcessed: Option[Long], recordsInError: Option[Long],
       logPairs: Seq[(String, Long)]): Boolean = {
+    if (ctx.calledByForms) return false // forms mode writes nothing (body:705-721 guard)
     logPairs.zipWithIndex.foreach { case ((desc, value), i) =>
       store.appendLog(BatchLogRec(ts(clock.now()), "proc_batch_endup", i + 1,
         "graft.lifecycle", Some(ctx.master.module_name), Some(s"$desc:    $value")))

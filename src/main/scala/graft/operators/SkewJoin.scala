@@ -41,7 +41,8 @@ object SkewJoin {
     // for unmatched small-side rows — not the plain join's result. Only
     // join types where unmatched SMALL rows vanish (or the large side
     // drives the output) are salt-safe.
-    val safe = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    val safe = Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti", "cross")
     require(safe(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support joinType '$joinType': unmatched small-side rows " +
         "would duplicate per salt replica (use the plain join or AQE skew handling)")

@@ -39,30 +39,34 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // Side tag: right rows sort BEFORE left rows at equal timestamps, so
-    // "inclusive" means a left row sees a right row with the same ts.
-    val taggedLeft = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    // The right row travels as ONE struct: last(ignoreNulls) then skips
+    // exactly the left rows (whose struct is null) — never a right row
+    // with a NULL value column, and never columns stitched from different
+    // right rows. Side tag: right rows sort BEFORE left rows at equal
+    // timestamps, so "inclusive" means a left row sees a same-ts right row.
+    val rowStruct = struct(valueCols.map(col): _*)
     val taggedRight = leftCols.foldLeft(
-      right.select(keys.map(col) ++ Seq(col(rightTs).as("__ts")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
-        .withColumn("__side", lit(0))) {
+      right.select(keys.map(col) ++ Seq(col(rightTs).as("__ts"),
+        rowStruct.as("__rv")): _*).withColumn("__side", lit(0))) {
       (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }
-    val unioned = taggedLeft.select(
-      (leftCols ++ Seq("__ts", "__side") ++ valueCols.map(c => s"__v_$c")).map(col): _*)
-      .unionByName(taggedRight.select(
-        (leftCols ++ Seq("__ts", "__side") ++ valueCols.map(c => s"__v_$c")).map(col): _*))
+    val taggedLeft = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(taggedRight.schema("__rv").dataType))
+    val cols = leftCols ++ Seq("__ts", "__side", "__rv")
+    val unioned = taggedLeft.select(cols.map(col): _*)
+      .unionByName(taggedRight.select(cols.map(col): _*))
+    // Right rows tying on (key, ts) order by their value struct, so the
+    // carried row is deterministic across retries/partitionings (the
+    // greatest tuple wins). Left-left ties are harmless: left rows are
+    // null in __rv and never affect each other's carry.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)
+    unioned.withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
   }
 
   /** Each event annotated with the user's most recent (≤ ts) purchase —

@@ -85,18 +85,24 @@ class StateStore(val spark: SparkSession, val dir: String) {
   def appendLog(rec: BatchLogRec): Unit = append("batch_log", Seq(rec))
   def batchLog: DataFrame = readOrEmpty[BatchLogRec]("batch_log")
 
-  /** S6 retention purge (body:926-939) as filter-rewrite: keep rows newer
-    * than the horizon; write-to-temp-then-swap because Spark cannot
-    * overwrite a path it is reading. */
-  def purgeBatchLog(horizon: java.sql.Timestamp): Unit = {
-    val path = Paths.get(p("batch_log"))
+  /** Rewrite a log dir in place via temp-write-then-swap (Spark cannot
+    * overwrite a path it is reading). The swap window (delete → move) is
+    * not atomic; a driver dying inside it loses the dir — acceptable for
+    * retention/compaction of a log whose source of truth is re-derivable,
+    * and the seam where a transactional table format would slot in. */
+  private def rewriteInPlace(name: String, df: DataFrame): Unit = {
+    val path = Paths.get(p(name))
     if (!Files.exists(path)) return
-    val tmp = Paths.get(p("batch_log.purging"))
-    batchLog.filter(col("run_date") >= lit(horizon))
-      .write.mode("overwrite").parquet(tmp.toString)
+    val tmp = Paths.get(p(s"$name.rewrite"))
+    df.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(path)
     Files.move(tmp, path)
   }
+
+  /** S6 retention purge (body:926-939) as filter-rewrite: keep rows newer
+    * than the horizon. */
+  def purgeBatchLog(horizon: java.sql.Timestamp): Unit =
+    rewriteInPlace("batch_log", batchLog.filter(col("run_date") >= lit(horizon)))
 
   // ---- envvar config store (S9, body:861-875) ----------------------------
   def envvarEvents: DataFrame = readOrEmpty[EnvVarEvent]("envvar_events")
@@ -131,19 +137,17 @@ class StateStore(val spark: SparkSession, val dir: String) {
     } catch { case _: Throwable => "0" }
 
   /** Compact an event log: rewrite the many small append files into one
-    * coalesced layout (content unchanged — same events, same seqs). The
-    * read path is unaffected before/after; run it periodically from a
+    * coalesced layout (content unchanged — same events, same seqs; reads
+    * go through the schema-pinned loaders). Run periodically from a
     * maintenance batch, exactly like the retention purge. */
   def compactLog(name: String): Unit = {
-    require(Set("batch_monitor_events", "envvar_events", "batch_log").contains(name),
-      s"not a compactable event log: $name")
-    val path = Paths.get(p(name))
-    if (!Files.exists(path)) return
-    val tmp = Paths.get(p(s"$name.compacting"))
-    spark.read.parquet(path.toString).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(path)
-    Files.move(tmp, path)
+    val df = name match {
+      case "batch_monitor_events" => monitorEvents
+      case "envvar_events"        => envvarEvents
+      case "batch_log"            => batchLog
+      case other => throw new IllegalArgumentException(s"not a compactable event log: $other")
+    }
+    rewriteInPlace(name, df.coalesce(1))
   }
 
   // ---- tmp_run_loader manifest (S7, body:1174-1197) ----------------------

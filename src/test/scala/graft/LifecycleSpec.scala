@@ -290,6 +290,16 @@ class LifecycleSpec extends AnyFunSuite {
     assert(sleeper.slept.toSeq === Seq(89, 120))
   }
 
+  test("event-log compaction preserves content and seq continuity") {
+    val (store, _, _, _) = fixture()
+    (1 to 5).foreach(i => store.updEnv("K", s"v$i")) // 5 small append files
+    val before = store.envvarEvents.orderBy("event_seq").collect().toSeq
+    store.compactLog("envvar_events")
+    assert(store.envvarEvents.orderBy("event_seq").collect().toSeq === before)
+    assert(store.getEnv("K") === Some("v5"))
+    intercept[IllegalArgumentException](store.compactLog("batch_master"))
+  }
+
   test("forms mode bypasses all control-table work; endup-with-log records pairs") {
     val (store, _, _, lc) = fixture()
     store.putBatchMaster(Seq(master(90, "FORMS_B")))
@@ -299,6 +309,9 @@ class LifecycleSpec extends AnyFunSuite {
     assert(store.monitorEvents.count() === 0, "forms mode writes nothing")
     assert(!lc.endup(formsCtx), "forms endup is a no-op (body:653, 678)")
     assert(store.monitorEvents.count() === 0)
+    // forms endup-with-log writes neither monitor events nor log rows
+    assert(!lc.endupWithLog(formsCtx, RunStatus.Success, None, None, Seq("x" -> 1L)))
+    assert(store.batchLog.count() === 0)
     // third endup overload (spec:55-60): desc/value pairs land in batch_log
     val ctx = lc.startup("FORMS_B", Some(1)).toOption.get
     assert(lc.endupWithLog(ctx, RunStatus.Success, Some(10), Some(0),
@@ -306,6 +319,19 @@ class LifecycleSpec extends AnyFunSuite {
     val logs = store.batchLog.orderBy("statement_num").collect()
     assert(logs.map(_.getAs[String]("message")).toSeq ===
       Seq(Some("rows read:    10"), Some("rows skipped:    2")).map(_.get))
+  }
+
+  test("progress listener reports completed stages") {
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = Observability.addProgressListener(spark, msgs.add(_))
+    try {
+      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+        .count().collect()
+      val deadline = System.nanoTime() + 5000000000L // listener bus is async
+      while (msgs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!msgs.isEmpty, "listener must report at least one completed stage")
+      assert(msgs.peek().startsWith("stage "))
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   // ---- end-to-end: lifecycle orchestrating a real query -------------------

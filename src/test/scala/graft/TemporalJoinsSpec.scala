@@ -38,15 +38,25 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (2L, Some("x")), (3L, None)))
   }
 
-  test("state-store event-log compaction preserves content") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
-    val store = new graft.state.StateStore(spark, dir)
-    (1 to 5).foreach(i => store.updEnv("K", s"v$i")) // 5 small append files
-    val before = store.envvarEvents.orderBy("event_seq").collect().toSeq
-    store.compactLog("envvar_events")
-    val after = store.envvarEvents.orderBy("event_seq").collect().toSeq
-    assert(after === before)
-    assert(store.getEnv("K") === Some("v5"))
-    intercept[IllegalArgumentException](store.compactLog("batch_master"))
+  test("as-of join: NULL value in the matched right row is preserved, not skipped") {
+    val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2026-01-01T12:00:00Z"), Some("a")),
+      (1L, ts("2026-01-01T14:00:00Z"), None: Option[String])
+    ).toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v")).collect()
+    assert(out.length === 1 && out(0).isNullAt(2),
+      "the latest preceding right row has v=NULL; an earlier row's value must not leak through")
+  }
+
+  test("as-of join: multiple value columns come from ONE right row, never stitched") {
+    val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2026-01-01T12:00:00Z"), Some(1L), None: Option[Long]),
+      (1L, ts("2026-01-01T14:00:00Z"), None: Option[Long], Some(2L))
+    ).toDF("k", "rt", "v1", "v2")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v1", "v2")).collect()(0)
+    assert(out.isNullAt(2) && out.getLong(3) === 2L,
+      "values must be the latest row's (NULL, 2), not a cross-row (1, 2) stitch")
   }
 }
