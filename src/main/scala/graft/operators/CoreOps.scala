@@ -320,6 +320,20 @@ object CoreOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  // §2.4 extension — exact interpolated quantiles (percentile agg): both
+  // engines use the same linear-interpolation definition, so this is
+  // differentially testable. At 100 TB the sketch twin is
+  // approx_percentile (t-digest, mergeable map-side); the exact version
+  // here collects per-group sorted buffers and is the small-group tool.
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
+      .orderBy("l_returnflag")
+
   // §2.4 extension — HLL sketch distinct count: at 100 TB an exact
   // countDistinct shuffles every distinct key; approx_count_distinct
   // carries a fixed-size HyperLogLog++ sketch per group (mergeable
@@ -460,6 +474,7 @@ object CoreOps {
     "q_approx_distinct" -> qApproxDistinct _,
     "q_setops"          -> qSetOps _,
     "q_window_frames"   -> qWindowFrames _,
+    "q_quantiles"       -> qQuantiles _,
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
@@ -628,6 +643,12 @@ object CoreOps {
         |FROM events, (SELECT max(cast(ts AS timestamp)) AS mx_ts FROM events) mx
         |WHERE cast(ts AS timestamp) >= mx_ts - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey, 'building_buyer' AS src FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
