@@ -38,6 +38,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (2L, Some("x")), (3L, None)))
   }
 
+  test("as-of join property: equals the brute-force reference on random inputs") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic test
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    val leftRows = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, Timestamp.from(base.plusSeconds(rnd.nextInt(10000).toLong)), i.toLong)
+    }
+    val rightRows = (1 to 80).map { i =>
+      (rnd.nextInt(5).toLong, Timestamp.from(base.plusSeconds(rnd.nextInt(10000).toLong)), i.toLong * 100)
+    }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "rt", "v")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // brute force: latest right row with rt <= t on the key; ties on rt
+    // resolve to the greatest value tuple (the documented determinism rule)
+    val expected = leftRows.map { case (k, t, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && !r._2.after(t))
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("as-of join: NULL value in the matched right row is preserved, not skipped") {
     val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
     val right = Seq(
