@@ -491,6 +491,24 @@ class Lifecycle(
     } else names.mkString(" ")
   }
 
+  /** The load the manifest exists for: resolve the batch's file names via
+    * [[getLoaderFileName]] and read them as one DataFrame (SURVEY S7 —
+    * the SQL*Loader step maps to `spark.read.csv(paths: _*)`). Empty
+    * manifest ("0") → None. `options` defaults cover the classic
+    * SQL*Loader shape (headerless delimited files; pass a schema for
+    * typed columns). */
+  def loadBatchFiles(batchName: String, runDay: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map("header" -> "false")): Option[org.apache.spark.sql.DataFrame] = {
+    getLoaderFileName(batchName, runDay) match {
+      case "0" => None
+      case names =>
+        val reader = store.spark.read.options(options)
+        Some(schema.fold(reader.option("inferSchema", "true"))(reader.schema)
+          .csv(names.split(" ").toIndexedSeq: _*))
+    }
+  }
+
   // ---- T1: func_daily000 (body:877-992) ----------------------------------
   /** The daily gate: startup DAILY000 → validate run date → (no flag:
     * publish BATCH_CONTROL_DATE + purge 7-day-old logs) → sleep in ≤600 s

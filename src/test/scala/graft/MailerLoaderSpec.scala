@@ -48,6 +48,23 @@ class MailerLoaderSpec extends AnyFunSuite {
       "flag 3 keeps everything but the AVG file (body:1190-1196)")
   }
 
+  test("manifest-driven CSV load: resolved file names read as one DataFrame") {
+    val store = newStore()
+    val lc = lifecycle(store)
+    val dataDir = Files.createTempDirectory("graft-loader-data")
+    val f1 = dataDir.resolve("a_MON.csv"); val f2 = dataDir.resolve("b_MON.csv")
+    Files.writeString(f1, "1,alpha\n2,beta\n")
+    Files.writeString(f2, "3,gamma\n")
+    store.putLoaderFiles(Seq(
+      TmpRunLoader("LOADME", s"$dataDir/a_$${DAY}.csv", 1),
+      TmpRunLoader("LOADME", s"$dataDir/b_$${DAY}.csv", 2)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING")
+    val df = lc.loadBatchFiles("LOADME", "MON", Some(schema)).get
+    assert(df.count() === 3)
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq === Seq("alpha", "beta", "gamma"))
+    assert(lc.loadBatchFiles("NOPE", "MON") === None, "empty manifest loads nothing")
+  }
+
   // ---- S8: proc_send_mail_group ------------------------------------------
   test("mail: off switch, sender construction, recipient split, audit append") {
     val store = newStore()

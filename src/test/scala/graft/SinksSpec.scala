@@ -36,6 +36,19 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned writes prune partitions on the filter key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Sinks.overwritePartitioned(
+      Tables.events(spark, TestSpark.sfDir).select("event_id", "user_id", "event_type"),
+      dir, Seq("event_type"))
+    val filtered = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"filter on the partition column must prune at planning time:\n$plan")
+    val all = spark.read.parquet(dir).count()
+    assert(filtered.count() > 0 && filtered.count() < all)
+  }
+
   test("SQL-callable scalar surface matches the library semantics") {
     ScalarLib.registerAll(spark)
     val r = spark.sql(
