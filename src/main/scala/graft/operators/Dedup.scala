@@ -199,11 +199,14 @@ object Dedup {
     labels
   }
 
-  /** Cluster ids over the oracle-verified n-gram near-dup pairs; verified
+  /** Cluster ids over the oracle-verified n-gram near-dup pairs, with the
+    * survivorship decision (the cluster representative = min doc_id keeps
+    * its place in the corpus; the rest are the dedup drop set). Verified
     * against a DuckDB recursive-CTE transitive closure. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(qDedupNgram(s, dir).select("doc_a", "doc_b"))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -274,6 +277,8 @@ object Dedup {
         |  SELECT u, u FROM sym
         |  UNION
         |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)
-        |SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+        |SELECT node AS doc_id, min(r) AS cluster_id,
+        |  CASE WHEN node = min(r) THEN 1 ELSE 0 END AS is_survivor
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }
