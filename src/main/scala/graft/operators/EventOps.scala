@@ -62,10 +62,26 @@ object EventOps {
       .select("user_id", "event_id", "ts", "event_type")
       .orderBy("user_id")
 
+  // Semi-structured JSON column: parse events.props with a declared
+  // schema (from_json — typed, codegen-friendly, malformed rows → NULL
+  // not failure) and aggregate the extracted field. At scale the parse
+  // happens in the scan projection; only the extracted ints shuffle.
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType.fromDDL("k LONG")
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        coalesce(max("k"), lit(0L)).as("max_k"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
     "q_state_latest"  -> qStateLatest _,
+    "q_json_extract"  -> qJsonExtract _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +108,10 @@ object EventOps {
         |  SELECT user_id, event_id, ts, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        |  coalesce(max(cast(json_extract(props, '$.k') AS bigint)), 0) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
