@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{CoreOps, Dedup, EventOps, Multimodal, Similarity, TemporalJoins, TextOps}
+import graft.operators.{CoreOps, Dedup, EventOps, Multimodal, Pipeline, Similarity, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ EventOps.queries ++ Multimodal.queries ++
-      TemporalJoins.queries
+      TemporalJoins.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
-      TemporalJoins.oracles
+      TemporalJoins.oracles ++ Pipeline.oracles
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.sources.Tables
+
+/** The capstone composition: a complete training-data corpus-cleaning
+  * pipeline assembled from the engine's verified stages —
+  *
+  *   quality gate → exact dedup (keep min id per content hash) →
+  *   near-dup drop set (connected-component non-survivors) →
+  *   per-language corpus statistics
+  *
+  * Each stage is the same logic its standalone query verifies; this
+  * query proves they COMPOSE (one plan, no driver round-trips between
+  * stages except the clustering iterations). At 100 TB each arrow is one
+  * of the already-audited shapes: shuffle-free projections/filters, a
+  * hash-partitioned window for exact dedup, an anti-join against the
+  * (small) drop set, and a final grouped aggregate.
+  */
+object Pipeline {
+
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(trim(t), " +")).cast(LongType)
+    val punctRatio = length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double")
+    val qualityScore = round(lit(0.001) * nWords + lit(1.0) - punctRatio, 6)
+
+    // 1. quality gate (TextOps.qTextQuality's signals)
+    val gated = Tables.documents(s, dir)
+      .filter(nWords >= 20 && punctRatio < 0.2)
+    // 2. exact dedup: min doc_id per 128-bit content hash (Dedup.qDedupExact)
+    val byHash = Window.partitionBy(md5(t.cast("binary"))).orderBy("doc_id")
+    val exactKept = gated.withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") === 1).drop("__rn")
+    // 3. near-dup drop set: cluster non-survivors (Dedup.qDedupClusters)
+    val nearDrops = Dedup.qDedupClusters(s, dir)
+      .filter(col("is_survivor") === 0).select("doc_id")
+    val cleaned = exactKept.join(nearDrops, Seq("doc_id"), "leftanti")
+    // 4. per-language corpus statistics (decimal sums → order-independent)
+    cleaned.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nWords).as("total_ws_tokens"),
+        sum(qualityScore.cast("decimal(18,6)")).cast(DoubleType).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> qPipelineE2e _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
+        |  WHERE length(string_split(norm, ' ')) >= 3),
+        |g0 AS (
+        |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
+        |    list_distinct(list_transform(range(1, length(words) - 1),
+        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, bucket, grams FROM (
+        |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
+        |  WHERE rn <= 256),
+        |edges AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE round(length(list_intersect(a.grams, b.grams)) /
+        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges UNION SELECT doc_b, doc_a FROM edges),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u),
+        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)),
+        |q AS (
+        |  SELECT doc_id, lang, text,
+        |    length(regexp_split_to_array(trim(text), ' +')) AS n_words,
+        |    length(regexp_replace(text, '[a-z ]', '', 'g')) / cast(length(text) AS double) AS punct_ratio
+        |  FROM documents),
+        |qf AS (SELECT * FROM q WHERE n_words >= 20 AND punct_ratio < 0.2),
+        |ek AS (
+        |  SELECT * FROM (
+        |    SELECT qf.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qf) t
+        |  WHERE rn = 1),
+        |cleaned AS (
+        |  SELECT * FROM ek WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = ek.doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  cast(sum(n_words) AS bigint) AS total_ws_tokens,
+        |  cast(sum(cast(round(0.001 * n_words + 1.0 - punct_ratio, 6) AS decimal(18,6))) AS double) AS sum_quality
+        |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -56,7 +56,10 @@ object TextOps {
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val nWords = wordCount(t)
-    val punct = length(t) - length(regexp_replace(t, "[a-z ]", ""))
+    // punctuation = what REMAINS after stripping [a-z ] (the remainder IS
+    // the non-letter content; subtracting it from the length would count
+    // the clean characters instead)
+    val punct = length(regexp_replace(t, "[a-z ]", ""))
     val punctRatio = punct / length(t).cast("double")
     val stopCnt = occ(t, "the")
     Tables.documents(s, dir)
@@ -145,12 +148,12 @@ object TextOps {
         |  length(regexp_split_to_array(trim(text), ' +')) AS n_words,
         |  round(length(replace(text, ' ', '')) /
         |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS avg_word_len,
-        |  round((length(text) - length(regexp_replace(text, '[a-z ]', '', 'g'))) /
+        |  round(length(regexp_replace(text, '[a-z ]', '', 'g')) /
         |        cast(length(text) AS double), 6) AS punct_ratio,
         |  round(((length(text) - length(replace(text, 'the', ''))) / 3) /
         |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS stop_ratio,
         |  round(0.001 * length(regexp_split_to_array(trim(text), ' +')) + 1.0 -
-        |        (length(text) - length(regexp_replace(text, '[a-z ]', '', 'g'))) /
+        |        length(regexp_replace(text, '[a-z ]', '', 'g')) /
         |        cast(length(text) AS double), 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
