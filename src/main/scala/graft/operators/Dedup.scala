@@ -217,6 +217,38 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters _,
   )
 
+  /** Shared DuckDB CTE chain: normalized text → capped prefix buckets →
+    * n-gram near-dup edges → symmetric closure → reachability (connected
+    * components). Used by the clusters oracle here and the pipeline
+    * oracle (operators.Pipeline) so the two can never drift apart. */
+  private[operators] val duckClusterCtes: String =
+    """n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
+      |  WHERE length(string_split(norm, ' ')) >= 3),
+      |g0 AS (
+      |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
+      |    list_distinct(list_transform(range(1, length(words) - 1),
+      |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, bucket, grams FROM (
+      |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
+      |  WHERE rn <= 256),
+      |edges AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE round(length(list_intersect(a.grams, b.grams)) /
+      |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
+      |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges UNION SELECT doc_b, doc_a FROM edges),
+      |reach(node, r) AS (
+      |  SELECT u, u FROM sym
+      |  UNION
+      |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)""".stripMargin
+
   /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
     * (xxhash64 has no DuckDB equivalent) — driver records rows-only;
     * DedupSpec checks them against exact-Jaccard ground truth instead.
@@ -250,35 +282,10 @@ object Dedup {
         |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE
-        |n AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
-        |  WHERE length(string_split(norm, ' ')) >= 3),
-        |g0 AS (
-        |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
-        |    list_distinct(list_transform(range(1, length(words) - 1),
-        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
-        |  FROM w),
-        |g AS (
-        |  SELECT doc_id, bucket, grams FROM (
-        |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
-        |  WHERE rn <= 256),
-        |edges AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  WHERE round(length(list_intersect(a.grams, b.grams)) /
-        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
-        |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges UNION SELECT doc_b, doc_a FROM edges),
-        |reach(node, r) AS (
-        |  SELECT u, u FROM sym
-        |  UNION
-        |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)
-        |SELECT node AS doc_id, min(r) AS cluster_id,
-        |  CASE WHEN node = min(r) THEN 1 ELSE 0 END AS is_survivor
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE
+         |$duckClusterCtes
+         |SELECT node AS doc_id, min(r) AS cluster_id,
+         |  CASE WHEN node = min(r) THEN 1 ELSE 0 END AS is_survivor
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

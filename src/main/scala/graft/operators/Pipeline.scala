@@ -54,34 +54,9 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_e2e" ->
-      """WITH RECURSIVE
-        |n AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
-        |  WHERE length(string_split(norm, ' ')) >= 3),
-        |g0 AS (
-        |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
-        |    list_distinct(list_transform(range(1, length(words) - 1),
-        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
-        |  FROM w),
-        |g AS (
-        |  SELECT doc_id, bucket, grams FROM (
-        |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
-        |  WHERE rn <= 256),
-        |edges AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  WHERE round(length(list_intersect(a.grams, b.grams)) /
-        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
-        |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges UNION SELECT doc_b, doc_a FROM edges),
-        |reach(node, r) AS (
-        |  SELECT u, u FROM sym
-        |  UNION
-        |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u),
-        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)),
+      s"""WITH RECURSIVE
+         |${Dedup.duckClusterCtes},
+         |drops AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)),
         |q AS (
         |  SELECT doc_id, lang, text,
         |    length(regexp_split_to_array(trim(text), ' +')) AS n_words,
