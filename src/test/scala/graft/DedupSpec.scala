@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Checkpointer, Dedup}
 
 /** MinHash-LSH and SimHash candidate generation, validated against the
   * exact n-gram-Jaccard ground truth (q_dedup_ngram, itself verified by
@@ -81,6 +81,53 @@ class DedupSpec extends AnyFunSuite {
       assert(n.getLong(0) === f.getLong(0))
       assert(n.getSeq[Long](1) === f.getSeq[Long](1))
     }
+  }
+
+  test("clusterPairs contracts a 1,000-node path graph within the round budget") {
+    // Diameter stress: plain min-label propagation needs ~1,000 rounds
+    // here; star contraction must finish in O(log n).
+    import spark.implicits._
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clusterPairsWithRounds(pairs, maxIter = 12)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 1000)
+    assert(got.forall(_._2 == 1L), "every node of the path must label to node 1")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 1,000-node path")
+  }
+
+  test("reliable checkpoint mode produces identical clusters to local mode") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def labelSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = labelSet(Dedup.clusterPairs(pairs))
+    val reliable = labelSet(Dedup.clusterPairs(pairs, ckpt = Checkpointer.Reliable(ckptDir)))
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+    assert(local === expected)
+    assert(reliable === expected)
+  }
+
+  test("clusterPairs matches brute-force components on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(260) { (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) }
+      .filter(p => p._1 != p._2)
+    // union-find ground truth with min-node labels
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(v => (v, find(v.toInt).toLong)).toSet
+    val got = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
   }
 
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
