@@ -10,11 +10,13 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, processed per-partition in
   * batches — the Scala analogue of a Pandas-UDF/mapInPandas stage.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * STUB: `fakeDecode` derives deterministic pseudo-features from the raw
-  * bytes. Everything around it — the schema contract, the typed Dataset
-  * boundary, per-partition batching, and the column plumbing — is real and
-  * is what a codec would drop into.
+  * The decode step is REAL for PNG images: `javax.imageio` ships with the
+  * JDK, so `decode` hands PNG payloads to `ImageIO` and emits the actual
+  * pixel dimensions (MultimodalSpec decodes real PNG fixture bytes).
+  * Payloads in formats the JDK cannot decode (and the synthetic testdata's
+  * text-bytes stand-ins) fall back to `fakeDecode`, which derives
+  * deterministic pseudo-features from the raw bytes — an honest,
+  * loudly-documented stub for the codecs this container lacks.
   *
   * Scale: decode runs via mapPartitions so per-record codec setup is
   * amortized per partition (the reason mapInPandas/mapPartitions exists);
@@ -31,16 +33,29 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, frames: Int, checksum: Long)
 
-  /** STUB decode (???-equivalent): a real implementation would hand
-    * `payload` to a codec here. Deterministic fake: dimensions/frames are
-    * arithmetic over the byte length, checksum is a rolling polynomial —
-    * stable across JVMs, partitionings and reruns, so specs can pin exact
-    * outputs.
-    */
-  def fakeDecode(r: MediaRecord): MediaFeatures = {
+  /** Rolling polynomial checksum over the payload bytes — stable across
+    * JVMs, partitionings and reruns, so specs can pin exact outputs. */
+  private def byteChecksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
-    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xFF); i += 1 }
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xFF); i += 1 }
+    h
+  }
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Cheap container sniff so arbitrary bytes are never handed to the
+    * codec (ImageIO would otherwise scan its full reader registry per
+    * record). */
+  private def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= PngMagic.length &&
+      PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+
+  /** STUB decode (???-equivalent) for formats the JDK has no codec for:
+    * dimensions/frames are deterministic arithmetic over the byte length.
+    */
+  def fakeDecode(r: MediaRecord): MediaFeatures =
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
@@ -48,15 +63,29 @@ object Multimodal {
       width = (r.payload.length % 640) + 1,
       height = (r.media_id % 480).toInt + 1,
       frames = if (r.kind == "video") (r.payload.length % 25) + 1 else 1,
-      checksum = h)
-  }
+      checksum = byteChecksum(r.payload))
+
+  /** Real decode where the JDK has a codec (PNG via `javax.imageio`),
+    * stub fallback everywhere else. A corrupt PNG (magic matches, decode
+    * fails) also falls back rather than failing the partition — a 100 TB
+    * corpus always contains malformed payloads, and a pipeline that dies
+    * on record 73 billion is not a pipeline. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.kind == "image" && isPng(r.payload)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) fakeDecode(r)
+      else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        img.getWidth, img.getHeight, 1, byteChecksum(r.payload))
+    } else fakeDecode(r)
 
   /** The mapInPandas-shaped stage: batch-decode per partition. */
   def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition setup would open the codec once here
-      it.map(fakeDecode)
+      it.map(decode)
     }
   }
 

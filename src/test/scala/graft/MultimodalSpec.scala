@@ -52,6 +52,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized == 0)
   }
 
+  test("real PNG payloads decode to exact pixel dimensions via javax.imageio") {
+    import spark.implicits._
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK must ship a PNG writer")
+      bos.toByteArray
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, pngBytes(37, 23), "image"),
+      Multimodal.MediaRecord(2L, pngBytes(640, 480), "image"),
+      // magic matches but the stream is truncated → fallback, not a crash
+      Multimodal.MediaRecord(3L, pngBytes(8, 8).take(12), "image"),
+      // real PNG bytes but declared audio → stub path (kind is the contract)
+      Multimodal.MediaRecord(4L, pngBytes(5, 5), "audio"))
+    val out = Multimodal.decodeAll(spark.createDataset(records))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 37 && out(1L).height === 23 && out(1L).frames === 1)
+    assert(out(2L).width === 640 && out(2L).height === 480)
+    assert(out(3L) === Multimodal.fakeDecode(records(2)), "corrupt PNG falls back to stub")
+    assert(out(4L) === Multimodal.fakeDecode(records(3)), "non-image kind never hits the codec")
+    assert(out(1L).n_bytes === records.head.payload.length.toLong)
+  }
+
   test("stub decode invariants: dims in range, checksum matches direct call") {
     val rows = Multimodal.qMultimodalDecode(spark, dir).collect()
     rows.foreach { r =>
