@@ -31,6 +31,45 @@ class StateStore(val spark: SparkSession, val dir: String) {
 
   private def p(name: String): String = s"$dir/$name"
 
+  // ---- single-writer guard ----------------------------------------------
+  // The event logs are plain parquet appends with a single-assigner seq —
+  // correct only under ONE writing driver. Rather than document that and
+  // hope, enforce it: the first mutating call atomically creates a lock
+  // file (CREATE_NEW is atomic on POSIX and HDFS-compatible stores);
+  // a second store writing to the same dir fails loudly instead of
+  // interleaving appends with stale seqs. `close()` releases the lock;
+  // after a driver crash the operator removes the stale lock file (its
+  // contents say who held it) — the seam where a transactional table
+  // format with real transactions would replace the whole mechanism.
+  private val writerId =
+    s"pid=${ProcessHandle.current().pid()} store=${java.util.UUID.randomUUID()}"
+  private def lockPath: Path = Paths.get(p("_writer.lock"))
+  @volatile private var lockHeld = false
+
+  private def ensureWriterLock(): Unit = if (!lockHeld) synchronized {
+    if (!lockHeld) {
+      Files.createDirectories(Paths.get(dir))
+      try {
+        Files.write(lockPath, writerId.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        lockHeld = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val holder = new String(Files.readAllBytes(lockPath), "UTF-8")
+          throw new IllegalStateException(
+            s"state dir $dir is held by another writer ($holder); " +
+              "concurrent drivers would interleave event appends — close() the " +
+              "other store, or remove the stale lock if that driver crashed")
+      }
+    }
+  }
+
+  /** Release the writer lock (idempotent). A store that never wrote never
+    * acquired it. */
+  def close(): Unit = synchronized {
+    if (lockHeld) { Files.deleteIfExists(lockPath); lockHeld = false }
+  }
+
   private def readOrEmpty[T <: Product : scala.reflect.runtime.universe.TypeTag](
       name: String): DataFrame = {
     val schema = Encoders.product[T].schema
@@ -40,8 +79,10 @@ class StateStore(val spark: SparkSession, val dir: String) {
   }
 
   private def append[T <: Product : scala.reflect.runtime.universe.TypeTag](
-      name: String, rows: Seq[T]): Unit =
+      name: String, rows: Seq[T]): Unit = {
+    ensureWriterLock()
     spark.createDataset(rows)(Encoders.product[T]).write.mode("append").parquet(p(name))
+  }
 
   // ---- batch_master (registry dimension) ---------------------------------
   def batchMaster: Dataset[BatchMaster] =
@@ -93,6 +134,7 @@ class StateStore(val spark: SparkSession, val dir: String) {
   private def rewriteInPlace(name: String, df: DataFrame): Unit = {
     val path = Paths.get(p(name))
     if (!Files.exists(path)) return
+    ensureWriterLock()
     val tmp = Paths.get(p(s"$name.rewrite"))
     df.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(path)

@@ -232,11 +232,28 @@ class LifecycleSpec extends AnyFunSuite {
     val s1 = new StateStore(spark, dir)
     s1.updEnv("BATCH_CONTROL_DATE", "12-Aug-2026")
     s1.updEnv("BATCH_CONTROL_DATE", "13-Aug-2026")
+    s1.close()
     // restart: a fresh store over the same dir must continue ABOVE the
     // existing envvar seqs even with zero monitor events written
     val s2 = new StateStore(spark, dir)
     s2.updEnv("BATCH_CONTROL_DATE", "14-Aug-2026")
     assert(s2.getEnv("BATCH_CONTROL_DATE") === Some("14-Aug-2026"))
+    s2.close()
+  }
+
+  test("a second concurrent writer fails loudly instead of interleaving") {
+    val dir = Files.createTempDirectory("graft-writers").toString
+    val s1 = new StateStore(spark, dir)
+    s1.updEnv("BATCH_FLG_DBG", "Y") // s1 now holds the writer lock
+    val s2 = new StateStore(spark, dir)
+    assert(s2.getEnv("BATCH_FLG_DBG") === Some("Y"), "reads need no lock")
+    val ex = intercept[IllegalStateException] { s2.updEnv("BATCH_FLG_DBG", "N") }
+    assert(ex.getMessage.contains("another writer"))
+    assert(s1.getEnv("BATCH_FLG_DBG") === Some("Y"), "failed writer changed nothing")
+    s1.close() // release → s2 may now take over as the single writer
+    s2.updEnv("BATCH_FLG_DBG", "N")
+    assert(s2.getEnv("BATCH_FLG_DBG") === Some("N"))
+    s2.close()
   }
 
   test("session flags and control date come from the envvar store") {
