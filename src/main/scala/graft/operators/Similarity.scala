@@ -272,6 +272,31 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- pre-partitioned ANN storage (the SURVEY §9 claim, made real) -----
+  /** Write the embedding corpus as an on-disk inverted file: one
+    * directory per LSH sign bucket (`bucket=<id>/part-*.parquet`). This
+    * is the 100 TB layout for the ANN scale path: the bucket assignment
+    * — the expensive projection over every vector — is paid ONCE at
+    * write time, and every later probe reads only its probed buckets'
+    * directories via partition pruning (PlanSpec asserts the pruning
+    * filters actually reach the scan; the claim is mechanical, not
+    * prose). */
+  def writeAnnIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+      .withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
+    graft.sources.Sinks.overwritePartitioned(e, path, Seq("bucket"))
+  }
+
+  /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */
+  def probeBuckets(qBucket: Long): Seq[Long] =
+    qBucket +: (0 until AnnPlanes).map(p => qBucket ^ (1L << p))
+
+  /** Probe-side scan of the partitioned index: the `isin` over the
+    * partition column prunes to ≤ AnnPlanes+1 of 2^AnnPlanes directories
+    * before any row is read. */
+  def probeAnnIndex(s: SparkSession, path: String, buckets: Seq[Long]): DataFrame =
+    s.read.parquet(path).filter(col("bucket").isin(buckets: _*))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,
     "q_ann_topk"      -> qAnnTopk _,

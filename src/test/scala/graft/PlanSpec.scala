@@ -45,4 +45,23 @@ class PlanSpec extends AnyFunSuite {
         s"$q must pair only within band buckets via equi-join")
     }
   }
+
+  test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+    Similarity.writeAnnIndex(spark, TestSpark.sfDir, path)
+    val all = spark.read.parquet(path)
+    val probes = Similarity.probeBuckets(0L)
+    val probe = Similarity.probeAnnIndex(spark, path, probes)
+    val scans = probe.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "probe must be a file scan")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"bucket probe must prune partitions, got:\n${probe.queryExecution.executedPlan}")
+    // pruning must not change results: pruned scan == post-hoc filter
+    val viaFilter = all.filter(org.apache.spark.sql.functions.col("bucket")
+      .isin(probes: _*)).count()
+    assert(probe.count() === viaFilter)
+    assert(probe.count() < all.count(), "probe set must be a strict subset of the corpus")
+  }
 }
