@@ -337,13 +337,21 @@ object CoreOps {
   // §2.4 extension — HLL sketch distinct count: at 100 TB an exact
   // countDistinct shuffles every distinct key; approx_count_distinct
   // carries a fixed-size HyperLogLog++ sketch per group (mergeable
-  // map-side, deterministic — no RNG). No SQL oracle (sketch estimates
-  // are engine-specific); CoreOpsSpec bounds the error vs exact.
+  // map-side, deterministic — no RNG). The sketch estimate itself is
+  // engine-specific, so the DIFFERENTIAL surface is (exact count, rows,
+  // within-bound boolean): the oracle recomputes the exact columns and
+  // pins approx_ok to TRUE — if Spark's HLL ever drifts past the bound,
+  // the hash compare fails. CoreOpsSpec additionally bounds the raw
+  // estimate against exact.
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_orderkey", rsd = 0.02).as("n_orders_approx"),
+      .agg(countDistinct("l_orderkey").as("n_orders_exact"),
+        approx_count_distinct("l_orderkey", rsd = 0.02).as("n_orders_approx"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_orders_exact"), col("n_rows"),
+        (abs(col("n_orders_approx") - col("n_orders_exact")) <=
+          col("n_orders_exact") * lit(0.05)).as("approx_ok"))
       .orderBy("l_returnflag")
 
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
@@ -648,6 +656,10 @@ object CoreOps {
         |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders_exact,
+        |  count(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey, 'building_buyer' AS src FROM (

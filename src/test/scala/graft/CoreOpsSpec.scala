@@ -29,22 +29,25 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
     assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_multimodal_decode", "q_multimodal_frames", "q_approx_distinct"),
+      "q_multimodal_decode", "q_multimodal_frames"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
   test("approx distinct stays within the configured error vs exact") {
-    val approx = CoreOps.qApproxDistinct(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.sources.Tables.lineitem(spark, dir)
+    // the differential gate pins approx_ok=TRUE; here bound the raw sketch
+    val est = graft.sources.Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e <= 0.1, s"flag $k: approx $a vs exact $e")
+      .agg(org.apache.spark.sql.functions
+          .approx_count_distinct("l_orderkey", rsd = 0.02).as("a"),
+        org.apache.spark.sql.functions.countDistinct("l_orderkey").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (k, a, e) =>
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"flag $k: approx $a vs exact $e")
     }
+    val notOk = CoreOps.qApproxDistinct(spark, dir)
+      .filter(!col("approx_ok")).count()
+    assert(notOk == 0, "every group must report approx within bound")
   }
 
   test("latest-per-group yields exactly one row per customer with orders") {

@@ -83,6 +83,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash agreement tracks exact Jaccard over generated corpora (property)") {
+    // The quantitative bound behind the rows-only q_dedup_minhash entry:
+    // per-pair signature agreement is an unbiased estimator of the 3-gram
+    // Jaccard, and ≥1-band collisions recall high-Jaccard pairs at the
+    // theoretical rate. Seeded generator → stable across runs.
+    import graft.functions.DocHashes
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 500).map(i => s"w$i")
+    def grams(words: Seq[String]): Set[String] =
+      words.sliding(3).map(_.mkString(" ")).toSet
+    val results = (0 until 200).map { i =>
+      val n = 30 + rnd.nextInt(70)
+      val base = Seq.fill(n)(pool(rnd.nextInt(pool.size)))
+      // every 5th pair is near-identical so the high-Jaccard band is populated
+      val mutRate = if (i % 5 == 0) rnd.nextDouble() * 0.03 else rnd.nextDouble() * 0.5
+      val mutated = base.map(w =>
+        if (rnd.nextDouble() < mutRate) pool(rnd.nextInt(pool.size)) else w)
+      val (ga, gb) = (grams(base), grams(mutated))
+      val j = (ga & gb).size.toDouble / (ga | gb).size
+      val sa = DocHashes.minhashSeq(base, 3, 16)
+      val sb = DocHashes.minhashSeq(mutated, 3, 16)
+      val agree = sa.zip(sb).count(p => p._1 == p._2) / 16.0
+      val bandHit = (0 until 4).exists(b => (b * 4 until (b + 1) * 4).forall(k => sa(k) == sb(k)))
+      (j, agree, bandHit)
+    }
+    val meanDev = results.map { case (j, a, _) => a - j }.sum / results.size
+    assert(math.abs(meanDev) <= 0.05, f"minhash agreement biased: mean deviation $meanDev%.3f")
+    results.foreach { case (j, a, _) =>
+      assert(math.abs(a - j) <= 0.45, f"pair with jaccard $j%.2f agreed on $a%.2f of hashes")
+    }
+    val high = results.filter(_._1 >= 0.9)
+    assert(high.size >= 10, s"generator must produce high-jaccard pairs, got ${high.size}")
+    val missRate = high.count(!_._3).toDouble / high.size
+    assert(missRate <= 0.05,
+      f"band collision missed $missRate%.2f of jaccard>=0.9 pairs (theory: ~0.014)")
+  }
+
   test("clusterPairs contracts a 1,000-node path graph within the round budget") {
     // Diameter stress: plain min-label propagation needs ~1,000 rounds
     // here; star contraction must finish in O(log n).
