@@ -61,6 +61,48 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("as-of join ScalaCheck property: ties, nulls and empties match brute force") {
+    // Generator is tuned for the failure classes this operator has
+    // actually produced (NULL-carry, tie stitching): a 20-second time
+    // domain over 3 keys forces many exact timestamp ties, values are
+    // Options so matched rows carry NULLs, and shrinking covers the
+    // empty-side cases. Two value columns catch cross-row stitching.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    def mkTs(sec: Int) = Timestamp.from(base.plusSeconds(sec.toLong))
+    val genKT = for { k <- Gen.choose(0L, 2L); s <- Gen.choose(0, 19) } yield (k, s)
+    val genRightRow = for {
+      kt <- genKT
+      v1 <- Gen.option(Gen.choose(0L, 4L))
+      v2 <- Gen.option(Gen.choose(0L, 4L))
+    } yield (kt._1, kt._2, v1, v2)
+    val genLeft = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, genKT))
+    val genRight = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, genRightRow))
+    val prop = Prop.forAll(genLeft, genRight) { (ls, rs) =>
+      val leftRows = ls.zipWithIndex.map { case ((k, s), i) => (k, mkTs(s), i.toLong) }
+      val rightRows = rs.map { case (k, s, v1, v2) => (k, mkTs(s), v1, v2) }
+      val got = TemporalJoins.asofJoin(
+          leftRows.toDF("k", "t", "lid"), rightRows.toDF("k", "rt", "v1", "v2"),
+          Seq("k"), "t", "rt", Seq("v1", "v2"))
+        .collect().map { r =>
+          r.getLong(2) -> (
+            (if (r.isNullAt(3)) None else Some(r.getLong(3))),
+            (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        }.toMap
+      // Reference: latest right row with rt <= t per key; rt ties resolve
+      // to the greatest value tuple with None < Some (the documented
+      // determinism rule, matching Spark's struct ordering).
+      val expected = leftRows.map { case (k, t, lid) =>
+        val cands = rightRows.filter(r => r._1 == k && !r._2.after(t))
+        lid -> (if (cands.isEmpty) (None, None)
+                else { val mx = cands.maxBy(r => (r._2.getTime, r._3, r._4)); (mx._3, mx._4) })
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"asof property failed: ${res.status}")
+  }
+
   test("as-of join: NULL value in the matched right row is preserved, not skipped") {
     val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
     val right = Seq(
