@@ -177,34 +177,39 @@ object Similarity {
   private val IvfProbes = 5
 
   /** Lloyd refinement iterations for the IVF coarse quantizer. */
-  private val IvfLloydIters = 2
+  private val IvfLloydIters = 3
 
-  /** Training-sample size for quantizer seeding (driver-side; 256×64
-    * doubles is index metadata, not data movement). */
+  /** Training-sample size for the quantizer (driver-side; 256×64 doubles
+    * is index metadata, not data movement). */
   private val IvfSeedSample = 256
 
   /** ANN via an inverted-file index, trained the way production IVF
-    * builds its quantizer (sample → seed → Lloyd):
+    * builds its quantizer (sample → seed → Lloyd — FAISS trains on a
+    * bounded sample, never the full corpus):
     *
     *  1. **Sample**: the [[IvfSeedSample]] corpus vectors with the
     *     smallest xxhash64(vec_id) — a seeded random sample, reproducible
-    *     by construction.
+    *     by construction. One bounded collect; everything after it until
+    *     assignment is driver-side arithmetic over index metadata.
     *  2. **Seed**: farthest-point (k-means++-style) selection of
-    *     [[IvfLists]] centroids from the sample, driver-side — each next
-    *     centroid is the sample vector with the smallest maximum cosine
-    *     to those already chosen, spreading seeds across the sphere
-    *     instead of wherever the random sample clumped.
-    *  3. **Refine**: [[IvfLloydIters]] spherical-k-means Lloyd rounds —
-    *     assign corpus to nearest centroid by cosine, recompute each
-    *     centroid as the mean of its members' UNIT vectors. One corpus
-    *     scan + one k×dim aggregate per round; per-dimension means sum in
-    *     decimal so centroids are bit-identical regardless of partition
-    *     order (float sums are not).
+    *     [[IvfLists]] centroids from the sample — each next centroid is
+    *     the sample vector with the smallest maximum cosine to those
+    *     already chosen, spreading seeds across the sphere instead of
+    *     wherever the random sample clumped.
+    *  3. **Refine**: [[IvfLloydIters]] spherical-k-means Lloyd rounds
+    *     over the sample — assign each sample vector to its nearest
+    *     centroid by cosine, recompute each centroid as the (re-
+    *     normalized) mean of its members' unit vectors. Driver-side and
+    *     sequential, so the trained quantizer is bit-identical across
+    *     partitionings and reruns; the corpus is NOT rescanned per round
+    *     (at 100 TB, per-round corpus scans would make training cost
+    *     scale with data instead of with the sample).
     *
-    * Corpus rows are then assigned to the nearest refined centroid,
-    * queries probe the nProbe nearest lists. Same schema as qAnnTopk;
-    * recall vs brute force asserted in SimilaritySpec (seeding+refinement
-    * is what lifts the asserted bound from 0.5 to 0.7 on this corpus). */
+    * Corpus rows are then assigned to the nearest trained centroid in one
+    * scan, queries probe the nProbe nearest lists. Same schema as
+    * qAnnTopk; recall vs brute force asserted in SimilaritySpec
+    * (seeding+refinement is what lifts the asserted bound from 0.5 to
+    * 0.7 on this corpus). */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, dir))
     // 1. training sample (driver-side: index construction, not data plane)
@@ -223,39 +228,36 @@ object Similarity {
     while (seeds.size < math.min(IvfLists, sample.length)) {
       seeds += sample.maxBy(u => -seeds.map(c => ddot(u, c)).max)
     }
-    var centroids: Array[(Int, Array[Double], Double)] =
-      seeds.toArray.zipWithIndex.map { case (u, i) => (i, u, 1.0) }
+    // 3. Lloyd refinement on the sample (unit-vector means = spherical
+    // k-means; the mean's direction is what matters, so re-normalize)
+    var cents: Array[Array[Double]] = seeds.toArray
+    (0 until IvfLloydIters).foreach { _ =>
+      val sums = Array.fill(cents.length)(new Array[Double](Dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { u =>
+        var best = 0; var bestD = Double.NegativeInfinity; var i = 0
+        while (i < cents.length) {
+          val d = ddot(u, cents(i)) / math.sqrt(ddot(cents(i), cents(i)))
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var d0 = 0; while (d0 < Dim) { sums(best)(d0) += u(d0); d0 += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        // empty lists keep their seed (can't recenter nothing); the mean
+        // and the sum share a direction, so skip the /count
+        if (counts(i) == 0 || ddot(sums(i), sums(i)) == 0) c else sums(i)
+      }
+    }
+    val centroids: Array[(Int, Array[Double], Double)] =
+      cents.zipWithIndex.map { case (c, i) => (i, c, math.sqrt(ddot(c, c))) }
     // score struct per centroid: (cosine-to-centroid, list id); argmax =
     // array_max's lexicographic struct order (score first).
     def scores(emb: Column, nrm: Column): Column = array(centroids.map { case (i, c, cn) =>
       val cArr = array(c.map(lit): _*)
       struct((dotCol(s, emb, cArr) / (nrm * lit(cn))).as("score"), lit(i).as("list_id"))
     }: _*)
-    // Lloyd rounds: k×dim decimal-mean aggregate per round, collected to
-    // the driver (16×64 values — index metadata, not data movement).
-    (0 until IvfLloydIters).foreach { _ =>
-      val assigned = e.select(
-        array_max(scores(col("embedding"), col("nrm"))).getField("list_id").as("list_id"),
-        col("embedding"), col("nrm"))
-      // Spherical k-means: average the UNIT vectors (cosine assignment
-      // cares about direction only; averaging raw embeddings biases the
-      // centroid toward long vectors).
-      val meanCols = (0 until Dim).map(d =>
-        avg((element_at(col("embedding"), d + 1).cast("double") / col("nrm"))
-          .cast("decimal(28,10)")).cast("double").as(s"m$d"))
-      val means = assigned.groupBy("list_id").agg(meanCols.head, meanCols.tail: _*).collect()
-      // Empty lists keep their previous centroid (can't recenter nothing).
-      val byList = means.map(r => r.getInt(0) ->
-        (1 to Dim).map(r.getDouble).toArray).toMap
-      centroids = centroids.map { case (i, prev, prevNorm) =>
-        byList.get(i) match {
-          case Some(m) =>
-            val n = math.sqrt(m.map(v => v * v).sum)
-            if (n > 0) (i, m, n) else (i, prev, prevNorm)
-          case None => (i, prev, prevNorm)
-        }
-      }
-    }
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"),
         array_max(scores(col("embedding"), col("nrm"))).getField("list_id").as("list_id"))
