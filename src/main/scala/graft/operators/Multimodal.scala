@@ -128,15 +128,19 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** End-to-end mapPartitions decode pipeline (Spark-only rows check; the
-    * checksum column is pinned exactly by MultimodalSpec).
-    */
+  /** End-to-end mapPartitions decode pipeline. The differential face
+    * drops the checksum column (a rolling byte hash has no tractable SQL
+    * twin; MultimodalSpec pins it exactly via `decodeAll` instead) so the
+    * rest of the decode output — kind routing, byte length, dimension and
+    * frame arithmetic — is hash-compared against a DuckDB oracle. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
-    decodeAll(asMedia(s, dir)).toDF().orderBy("media_id")
+    decodeAll(asMedia(s, dir)).toDF().drop("checksum").orderBy("media_id")
 
   /** Decode → frame-sample pipeline over a corpus that includes "video"
-    * records (every 3rd doc), exercising the 1→N fan-out. Rows-only for
-    * the driver; MultimodalSpec checks the fan-out arithmetic. */
+    * records (every 3rd doc), exercising the 1→N fan-out. Like
+    * qMultimodalDecode, the per-frame checksum stays spec-pinned and out
+    * of the differential face; the fan-out itself (one row per sampled
+    * frame index) is oracle-checked via a lateral generate_series. */
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -146,7 +150,8 @@ object Multimodal {
           .when(pmod(col("doc_id"), lit(3L)) === 1, "image")
           .otherwise("audio").as("kind"))
       .as[MediaRecord]
-    sampleFrames(decodeAll(media)).toDF().orderBy("media_id", "frame_idx")
+    sampleFrames(decodeAll(media)).toDF()
+      .drop("frame_checksum").orderBy("media_id", "frame_idx")
   }
 
   /** SQL-expressible metadata slice (byte length, content hash, stub dims)
@@ -167,8 +172,10 @@ object Multimodal {
     "q_multimodal_frames" -> qMultimodalFrames _,
   )
 
-  /** q_multimodal_decode has no SQL oracle (mapPartitions stage) — driver
-    * records rows-only; MultimodalSpec pins its outputs exactly. */
+  /** The decode/frames oracles replay the stub arithmetic (the testdata's
+    * text payloads never sniff as PNG, so every record takes the fake
+    * path — deterministic by design); checksum columns are excluded from
+    * the differential face and pinned by MultimodalSpec. */
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
@@ -177,5 +184,24 @@ object Multimodal {
         |  octet_length(encode(text)) % 640 + 1 AS fake_w,
         |  doc_id % 480 + 1 AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  cast(octet_length(encode(text)) % 640 + 1 AS int) AS width,
+        |  cast(doc_id % 480 + 1 AS int) AS height,
+        |  1 AS frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 25 + 1
+        |         ELSE 1 END AS frames
+        |  FROM documents)
+        |SELECT media_id,
+        |  cast(unnest(range(0, cast(frames AS bigint), 5)) AS int) AS frame_idx,
+        |  cast(n_bytes % 640 + 1 AS int) AS width,
+        |  cast(media_id % 480 + 1 AS int) AS height
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -15,8 +15,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("decode emits one feature row per media record, stable schema") {
     val out = Multimodal.qMultimodalDecode(spark, dir)
     assert(out.columns.toSeq ==
-      Seq("media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"))
+      Seq("media_id", "kind", "n_bytes", "width", "height", "frames"))
     assert(out.count() == Multimodal.asMedia(spark, dir).count())
+    // the full typed row (incl. the spec-pinned checksum) keeps its schema
+    assert(Multimodal.decodeAll(Multimodal.asMedia(spark, dir)).toDF().columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "width", "height", "frames", "checksum"))
   }
 
   test("decode is deterministic across runs and partitionings") {
@@ -78,12 +81,14 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("stub decode invariants: dims in range, checksum matches direct call") {
-    val rows = Multimodal.qMultimodalDecode(spark, dir).collect()
+    val rows = Multimodal.decodeAll(Multimodal.asMedia(spark, dir)).toDF()
+      .orderBy("media_id").collect()
     rows.foreach { r =>
       assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
       assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 480)
     }
-    // pin one checksum against a direct driver-side call
+    // pin one checksum against a direct driver-side call (the checksum is
+    // outside the registered query's differential face, so this is its gate)
     val doc = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") === 0).collect()(0)
     val expected = Multimodal.fakeDecode(Multimodal.MediaRecord(
