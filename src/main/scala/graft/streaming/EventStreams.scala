@@ -55,6 +55,28 @@ object EventStreams {
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup — the stream twin of `Dedup.qDedupExact` for a
+    * continuously-arriving corpus: drop any document whose 128-bit content
+    * hash has already been seen within the watermark horizon. State is one
+    * small hash row per distinct document inside the horizon, so it is
+    * bounded by arrival rate × horizon, never by stream length — the only
+    * formulation of streaming dedup that survives an unbounded stream.
+    *
+    * Survivorship differs from batch by necessity: a stream keeps the
+    * FIRST arrival (it cannot know a smaller doc_id comes later), while
+    * the batch query keeps min doc_id. The deduped content set is
+    * identical — asserted against the batch twin in StreamingSpec.
+    * Batch inputs take the plain `dropDuplicates` path (Spark rejects
+    * `dropDuplicatesWithinWatermark` outside streaming).
+    */
+  def dedupDocs(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("text_hash", md5(col("text").cast("binary")))
+    if (docs.isStreaming)
+      hashed.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("text_hash")
+    else hashed.dropDuplicates("text_hash")
+  }
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

@@ -12,6 +12,8 @@ import graft.streaming.EventStreams
 
 final case class StreamEvent(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
 /** EventStreams is one logical shape for two execution modes: the batch
   * run must agree with EventOps' oracle-verified queries, and the
   * streaming run (MemoryStream micro-batches) must agree with the batch
@@ -94,6 +96,36 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
       assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)),
         "state (last ts + session number) must survive the micro-batch boundary")
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops re-arrivals within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val docs = Seq(
+      DocEvent(1L, ts("2026-08-12T10:00:00Z"), "alpha"),
+      DocEvent(2L, ts("2026-08-12T10:01:00Z"), "beta"),
+      DocEvent(3L, ts("2026-08-12T10:02:00Z"), "alpha"), // in-batch dup
+      DocEvent(4L, ts("2026-08-12T10:03:00Z"), "alpha"), // cross-batch dup
+      DocEvent(5L, ts("2026-08-12T10:04:00Z"), "gamma"))
+    val q = EventStreams.dedupDocs(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3)) // dup state must survive the batch boundary
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 5L),
+        "first arrival of each content hash survives; later re-arrivals drop")
+      // batch twin over the same rows keeps the identical content set
+      val batchHashes = EventStreams.dedupDocs(docs.toDF())
+        .select("text_hash").collect().map(_.getString(0)).toSet
+      val streamHashes = spark.table("dedup_out")
+        .select("text_hash").collect().map(_.getString(0)).toSet
+      assert(streamHashes === batchHashes)
     } finally q.stop()
   }
 
