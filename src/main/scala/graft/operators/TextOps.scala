@@ -117,12 +117,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // Document chunking: overlapping token windows — the standard LLM
+  // training-prep step (context windows with overlap so no boundary
+  // tokens are lost). 100-word chunks, stride 80 (20-word overlap).
+  // Pure generator shape: per-doc chunk starts come from `sequence`,
+  // the fan-out is one posexplode before any shuffle, and each chunk row
+  // carries offsets + a content hash, never the chunk text itself — at
+  // 100 TB the chunk table is a narrow index over the corpus, and the
+  // chunk text re-materializes on demand from (doc_id, offset).
+  private val ChunkSize = 100
+  private val ChunkStride = 80
+
+  def qTextChunks(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .withColumn("n", size(col("words")))
+    base
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(expr(s"sequence(1, n, $ChunkStride)")).as("start"))
+      // a tail chunk fully contained in its predecessor adds nothing:
+      // keep a non-first start only if it reaches ≥ stride-new words
+      .filter(col("start") === 1 ||
+        col("n") >= col("start") + (ChunkSize - ChunkStride))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $ChunkStride").cast(LongType).as("chunk_idx"),
+        col("start").cast(LongType).as("chunk_start"),
+        size(slice(col("words"), col("start"), lit(ChunkSize))).cast(LongType)
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("words"), col("start"), lit(ChunkSize)))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // Stratified downsampling: rebalance over-represented languages with a
+  // DETERMINISTIC content-hash Bernoulli filter — keep a doc iff the
+  // first md5 byte of its text falls under the stratum's hex threshold.
+  // No RNG: the same doc makes the same keep/drop decision on any
+  // engine, partitioning or rerun (which is also what makes the decision
+  // differentially testable at all). One shuffle-free pass + a small
+  // aggregate; at 100 TB the keep-filter fuses into the scan.
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val thresh = when(col("lang") === "en", "29")   // ~16% of en
+      .when(col("lang") === "de", "80")             // ~50% of de
+      .otherwise("ff")                              // ~100% of the rest
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        (substring(md5(col("text").cast("binary")), 1, 2) <= thresh)
+          .cast("int").as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("keep").cast(LongType).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_fingerprint" -> qFingerprint _,
     "q_text_redact" -> qTextRedact _,
+    "q_text_chunks" -> qTextChunks _,
+    "q_stratified_sample" -> qStratifiedSample _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +220,29 @@ object TextOps {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         |  n_chars // 100 AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |n AS (SELECT doc_id, words, length(words) AS n FROM w),
+        |st AS (
+        |  SELECT doc_id, words, n, unnest(range(1, n + 1, 80)) AS start
+        |  FROM n)
+        |SELECT doc_id,
+        |  (start - 1) // 80 AS chunk_idx,
+        |  cast(start AS bigint) AS chunk_start,
+        |  cast(length(words[start : least(start + 99, n)]) AS bigint) AS n_chunk_tokens,
+        |  md5(array_to_string(words[start : least(start + 99, n)], ' ')) AS chunk_hash
+        |FROM st
+        |WHERE start = 1 OR n >= start + 20
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |  cast(sum(CASE WHEN substr(md5(text), 1, 2) <=
+        |    (CASE WHEN lang = 'en' THEN '29' WHEN lang = 'de' THEN '80' ELSE 'ff' END)
+        |    THEN 1 ELSE 0 END) AS bigint) AS n_kept
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_redact" ->
       """WITH c AS (
         |  SELECT doc_id,
