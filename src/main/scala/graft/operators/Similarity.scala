@@ -274,6 +274,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127, each
+    * component stored as round(v/scale) — 4× smaller than float32, the
+    * standard memory/storage trade for large ANN corpora. The query emits
+    * the quantization quality per vector (cosine between the original and
+    * the dequantized vector) so the trade is MEASURED, not asserted:
+    * SimilaritySpec bounds it ≥ 0.999, and the DuckDB oracle replays the
+    * arithmetic exactly. Rounding is the explicit `floor(x + 0.5)` form —
+    * engine-native round() functions disagree on half-way ties (half-up
+    * vs half-even), and a differential gate cannot tolerate that.
+    */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding")
+    val absMax = aggregate(emb, lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), emb, greatest(absMax / 127.0, lit(1e-30)).as("scale"))
+    val dq = transform(emb, x => floor(x.cast("double") / col("scale") + 0.5) * col("scale"))
+    val dot = aggregate(zip_with(emb, dq, (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, v) => acc + v)
+    val n1 = sqrt(aggregate(emb, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+    val n2 = sqrt(aggregate(dq, lit(0.0), (a, x) => a + x * x))
+    // Two-step select: emitting `round(scale, 6) AS scale` in the same
+    // projection as the lambdas would make Spark's lateral-column-alias
+    // resolution bind the lambdas' col("scale") to the ROUNDED alias —
+    // quantizing with a truncated scale (the differential gate caught
+    // exactly this). Compute with the true scale first, round after.
+    e.select(col("vec_id"), col("scale"),
+        round(dot / (n1 * n2), 6).as("cos_dequant"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("cos_dequant"))
+      .orderBy("vec_id")
+  }
+
   // ---- pre-partitioned ANN storage (the SURVEY §9 claim, made real) -----
   /** Write the embedding corpus as an on-disk inverted file: one
     * directory per LSH sign bucket (`bucket=<id>/part-*.parquet`). This
@@ -301,6 +334,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,
+    "q_embed_quant"   -> qEmbedQuant _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
@@ -350,6 +384,21 @@ object Similarity {
          |WHERE round($pairDot / (ea.nrm * eb.nrm), 6) >= 0.4
          |ORDER BY 1, 2, 3""".stripMargin
     },
+    "q_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(cast(x AS double)))) / 127.0, 1e-30) AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, scale, embedding,
+        |    list_transform(embedding, x -> floor(cast(x AS double) / scale + 0.5) * scale) AS dq
+        |  FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(
+        |    list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * dq[i]), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(dq, x -> x * x), 'sum'))), 6) AS cos_dequant
+        |FROM d ORDER BY vec_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -54,6 +54,16 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.foreach(h => exactCos.get((h.qId, h.nId)).foreach(c => assert(c == h.cos)))
   }
 
+  test("int8 quantization keeps per-vector cosine >= 0.999") {
+    val rows = Similarity.qEmbedQuant(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, cos) =>
+      assert(scale > 0, s"vec $id scale $scale")
+      assert(cos >= 0.999, s"vec $id dequantized cosine $cos")
+    }
+  }
+
   test("multi-probe LSH achieves recall >= 0.5 vs brute force") {
     val exactSet = exact.map(h => (h.qId, h.nId)).toSet
     val hit = approx.count(h => exactSet((h.qId, h.nId)))
