@@ -198,8 +198,8 @@ object Dedup {
     * Each round materializes through the pluggable [[Checkpointer]] —
     * `Local` for dev loops, `Reliable` on a cluster where executor loss
     * must recover instead of killing the job. Convergence is an exact
-    * set-equality check (count + one-sided except over deduped sets), two
-    * small jobs per round on star-shaped frames.
+    * set-equality check — an empty symmetric difference over the deduped
+    * edge sets, one small job per round on star-shaped frames.
     *
     * Returns `(node, label)` for every node appearing in `pairs`.
     */
@@ -219,15 +219,14 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct())
-    var nEdges = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
       val next = ckpt(smallStar(largeStar(edges)))
-      val nNext = next.count()
-      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      // one action per round: both frames are deduped, so set equality is
+      // an empty symmetric difference (early-terminating isEmpty)
+      converged = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
       edges = next
-      nEdges = nNext
       rounds += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
