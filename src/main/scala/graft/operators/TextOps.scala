@@ -169,6 +169,31 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // Vocabulary coverage: build a corpus-derived dictionary (top-100
+  // normalized words, deterministic count-desc/word-asc order) and
+  // annotate every document with its out-of-vocabulary ratio — the
+  // broadcast-dictionary pattern every tokenizer/quality stage uses.
+  // Scale shape: the vocab is ONE aggregate over exploded words (the only
+  // shuffle), then rides to every executor as a broadcast single-row
+  // array; per-doc coverage is a shuffle-free higher-order filter over
+  // the scan — no token-cardinality join.
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+    val vocab = docs.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+      .agg(collect_list(col("word")).as("vocab"))
+    val inVocab = size(expr("filter(words, w -> array_contains(vocab, w))"))
+    docs.crossJoin(broadcast(vocab))
+      .select(col("doc_id"), size(col("words")).cast(LongType).as("n_tokens"),
+        (size(col("words")) - inVocab).cast(LongType).as("n_oov"),
+        round((size(col("words")) - inVocab) / size(col("words")).cast("double"), 6)
+          .as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -177,6 +202,7 @@ object TextOps {
     "q_text_redact" -> qTextRedact _,
     "q_text_chunks" -> qTextChunks _,
     "q_stratified_sample" -> qStratifiedSample _,
+    "q_vocab_coverage" -> qVocabCoverage _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,6 +263,21 @@ object TextOps {
         |FROM st
         |WHERE start = 1 OR n >= start + 20
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |vc AS (
+        |  SELECT word, count(*) AS cnt FROM (SELECT unnest(words) AS word FROM w) t
+        |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 100),
+        |v AS (SELECT list(word) AS vocab FROM vc)
+        |SELECT doc_id,
+        |  cast(length(words) AS bigint) AS n_tokens,
+        |  cast(length(words) - length(list_filter(words, x -> list_contains(v.vocab, x))) AS bigint) AS n_oov,
+        |  round((length(words) - length(list_filter(words, x -> list_contains(v.vocab, x))))
+        |        / cast(length(words) AS double), 6) AS oov_ratio
+        |FROM w, v ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         |  cast(sum(CASE WHEN substr(md5(text), 1, 2) <=
