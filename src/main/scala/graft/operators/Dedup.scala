@@ -107,6 +107,16 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. `n_bands` is the
     * number of agreeing bands; with 4 bands × 4 rows the collision curve
     * crosses ~50% at Jaccard ≈ (1/4)^(1/4) ≈ 0.71.
+    *
+    * The explicit `repartition` on the band keys is the "materialize the
+    * signature stage once" plan: both self-join sides canonicalize to the
+    * SAME exchange, so Catalyst's ReuseExchange computes signatures in
+    * ONE corpus scan and the join reads the shuffle twice (PlanSpec
+    * asserts the ReusedExchange; without it each side re-derived the
+    * whole fingerprint pipeline). The shuffle_hash hint keeps the planner
+    * from broadcasting one side at small SF, which would silently discard
+    * the reuse — and a shuffled hash join on uniformly-hashed band keys
+    * is the right 100 TB plan anyway.
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
@@ -119,9 +129,11 @@ object Dedup {
       posexplode(array((0 until Bands).map { b =>
         xxhash64((b * 4 until (b + 1) * 4).map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast(LongType).as("n_bands"))
       .orderBy("doc_a", "doc_b")
   }
@@ -141,12 +153,16 @@ object Dedup {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .select(col("doc_id"), simhashCol(s, col("words")).as("simhash"))
+    // repartition on the band keys → both self-join sides reuse ONE
+    // exchange (fingerprints computed once; see qDedupMinhash's note)
     val banded = base.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key")).filter(col("doc_a") < col("doc_b"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       // Threshold BEFORE the distinct: hamming is functional on the pair,
       // so filtering first is equivalent and the dedup shuffle carries only

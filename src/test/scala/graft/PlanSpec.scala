@@ -46,6 +46,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup self-joins reuse the banded fingerprint exchange (one corpus scan)") {
+    // The repartition on the band keys makes both join sides canonicalize
+    // to the same exchange; AQE's stage reuse then computes the signature
+    // pipeline ONCE. Static explain can't see this — assert on the final
+    // adaptive plan after execution.
+    Seq("q_dedup_simhash", "q_dedup_minhash").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("isFinalPlan=true"), s"$q must have an executed adaptive plan")
+      assert("Reused".r.findFirstIn(s).nonEmpty,
+        s"$q final plan must reuse the banded exchange:\n$s")
+    }
+  }
+
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.execution.FileSourceScanExec
