@@ -9,6 +9,20 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Checkpointer {
   def apply(df: DataFrame): DataFrame
+
+  /** Best-effort release of the storage behind a frame previously
+    * returned by [[apply]]. An iterative operator calls this on round
+    * N−1 once round N has materialized — without it, every round's
+    * blocks (Local) or DFS files (Reliable) survive to the end of the
+    * job, and a long-running cluster accumulates dead checkpoint data
+    * (Spark never deletes reliable checkpoints on its own). Must only be
+    * called when nothing will read the frame again. */
+  def release(df: DataFrame): Unit
+
+  protected final def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }
 
 object Checkpointer {
@@ -21,6 +35,8 @@ object Checkpointer {
     */
   case object Local extends Checkpointer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    def release(df: DataFrame): Unit =
+      checkpointedRdd(df).foreach(_.unpersist(blocking = false))
   }
 
   /** Reliable checkpoint to the SparkContext checkpoint directory (HDFS /
@@ -38,5 +54,29 @@ object Checkpointer {
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
       df.checkpoint()
     }
+    def release(df: DataFrame): Unit =
+      for (rdd <- checkpointedRdd(df); f <- rdd.getCheckpointFile) {
+        val path = new org.apache.hadoop.fs.Path(f)
+        val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+      }
   }
+
+  /** Deployment seam: pick the mode from session config —
+    * `spark.graft.cc.checkpoint=reliable` (with
+    * `spark.graft.cc.checkpointDir=<dfs path>` or a context checkpoint
+    * dir already set) for clusters, Local otherwise. This is how the
+    * production entry points (q_dedup_clusters, the capstone pipeline)
+    * reach Reliable mode without code changes. */
+  def fromConf(s: org.apache.spark.sql.SparkSession): Checkpointer =
+    s.conf.getOption("spark.graft.cc.checkpoint") match {
+      case Some("reliable") =>
+        val dir = s.conf.getOption("spark.graft.cc.checkpointDir")
+          .orElse(s.sparkContext.getCheckpointDir)
+          .getOrElse(throw new IllegalArgumentException(
+            "spark.graft.cc.checkpoint=reliable needs spark.graft.cc.checkpointDir " +
+              "or an existing SparkContext checkpoint dir"))
+        Reliable(dir)
+      case _ => Local
+    }
 }

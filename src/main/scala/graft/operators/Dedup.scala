@@ -229,12 +229,16 @@ object Dedup {
       ckpt: Checkpointer = Checkpointer.Local): (DataFrame, Int) = {
     // Canonicalize + checkpoint the edge list once: without this, every
     // round would recompute the whole upstream candidate pipeline
-    // (measured 4x the candidate-generation cost at sf0.1).
-    var edges = ckpt(pairs
+    // (measured 4x the candidate-generation cost at sf0.1). Self-pairs
+    // stay in the canonical frame — they contribute their node to the
+    // output as a singleton cluster — and are dropped only from the
+    // iterated edge set.
+    val canon = ckpt(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
-      .filter(col("hi") =!= col("lo"))
       .distinct())
+    var edges = canon.filter(col("hi") =!= col("lo"))
+    var prev: Option[DataFrame] = None
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -242,13 +246,23 @@ object Dedup {
       // one action per round: both frames are deduped, so set equality is
       // an empty symmetric difference (early-terminating isEmpty)
       converged = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+      // round N materialized and compared — round N-1's storage is dead
+      // (never the initial canon frame, which the caller may still hold)
+      prev.foreach(ckpt.release)
+      prev = Some(next)
       edges = next
       rounds += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
-    val labels = edges.select(col("hi").as("node"), col("lo").as("label"))
+    val starLabels = edges.select(col("hi").as("node"), col("lo").as("label"))
       .unionAll(edges.select(col("lo").as("node"), col("lo").as("label")))
       .groupBy("node").agg(min("label").as("label"))
+    // every node appearing in `pairs` gets a label — nodes whose only
+    // appearance was a self-pair label themselves (singleton clusters)
+    val nodes = canon.select(col("hi").as("node"))
+      .unionAll(canon.select(col("lo").as("node"))).distinct()
+    val labels = nodes.join(starLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     (labels, rounds)
   }
 
@@ -260,9 +274,13 @@ object Dedup {
   private val clusterMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The checkpoint mode comes from session config (see
+    * [[Checkpointer.fromConf]]) so cluster deployments reach Reliable
+    * mode through the standard entry points without code changes. */
   def clusteredDocs(s: SparkSession, dir: String): DataFrame =
     clusterMemo.getOrElseUpdate((s, dir),
-      clusterPairs(qDedupNgram(s, dir).select("doc_a", "doc_b")))
+      clusterPairs(qDedupNgram(s, dir).select("doc_a", "doc_b"),
+        ckpt = Checkpointer.fromConf(s)))
 
   /** Cluster ids over the oracle-verified n-gram near-dup pairs, with the
     * survivorship decision (the cluster representative = min doc_id keeps

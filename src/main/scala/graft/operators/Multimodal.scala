@@ -69,12 +69,15 @@ object Multimodal {
     * stub fallback everywhere else. A corrupt PNG (magic matches, decode
     * fails) also falls back rather than failing the partition — a 100 TB
     * corpus always contains malformed payloads, and a pipeline that dies
-    * on record 73 billion is not a pipeline. */
+    * on record 73 billion is not a pipeline. The catch is NonFatal, not
+    * just IOException: the JDK image reader throws unchecked exceptions
+    * (IllegalArgument/IndexOutOfBounds/NegativeArraySize) on fuzzed
+    * headers, and any of those escaping would abort the task. */
   def decode(r: MediaRecord): MediaFeatures =
     if (r.kind == "image" && isPng(r.payload)) {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) fakeDecode(r)
       else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
         img.getWidth, img.getHeight, 1, byteChecksum(r.payload))
@@ -84,7 +87,11 @@ object Multimodal {
   def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition setup would open the codec once here
+      // per-partition codec setup: without this, ImageIO spills EVERY
+      // payload to a temp-file-backed cache before decoding — per-record
+      // file create/write/delete in the hot loop (JVM-wide flag, cheap
+      // to re-set per partition)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map(decode)
     }
   }

@@ -45,19 +45,34 @@ class StateStore(val spark: SparkSession, val dir: String) {
     s"pid=${ProcessHandle.current().pid()} store=${java.util.UUID.randomUUID()}"
   private def lockPath: Path = Paths.get(p("_writer.lock"))
   @volatile private var lockHeld = false
+  private val unlockHook = new Thread(() => Files.deleteIfExists(lockPath))
 
   private def ensureWriterLock(): Unit = if (!lockHeld) synchronized {
-    if (!lockHeld) {
+    var attempts = 0
+    while (!lockHeld) {
       Files.createDirectories(Paths.get(dir))
       try {
         Files.write(lockPath, writerId.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         lockHeld = true
+        // a cleanly-exiting driver that never calls close() must not
+        // strand the lock for the next run
+        Runtime.getRuntime.addShutdownHook(unlockHook)
+        // Writer-role handover: seqs consumed BEFORE this store became
+        // the writer (e.g. a nextSeq() that then failed its append) may
+        // lag events the previous writer appended — re-sync so this
+        // writer only ever assigns above everything durably logged.
+        seq.getAndUpdate(cur => math.max(cur, maxLoggedSeq()))
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val holder = new String(Files.readAllBytes(lockPath), "UTF-8")
-          throw new IllegalStateException(
-            s"state dir $dir is held by another writer ($holder); " +
+          // racing the holder's close(): the file can vanish between our
+          // failed create and the read — retry the acquisition once
+          val holder =
+            try Some(new String(Files.readAllBytes(lockPath), "UTF-8"))
+            catch { case _: java.io.IOException => None }
+          if (holder.isEmpty && attempts == 0) { attempts += 1 }
+          else throw new IllegalStateException(
+            s"state dir $dir is held by another writer (${holder.getOrElse("unknown")}); " +
               "concurrent drivers would interleave event appends — close() the " +
               "other store, or remove the stale lock if that driver crashed")
       }
@@ -67,7 +82,12 @@ class StateStore(val spark: SparkSession, val dir: String) {
   /** Release the writer lock (idempotent). A store that never wrote never
     * acquired it. */
   def close(): Unit = synchronized {
-    if (lockHeld) { Files.deleteIfExists(lockPath); lockHeld = false }
+    if (lockHeld) {
+      Files.deleteIfExists(lockPath)
+      lockHeld = false
+      try Runtime.getRuntime.removeShutdownHook(unlockHook)
+      catch { case _: IllegalStateException => () } // JVM already shutting down
+    }
   }
 
   private def readOrEmpty[T <: Product : scala.reflect.runtime.universe.TypeTag](
@@ -96,17 +116,23 @@ class StateStore(val spark: SparkSession, val dir: String) {
     * could hand out seqs below existing envvar events and make the
     * latest-value view return stale config (single-assigner design,
     * SURVEY §7.6). */
-  private lazy val seq: AtomicLong = {
+  private def maxLoggedSeq(): Long = {
     def maxSeq(name: String, df: => DataFrame): Long =
       if (Files.exists(Paths.get(p(name))))
         df.agg(coalesce(max("event_seq"), lit(0L))).head().getLong(0)
       else 0L
-    new AtomicLong(math.max(
+    math.max(
       maxSeq("batch_monitor_events", monitorEvents),
-      maxSeq("envvar_events", envvarEvents)))
+      maxSeq("envvar_events", envvarEvents))
   }
 
-  def nextSeq(): Long = seq.incrementAndGet()
+  private lazy val seq: AtomicLong = new AtomicLong(maxLoggedSeq())
+
+  /** Seq assignment is a writer-role action: acquiring the lock here (not
+    * only at append time) means a store that loses the writer race never
+    * consumes numbers, and a store that wins after another writer's
+    * close() re-syncs above that writer's events first. */
+  def nextSeq(): Long = { ensureWriterLock(); seq.incrementAndGet() }
 
   /** X1: durable the moment this returns, independent of any job outcome. */
   def appendMonitorEvent(ev: MonitorEvent): Unit = append("batch_monitor_events", Seq(ev))

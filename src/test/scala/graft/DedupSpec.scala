@@ -147,6 +147,35 @@ class DedupSpec extends AnyFunSuite {
     assert(reliable === expected)
   }
 
+  test("self-pair-only nodes survive as singleton clusters") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (42L, 42L), (7L, 7L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (42L, 42L), (7L, 7L)),
+      "a node whose only appearance is reflexive must keep its own cluster")
+  }
+
+  test("session config selects the reliable checkpoint mode") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ccconf").toString
+    spark.conf.set("spark.graft.cc.checkpoint", "reliable")
+    spark.conf.set("spark.graft.cc.checkpointDir", ckptDir)
+    try {
+      assert(graft.operators.Checkpointer.fromConf(spark) ===
+        Checkpointer.Reliable(ckptDir))
+      // the conf-selected mode flows through the real entry point
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+      val labels = Dedup.clusterPairs(pairs, ckpt = Checkpointer.fromConf(spark))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpoint")
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+    }
+    assert(graft.operators.Checkpointer.fromConf(spark) === Checkpointer.Local)
+  }
+
   test("clusterPairs matches brute-force components on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

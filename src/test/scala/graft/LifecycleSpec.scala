@@ -256,6 +256,26 @@ class LifecycleSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("writer takeover re-syncs the event sequence above the prior writer") {
+    // The interleaving the lock exists to prevent: a store that lost the
+    // writer race must not assign seqs at or below events the winner
+    // appended while it waited.
+    val dir = Files.createTempDirectory("graft-takeover").toString
+    val s1 = new StateStore(spark, dir)
+    s1.updEnv("BATCH_CONTROL_DATE", "01-Aug-2026") // seq 1
+    val s2 = new StateStore(spark, dir)
+    intercept[IllegalStateException] { s2.updEnv("BATCH_CONTROL_DATE", "02-Aug-2026") }
+    s1.updEnv("BATCH_CONTROL_DATE", "03-Aug-2026") // seq 2 while s2 waits
+    s1.close()
+    s2.updEnv("BATCH_CONTROL_DATE", "04-Aug-2026") // must land ABOVE seq 2
+    assert(s2.getEnv("BATCH_CONTROL_DATE") === Some("04-Aug-2026"),
+      "the takeover writer's event must win the latest-value view")
+    val seqs = s2.envvarEvents.select("event_seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === seqs.distinct.toSeq, s"duplicate seqs assigned: ${seqs.mkString(",")}")
+    assert(seqs.last === seqs.max && seqs.length === 3)
+    s2.close()
+  }
+
   test("session flags and control date come from the envvar store") {
     val (store, clock, _, lc) = fixture()
     assert(lc.sessionFlags() === SessionFlags(false, false, false))
