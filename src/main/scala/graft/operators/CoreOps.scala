@@ -325,6 +325,36 @@ object CoreOps {
   // differentially testable. At 100 TB the sketch twin is
   // approx_percentile (t-digest, mergeable map-side); the exact version
   // here collects per-group sorted buffers and is the small-group tool.
+  // §2.3 extension — the star-schema analytic join (TPC-H Q5 shape):
+  // revenue per nation for one region and one order year. Scale-honest
+  // join strategy: lineitem⋈orders and the customer/supplier joins are
+  // plain equi-joins (those tables grow with the data — at 100 TB they
+  // shuffle on their keys, or co-bucket via Sinks.saveBucketed and
+  // shuffle zero times; AQE auto-broadcasts them at small SF), while
+  // nation/region — fixed 25/5-row dimensions at ANY scale — are
+  // explicit broadcasts. Revenue multiplies exact decimals so the sum is
+  // partition-order independent and hash-comparable.
+  def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val revenue = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+    Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -480,6 +510,7 @@ object CoreOps {
     "q_rollup"          -> qRollup _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_star_join"       -> qStarJoin _,
     "q_setops"          -> qSetOps _,
     "q_window_frames"   -> qWindowFrames _,
     "q_quantiles"       -> qQuantiles _,
@@ -661,6 +692,17 @@ object CoreOps {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders_exact,
         |  count(*) AS n_rows, TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey, 'building_buyer' AS src FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_star_join: tiny dims broadcast, never a cartesian product") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must ride the broadcast path")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all joins must be equi-joins:\n$p")
+  }
+
   test("dedup self-joins reuse the banded fingerprint exchange (one corpus scan)") {
     // The repartition on the band keys makes both join sides canonicalize
     // to the same exchange; AQE's stage reuse then computes the signature
