@@ -280,6 +280,17 @@ object CoreOps {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  // §2.4 extension — CUBE: all 2^k grouping combinations in one pass
+  // (rollup's sibling; completes the grouping-sets family). Spark plans
+  // one Expand + hash aggregate — rows multiply by 2^k map-side, so at
+  // scale keep k small (k=2 here → 4×) exactly as with any engine.
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   // §2.4 extension — PIVOT as conditional aggregation: one hash aggregate,
   // no extra shuffle vs the plain groupBy (each pivot cell is a map-side
   // partial). Fixed pivot values keep the schema static — the scalable
@@ -508,6 +519,7 @@ object CoreOps {
     "q_retention_filter" -> qRetentionFilter _,
     "q_union_stragg"    -> qUnionStragg _,
     "q_rollup"          -> qRollup _,
+    "q_cube"            -> qCube _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_star_join"       -> qStarJoin _,
@@ -728,6 +740,13 @@ object CoreOps {
         |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -77,6 +77,25 @@ object EventStreams {
     else hashed.dropDuplicates("text_hash")
   }
 
+  /** Stream-stream interval join — the streaming twin of the banded range
+    * join (`TemporalJoins.qRangeJoinClicks`): each purchase matched with
+    * the same user's clicks in the following hour, both sides arriving as
+    * streams. The watermarks are what make this feasible at all: Spark
+    * buffers each side's rows as join state, and the event-time range
+    * condition plus the watermark lets it PROVE a buffered click older
+    * than (watermark − 1 h) can never match a future purchase — state is
+    * evicted instead of growing with the stream. Works identically over
+    * batch frames (watermarks are no-ops there); StreamingSpec asserts
+    * the micro-batched result equals the batch join on the same rows.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    purchases.withWatermark("p_ts", watermarkDelay)
+      .join(clicks.withWatermark("c_ts", watermarkDelay),
+        expr("""p_user_id = c_user_id AND
+               |c_ts > p_ts AND
+               |c_ts <= p_ts + INTERVAL 1 HOUR""".stripMargin))
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

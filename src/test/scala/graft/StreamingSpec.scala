@@ -14,6 +14,9 @@ final case class StreamEvent(ts: Timestamp, user_id: Long, event_type: String, v
 
 final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+final case class PurchaseEvent(p_event_id: Long, p_user_id: Long, p_ts: Timestamp)
+final case class ClickEvent(c_event_id: Long, c_user_id: Long, c_ts: Timestamp)
+
 /** EventStreams is one logical shape for two execution modes: the batch
   * run must agree with EventOps' oracle-verified queries, and the
   * streaming run (MemoryStream micro-batches) must agree with the batch
@@ -126,6 +129,37 @@ class StreamingSpec extends AnyFunSuite {
       val streamHashes = spark.table("dedup_out")
         .select("text_hash").collect().map(_.getString(0)).toSet
       assert(streamHashes === batchHashes)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch join on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[PurchaseEvent]
+    val cIn = MemoryStream[ClickEvent]
+    val purchases = Seq(
+      PurchaseEvent(100L, 1L, ts("2026-08-12T10:00:00Z")),
+      PurchaseEvent(101L, 2L, ts("2026-08-12T10:30:00Z")))
+    val clicks = Seq(
+      ClickEvent(1L, 1L, ts("2026-08-12T10:20:00Z")), // in window for 100
+      ClickEvent(2L, 1L, ts("2026-08-12T11:30:00Z")), // past the hour → no
+      ClickEvent(3L, 2L, ts("2026-08-12T10:10:00Z")), // before purchase → no
+      ClickEvent(4L, 2L, ts("2026-08-12T11:00:00Z")), // in window for 101
+      ClickEvent(5L, 1L, ts("2026-08-12T10:40:00Z"))) // late arrival, still matches 100
+    val q = EventStreams.purchaseClickJoin(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      pIn.addData(purchases)
+      cIn.addData(clicks.take(4))
+      q.processAllAvailable()
+      cIn.addData(clicks.drop(4)) // buffered purchase state must still match
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("p_event_id", "c_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((100L, 1L), (101L, 4L), (100L, 5L)))
+      val batch = EventStreams.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+        .select("p_event_id", "c_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batch, "micro-batched result must equal the batch join")
     } finally q.stop()
   }
 
