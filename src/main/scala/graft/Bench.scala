@@ -35,7 +35,13 @@ object Bench {
     locally {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       val w = if (sibling.isDirectory) sibling.getPath else sfDir
-      Seq("q_check_date", "q_topn_pergroup", "q_ann_topk").foreach { n =>
+      // Covers the heavy evaluation paths (window, codegen'd dot product,
+      // the 16-centroid score array, star-contraction rounds) so the
+      // sorted measurement order — which puts q_ann_ivf and
+      // q_dedup_clusters near the front — doesn't charge JIT compilation
+      // of those paths to the first heavy query.
+      Seq("q_check_date", "q_topn_pergroup", "q_ann_topk", "q_ann_ivf",
+        "q_dedup_simhash", "q_dedup_clusters").foreach { n =>
         try SparkEntry.queries.get(n).foreach(f => f(spark, w).count())
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $n failed on $w: ${e.getMessage}")
