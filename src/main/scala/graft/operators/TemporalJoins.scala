@@ -83,18 +83,21 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
-  /** For each purchase, clicks by the same user within the following hour
-    * — banded range join: clicks keep their hour bucket, each purchase
-    * probes (bucket, bucket+1), the exact interval filters post-join. */
-  def qRangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+  /** Generic banded range join count: for each left row, how many right
+    * rows of the same user fall in `(ts, ts + 1 hour]`. Right rows keep
+    * their hour bucket, each left row probes (bucket, bucket+1), the
+    * exact interval filters post-join. Both inputs: (event_id, user_id,
+    * ts). The band-boundary correctness (an interval of width ≤ bucket
+    * span touches exactly two buckets, inclusive/exclusive ends) is
+    * property-tested against the naive predicate in TemporalJoinsSpec. */
+  def rangeJoinCounts(left: DataFrame, right: DataFrame): DataFrame = {
     val BucketUs = 3600L * 1000000
-    val ev = Tables.events(s, dir)
     // integer `div` (micros epoch values would lose precision in the
     // double-typed `/` operator)
     val bucket: Column = expr(s"unix_micros(ts) div $BucketUs")
-    val clicks = ev.filter(col("event_type") === "click")
+    val clicks = right
       .select(col("user_id"), col("ts").as("c_ts"), bucket.as("bucket"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val purchases = left
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
         explode(array(bucket, bucket + 1)).as("bucket"))
     val inRange = col("c_ts") > col("p_ts") &&
@@ -103,6 +106,15 @@ object TemporalJoins {
       .groupBy("event_id")
       .agg(count(when(inRange, lit(1))).as("n_clicks"))
       .orderBy("event_id")
+  }
+
+  /** For each purchase, clicks by the same user within the following hour
+    * — the registered face of [[rangeJoinCounts]] over the events table. */
+  def qRangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    rangeJoinCounts(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,6 +54,27 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.foreach(h => exactCos.get((h.qId, h.nId)).foreach(c => assert(c == h.cos)))
   }
 
+  test("native graft_dot equals the interpreted HOF fallback bit-for-bit") {
+    // Both paths must fold sequentially in double — the property that
+    // makes float results comparable across the native/fallback split
+    // and against the DuckDB oracle.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat),
+      Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = rows.toDF("a", "b")
+    val fallback = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = df.select(call_function("graft_dot", col("a"), col("b")).as("native"),
+        fallback.as("interp"))
+      .filter(col("native") =!= col("interp")).count()
+    assert(diffs === 0, "native and interpreted dot products must be identical")
+  }
+
   test("int8 quantization keeps per-vector cosine >= 0.999") {
     val rows = Similarity.qEmbedQuant(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))

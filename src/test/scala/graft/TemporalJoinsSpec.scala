@@ -103,6 +103,45 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(res.passed, s"asof property failed: ${res.status}")
   }
 
+  test("banded range join ScalaCheck property: equals the naive predicate") {
+    // The banded rewrite (hour buckets, probe two buckets, exact filter)
+    // must count exactly what the naive interval predicate counts.
+    // Generator concentrates timestamps near exact hour boundaries —
+    // where an off-by-one in bucket assignment or the inclusive/exclusive
+    // ends would show.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.TemporalJoins
+    val base = Instant.parse("2026-08-12T00:00:00Z")
+    // offsets at and around multiples of 3600s
+    val genSec = Gen.oneOf(
+      Gen.choose(0, 4 * 3600),
+      Gen.choose(0, 4).map(_ * 3600),
+      Gen.choose(0, 4).map(h => h * 3600 - 1),
+      Gen.choose(0, 4).map(h => h * 3600 + 1))
+    val genRow = for { u <- Gen.choose(0L, 2L); s <- genSec } yield (u, s)
+    val prop = Prop.forAll(
+      Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, genRow)),
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, genRow))) { (ps, cs) =>
+      val purchases = ps.zipWithIndex.map { case ((u, s), i) =>
+        (i.toLong, u, Timestamp.from(base.plusSeconds(s.toLong))) }
+      val clicks = cs.zipWithIndex.map { case ((u, s), i) =>
+        (1000L + i, u, Timestamp.from(base.plusSeconds(s.toLong))) }
+      import spark.implicits._
+      val got = TemporalJoins.rangeJoinCounts(
+          purchases.toDF("event_id", "user_id", "ts"),
+          clicks.toDF("event_id", "user_id", "ts"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = purchases.map { case (pid, pu, pt) =>
+        pid -> clicks.count { case (_, cu, ct) =>
+          cu == pu && ct.after(pt) && ct.getTime <= pt.getTime + 3600 * 1000L
+        }.toLong
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"range join property failed: ${res.status}")
+  }
+
   test("as-of join: NULL value in the matched right row is preserved, not skipped") {
     val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
     val right = Seq(
