@@ -67,16 +67,22 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
+  /** The interpreted HOF fallback for the dot product. Package-private so
+    * SimilaritySpec pins THIS expression — not a copy — against the
+    * native one. The coalesce keeps it result-identical to DotProduct on
+    * degenerate inputs too: a null element or the null padding zip_with
+    * adds for unequal lengths contributes 0 instead of collapsing the
+    * whole sum to NULL. */
+  private[graft] def interpretedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Sequential-fold dot product in double precision: the injected native
-    * expression when the session has GraftExtensions, else interpreted
-    * HOFs (same result, slower). The coalesce keeps the fallback
-    * result-identical to DotProduct on degenerate inputs too: a null
-    * element or the null padding zip_with adds for unequal lengths
-    * contributes 0 instead of collapsing the whole sum to NULL. */
+    * expression when the session has GraftExtensions, else the
+    * interpreted fallback (same result, slower). */
   private def dotCol(s: SparkSession, a: Column, b: Column): Column =
     if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
-    else aggregate(zip_with(a, b, (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
-      lit(0.0), (acc, v) => acc + v)
+    else interpretedDot(a, b)
 
   private def planeArr(p: Int): Column =
     array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)

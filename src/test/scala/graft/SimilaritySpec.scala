@@ -65,12 +65,8 @@ class SimilaritySpec extends AnyFunSuite {
       Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat),
       Seq.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
     val df = rows.toDF("a", "b")
-    val fallback = aggregate(
-      zip_with(col("a"), col("b"),
-        (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
-      lit(0.0), (acc, v) => acc + v)
     val diffs = df.select(call_function("graft_dot", col("a"), col("b")).as("native"),
-        fallback.as("interp"))
+        Similarity.interpretedDot(col("a"), col("b")).as("interp"))
       .filter(col("native") =!= col("interp")).count()
     assert(diffs === 0, "native and interpreted dot products must be identical")
   }
