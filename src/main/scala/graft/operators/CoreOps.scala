@@ -375,6 +375,25 @@ object CoreOps {
         round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
       .orderBy("l_returnflag")
 
+  // §2.4 extension — the t-digest quantile sketch (approx_percentile),
+  // the scale twin qQuantiles' comment promises: mergeable map-side, so
+  // at 100 TB the quantile costs one partial-aggregate pass instead of
+  // per-group sorted buffers. Differential surface mirrors
+  // q_approx_distinct: exact quantiles oracled, sketch-vs-exact distance
+  // pinned inside the bound as a boolean the oracle fixes to TRUE.
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50_exact"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("q95_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("a95"))
+      .select(col("l_returnflag"), col("q50_exact"), col("q95_exact"),
+        (abs(col("a50") - col("q50_exact")) <= 1.5 &&
+          abs(col("a95") - col("q95_exact")) <= 1.5).as("approx_ok"))
+      .orderBy("l_returnflag")
+
   // §2.4 extension — HLL sketch distinct count: at 100 TB an exact
   // countDistinct shuffles every distinct key; approx_count_distinct
   // carries a fixed-size HyperLogLog++ sketch per group (mergeable
@@ -522,6 +541,7 @@ object CoreOps {
     "q_cube"            -> qCube _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
     "q_setops"          -> qSetOps _,
     "q_window_frames"   -> qWindowFrames _,
@@ -703,6 +723,12 @@ object CoreOps {
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders_exact,
         |  count(*) AS n_rows, TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50_exact,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS q95_exact,
+        |  TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_star_join" ->
       """SELECT n_name,
