@@ -46,6 +46,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scan-shaped operators shuffle only for the harness sort") {
+    // chunking, quantization and the text scores must stream through the
+    // scan: the single allowed Exchange is the deterministic orderBy the
+    // differential harness needs (production use drops it).
+    Seq("q_text_chunks", "q_embed_quant", "q_text_quality", "q_token_count").foreach { q =>
+      val p = plan(q)
+      val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q plans $exchanges exchanges (want ≤1, the sort):\n$p")
+    }
+  }
+
   test("q_star_join: tiny dims broadcast, never a cartesian product") {
     val p = plan("q_star_join")
     assert(p.contains("BroadcastHashJoin"), "nation/region must ride the broadcast path")
