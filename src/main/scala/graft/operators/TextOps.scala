@@ -71,14 +71,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  // Token counting: whitespace tokens + a BPE-ish estimate (chars/4 is the
-  // standard subword-per-char rule of thumb; a real tokenizer would be a
-  // broadcast vocab + the same per-row expression shape).
+  // Token counting, three tiers: whitespace tokens; the chars/4 estimate
+  // (the standard subword-per-char rule of thumb); and a GPT-2-style
+  // pretokenizer regex — optional-space-prefixed runs of letters, digits,
+  // or other — whose match count is what a BPE tokenizer's merge stage
+  // starts from. The pattern sticks to classes + alternation so Java
+  // regex and DuckDB's RE2 segment identically.
+  private val PretokenPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
         wordCount(col("text")).as("ws_tokens"),
-        ceil(length(col("text")) / 4.0).cast(LongType).as("bpe_est_tokens"))
+        ceil(length(col("text")) / 4.0).cast(LongType).as("bpe_est_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(PretokenPattern), lit(0)))
+          .cast(LongType).as("pretoken_count"))
       .orderBy("doc_id")
 
   // Document fingerprinting: md5 over the normalized text + a coarse
@@ -239,7 +246,8 @@ object TextOps {
     "q_token_count" ->
       """SELECT doc_id,
         |  length(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
-        |  cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens
+        |  cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens,
+        |  cast(length(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bigint) AS pretoken_count
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
