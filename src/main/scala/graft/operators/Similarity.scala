@@ -313,6 +313,29 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- embedding-corpus curation capstone -------------------------------
+  /** The embedding-side composition: banded near-dup pairs → connected
+    * components (the same star-contraction stage the text pipeline uses)
+    * → survivorship → per-class statistics. Proves the CC stage composes
+    * with the embedding path, not just the n-gram path; verified against
+    * a DuckDB recursive-CTE closure over the shared near-dup fragment.
+    * Since near-dup candidates never cross the class label, clusters are
+    * label-pure and the per-label aggregate is exact. */
+  def qEmbedPipeline(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qEmbedNeardup(s, dir)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.clusterPairs(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+    Tables.embeddings(s, dir).select("vec_id", "label")
+      .join(clusters, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        count(col("cluster_id")).as("n_clustered"),
+        count(when(col("cluster_id").isNotNull &&
+          col("vec_id") =!= col("cluster_id"), lit(1))).as("n_dropped"))
+      .orderBy("label")
+  }
+
   // ---- pre-partitioned ANN storage (the SURVEY §9 claim, made real) -----
   /** Write the embedding corpus as an on-disk inverted file: one
     * directory per LSH sign bucket (`bucket=<id>/part-*.parquet`). This
@@ -341,6 +364,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,
     "q_embed_quant"   -> qEmbedQuant _,
+    "q_embed_pipeline" -> qEmbedPipeline _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_ivf"       -> qAnnIvf _,
@@ -369,27 +393,48 @@ object Similarity {
     * q_embed_neardup's oracle replays the banded blocking with the same
     * plane constants (generated into the SQL), so candidate sets — and
     * therefore results — are identical by construction. */
+  /** Shared DuckDB CTE chain replaying the banded near-dup blocking with
+    * the generated plane constants: `nd(label, id_a, id_b, cosine)` holds
+    * the near-dup pairs. Used by the q_embed_neardup oracle and the
+    * embedding-pipeline oracle so the two can never drift apart. */
+  private def duckNeardupCtes: String = {
+    val bkts = (0 until NdBands).map(b => s"    ${duckBucket("embedding", ndPlaneIds(b))} AS bkt$b")
+      .mkString(",\n")
+    val anyBand = (0 until NdBands).map(b => s"a.bkt$b = b.bkt$b").mkString(" OR ")
+    val pairDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double)), 'sum')"
+    s"""e AS (
+       |  SELECT vec_id, label, embedding,
+       |    $duckNorm AS nrm,
+       |$bkts
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |    AND ($anyBand)),
+       |nd AS (
+       |  SELECT c.label, c.id_a, c.id_b,
+       |    round($pairDot / (ea.nrm * eb.nrm), 6) AS cosine
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+       |  WHERE round($pairDot / (ea.nrm * eb.nrm), 6) >= 0.4)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_embed_neardup" -> {
-      val bkts = (0 until NdBands).map(b => s"    ${duckBucket("embedding", ndPlaneIds(b))} AS bkt$b")
-        .mkString(",\n")
-      val anyBand = (0 until NdBands).map(b => s"a.bkt$b = b.bkt$b").mkString(" OR ")
-      val pairDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double)), 'sum')"
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding,
-         |    $duckNorm AS nrm,
-         |$bkts
-         |  FROM embeddings),
-         |cand AS (
-         |  SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |    AND ($anyBand))
-         |SELECT c.label, c.id_a, c.id_b,
-         |  round($pairDot / (ea.nrm * eb.nrm), 6) AS cosine
-         |FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
-         |WHERE round($pairDot / (ea.nrm * eb.nrm), 6) >= 0.4
-         |ORDER BY 1, 2, 3""".stripMargin
-    },
+    "q_embed_neardup" ->
+      s"""WITH $duckNeardupCtes
+         |SELECT label, id_a, id_b, cosine FROM nd ORDER BY 1, 2, 3""".stripMargin,
+    "q_embed_pipeline" ->
+      s"""WITH RECURSIVE $duckNeardupCtes,
+         |sym AS (SELECT id_a AS u, id_b AS v FROM nd UNION SELECT id_b, id_a FROM nd),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u),
+         |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT emb.label, count(*) AS n_vectors,
+         |  count(cl.node) AS n_clustered,
+         |  count(CASE WHEN cl.node IS NOT NULL AND cl.node <> cl.cluster_id THEN 1 END) AS n_dropped
+         |FROM embeddings emb LEFT JOIN cl ON emb.vec_id = cl.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_quant" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
