@@ -324,7 +324,7 @@ object Similarity {
   def qEmbedPipeline(s: SparkSession, dir: String): DataFrame = {
     val pairs = qEmbedNeardup(s, dir)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val clusters = Dedup.clusterPairs(pairs)
+    val clusters = Dedup.clusterPairs(pairs, ckpt = Checkpointer.fromConf(s))
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
     Tables.embeddings(s, dir).select("vec_id", "label")
       .join(clusters, Seq("vec_id"), "left")
