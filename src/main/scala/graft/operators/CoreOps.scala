@@ -375,12 +375,14 @@ object CoreOps {
         round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
       .orderBy("l_returnflag")
 
-  // §2.4 extension — the t-digest quantile sketch (approx_percentile),
-  // the scale twin qQuantiles' comment promises: mergeable map-side, so
-  // at 100 TB the quantile costs one partial-aggregate pass instead of
-  // per-group sorted buffers. Differential surface mirrors
+  // §2.4 extension — the quantile sketch (approx_percentile, Spark's
+  // Greenwald-Khanna summaries with rank error ≤ n/accuracy — NOT
+  // t-digest), the scale twin qQuantiles' comment promises: mergeable
+  // map-side, so at 100 TB the quantile costs one partial-aggregate pass
+  // instead of per-group sorted buffers. Differential surface mirrors
   // q_approx_distinct: exact quantiles oracled, sketch-vs-exact distance
-  // pinned inside the bound as a boolean the oracle fixes to TRUE.
+  // pinned inside the bound as a boolean the oracle fixes to TRUE, and
+  // the raw estimates bounded in CoreOpsSpec.
   def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")

@@ -304,8 +304,20 @@ object Dedup {
     * n-gram near-dup edges → symmetric closure → reachability (connected
     * components). Used by the clusters oracle here and the pipeline
     * oracle (operators.Pipeline) so the two can never drift apart. */
+  /** Symmetric-closure fragment: `sym` + recursive `reach(node, r)` over
+    * an arbitrary edge CTE. THE one definition of the transitive-closure
+    * oracle semantics — the clusters, text-pipeline, and embedding-
+    * pipeline oracles all instantiate it, so a base-case or tie-break
+    * change can never leave one of them on old semantics. */
+  private[operators] def duckReachCtes(edgeCte: String, aCol: String, bCol: String): String =
+    s"""sym AS (SELECT $aCol AS u, $bCol AS v FROM $edgeCte UNION SELECT $bCol, $aCol FROM $edgeCte),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM sym
+       |  UNION
+       |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)""".stripMargin
+
   private[operators] val duckClusterCtes: String =
-    """n AS (
+    s"""n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents),
@@ -326,11 +338,7 @@ object Dedup {
       |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       |  WHERE round(length(list_intersect(a.grams, b.grams)) /
       |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
-      |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges UNION SELECT doc_b, doc_a FROM edges),
-      |reach(node, r) AS (
-      |  SELECT u, u FROM sym
-      |  UNION
-      |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)""".stripMargin
+      |${duckReachCtes("edges", "doc_a", "doc_b")}""".stripMargin
 
   /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
     * (xxhash64 has no DuckDB equivalent) — driver records rows-only;

@@ -424,11 +424,7 @@ object Similarity {
          |SELECT label, id_a, id_b, cosine FROM nd ORDER BY 1, 2, 3""".stripMargin,
     "q_embed_pipeline" ->
       s"""WITH RECURSIVE $duckNeardupCtes,
-         |sym AS (SELECT id_a AS u, id_b AS v FROM nd UNION SELECT id_b, id_a FROM nd),
-         |reach(node, r) AS (
-         |  SELECT u, u FROM sym
-         |  UNION
-         |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u),
+         |${Dedup.duckReachCtes("nd", "id_a", "id_b")},
          |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
          |SELECT emb.label, count(*) AS n_vectors,
          |  count(cl.node) AS n_clustered,

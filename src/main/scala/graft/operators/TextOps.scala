@@ -244,10 +244,10 @@ object TextOps {
         |        cast(length(text) AS double), 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  length(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
         |  cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens,
-        |  cast(length(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bigint) AS pretoken_count
+        |  cast(length(regexp_extract_all(lower(text), '$PretokenPattern')) AS bigint) AS pretoken_count
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,

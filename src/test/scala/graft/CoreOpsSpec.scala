@@ -49,6 +49,26 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(notOk == 0, "every group must report approx within bound")
   }
 
+  test("approx quantiles stay within the configured error vs exact") {
+    // two-sided like the distinct-count check: the oracle pins the
+    // boolean, this bounds the raw sketch with the offending values named
+    val est = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+        expr("percentile(l_quantity, 0.95)").as("e95"),
+        expr("approx_percentile(l_quantity, 0.95, 10000)").as("a95"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(est.nonEmpty)
+    est.foreach { case (k, e50, a50, e95, a95) =>
+      assert(math.abs(a50 - e50) <= 1.5, s"flag $k: median approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) <= 1.5, s"flag $k: p95 approx $a95 vs exact $e95")
+    }
+    val notOk = CoreOps.qApproxQuantiles(spark, dir)
+      .filter(!col("approx_ok")).count()
+    assert(notOk == 0, "every group must report quantile sketch within bound")
+  }
+
   test("latest-per-group yields exactly one row per customer with orders") {
     val t = CoreOps.qTopnPergroup(spark, dir)
     val dupes = t.groupBy("o_custkey").count().filter(col("count") > 1).count()
