@@ -176,6 +176,30 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.Checkpointer.fromConf(spark) === Checkpointer.Local)
   }
 
+  test("reliable mode releases intermediate round checkpoints from DFS") {
+    import spark.implicits._
+    // a 50-node path needs several contraction rounds; without release
+    // every round's checkpoint would persist (rounds+1 rdd dirs)
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-rel")
+    def rddDirs(d: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(new java.net.URI(d)))
+      try s.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }
+    // the context checkpoint dir is shared across the session's tests —
+    // measure the DELTA this run leaves behind (kept = canonical edges +
+    // final round; every intermediate round must be released)
+    val before = spark.sparkContext.getCheckpointDir.map(rddDirs).getOrElse(0L)
+    val (labels, rounds) = Dedup.clusterPairsWithRounds(pairs,
+      ckpt = Checkpointer.Reliable(ckptDir.toString))
+    assert(labels.collect().forall(_.getLong(1) == 1L))
+    assert(rounds >= 3, s"path graph should need several rounds, took $rounds")
+    val after = rddDirs(spark.sparkContext.getCheckpointDir.get)
+    assert(after - before <= 3,
+      s"released rounds must not accumulate: +${after - before} rdd dirs after $rounds rounds")
+  }
+
   test("clusterPairs matches brute-force components on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
