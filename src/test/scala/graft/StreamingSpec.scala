@@ -132,6 +132,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source readStream -> hourlyAgg -> writeStream equals batch") {
+    // The literal production shape: a parquet directory consumed as a
+    // stream (Trigger.AvailableNow drains it like an incremental batch),
+    // through the same windowed aggregation the batch path uses.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .select("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(srcDir)
+    val streamed = spark.readStream
+      .schema(batch.schema)
+      .parquet(srcDir)
+    val q = EventStreams.hourlyAgg(streamed)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("file_hourly")
+      .orderBy("hour_ts", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val expected = EventStreams.hourlyAgg(batch)
+      .orderBy("hour_ts", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
   test("stream-stream interval join equals the batch join on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[PurchaseEvent]
