@@ -36,4 +36,29 @@ object Sinks {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- interchange formats ------------------------------------------------
+  /** JSON-lines sink — the interchange format most external corpus
+    * tooling speaks. Row-columnar trade: no column pruning or predicate
+    * pushdown on read, so JSONL is a boundary format, not a working
+    * format (land it, convert to parquet, process the parquet). */
+  def overwriteJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL source. The schema is REQUIRED, never inferred: inference
+    * costs a full extra scan before the first real one — at 100 TB that
+    * doubles ingest cost — and can silently widen types between runs,
+    * breaking schema-pinned downstream operators. */
+  def readJsonl(s: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** ORC sink/source — the second columnar working format (column
+    * pruning + predicate pushdown, like parquet; schema rides in the
+    * file footer). */
+  def overwriteOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    s.read.orc(path)
 }
