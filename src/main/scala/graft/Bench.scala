@@ -59,12 +59,20 @@ object Bench {
     // always pays it and q_pipeline_e2e always measures the composition
     // over the materialized stage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min of two measurements: sub-second queries otherwise pick up
+      // position-dependent GC/scheduling jitter that reads as a phantom
+      // 2-3x regression between rounds. q_dedup_clusters stays
+      // single-shot — its converged stage is memoized per (session, dir),
+      // so a repeat would measure the cache, not the operator.
+      val reps = if (name == "q_dedup_clusters") 1 else 2
       val s0 = stages.get()
-      val t0 = System.nanoTime()
-      graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench: $name") {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench: $name") {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
       name -> sec
     }
