@@ -61,9 +61,11 @@ object Dedup {
     */
   private val NgramBucketCap = 256
 
-  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+  /** Capped gram-set/bucket signature frame shared by the batch and
+    * incremental n-gram variants (one definition ↔ one oracle `g` CTE). */
+  private def gramBuckets(s: SparkSession, dir: String): DataFrame = {
     val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
-    val base = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("words", split(col("norm"), " "))
       .filter(size(col("words")) >= 3)
@@ -71,15 +73,48 @@ object Dedup {
         gramSet.as("grams"))
       .withColumn("rn", row_number().over(byBucket))
       .filter(col("rn") <= NgramBucketCap).drop("rn")
-    val a = base.select(col("doc_id").as("doc_a"), col("bucket"), col("grams").as("grams_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("bucket"), col("grams").as("grams_b"))
+  }
+
+  private def jaccardCol: Column = {
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
     val union = size(col("grams_a")) + size(col("grams_b")) - inter
+    round(inter / union.cast("double"), 6)
+  }
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val base = gramBuckets(s, dir)
+    val a = base.select(col("doc_id").as("doc_a"), col("bucket"), col("grams").as("grams_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("bucket"), col("grams").as("grams_b"))
     a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(inter / union.cast("double"), 6))
+      .withColumn("jaccard", jaccardCol)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- incremental dedup (ingest gate) -----------------------------------
+  /** The production ingest flow: an INCOMING batch checked against the
+    * EXISTING corpus — asymmetric, unlike the batch self-join. Every
+    * incoming doc reports whether it duplicates the corpus (best Jaccard
+    * + match count; no match → 0). At 100 TB the asymmetry is the point:
+    * the corpus side is the materialized signature table (read
+    * bucket-pruned), the incoming batch is small enough to broadcast, so
+    * gating a new batch never rescans the corpus text. Here both sides
+    * derive from `documents` split by doc_id (every 10th doc plays the
+    * incoming batch) to keep the operator differentially testable. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = gramBuckets(s, dir)
+    val corpus = base.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .select(col("bucket"), col("grams").as("grams_b"))
+    val incoming = base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .select(col("doc_id"), col("bucket"), col("grams").as("grams_a"))
+    incoming.join(corpus, Seq("bucket"), "left")
+      .withColumn("j", when(col("grams_b").isNotNull, jaccardCol))
+      .groupBy("doc_id")
+      .agg(coalesce(max(when(col("j") >= 0.5, col("j"))), lit(0.0)).as("best_jaccard"),
+        count(when(col("j") >= 0.5, lit(1))).as("n_dup_matches"))
+      .withColumn("is_duplicate", (col("n_dup_matches") > 0).cast("int"))
+      .orderBy("doc_id")
   }
 
   // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
@@ -298,6 +333,7 @@ object Dedup {
     "q_dedup_minhash"  -> qDedupMinhash _,
     "q_dedup_simhash"  -> qDedupSimhash _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_dedup_incremental" -> qDedupIncremental _,
   )
 
   /** Shared DuckDB CTE chain: normalized text → capped prefix buckets →
@@ -316,8 +352,11 @@ object Dedup {
        |  UNION
        |  SELECT r0.node, s.v FROM reach r0 JOIN sym s ON r0.r = s.u)""".stripMargin
 
-  private[operators] val duckClusterCtes: String =
-    s"""n AS (
+  /** The normalized-text → capped-bucket gram-set chain (`g` CTE) — one
+    * definition shared by the ngram, clusters/pipeline, and incremental
+    * oracles, mirroring the single [[gramBuckets]] on the Spark side. */
+  private[operators] val duckGramCtes: String =
+    """n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
       |  FROM documents),
@@ -332,12 +371,19 @@ object Dedup {
       |g AS (
       |  SELECT doc_id, bucket, grams FROM (
       |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
-      |  WHERE rn <= 256),
+      |  WHERE rn <= 256)""".stripMargin
+
+  /** DuckDB Jaccard between two grams lists. */
+  private def duckJaccard(a: String, b: String): String =
+    s"""round(length(list_intersect($a, $b)) /
+       |        cast(length($a) + length($b) - length(list_intersect($a, $b)) AS double), 6)""".stripMargin
+
+  private[operators] val duckClusterCtes: String =
+    s"""$duckGramCtes,
       |edges AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |  WHERE round(length(list_intersect(a.grams, b.grams)) /
-      |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5),
+      |  WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5),
       |${duckReachCtes("edges", "doc_a", "doc_b")}""".stripMargin
 
   /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
@@ -349,29 +395,26 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_ngram" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
-        |  WHERE length(string_split(norm, ' ')) >= 3),
-        |g0 AS (
-        |  SELECT doc_id, md5(substr(norm, 1, 40)) AS bucket,
-        |    list_distinct(list_transform(range(1, length(words) - 1),
-        |      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
-        |  FROM w),
-        |g AS (
-        |  SELECT doc_id, bucket, grams FROM (
-        |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
-        |  WHERE rn <= 256)
+      s"""WITH $duckGramCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(length(list_intersect(a.grams, b.grams)) /
-        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) AS jaccard
+        |  ${duckJaccard("a.grams", "b.grams")} AS jaccard
         |FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |WHERE round(length(list_intersect(a.grams, b.grams)) /
-        |        cast(length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams)) AS double), 6) >= 0.5
+        |WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $duckGramCtes,
+        |inc AS (SELECT doc_id, bucket, grams FROM g WHERE doc_id % 10 = 0),
+        |corp AS (SELECT bucket, grams AS grams_b FROM g WHERE doc_id % 10 <> 0),
+        |m AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN c.grams_b IS NOT NULL
+        |         THEN ${duckJaccard("i.grams", "c.grams_b")} END AS j
+        |  FROM inc i LEFT JOIN corp c ON i.bucket = c.bucket)
+        |SELECT doc_id,
+        |  coalesce(max(CASE WHEN j >= 0.5 THEN j END), 0.0) AS best_jaccard,
+        |  count(CASE WHEN j >= 0.5 THEN 1 END) AS n_dup_matches,
+        |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |$duckClusterCtes
