@@ -388,11 +388,13 @@ object Similarity {
   private val duckNorm =
     "sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))"
 
-  /** q_ann_lsh has no SQL oracle (approximate by design) — rows-only check
-    * for the driver; recall vs q_ann_topk asserted in SimilaritySpec.
-    * q_embed_neardup's oracle replays the banded blocking with the same
-    * plane constants (generated into the SQL), so candidate sets — and
-    * therefore results — are identical by construction. */
+  /** q_ann_ivf keeps a rows-only check (its quantizer is iterative
+    * driver-side float math with no SQL twin; recall asserted in
+    * SimilaritySpec). Everything else here is oracle-checked — including
+    * q_ann_lsh: approximate-by-design is NOT nondeterministic, its
+    * candidate set is exactly defined by the sign buckets, and the plane
+    * constants generate into the SQL, so DuckDB replays bucket
+    * assignment, multi-probing and ranking identically. */
   /** Shared DuckDB CTE chain replaying the banded near-dup blocking with
     * the generated plane constants: `nd(label, id_a, id_b, cosine)` holds
     * the near-dup pairs. Used by the q_embed_neardup oracle and the
@@ -446,6 +448,30 @@ object Similarity {
         |    (sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))
         |     * sqrt(list_aggregate(list_transform(dq, x -> x * x), 'sum'))), 6) AS cos_dequant
         |FROM d ORDER BY vec_id""".stripMargin,
+    "q_ann_lsh" -> {
+      val masks = (Seq(0L) ++ (0 until AnnPlanes).map(p => 1L << p)).mkString("[", ", ", "]")
+      val qDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(p.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    $duckNorm AS nrm,
+         |    ${duckBucket("embedding", 0 until AnnPlanes)} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+         |  FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, q_nrm, xor(q_bucket, m.mask) AS bucket
+         |  FROM q, (SELECT unnest($masks) AS mask) m),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id AS neighbor_id,
+         |    round($qDot / (p.q_nrm * e.nrm), 6) AS cosine
+         |  FROM probes p JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.q_id)
+         |SELECT q_id, rank, neighbor_id, cosine FROM (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -28,7 +28,7 @@ class CoreOpsSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf"),
+    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
