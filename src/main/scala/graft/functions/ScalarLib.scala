@@ -99,10 +99,18 @@ object ScalarLib {
     when(digits === "", lit(0L)).otherwise(digits.cast(LongType))
   }
 
-  /** Pure-Scala twin of U5/U6 (exact reference loop semantics, body:826-841). */
+  /** Pure-Scala twin of U5/U6 (exact reference loop semantics, body:826-841).
+    * Trims SPACES only, like the reference's LTRIM/RTRIM and the Column
+    * twin's `trim` — String.trim would also strip tabs/controls and
+    * diverge on "\t42" (reference returns 0, not 42). */
   def atoi(s: String): Long = {
     if (s == null) return 0L
-    val t = s.trim
+    val t = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
     var i = 0
     var acc = 0L
     // ASCII digits only ('0'..'9'), matching the Column twin's [0-9] and the
@@ -119,20 +127,33 @@ object ScalarLib {
   def fieldCount(s: String, delim: Char, unterminated: Boolean): Int =
     s.count(_ == delim) + (if (unterminated) 1 else 0)
 
-  /** Pure-Scala twin of U4 (body:781-809). 1-based; out of range → "". */
-  def nthField(s: String, delim: Char, n: Int): String = {
-    // Reference appends the delimiter when unterminated (body:781-783), so
-    // split on the terminated form with trailing empties preserved.
-    val fields = (s + delim).split(java.util.regex.Pattern.quote(delim.toString), -1)
+  /** Pure-Scala twin of U4 (body:781-809). 1-based; out of range → "".
+    * `unterminated = true` appends the delimiter first (body:781-783);
+    * the reference's DEFAULT is false — the last field before no trailing
+    * delimiter is then out of range, exactly the SUBSTR-negative-length
+    * NULL the reference produces. */
+  def nthField(s: String, delim: Char, n: Int, unterminated: Boolean = true): String = {
+    val base = if (unterminated) s + delim else s
+    val fields = base.split(java.util.regex.Pattern.quote(delim.toString), -1)
     if (n >= 1 && n <= fields.length - 1) fields(n - 1) else ""
   }
+
+  /** Case-insensitive DD-MON-YYYY parser: Oracle's TO_DATE accepts
+    * 12-AUG-2026 / 12-aug-2026 / 12-Aug-2026 alike (and the reference
+    * itself canonicalizes to uppercase via TO_CHAR), so the pure twin
+    * must too — plain ofPattern("dd-MMM-yyyy") rejects anything but
+    * title-case month names. */
+  private val OracleDateParser: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .appendPattern(OracleDateFmt)
+      .toFormatter(java.util.Locale.US)
 
   /** Pure-Scala twin of U2 (body:96-118). Returns (code, normalizedOrNull). */
   def checkDate(s: String): (Int, java.time.LocalDate) = {
     if (s == null || s.length < 10) return (-1, null)
     if (s.length > 11) return (1, null)
-    val fmt = java.time.format.DateTimeFormatter.ofPattern(OracleDateFmt, java.util.Locale.US)
-    try { (0, java.time.LocalDate.parse(s, fmt)) }
+    try { (0, java.time.LocalDate.parse(s, OracleDateParser)) }
     catch { case _: java.time.format.DateTimeParseException => (2, null) }
   }
 
@@ -149,11 +170,21 @@ object ScalarLib {
     spark.udf.register("func_datediff",
       (startSec: Long, endSec: Long) => datediffHms(startSec, endSec))
     spark.udf.register("func_check_date", (s: String) => checkDate(s)._1)
+    // Reference parity: par_unterminated DEFAULTS TO FALSE in the package
+    // spec, so the SQL surface uses that default — 'a,b,c' counts 2 fields
+    // and has no 3rd field, exactly what ported reference SQL expects.
+    // Engine queries wanting the unterminated mode use the Column API's
+    // explicit parameter.
     spark.udf.register("func_field_counter", (s: String, delim: String) =>
       if (s == null || delim == null || delim.isEmpty) null
-      else Int.box(fieldCount(s, delim.head, unterminated = true)))
+      else Int.box(fieldCount(s, delim.head, unterminated = false)))
     spark.udf.register("func_get_nth_field", (s: String, delim: String, n: Int) =>
       if (s == null || delim == null || delim.isEmpty) null
-      else nthField(s, delim.head, n))
+      else {
+        // Oracle has no empty string — '' IS NULL — so both the empty
+        // field and the out-of-range SUBSTR result surface as NULL here
+        val r = nthField(s, delim.head, n, unterminated = false)
+        if (r.isEmpty) null else r
+      })
   }
 }

@@ -55,6 +55,13 @@ final case class InvalidRunDate(code: Int, value: String) extends BatchError {
   val status = RunStatus.Failure
 }
 
+/** Throwable carrier for a [[BatchError]] raised inside a running batch
+  * body (the reference RAISEs its typed exceptions; pre-run failures
+  * travel as `Left(BatchError)` instead). Catchers can match on `error`
+  * for the typed case. */
+final case class BatchErrorException(error: BatchError, message: String)
+  extends RuntimeException(message)
+
 /** Env-driven session flags (proc_set_session_vars, body:355-401):
   * any lookup failure → flag off, exactly the reference's WHEN OTHERS → 0. */
 final case class SessionFlags(debug: Boolean, logEnabled: Boolean, errEnabled: Boolean)
@@ -209,12 +216,17 @@ class Lifecycle(
 
   // ---- func_get_run_id (body:170-182) ------------------------------------
   /** NVL(MAX(run_id), 0) + 1 for the module on the current day. Monotonic
-    * per (module, day) because one driver assigns (SURVEY §7.6). */
+    * per (module, day) because one driver assigns (SURVEY §7.6). The day
+    * compare is epoch-based (`unix_micros div 86_400_000_000` vs the
+    * Instant's epoch day), NOT `date_trunc`: date_trunc truncates in the
+    * session time zone, so on a non-UTC session it would yield
+    * local-midnight instants that never equal the UTC-truncated literal
+    * and every run would get run_id 1. */
   def getRunId(moduleId: Long, now: Instant): Long = {
-    val day = ts(now.truncatedTo(ChronoUnit.DAYS))
+    val epochDay = Math.floorDiv(now.getEpochSecond, 86400L)
     val mx = store.monitorState.filter(
         col("module_id") === moduleId &&
-        date_trunc("DAY", col("run_date")) === lit(day))
+        expr("unix_micros(run_date) div 86400000000") === lit(epochDay))
       .agg(coalesce(max("run_id"), lit(0L))).head().getLong(0)
     mx + 1
   }
@@ -301,7 +313,11 @@ class Lifecycle(
             Left(DependencyFailed)
           } else {
             val now = clock.now()                     // body:527-530 (WAITING→RUNNING)
-            val runId = getRunId(master.module_id, now)
+            // run_id scopes to the PRE-wait day (the reference's
+            // glo_sysdate is captured before the WAITING insert): a
+            // dependency wait crossing midnight continues the old day's
+            // sequence instead of restarting at 1 on the new day
+            val runId = getRunId(master.module_id, start)
             appendEvent(key, store.nextSeq(), master.module_id, ts(now), runId, params,
               RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
             Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
@@ -524,7 +540,9 @@ class Lifecycle(
       case Right(ctx) =>
         try {
           val (code, normalized) = ScalarLib.checkDate(runDate)          // body:906-913
-          if (code != 0) throw new IllegalArgumentException(
+          // typed failure (X3): the run-date rejection carries its
+          // checkDate code through the BatchError surface
+          if (code != 0) throw BatchErrorException(InvalidRunDate(code, runDate),
             s"Invalid Date <$runDate> Correct Usage For Date : DD-MON-YYYY")
           if (flagMinutes.isEmpty) {                                     // body:917-939
             store.updEnv("BATCH_CONTROL_DATE", runDate)

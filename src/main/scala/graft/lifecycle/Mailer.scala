@@ -52,8 +52,21 @@ class Mailer(
     testRecipient: String = "test.override@example.com",
     log: String => Unit = _ => ()) {
 
-  private def initcap(s: String): String =
-    if (s.isEmpty) s else s.head.toUpper +: s.tail.toLowerCase
+  /** Oracle INITCAP: first letter of EVERY word uppercased (word
+    * boundaries = non-alphanumerics), the rest lowered — "jean-luc" →
+    * "Jean-Luc", "van der berg" → "Van Der Berg". Capitalizing only the
+    * first character would emit different sender addresses than the
+    * reference's audit rows for any multi-word or hyphenated name. */
+  private def initcap(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var boundary = true
+    s.foreach { c =>
+      val alnum = c.isLetterOrDigit
+      sb += (if (alnum && boundary) c.toUpper else if (alnum) c.toLower else c)
+      boundary = !alnum
+    }
+    sb.toString
+  }
 
   /** UPPER(SUBSTR(USER, 5)) — staff id after the 'OPS$' prefix (body:1055-1057). */
   private[lifecycle] def staffId: String = user.drop(4).toUpperCase

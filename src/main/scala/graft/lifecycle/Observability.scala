@@ -12,11 +12,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Observability {
 
-  /** Run `f` under a named job group (cleared afterwards even on failure). */
+  /** Run `f` under a named job group, RESTORING any enclosing group
+    * afterwards (even on failure) — clearing unconditionally would wipe a
+    * session-level group a caller set for the whole batch, silently
+    * losing UI/event-log attribution for everything after the first
+    * nested step. */
   def withJobGroup[T](spark: SparkSession, opName: String, detail: String = "")(f: => T): T = {
-    spark.sparkContext.setJobGroup(opName,
+    val sc = spark.sparkContext
+    val prevId = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(opName,
       if (detail.isEmpty) opName else detail, interruptOnCancel = false)
-    try f finally spark.sparkContext.clearJobGroup()
+    try f finally {
+      if (prevId == null) sc.clearJobGroup()
+      else {
+        sc.setLocalProperty("spark.jobGroup.id", prevId)
+        sc.setLocalProperty("spark.job.description", prevDesc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+      }
+    }
   }
 
   /** Session-longops analogue: a listener reporting completed stages and

@@ -72,6 +72,16 @@ class ScalarLibSpec extends AnyFunSuite {
     assert(ScalarLib.checkDate("XX-XXX-9999")._1 == 2)
     val (code, d) = ScalarLib.checkDate("03-Jan-2020")
     assert(code == 0 && d == java.time.LocalDate.of(2020, 1, 3))
+    // Oracle TO_DATE is case-insensitive — and Oracle itself CANONICALIZES
+    // to uppercase DD-MON-YYYY, so rejecting "03-JAN-2020" would reject
+    // the reference's own output
+    assert(ScalarLib.checkDate("03-JAN-2020") == ((0, java.time.LocalDate.of(2020, 1, 3))))
+    assert(ScalarLib.checkDate("03-jan-2020") == ((0, java.time.LocalDate.of(2020, 1, 3))))
+  }
+
+  test("atoi trims spaces only, like LTRIM/RTRIM (body:826-829)") {
+    assert(ScalarLib.atoi("\t42") == 0L, "tab is a non-digit, not trimmable whitespace")
+    assert(ScalarLib.atoi(" 42\t") == 42L)
   }
 
   test("checkDate property: round-trips every real date (body:102-116)") {

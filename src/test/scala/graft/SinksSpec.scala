@@ -82,8 +82,12 @@ class SinksSpec extends AnyFunSuite {
     assert(r.getAs[Int]("c0") === 0)
     assert(r.getAs[Int]("c2") === 2)
     assert(r.getAs[String]("hms") === "1:2:3")
-    assert(r.getAs[Int]("nf") === 3)
+    // reference DEFAULT semantics (par_unterminated=FALSE): 'a,b,c' has
+    // 2 delimiter-bounded fields and no 3rd field
+    assert(r.getAs[Int]("nf") === 2)
     assert(r.getAs[String]("f2") === "b")
+    val oor = spark.sql("SELECT func_get_nth_field('a,b,c', ',', 3) AS f3").collect()(0)
+    assert(oor.isNullAt(0), "no 3rd delimiter under the reference default → NULL")
     // NULL-in/NULL-out, never an exception (Oracle scalar semantics)
     val nulls = spark.sql(
       """SELECT func_field_counter(NULL, ',') AS a,
