@@ -116,14 +116,10 @@ object CoreOps {
     * `ROWNUM < 2` intent (body:158-165 — see SURVEY §2.5 on the latent
     * ROWNUM-before-ORDER-BY bug; we implement the intent: latest).
     */
-  private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    Tables.orders(s, dir)
-      .select("o_custkey", "o_orderkey", "o_orderdate")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  private def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.state.StateStore.latestState(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate"),
+      Seq("o_custkey"), Seq(col("o_orderdate").desc, col("o_orderkey").desc))
 
   // J2 — equi-join with latest-run lookup (body:269-322).
   def qJoinLatest(s: SparkSession, dir: String): DataFrame =
@@ -261,10 +257,13 @@ object CoreOps {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
-  // §2.8 math — TRUNC(n)→floor, MOD (body:31-33).
+  // §2.8 math — TRUNC(n)→floor, MOD (body:31-33). `%`, not pmod: Oracle
+  // MOD and DuckDB mod take the dividend's sign, pmod is always
+  // non-negative — identical on these positive keys but a latent
+  // differential mismatch if the data ever carries negatives.
   def qMath(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .select(pmod(col("l_orderkey"), lit(7L)).as("bucket"),
+      .select((col("l_orderkey") % lit(7L)).as("bucket"),
         floor(col("l_quantity") / 7.0).cast(LongType).as("qbucket"))
       .groupBy("bucket", "qbucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket", "qbucket")

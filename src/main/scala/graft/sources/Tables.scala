@@ -42,9 +42,19 @@ object Tables {
     * later read in the session treats TIMESTAMP(NANOS).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build time to read events.parquet")
-    val raw = load(s, d, "events")
+    // Don't gate on the conf up front: an events table regenerated with
+    // proper TIMESTAMP(MICROS) loads fine without the legacy flag and
+    // must not be rejected. Only a NANOS-typed file needs it — translate
+    // Spark's opaque failure into the actionable message then.
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL")
+            || String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet stores ts as TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session build time to read it", e)
+      }
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)

@@ -54,15 +54,18 @@ class StateStore(val spark: SparkSession, val dir: String) {
       try {
         Files.write(lockPath, writerId.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
-        lockHeld = true
+        // Writer-role handover, BEFORE the store is marked writer: the
+        // counter must sit above everything durably logged before any
+        // assignment. If the re-sync itself fails (e.g. an unreadable
+        // log), release the lock and propagate — marking the store
+        // writer with a stale counter would hand out duplicate seqs on
+        // the caller's retry.
+        try seq.getAndUpdate(cur => math.max(cur, maxLoggedSeq()))
+        catch { case e: Throwable => Files.deleteIfExists(lockPath); throw e }
         // a cleanly-exiting driver that never calls close() must not
         // strand the lock for the next run
         Runtime.getRuntime.addShutdownHook(unlockHook)
-        // Writer-role handover: seqs consumed BEFORE this store became
-        // the writer (e.g. a nextSeq() that then failed its append) may
-        // lag events the previous writer appended — re-sync so this
-        // writer only ever assigns above everything durably logged.
-        seq.getAndUpdate(cur => math.max(cur, maxLoggedSeq()))
+        lockHeld = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // racing the holder's close(): the file can vanish between our
@@ -92,6 +95,7 @@ class StateStore(val spark: SparkSession, val dir: String) {
 
   private def readOrEmpty[T <: Product : scala.reflect.runtime.universe.TypeTag](
       name: String): DataFrame = {
+    recoverRewrite(name)
     val schema = Encoders.product[T].schema
     if (Files.exists(Paths.get(p(name))))
       spark.read.schema(schema).parquet(p(name))
@@ -126,7 +130,11 @@ class StateStore(val spark: SparkSession, val dir: String) {
       maxSeq("envvar_events", envvarEvents))
   }
 
-  private lazy val seq: AtomicLong = new AtomicLong(maxLoggedSeq())
+  /** Starts at 0; the writer-lock acquisition in [[ensureWriterLock]] —
+    * which [[nextSeq]] always performs before assigning — raises it to
+    * the max across the durable logs, so the log scan happens exactly
+    * once, at the moment this store becomes the writer. */
+  private val seq: AtomicLong = new AtomicLong(0L)
 
   /** Seq assignment is a writer-role action: acquiring the lock here (not
     * only at append time) means a store that loses the writer race never
@@ -152,19 +160,36 @@ class StateStore(val spark: SparkSession, val dir: String) {
   def appendLog(rec: BatchLogRec): Unit = append("batch_log", Seq(rec))
   def batchLog: DataFrame = readOrEmpty[BatchLogRec]("batch_log")
 
-  /** Rewrite a log dir in place via temp-write-then-swap (Spark cannot
-    * overwrite a path it is reading). The swap window (delete → move) is
-    * not atomic; a driver dying inside it loses the dir — acceptable for
-    * retention/compaction of a log whose source of truth is re-derivable,
-    * and the seam where a transactional table format would slot in. */
+  /** Rewrite a log dir in place via temp-write, backup-move, swap-in
+    * (Spark cannot overwrite a path it is reading). No window loses
+    * data: a crash leaves either the original (before the backup move),
+    * or the `.bak` copy that [[recoverRewrite]] restores on the next
+    * open. This matters because compaction also runs over the monitor
+    * and envvar logs — the control state's single source of truth, NOT
+    * re-derivable — and it is still the seam where a transactional table
+    * format would slot in. */
   private def rewriteInPlace(name: String, df: DataFrame): Unit = {
+    recoverRewrite(name)
     val path = Paths.get(p(name))
     if (!Files.exists(path)) return
     ensureWriterLock()
     val tmp = Paths.get(p(s"$name.rewrite"))
+    val bak = Paths.get(p(s"$name.bak"))
     df.write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(path)
+    deleteRecursively(bak)      // stale backup from an old crash
+    Files.move(path, bak)       // crash here → recoverRewrite restores bak
     Files.move(tmp, path)
+    deleteRecursively(bak)
+  }
+
+  /** Crash recovery for [[rewriteInPlace]]: if a driver died between the
+    * backup move and the swap-in, the live dir is missing but the `.bak`
+    * holds the full pre-rewrite content — restore it. Runs on every read
+    * path (cheap existence checks). */
+  private def recoverRewrite(name: String): Unit = {
+    val path = Paths.get(p(name))
+    val bak = Paths.get(p(s"$name.bak"))
+    if (!Files.exists(path) && Files.exists(bak)) Files.move(bak, path)
   }
 
   /** S6 retention purge (body:926-939) as filter-rewrite: keep rows newer
@@ -202,7 +227,12 @@ class StateStore(val spark: SparkSession, val dir: String) {
       val rows = runCommands.filter(col("batch_name") === batchName)
         .select("run_command").collect()
       if (rows.length == 1) rows.head.getString(0) else "0"
-    } catch { case _: Throwable => "0" }
+    } catch {
+      // NonFatal, not Throwable: Oracle's WHEN OTHERS contract doesn't
+      // survive process-fatal conditions (OOM, interrupts) either —
+      // masking those as "0" would run the batch on a half-dead JVM
+      case scala.util.control.NonFatal(_) => "0"
+    }
 
   /** Compact an event log: rewrite the many small append files into one
     * coalesced layout (content unchanged — same events, same seqs; reads

@@ -112,28 +112,49 @@ object EventStreams {
     * micro-batches; each batch's events for a user are ordered in memory
     * before assignment (per-group, bounded by batch size).
     *
-    * Works identically over a batch Dataset (each group arrives complete
-    * in one call — asserted equal to the lag-gap query in StreamingSpec)
-    * and over a stream, where correctness across micro-batches relies on
-    * per-user event-time order across batches (the usual replay contract;
+    * State is BOUNDED by the watermark horizon: the input is watermarked
+    * on `ts`, and a user whose last event sits more than
+    * `idleTimeoutMinutes` behind the advancing watermark has their state
+    * evicted (EventTimeTimeout — processing-time timeouts would keep the
+    * trigger loop busy forever and break `processAllAvailable`). Without
+    * eviction, one SessionState per user EVER SEEN accumulates for the
+    * lifetime of the query. The trade is explicit: an evicted user who
+    * returns restarts numbering at 1 (their next event opens a new
+    * session either way — only the counter origin resets), so size the
+    * timeout well above the session gap.
+    *
+    * Works identically over a batch Dataset (watermark is a no-op, each
+    * group arrives complete in one call, timeouts never fire — asserted
+    * equal to the lag-gap query in StreamingSpec) and over a stream,
+    * where correctness across micro-batches relies on per-user
+    * event-time order across batches (the usual replay contract;
     * out-of-order streams need the watermarked session_window variant).
     */
-  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionAssign] = {
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      idleTimeoutMinutes: Long = 120, watermarkDelay: String = "10 minutes"): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    events.withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = sorted.map { e =>
-            val tsUs = micros(e.ts)
-            val newSession = st.sessionId == 0L || tsUs - st.lastTsMicros > gapUs
-            st = SessionState(tsUs, if (newSession) st.sessionId + 1 else st.sessionId)
-            SessionAssign(user, e.event_id, e.ts, st.sessionId)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = sorted.map { e =>
+              val tsUs = micros(e.ts)
+              val newSession = st.sessionId == 0L || tsUs - st.lastTsMicros > gapUs
+              st = SessionState(tsUs, if (newSession) st.sessionId + 1 else st.sessionId)
+              SessionAssign(user, e.event_id, e.ts, st.sessionId)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMicros / 1000L + idleTimeoutMinutes * 60000L)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }
