@@ -93,21 +93,12 @@ object Dedup {
   }
 
   // ---- incremental dedup (ingest gate) -----------------------------------
-  /** The production ingest flow: an INCOMING batch checked against the
-    * EXISTING corpus — asymmetric, unlike the batch self-join. Every
-    * incoming doc reports whether it duplicates the corpus (best Jaccard
-    * + match count; no match → 0). At 100 TB the asymmetry is the point:
-    * the corpus side is the materialized signature table (read
-    * bucket-pruned), the incoming batch is small enough to broadcast, so
-    * gating a new batch never rescans the corpus text. Here both sides
-    * derive from `documents` split by doc_id (every 10th doc plays the
-    * incoming batch) to keep the operator differentially testable. */
-  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val base = gramBuckets(s, dir)
-    val corpus = base.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
-      .select(col("bucket"), col("grams").as("grams_b"))
-    val incoming = base.filter(pmod(col("doc_id"), lit(10L)) === 0)
-      .select(col("doc_id"), col("bucket"), col("grams").as("grams_a"))
+  /** The gate aggregation shared by the in-query and stored-table
+    * incremental variants: each incoming doc left-joins the corpus
+    * signatures on the blocking bucket and reports its best corpus
+    * Jaccard + match count (no match → 0). One definition ↔ one oracle,
+    * so the two flows can never drift apart. */
+  private def gateAgg(incoming: DataFrame, corpus: DataFrame): DataFrame =
     incoming.join(corpus, Seq("bucket"), "left")
       .withColumn("j", when(col("grams_b").isNotNull, jaccardCol))
       .groupBy("doc_id")
@@ -115,6 +106,78 @@ object Dedup {
         count(when(col("j") >= 0.5, lit(1))).as("n_dup_matches"))
       .withColumn("is_duplicate", (col("n_dup_matches") > 0).cast("int"))
       .orderBy("doc_id")
+
+  /** The production ingest flow: an INCOMING batch checked against the
+    * EXISTING corpus — asymmetric, unlike the batch self-join. Every
+    * incoming doc reports whether it duplicates the corpus (best Jaccard
+    * + match count; no match → 0). At 100 TB the asymmetry is the point:
+    * the corpus side is the materialized signature table (read
+    * shard-pruned — see [[qDedupGate]] for that flow made real), so
+    * gating a new batch never rescans the corpus text. Here both sides
+    * derive from `documents` split by doc_id (every 10th doc plays the
+    * incoming batch) to keep the operator differentially testable. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = gramBuckets(s, dir)
+    gateAgg(
+      base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), col("bucket"), col("grams").as("grams_a")),
+      base.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+        .select(col("bucket"), col("grams").as("grams_b")))
+  }
+
+  // ---- materialized signature store (the 100 TB deployment shape) --------
+  /** Directory-partition shards for the signature store. The blocking
+    * bucket itself (an md5 string) is far too fine to be a directory key,
+    * so the store partitions on `shard = hash(bucket) mod SigShards`:
+    * coarse enough for a sane directory count, and any bucket-equi-join
+    * against the store can prune to the shards its probe buckets hash to.
+    * 16 suits the test corpus; a 100 TB store would use O(1000). */
+  private[graft] val SigShards = 16
+
+  /** The signature frame the store persists — one row per capped-bucket
+    * member: (doc_id, bucket, grams, shard). Computing signatures is the
+    * expensive scan over the corpus text; persisting them is what lets
+    * every later dedup pass (batch self-join or ingest gate) run off
+    * ~24-byte rows without touching the text again. */
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    gramBuckets(s, dir).withColumn("shard",
+      pmod(xxhash64(col("bucket")), lit(SigShards.toLong)).cast("int"))
+
+  /** Persist a signature frame as the on-disk store, partitioned by
+    * shard so gate-side reads prune (PlanSpec asserts the pruning
+    * filters reach the scan). */
+  def writeSignatures(sig: DataFrame, path: String): Unit =
+    graft.sources.Sinks.overwritePartitioned(sig, path, Seq("shard"))
+
+  /** Gate an incoming signature batch against the STORED corpus: the
+    * incoming batch's shard set (≤ [[SigShards]] values — control-plane,
+    * not data-plane) becomes a partition filter on the store, so the
+    * corpus-side read touches only the directories the batch can match.
+    * Join + aggregation semantics are exactly [[qDedupIncremental]]'s. */
+  def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame): DataFrame = {
+    val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = s.read.parquet(path)
+      .filter(col("shard").isin(shards: _*))
+      .select(col("bucket"), col("grams").as("grams_b"))
+    gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")), corpus)
+  }
+
+  /** Deterministic per-dataset store location (tmpdir-scoped; overwritten
+    * on each build so reruns are self-contained). */
+  private def sigStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-sigstore-${Integer.toHexString(dir.hashCode)}"
+
+  /** The stored-table ingest gate end-to-end: write the corpus slice of
+    * the signature store (one corpus scan, paid at write time), then gate
+    * the incoming batch against the STORE — the deployment flow every
+    * 100 TB dedup claim rests on. Differentially identical to
+    * [[qDedupIncremental]] (same split, same gate), which is exactly the
+    * point: materializing the signatures must not change the answer. */
+  def qDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val path = sigStorePath(dir)
+    writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path)
+    gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0))
   }
 
   // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
@@ -334,6 +397,7 @@ object Dedup {
     "q_dedup_simhash"  -> qDedupSimhash _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_dedup_gate" -> qDedupGate _,
   )
 
   /** Shared DuckDB CTE chain: normalized text → capped prefix buckets →
@@ -386,6 +450,24 @@ object Dedup {
       |  WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5),
       |${duckReachCtes("edges", "doc_a", "doc_b")}""".stripMargin
 
+  /** The incremental-gate oracle, shared verbatim by q_dedup_incremental
+    * (in-query corpus) and q_dedup_gate (stored signature table): the two
+    * flows are defined to agree, so they share one oracle definition. */
+  private val duckGateSql: String =
+    s"""WITH $duckGramCtes,
+       |inc AS (SELECT doc_id, bucket, grams FROM g WHERE doc_id % 10 = 0),
+       |corp AS (SELECT bucket, grams AS grams_b FROM g WHERE doc_id % 10 <> 0),
+       |m AS (
+       |  SELECT i.doc_id,
+       |    CASE WHEN c.grams_b IS NOT NULL
+       |         THEN ${duckJaccard("i.grams", "c.grams_b")} END AS j
+       |  FROM inc i LEFT JOIN corp c ON i.bucket = c.bucket)
+       |SELECT doc_id,
+       |  coalesce(max(CASE WHEN j >= 0.5 THEN j END), 0.0) AS best_jaccard,
+       |  count(CASE WHEN j >= 0.5 THEN 1 END) AS n_dup_matches,
+       |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
     * (xxhash64 has no DuckDB equivalent) — driver records rows-only;
     * DedupSpec checks them against exact-Jaccard ground truth instead.
@@ -401,20 +483,10 @@ object Dedup {
         |FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         |WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH $duckGramCtes,
-        |inc AS (SELECT doc_id, bucket, grams FROM g WHERE doc_id % 10 = 0),
-        |corp AS (SELECT bucket, grams AS grams_b FROM g WHERE doc_id % 10 <> 0),
-        |m AS (
-        |  SELECT i.doc_id,
-        |    CASE WHEN c.grams_b IS NOT NULL
-        |         THEN ${duckJaccard("i.grams", "c.grams_b")} END AS j
-        |  FROM inc i LEFT JOIN corp c ON i.bucket = c.bucket)
-        |SELECT doc_id,
-        |  coalesce(max(CASE WHEN j >= 0.5 THEN j END), 0.0) AS best_jaccard,
-        |  count(CASE WHEN j >= 0.5 THEN 1 END) AS n_dup_matches,
-        |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_incremental" -> duckGateSql,
+    // the stored-table gate materializes the signatures but must not
+    // change the answer — its oracle IS the in-query gate's oracle
+    "q_dedup_gate" -> duckGateSql,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |$duckClusterCtes

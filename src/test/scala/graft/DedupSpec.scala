@@ -220,6 +220,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("stored-signature gate equals the in-query incremental gate") {
+    // materializing the signature table must not change the answer — the
+    // stored-table flow and the self-contained differential flow agree
+    // row-for-row (both are oracle-checked against the same DuckDB SQL)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long, Int)] =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(rows(Dedup.qDedupGate(spark, dir)) === rows(Dedup.qDedupIncremental(spark, dir)))
+  }
+
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
     val r = spark.sql(
       """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,

@@ -79,6 +79,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup gate: stored-signature scan prunes to the incoming batch's shards") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/store"
+    val sig = Dedup.signatures(spark, TestSpark.sfDir)
+    Dedup.writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path)
+    // a single-document incoming batch: its shard set is a strict subset
+    // of the store's 16 shards, so the gate's corpus read must prune
+    val oneId = sig.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .orderBy("doc_id").select("doc_id").limit(1).collect()(0).getLong(0)
+    val incoming = sig.filter(col("doc_id") === oneId)
+    val gated = Dedup.gateAgainstStored(spark, path, incoming)
+    // the gate aggregates, so its plan is adaptive — unwrap the AQE
+    // wrapper (and any materialized query stages) to reach the scans
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(gated.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("store")))
+    assert(scans.nonEmpty, "the gate must read the signature store via a file scan")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"gate's store read must carry partition filters:\n${gated.queryExecution.executedPlan}")
+    val storeShards = spark.read.parquet(path).select("shard").distinct().count()
+    assert(scans.forall(_.selectedPartitions.partitionCount < storeShards),
+      "the 1-doc gate must read strictly fewer shard directories than the store holds")
+    // pruning must not change results: per-doc gate rows are independent,
+    // so the pruned 1-doc gate equals the full in-query gate's row
+    val got = gated.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = Dedup.qDedupIncremental(spark, TestSpark.sfDir)
+      .filter(col("doc_id") === oneId).collect()
+      .toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got === expected)
+  }
+
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.execution.FileSourceScanExec
