@@ -104,21 +104,32 @@ object Similarity {
   def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, dir))
     val bandCols = (0 until NdBands).map(b => lshBucket(s, col("embedding"), ndPlaneIds(b)))
-    val banded = e.select(col("vec_id"), col("label"),
+    // The banded frame CARRIES the embedding + norm, and the repartition
+    // on the band keys makes both self-join sides canonicalize to the
+    // SAME exchange (qDedupMinhash's pattern): one corpus scan computes
+    // the band projections, and the join scores candidates directly —
+    // no second/third embedding scan to re-fetch vectors by id. The
+    // trade is explicit: the shuffle carries each 64-float vector once
+    // per band (NdBands× replication) instead of narrow keys; at 100 TB
+    // that is ~1 KB/row against re-scanning the corpus twice, and the
+    // shuffle_hash hint keeps the planner from broadcasting a side and
+    // silently discarding the reuse.
+    val banded = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bkt")))
-    val a = banded.select(col("vec_id").as("id_a"), col("label"), col("band"), col("bkt"))
-    val b = banded.select(col("vec_id").as("id_b"), col("label"), col("band"), col("bkt"))
-    // Candidates agreeing on ≥1 band, deduped on the small key triple
-    // BEFORE touching embeddings again (the distinct is a narrow shuffle).
-    val cand = a.join(b, Seq("label", "band", "bkt"))
+      .repartition(col("label"), col("band"), col("bkt"))
+    val a = banded.select(col("vec_id").as("id_a"), col("label"), col("band"), col("bkt"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = banded.select(col("vec_id").as("id_b"), col("label"), col("band"), col("bkt"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b.hint("shuffle_hash"), Seq("label", "band", "bkt"))
       .filter(col("id_a") < col("id_b"))
-      .select("label", "id_a", "id_b").distinct()
-    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .withColumn("cosine", round(dotCol(s, col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      // Threshold BEFORE the distinct: cosine is functional on the pair,
+      // so the dedup shuffle carries only surviving pairs, not every
+      // band collision (same ordering as qDedupSimhash).
       .filter(col("cosine") >= 0.4)
       .select("label", "id_a", "id_b", "cosine")
+      .distinct()
       .orderBy("label", "id_a", "id_b")
   }
 

@@ -69,7 +69,7 @@ class PlanSpec extends AnyFunSuite {
     // to the same exchange; AQE's stage reuse then computes the signature
     // pipeline ONCE. Static explain can't see this — assert on the final
     // adaptive plan after execution.
-    Seq("q_dedup_simhash", "q_dedup_minhash").foreach { q =>
+    Seq("q_dedup_simhash", "q_dedup_minhash", "q_embed_neardup").foreach { q =>
       val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
       df.collect()
       val s = df.queryExecution.executedPlan.toString
