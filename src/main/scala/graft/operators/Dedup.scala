@@ -325,6 +325,18 @@ object Dedup {
     * assertions in specs and observability in pipelines). */
   def clusterPairsWithRounds(pairs: DataFrame, maxIter: Int = 25,
       ckpt: Checkpointer = Checkpointer.Local): (DataFrame, Int) = {
+    val (labels, rounds, _) = clusterPairsRetained(pairs, maxIter, ckpt)
+    (labels, rounds)
+  }
+
+  /** [[clusterPairsWithRounds]] plus the checkpoint-backed frames the
+    * result plan still reads (the canonical edge list and the converged
+    * round). A caller that CACHES the labels — the memo below — must hold
+    * these so eviction can release their storage; transient callers can
+    * ignore them (job end releases Local blocks; Reliable dirs are the
+    * deployment's retention decision). */
+  private def clusterPairsRetained(pairs: DataFrame, maxIter: Int = 25,
+      ckpt: Checkpointer = Checkpointer.Local): (DataFrame, Int, Seq[DataFrame]) = {
     // Canonicalize + checkpoint the edge list once: without this, every
     // round would recompute the whole upstream candidate pipeline
     // (measured 4x the candidate-generation cost at sf0.1). Self-pairs
@@ -361,24 +373,46 @@ object Dedup {
       .unionAll(canon.select(col("lo").as("node"))).distinct()
     val labels = nodes.join(starLabels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-    (labels, rounds)
+    (labels, rounds, Seq(canon, edges))
   }
+
+  /** One memoized cluster stage: the labels frame plus the checkpointed
+    * frames backing its plan, retained so [[clearClusters]] can release
+    * their storage on eviction. */
+  private final case class ClusterStage(
+      labels: DataFrame, backing: Seq[DataFrame], ckpt: Checkpointer)
 
   /** Converged cluster labels over the n-gram near-dup pairs, memoized per
     * (session, sf-dir): q_dedup_clusters and the capstone pipeline both
     * consume this stage, and the iterative contraction is deterministic,
     * so computing it twice in one session (as Bench/Verify do) is pure
-    * waste — the memo holds the checkpoint-backed labels frame. */
+    * waste — the memo holds the checkpoint-backed labels frame. The memo
+    * is BOUNDED by [[clearClusters]]: a long-lived session that cycles
+    * through many corpora evicts finished stages instead of accumulating
+    * checkpoint blocks/DFS files for its lifetime. */
   private val clusterMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ClusterStage]
 
   /** The checkpoint mode comes from session config (see
     * [[Checkpointer.fromConf]]) so cluster deployments reach Reliable
     * mode through the standard entry points without code changes. */
   def clusteredDocs(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.getOrElseUpdate((s, dir),
-      clusterPairs(qDedupNgram(s, dir).select("doc_a", "doc_b"),
-        ckpt = Checkpointer.fromConf(s)))
+    clusterMemo.getOrElseUpdate((s, dir), {
+      val ckpt = Checkpointer.fromConf(s)
+      val (labels, _, backing) =
+        clusterPairsRetained(qDedupNgram(s, dir).select("doc_a", "doc_b"), ckpt = ckpt)
+      ClusterStage(labels, backing, ckpt)
+    }).labels
+
+  /** Evict a session's memoized cluster stages and release the checkpoint
+    * storage behind them (Local blocks unpersisted / Reliable DFS dirs
+    * deleted, via each stage's own Checkpointer). Call when the session is
+    * done with a corpus — a released labels frame must not be re-read;
+    * the next [[clusteredDocs]] call simply recomputes and re-memoizes. */
+  def clearClusters(s: SparkSession): Unit =
+    clusterMemo.keys.toSeq.filter(_._1 eq s).foreach { k =>
+      clusterMemo.remove(k).foreach(st => st.backing.foreach(st.ckpt.release))
+    }
 
   /** Cluster ids over the oracle-verified n-gram near-dup pairs, with the
     * survivorship decision (the cluster representative = min doc_id keeps

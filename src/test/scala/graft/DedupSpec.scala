@@ -200,6 +200,40 @@ class DedupSpec extends AnyFunSuite {
       s"released rounds must not accumulate: +${after - before} rdd dirs after $rounds rounds")
   }
 
+  test("cluster-memo eviction releases checkpoint storage across cycles") {
+    // a long-lived session cycling corpora must not accumulate dead
+    // checkpoint dirs: each clusteredDocs/clearClusters cycle ends with
+    // every rdd dir the cycle created deleted (canonical edges + final
+    // round included, not just the intermediate rounds)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    spark.conf.set("spark.graft.cc.checkpoint", "reliable")
+    spark.conf.set("spark.graft.cc.checkpointDir", ckptDir)
+    def rddDirs: Long = spark.sparkContext.getCheckpointDir.map { d =>
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(new java.net.URI(d)))
+      try s.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }.getOrElse(0L)
+    try {
+      val before = rddDirs
+      (1 to 3).foreach { _ =>
+        assert(Dedup.clusteredDocs(spark, dir).count() > 0)
+        Dedup.clearClusters(spark)
+      }
+      assert(rddDirs === before,
+        "evicted cluster stages must leave no checkpoint dirs behind")
+      // and eviction is not destructive to correctness: the next call
+      // recomputes the same labels
+      val again = Dedup.clusteredDocs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.clearClusters(spark)
+      assert(again.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpoint")
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      Dedup.clearClusters(spark)
+    }
+  }
+
   test("clusterPairs matches brute-force components on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
