@@ -158,6 +158,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("stateful sessionizer recovers its state from the checkpoint after a crash") {
+    // The property cluster deployments actually rely on: kill a stateful
+    // query mid-stream, deliver more data, restart from the SAME
+    // checkpoint dir — per-user state (last ts + session counter) must
+    // resume, not reset. Durable file source + file sink, because a
+    // memory sink would not survive the restart either.
+    import graft.streaming.EventStreams.{SessionEvent, sessionizeStateful}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-recover").toString
+    val (srcDir, outDir, ckptDir) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val batch1 = Seq(
+      SessionEvent(3, 20, ts("2026-08-12T08:00:00Z")), // u3 session 1
+      SessionEvent(3, 21, ts("2026-08-12T09:30:00Z")), // u3 session 2 (90 min gap)
+      SessionEvent(1, 1, ts("2026-08-12T10:00:00Z")),  // u1 session 1
+      SessionEvent(1, 2, ts("2026-08-12T10:10:00Z")))
+    val batch2 = Seq(
+      SessionEvent(1, 3, ts("2026-08-12T10:20:00Z")),  // continues u1 session 1
+      SessionEvent(3, 22, ts("2026-08-12T10:30:00Z")), // u3 session 3 (60 min gap)
+      SessionEvent(1, 4, ts("2026-08-12T12:30:00Z")))  // u1 session 2
+    def run(data: Seq[SessionEvent]): Unit = {
+      data.toDS().toDF().write.mode("append").parquet(srcDir)
+      val src = spark.readStream.schema(batch1.toDS().toDF().schema)
+        .parquet(srcDir).as[SessionEvent]
+      val q = sessionizeStateful(src).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run(batch1) // query stops after draining batch 1 (the "crash")
+    run(batch2) // restart from the checkpoint; source resumes at batch 2
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = sessionizeStateful((batch1 ++ batch2).toDS())
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "post-restart sessions must equal the batch twin")
+    // the smoking gun for state recovery: u3's counter resumes at 3 —
+    // a reset counter would have relabeled event 22 as session 1
+    assert(got.contains((3L, 22L, 3L)))
+    assert(got.contains((1L, 3L, 1L)) && got.contains((1L, 4L, 2L)))
+  }
+
   test("stream-stream interval join equals the batch join on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[PurchaseEvent]
