@@ -10,13 +10,16 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, processed per-partition in
   * batches — the Scala analogue of a Pandas-UDF/mapInPandas stage.
   *
-  * The decode step is REAL for PNG images: `javax.imageio` ships with the
-  * JDK, so `decode` hands PNG payloads to `ImageIO` and emits the actual
-  * pixel dimensions (MultimodalSpec decodes real PNG fixture bytes).
-  * Payloads in formats the JDK cannot decode (and the synthetic testdata's
-  * text-bytes stand-ins) fall back to `fakeDecode`, which derives
-  * deterministic pseudo-features from the raw bytes — an honest,
-  * loudly-documented stub for the codecs this container lacks.
+  * The decode step is REAL for the containers the JDK ships codecs for —
+  * PNG, JPEG, GIF, BMP via `javax.imageio`: `decode` pixel-decodes frame
+  * 0 and emits actual dimensions, and an animated GIF reports its true
+  * frame count, which makes the frame-sampling fan-out real rather than
+  * stub arithmetic (MultimodalSpec decodes real PNG/JPEG/BMP bytes and a
+  * written multi-frame GIF). Payloads in formats the JDK cannot decode
+  * (video/audio codecs, and the synthetic testdata's text-bytes
+  * stand-ins) fall back to `fakeDecode`, which derives deterministic
+  * pseudo-features from the raw bytes — an honest, loudly-documented
+  * stub for the codecs this container lacks.
   *
   * Scale: decode runs via mapPartitions so per-record codec setup is
   * amortized per partition (the reason mapInPandas/mapPartitions exists);
@@ -45,12 +48,50 @@ object Multimodal {
   private val PngMagic: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  /** Cheap container sniff so arbitrary bytes are never handed to the
-    * codec (ImageIO would otherwise scan its full reader registry per
-    * record). */
   private def isPng(payload: Array[Byte]): Boolean =
     payload.length >= PngMagic.length &&
       PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+
+  /** Cheap container sniff over the formats the JDK ships codecs for, so
+    * arbitrary bytes are never handed to the codec (ImageIO would
+    * otherwise scan its full reader registry per record). PNG/JPEG/BMP
+    * are stills; GIF is the JDK's one multi-frame container — the format
+    * that makes [[sampleFrames]]' fan-out real instead of arithmetic. */
+  private def sniffFormat(p: Array[Byte]): Option[String] =
+    if (isPng(p)) Some("png")
+    else if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+      (p(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') Some("gif")
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
+    else None
+
+  /** Decode the payload with the JDK codec it sniffed as: pixel-decode
+    * frame 0 (dims from the decoded raster, not just the header) and
+    * count the container's frames (`getNumImages(true)` walks GIF's
+    * image blocks; stills report 1). None on any decode failure. */
+  private def readImageMeta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) None
+    else try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val img = reader.read(0)
+          val frames =
+            try math.max(1, reader.getNumImages(true))
+            catch { case scala.util.control.NonFatal(_) => 1 }
+          Some((img.getWidth, img.getHeight, frames))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
 
   /** STUB decode (???-equivalent) for formats the JDK has no codec for:
     * dimensions/frames are deterministic arithmetic over the byte length.
@@ -65,23 +106,29 @@ object Multimodal {
       frames = if (r.kind == "video") (r.payload.length % 25) + 1 else 1,
       checksum = byteChecksum(r.payload))
 
-  /** Real decode where the JDK has a codec (PNG via `javax.imageio`),
-    * stub fallback everywhere else. A corrupt PNG (magic matches, decode
-    * fails) also falls back rather than failing the partition — a 100 TB
-    * corpus always contains malformed payloads, and a pipeline that dies
-    * on record 73 billion is not a pipeline. The catch is NonFatal, not
-    * just IOException: the JDK image reader throws unchecked exceptions
-    * (IllegalArgument/IndexOutOfBounds/NegativeArraySize) on fuzzed
-    * headers, and any of those escaping would abort the task. */
-  def decode(r: MediaRecord): MediaFeatures =
-    if (r.kind == "image" && isPng(r.payload)) {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) fakeDecode(r)
-      else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-        img.getWidth, img.getHeight, 1, byteChecksum(r.payload))
-    } else fakeDecode(r)
+  /** Real decode where the JDK has a codec (PNG/JPEG/GIF/BMP via
+    * `javax.imageio`), stub fallback everywhere else. The declared kind
+    * is the contract: only "image" and "video" records reach the codec
+    * ("video" because an animated GIF is the JDK's one multi-frame
+    * container — its true frame count feeds [[sampleFrames]]). A corrupt
+    * payload (magic matches, decode fails) falls back rather than
+    * failing the partition — a 100 TB corpus always contains malformed
+    * payloads, and a pipeline that dies on record 73 billion is not a
+    * pipeline. The catches are NonFatal, not just IOException: the JDK
+    * image readers throw unchecked exceptions (IllegalArgument/
+    * IndexOutOfBounds/NegativeArraySize) on fuzzed headers, and any of
+    * those escaping would abort the task. */
+  def decode(r: MediaRecord): MediaFeatures = {
+    val viaCodec =
+      if (r.kind == "image" || r.kind == "video") sniffFormat(r.payload).flatMap(_ => readImageMeta(r.payload))
+      else None
+    viaCodec match {
+      case Some((w, h, frames)) =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          w, h, frames, byteChecksum(r.payload))
+      case None => fakeDecode(r)
+    }
+  }
 
   /** The mapInPandas-shaped stage: batch-decode per partition. */
   def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
@@ -102,8 +149,11 @@ object Multimodal {
 
   /** Frame sampling (1→N generator shape): every `everyN`-th frame of each
     * decoded record becomes its own row — the flatMap twin of a
-    * Pandas-UDF frame extractor. The frame checksum is derived (stub, like
-    * fakeDecode) but the fan-out plumbing — row multiplication before any
+    * Pandas-UDF frame extractor. For an animated GIF the sampled indices
+    * are the container's REAL frames (decode counts them via the JDK
+    * codec); for the testdata's stub-decoded records the count is
+    * fakeDecode's arithmetic. The frame checksum stays derived either
+    * way, and the fan-out plumbing — row multiplication before any
     * shuffle, small rows flowing onward — is the real shape.
     */
   def sampleFrames(ds: Dataset[MediaFeatures], everyN: Int = 5): Dataset[FrameSample] = {

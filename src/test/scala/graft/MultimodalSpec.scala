@@ -80,6 +80,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).n_bytes === records.head.payload.length.toLong)
   }
 
+  test("JPEG, BMP and multi-frame GIF payloads decode via the JDK codecs") {
+    import spark.implicits._
+    def img(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => im.setRGB(x, y, (x * 31 + y + seed) & 0xFFFFFF)))
+      im
+    }
+    def still(fmt: String, im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, still("jpg", img(33, 17, 1)), "image"),
+      Multimodal.MediaRecord(2L, still("bmp", img(12, 9, 2)), "image"),
+      // an animated GIF declared video: the JDK's one multi-frame container
+      Multimodal.MediaRecord(3L, gif(Seq(img(20, 10, 3), img(20, 10, 4), img(20, 10, 5))), "video"),
+      Multimodal.MediaRecord(4L, gif(Seq(img(6, 4, 6))), "image"),
+      // real GIF bytes but declared audio → stub path (kind is the contract)
+      Multimodal.MediaRecord(5L, gif(Seq(img(6, 4, 7))), "audio"))
+    val out = Multimodal.decodeAll(spark.createDataset(records))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 33 && out(1L).height === 17 && out(1L).frames === 1)
+    assert(out(2L).width === 12 && out(2L).height === 9 && out(2L).frames === 1)
+    assert(out(3L).width === 20 && out(3L).height === 10 && out(3L).frames === 3,
+      "animated GIF must report its true frame count")
+    assert(out(4L).frames === 1)
+    assert(out(5L) === Multimodal.fakeDecode(records(4)), "non-image kind never hits the codec")
+    // frame sampling over the REAL frame count: every frame of the
+    // 3-frame GIF becomes a row; stills keep one
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.decodeAll(spark.createDataset(records)), everyN = 1)
+      .collect().groupBy(_.media_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    assert(sampled(3L) === Seq(0, 1, 2))
+    assert(sampled(1L) === Seq(0) && sampled(4L) === Seq(0))
+  }
+
   test("stub decode invariants: dims in range, checksum matches direct call") {
     val rows = Multimodal.decodeAll(Multimodal.asMedia(spark, dir)).toDF()
       .orderBy("media_id").collect()
