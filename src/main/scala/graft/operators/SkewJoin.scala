@@ -46,10 +46,15 @@ object SkewJoin {
     require(safe(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support joinType '$joinType': unmatched small-side rows " +
         "would duplicate per salt replica (use the plain join or AQE skew handling)")
-    val salt = pmod(xxhash64(identityCols.map(col): _*), lit(saltFactor.toLong))
-    val saltedLarge = large.withColumn("__salt", salt)
+    val saltedLarge = large.withColumn("__salt", saltColumn(identityCols, saltFactor))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** The deterministic salt assignment the large side shuffles under —
+    * package-private so SkewJoinSpec measures the EXACT layout the join
+    * produces (a reimplementation in the spec could silently drift). */
+  private[graft] def saltColumn(identityCols: Seq[String], saltFactor: Int): Column =
+    pmod(xxhash64(identityCols.map(col): _*), lit(saltFactor.toLong))
 }

@@ -40,6 +40,48 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("planted 200x-median hot key: salted join is exact AND bounded per partition") {
+    // The stress proof behind the salting claim: a key holding half the
+    // table (200x the median key's rows) must join correctly AND stop
+    // dominating a single reducer. Partition loads are MEASURED on the
+    // exact shuffle layout the join uses, not asserted in prose.
+    val n = 40000L
+    val saltF = 16
+    val hotRows = n / 2 // ids ≡ 0 mod 2 collapse onto key 7
+    val large = spark.range(n).select(col("id").as("row_id"),
+      when(pmod(col("id"), lit(2L)) === 0, lit(7L))
+        .otherwise(pmod(col("id"), lit(400L))).as("k"))
+    // 200 cold keys x ~100 rows (median 100) vs 20,000 on the hot key
+    val small = spark.range(400).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val plain = large.join(small, Seq("k"))
+      .orderBy("row_id").collect().toSeq
+    val salted = SkewJoin.saltedJoin(large, small, "k", Seq("row_id"), saltF)
+      .select("k", "row_id", "v").orderBy("row_id").collect().toSeq
+    assert(salted === plain, "salting must not change the join result")
+    // replay the large side's shuffle under both layouts and measure the
+    // heaviest partition
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame,
+        keys: org.apache.spark.sql.Column*): Long =
+      df.repartition(32, keys: _*).rdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val unsaltedMax = maxPartitionRows(large, col("k"))
+    val saltedMax = maxPartitionRows(
+      large.withColumn("__salt", SkewJoin.saltColumn(Seq("row_id"), saltF)),
+      col("k"), col("__salt"))
+    assert(unsaltedMax >= hotRows,
+      s"without salt one partition must swallow the whole hot key ($unsaltedMax < $hotRows)")
+    assert(saltedMax <= unsaltedMax / 4,
+      s"salting must shrink the heaviest partition ($saltedMax vs $unsaltedMax)")
+    // and no single (key, salt) reducer group keeps more than ~2x the
+    // ideal hotRows/saltF share (xxhash64 spreads row identities evenly)
+    val maxGroup = large
+      .withColumn("__salt", SkewJoin.saltColumn(Seq("row_id"), saltF))
+      .groupBy("k", "__salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup <= 2 * hotRows / saltF,
+      s"per-(key,salt) group must be bounded, got $maxGroup for ideal ${hotRows / saltF}")
+  }
+
   test("salt spreads the hot key across sub-keys") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
       .select("o_orderkey").withColumn("k", lit(1L))
