@@ -62,6 +62,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "nation/region must ride the broadcast path")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"all joins must be equi-joins:\n$p")
+    // the order-year range must reach the orders scan as pushed filters —
+    // at 100 TB this is the difference between reading one year and seven
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).nonEmpty &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r.findFirstIn(p).nonEmpty,
+      s"orders date range must be pushed to the scan:\n$p")
   }
 
   test("dedup self-joins reuse the banded fingerprint exchange (one corpus scan)") {
