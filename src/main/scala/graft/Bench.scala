@@ -76,11 +76,22 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query times at millisecond precision: full double precision
+    // tripled the JSON line's length and got its head truncated off in a
+    // bounded log capture (losing the total + the first sorted query);
+    // sub-ms digits are measurement noise anyway.
+    def ms3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     System.err.println(s"[bench] total stages=${stages.get()} tasks=${tasks.get()}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // totals FIRST on their own short line, so a capture that keeps either
+    // end of the log always retains them even if the long line truncates
+    System.err.println(
+      s"""[bench] TOTAL {"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // the driver contract: ONE stdout JSON line; `total_sec` duplicates the
+    // total at the tail so head-truncation of the line cannot lose it
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${ms3(total)}}""")
     spark.stop()
   }
 }
