@@ -61,11 +61,12 @@ object Dedup {
     */
   private val NgramBucketCap = 256
 
-  /** Capped gram-set/bucket signature frame shared by the batch and
-    * incremental n-gram variants (one definition ↔ one oracle `g` CTE). */
-  private def gramBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** Capped gram-set/bucket signature frame over any (doc_id, text)
+    * frame, shared by the batch and incremental n-gram variants (one
+    * definition ↔ one oracle `g` CTE). */
+  private def gramBucketsOf(docs: DataFrame): DataFrame = {
     val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("words", split(col("norm"), " "))
       .filter(size(col("words")) >= 3)
@@ -74,6 +75,9 @@ object Dedup {
       .withColumn("rn", row_number().over(byBucket))
       .filter(col("rn") <= NgramBucketCap).drop("rn")
   }
+
+  private def gramBuckets(s: SparkSession, dir: String): DataFrame =
+    gramBucketsOf(Tables.documents(s, dir))
 
   private def jaccardCol: Column = {
     val inter = size(array_intersect(col("grams_a"), col("grams_b")))
@@ -143,11 +147,27 @@ object Dedup {
     gramBuckets(s, dir).withColumn("shard",
       pmod(xxhash64(col("bucket")), lit(SigShards.toLong)).cast("int"))
 
+  /** [[signatures]] over an arbitrary (doc_id, text) frame — what an
+    * ingest pipeline computes for each incoming batch before gating it
+    * (the per-batch bucket cap applies within the batch alone; the
+    * stored corpus carries its own cap from its own write). */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    gramBucketsOf(docs).withColumn("shard",
+      pmod(xxhash64(col("bucket")), lit(SigShards.toLong)).cast("int"))
+
   /** Persist a signature frame as the on-disk store, partitioned by
     * shard so gate-side reads prune (PlanSpec asserts the pruning
     * filters reach the scan). */
   def writeSignatures(sig: DataFrame, path: String): Unit =
     graft.sources.Sinks.overwritePartitioned(sig, path, Seq("shard"))
+
+  /** Grow the store in place: append a gated batch's ACCEPTED signatures
+    * so the next batch is gated against everything admitted before it —
+    * the write half of the ingest loop (gate → admit → append). Append
+    * is per-batch metadata-only on object stores; no existing shard file
+    * rewrites. */
+  def appendSignatures(sig: DataFrame, path: String): Unit =
+    graft.sources.Sinks.appendPartitioned(sig, path, Seq("shard"))
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,

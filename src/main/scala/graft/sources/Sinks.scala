@@ -25,6 +25,13 @@ object Sinks {
   def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Partitioned append — grows an [[overwritePartitioned]] layout batch
+    * by batch (new files land inside the matching partition dirs; nothing
+    * existing is rewritten). The incremental half of e.g. the dedup
+    * signature store's ingest loop. */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed table write: co-locates rows by `bucketCols` so later joins
     * and aggregations on those keys are shuffle-free. Requires a table
     * (bucketing metadata lives in the catalog, not the files).

@@ -96,6 +96,38 @@ object EventStreams {
                |c_ts > p_ts AND
                |c_ts <= p_ts + INTERVAL 1 HOUR""".stripMargin))
 
+  /** Streaming ingest gate over the dedup signature store — the stream
+    * twin of the batch gate→admit→append loop (`Dedup.qDedupGate` +
+    * `appendSignatures`): each micro-batch of (doc_id, text) documents is
+    * gated against the STORED corpus signatures with the batch gate
+    * (foreachBatch is the standard shape for running batch-only logic —
+    * the capping window, the shard-collect — per micro-batch), the gate
+    * verdicts append to `outPath`, and the batch's accepted signatures
+    * append to the store, so batch N+1 is gated against everything
+    * admitted through batch N. Bootstrap the store with
+    * `Dedup.writeSignatures` over the existing corpus before starting.
+    *
+    * Contract notes: duplicates WITHIN one micro-batch are the batch
+    * self-join's domain (`qDedupNgram`) — the gate's face is
+    * incoming-vs-corpus, so two copies arriving in the same batch both
+    * pass (and the store then holds both signatures). At 100 TB the
+    * per-batch work is the point: one shard-pruned store read per batch,
+    * never a corpus rescan, and the append is new files only.
+    */
+  def gateDocStream(docs: DataFrame, storePath: String, outPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sig = graft.operators.Dedup.signaturesOf(batch.toDF())
+        val gated = graft.operators.Dedup.gateAgainstStored(
+          batch.sparkSession, storePath, sig)
+        gated.write.mode("append").parquet(outPath)
+        val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
+        graft.operators.Dedup.appendSignatures(sig.join(accepted, "doc_id"), storePath)
+      }
+      .start()
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

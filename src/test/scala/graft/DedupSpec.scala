@@ -263,6 +263,31 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(Dedup.qDedupGate(spark, dir)) === rows(Dedup.qDedupIncremental(spark, dir)))
   }
 
+  test("ingest loop: gate a batch, append accepted signatures, gate the next") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-ingest").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")
+    Dedup.writeSignatures(Dedup.signaturesOf(corpus), store)
+    def gate(docs: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(docs))
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // batch 1: doc 10 duplicates corpus doc 1; doc 11 is genuinely new
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "a brand new document with fresh unique wording entirely")).toDF("doc_id", "text")
+    assert(gate(batch1) === Map(10L -> 1, 11L -> 0))
+    // admit the accepted doc: its signatures join the store in place
+    Dedup.appendSignatures(
+      Dedup.signaturesOf(batch1.filter(col("doc_id") === 11L)), store)
+    // batch 2: a copy of the admitted doc must be caught by the GROWN
+    // store — the property the whole loop exists for
+    val batch2 = Seq(
+      (20L, "a brand new document with fresh unique wording entirely")).toDF("doc_id", "text")
+    assert(gate(batch2) === Map(20L -> 1))
+  }
+
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
     val r = spark.sql(
       """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,

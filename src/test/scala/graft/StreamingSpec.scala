@@ -14,6 +14,8 @@ final case class StreamEvent(ts: Timestamp, user_id: Long, event_type: String, v
 
 final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+final case class DocText(doc_id: Long, text: String)
+
 final case class PurchaseEvent(p_event_id: Long, p_user_id: Long, p_ts: Timestamp)
 final case class ClickEvent(c_event_id: Long, c_user_id: Long, c_ts: Timestamp)
 
@@ -156,6 +158,34 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("hour_ts", "event_type")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got === expected)
+  }
+
+  test("streaming ingest gate grows the signature store across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val (store, out, ckpt) = (s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    val corpus = Seq(
+      DocText(1L, "the quick brown fox jumps over the lazy dog today"),
+      DocText(2L, "completely different text about spark engines and scala")).toDF()
+    Dedup.writeSignatures(Dedup.signaturesOf(corpus), store)
+    val input = MemoryStream[DocText]
+    val q = graft.streaming.EventStreams.gateDocStream(input.toDF(), store, out, ckpt)
+    try {
+      // batch 1: doc 10 duplicates the corpus, doc 11 is new (admitted)
+      input.addData(
+        DocText(10L, "the quick brown fox jumps over the lazy dog today"),
+        DocText(11L, "a brand new document with fresh unique wording entirely"))
+      q.processAllAvailable()
+      // batch 2: a copy of the admitted doc — only a GROWN store catches it
+      input.addData(
+        DocText(20L, "a brand new document with fresh unique wording entirely"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(verdicts === Map(10L -> 1, 11L -> 0, 20L -> 1),
+      "the cross-batch duplicate must be gated by signatures admitted in batch 1")
   }
 
   test("stateful sessionizer recovers its state from the checkpoint after a crash") {
