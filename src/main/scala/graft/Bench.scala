@@ -80,7 +80,9 @@ object Bench {
     // tripled the JSON line's length and got its head truncated off in a
     // bounded log capture (losing the total + the first sorted query);
     // sub-ms digits are measurement noise anyway.
-    def ms3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would render comma
+    // decimals on e.g. a de_DE JVM and corrupt the machine-parsed JSON
+    def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -102,14 +102,18 @@ object Dedup {
     * signatures on the blocking bucket and reports its best corpus
     * Jaccard + match count (no match → 0). One definition ↔ one oracle,
     * so the two flows can never drift apart. */
-  private def gateAgg(incoming: DataFrame, corpus: DataFrame): DataFrame =
-    incoming.join(corpus, Seq("bucket"), "left")
+  private def gateAgg(incoming: DataFrame, corpus: DataFrame,
+      ordered: Boolean = true): DataFrame = {
+    val agg = incoming.join(corpus, Seq("bucket"), "left")
       .withColumn("j", when(col("grams_b").isNotNull, jaccardCol))
       .groupBy("doc_id")
       .agg(coalesce(max(when(col("j") >= 0.5, col("j"))), lit(0.0)).as("best_jaccard"),
         count(when(col("j") >= 0.5, lit(1))).as("n_dup_matches"))
       .withColumn("is_duplicate", (col("n_dup_matches") > 0).cast("int"))
-      .orderBy("doc_id")
+    // the sort exists for the differential harness; production sinks
+    // (the streaming gate's parquet append) skip the global exchange
+    if (ordered) agg.orderBy("doc_id") else agg
+  }
 
   /** The production ingest flow: an INCOMING batch checked against the
     * EXISTING corpus — asymmetric, unlike the batch self-join. Every
@@ -155,37 +159,68 @@ object Dedup {
     gramBucketsOf(docs).withColumn("shard",
       pmod(xxhash64(col("bucket")), lit(SigShards.toLong)).cast("int"))
 
+  /** The store's second partition level: which admitted batch a signature
+    * row arrived in (-1 = the bootstrap corpus write). Batch-scoped
+    * partitions are what make the streaming gate's replays idempotent —
+    * see [[graft.streaming.EventStreams.gateDocStream]]. */
+  private def withBatchId(sig: DataFrame): DataFrame =
+    if (sig.columns.contains("batch_id")) sig
+    else sig.withColumn("batch_id", lit(-1L))
+
   /** Persist a signature frame as the on-disk store, partitioned by
-    * shard so gate-side reads prune (PlanSpec asserts the pruning
-    * filters reach the scan). */
+    * (shard, batch_id) so gate-side reads prune on shard (PlanSpec
+    * asserts the pruning filters reach the scan) and batch-scoped
+    * rewrites stay surgical. */
   def writeSignatures(sig: DataFrame, path: String): Unit =
-    graft.sources.Sinks.overwritePartitioned(sig, path, Seq("shard"))
+    graft.sources.Sinks.overwritePartitioned(withBatchId(sig), path, Seq("shard", "batch_id"))
 
   /** Grow the store in place: append a gated batch's ACCEPTED signatures
     * so the next batch is gated against everything admitted before it —
     * the write half of the ingest loop (gate → admit → append). Append
     * is per-batch metadata-only on object stores; no existing shard file
-    * rewrites. */
+    * rewrites. A retried append duplicates its rows (at-least-once);
+    * replay-safe admission goes through
+    * [[graft.sources.Sinks.overwritePartitionsDynamic]] with an explicit
+    * batch_id, as the streaming gate does. */
   def appendSignatures(sig: DataFrame, path: String): Unit =
-    graft.sources.Sinks.appendPartitioned(sig, path, Seq("shard"))
+    graft.sources.Sinks.appendPartitioned(withBatchId(sig), path, Seq("shard", "batch_id"))
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,
     * not data-plane) becomes a partition filter on the store, so the
     * corpus-side read touches only the directories the batch can match.
-    * Join + aggregation semantics are exactly [[qDedupIncremental]]'s. */
-  def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame): DataFrame = {
+    * Join + aggregation semantics are exactly [[qDedupIncremental]]'s.
+    *
+    * The corpus side is RE-CAPPED per bucket after the pruned read:
+    * appended batches each carry their own within-batch cap, so a skewed
+    * bucket could otherwise grow by up to the cap per admitted batch and
+    * re-inflate the join fan-out without bound. Deterministic (lowest
+    * doc_ids survive, matching the write-time cap), and a fresh
+    * un-appended store re-caps to itself. `corpusFilter` restricts which
+    * store rows participate (the streaming gate passes `batch_id < id`
+    * so a replayed batch never gates against its own admissions). */
+  def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame,
+      corpusFilter: Column = lit(true), ordered: Boolean = true): DataFrame = {
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
     val corpus = s.read.parquet(path)
-      .filter(col("shard").isin(shards: _*))
+      .filter(col("shard").isin(shards: _*) && corpusFilter)
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= NgramBucketCap)
       .select(col("bucket"), col("grams").as("grams_b"))
-    gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")), corpus)
+    gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")),
+      corpus, ordered)
   }
 
-  /** Deterministic per-dataset store location (tmpdir-scoped; overwritten
-    * on each build so reruns are self-contained). */
-  private def sigStorePath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-sigstore-${Integer.toHexString(dir.hashCode)}"
+  /** Deterministic per-(dataset, JVM) store location: content-hashed so
+    * distinct dirs cannot collide, pid-scoped so two concurrent drivers
+    * (bench + verify) never race overwrite-vs-read on one store. Reruns
+    * within a JVM overwrite in place and stay self-contained. */
+  private def sigStorePath(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}"
+  }
 
   /** The stored-table ingest gate end-to-end: write the corpus slice of
     * the signature store (one corpus scan, paid at write time), then gate

@@ -28,9 +28,21 @@ object Sinks {
   /** Partitioned append — grows an [[overwritePartitioned]] layout batch
     * by batch (new files land inside the matching partition dirs; nothing
     * existing is rewritten). The incremental half of e.g. the dedup
-    * signature store's ingest loop. */
+    * signature store's ingest loop. At-least-once: a retried append
+    * duplicates its rows — idempotent writers use
+    * [[overwritePartitionsDynamic]] with a batch-scoped partition key. */
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Dynamic partition overwrite: replaces ONLY the partition directories
+    * present in `df`, leaving every other partition untouched — the
+    * idempotent write for at-least-once replays (foreachBatch's contract):
+    * keying a partition column by batch id makes a replayed batch rewrite
+    * its own partitions instead of appending duplicates. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 
   /** Bucketed table write: co-locates rows by `bucketCols` so later joins
     * and aggregations on those keys are shuffle-free. Requires a table

@@ -110,21 +110,47 @@ object EventStreams {
     * Contract notes: duplicates WITHIN one micro-batch are the batch
     * self-join's domain (`qDedupNgram`) — the gate's face is
     * incoming-vs-corpus, so two copies arriving in the same batch both
-    * pass (and the store then holds both signatures). At 100 TB the
-    * per-batch work is the point: one shard-pruned store read per batch,
-    * never a corpus rescan, and the append is new files only.
+    * pass (and the store then holds both signatures). Docs whose
+    * normalized text has fewer than 3 words carry no n-gram signature:
+    * they get an explicit verdict row (0.0 / not duplicate — the
+    * streaming exact dedup `dedupDocs` is their stage) but are never
+    * admitted to the store. At 100 TB the per-batch work is the point:
+    * one shard-pruned store read per batch, never a corpus rescan, and
+    * admissions land as new batch-scoped partition dirs.
+    *
+    * Replay-safe by construction (foreachBatch is at-least-once): the
+    * gate reads only `batch_id < id` store rows, so a replayed batch
+    * never gates against its own prior admissions (verdicts are
+    * identical on replay), and both writes are dynamic partition
+    * overwrites keyed by batch_id, so a replay rewrites its own
+    * partitions instead of appending duplicates.
     */
   def gateDocStream(docs: DataFrame, storePath: String, outPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sig = graft.operators.Dedup.signaturesOf(batch.toDF())
-        val gated = graft.operators.Dedup.gateAgainstStored(
-          batch.sparkSession, storePath, sig)
-        gated.write.mode("append").parquet(outPath)
-        val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
-        graft.operators.Dedup.appendSignatures(sig.join(accepted, "doc_id"), storePath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import graft.operators.Dedup
+        import graft.sources.Sinks
+        val sig = Dedup.signaturesOf(batch.toDF())
+          .withColumn("batch_id", lit(id)).persist()
+        try {
+          val gated = Dedup.gateAgainstStored(batch.sparkSession, storePath, sig,
+            corpusFilter = col("batch_id") < id, ordered = false).persist()
+          try {
+            val verdicts = batch.toDF().select("doc_id").distinct()
+              .join(gated, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+                coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+                coalesce(col("is_duplicate"), lit(0)).as("is_duplicate"),
+                lit(id).as("batch_id"))
+            Sinks.overwritePartitionsDynamic(verdicts, outPath, Seq("batch_id"))
+            val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
+            Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
+              storePath, Seq("shard", "batch_id"))
+          } finally gated.unpersist()
+        } finally sig.unpersist()
       }
       .start()
 

@@ -172,10 +172,12 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[DocText]
     val q = graft.streaming.EventStreams.gateDocStream(input.toDF(), store, out, ckpt)
     try {
-      // batch 1: doc 10 duplicates the corpus, doc 11 is new (admitted)
+      // batch 1: doc 10 duplicates the corpus, doc 11 is new (admitted),
+      // doc 12 is too short to signature — explicit verdict, never admitted
       input.addData(
         DocText(10L, "the quick brown fox jumps over the lazy dog today"),
-        DocText(11L, "a brand new document with fresh unique wording entirely"))
+        DocText(11L, "a brand new document with fresh unique wording entirely"),
+        DocText(12L, "hi there"))
       q.processAllAvailable()
       // batch 2: a copy of the admitted doc — only a GROWN store catches it
       input.addData(
@@ -183,8 +185,9 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val verdicts = spark.read.parquet(out)
-      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
-    assert(verdicts === Map(10L -> 1, 11L -> 0, 20L -> 1),
+      .select("doc_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(verdicts === Map(10L -> 1, 11L -> 0, 12L -> 0, 20L -> 1),
       "the cross-batch duplicate must be gated by signatures admitted in batch 1")
   }
 
