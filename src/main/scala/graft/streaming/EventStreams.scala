@@ -130,29 +130,38 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        import graft.operators.Dedup
-        import graft.sources.Sinks
-        val sig = Dedup.signaturesOf(batch.toDF())
-          .withColumn("batch_id", lit(id)).persist()
-        try {
-          val gated = Dedup.gateAgainstStored(batch.sparkSession, storePath, sig,
-            corpusFilter = col("batch_id") < id, ordered = false).persist()
-          try {
-            val verdicts = batch.toDF().select("doc_id").distinct()
-              .join(gated, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
-                coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
-                coalesce(col("is_duplicate"), lit(0)).as("is_duplicate"),
-                lit(id).as("batch_id"))
-            Sinks.overwritePartitionsDynamic(verdicts, outPath, Seq("batch_id"))
-            val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
-            Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
-              storePath, Seq("shard", "batch_id"))
-          } finally gated.unpersist()
-        } finally sig.unpersist()
+        gateBatch(batch.toDF(), id, storePath, outPath)
       }
       .start()
+
+  /** One micro-batch of the ingest gate — the foreachBatch body, exposed
+    * so the replay contract is TESTABLE: running gateBatch twice with the
+    * same id (exactly what an at-least-once crash-replay does) must leave
+    * verdicts and store bit-identical to running it once (StreamingSpec
+    * asserts this by literally replaying a batch). */
+  def gateBatch(batch: DataFrame, id: Long, storePath: String, outPath: String): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Sinks
+    val sig = Dedup.signaturesOf(batch)
+      .withColumn("batch_id", lit(id)).persist()
+    try {
+      val gated = Dedup.gateAgainstStored(batch.sparkSession, storePath, sig,
+        corpusFilter = col("batch_id") < id, ordered = false).persist()
+      try {
+        val verdicts = batch.select("doc_id").distinct()
+          .join(gated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+            coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+            coalesce(col("is_duplicate"), lit(0)).as("is_duplicate"),
+            lit(id).as("batch_id"))
+        Sinks.overwritePartitionsDynamic(verdicts, outPath, Seq("batch_id"))
+        val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
+        Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
+          storePath, Seq("shard", "batch_id"))
+      } finally gated.unpersist()
+    } finally sig.unpersist()
+  }
 
   // ---- custom state: flatMapGroupsWithState ------------------------------
 

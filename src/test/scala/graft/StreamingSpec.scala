@@ -191,6 +191,60 @@ class StreamingSpec extends AnyFunSuite {
       "the cross-batch duplicate must be gated by signatures admitted in batch 1")
   }
 
+  test("gate batch replay is idempotent (the at-least-once contract, literally)") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val (store, out) = (s"$tmp/store", s"$tmp/out")
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      DocText(1L, "the quick brown fox jumps over the lazy dog today")).toDF()), store)
+    val b1 = Seq(
+      DocText(10L, "the quick brown fox jumps over the lazy dog today"),
+      DocText(11L, "a brand new document with fresh unique wording entirely")).toDF()
+    def snap(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    graft.streaming.EventStreams.gateBatch(b1, 1L, store, out)
+    val (v1, s1) = (snap(out), snap(store))
+    // the crash-replay: same batch, same id, store already grown by the
+    // first attempt — verdicts and store must come out bit-identical
+    graft.streaming.EventStreams.gateBatch(b1, 1L, store, out)
+    assert(snap(out) === v1, "replayed verdicts must not flip or duplicate")
+    assert(snap(store) === s1, "replayed admissions must not duplicate")
+    // and later batches still gate correctly against the grown store
+    graft.streaming.EventStreams.gateBatch(Seq(
+      DocText(20L, "a brand new document with fresh unique wording entirely")).toDF(),
+      2L, store, out)
+    val v20 = spark.read.parquet(out).filter(col("doc_id") === 20L)
+      .select("is_duplicate").collect()(0).getInt(0)
+    assert(v20 === 1)
+  }
+
+  test("streaming gate resumes from its checkpoint across a restart") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gaterestart").toString
+    val (src, store, out, ckpt) = (s"$tmp/src", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      DocText(1L, "the quick brown fox jumps over the lazy dog today")).toDF()), store)
+    val schema = Seq.empty[DocText].toDF().schema
+    def run(docs: Seq[DocText]): Unit = {
+      docs.toDF().write.mode("append").parquet(src)
+      val q = graft.streaming.EventStreams.gateDocStream(
+        spark.readStream.schema(schema).parquet(src), store, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(Seq(
+      DocText(10L, "the quick brown fox jumps over the lazy dog today"),
+      DocText(11L, "a brand new document with fresh unique wording entirely")))
+    // restart from the checkpoint: the source must resume past run 1's
+    // files, and the store must still hold run 1's admissions
+    run(Seq(
+      DocText(20L, "a brand new document with fresh unique wording entirely")))
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "is_duplicate").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows.sorted === Seq((10L, 1), (11L, 0), (20L, 1)),
+      "each doc gated exactly once across the restart; the cross-restart dup caught")
+  }
+
   test("stateful sessionizer recovers its state from the checkpoint after a crash") {
     // The property cluster deployments actually rely on: kill a stateful
     // query mid-stream, deliver more data, restart from the SAME
