@@ -212,6 +212,60 @@ object Dedup {
       corpus, ordered)
   }
 
+  /** Compact the signature store: fold the per-batch append partitions
+    * back into one bootstrap layout (batch_id = -1), dropping exact
+    * duplicate rows (retried plain appends) and applying the per-bucket
+    * cap PERMANENTLY — what [[gateAgainstStored]] re-derives on every
+    * read becomes the stored form, so the store stops accumulating rows
+    * a gate can never use. The small-files maintenance op every
+    * object-store deployment needs: run it from a maintenance batch
+    * while no gate stream is active (collapsing batch partitions would
+    * confuse an in-flight stream's `batch_id < id` replay filter).
+    *
+    * Crash-safe via the state layer's temp-write → backup-move → swap
+    * pattern: a crash leaves either the original store or the `.bak`
+    * that [[recoverCompaction]] restores on the next compaction. At
+    * 100 TB the same shape runs against the object store, or the store
+    * sits in a transactional table format and compaction is the
+    * format's OPTIMIZE. */
+  def compactSignatures(s: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    recoverCompaction(path)
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return
+    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    val capped = s.read.parquet(path)
+      .dropDuplicates(Seq("doc_id", "bucket"))
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= NgramBucketCap)
+      .select(col("doc_id"), col("bucket"), col("grams"), col("shard"))
+    val tmp = Paths.get(path + ".compact")
+    val bak = Paths.get(path + ".bak")
+    writeSignatures(capped, tmp.toString)
+    deleteDir(bak)              // stale backup from an old crash
+    Files.move(p, bak)          // crash here → recoverCompaction restores
+    Files.move(tmp, p)
+    deleteDir(bak)
+  }
+
+  /** Crash recovery for [[compactSignatures]]: a driver that died
+    * between the backup move and the swap-in leaves the live dir missing
+    * and the full pre-compaction store in `.bak` — restore it. */
+  private def recoverCompaction(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    val bak = Paths.get(path + ".bak")
+    if (!Files.exists(p) && Files.exists(bak)) Files.move(bak, p)
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+
   /** Deterministic per-(dataset, JVM) store location: content-hashed so
     * distinct dirs cannot collide, pid-scoped so two concurrent drivers
     * (bench + verify) never race overwrite-vs-read on one store. Reruns

@@ -288,6 +288,49 @@ class DedupSpec extends AnyFunSuite {
     assert(gate(batch2) === Map(20L -> 1))
   }
 
+  test("signature-store compaction shrinks files, folds batches, keeps verdicts") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")), store)
+    // several admitted batches, one of them a retried (duplicated) append
+    val admitted = Seq(
+      (11L, "a brand new document with fresh unique wording entirely"),
+      (12L, "yet another set of words nobody wrote before now"),
+      (13L, "the final admitted batch carries this exact sentence")).toDF("doc_id", "text")
+    admitted.collect().zipWithIndex.foreach { case (r, i) =>
+      val one = Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text")
+      Dedup.appendSignatures(Dedup.signaturesOf(one), store)
+      if (i == 1) Dedup.appendSignatures(Dedup.signaturesOf(one), store) // retry dup
+    }
+    def parquetFiles: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val probe = Seq(
+      (20L, "a brand new document with fresh unique wording entirely"),
+      (21L, "the quick brown fox jumps over the lazy dog today"),
+      (22L, "text that matches nothing in the store at all ever")).toDF("doc_id", "text")
+    def gate(): Seq[(Long, Double, Long, Int)] =
+      Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(probe))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val before = gate()
+    assert(before.map(v => v._1 -> v._4).toMap === Map(20L -> 1, 21L -> 1, 22L -> 0))
+    val filesBefore = parquetFiles
+    Dedup.compactSignatures(spark, store)
+    assert(parquetFiles < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $parquetFiles)")
+    assert(gate() === before, "compaction must not change gate verdicts")
+    // every surviving row is bootstrap-labeled; the retried dup is gone
+    val rows = spark.read.parquet(store)
+    assert(rows.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(rows.groupBy("doc_id", "bucket").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
     val r = spark.sql(
       """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,
