@@ -181,9 +181,27 @@ object Dedup {
     * rewrites. A retried append duplicates its rows (at-least-once);
     * replay-safe admission goes through
     * [[graft.sources.Sinks.overwritePartitionsDynamic]] with an explicit
-    * batch_id, as the streaming gate does. */
+    * batch_id, as the streaming gate does. Unscoped appends land under
+    * batch_id = -2, so a store that was ever appended is distinguishable
+    * from a pristine bootstrap write (-1) — the gate's re-cap triggers
+    * off exactly that distinction. */
   def appendSignatures(sig: DataFrame, path: String): Unit =
-    graft.sources.Sinks.appendPartitioned(withBatchId(sig), path, Seq("shard", "batch_id"))
+    graft.sources.Sinks.appendPartitioned(
+      if (sig.columns.contains("batch_id")) sig
+      else sig.withColumn("batch_id", lit(-2L)),
+      path, Seq("shard", "batch_id"))
+
+  /** The store's batch partitions, from a directory listing alone (no
+    * file footers touched): the distinct `batch_id=B` second-level dir
+    * names under `shard=S/`. */
+  private def storeBatchDirs(s: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+  }
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,
@@ -191,25 +209,33 @@ object Dedup {
     * corpus-side read touches only the directories the batch can match.
     * Join + aggregation semantics are exactly [[qDedupIncremental]]'s.
     *
-    * The corpus side is RE-CAPPED per bucket after the pruned read:
-    * appended batches each carry their own within-batch cap, so a skewed
-    * bucket could otherwise grow by up to the cap per admitted batch and
-    * re-inflate the join fan-out without bound. Deterministic (lowest
-    * doc_ids survive, matching the write-time cap), and a fresh
-    * un-appended store re-caps to itself. `corpusFilter` restricts which
-    * store rows participate (the streaming gate passes `batch_id < id`
-    * so a replayed batch never gates against its own admissions). */
+    * The corpus side is RE-CAPPED per bucket after the pruned read when
+    * — and only when — the store has been appended to: appended batches
+    * each carry their own within-batch cap, so a skewed bucket could
+    * otherwise grow by up to the cap per admitted batch and re-inflate
+    * the join fan-out without bound. The re-cap is deterministic (lowest
+    * doc_ids survive, matching the write-time cap), and a pristine
+    * bootstrap-only store (one `batch_id=-1` partition level, detected
+    * from the directory listing alone) skips the window entirely — it
+    * was capped at write time, so the extra shuffle would re-derive the
+    * store verbatim (PlanSpec asserts the skip and the trigger).
+    * `corpusFilter` restricts which store rows participate (the
+    * streaming gate passes `batch_id < id` so a replayed batch never
+    * gates against its own admissions). */
   def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame,
       corpusFilter: Column = lit(true), ordered: Boolean = true): DataFrame = {
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
-    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
-    val corpus = s.read.parquet(path)
+    val pruned = s.read.parquet(path)
       .filter(col("shard").isin(shards: _*) && corpusFilter)
-      .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") <= NgramBucketCap)
-      .select(col("bucket"), col("grams").as("grams_b"))
+    val capped =
+      if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))) pruned
+      else {
+        val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
+        pruned.withColumn("rn", row_number().over(byBucket))
+          .filter(col("rn") <= NgramBucketCap)
+      }
     gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")),
-      corpus, ordered)
+      capped.select(col("bucket"), col("grams").as("grams_b")), ordered)
   }
 
   /** Compact the signature store: fold the per-batch append partitions

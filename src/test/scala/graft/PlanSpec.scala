@@ -120,6 +120,23 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("doc_id") === oneId).collect()
       .toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(got === expected)
+    // pristine bootstrap-only store: the gate must skip the re-cap window
+    // (the store was capped at write time; the shuffle would be a no-op).
+    // The ONE window in the plan is the incoming side's own capping
+    // window — the store side must not add a second.
+    // count logical Window nodes (the executed-plan string would double
+    // count: AQE prints matching Final and Initial sections)
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.length
+    assert(windows(gated) === 1,
+      "gate over an un-appended store must not pay the store-side re-cap window")
+    // ...and the first append must bring the re-cap back
+    Dedup.appendSignatures(incoming, path)
+    val appended = Dedup.gateAgainstStored(spark, path, incoming)
+    assert(windows(appended) === 2,
+      "gate over an appended store must re-cap the store side per bucket")
   }
 
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
