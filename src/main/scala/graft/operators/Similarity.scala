@@ -362,6 +362,20 @@ object Similarity {
     graft.sources.Sinks.overwritePartitioned(e, path, Seq("bucket"))
   }
 
+  /** Incrementally grow the index: bucket-assign a batch of new vectors
+    * under the SAME plane family the index was written with and append
+    * them into the matching bucket directories — probes see the new
+    * vectors immediately through the same partition pruning, no rebuild.
+    * The embedding-side twin of the dedup signature store's ingest
+    * append: at 100 TB the index is written once and then only ever
+    * appended, because re-bucketing the corpus for each arriving batch
+    * would re-pay the full projection scan. */
+  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+    val e = withNorm(s, newVectors)
+      .withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
+    graft.sources.Sinks.appendPartitioned(e, path, Seq("bucket"))
+  }
+
   /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */
   def probeBuckets(qBucket: Long): Seq[Long] =
     qBucket +: (0 until AnnPlanes).map(p => qBucket ^ (1L << p))

@@ -19,6 +19,31 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val exact = collect(Similarity.qAnnTopk(spark, dir))
   private lazy val approx = collect(Similarity.qAnnLsh(spark, dir))
 
+  test("incrementally appended ANN index equals the single-shot build") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annapp").toString
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cut = 250L
+    // grown: bootstrap from the first half, append the second half —
+    // the incremental flow a production corpus actually follows
+    val grown = s"$tmp/grown"
+    Similarity.appendAnnIndex(spark, emb.filter(col("vec_id") < cut), grown)
+    Similarity.appendAnnIndex(spark, emb.filter(col("vec_id") >= cut), grown)
+    // full: the single-shot build over the same corpus
+    val full = s"$tmp/full"
+    Similarity.writeAnnIndex(spark, dir, full)
+    def content(path: String): Set[(Long, Long)] =
+      spark.read.parquet(path).select("vec_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getAs[Number]("bucket").longValue)).toSet
+    val (g, f) = (content(grown), content(full))
+    assert(g === f, "append must assign the same buckets the full build does")
+    // probes see appended vectors through the same pruning, no rebuild
+    val (vid, bkt) = g.find(_._1 >= cut).get
+    val hits = Similarity.probeAnnIndex(spark, grown, Similarity.probeBuckets(bkt))
+      .filter(col("vec_id") === vid).count()
+    assert(hits === 1L)
+  }
+
   test("brute force returns exactly 5 ranked neighbors per query") {
     val byQ = exact.groupBy(_.qId)
     assert(byQ.nonEmpty)
