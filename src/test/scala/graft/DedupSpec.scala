@@ -288,6 +288,52 @@ class DedupSpec extends AnyFunSuite {
     assert(gate(batch2) === Map(20L -> 1))
   }
 
+  test("stored gate matches a driver-side brute force over a random corpus (property)") {
+    // Independent ground truth: plain Scala sets re-deriving the spec'd
+    // semantics (normalize → 40-char-prefix bucket → 3-gram Jaccard ≥
+    // 0.5 within bucket), checked against the full store flow. Seeded
+    // generator → stable across runs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 40).map(i => s"word$i")
+    def mkDoc(n: Int): String = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, mkDoc(2 + rnd.nextInt(20))))
+    val mutated = base.take(12).map { case (id, t) =>
+      val words = t.split(" ")
+      (100L + id, words.map(w =>
+        if (rnd.nextDouble() < 0.08) pool(rnd.nextInt(pool.size)) else w).mkString(" "))
+    }
+    val all = base ++ mutated
+    val (corpusDocs, incomingDocs) = all.partition(_._1 % 2 == 0)
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z ]", "")
+      .replaceAll(" +", " ").trim
+    def grams(t: String): Set[String] = {
+      val w = norm(t).split(" ").toSeq
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def bucket(t: String) = norm(t).take(40)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpusSigs = corpusDocs.filter(d => grams(d._2).nonEmpty)
+      .map(d => (bucket(d._2), grams(d._2)))
+    val expected = incomingDocs.filter(d => grams(d._2).nonEmpty).map { case (id, t) =>
+      val ga = grams(t)
+      val js = corpusSigs.filter(_._1 == bucket(t)).map { case (_, gb) =>
+        val inter = (ga & gb).size
+        round6(inter.toDouble / (ga.size + gb.size - inter))
+      }.filter(_ >= 0.5)
+      (id, (if (js.isEmpty) 0.0 else js.max, js.size.toLong, if (js.nonEmpty) 1 else 0))
+    }.toMap
+    assert(expected.values.exists(_._3 == 1), "generator must plant real duplicates")
+    assert(expected.values.exists(_._3 == 0), "generator must keep clean docs")
+    val store = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(corpusDocs.toDF("doc_id", "text")), store)
+    val got = Dedup.gateAgainstStored(spark, store,
+        Dedup.signaturesOf(incomingDocs.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got === expected)
+  }
+
   test("signature-store compaction shrinks files, folds batches, keeps verdicts") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/store"
