@@ -185,11 +185,13 @@ object Dedup {
     * batch_id = -2, so a store that was ever appended is distinguishable
     * from a pristine bootstrap write (-1) — the gate's re-cap triggers
     * off exactly that distinction. */
-  def appendSignatures(sig: DataFrame, path: String): Unit =
+  def appendSignatures(sig: DataFrame, path: String): Unit = {
+    recoverCompaction(sig.sparkSession, path)
     graft.sources.Sinks.appendPartitioned(
       if (sig.columns.contains("batch_id")) sig
       else sig.withColumn("batch_id", lit(-2L)),
       path, Seq("shard", "batch_id"))
+  }
 
   /** The store's batch partitions, from a directory listing alone (no
     * file footers touched): the distinct `batch_id=B` second-level dir
@@ -224,14 +226,26 @@ object Dedup {
     * gates against its own admissions). */
   def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame,
       corpusFilter: Column = lit(true), ordered: Boolean = true): DataFrame = {
+    recoverCompaction(s, path)
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = s.read.parquet(path)
       .filter(col("shard").isin(shards: _*) && corpusFilter)
+    // A pristine bootstrap store (one write, capped, no duplicate rows)
+    // skips both maintenance steps; a grown store pays them: drop exact
+    // retried-append copies — keyed on the full signature row, so two
+    // DISTINCT docs with identical text still count separately, and an
+    // edited re-ingest keeps both versions deterministically — then
+    // re-cap per bucket. compactSignatures bakes both in, restoring the
+    // cheap path.
     val capped =
       if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))) pruned
       else {
-        val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
-        pruned.withColumn("rn", row_number().over(byBucket))
+        // grams as the cap tiebreak: an edited re-ingest leaves two rows
+        // with one doc_id, and a cap that binds at that boundary must
+        // pick deterministically
+        val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
+        pruned.dropDuplicates(Seq("doc_id", "bucket", "grams"))
+          .withColumn("rn", row_number().over(byBucket))
           .filter(col("rn") <= NgramBucketCap)
       }
     gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")),
@@ -255,51 +269,75 @@ object Dedup {
     * sits in a transactional table format and compaction is the
     * format's OPTIMIZE. */
   def compactSignatures(s: SparkSession, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    recoverCompaction(path)
-    val p = Paths.get(path)
-    if (!Files.exists(p)) return
-    val byBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    recoverCompaction(s, path)
+    val fs = hadoopFs(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return
+    // same dedup key + cap order the gate's grown-store path uses, so
+    // compaction bakes in exactly what the gate would re-derive
+    val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
     val capped = s.read.parquet(path)
-      .dropDuplicates(Seq("doc_id", "bucket"))
+      .dropDuplicates(Seq("doc_id", "bucket", "grams"))
       .withColumn("rn", row_number().over(byBucket))
       .filter(col("rn") <= NgramBucketCap)
       .select(col("doc_id"), col("bucket"), col("grams"), col("shard"))
-    val tmp = Paths.get(path + ".compact")
-    val bak = Paths.get(path + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     writeSignatures(capped, tmp.toString)
-    deleteDir(bak)              // stale backup from an old crash
-    Files.move(p, bak)          // crash here → recoverCompaction restores
-    Files.move(tmp, p)
-    deleteDir(bak)
+    fs.delete(bak, true)        // stale backup from an old crash
+    fs.rename(p, bak)           // crash here → recoverCompaction restores
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
   }
 
   /** Crash recovery for [[compactSignatures]]: a driver that died
     * between the backup move and the swap-in leaves the live dir missing
-    * and the full pre-compaction store in `.bak` — restore it. */
-  private def recoverCompaction(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(path)
-    val bak = Paths.get(path + ".bak")
-    if (!Files.exists(p) && Files.exists(bak)) Files.move(bak, p)
+    * and the full pre-compaction store in `.bak` — restore it. Runs on
+    * EVERY store access (gate, append, compact; cheap existence checks),
+    * because a writer that recreated the missing live dir before the
+    * next compaction would otherwise turn the backup into deletable
+    * "stale" state and lose the pre-crash corpus. */
+  private def recoverCompaction(s: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
   }
 
-  private def deleteDir(dir: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(dir)) {
-      val s = java.nio.file.Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally s.close()
-    }
+  /** The store speaks Hadoop FS throughout (local, HDFS, or object
+    * store), matching how Spark itself resolves the path — java.nio
+    * would silently no-op on any non-local deployment. */
+  private def hadoopFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Deterministic per-(dataset, JVM) store location: content-hashed so
     * distinct dirs cannot collide, pid-scoped so two concurrent drivers
     * (bench + verify) never race overwrite-vs-read on one store. Reruns
-    * within a JVM overwrite in place and stay self-contained. */
+    * within a JVM overwrite in place; a shutdown hook removes each
+    * JVM's stores so repeated runs don't accumulate copies in tmpdir. */
+  private val tmpStores = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private lazy val tmpStoreCleanup: Unit = {
+    val _ = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpStores.keys.foreach { p =>
+        val dir = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(dir)) {
+          val s = java.nio.file.Files.walk(dir)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          catch { case scala.util.control.NonFatal(_) => () }
+          finally s.close()
+        }
+      }))
+  }
+
   private def sigStorePath(dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}"
+    val p = s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}"
+    tmpStoreCleanup
+    tmpStores.putIfAbsent(p, ())
+    p
   }
 
   /** The stored-table ingest gate end-to-end: write the corpus slice of

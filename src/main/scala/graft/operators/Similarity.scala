@@ -356,11 +356,17 @@ object Similarity {
     * directories via partition pruning (PlanSpec asserts the pruning
     * filters actually reach the scan; the claim is mechanical, not
     * prose). */
-  def writeAnnIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
+  def writeAnnIndex(s: SparkSession, dir: String, path: String): Unit =
+    graft.sources.Sinks.overwritePartitioned(
+      bucketed(s, Tables.embeddings(s, dir)).withColumn("batch_id", lit(-1L)),
+      path, Seq("bucket", "batch_id"))
+
+  /** The index row shape: vector + norm + sign bucket under the index's
+    * plane family (bucket stays the FIRST partition level, so probe
+    * pruning is unaffected by the batch sub-partitioning). */
+  private def bucketed(s: SparkSession, vectors: DataFrame): DataFrame =
+    withNorm(s, vectors)
       .withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
-    graft.sources.Sinks.overwritePartitioned(e, path, Seq("bucket"))
-  }
 
   /** Incrementally grow the index: bucket-assign a batch of new vectors
     * under the SAME plane family the index was written with and append
@@ -369,12 +375,24 @@ object Similarity {
     * The embedding-side twin of the dedup signature store's ingest
     * append: at 100 TB the index is written once and then only ever
     * appended, because re-bucketing the corpus for each arriving batch
-    * would re-pay the full projection scan. */
-  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
-    val e = withNorm(s, newVectors)
-      .withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
-    graft.sources.Sinks.appendPartitioned(e, path, Seq("bucket"))
-  }
+    * would re-pay the full projection scan. At-least-once: a retried
+    * append duplicates its vectors (they land under batch_id = -2) —
+    * replay-safe growth goes through [[appendAnnIndexBatch]]. */
+  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit =
+    graft.sources.Sinks.appendPartitioned(
+      bucketed(s, newVectors).withColumn("batch_id", lit(-2L)),
+      path, Seq("bucket", "batch_id"))
+
+  /** Replay-idempotent growth for at-least-once drivers (foreachBatch,
+    * retried jobs): the batch's rows land as a dynamic overwrite of
+    * their (bucket, batch_id) partitions, so a replay rewrites its own
+    * partitions instead of duplicating vectors — the same contract the
+    * dedup signature store's streaming admissions carry. */
+  def appendAnnIndexBatch(s: SparkSession, newVectors: DataFrame, path: String,
+      batchId: Long): Unit =
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      bucketed(s, newVectors).withColumn("batch_id", lit(batchId)),
+      path, Seq("bucket", "batch_id"))
 
   /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */
   def probeBuckets(qBucket: Long): Seq[Long] =

@@ -295,13 +295,18 @@ class DedupSpec extends AnyFunSuite {
     // generator → stable across runs.
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val pool = (0 until 40).map(i => s"word$i")
+    // letter-only words: normalization strips digits, so a "word$i" pool
+    // would collapse to one token and every Jaccard to 0 or 1
+    val pool = for (a <- 'a' to 'h'; b <- 'a' to 'e') yield s"$a${b}z"
     def mkDoc(n: Int): String = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
     val base = (0 until 30).map(i => (i.toLong, mkDoc(2 + rnd.nextInt(20))))
-    val mutated = base.take(12).map { case (id, t) =>
+    // 101 + id flips parity, so every mutant lands on the OPPOSITE side
+    // of the corpus/incoming split from its base — the split below would
+    // otherwise never separate a duplicate pair
+    val mutated = base.map { case (id, t) =>
       val words = t.split(" ")
-      (100L + id, words.map(w =>
-        if (rnd.nextDouble() < 0.08) pool(rnd.nextInt(pool.size)) else w).mkString(" "))
+      (101L + id, words.map(w =>
+        if (rnd.nextDouble() < 0.05) pool(rnd.nextInt(pool.size)) else w).mkString(" "))
     }
     val all = base ++ mutated
     val (corpusDocs, incomingDocs) = all.partition(_._1 % 2 == 0)
@@ -326,6 +331,8 @@ class DedupSpec extends AnyFunSuite {
     }.toMap
     assert(expected.values.exists(_._3 == 1), "generator must plant real duplicates")
     assert(expected.values.exists(_._3 == 0), "generator must keep clean docs")
+    assert(expected.values.exists(v => v._1 > 0.5 && v._1 < 1.0),
+      "generator must exercise PARTIAL gram overlap, not just 0/1 Jaccards")
     val store = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/store"
     Dedup.writeSignatures(Dedup.signaturesOf(corpusDocs.toDF("doc_id", "text")), store)
     val got = Dedup.gateAgainstStored(spark, store,
@@ -355,15 +362,22 @@ class DedupSpec extends AnyFunSuite {
       try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
       finally s.close()
     }
+    // probe 23 targets the RETRIED (duplicated) append: the gate must
+    // count the admitted doc once, not once per physical copy — and
+    // compaction collapsing the copy must therefore not change anything
     val probe = Seq(
       (20L, "a brand new document with fresh unique wording entirely"),
       (21L, "the quick brown fox jumps over the lazy dog today"),
-      (22L, "text that matches nothing in the store at all ever")).toDF("doc_id", "text")
+      (22L, "text that matches nothing in the store at all ever"),
+      (23L, "yet another set of words nobody wrote before now")).toDF("doc_id", "text")
     def gate(): Seq[(Long, Double, Long, Int)] =
       Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(probe))
         .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
     val before = gate()
-    assert(before.map(v => v._1 -> v._4).toMap === Map(20L -> 1, 21L -> 1, 22L -> 0))
+    assert(before.map(v => v._1 -> v._4).toMap ===
+      Map(20L -> 1, 21L -> 1, 22L -> 0, 23L -> 1))
+    assert(before.find(_._1 == 23L).get._3 === 1L,
+      "a retried append must not double-count its doc in n_dup_matches")
     val filesBefore = parquetFiles
     Dedup.compactSignatures(spark, store)
     assert(parquetFiles < filesBefore,

@@ -42,6 +42,15 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = Similarity.probeAnnIndex(spark, grown, Similarity.probeBuckets(bkt))
       .filter(col("vec_id") === vid).count()
     assert(hits === 1L)
+    // batch-scoped growth is replay-idempotent: same batch, same id,
+    // twice — no duplicated vectors
+    val replayed = s"$tmp/replayed"
+    Similarity.appendAnnIndexBatch(spark, emb.filter(col("vec_id") < cut), replayed, 1L)
+    Similarity.appendAnnIndexBatch(spark, emb.filter(col("vec_id") >= cut), replayed, 2L)
+    Similarity.appendAnnIndexBatch(spark, emb.filter(col("vec_id") >= cut), replayed, 2L)
+    assert(content(replayed) === f, "a replayed batch must not duplicate index rows")
+    assert(spark.read.parquet(replayed).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
   }
 
   test("brute force returns exactly 5 ranked neighbors per query") {
