@@ -172,7 +172,11 @@ object Dedup {
     * asserts the pruning filters reach the scan) and batch-scoped
     * rewrites stay surgical. */
   def writeSignatures(sig: DataFrame, path: String): Unit =
-    graft.sources.Sinks.overwritePartitioned(withBatchId(sig), path, Seq("shard", "batch_id"))
+    // one task per shard: without the repartition every shuffle partition
+    // writes a sliver into every shard dir (shards × partitions small
+    // files — the object-store listing killer compaction exists to fix)
+    graft.sources.Sinks.overwritePartitioned(
+      withBatchId(sig).repartition(col("shard")), path, Seq("shard", "batch_id"))
 
   /** Grow the store in place: append a gated batch's ACCEPTED signatures
     * so the next batch is gated against everything admitted before it —
@@ -314,30 +318,14 @@ object Dedup {
   /** Deterministic per-(dataset, JVM) store location: content-hashed so
     * distinct dirs cannot collide, pid-scoped so two concurrent drivers
     * (bench + verify) never race overwrite-vs-read on one store. Reruns
-    * within a JVM overwrite in place; a shutdown hook removes each
-    * JVM's stores so repeated runs don't accumulate copies in tmpdir. */
-  private val tmpStores = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  private lazy val tmpStoreCleanup: Unit = {
-    val _ = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tmpStores.keys.foreach { p =>
-        val dir = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(dir)) {
-          val s = java.nio.file.Files.walk(dir)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          catch { case scala.util.control.NonFatal(_) => () }
-          finally s.close()
-        }
-      }))
-  }
-
+    * within a JVM overwrite in place; [[graft.sources.TmpStores]]
+    * removes each JVM's stores at exit so repeated runs don't
+    * accumulate copies in tmpdir. */
   private def sigStorePath(dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    val p = s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}"
-    tmpStoreCleanup
-    tmpStores.putIfAbsent(p, ())
-    p
+    graft.sources.TmpStores.register(
+      s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}")
   }
 
   /** The stored-table ingest gate end-to-end: write the corpus slice of

@@ -160,19 +160,22 @@ object Similarity {
     * schema as qAnnTopk minus the exactness guarantee; SimilaritySpec
     * asserts recall ≥ 0.5 against the brute-force baseline.
     */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = 0 until AnnPlanes
-    val e = withNorm(s, Tables.embeddings(s, dir))
-      .withColumn("bucket", lshBucket(s, col("embedding"), planes))
-    val probeMasks = array((lit(0L) +: planes.map(p => lit(1L << p))): _*)
-    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+  /** Hamming-1 multi-probe expansion of a bucketed frame's query slice
+    * (vec_id ≡ 0 mod 100): one row per (query, probed bucket). */
+  private def probeQueries(df: DataFrame): DataFrame = {
+    val probeMasks = array((lit(0L) +: (0 until AnnPlanes).map(p => lit(1L << p))): _*)
+    df.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
       .withColumn("probe", explode(probeMasks))
       .withColumn("bucket", col("q_bucket").bitwiseXOR(col("probe")))
       .drop("q_bucket", "probe")
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col("nrm").as("n_nrm"), col("bucket"))
+  }
+
+  /** Bucket-joined top-5 scoring shared by the in-query LSH ANN and the
+    * stored-index probe — one definition, one oracle. */
+  private def annTopkFromBuckets(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame): DataFrame = {
     // A corpus vector has exactly one bucket and probe buckets are
     // distinct, so no (q, n) pair can duplicate across probes.
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
@@ -182,6 +185,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+      .withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
+    annTopkFromBuckets(s,
+      e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("bucket")),
+      probeQueries(e))
+  }
+
+  /** The stored-index flow end-to-end, under q_ann_lsh's ORACLE: write
+    * the bucket-partitioned index, read the query slice back from the
+    * index, collect its probed bucket set (≤ 2^AnnPlanes values —
+    * control-plane), and score against the probe-pruned index read.
+    * Materializing the index must not change a single neighbor — the
+    * same claim q_dedup_gate makes for the signature store. */
+  def qAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = annStorePath(dir)
+    writeAnnIndex(s, dir, path)
+    val idx = s.read.parquet(path)
+    val queries = probeQueries(idx)
+    val probed = queries.select("bucket").distinct().collect().map(_.getAs[Number](0).longValue).toSeq
+    annTopkFromBuckets(s,
+      probeAnnIndex(s, path, probed)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("bucket")),
+      queries)
+  }
+
+  /** Tmp-scoped index location for [[qAnnProbe]] (hash + pid for the
+    * same collision/race isolation the dedup store path uses, with the
+    * same end-of-JVM cleanup). */
+  private def annStorePath(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    graft.sources.TmpStores.register(
+      s"${sys.props("java.io.tmpdir")}/graft-annidx-$tag-p${ProcessHandle.current().pid()}")
   }
 
   // ---- IVF ANN (inverted-file index, the second scale path) -------------
@@ -410,6 +451,7 @@ object Similarity {
     "q_embed_pipeline" -> qEmbedPipeline _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_lsh"       -> qAnnLsh _,
+    "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
   )
 
@@ -463,6 +505,33 @@ object Similarity {
        |  WHERE round($pairDot / (ea.nrm * eb.nrm), 6) >= 0.4)""".stripMargin
   }
 
+  /** The multi-probe LSH oracle (plane constants generated into the
+    * SQL), shared verbatim by q_ann_lsh and the stored-index q_ann_probe. */
+  private val duckAnnLshSql: String = {
+    val masks = (Seq(0L) ++ (0 until AnnPlanes).map(p => 1L << p)).mkString("[", ", ", "]")
+    val qDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(p.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    $duckNorm AS nrm,
+       |    ${duckBucket("embedding", 0 until AnnPlanes)} AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+       |  FROM e WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, xor(q_bucket, m.mask) AS bucket
+       |  FROM q, (SELECT unnest($masks) AS mask) m),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id AS neighbor_id,
+       |    round($qDot / (p.q_nrm * e.nrm), 6) AS cosine
+       |  FROM probes p JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.q_id)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" ->
       s"""WITH $duckNeardupCtes
@@ -491,30 +560,11 @@ object Similarity {
         |    (sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))
         |     * sqrt(list_aggregate(list_transform(dq, x -> x * x), 'sum'))), 6) AS cos_dequant
         |FROM d ORDER BY vec_id""".stripMargin,
-    "q_ann_lsh" -> {
-      val masks = (Seq(0L) ++ (0 until AnnPlanes).map(p => 1L << p)).mkString("[", ", ", "]")
-      val qDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(p.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')"
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    $duckNorm AS nrm,
-         |    ${duckBucket("embedding", 0 until AnnPlanes)} AS bucket
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
-         |  FROM e WHERE vec_id % 100 = 0),
-         |probes AS (
-         |  SELECT q_id, q_emb, q_nrm, xor(q_bucket, m.mask) AS bucket
-         |  FROM q, (SELECT unnest($masks) AS mask) m),
-         |scored AS (
-         |  SELECT p.q_id, e.vec_id AS neighbor_id,
-         |    round($qDot / (p.q_nrm * e.nrm), 6) AS cosine
-         |  FROM probes p JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.q_id)
-         |SELECT q_id, rank, neighbor_id, cosine FROM (
-         |  SELECT q_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
+    // the stored-index probe is DEFINED to return what the in-query LSH
+    // returns — materializing the index must not change a neighbor — so
+    // the two share one oracle
+    "q_ann_probe" -> duckAnnLshSql,
+    "q_ann_lsh" -> duckAnnLshSql,
     "q_ann_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
