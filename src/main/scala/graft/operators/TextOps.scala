@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -201,6 +202,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per output training shard for [[qTokenShards]]. */
+  private val ShardTokenBudget = 4000L
+
+  /** Pack documents into fixed-token-budget training shards per
+    * language: docs lie in doc_id order and each doc's shard is the
+    * budget window its STARTING token offset falls in (running-sum
+    * window minus own count) — the greedy packer that never splits a
+    * document. The differential face is per-shard packing stats. At
+    * 100 TB the per-lang windows parallelize across languages, and a
+    * production packer adds a coarser partition key (e.g. ingest date)
+    * to bound each window's span — the cumulative-sum shape is
+    * unchanged. */
+  def qTokenShards(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), wordCount(col("text")).as("n_tokens"))
+      .withColumn("shard_id",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / ShardTokenBudget))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast(LongType).as("shard_tokens"))
+      .orderBy("lang", "shard_id")
+  }
+
+  /** Rebalance the corpus toward a target language mixture over half
+    * the corpus (demo weights: the scarce zh 60%, the rest split evenly — the
+    * realistic shape where an upweighted source caps at availability):
+    * per-lang keep rates are COMPUTED from corpus statistics — rate =
+    * min(1, w_l · n_corpus/2 / n_l) — then applied as deterministic
+    * md5-Bernoulli sampling (q_stratified_sample's technique with the
+    * hex threshold derived from the rate instead of hard-coded). The
+    * stats aggregate is a dimension-sized broadcast back onto the scan;
+    * the sampling itself stays a shuffle-free per-row projection, so
+    * the pass costs one corpus scan at any scale. */
+  def qDataMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = counts.agg(sum("n_lang").as("n_corpus"), count(lit(1)).as("n_langs"))
+    val weight = when(col("lang") === "zh", lit(0.6))
+      .otherwise(lit(0.4) / (col("n_langs") - 1))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", round(least(lit(1.0),
+        weight * col("n_corpus") / (lit(2.0) * col("n_lang"))), 6))
+      .select(col("lang"), col("rate"))
+    // uniform-in-[0,1) draw = first 4 md5 hex chars vs the rate's hex
+    // threshold (string compare on fixed-width lowercase hex — identical
+    // in DuckDB's printf); rate 1 keeps everything explicitly because
+    // floor(1.0 * 65536) = "10000" would compare wrong at width 4
+    val keep = (col("rate") >= 1.0) ||
+      (substring(md5(col("text").cast("binary")), 1, 4) <
+        format_string("%04x", floor(col("rate") * 65536).cast("int")))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("keep", keep.cast("int"))
+      .groupBy("lang")
+      .agg(max("rate").as("rate"), count(lit(1)).as("n_total"),
+        sum("keep").cast(LongType).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -209,6 +268,8 @@ object TextOps {
     "q_text_redact" -> qTextRedact _,
     "q_text_chunks" -> qTextChunks _,
     "q_stratified_sample" -> qStratifiedSample _,
+    "q_token_shards" -> qTokenShards _,
+    "q_data_mixture" -> qDataMixture _,
     "q_vocab_coverage" -> qVocabCoverage _,
   )
 
@@ -292,6 +353,34 @@ object TextOps {
         |    (CASE WHEN lang = 'en' THEN '29' WHEN lang = 'de' THEN '80' ELSE 'ff' END)
         |    THEN 1 ELSE 0 END) AS bigint) AS n_kept
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    length(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT lang, n_tokens,
+        |    cast(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |                - n_tokens) / 4000) AS bigint) AS shard_id
+        |  FROM t)
+        |SELECT lang, shard_id, count(*) AS n_docs,
+        |  cast(sum(n_tokens) AS bigint) AS shard_tokens
+        |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_data_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_lang) AS n_corpus, count(*) AS n_langs FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    round(least(1.0,
+        |      (CASE WHEN lang = 'zh' THEN 0.6 ELSE 0.4 / (n_langs - 1) END)
+        |        * n_corpus / (2.0 * n_lang)), 6) AS rate
+        |  FROM c, t)
+        |SELECT d.lang, max(r.rate) AS rate, count(*) AS n_total,
+        |  cast(sum(CASE WHEN r.rate >= 1.0
+        |    OR substr(md5(d.text), 1, 4) < printf('%04x', cast(floor(r.rate * 65536) AS int))
+        |    THEN 1 ELSE 0 END) AS bigint) AS n_kept
+        |FROM documents d JOIN r USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_redact" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -45,6 +45,55 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-shard packing matches a driver-side greedy repack exactly") {
+    import org.apache.spark.sql.functions._
+    // independent ground truth: collect (doc_id, lang, tokens), replay
+    // the greedy start-offset packer in plain Scala, compare aggregates
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), " +")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).map { case (_, _, n) =>
+        val shard = (cum / 4000L, lang)
+        cum += n
+        (shard._2, shard._1, n)
+      }.groupBy(t => (t._1, t._2))
+        .map { case ((l, s), g) => ((l, s), (g.size.toLong, g.map(_._3).sum)) }
+    }.toMap
+    val got = TextOps.qTokenShards(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // shard ids are contiguous from 0 per lang, and fills sum to totals
+    got.keys.groupBy(_._1).foreach { case (lang, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"$lang shards not contiguous: $ids")
+    }
+  }
+
+  test("data mixture computes rates from corpus stats and samples at them") {
+    val rows = TextOps.qDataMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val corpus = rows.map(_._3).sum.toDouble
+    val nLangs = rows.length
+    rows.foreach { case (lang, rate, total, kept) =>
+      // the rate is the documented function of corpus stats
+      val w = if (lang == "zh") 0.6 else 0.4 / (nLangs - 1)
+      val want = math.min(1.0, w * corpus / (2.0 * total))
+      assert(math.abs(rate - want) < 1e-6, s"$lang rate $rate, want $want")
+      assert(kept >= 0 && kept <= total)
+      if (rate >= 1.0) assert(kept === total, s"$lang at rate 1 must keep everything")
+      // Bernoulli at `rate`: the kept fraction concentrates around it
+      else if (total >= 50)
+        assert(math.abs(kept.toDouble / total - rate) <= 0.12,
+          s"$lang kept ${kept.toDouble / total} at rate $rate")
+    }
+    assert(rows.exists(_._2 < 1.0), "some language must downsample")
+    assert(rows.exists(_._2 == 1.0), "the upweighted language must cap at availability")
+  }
+
   test("stratified sampling keeps deterministic per-language fractions") {
     val rows = TextOps.qStratifiedSample(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
