@@ -315,18 +315,10 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Deterministic per-(dataset, JVM) store location: content-hashed so
-    * distinct dirs cannot collide, pid-scoped so two concurrent drivers
-    * (bench + verify) never race overwrite-vs-read on one store. Reruns
-    * within a JVM overwrite in place; [[graft.sources.TmpStores]]
-    * removes each JVM's stores at exit so repeated runs don't
-    * accumulate copies in tmpdir. */
-  private def sigStorePath(dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    graft.sources.TmpStores.register(
-      s"${sys.props("java.io.tmpdir")}/graft-sigstore-$tag-p${ProcessHandle.current().pid()}")
-  }
+  /** Deterministic per-(dataset, JVM) store location — see
+    * [[graft.sources.TmpStores.scopedPath]] for the scoping scheme. */
+  private def sigStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-sigstore", dir)
 
   /** The stored-table ingest gate end-to-end: write the corpus slice of
     * the signature store (one corpus scan, paid at write time), then gate

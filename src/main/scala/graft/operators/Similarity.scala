@@ -206,24 +206,23 @@ object Similarity {
     val path = annStorePath(dir)
     writeAnnIndex(s, dir, path)
     val idx = s.read.parquet(path)
-    val queries = probeQueries(idx)
-    val probed = queries.select("bucket").distinct().collect().map(_.getAs[Number](0).longValue).toSeq
+    // probed bucket set = the queries' OWN buckets expanded Hamming-1
+    // driver-side (probeBuckets) — a narrow distinct over the query
+    // slice's bucket column, not a probe-explode job over the index
+    val probed = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select("bucket").distinct().collect()
+      .flatMap(r => probeBuckets(r.getAs[Number](0).longValue)).distinct.toSeq
     annTopkFromBuckets(s,
       probeAnnIndex(s, path, probed)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           col("nrm").as("n_nrm"), col("bucket")),
-      queries)
+      probeQueries(idx))
   }
 
-  /** Tmp-scoped index location for [[qAnnProbe]] (hash + pid for the
-    * same collision/race isolation the dedup store path uses, with the
-    * same end-of-JVM cleanup). */
-  private def annStorePath(dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    graft.sources.TmpStores.register(
-      s"${sys.props("java.io.tmpdir")}/graft-annidx-$tag-p${ProcessHandle.current().pid()}")
-  }
+  /** Tmp-scoped index location for [[qAnnProbe]] — see
+    * [[graft.sources.TmpStores.scopedPath]] for the scoping scheme. */
+  private def annStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-annidx", dir)
 
   // ---- IVF ANN (inverted-file index, the second scale path) -------------
   /** IVF parameters: k coarse-quantizer centroids, nProbe lists searched

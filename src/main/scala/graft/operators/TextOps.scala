@@ -233,8 +233,9 @@ object TextOps {
     * md5-Bernoulli sampling (q_stratified_sample's technique with the
     * hex threshold derived from the rate instead of hard-coded). The
     * stats aggregate is a dimension-sized broadcast back onto the scan;
-    * the sampling itself stays a shuffle-free per-row projection, so
-    * the pass costs one corpus scan at any scale. */
+    * the sampling itself stays a shuffle-free per-row projection. The
+    * pass costs one stats scan plus one sampling scan (a deployment
+    * with a maintained per-lang stats table drops the first). */
   def qDataMixture(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

@@ -27,4 +27,15 @@ object TmpStores {
     paths.putIfAbsent(path, ())
     path
   }
+
+  /** THE scoping scheme for self-contained tmp stores, in one place:
+    * content-hashed key (distinct datasets cannot collide), pid-scoped
+    * (concurrent drivers never race overwrite-vs-read on one store),
+    * registered for end-of-JVM cleanup. */
+  def scopedPath(prefix: String, key: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    register(
+      s"${sys.props("java.io.tmpdir")}/$prefix-$tag-p${ProcessHandle.current().pid()}")
+  }
 }
