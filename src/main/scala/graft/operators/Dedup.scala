@@ -190,7 +190,7 @@ object Dedup {
     * from a pristine bootstrap write (-1) — the gate's re-cap triggers
     * off exactly that distinction. */
   def appendSignatures(sig: DataFrame, path: String): Unit = {
-    recoverCompaction(sig.sparkSession, path)
+    graft.sources.Stores.recover(sig.sparkSession, path)
     graft.sources.Sinks.appendPartitioned(
       if (sig.columns.contains("batch_id")) sig
       else sig.withColumn("batch_id", lit(-2L)),
@@ -230,7 +230,7 @@ object Dedup {
     * gates against its own admissions). */
   def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame,
       corpusFilter: Column = lit(true), ordered: Boolean = true): DataFrame = {
-    recoverCompaction(s, path)
+    graft.sources.Stores.recover(s, path)
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = s.read.parquet(path)
       .filter(col("shard").isin(shards: _*) && corpusFilter)
@@ -268,52 +268,20 @@ object Dedup {
     *
     * Crash-safe via the state layer's temp-write → backup-move → swap
     * pattern: a crash leaves either the original store or the `.bak`
-    * that [[recoverCompaction]] restores on the next compaction. At
+    * that [[graft.sources.Stores.recover]] restores on the next access. At
     * 100 TB the same shape runs against the object store, or the store
     * sits in a transactional table format and compaction is the
     * format's OPTIMIZE. */
-  def compactSignatures(s: SparkSession, path: String): Unit = {
-    recoverCompaction(s, path)
-    val fs = hadoopFs(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) return
-    // same dedup key + cap order the gate's grown-store path uses, so
-    // compaction bakes in exactly what the gate would re-derive
-    val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
-    val capped = s.read.parquet(path)
-      .dropDuplicates(Seq("doc_id", "bucket", "grams"))
-      .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") <= NgramBucketCap)
-      .select(col("doc_id"), col("bucket"), col("grams"), col("shard"))
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    writeSignatures(capped, tmp.toString)
-    fs.delete(bak, true)        // stale backup from an old crash
-    fs.rename(p, bak)           // crash here → recoverCompaction restores
-    fs.rename(tmp, p)
-    fs.delete(bak, true)
-  }
-
-  /** Crash recovery for [[compactSignatures]]: a driver that died
-    * between the backup move and the swap-in leaves the live dir missing
-    * and the full pre-compaction store in `.bak` — restore it. Runs on
-    * EVERY store access (gate, append, compact; cheap existence checks),
-    * because a writer that recreated the missing live dir before the
-    * next compaction would otherwise turn the backup into deletable
-    * "stale" state and lose the pre-crash corpus. */
-  private def recoverCompaction(s: SparkSession, path: String): Unit = {
-    val fs = hadoopFs(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
-  }
-
-  /** The store speaks Hadoop FS throughout (local, HDFS, or object
-    * store), matching how Spark itself resolves the path — java.nio
-    * would silently no-op on any non-local deployment. */
-  private def hadoopFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  def compactSignatures(s: SparkSession, path: String): Unit =
+    graft.sources.Stores.compactInPlace(s, path) { df =>
+      // same dedup key + cap order the gate's grown-store path uses, so
+      // compaction bakes in exactly what the gate would re-derive
+      val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
+      df.dropDuplicates(Seq("doc_id", "bucket", "grams"))
+        .withColumn("rn", row_number().over(byBucket))
+        .filter(col("rn") <= NgramBucketCap)
+        .select(col("doc_id"), col("bucket"), col("grams"), col("shard"))
+    }(writeSignatures)
 
   /** Deterministic per-(dataset, JVM) store location — see
     * [[graft.sources.TmpStores.scopedPath]] for the scoping scheme. */

@@ -434,6 +434,24 @@ object Similarity {
       bucketed(s, newVectors).withColumn("batch_id", lit(batchId)),
       path, Seq("bucket", "batch_id"))
 
+  /** Compact the ANN index: fold per-batch append partitions back into
+    * the bootstrap layout (batch_id = -1) and drop exact-duplicate rows
+    * left by retried [[appendAnnIndex]] calls — the maintenance heal
+    * for the at-least-once append path (duplicated vectors would occupy
+    * duplicate top-k ranks at probe time), and the same small-files fix
+    * the signature store's compaction provides. Crash-safe via
+    * [[graft.sources.Stores.compactInPlace]]; run while no writer is
+    * active. */
+  def compactAnnIndex(s: SparkSession, path: String): Unit =
+    graft.sources.Stores.compactInPlace(s, path)(
+      // full-row dedup (minus the batch label) so only true retried
+      // copies collapse — a re-ingested vector with changed embedding
+      // keeps both versions deterministically, like the dedup store
+      _.drop("batch_id").dropDuplicates()
+        .withColumn("batch_id", lit(-1L)))(
+      (df, tmp) => graft.sources.Sinks.overwritePartitioned(
+        df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id")))
+
   /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */
   def probeBuckets(qBucket: Long): Seq[Long] =
     qBucket +: (0 until AnnPlanes).map(p => qBucket ^ (1L << p))

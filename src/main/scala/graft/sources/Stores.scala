@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe in-place rewrite for on-disk store directories (the dedup
+  * signature store, the ANN index): Spark cannot overwrite a path it is
+  * reading, so compaction writes aside and swaps — temp-write →
+  * backup-move → swap-in, the state layer's pattern. A crash leaves
+  * either the original or the `.bak` that [[recover]] restores; callers
+  * run [[recover]] on EVERY store access, because a writer that
+  * recreated a missing live dir before the next compaction would
+  * otherwise turn the backup into deletable "stale" state and lose the
+  * pre-crash content. All paths speak Hadoop FS (local, HDFS, object
+  * store) — java.nio would silently no-op off the local machine.
+  */
+object Stores {
+
+  private def fsOf(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Restore a store whose compaction crashed between backup-move and
+    * swap-in (live dir missing, full content in `.bak`). */
+  def recover(s: SparkSession, path: String): Unit = {
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+  }
+
+  /** Rewrite `path` as `write(transform(read))` with the crash-safe
+    * swap. No-op when the store does not exist. `write` receives the
+    * TEMP location and must produce the store's canonical layout. */
+  def compactInPlace(s: SparkSession, path: String)(transform: DataFrame => DataFrame)(
+      write: (DataFrame, String) => Unit): Unit = {
+    recover(s, path)
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    write(transform(s.read.parquet(path)), tmp.toString)
+    fs.delete(bak, true)        // stale backup from an old crash
+    fs.rename(p, bak)           // crash here → recover() restores
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
+}

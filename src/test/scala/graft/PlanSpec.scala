@@ -84,6 +84,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_token_shards: the shard aggregate reuses the window's lang partitioning") {
+    // partitioning on lang satisfies the (lang, shard_id) clustering, so
+    // the whole pack-and-aggregate costs ONE data shuffle (+ the
+    // harness sort) — the property that makes per-lang packing linear
+    val p = plan("q_token_shards")
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q_token_shards plans $exchanges exchanges (want ≤2):\n$p")
+  }
+
+  test("q_data_mixture: corpus stats ride broadcasts, never a shuffle join") {
+    // the per-lang stats and 1-row totals are dimension-sized broadcast
+    // frames; a sort-merge or shuffled-hash join here would re-shuffle
+    // the corpus just to attach a handful of rates
+    val p = plan("q_data_mixture")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"mixture joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the rates join must broadcast")
+  }
+
   test("dedup gate: stored-signature scan prunes to the incoming batch's shards") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -51,6 +51,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(content(replayed) === f, "a replayed batch must not duplicate index rows")
     assert(spark.read.parquet(replayed).groupBy("vec_id").count()
       .filter(col("count") > 1).count() === 0L)
+    // plain (at-least-once) appends DO duplicate on retry — compaction
+    // is the heal: dups gone, batches folded, content identical
+    val healed = s"$tmp/healed"
+    Similarity.appendAnnIndex(spark, emb.filter(col("vec_id") < cut), healed)
+    Similarity.appendAnnIndex(spark, emb.filter(col("vec_id") >= cut), healed)
+    Similarity.appendAnnIndex(spark, emb.filter(col("vec_id") >= cut), healed) // retry
+    assert(spark.read.parquet(healed).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() > 0L, "the retry must plant duplicates")
+    Similarity.compactAnnIndex(spark, healed)
+    assert(content(healed) === f, "compaction must restore the single-shot content")
+    assert(spark.read.parquet(healed).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(spark.read.parquet(healed).select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq === Seq(-1L))
   }
 
   test("brute force returns exactly 5 ranked neighbors per query") {
