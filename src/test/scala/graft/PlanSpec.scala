@@ -13,6 +13,15 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
 
+  // unwrap AQE wrappers (and materialized query stages) to reach scans
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
   test("q_scan_project: filter pushed to the scan, projection pruned") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"),
@@ -116,14 +125,6 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("doc_id").select("doc_id").limit(1).collect()(0).getLong(0)
     val incoming = sig.filter(col("doc_id") === oneId)
     val gated = Dedup.gateAgainstStored(spark, path, incoming)
-    // the gate aggregates, so its plan is adaptive — unwrap the AQE
-    // wrapper (and any materialized query stages) to reach the scans
-    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(allScans)
-    }
     val scans = allScans(gated.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("store")))
     assert(scans.nonEmpty, "the gate must read the signature store via a file scan")
@@ -156,6 +157,17 @@ class PlanSpec extends AnyFunSuite {
     val appended = Dedup.gateAgainstStored(spark, path, incoming)
     assert(windows(appended) === 2,
       "gate over an appended store must re-cap the store side per bucket")
+  }
+
+  test("q_ann_probe: the stored-index scan carries partition filters") {
+    // the registered query's own corpus read must prune on bucket, not
+    // just the low-level probeAnnIndex helper the next test exercises
+    val df = SparkEntry.queries("q_ann_probe")(spark, TestSpark.sfDir)
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-annidx")))
+    assert(scans.nonEmpty, "q_ann_probe must read the stored index")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"the probe-side index scan must prune buckets:\n${df.queryExecution.executedPlan}")
   }
 
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
