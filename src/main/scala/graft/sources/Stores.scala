@@ -19,13 +19,20 @@ object Stores {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Hadoop rename reports failure as `false`, not an exception — a
+    * silent false mid-swap would corrupt the store, so every move in
+    * the protocol is checked. */
+  private def mv(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"store rewrite failed moving $from -> $to")
+
   /** Restore a store whose compaction crashed between backup-move and
     * swap-in (live dir missing, full content in `.bak`). */
   def recover(s: SparkSession, path: String): Unit = {
     val fs = fsOf(s, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
+    if (!fs.exists(p) && fs.exists(bak)) mv(fs, bak, p)
   }
 
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
@@ -41,8 +48,8 @@ object Stores {
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     write(transform(s.read.parquet(path)), tmp.toString)
     fs.delete(bak, true)        // stale backup from an old crash
-    fs.rename(p, bak)           // crash here → recover() restores
-    fs.rename(tmp, p)
+    mv(fs, p, bak)              // crash here → recover() restores
+    mv(fs, tmp, p)
     fs.delete(bak, true)
   }
 }

@@ -391,6 +391,38 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0L)
   }
 
+  test("a crashed compaction recovers on the next store access, not just the next compaction") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    Dedup.writeSignatures(Dedup.signaturesOf(corpus), store)
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    def gate(): Map[Long, Int] =
+      Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(probe))
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(gate() === Map(10L -> 1))
+    // simulate the crash window: live dir moved to .bak, swap-in never ran
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".bak")))
+    // the GATE (any access) must restore the backup and answer correctly
+    assert(gate() === Map(10L -> 1),
+      "recover-on-access must restore the backed-up store before reading")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
+    // ...and an APPEND during the crash window must also recover first,
+    // so the pre-crash corpus is preserved alongside the new rows
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".bak")))
+    Dedup.appendSignatures(Dedup.signaturesOf(Seq(
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")), store)
+    assert(gate() === Map(10L -> 1), "the pre-crash corpus must survive the append")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
+  }
+
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
     val r = spark.sql(
       """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,
