@@ -275,12 +275,19 @@ object Dedup {
   def compactSignatures(s: SparkSession, path: String): Unit =
     graft.sources.Stores.compactInPlace(s, path) { df =>
       // same dedup key + cap order the gate's grown-store path uses, so
-      // compaction bakes in exactly what the gate would re-derive
+      // compaction bakes in exactly what the gate would re-derive.
+      // UNSCOPED batches (ids < 0) fold into the bootstrap partition;
+      // batch-SCOPED partitions are preserved verbatim — they are what
+      // keeps a streaming replay a pure overwrite of its own partitions
+      // and what the `batch_id < id` replay filter excludes, so folding
+      // them would both resurrect duplicates and flip replayed verdicts
       val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
-      df.dropDuplicates(Seq("doc_id", "bucket", "grams"))
+      df.withColumn("batch_id",
+          when(col("batch_id") < 0, lit(-1L)).otherwise(col("batch_id").cast("long")))
+        .dropDuplicates(Seq("doc_id", "bucket", "grams", "batch_id"))
         .withColumn("rn", row_number().over(byBucket))
         .filter(col("rn") <= NgramBucketCap)
-        .select(col("doc_id"), col("bucket"), col("grams"), col("shard"))
+        .select(col("doc_id"), col("bucket"), col("grams"), col("shard"), col("batch_id"))
     }(writeSignatures)
 
   /** Deterministic per-(dataset, JVM) store location — see

@@ -418,10 +418,12 @@ object Similarity {
     * would re-pay the full projection scan. At-least-once: a retried
     * append duplicates its vectors (they land under batch_id = -2) —
     * replay-safe growth goes through [[appendAnnIndexBatch]]. */
-  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit =
+  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+    graft.sources.Stores.recover(s, path)
     graft.sources.Sinks.appendPartitioned(
       bucketed(s, newVectors).withColumn("batch_id", lit(-2L)),
       path, Seq("bucket", "batch_id"))
+  }
 
   /** Replay-idempotent growth for at-least-once drivers (foreachBatch,
     * retried jobs): the batch's rows land as a dynamic overwrite of
@@ -429,26 +431,34 @@ object Similarity {
     * partitions instead of duplicating vectors — the same contract the
     * dedup signature store's streaming admissions carry. */
   def appendAnnIndexBatch(s: SparkSession, newVectors: DataFrame, path: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    graft.sources.Stores.recover(s, path)
     graft.sources.Sinks.overwritePartitionsDynamic(
       bucketed(s, newVectors).withColumn("batch_id", lit(batchId)),
       path, Seq("bucket", "batch_id"))
+  }
 
-  /** Compact the ANN index: fold per-batch append partitions back into
-    * the bootstrap layout (batch_id = -1) and drop exact-duplicate rows
-    * left by retried [[appendAnnIndex]] calls — the maintenance heal
-    * for the at-least-once append path (duplicated vectors would occupy
-    * duplicate top-k ranks at probe time), and the same small-files fix
-    * the signature store's compaction provides. Crash-safe via
-    * [[graft.sources.Stores.compactInPlace]]; run while no writer is
-    * active. */
+  /** Compact the ANN index: fold the UNSCOPED append partitions
+    * (batch_id < 0) into the bootstrap layout and drop the exact
+    * duplicates retried [[appendAnnIndex]] calls leave behind — the
+    * maintenance heal for the at-least-once path (duplicated vectors
+    * would occupy duplicate top-k ranks at probe time), and the same
+    * small-files fix the signature store's compaction provides.
+    * Batch-SCOPED partitions (ids ≥ 0) are preserved verbatim: they are
+    * what makes an [[appendAnnIndexBatch]] replay a pure overwrite of
+    * its own still-existing partitions — folding them would turn a
+    * post-compaction replay into an insert of rows already absorbed.
+    * Crash-safe via [[graft.sources.Stores.compactInPlace]]; run while
+    * no writer is active. */
   def compactAnnIndex(s: SparkSession, path: String): Unit =
     graft.sources.Stores.compactInPlace(s, path)(
-      // full-row dedup (minus the batch label) so only true retried
-      // copies collapse — a re-ingested vector with changed embedding
-      // keeps both versions deterministically, like the dedup store
-      _.drop("batch_id").dropDuplicates()
-        .withColumn("batch_id", lit(-1L)))(
+      // full-row dedup (batch label normalized first) so only true
+      // retried copies collapse — a re-ingested vector with changed
+      // embedding keeps both versions deterministically
+      _.withColumn("batch_id",
+          when(col("batch_id") < 0, lit(-1L)).otherwise(col("batch_id").cast("long")))
+        .dropDuplicates())(
       (df, tmp) => graft.sources.Sinks.overwritePartitioned(
         df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id")))
 
@@ -459,8 +469,10 @@ object Similarity {
   /** Probe-side scan of the partitioned index: the `isin` over the
     * partition column prunes to ≤ AnnPlanes+1 of 2^AnnPlanes directories
     * before any row is read. */
-  def probeAnnIndex(s: SparkSession, path: String, buckets: Seq[Long]): DataFrame =
+  def probeAnnIndex(s: SparkSession, path: String, buckets: Seq[Long]): DataFrame = {
+    graft.sources.Stores.recover(s, path)
     s.read.parquet(path).filter(col("bucket").isin(buckets: _*))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,

@@ -27,12 +27,17 @@ object Stores {
     require(fs.rename(from, to), s"store rewrite failed moving $from -> $to")
 
   /** Restore a store whose compaction crashed between backup-move and
-    * swap-in (live dir missing, full content in `.bak`). */
+    * swap-in (live dir missing, full content in `.bak`). A lost race
+    * against a concurrent accessor's restore is benign — the rename
+    * fails but the live dir exists, which is the outcome we wanted. */
   def recover(s: SparkSession, path: String): Unit = {
     val fs = fsOf(s, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    if (!fs.exists(p) && fs.exists(bak)) mv(fs, bak, p)
+    if (!fs.exists(p) && fs.exists(bak)) {
+      val ok = fs.rename(bak, p)
+      require(ok || fs.exists(p), s"store recovery failed restoring $bak -> $p")
+    }
   }
 
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
@@ -46,6 +51,11 @@ object Stores {
     if (!fs.exists(p)) return
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // a crashed prior run can leave a full .compact behind; under a
+    // session-wide dynamic partitionOverwriteMode the write below would
+    // only replace the partitions it produces, swapping the stale rest
+    // into the live store — clear it unconditionally
+    fs.delete(tmp, true)
     write(transform(s.read.parquet(path)), tmp.toString)
     fs.delete(bak, true)        // stale backup from an old crash
     mv(fs, p, bak)              // crash here → recover() restores

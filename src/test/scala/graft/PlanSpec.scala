@@ -114,7 +114,6 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup gate: stored-signature scan prunes to the incoming batch's shards") {
     import graft.operators.Dedup
-    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/store"
     val sig = Dedup.signatures(spark, TestSpark.sfDir)

@@ -51,6 +51,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(content(replayed) === f, "a replayed batch must not duplicate index rows")
     assert(spark.read.parquet(replayed).groupBy("vec_id").count()
       .filter(col("count") > 1).count() === 0L)
+    // compaction preserves SCOPED batch partitions, so a replay that
+    // straddles a maintenance compaction stays a pure overwrite
+    Similarity.compactAnnIndex(spark, replayed)
+    Similarity.appendAnnIndexBatch(spark, emb.filter(col("vec_id") >= cut), replayed, 2L)
+    assert(content(replayed) === f, "post-compaction replay must not duplicate rows")
+    assert(spark.read.parquet(replayed).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
     // plain (at-least-once) appends DO duplicate on retry — compaction
     // is the heal: dups gone, batches folded, content identical
     val healed = s"$tmp/healed"

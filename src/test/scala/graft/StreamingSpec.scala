@@ -209,6 +209,12 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.EventStreams.gateBatch(b1, 1L, store, out)
     assert(snap(out) === v1, "replayed verdicts must not flip or duplicate")
     assert(snap(store) === s1, "replayed admissions must not duplicate")
+    // a maintenance compaction between attempts preserves the scoped
+    // batch partitions, so even a replay straddling it stays idempotent
+    Dedup.compactSignatures(spark, store)
+    graft.streaming.EventStreams.gateBatch(b1, 1L, store, out)
+    assert(snap(out) === v1, "post-compaction replay must not flip verdicts")
+    assert(snap(store) === s1, "post-compaction replay must not duplicate admissions")
     // and later batches still gate correctly against the grown store
     graft.streaming.EventStreams.gateBatch(Seq(
       DocText(20L, "a brand new document with fresh unique wording entirely")).toDF(),
