@@ -200,14 +200,8 @@ object Dedup {
   /** The store's batch partitions, from a directory listing alone (no
     * file footers touched): the distinct `batch_id=B` second-level dir
     * names under `shard=S/`. */
-  private def storeBatchDirs(s: SparkSession, path: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).filter(_.isDirectory)
-      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
-  }
+  private def storeBatchDirs(s: SparkSession, path: String): Set[String] =
+    graft.sources.Stores.subPartitionDirs(s, path).filter(_.startsWith("batch_id="))
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,
@@ -272,23 +266,44 @@ object Dedup {
     * 100 TB the same shape runs against the object store, or the store
     * sits in a transactional table format and compaction is the
     * format's OPTIMIZE. */
-  def compactSignatures(s: SparkSession, path: String): Unit =
+  def compactSignatures(s: SparkSession, path: String): Unit = {
+    graft.sources.Stores.recover(s, path)
+    // Pristine fast path: a store whose only batch partition is the
+    // bootstrap `-1` (bootstrap write, or the result of a prior
+    // compaction that folded everything) was deduped + capped at write
+    // time, so the fold below would rewrite it verbatim — detected from
+    // the directory listing alone and skipped entirely (DedupSpec proves
+    // the no-op literally: file mtimes untouched). recover() runs FIRST:
+    // a store whose live dir crashed away would otherwise list as empty
+    // and "pristinely" skip its own restoration.
+    if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))) return
     graft.sources.Stores.compactInPlace(s, path) { df =>
-      // same dedup key + cap order the gate's grown-store path uses, so
-      // compaction bakes in exactly what the gate would re-derive.
-      // UNSCOPED batches (ids < 0) fold into the bootstrap partition;
-      // batch-SCOPED partitions are preserved verbatim — they are what
-      // keeps a streaming replay a pure overwrite of its own partitions
-      // and what the `batch_id < id` replay filter excludes, so folding
-      // them would both resurrect duplicates and flip replayed verdicts
+      // UNSCOPED batches (ids < 0) fold into the bootstrap partition
+      // with the same dedup key + cap order the gate's grown-store path
+      // uses, so compaction bakes in exactly what the gate would
+      // re-derive. Batch-SCOPED partitions (ids >= 0) pass through
+      // UNTOUCHED — not even capped: they are what keeps a streaming
+      // replay a pure overwrite of its own partitions and what the
+      // `batch_id < id` replay filter excludes, so folding them would
+      // resurrect duplicates and a cross-batch cap here would evaluate
+      // WITHOUT the gate's replay-visibility filter — a row from batch 3
+      // could be evicted by lower-doc_id rows from batch 7, shrinking
+      // what a replayed batch 5 gates against and flipping its verdicts.
+      // gateAgainstStored re-derives the cross-batch cap with the
+      // correct per-read visibility, so leaving scoped rows uncapped
+      // loses nothing.
       val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
-      df.withColumn("batch_id",
-          when(col("batch_id") < 0, lit(-1L)).otherwise(col("batch_id").cast("long")))
-        .dropDuplicates(Seq("doc_id", "bucket", "grams", "batch_id"))
+      val cols = Seq("doc_id", "bucket", "grams", "shard", "batch_id").map(col)
+      val folded = df.filter(col("batch_id") < 0)
+        .withColumn("batch_id", lit(-1L))
+        .dropDuplicates(Seq("doc_id", "bucket", "grams"))
         .withColumn("rn", row_number().over(byBucket))
         .filter(col("rn") <= NgramBucketCap)
-        .select(col("doc_id"), col("bucket"), col("grams"), col("shard"), col("batch_id"))
+        .select(cols: _*)
+      folded.unionByName(df.filter(col("batch_id") >= 0)
+        .withColumn("batch_id", col("batch_id").cast("long")).select(cols: _*))
     }(writeSignatures)
+  }
 
   /** Deterministic per-(dataset, JVM) store location — see
     * [[graft.sources.TmpStores.scopedPath]] for the scoping scheme. */

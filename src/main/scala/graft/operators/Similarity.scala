@@ -397,8 +397,13 @@ object Similarity {
     * filters actually reach the scan; the claim is mechanical, not
     * prose). */
   def writeAnnIndex(s: SparkSession, dir: String, path: String): Unit =
+    // one task per bucket (writeSignatures' discipline): without the
+    // repartition every shuffle partition emits a sliver file into every
+    // bucket directory — buckets × partitions small files, the
+    // object-store listing killer compaction exists to fix
     graft.sources.Sinks.overwritePartitioned(
-      bucketed(s, Tables.embeddings(s, dir)).withColumn("batch_id", lit(-1L)),
+      bucketed(s, Tables.embeddings(s, dir)).withColumn("batch_id", lit(-1L))
+        .repartition(col("bucket")),
       path, Seq("bucket", "batch_id"))
 
   /** The index row shape: vector + norm + sign bucket under the index's
@@ -451,16 +456,30 @@ object Similarity {
     * post-compaction replay into an insert of rows already absorbed.
     * Crash-safe via [[graft.sources.Stores.compactInPlace]]; run while
     * no writer is active. */
-  def compactAnnIndex(s: SparkSession, path: String): Unit =
-    graft.sources.Stores.compactInPlace(s, path)(
-      // full-row dedup (batch label normalized first) so only true
-      // retried copies collapse — a re-ingested vector with changed
-      // embedding keeps both versions deterministically
-      _.withColumn("batch_id",
-          when(col("batch_id") < 0, lit(-1L)).otherwise(col("batch_id").cast("long")))
-        .dropDuplicates())(
+  def compactAnnIndex(s: SparkSession, path: String): Unit = {
+    graft.sources.Stores.recover(s, path)
+    // Pristine fast path (compactSignatures' twin): an index whose only
+    // batch partitions are the bootstrap `-1` was written deduped in one
+    // shot, so the fold would rewrite it verbatim — skip off the
+    // directory listing alone. recover() first, so a crashed-away live
+    // dir restores instead of listing empty and skipping.
+    if (graft.sources.Stores.subPartitionDirs(s, path)
+          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))) return
+    graft.sources.Stores.compactInPlace(s, path)( df => {
+      // full-row dedup over the FOLDED (unscoped) rows only, so only
+      // true retried-append copies collapse — a re-ingested vector with
+      // changed embedding keeps both versions deterministically.
+      // Batch-SCOPED partitions pass through untouched (the replay
+      // contract: an appendAnnIndexBatch replay must stay a pure
+      // overwrite of its own still-identical partitions).
+      val folded = df.filter(col("batch_id") < 0)
+        .withColumn("batch_id", lit(-1L)).dropDuplicates()
+      folded.unionByName(df.filter(col("batch_id") >= 0)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+    })(
       (df, tmp) => graft.sources.Sinks.overwritePartitioned(
         df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id")))
+  }
 
   /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */
   def probeBuckets(qBucket: Long): Seq[Long] =

@@ -371,10 +371,15 @@ object TextOps {
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_lang) AS n_corpus, count(*) AS n_langs FROM c),
         |r AS (
+        |  -- literals cast to DOUBLE: bare 0.4/2.0 would make this DECIMAL
+        |  -- arithmetic in DuckDB while Spark computes the rate in double,
+        |  -- and a 6th-decimal difference on another corpus would flip the
+        |  -- floor(rate*65536) hex threshold and fail the differential
         |  SELECT lang,
-        |    round(least(1.0,
-        |      (CASE WHEN lang = 'zh' THEN 0.6 ELSE 0.4 / (n_langs - 1) END)
-        |        * n_corpus / (2.0 * n_lang)), 6) AS rate
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      (CASE WHEN lang = 'zh' THEN CAST(0.6 AS DOUBLE)
+        |            ELSE CAST(0.4 AS DOUBLE) / (n_langs - 1) END)
+        |        * n_corpus / (CAST(2.0 AS DOUBLE) * n_lang)), 6) AS rate
         |  FROM c, t)
         |SELECT d.lang, max(r.rate) AS rate, count(*) AS n_total,
         |  cast(sum(CASE WHEN r.rate >= 1.0

@@ -40,6 +40,21 @@ object Stores {
     }
   }
 
+  /** The store's second-level partition directory names, from a listing
+    * alone (no file footers touched): e.g. the `batch_id=B` dirs under
+    * `shard=S/` or `bucket=B/`. Both partitioned stores key their batch
+    * scoping on this level, so "does this store need a compaction fold"
+    * and "is this store pristine" are answerable for the cost of two
+    * directory listings. */
+  def subPartitionDirs(s: SparkSession, path: String): Set[String] = {
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+  }
+
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
     * swap. No-op when the store does not exist. `write` receives the
     * TEMP location and must produce the store's canonical layout. */

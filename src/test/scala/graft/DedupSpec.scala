@@ -391,6 +391,36 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0L)
   }
 
+  test("compacting an already-compacted store is a literal no-op (mtimes untouched)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-noopc").toString + "/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")), store)
+    Dedup.appendSignatures(Dedup.signaturesOf(Seq(
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")), store)
+    def mtimes(path: String): Map[String, Long] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally s.close()
+    }
+    Dedup.compactSignatures(spark, store) // folds the unscoped append into -1
+    val after = mtimes(store)
+    assert(after.nonEmpty)
+    Dedup.compactSignatures(spark, store) // pristine layout → detected, skipped
+    assert(mtimes(store) === after,
+      "a second compaction must not rewrite a single file of a pristine store")
+    // and the fresh bootstrap-only store skips its very first compaction too
+    val pristine = java.nio.file.Files.createTempDirectory("graft-noopp").toString + "/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")), pristine)
+    val first = mtimes(pristine)
+    Dedup.compactSignatures(spark, pristine)
+    assert(mtimes(pristine) === first, "a bootstrap-only store must skip compaction entirely")
+  }
+
   test("a crashed compaction recovers on the next store access, not just the next compaction") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/store"

@@ -224,6 +224,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(v20 === 1)
   }
 
+  test("replay straddling a compaction stays idempotent when the bucket cap binds") {
+    // The sharp edge of "scoped partitions preserved verbatim": all docs
+    // below share ONE blocking bucket (same 40-char prefix), the bucket
+    // exceeds NgramBucketCap (256) across batches, and a LATER batch
+    // holds LOWER doc_ids than an earlier one. A compaction that capped
+    // across scoped partitions would evict batch-1 rows in favor of
+    // batch-3's lower doc_ids — rows the replayed batch-2 gate (which
+    // only sees batch_id < 2) is still entitled to match — flipping its
+    // verdicts. The fix passes scoped rows through untouched, so the
+    // replay is bit-identical.
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-capreplay").toString
+    val (store, out) = (s"$tmp/store", s"$tmp/out")
+    val prefix = "aaaa " * 8 // first 40 normalized chars → one shared bucket
+    def uniq(i: Int): String = // letters only: normalization strips digits
+      s"${('a' + i / 676).toChar}${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}zz"
+    def fam(tail: String)(id: Long, i: Int): DocText =
+      DocText(id, prefix + tail + " " + uniq(i))
+    val famA = fam("alpha beta gamma delta epsilon zeta eta theta iota kappa") _
+    val famB = fam("november oscar papa quebec romeo sierra tango uniform victor whiskey") _
+    val famC = fam("binary octal decimal literal symbol token parser lexer syntax opcode") _
+    // bootstrap: 240 family-A docs, ids 1..240 — under the cap on its own
+    Dedup.writeSignatures(Dedup.signaturesOf(
+      (1 to 240).map(i => famA(i.toLong, i)).toDF()), store)
+    // batch 1: 20 family-B docs, ids 301..320 — non-dup vs A → admitted;
+    // the bucket now holds 260 rows and the cap binds on every gate read
+    val b1 = (1 to 20).map(i => famB(300L + i, 1000 + i)).toDF()
+    graft.streaming.EventStreams.gateBatch(b1, 1L, store, out)
+    // batch 2: family-B probes — duplicates of batch-1 admissions; their
+    // verdicts count the VISIBLE (capped) B rows, so they depend on
+    // batch-1 rows surviving any maintenance in between
+    val b2 = (1 to 5).map(i => famB(400L + i, 2000 + i)).toDF()
+    graft.streaming.EventStreams.gateBatch(b2, 2L, store, out)
+    // batch 3: 30 family-C docs with ids 251..280 — LOWER than batch 1's
+    // — all non-dup → admitted. A global doc_id cap would now prefer
+    // these over every batch-1 row.
+    graft.streaming.EventStreams.gateBatch(
+      (1 to 30).map(i => famC(250L + i, 3000 + i)).toDF(), 3L, store, out)
+    def snap(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    val (v1, s1) = (snap(out), snap(store))
+    val b2Dups = spark.read.parquet(out)
+      .filter(col("batch_id") === 2L && col("is_duplicate") === 1).count()
+    assert(b2Dups === 5L, "batch-2 probes must actually match batch-1 admissions")
+    Dedup.compactSignatures(spark, store)
+    graft.streaming.EventStreams.gateBatch(b2, 2L, store, out)
+    assert(snap(out) === v1,
+      "a replay straddling compaction must not flip verdicts even when the cap binds")
+    assert(snap(store) === s1,
+      "compaction + replay must leave scoped admissions bit-identical")
+  }
+
   test("streaming gate resumes from its checkpoint across a restart") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-gaterestart").toString
