@@ -191,8 +191,16 @@ object Dedup {
     * off exactly that distinction. */
   def appendSignatures(sig: DataFrame, path: String): Unit = {
     graft.sources.Stores.recover(sig.sparkSession, path)
+    // -1 is reserved for one-shot deduped bootstrap writes: a caller
+    // frame carrying batch_id = -1 would append duplicate rows into the
+    // bootstrap partition while the layout still lists as pristine, so
+    // the gate's re-cap and compaction would both skip healing it.
+    // Normalize every negative caller id to the unscoped -2 (mirroring
+    // appendAnnIndexBatch's require(batchId >= 0) on the scoped path).
     graft.sources.Sinks.appendPartitioned(
-      if (sig.columns.contains("batch_id")) sig
+      if (sig.columns.contains("batch_id"))
+        sig.withColumn("batch_id",
+          when(col("batch_id") < 0, lit(-2L)).otherwise(col("batch_id").cast("long")))
       else sig.withColumn("batch_id", lit(-2L)),
       path, Seq("shard", "batch_id"))
   }
@@ -275,7 +283,12 @@ object Dedup {
     // the directory listing alone and skipped entirely (DedupSpec proves
     // the no-op literally: file mtimes untouched). recover() runs FIRST:
     // a store whose live dir crashed away would otherwise list as empty
-    // and "pristinely" skip its own restoration.
+    // and "pristinely" skip its own restoration. Residue from an EARLIER
+    // crashed compaction (stale .bak/.compact beside the live dir) is
+    // still cleared — skipping the rewrite must not leave a stale .bak
+    // that a later live-dir loss would "recover" pre-compaction content
+    // from.
+    graft.sources.Stores.clearResidue(s, path)
     if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))) return
     graft.sources.Stores.compactInPlace(s, path) { df =>
       // UNSCOPED batches (ids < 0) fold into the bootstrap partition

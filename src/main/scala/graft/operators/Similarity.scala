@@ -462,7 +462,11 @@ object Similarity {
     // batch partitions are the bootstrap `-1` was written deduped in one
     // shot, so the fold would rewrite it verbatim — skip off the
     // directory listing alone. recover() first, so a crashed-away live
-    // dir restores instead of listing empty and skipping.
+    // dir restores instead of listing empty and skipping; residue from
+    // an earlier crashed compaction still clears (a stale .bak beside
+    // the live dir is pre-compaction content a later recover() would
+    // wrongly restore).
+    graft.sources.Stores.clearResidue(s, path)
     if (graft.sources.Stores.subPartitionDirs(s, path)
           .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))) return
     graft.sources.Stores.compactInPlace(s, path)( df => {

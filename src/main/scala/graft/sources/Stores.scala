@@ -40,6 +40,24 @@ object Stores {
     }
   }
 
+  /** Delete the residue a crashed compaction can leave NEXT TO a live
+    * store: a `.bak` from a crash after swap-in but before backup
+    * cleanup, and a full `.compact` from a crash before the swap. Only
+    * safe when the live dir exists — a stale `.bak` beside a live store
+    * is pre-compaction content that [[recover]] would wrongly restore if
+    * the live dir were ever lost — so callers run [[recover]] FIRST and
+    * this no-ops when the live dir is missing (the `.bak` is then the
+    * only copy). Shared by [[compactInPlace]] and the pristine fast
+    * paths that skip it: skipping the rewrite must not also skip the
+    * healing. */
+  def clearResidue(s: SparkSession, path: String): Unit = {
+    val fs = fsOf(s, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".bak"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".compact"), true)
+    }
+  }
+
   /** The store's second-level partition directory names, from a listing
     * alone (no file footers touched): e.g. the `batch_id=B` dirs under
     * `shard=S/` or `bucket=B/`. Both partitioned stores key their batch
@@ -69,10 +87,11 @@ object Stores {
     // a crashed prior run can leave a full .compact behind; under a
     // session-wide dynamic partitionOverwriteMode the write below would
     // only replace the partitions it produces, swapping the stale rest
-    // into the live store — clear it unconditionally
-    fs.delete(tmp, true)
+    // into the live store — and a stale .bak is pre-compaction content
+    // recover() would wrongly restore after a live-dir loss. Clear both
+    // up front (live dir exists here, so this is the safe case).
+    clearResidue(s, path)
     write(transform(s.read.parquet(path)), tmp.toString)
-    fs.delete(bak, true)        // stale backup from an old crash
     mv(fs, p, bak)              // crash here → recover() restores
     mv(fs, tmp, p)
     fs.delete(bak, true)

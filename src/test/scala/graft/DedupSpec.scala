@@ -421,6 +421,64 @@ class DedupSpec extends AnyFunSuite {
     assert(mtimes(pristine) === first, "a bootstrap-only store must skip compaction entirely")
   }
 
+  test("a pristine-store compaction still clears residue of an earlier crashed one") {
+    import spark.implicits._
+    // crash shape: an old compaction swapped the new store in but died
+    // before deleting its .bak (and left a .compact behind). The store is
+    // now pristine, so the fast path skips the rewrite — but it must NOT
+    // skip the healing: the stale .bak holds pre-compaction (duplicate-
+    // bearing) content that recover() would wrongly restore if the live
+    // dir were ever lost.
+    val base = java.nio.file.Files.createTempDirectory("graft-residue").toString
+    val store = s"$base/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")), store)
+    // plant stale residue beside the live (pristine) store
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (9L, "stale pre compaction content that must never be restored")).toDF("doc_id", "text")),
+      store + ".bak")
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (8L, "stale half written compaction output left behind")).toDF("doc_id", "text")),
+      store + ".compact")
+    Dedup.compactSignatures(spark, store) // pristine → fast path
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")),
+      "the pristine fast path must delete a stale .bak, not step around it")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".compact")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store)), "the live store stays")
+    // same contract on the ANN index's compaction
+    val idx = s"$base/idx"
+    graft.operators.Similarity.writeAnnIndex(spark, dir, idx)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + ".bak"))
+    graft.operators.Similarity.compactAnnIndex(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".bak")))
+  }
+
+  test("appendSignatures normalizes caller-supplied negative batch ids to -2") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-negid").toString + "/store"
+    val doc = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatures(Dedup.signaturesOf(doc), store)
+    // a hostile/buggy caller hands the append a frame claiming the
+    // bootstrap id: passed through, it would duplicate rows under
+    // batch_id=-1 while the layout still lists as pristine, so the
+    // gate's re-cap AND compaction would both skip healing
+    Dedup.appendSignatures(
+      Dedup.signaturesOf(doc).withColumn("batch_id", lit(-1L)), store)
+    val dirs = graft.sources.Stores.subPartitionDirs(spark, store)
+      .filter(_.startsWith("batch_id="))
+    assert(dirs === Set("batch_id=-1", "batch_id=-2"),
+      "negative caller ids must land in the unscoped -2 partition")
+    // the store now correctly lists as grown → compaction folds the
+    // duplicate away instead of fast-pathing past it
+    Dedup.compactSignatures(spark, store)
+    val rows = spark.read.parquet(store)
+    assert(rows.groupBy("doc_id", "bucket").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("a crashed compaction recovers on the next store access, not just the next compaction") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/store"
