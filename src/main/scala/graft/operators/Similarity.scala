@@ -240,9 +240,19 @@ object Similarity {
     * is index metadata, not data movement). */
   private val IvfSeedSample = 256
 
-  /** ANN via an inverted-file index, trained the way production IVF
-    * builds its quantizer (sample → seed → Lloyd — FAISS trains on a
-    * bounded sample, never the full corpus):
+  /** Sequential double-precision dot product — the driver-side twin of
+    * the `graft_dot` expression (same accumulation order, so quantizer
+    * training and query-probe assignment are bit-identical to what the
+    * distributed expressions compute). */
+  private[graft] def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var s0 = 0.0; var i = 0
+    while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+    s0
+  }
+
+  /** Train the IVF coarse quantizer the way production IVF does (sample
+    * → seed → Lloyd — FAISS trains on a bounded sample, never the full
+    * corpus):
     *
     *  1. **Sample**: the [[IvfSeedSample]] corpus vectors with the
     *     smallest xxhash64(vec_id) — a seeded random sample, reproducible
@@ -262,23 +272,13 @@ object Similarity {
     *     (at 100 TB, per-round corpus scans would make training cost
     *     scale with data instead of with the sample).
     *
-    * Corpus rows are then assigned to the nearest trained centroid in one
-    * scan, queries probe the nProbe nearest lists. Same schema as
-    * qAnnTopk; recall vs brute force asserted in SimilaritySpec
-    * (seeding+refinement is what lifts the asserted bound from 0.5 to
-    * 0.7 on this corpus). */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
+    * Returns (list id, centroid, centroid norm) per list. */
+  private[graft] def trainQuantizer(e: DataFrame): Array[(Int, Array[Double], Double)] = {
     // 1. training sample (driver-side: index construction, not data plane)
     val sample: Array[Array[Double]] =
       e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
         .select("embedding", "nrm").collect()
         .map(r => { val n = r.getDouble(1); r.getSeq[Float](0).map(_ / n).toArray })
-    def ddot(a: Array[Double], b: Array[Double]): Double = {
-      var s0 = 0.0; var i = 0
-      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
-      s0
-    }
     // 2. farthest-point seeding over unit vectors (deterministic: sample
     // order is fixed, maxBy keeps the first of tied candidates)
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
@@ -307,28 +307,201 @@ object Similarity {
         if (counts(i) == 0 || ddot(sums(i), sums(i)) == 0) c else sums(i)
       }
     }
-    val centroids: Array[(Int, Array[Double], Double)] =
-      cents.zipWithIndex.map { case (c, i) => (i, c, math.sqrt(ddot(c, c))) }
-    // score struct per centroid: (cosine-to-centroid, list id); argmax =
-    // array_max's lexicographic struct order (score first).
-    def scores(emb: Column, nrm: Column): Column = array(centroids.map { case (i, c, cn) =>
-      val cArr = array(c.map(lit): _*)
-      struct((dotCol(s, emb, cArr) / (nrm * lit(cn))).as("score"), lit(i).as("list_id"))
-    }: _*)
+    cents.zipWithIndex.map { case (c, i) => (i, c, math.sqrt(ddot(c, c))) }
+  }
+
+  /** Per-centroid (cosine, list id) score structs for a vector; argmax =
+    * array_max's lexicographic struct order (score first). */
+  private def ivfScores(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column): Column = array(centroids.map { case (i, c, cn) =>
+    val cArr = array(c.map(lit): _*)
+    struct((dotCol(s, emb, cArr) / (nrm * lit(cn))).as("score"), lit(i).as("list_id"))
+  }: _*)
+
+  /** Nearest-centroid list assignment (the corpus side of IVF). */
+  private def ivfListId(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column): Column =
+    array_max(ivfScores(s, centroids)(emb, nrm)).getField("list_id")
+
+  /** The [[IvfProbes]] nearest lists for a query vector, as an exploded
+    * column (one row per probed list). */
+  private def ivfProbeLists(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column): Column =
+    explode(slice(transform(reverse(array_sort(ivfScores(s, centroids)(emb, nrm))),
+      x => x.getField("list_id")), 1, IvfProbes))
+
+  /** ANN via an inverted-file index: train the quantizer
+    * ([[trainQuantizer]]), assign corpus rows to their nearest centroid
+    * in one scan, probe the nProbe nearest lists per query. Same schema
+    * as qAnnTopk; recall vs brute force asserted in SimilaritySpec
+    * (seeding+refinement is what lifts the asserted bound from 0.5 to
+    * 0.7 on this corpus). The in-query face of the STORED index flow —
+    * [[writeIvfIndex]]/[[qIvfProbe]] materialize exactly this
+    * assignment, and SimilaritySpec proves the stored probe returns
+    * these results verbatim. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    val centroids = trainQuantizer(e)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"),
-        array_max(scores(col("embedding"), col("nrm"))).getField("list_id").as("list_id"))
+        ivfListId(s, centroids)(col("embedding"), col("nrm")).as("bucket"))
     val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
-        explode(slice(transform(reverse(array_sort(scores(col("embedding"), col("nrm")))),
-          x => x.getField("list_id")), 1, IvfProbes)).as("list_id"))
-    val scored = corpus.join(broadcast(queries), Seq("list_id"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+        ivfProbeLists(s, centroids)(col("embedding"), col("nrm")).as("bucket"))
+    annTopkFromBuckets(s, corpus, queries)
+  }
+
+  // ---- materialized IVF index (train once, store, probe-pruned reads) ---
+  /** Quantizer sidecar location inside an IVF index dir. The underscore
+    * prefix keeps Spark's file listing from treating it as corpus data,
+    * so `read.parquet(path)` sees only the inverted lists while the
+    * sidecar still rides inside the store dir — one directory IS the
+    * index, and the crash-safe swap/recover machinery covers both. */
+  private def centroidsPath(path: String): String = path + "/_centroids"
+
+  private def writeCentroids(s: SparkSession, path: String,
+      cents: Array[(Int, Array[Double], Double)]): Unit = {
+    import s.implicits._
+    cents.toSeq.map { case (i, c, cn) => (i, c.toSeq, cn) }
+      .toDF("list_id", "centroid", "cnorm")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Load the stored quantizer — [[IvfLists]] rows of index metadata,
+    * list-id-ordered so downstream expression generation is stable. */
+  def readCentroids(s: SparkSession, path: String): Array[(Int, Array[Double], Double)] = {
+    graft.sources.Stores.recover(s, path)
+    s.read.parquet(centroidsPath(path)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+  }
+
+  /** Train the IVF quantizer over a dataset's embedding corpus — the
+    * train-ONCE entry point for the stored flow. */
+  def trainIvf(s: SparkSession, dir: String): Array[(Int, Array[Double], Double)] =
+    trainQuantizer(withNorm(s, Tables.embeddings(s, dir)))
+
+  /** Materialize the inverted file: train the quantizer, assign every
+    * corpus vector to its nearest list in ONE scan, and write the corpus
+    * partitioned by (list_id, batch_id) with the trained centroids as a
+    * sidecar. This is what kills qAnnIvf's per-invocation cost at scale:
+    * training and assignment are paid at write time, and every later
+    * query is centroid-metadata reads + a probe-pruned scan of
+    * nProbe/k of the data ([[qIvfProbe]]; PlanSpec asserts the pruning
+    * reaches the scan). Same store discipline as [[writeAnnIndex]]:
+    * one task per list, batch_id=-1 marks the deduped bootstrap. */
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    val cents = trainQuantizer(e)
+    graft.sources.Sinks.overwritePartitioned(
+      e.withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
+        .withColumn("batch_id", lit(-1L))
+        .repartition(col("list_id")),
+      path, Seq("list_id", "batch_id"))
+    // after the corpus overwrite (which clears the dir), never before
+    writeCentroids(s, path, cents)
+  }
+
+  /** Grow the IVF index with the STORED quantizer — new vectors are
+    * assigned against the centroids trained at write time (production
+    * IVF semantics: the quantizer is fixed until a rebuild; re-training
+    * per batch would silently shift every list boundary). At-least-once:
+    * a retried append duplicates its vectors under batch_id = -2;
+    * replay-safe growth goes through [[appendIvfIndexBatch]]. */
+  def appendIvfIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+    val cents = readCentroids(s, path)
+    graft.sources.Sinks.appendPartitioned(
+      withNorm(s, newVectors)
+        .withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
+        .withColumn("batch_id", lit(-2L)),
+      path, Seq("list_id", "batch_id"))
+  }
+
+  /** Replay-idempotent IVF growth: the batch's rows land as a dynamic
+    * overwrite of their (list_id, batch_id) partitions — the same
+    * contract [[appendAnnIndexBatch]] carries for the LSH index. */
+  def appendIvfIndexBatch(s: SparkSession, newVectors: DataFrame, path: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    val cents = readCentroids(s, path)
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      withNorm(s, newVectors)
+        .withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
+        .withColumn("batch_id", lit(batchId)),
+      path, Seq("list_id", "batch_id"))
+  }
+
+  /** Compact the IVF index — [[compactAnnIndex]]'s contract on the list
+    * layout (fold unscoped appends, preserve scoped partitions verbatim,
+    * crash-safe swap), with one extra obligation: the quantizer sidecar
+    * must ride through the swap, because the lists are only meaningful
+    * under the centroids that assigned them. */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.clearResidue(s, path)
+    if (graft.sources.Stores.subPartitionDirs(s, path)
+          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))) return
+    val cents = readCentroids(s, path) // before the swap: read off the live dir
+    graft.sources.Stores.compactInPlace(s, path)( df => {
+      val folded = df.filter(col("batch_id") < 0)
+        .withColumn("batch_id", lit(-1L)).dropDuplicates()
+      folded.unionByName(df.filter(col("batch_id") >= 0)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+    })(
+      (df, tmp) => {
+        graft.sources.Sinks.overwritePartitioned(
+          df.repartition(col("list_id")), tmp, Seq("list_id", "batch_id"))
+        writeCentroids(s, tmp, cents)
+      })
+  }
+
+  /** Probe-side scan of the inverted file: the `isin` over the list_id
+    * partition column prunes to ≤ [[IvfProbes]] of [[IvfLists]]
+    * directories before any row is read. */
+  def probeIvfIndex(s: SparkSession, path: String, lists: Seq[Int]): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    s.read.parquet(path).filter(col("list_id").isin(lists: _*))
+  }
+
+  /** Tmp-scoped IVF index location for [[qIvfProbe]]. */
+  private def ivfStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-ivfidx", dir)
+
+  /** The stored-IVF flow end-to-end: write the index (train + assign,
+    * paid once), then answer with STORED artifacts only — centroids
+    * loaded from the sidecar, query probes assigned driver-side against
+    * them (the [[ddot]] twin of the in-query expression, bit-identical),
+    * and the corpus read pruned to the probed list directories.
+    * Materializing the index must not change a single neighbor:
+    * SimilaritySpec asserts this query equals [[qAnnIvf]] verbatim —
+    * the claim q_ann_probe already proved for the LSH tier. */
+  def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfStorePath(dir)
+    writeIvfIndex(s, dir, path)
+    val cents = readCentroids(s, path)
+    val idx = s.read.parquet(path)
+    val qSlice = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // driver-side probe assignment over the query slice (queries are
+    // control-plane-sized; 64-float vectors × |queries| is index
+    // metadata, not data movement) — the twin of the in-query
+    // reverse(array_sort(scores)) slice: top IvfProbes by (cosine,
+    // list id) descending, ties broken identically
+    val probePairs: Seq[(Long, Int)] = qSlice.collect().toSeq.flatMap { r =>
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qn = r.getDouble(2)
+      cents.map { case (i, c, cn) => (ddot(q, c) / (qn * cn), i) }
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 > b._2))
+        .take(IvfProbes).map(p => (r.getLong(0), p._2))
+    }
+    import s.implicits._
+    val queries = qSlice.join(
+      broadcast(probePairs.toDF("q_id", "bucket")), Seq("q_id"))
+    annTopkFromBuckets(s,
+      probeIvfIndex(s, path, probePairs.map(_._2).distinct)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("list_id").as("bucket")),
+      queries)
   }
 
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
@@ -505,6 +678,7 @@ object Similarity {
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
+    "q_ivf_probe"     -> qIvfProbe _,
   )
 
   // ---- DuckDB oracle generation -----------------------------------------
