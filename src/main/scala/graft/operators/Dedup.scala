@@ -332,7 +332,8 @@ object Dedup {
   def qDedupGate(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
     val path = sigStorePath(dir)
-    writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path))
     gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0))
   }
 
@@ -342,8 +343,8 @@ object Dedup {
     * 64-bit hash with the permutation index gives independent min-hashes
     * without the classic a*x+b multiply (which would trip ANSI overflow
     * checking). */
-  private val NumHashes = 16
-  private val Bands = 4 // 16 hashes = 4 bands × 4 rows
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4 // 16 hashes = 4 bands × 4 rows
 
   /** Per-document MinHash signature in ONE codegen'd projection
     * (graft.functions.MinHashSigDoc): the signature is computed where the

@@ -204,7 +204,7 @@ object Similarity {
     * same claim q_dedup_gate makes for the signature store. */
   def qAnnProbe(s: SparkSession, dir: String): DataFrame = {
     val path = annStorePath(dir)
-    writeAnnIndex(s, dir, path)
+    graft.sources.TmpStores.buildOnce(path)(writeAnnIndex(s, dir, path))
     val idx = s.read.parquet(path)
     // probed bucket set = the queries' OWN buckets expanded Hamming-1
     // driver-side (probeBuckets) — a narrow distinct over the query
@@ -230,15 +230,15 @@ object Similarity {
     * (the "inverted file"), so a query reads ~nProbe/k of the data; the
     * quantizer itself is driver-side index construction over a tiny
     * sample, exactly like production IVF training. */
-  private val IvfLists = 16
-  private val IvfProbes = 5
+  private[graft] val IvfLists = 16
+  private[graft] val IvfProbes = 5
 
   /** Lloyd refinement iterations for the IVF coarse quantizer. */
   private val IvfLloydIters = 3
 
   /** Training-sample size for the quantizer (driver-side; 256×64 doubles
     * is index metadata, not data movement). */
-  private val IvfSeedSample = 256
+  private[graft] val IvfSeedSample = 256
 
   /** Sequential double-precision dot product — the driver-side twin of
     * the `graft_dot` expression (same accumulation order, so quantizer
@@ -279,6 +279,15 @@ object Similarity {
       e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
         .select("embedding", "nrm").collect()
         .map(r => { val n = r.getDouble(1); r.getSeq[Float](0).map(_ / n).toArray })
+    trainQuantizerOnSample(sample)
+  }
+
+  /** Steps 2+3 over an already-collected unit-vector sample — shared with
+    * the pure-driver differential twin ([[graft.verify.Expected]]), so the
+    * expected-output generator and the engine can never train different
+    * quantizers. */
+  private[graft] def trainQuantizerOnSample(
+      sample: Array[Array[Double]]): Array[(Int, Array[Double], Double)] = {
     // 2. farthest-point seeding over unit vectors (deterministic: sample
     // order is fixed, maxBy keeps the first of tied candidates)
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
@@ -389,17 +398,32 @@ object Similarity {
     * query is centroid-metadata reads + a probe-pruned scan of
     * nProbe/k of the data ([[qIvfProbe]]; PlanSpec asserts the pruning
     * reaches the scan). Same store discipline as [[writeAnnIndex]]:
-    * one task per list, batch_id=-1 marks the deduped bootstrap. */
-  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
+    * one task per list, batch_id=-1 marks the deduped bootstrap.
+    *
+    * Crash-safe: the index has TWO artifacts (lists + quantizer
+    * sidecar), so the whole bootstrap writes aside and swaps via
+    * [[graft.sources.Stores.overwriteAside]] — a crash at any point
+    * leaves the old index (possibly via recover()), never a
+    * sidecar-less live dir (SimilaritySpec plants the crash states). */
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    writeIvfIndexFrom(s, Tables.embeddings(s, dir), path)
+
+  /** [[writeIvfIndex]] over an arbitrary (vec_id, embedding[, …]) frame —
+    * the bootstrap entry point when the corpus slice isn't a whole
+    * dataset (the streaming ingest spec builds from a half-corpus). */
+  def writeIvfIndexFrom(s: SparkSession, vectors: DataFrame, path: String): Unit = {
+    val e = withNorm(s, vectors)
     val cents = trainQuantizer(e)
-    graft.sources.Sinks.overwritePartitioned(
-      e.withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
-        .withColumn("batch_id", lit(-1L))
-        .repartition(col("list_id")),
-      path, Seq("list_id", "batch_id"))
-    // after the corpus overwrite (which clears the dir), never before
-    writeCentroids(s, path, cents)
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      graft.sources.Sinks.overwritePartitioned(
+        e.withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
+          .withColumn("batch_id", lit(-1L))
+          .repartition(col("list_id")),
+        tmp, Seq("list_id", "batch_id"))
+      // the sidecar lands INSIDE the temp dir, before the swap — the
+      // live index is never visible without its quantizer
+      writeCentroids(s, tmp, cents)
+    }
   }
 
   /** Grow the IVF index with the STORED quantizer — new vectors are
@@ -477,7 +501,7 @@ object Similarity {
     * the claim q_ann_probe already proved for the LSH tier. */
   def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
     val path = ivfStorePath(dir)
-    writeIvfIndex(s, dir, path)
+    graft.sources.TmpStores.buildOnce(path)(writeIvfIndex(s, dir, path))
     val cents = readCentroids(s, path)
     val idx = s.read.parquet(path)
     val qSlice = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)
@@ -485,13 +509,17 @@ object Similarity {
     // driver-side probe assignment over the query slice (queries are
     // control-plane-sized; 64-float vectors × |queries| is index
     // metadata, not data movement) — the twin of the in-query
-    // reverse(array_sort(scores)) slice: top IvfProbes by (cosine,
-    // list id) descending, ties broken identically
+    // reverse(array_sort(scores)) slice: ascending (cosine, list id)
+    // sort then reverse, under the same total double ordering Spark's
+    // array_sort uses (java.lang.Double.compare: NaN greatest,
+    // -0.0 < 0.0), so even a degenerate zero-norm query's NaN scores
+    // order identically to the in-query expression
     val probePairs: Seq[(Long, Int)] = qSlice.collect().toSeq.flatMap { r =>
       val q = r.getSeq[Float](1).map(_.toDouble).toArray
       val qn = r.getDouble(2)
       cents.map { case (i, c, cn) => (ddot(q, c) / (qn * cn), i) }
-        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 > b._2))
+        .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        .reverse
         .take(IvfProbes).map(p => (r.getLong(0), p._2))
     }
     import s.implicits._

@@ -73,6 +73,35 @@ object Stores {
       .map(_.getPath.getName).toSet
   }
 
+  /** Bootstrap-overwrite `path` with the crash-safe swap: `write`
+    * produces the FULL store layout (every artifact, e.g. corpus dirs
+    * plus a `_centroids` sidecar) into a temp location, which then
+    * swaps in atomically-enough. A plain `mode("overwrite")` write
+    * would clear the live dir before producing the new artifacts — a
+    * crash between two artifacts leaves a live-looking store missing
+    * one of them (the IVF index's sidecar), which nothing can heal.
+    * With the aside shape every crash point leaves either the old
+    * store, the old store restorable via [[recover]], or the new store
+    * complete; stale temp/backup residue clears on the next write or
+    * compaction. */
+  def overwriteAside(s: SparkSession, path: String)(write: String => Unit): Unit = {
+    recover(s, path)
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // the bootstrap owns the temp location outright (a crashed earlier
+    // write's partial content must not merge into this one), and a
+    // stale .bak beside the about-to-be-replaced live dir is
+    // pre-compaction content recover() would wrongly restore later
+    fs.delete(tmp, true)
+    if (fs.exists(p)) fs.delete(bak, true)
+    write(tmp.toString)
+    if (fs.exists(p)) mv(fs, p, bak) // crash after this → recover() restores
+    mv(fs, tmp, p)
+    fs.delete(bak, true)
+  }
+
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
     * swap. No-op when the store does not exist. `write` receives the
     * TEMP location and must produce the store's canonical layout. */

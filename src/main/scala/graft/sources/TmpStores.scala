@@ -28,6 +28,24 @@ object TmpStores {
     path
   }
 
+  /** Stores already built this JVM (keyed by path — scoped paths are
+    * content-hashed + pid-scoped, so path identity IS store identity
+    * and the memo's lifetime matches the shutdown-hook cleanup's). */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build a scoped store once per JVM: the first caller pays the write
+    * (logged separately, so store-build cost never hides inside probe
+    * timings), every later caller reuses the store — the production
+    * shape, where an index is written once and probed many times, and
+    * what keeps the bench measuring what a user would actually repeat. */
+  def buildOnce(path: String)(build: => Unit): Unit =
+    built.getOrElseUpdate(path, {
+      val t0 = System.nanoTime()
+      build
+      System.err.println(
+        f"[graft] store build $path: ${(System.nanoTime() - t0) / 1e9}%.3f s (reused afterwards)")
+    })
+
   /** THE scoping scheme for self-contained tmp stores, in one place:
     * content-hashed key (distinct datasets cannot collide), pid-scoped
     * (concurrent drivers never race overwrite-vs-read on one store),
