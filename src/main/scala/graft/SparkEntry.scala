@@ -28,9 +28,19 @@ object SparkEntry {
       TemporalJoins.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+    * the same parquet tables. Keys omitted HERE are covered by the
+    * dataset-derived differential oracles below — [[oracleSqlFor]] is the
+    * full map Verify dumps. */
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
       TemporalJoins.oracles ++ Pipeline.oracles
+
+  /** The COMPLETE oracle map for a dataset: the static SQL-replay oracles
+    * plus the four differential expected-parquet oracles
+    * ([[graft.verify.Expected]] writes the expected files under
+    * `expectedDir` and returns `read_parquet` SQL for them). Every key in
+    * [[queries]] has an entry (CoreOpsSpec pins the invariant). */
+  def oracleSqlFor(spark: SparkSession, sfDir: String, expectedDir: String): Map[String, String] =
+    oracleSql ++ graft.verify.Expected.writeAll(spark, sfDir, expectedDir)
 }

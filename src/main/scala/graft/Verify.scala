@@ -40,7 +40,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Full oracle map: static SQL replays + the differential expected
+    // parquet (written under outDir/_expected so it outlives this JVM for
+    // the driver's DuckDB pass). A failed expected-generation falls back
+    // to the static map — 4 rows-only beats a zeroed round.
+    val oracles =
+      try SparkEntry.oracleSqlFor(spark, sfDir,
+        new java.io.File(outDir, "_expected").getAbsolutePath)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] expected-oracle generation failed: $e")
+        SparkEntry.oracleSql
+      }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

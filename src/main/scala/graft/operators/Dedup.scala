@@ -659,9 +659,12 @@ object Dedup {
        |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q_dedup_minhash / q_dedup_simhash intentionally have no SQL oracle
-    * (xxhash64 has no DuckDB equivalent) — driver records rows-only;
-    * DedupSpec checks them against exact-Jaccard ground truth instead.
+  /** q_dedup_minhash / q_dedup_simhash have no SQL-replay oracle
+    * (xxhash64 has no DuckDB equivalent) — their oracle is the
+    * differential expected parquet [[graft.verify.Expected]] generates
+    * (full rows+schema+hash compare via read_parquet, pinned bit-for-bit
+    * against the engine in ExpectedSpec); DedupSpec additionally checks
+    * them against exact-Jaccard ground truth.
     */
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->

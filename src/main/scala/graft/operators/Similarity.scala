@@ -348,8 +348,14 @@ object Similarity {
     * [[writeIvfIndex]]/[[qIvfProbe]] materialize exactly this
     * assignment, and SimilaritySpec proves the stored probe returns
     * these results verbatim. */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    qAnnIvfFrom(s, Tables.embeddings(s, dir))
+
+  /** [[qAnnIvf]] over an arbitrary (vec_id, embedding[, …]) frame — the
+    * in-query IVF face SimilaritySpec runs against constructed corpora
+    * (e.g. the zero-norm NaN-query equivalence case). */
+  private[graft] def qAnnIvfFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val e = withNorm(s, vectors)
     val centroids = trainQuantizer(e)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"),
@@ -410,7 +416,8 @@ object Similarity {
 
   /** [[writeIvfIndex]] over an arbitrary (vec_id, embedding[, …]) frame —
     * the bootstrap entry point when the corpus slice isn't a whole
-    * dataset (the streaming ingest spec builds from a half-corpus). */
+    * dataset (StreamingSpec's vector-ingest spec bootstraps from a
+    * half-corpus and grows the index per micro-batch). */
   def writeIvfIndexFrom(s: SparkSession, vectors: DataFrame, path: String): Unit = {
     val e = withNorm(s, vectors)
     val cents = trainQuantizer(e)
@@ -502,26 +509,56 @@ object Similarity {
   def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
     val path = ivfStorePath(dir)
     graft.sources.TmpStores.buildOnce(path)(writeIvfIndex(s, dir, path))
+    qIvfProbeStored(s, path)
+  }
+
+  /** The probe half of [[qIvfProbe]] over an ALREADY-WRITTEN index —
+    * stored artifacts only. Split out so SimilaritySpec can probe
+    * indexes built from constructed corpora ([[writeIvfIndexFrom]]) and
+    * assert stored ≡ in-query on them too. */
+  /** Driver-side probe assignment for every query vector in a stored
+    * index (queries are control-plane-sized; 64-float vectors ×
+    * |queries| is index metadata, not data movement) — the twin of the
+    * in-query reverse(array_sort(scores)) slice: ascending (cosine,
+    * list id) sort then reverse, with two degenerate-input contracts
+    * mirrored exactly (SimilaritySpec's zero-norm case pins them):
+    *  - the engine's division yields NULL on a ZERO divisor (zero-norm
+    *    query or zero-norm centroid; non-ANSI — ANSI fails fast on both
+    *    faces), and a null score sorts BEFORE every real score
+    *    ascending, so after the reverse it lands LAST. The driver's
+    *    ddot would yield NaN there; the twin replays the divisor==0
+    *    rule instead of dividing.
+    *  - a NaN score from a non-zero divisor (NaN centroid components)
+    *    is GREATEST under Spark's total double ordering — after the
+    *    reverse it lands FIRST, unlike null. Within real scores,
+    *    java.lang.Double total ordering (-0.0 < 0.0) throughout.
+    * Package-private so PlanSpec can assert the probe-pruned scan
+    * selects EXACTLY these lists' directories. */
+  private[graft] def storedProbePairs(s: SparkSession, path: String): Seq[(Long, Int)] = {
     val cents = readCentroids(s, path)
+    val byEngineOrder = Ordering.Tuple3(
+      Ordering.Int, Ordering.Double.TotalOrdering, Ordering.Int)
+    s.read.parquet(path).filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().toSeq.flatMap { r =>
+        val q = r.getSeq[Float](1).map(_.toDouble).toArray
+        val qn = r.getDouble(2)
+        cents.map { case (i, c, cn) =>
+          val div = qn * cn
+          // (group, score, list): group 0 = engine NULL, sorts first asc
+          if (div == 0.0) (0, 0.0, i) else (1, ddot(q, c) / div, i)
+        }
+          .sorted(byEngineOrder)
+          .reverse
+          .take(IvfProbes).map(p => (r.getLong(0), p._3))
+      }
+  }
+
+  private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame = {
     val idx = s.read.parquet(path)
     val qSlice = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    // driver-side probe assignment over the query slice (queries are
-    // control-plane-sized; 64-float vectors × |queries| is index
-    // metadata, not data movement) — the twin of the in-query
-    // reverse(array_sort(scores)) slice: ascending (cosine, list id)
-    // sort then reverse, under the same total double ordering Spark's
-    // array_sort uses (java.lang.Double.compare: NaN greatest,
-    // -0.0 < 0.0), so even a degenerate zero-norm query's NaN scores
-    // order identically to the in-query expression
-    val probePairs: Seq[(Long, Int)] = qSlice.collect().toSeq.flatMap { r =>
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
-      val qn = r.getDouble(2)
-      cents.map { case (i, c, cn) => (ddot(q, c) / (qn * cn), i) }
-        .sorted(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-        .reverse
-        .take(IvfProbes).map(p => (r.getLong(0), p._2))
-    }
+    val probePairs = storedProbePairs(s, path)
     import s.implicits._
     val queries = qSlice.join(
       broadcast(probePairs.toDF("q_id", "bucket")), Seq("q_id"))
@@ -727,9 +764,12 @@ object Similarity {
   private val duckNorm =
     "sqrt(list_aggregate(list_transform(range(1, 65), i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum'))"
 
-  /** q_ann_ivf keeps a rows-only check (its quantizer is iterative
-    * driver-side float math with no SQL twin; recall asserted in
-    * SimilaritySpec). Everything else here is oracle-checked — including
+  /** q_ann_ivf / q_ivf_probe have no SQL oracle (the quantizer is
+    * iterative float math with no SQL twin) — their oracle is the
+    * differential expected parquet [[graft.verify.Expected.ivfRows]]
+    * generates (full rows+schema+hash compare via read_parquet; recall
+    * additionally asserted in SimilaritySpec). Everything else here is
+    * oracle-checked — including
     * q_ann_lsh: approximate-by-design is NOT nondeterministic, its
     * candidate set is exactly defined by the sign buckets, and the plane
     * constants generate into the SQL, so DuckDB replays bucket

@@ -1,0 +1,202 @@
+package graft.verify
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.DocHashes
+import graft.operators.{Dedup, Similarity}
+
+/** Driver-side differential twins for the four queries whose math DuckDB
+  * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
+  * training): each generator recomputes the query's EXPECTED output as
+  * plain sequential Scala over the collected input table — no DataFrames,
+  * no Spark expressions, no shuffles — writes it as parquet, and hands the
+  * verify harness a `read_parquet` oracle so the driver's DuckDB compare
+  * covers these queries with the same full rows+schema+hash gate as the
+  * SQL-replay oracles.
+  *
+  * Independence contract: the twins share ONLY the deliberately
+  * bit-identical primitives with the engine — [[DocHashes]]'s Seq hashing
+  * twins, [[Similarity.ddot]], and [[Similarity.trainQuantizerOnSample]]
+  * (sharing the quantizer trainer is the point: the expected generator and
+  * the engine must train the same quantizer or the differential tests
+  * nothing). Everything DISTRIBUTED — banding, bucket joins, window
+  * ranking, rounding, NaN ordering, probe pruning — is re-derived here
+  * independently, so a regression in any distributed stage shows up as a
+  * hash mismatch.
+  *
+  * Scale note: these run over the 500-row documents/embeddings tables at
+  * verify time — verification-plane, not data-plane. The ENGINE queries
+  * they check are the distributed implementations that scale.
+  */
+object Expected {
+
+  // ---- text twins (mirror Dedup's normText/split semantics exactly) -----
+  /** `lower` via UTF8String (the engine's own lowercasing — locale-free),
+    * then the same two regexp_replace passes and trim. */
+  private[graft] def normText(text: String): String =
+    UTF8String.fromString(text).toLowerCase.toString
+      .replaceAll("[^a-z ]", "").replaceAll(" +", " ").trim
+
+  /** Spark's split(col, " ") keeps trailing empties (limit -1): an empty
+    * normalized text yields Array("") exactly as the engine sees it. */
+  private[graft] def splitWords(norm: String): Array[String] = norm.split(" ", -1)
+
+  /** Spark's multi-argument xxhash64: fold each long through XXH64 with
+    * the running hash as seed, starting from seed 42. */
+  private[graft] def xxhash64(vals: Seq[Long]): Long =
+    vals.foldLeft(42L)((acc, v) => XXH64.hashLong(v, acc))
+
+  /** Spark's round(col, 6) on doubles: NaN/Infinity pass through, else
+    * HALF_UP on the decimal string representation. */
+  private[graft] def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's double ordering (java.lang.Double.compare: NaN greatest,
+    * -0.0 < 0.0) — what array_sort / ORDER BY / window ranking use. */
+  private val D: Ordering[Double] = Ordering.Double.TotalOrdering
+
+  // ---- q_dedup_minhash ---------------------------------------------------
+  /** Expected (doc_a, doc_b, n_bands) rows: minhash signatures via the
+    * bit-identical Seq twin, banded into (band, key) buckets with the
+    * xxhash64 band key, pair counts accumulated in plain maps — the
+    * sequential re-derivation of the engine's banded self-join. */
+  def minhashRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val sigs = docs.flatMap { case (id, text) =>
+      val w = splitWords(normText(text))
+      if (w.length >= 3)
+        Some(id -> DocHashes.minhashSeq(w.toSeq, 3, Dedup.NumHashes))
+      else None
+    }
+    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[Long]]
+    sigs.foreach { case (id, sig) =>
+      (0 until Dedup.Bands).foreach { b =>
+        val key = xxhash64((b * 4 until (b + 1) * 4).map(sig(_)))
+        buckets.getOrElseUpdate((b, key), mutable.ArrayBuffer.empty) += id
+      }
+    }
+    val nBands = mutable.Map.empty[(Long, Long), Long]
+    buckets.values.foreach { ids =>
+      val sorted = ids.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        nBands.updateWith((sorted(i), sorted(j)))(c => Some(c.getOrElse(0L) + 1L))
+    }
+    nBands.toSeq.map { case ((a, b), n) => (a, b, n) }.sorted
+  }
+
+  // ---- q_dedup_simhash ---------------------------------------------------
+  /** Expected (doc_a, doc_b, hamming) rows: simhash fingerprints via the
+    * Seq twin, 4×16-bit bands, pairs sharing any band with Hamming ≤ 3. */
+  def simhashRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Int)] = {
+    val fps = docs.map { case (id, text) =>
+      id -> DocHashes.simhashSeq(splitWords(normText(text)).toSeq, 1)
+    }
+    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
+    fps.foreach { case (id, fp) =>
+      (0 until 4).foreach { b =>
+        val key = (fp >> (b * 16)) & 0xFFFFL
+        buckets.getOrElseUpdate((b, key), mutable.ArrayBuffer.empty) += ((id, fp))
+      }
+    }
+    val pairs = mutable.Set.empty[(Long, Long, Int)]
+    buckets.values.foreach { members =>
+      val sorted = members.sortBy(_._1)
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        val ((a, fa), (b, fb)) = (sorted(i), sorted(j))
+        val h = java.lang.Long.bitCount(fa ^ fb)
+        if (h <= 3) pairs += ((a, b, h))
+      }
+    }
+    pairs.toSeq.sorted
+  }
+
+  // ---- q_ann_ivf / q_ivf_probe -------------------------------------------
+  /** Expected (q_id, rank, neighbor_id, cosine) rows for the IVF tier —
+    * ONE artifact for both queries, because the stored probe is DEFINED
+    * to return what the in-query IVF returns (materializing the index
+    * must not change a neighbor; SimilaritySpec asserts the two engines
+    * agree verbatim, this generator pins what they agree ON).
+    *
+    * Re-derives: the xxhash64-ordered training sample, quantizer training
+    * (via the shared [[Similarity.trainQuantizerOnSample]] — see the
+    * independence contract above), nearest-list corpus assignment with
+    * the engine's (score, list_id) lexicographic argmax, per-query
+    * probe-list top-5, probe-pruned scoring, and window ranking with
+    * Spark's total double ordering — NaN-scored degenerate queries order
+    * identically by construction. */
+  def ivfRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = embs.map { case (id, e) =>
+      val d = e.map(_.toDouble)
+      (id, d, math.sqrt(Similarity.ddot(d, d)))
+    }
+    val sample = withNrm
+      .sortBy { case (id, _, _) => (XXH64.hashLong(id, 42L), id) }
+      .take(Similarity.IvfSeedSample)
+      .map { case (_, d, n) => d.map(_ / n) }
+      .toArray
+    val cents = Similarity.trainQuantizerOnSample(sample)
+    def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
+      cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
+    val byScore = Ordering.Tuple2(D, Ordering.Int)
+    val corpus = withNrm.map { case (id, d, n) =>
+      (id, d, n, scores(d, n).max(byScore)._2)
+    }
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      val probed = scores(qd, qn).sorted(byScore).reverse
+        .take(Similarity.IvfProbes).map(_._2).toSet
+      corpus.iterator
+        .filter { case (nid, _, _, list) => probed(list) && nid != qid }
+        .map { case (nid, nd, nn, _) => (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid) }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5)
+        .zipWithIndex
+        .map { case ((cos, nid), r) => (qid, (r + 1).toLong, nid, cos) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  // ---- harness wiring ----------------------------------------------------
+  private def sqlQuote(path: String): String = path.replace("'", "''")
+
+  /** Collect the input tables, compute all four expected outputs, write
+    * them as parquet under `expectedDir`, and return the `read_parquet`
+    * oracle SQL per query name — merged into oracle_sql.json by
+    * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
+    * the four former rows-only queries to full rows+schema+hash
+    * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
+    * DuckDB compare runs after Verify exits), so it lives under the
+    * verify outDir — never a TmpStores-registered path. */
+  def writeAll(spark: SparkSession, sfDir: String, expectedDir: String): Map[String, String] = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+    def write(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val path = s"$expectedDir/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+    val mh = write("q_dedup_minhash", minhashRows(docs).toDF("doc_a", "doc_b", "n_bands"))
+    val sh = write("q_dedup_simhash", simhashRows(docs).toDF("doc_a", "doc_b", "hamming"))
+    // one expected artifact for both IVF faces (stored probe ≡ in-query)
+    val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+
+    def sql(path: String, cols: String, order: String): String =
+      s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
+    Map(
+      "q_dedup_minhash" -> sql(mh, "doc_a, doc_b, n_bands", "doc_a, doc_b"),
+      "q_dedup_simhash" -> sql(sh, "doc_a, doc_b, hamming", "doc_a, doc_b"),
+      "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+    )
+  }
+}

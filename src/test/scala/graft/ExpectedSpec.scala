@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.verify.Expected
+
+/** The differential twins in [[graft.verify.Expected]] pinned against the
+  * engine BIT-FOR-BIT on sf0.001: the driver's DuckDB pass compares the
+  * engine's parquet against the twin-generated expected parquet, so a twin
+  * that drifted from the engine would turn the CORRECTNESS rows red — this
+  * suite catches the drift at test time, on either side's change.
+  */
+class ExpectedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private lazy val docs: Seq[(Long, String)] =
+    graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+  private lazy val embs: Seq[(Long, Array[Float])] =
+    graft.sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  test("minhash twin equals the engine's banded self-join row-for-row") {
+    val expected = Expected.minhashRows(docs)
+    val got = Dedup.qDedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty, "sf0.001 must yield minhash candidate pairs")
+    assert(got === expected)
+  }
+
+  test("simhash twin equals the engine's banded self-join row-for-row") {
+    val expected = Expected.simhashRows(docs)
+    val got = Dedup.qDedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(expected.nonEmpty, "sf0.001 must yield simhash near-dup pairs")
+    assert(got === expected)
+  }
+
+  test("IVF twin equals the engine's in-query IVF bit-for-bit (doubles by bits)") {
+    val expected = Expected.ivfRows(embs)
+      .map { case (q, r, n, c) => (q, r, n, java.lang.Double.doubleToLongBits(c)) }
+    val got = Similarity.qAnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("round6 twin matches Spark's round(_, 6) on doubles incl. NaN/Inf/ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, 0.1234565, -0.1234565, 0.12345649999, 1e-30, -1e-30) ++
+      Seq.fill(200)(rnd.nextDouble() * 2 - 1)
+    val sparkRounded = vals.toDF("x").select(round(col("x"), 6)).collect().map(_.getDouble(0))
+    vals.zip(sparkRounded).foreach { case (x, s) =>
+      assert(java.lang.Double.doubleToLongBits(Expected.round6(x)) ===
+        java.lang.Double.doubleToLongBits(s), s"round6($x)")
+    }
+  }
+}

@@ -169,6 +169,37 @@ class PlanSpec extends AnyFunSuite {
       s"the probe-side index scan must prune buckets:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q_ivf_probe: the stored-index corpus scan prunes to the probed list dirs") {
+    import graft.operators.Similarity
+    // the registered query's own corpus read must carry the list_id isin
+    // as PARTITION filters and select at most IvfProbes of IvfLists dirs —
+    // the nProbe/k read fraction the stored-IVF design exists to deliver.
+    // (The query-slice read over the same index is unpruned by design:
+    // queries are the control-plane slice.)
+    val df = SparkEntry.queries("q_ivf_probe")(spark, TestSpark.sfDir)
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivfidx")))
+    assert(scans.nonEmpty, "q_ivf_probe must read the stored IVF index")
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty,
+      s"the probe-side corpus scan must prune list dirs:\n${df.queryExecution.executedPlan}")
+    // the pruned scan selects EXACTLY the union of the queries' probed
+    // lists (bootstrap store: one batch dir per list) — no more
+    val storePath = scans.head.relation.location.rootPaths.head.toString
+    val probedLists = Similarity.storedProbePairs(spark, storePath).map(_._2).distinct
+    assert(pruned.exists(_.selectedPartitions.partitionCount <= probedLists.size),
+      s"scan must select at most the ${probedLists.size} probed list dirs")
+    // ...and a single query's probe reads nProbe/k of the directories —
+    // the read-fraction claim the stored-IVF layout exists to deliver
+    val one = Similarity.probeIvfIndex(spark, storePath, probedLists.take(2))
+    val oneScans = allScans(one.queryExecution.executedPlan)
+    assert(oneScans.nonEmpty && oneScans.forall(_.partitionFilters.nonEmpty))
+    assert(oneScans.forall(_.selectedPartitions.partitionCount <= 2),
+      "a 2-list probe must read at most 2 list directories")
+    assert(one.count() < spark.read.parquet(storePath).count(),
+      "the probed slice must be a strict subset of the corpus")
+  }
+
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
     import graft.operators.Similarity
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
+import graft.sources.Tables
 
 /** LSH-bucketed ANN validated against the brute-force cosine baseline
   * (q_ann_topk, itself verified by the DuckDB differential gate).
@@ -134,6 +135,127 @@ class SimilaritySpec extends AnyFunSuite {
       assert(scale > 0, s"vec $id scale $scale")
       assert(cos >= 0.999, s"vec $id dequantized cosine $cos")
     }
+  }
+
+  test("stored IVF probe equals the in-query IVF verbatim, recall >= 0.7") {
+    // materializing the index must not change a single neighbor — the
+    // claim q_ann_probe proves for the LSH tier, here for the IVF tier:
+    // centroids from the sidecar + driver-side probe assignment +
+    // probe-pruned corpus read ≡ train-and-assign in one query
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val stored = bits(Similarity.qIvfProbe(spark, dir))
+    val inQuery = bits(Similarity.qAnnIvf(spark, dir))
+    assert(stored.nonEmpty)
+    assert(stored === inQuery, "the stored probe must return the in-query IVF rows verbatim")
+    val exactSet = exact.map(h => (h.qId, h.nId)).toSet
+    val recall = stored.count(h => exactSet((h._1, h._3))).toDouble / exactSet.size
+    assert(recall >= 0.7, f"stored-probe recall $recall%.3f")
+  }
+
+  test("a zero-norm (NaN-scored) query ranks identically stored vs in-query") {
+    // NaN cosines exercise the total-double-ordering twin in qIvfProbe's
+    // driver-side probe assignment: java.lang.Double.compare semantics
+    // (NaN greatest) on both sides, or the stored probe would drift.
+    // Under the default ANSI mode a zero-norm vector fails FAST on both
+    // faces (double division by zero throws) — asserted first; the NaN
+    // ordering path is then exercised with ANSI off in an isolated
+    // session, where 0/0 follows IEEE and every cosine involving the
+    // degenerate vector is NaN.
+    val rnd = new scala.util.Random(3)
+    // 303 vectors: three REAL queries (100, 200, 300) plus the zero
+    // vector as a fourth query (400) — the real queries exercise the
+    // NaN-score branch (NaN centroid components from the degenerate
+    // sample vector), the zero query the NULL-score branch
+    val rows = (1L to 303L).filter(_ % 100 != 0)
+      .map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f))) ++
+      Seq(100L, 200L, 300L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f))) :+
+      (400L, Seq.fill(64)(0f)) // vec_id % 100 == 0 → a query, with nrm = 0
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfnan").toString + "/idx"
+    val ansiErr = intercept[Throwable] {
+      val ansiVecs = { import spark.implicits._; rows.toDF("vec_id", "embedding") }
+      Similarity.qAnnIvfFrom(spark, ansiVecs).collect()
+    }
+    assert(Iterator.iterate(ansiErr)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(t => String.valueOf(t.getMessage).contains("DIVIDE_BY_ZERO")),
+      s"ANSI mode must fail fast on a zero-norm vector, got: $ansiErr")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "false")
+    val vecs = { import s2.implicits._; rows.toDF("vec_id", "embedding") }
+    Similarity.writeIvfIndexFrom(s2, vecs, path)
+    // non-ANSI division yields NULL (not NaN) cosines for the zero-norm
+    // query — compare null-safely, doubles by bits
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Option[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(3))))).toSeq
+    val stored = bits(Similarity.qIvfProbeStored(s2, path))
+    val inQuery = bits(Similarity.qAnnIvfFrom(s2, vecs))
+    Seq(100L, 200L, 300L).foreach { q =>
+      assert(stored.count(_._1 == q) === 5, s"real query $q must rank 5 neighbors")
+    }
+    assert(stored.filter(_._1 == 400L).forall(_._4.isEmpty),
+      "any ranked row of the zero-norm query carries a NULL cosine (non-ANSI division)")
+    assert(stored === inQuery)
+  }
+
+  test("IVF bootstrap (overwriteAside): every planted crash state recovers complete") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    val path = s"$base/idx"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(suffix: String) = new org.apache.hadoop.fs.Path(path + suffix)
+    // "complete" = corpus lists readable AND the _centroids sidecar loads
+    // with all IvfLists rows — the invariant a sidecar-less live dir breaks
+    def assertComplete(): Set[(Long, Int)] = {
+      assert(Similarity.readCentroids(spark, path).length === Similarity.IvfLists)
+      spark.read.parquet(path).select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    }
+    Similarity.writeIvfIndex(spark, dir, path)
+    val bootstrap = assertComplete()
+    assert(bootstrap.nonEmpty)
+
+    // crash DURING the aside write: the write fn dies after partial
+    // output → live store untouched, partial temp owned by the next write
+    val boom = intercept[RuntimeException] {
+      graft.sources.Stores.overwriteAside(spark, path) { tmp =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(tmp + "/list_id=0"))
+        throw new RuntimeException("planted crash mid-write")
+      }
+    }
+    assert(boom.getMessage.contains("planted"))
+    assert(assertComplete() === bootstrap, "a mid-write crash must not touch the live store")
+
+    // crash AFTER the aside write, BEFORE the swap: full .compact beside
+    // the intact live dir → reads serve the live store; the next
+    // bootstrap owns (clears) the stale temp and completes
+    val other = s"$base/other"
+    Similarity.writeIvfIndexFrom(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 100), other)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other), p(".compact")))
+    assert(assertComplete() === bootstrap, "a stale .compact must not leak into reads")
+    Similarity.writeIvfIndex(spark, dir, path)
+    val rebuilt = assertComplete()
+    assert(rebuilt === bootstrap, "rebuild over stale residue must equal a clean bootstrap")
+    assert(!fs.exists(p(".compact")) && !fs.exists(p(".bak")), "the swap must clear residue")
+
+    // crash AFTER backup-move, BEFORE swap-in: live dir gone, content in
+    // .bak → the next ACCESS restores it (recover-on-access), complete
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path), p(".bak")))
+    assert(assertComplete() === bootstrap, "recover-on-access must restore the .bak")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)) && !fs.exists(p(".bak")))
+
+    // crash AFTER swap-in, BEFORE backup cleanup: stale .bak beside the
+    // live store → reads fine now; compaction heals the residue (a later
+    // live-dir loss must never "recover" pre-swap content)
+    fs.mkdirs(p(".bak"))
+    assert(assertComplete() === bootstrap)
+    Similarity.compactIvfIndex(spark, path)
+    assert(!fs.exists(p(".bak")), "compaction must clear the stale .bak")
+    assert(assertComplete() === bootstrap)
   }
 
   test("multi-probe LSH achieves recall >= 0.5 vs brute force") {
