@@ -205,21 +205,69 @@ object TextOps {
   /** Tokens per output training shard for [[qTokenShards]]. */
   private val ShardTokenBudget = 4000L
 
+  /** Docs per coarse packing block for [[qTokenShards]]'s two-level
+    * prefix sum: the doc-level windows run one task per (lang, block) —
+    * parallelism scales with corpus size — while the single-task
+    * per-lang pass touches only block totals (corpus/block metadata
+    * rows). 256 exercises multi-block packing at the verify SF; a
+    * 100 TB deployment raises it (or adds a third level — the same
+    * decomposition applied to the block totals) to taste. */
+  private[graft] val ShardPackBlock = 256L
+
   /** Pack documents into fixed-token-budget training shards per
     * language: docs lie in doc_id order and each doc's shard is the
-    * budget window its STARTING token offset falls in (running-sum
-    * window minus own count) — the greedy packer that never splits a
-    * document. The differential face is per-shard packing stats. At
-    * 100 TB the per-lang windows parallelize across languages, and a
-    * production packer adds a coarser partition key (e.g. ingest date)
-    * to bound each window's span — the cumulative-sum shape is
-    * unchanged. */
-  def qTokenShards(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    Tables.documents(s, dir)
+    * budget window its STARTING token offset falls in (global running
+    * sum minus own count) — the greedy packer that never splits a
+    * document. The differential face is per-shard packing stats.
+    *
+    * The prefix sum is TWO-LEVEL, because a plain
+    * `Window.partitionBy(lang)` is one task per language — parallelism
+    * = #languages, the classic window scale-killer:
+    *  1. doc-level running sums within (lang, block) — block =
+    *     doc_id div [[ShardPackBlock]] — shuffled once on the pair key,
+    *     tasks ∝ corpus size;
+    *  2. per-lang block offsets = an exclusive prefix sum over the
+    *     BLOCK TOTALS (data/[[ShardPackBlock]] metadata rows — the only
+    *     single-task-per-lang pass), derived from the same shuffled
+    *     frame (the block total is the block's last running sum, so the
+    *     doc shuffle is reused — PlanSpec asserts one doc-level
+    *     exchange and that no single-key window touches doc rows);
+    *  3. global offset = block offset + within-block running sum,
+    *     broadcast-joined back on (lang, block).
+    * Sum decomposition is exact, so the shard assignment is IDENTICAL
+    * to the single-window packer (TextOpsSpec proves equality) and the
+    * oracle keeps the naive single-window SQL. */
+  def qTokenShards(s: SparkSession, dir: String): DataFrame =
+    qTokenShardsBlocked(s, dir, ShardPackBlock)
+
+  /** [[qTokenShards]] with an explicit block size — TextOpsSpec drives a
+    * small block so multi-block packing is exercised hard at test SF. */
+  private[graft] def qTokenShardsBlocked(s: SparkSession, dir: String, block: Long): DataFrame = {
+    // the explicit isNotNull pair keeps BOTH consumers' subtrees
+    // byte-identical below the repartition (the inner join would push
+    // its key constraints into one side only), so AQE serves the doc
+    // window AND the block-total aggregate from ONE exchange
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), wordCount(col("text")).as("n_tokens"))
+      .withColumn("blk", floor(col("doc_id") / block))
+      .filter(col("lang").isNotNull && col("blk").isNotNull)
+      .repartition(col("lang"), col("blk"))
+    val wDoc = Window.partitionBy("lang", "blk").orderBy("doc_id")
+    val inBlock = base.withColumn("run_in_blk", sum("n_tokens").over(wDoc))
+    val wBlk = Window.partitionBy("lang").orderBy("blk")
+    // block total = the block's LAST running sum, aggregated off the
+    // windowed frame (not off base): both join branches then share one
+    // identically-pruned subtree below the (lang, blk) exchange —
+    // doc_id is the window's order key on each — so AQE serves them
+    // from a single shuffle
+    val offsets = inBlock.groupBy("lang", "blk")
+      .agg(max("run_in_blk").as("blk_tokens"))
+      .withColumn("blk_offset", coalesce(
+        sum("blk_tokens").over(wBlk) - col("blk_tokens"), lit(0L)))
+      .select("lang", "blk", "blk_offset")
+    inBlock.join(broadcast(offsets), Seq("lang", "blk"))
       .withColumn("shard_id",
-        floor((sum("n_tokens").over(w) - col("n_tokens")) / ShardTokenBudget))
+        floor((col("blk_offset") + col("run_in_blk") - col("n_tokens")) / ShardTokenBudget))
       .groupBy("lang", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast(LongType).as("shard_tokens"))
       .orderBy("lang", "shard_id")

@@ -93,13 +93,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q_token_shards: the shard aggregate reuses the window's lang partitioning") {
-    // partitioning on lang satisfies the (lang, shard_id) clustering, so
-    // the whole pack-and-aggregate costs ONE data shuffle (+ the
-    // harness sort) — the property that makes per-lang packing linear
-    val p = plan("q_token_shards")
-    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
-    assert(exchanges <= 2, s"q_token_shards plans $exchanges exchanges (want ≤2):\n$p")
+  test("q_token_shards: doc rows never flow through a single-language window") {
+    // the two-level packer's contract: parallelism ∝ corpus size. Any
+    // window partitioned on fewer than two keys must sit above the
+    // block-total AGGREGATE (metadata rows), never the document scan —
+    // a single-key window over doc rows is one task per language.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_token_shards")(spark, TestSpark.sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(wins.exists(_.partitionSpec.length >= 2),
+      "the doc-level running sum must partition on (lang, block)")
+    wins.filter(_.partitionSpec.length < 2).foreach { w =>
+      assert(w.child.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+        s"single-key window must only see block-level aggregates:\n$w")
+    }
+    // shuffle budget, on the executed plan: the ONE doc-level exchange is
+    // reused by the block-total aggregate (ReusedExchange), leaving the
+    // block-metadata window's tiny shuffle, the final stats aggregate,
+    // and the harness sort
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the block-total aggregate must reuse the doc-level window exchange:\n$p")
+    // count executed Exchange NODES (tree connectors), not the Initial
+    // Plan section or ReusedExchange's referent text
+    val exchanges = "[+:]- Exchange ".r.findAllIn(finalPlan).length
+    assert(exchanges <= 4, s"q_token_shards runs $exchanges exchanges (want ≤4):\n$p")
   }
 
   test("q_data_mixture: corpus stats ride broadcasts, never a shuffle join") {

@@ -73,6 +73,20 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level shard packing is block-size invariant") {
+    // the sum decomposition must be exact: any block size yields the
+    // same shard assignment as any other (incl. the degenerate
+    // one-block case ≡ the naive single-window packer)
+    def stats(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = stats(TextOps.qTokenShards(spark, dir))
+    assert(base.nonEmpty)
+    Seq(16L, 64L, 1000000L).foreach { blk =>
+      assert(stats(TextOps.qTokenShardsBlocked(spark, dir, blk)) === base,
+        s"block size $blk must not change the packing")
+    }
+  }
+
   test("data mixture computes rates from corpus stats and samples at them") {
     val rows = TextOps.qDataMixture(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
