@@ -163,6 +163,38 @@ object EventStreams {
     } finally sig.unpersist()
   }
 
+  /** Streaming vector ingest into a stored IVF index — the stream twin
+    * of the batch bootstrap→append flow
+    * ([[graft.operators.Similarity.writeIvfIndexFrom]] +
+    * [[graft.operators.Similarity.appendIvfIndexBatch]]): bootstrap the
+    * index over the existing corpus first (the quantizer is trained
+    * there and stays FIXED through every streamed append — production
+    * IVF semantics), then each arriving micro-batch of
+    * (vec_id, embedding) vectors is assigned under the stored quantizer
+    * and lands as a dynamic overwrite of its (list_id, batch_id)
+    * partitions. Probes see new vectors immediately through the same
+    * partition pruning — no rebuild, no retrain.
+    *
+    * Replay-safe by construction (foreachBatch is at-least-once): a
+    * replayed batch rewrites its own still-identical partitions, leaving
+    * the index bit-identical (StreamingSpec replays a batch literally
+    * and diffs the index). */
+  def ingestVectorStream(vectors: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestVectorBatch(batch.toDF(), id, indexPath)
+      }
+      .start()
+
+  /** One micro-batch of the vector ingest — the foreachBatch body,
+    * exposed so the replay contract is testable the way [[gateBatch]]'s
+    * is: running it twice with the same id must leave the index
+    * bit-identical to running it once. */
+  def ingestVectorBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
+    graft.operators.Similarity.appendIvfIndexBatch(batch.sparkSession, batch, indexPath, id)
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

@@ -16,6 +16,8 @@ final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
 final case class DocText(doc_id: Long, text: String)
 
+final case class VecRow(vec_id: Long, embedding: Seq[Float])
+
 final case class PurchaseEvent(p_event_id: Long, p_user_id: Long, p_ts: Timestamp)
 final case class ClickEvent(c_event_id: Long, c_user_id: Long, c_ts: Timestamp)
 
@@ -274,6 +276,85 @@ class StreamingSpec extends AnyFunSuite {
       "a replay straddling compaction must not flip verdicts even when the cap binds")
     assert(snap(store) === s1,
       "compaction + replay must leave scoped admissions bit-identical")
+  }
+
+  test("streaming vector ingest grows the IVF index; a replayed batch leaves it bit-identical") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vingest").toString
+    val (idx, twin, ckpt) = (s"$tmp/idx", s"$tmp/twin", s"$tmp/ckpt")
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    // bootstrap from the first half of the corpus: the quantizer is
+    // trained HERE and must stay fixed through every streamed append
+    val half = emb.filter(col("vec_id") < 250)
+    Similarity.writeIvfIndexFrom(spark, half, idx)
+    val centsBefore = Similarity.readCentroids(spark, idx).map {
+      case (i, c, n) => (i, c.toSeq, n) }.toSeq
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding").as[VecRow].collect().toSeq
+    val (b0, b1) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[VecRow]
+    val q = EventStreams.ingestVectorStream(input.toDF(), idx, ckpt)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def content(path: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(path).select("vec_id", "list_id", "batch_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getAs[Number](2).longValue)).toSet
+    // every corpus vector present exactly once; quantizer untouched
+    assert(spark.read.parquet(idx).count() === emb.count())
+    assert(spark.read.parquet(idx).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(Similarity.readCentroids(spark, idx).map {
+      case (i, c, n) => (i, c.toSeq, n) }.toSeq === centsBefore,
+      "streamed appends must not retrain the quantizer")
+    // the streamed index equals the batch twin built with the same
+    // bootstrap + explicit batch-scoped appends (MemoryStream ids 0, 1)
+    Similarity.writeIvfIndexFrom(spark, half, twin)
+    Similarity.appendIvfIndexBatch(spark, b0.toDF(), twin, 0L)
+    Similarity.appendIvfIndexBatch(spark, b1.toDF(), twin, 1L)
+    assert(content(idx) === content(twin),
+      "streamed ingest must assign exactly what the batch flow assigns")
+    // the at-least-once replay, literally: rerun batch 1 — bit-identical
+    val before = content(idx)
+    EventStreams.ingestVectorBatch(b1.toDF(), 1L, idx)
+    assert(content(idx) === before, "a replayed vector batch must leave the index bit-identical")
+    // probes see streamed vectors through the stored quantizer's pruning
+    val (vid, lst, _) = before.find(t => t._1 >= 250 && t._3 == 1L).get
+    assert(Similarity.probeIvfIndex(spark, idx, Seq(lst))
+      .filter(col("vec_id") === vid).count() === 1L)
+  }
+
+  test("vector ingest resumes from its checkpoint across a restart") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vrestart").toString
+    val (src, idx, ckpt) = (s"$tmp/src", s"$tmp/idx", s"$tmp/ckpt")
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    Similarity.writeIvfIndexFrom(spark, emb.filter(col("vec_id") < 250), idx)
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding").as[VecRow].collect().toSeq
+    val (r1, r2) = rest.splitAt(rest.length / 2)
+    val schema = Seq.empty[VecRow].toDF().schema
+    def run(vecs: Seq[VecRow]): Unit = {
+      vecs.toDF().write.mode("append").parquet(src)
+      val q = EventStreams.ingestVectorStream(
+        spark.readStream.schema(schema).parquet(src), idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(r1)
+    // restart from the checkpoint: the source resumes past run 1's files
+    run(r2)
+    assert(spark.read.parquet(idx).count() === emb.count(),
+      "each vector ingested exactly once across the restart")
+    assert(spark.read.parquet(idx).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // post-restart vectors are probe-visible
+    val vid = r2.head.vec_id
+    val lst = spark.read.parquet(idx).filter(col("vec_id") === vid)
+      .select("list_id").collect()(0).getAs[Number](0).intValue
+    assert(Similarity.probeIvfIndex(spark, idx, Seq(lst))
+      .filter(col("vec_id") === vid).count() === 1L)
   }
 
   test("streaming gate resumes from its checkpoint across a restart") {
