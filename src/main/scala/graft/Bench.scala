@@ -59,20 +59,29 @@ object Bench {
     // always pays it and q_pipeline_e2e always measures the composition
     // over the materialized stage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two measurements: sub-second queries otherwise pick up
-      // position-dependent GC/scheduling jitter that reads as a phantom
-      // 2-3x regression between rounds. q_dedup_clusters stays
-      // single-shot — its converged stage is memoized per (session, dir),
-      // so a repeat would measure the cache, not the operator.
+      // min of repeated measurements: sub-second queries otherwise pick
+      // up position-dependent GC/scheduling jitter that reads as a
+      // phantom 2-3x regression between rounds. Min-of-2 demonstrably
+      // did NOT damp it (r7→r8 saw 2-4x swings both directions on
+      // queries whose plans were unchanged), so queries that measure
+      // sub-second get two extra reps — cheap by definition, and the
+      // min of 4 makes a phantom swing need FOUR unlucky GC pauses.
+      // q_dedup_clusters stays single-shot — its converged stage is
+      // memoized per (session, dir), so a repeat would measure the
+      // cache, not the operator.
       val reps = if (name == "q_dedup_clusters") 1 else 2
       val s0 = stages.get()
-      val sec = (1 to reps).map { _ =>
+      def measure(): Double = {
         val t0 = System.nanoTime()
         graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench: $name") {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      val base = (1 to reps).map(_ => measure())
+      val sec =
+        if (reps > 1 && base.min < 1.0) (base ++ Seq(measure(), measure())).min
+        else base.min
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
       name -> sec
     }

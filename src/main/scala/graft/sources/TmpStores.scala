@@ -28,26 +28,37 @@ object TmpStores {
     path
   }
 
-  /** Stores already built this JVM (keyed by path — scoped paths are
-    * content-hashed + pid-scoped, so path identity IS store identity
-    * and the memo's lifetime matches the shutdown-hook cleanup's). */
-  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  /** Stores already built this JVM, keyed by path. Scoped paths hash the
+    * caller's KEY STRING (the dataset directory path — NOT the dataset's
+    * contents), so the memo is only sound while dataset dirs are
+    * immutable for the JVM's lifetime: a dir rewritten mid-JVM would
+    * keep serving the store built from its old contents. That matches
+    * every in-repo caller (bench/verify over the driver's read-only
+    * testdata); TmpStoresSpec pins the assumption explicitly. */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
   /** Build a scoped store once per JVM: the first caller pays the write
     * (logged separately, so store-build cost never hides inside probe
     * timings), every later caller reuses the store — the production
     * shape, where an index is written once and probed many times, and
-    * what keeps the bench measuring what a user would actually repeat. */
+    * what keeps the bench measuring what a user would actually repeat.
+    * `computeIfAbsent` makes the memo atomic: concurrent callers for one
+    * path run the build exactly once (the losers block until it lands),
+    * and a THROWING build is not memoized — the next caller retries
+    * instead of reusing a half-written store. TmpStoresSpec proves all
+    * three properties. */
   def buildOnce(path: String)(build: => Unit): Unit =
-    built.getOrElseUpdate(path, {
+    built.computeIfAbsent(path, _ => {
       val t0 = System.nanoTime()
       build
       System.err.println(
         f"[graft] store build $path: ${(System.nanoTime() - t0) / 1e9}%.3f s (reused afterwards)")
+      java.lang.Boolean.TRUE
     })
 
   /** THE scoping scheme for self-contained tmp stores, in one place:
-    * content-hashed key (distinct datasets cannot collide), pid-scoped
+    * key-hashed (distinct dataset PATHS cannot collide; see [[buildOnce]]
+    * for the resulting immutable-dataset-dir assumption), pid-scoped
     * (concurrent drivers never race overwrite-vs-read on one store),
     * registered for end-of-JVM cleanup. */
   def scopedPath(prefix: String, key: String): String = {

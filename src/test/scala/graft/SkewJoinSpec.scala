@@ -82,6 +82,59 @@ class SkewJoinSpec extends AnyFunSuite {
       s"per-(key,salt) group must be bounded, got $maxGroup for ideal ${hotRows / saltF}")
   }
 
+  test("star join's skew edge: planted hot custkey takes the AQE skew-split path") {
+    // The q_star_join guard (CoreOps.qStarJoin): its skew-prone edges are
+    // the fact-side equi-joins (orders⋈customer on custkey — the dims are
+    // explicit broadcasts and never skew). At 100 TB a hot customer lands
+    // every one of its rows on ONE reducer unless AQE's skew handling
+    // splits the partition — this test proves that path actually engages
+    // on this engine's session config, rather than asserting it in prose.
+    // saltedJoin (above) stays the guard for the key-itself-skewed case.
+    val s = spark
+    val tuned = Map(
+      // force a shuffle join: broadcast would hide the skew entirely
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // sf0.001-sized skew thresholds (defaults target 256 MB partitions)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+    val saved = tuned.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      tuned.foreach { case (k, v) => s.conf.set(k, v) }
+      // 16x the 1.5k-row sf0.001 orders (deterministic row ids kept
+      // unique) so the hot partition clears the lowered byte threshold,
+      // and repartition onto 8 mappers: AQE splits a skewed partition by
+      // MAP-OUTPUT ranges, and sf0.001's single parquet file would feed
+      // the exchange from ONE mapper — unsplittable purely as a local
+      // test artifact, while the 100 TB fact side has thousands of maps.
+      val skewed = Tables.orders(s, TestSpark.sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rep", explode(sequence(lit(0L), lit(15L))))
+        .withColumn("o_orderkey", col("o_orderkey") * 16 + col("rep"))
+        .drop("rep")
+        .withColumn("o_custkey",
+          when(pmod(col("o_custkey"), lit(4L)) =!= 0, lit(1L))
+            .otherwise(col("o_custkey")))
+        .repartition(8, col("o_orderkey"))
+      val dim = Tables.customer(s, TestSpark.sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val joined = skewed.join(dim, Seq("o_custkey"))
+      // execute THIS df (count() would plan a separate query) so its
+      // adaptive plan is final before we inspect it
+      val got = joined.collect().length.toLong
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"planted hot custkey must trigger AQE skew-split, plan was:\n$plan")
+      // and splitting must not change the join result
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      val want = skewed.join(dim, Seq("o_custkey")).count()
+      assert(got == want, "the skew-split join must return the plain join's rows")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("salt spreads the hot key across sub-keys") {
     val orders = Tables.orders(spark, TestSpark.sfDir)
       .select("o_orderkey").withColumn("k", lit(1L))
