@@ -133,6 +133,59 @@ object Dedup {
         .select(col("bucket"), col("grams").as("grams_b")))
   }
 
+  // ---- benchmark decontamination (n-gram overlap gate) -------------------
+  /** Shingle width for decontamination: 8 normalized words. Published
+    * training-data decontamination uses word n-grams of this order
+    * (GPT-3's appendix flags 13-gram collisions; 8 keeps the synthetic
+    * corpus' shorter documents in range — the operator is
+    * width-parametric either way). */
+  private[graft] val DecontamGram = 8
+
+  /** Distinct word-[[DecontamGram]]-gram rows (doc_id, g) of a
+    * (doc_id, text) frame — one definition for the training and
+    * benchmark sides, mirrored by the `grams` CTE of the oracle. */
+  private def decontamGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= DecontamGram)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(w) - ${DecontamGram - 1}),
+           |  i -> array_join(slice(w, i, $DecontamGram), ' ')))""".stripMargin)).as("g"))
+
+  /** Benchmark decontamination (the GPT-3-style eval-overlap gate):
+    * report every TRAINING document sharing at least one
+    * [[DecontamGram]]-gram with a BENCHMARK document — (doc_id, number
+    * of distinct overlapping grams, smallest matching benchmark doc).
+    * A training pipeline drops or flags these rows so eval scores are
+    * not read off memorized test data.
+    *
+    * Scale design: the benchmark side is an eval set — thousands of
+    * documents, never terabytes — so its gram set BROADCASTS and the
+    * 100 TB training corpus is never shuffled: one scan → broadcast-hash
+    * join → partial agg (the final groupBy shuffles only the matched
+    * docs, a benchmark-sized set). At production width you'd xxhash64
+    * each gram to an 8-byte key before broadcasting and re-check the
+    * string on match; the test-scale string join keeps the oracle
+    * replayable verbatim. DedupSpec pins the gate semantics on planted
+    * overlaps; PlanSpec asserts the broadcast and the pruned scan. */
+  def decontaminate(training: DataFrame, benchmark: DataFrame): DataFrame =
+    decontamGrams(training)
+      .join(broadcast(decontamGrams(benchmark)
+        .select(col("doc_id").as("bench_id"), col("g"))), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"),
+        min(col("bench_id")).as("first_bench_id"))
+      .orderBy("doc_id")
+
+  /** The registered face of [[decontaminate]]: the held-out benchmark is
+    * the doc_id % 10 == 0 slice of `documents` — a stand-in for a real
+    * eval table (the general entry point takes any benchmark frame). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 0))
+  }
+
   // ---- materialized signature store (the 100 TB deployment shape) --------
   /** Directory-partition shards for the signature store. The blocking
     * bucket itself (an md5 string) is far too fine to be a directory key,
@@ -589,6 +642,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_gate" -> qDedupGate _,
+    "q_decontaminate" -> qDecontaminate _,
   )
 
   /** Shared DuckDB CTE chain: normalized text → capped prefix buckets →
@@ -681,6 +735,19 @@ object Dedup {
     // the stored-table gate materializes the signatures but must not
     // change the answer — its oracle IS the in-query gate's oracle
     "q_dedup_gate" -> duckGateSql,
+    "q_decontaminate" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${DecontamGram - 1}], ' ') AS g
+         |  FROM norm, UNNEST(range(1, len(w) - ${DecontamGram - 2})) AS t(i)
+         |  WHERE len(w) >= $DecontamGram)
+         |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_hits, MIN(b.doc_id) AS first_bench_id
+         |FROM grams t JOIN grams b ON t.g = b.g
+         |WHERE b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |$duckClusterCtes

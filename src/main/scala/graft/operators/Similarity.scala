@@ -366,6 +366,84 @@ object Similarity {
     annTopkFromBuckets(s, corpus, queries)
   }
 
+  // ---- SemDeDup-style semantic dedup (within-cluster cosine) ------------
+  /** Semantic-dedup cosine threshold. The synthetic corpus tops out at
+    * ≈0.51 pairwise (see [[qEmbedNeardup]]'s note), so the demo threshold
+    * sits in the corpus' near-dup band; a production run over real
+    * embeddings raises it to ~0.95+. Shared with the differential twin
+    * ([[graft.verify.Expected.semanticRows]]) so both faces evaluate one
+    * parameterization. */
+  private[graft] val SemDedupTau = 0.4
+
+  /** Sub-block count for the within-cluster pair join: members hash into
+    * [[SemBlocks]] blocks and pairs are generated per block-PAIR cell, so
+    * the join's parallelism is k·B(B+1)/2 instead of k. */
+  private[graft] val SemBlocks = 8
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): partition the embedding space
+    * with the SAME coarse quantizer the IVF tier trains
+    * ([[trainQuantizer]] — one quantizer for every embedding face), then
+    * mark a vector droppable when a lower-id member of its OWN cluster
+    * sits within cosine [[SemDedupTau]]. One row per dropped vector with
+    * its best qualifying keeper (max cosine, ties → smallest keep_id).
+    *
+    * Scale design — the pairwise stage is quadratic only WITHIN a
+    * cluster, and both blowup axes are bounded:
+    *  - cluster count k is a quantizer parameter: production SemDeDup
+    *    picks k ∝ corpus / target-cluster-size (10k–100k clusters), so
+    *    per-cluster membership — and with it the per-cluster pair count
+    *    — stays bounded as the corpus grows. k = [[IvfLists]] here only
+    *    because the test corpus is tiny.
+    *  - parallelism does NOT degrade to k tasks (the q_token_shards
+    *    lesson): members hash into [[SemBlocks]] sub-blocks and the
+    *    self-join runs per block-pair cell — the A side replicates a
+    *    block-i row into cells (i, i..B-1), the B side into (0..j, j) —
+    *    so the exchange carries k·B(B+1)/2 distinct keys. The trade is
+    *    explicit: ~(B+1)/2× row replication in the shuffle buys ~B²/2×
+    *    the parallelism (the bounded-replication all-pairs
+    *    decomposition). Cell (i,i) produces both orientations of its
+    *    pairs; the least/greatest canonicalization plus the max-struct
+    *    agg absorbs the duplicates (max over equal rows), so the pair
+    *    SET is exactly "all within-cluster pairs" — SimilaritySpec pins
+    *    it against planted clone groups and ExpectedSpec against the
+    *    sequential twin bit-for-bit.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    qDedupSemanticFrom(s, Tables.embeddings(s, dir))
+
+  /** [[qDedupSemantic]] over an arbitrary (vec_id, embedding, …) frame —
+    * what SimilaritySpec runs against constructed clone-group corpora. */
+  private[graft] def qDedupSemanticFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val e = withNorm(s, vectors)
+    val cents = trainQuantizer(e)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        ivfListId(s, cents)(col("embedding"), col("nrm")).as("list_id"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(SemBlocks)).cast("int"))
+    val a = assigned.select(col("list_id"), col("blk").as("b_lo"),
+      explode(sequence(col("blk"), lit(SemBlocks - 1))).as("b_hi"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("list_id"),
+      explode(sequence(lit(0), col("blk"))).as("b_lo"), col("blk").as("b_hi"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b.hint("shuffle_hash"), Seq("list_id", "b_lo", "b_hi"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine",
+        round(dotCol(s, col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      // Spark double comparison: NaN qualifies (NaN > any value) — the
+      // twin replays that explicitly for degenerate zero-norm vectors
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("list_id"),
+        least(col("id_a"), col("id_b")).as("keep_id"),
+        greatest(col("id_a"), col("id_b")).as("drop_id"),
+        col("cosine"))
+      .groupBy(col("drop_id"), col("list_id"))
+      .agg(max(struct(col("cosine").as("cosine"), (-col("keep_id")).as("neg_keep"))).as("best"))
+      .select(col("drop_id"), (-col("best.neg_keep")).as("keep_id"),
+        col("list_id"), col("best.cosine").as("cosine"))
+      .orderBy("drop_id")
+  }
+
   // ---- materialized IVF index (train once, store, probe-pruned reads) ---
   /** Quantizer sidecar location inside an IVF index dir. The underscore
     * prefix keeps Spark's file listing from treating it as corpus data,
@@ -744,6 +822,7 @@ object Similarity {
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_ivf_probe"     -> qIvfProbe _,
+    "q_dedup_semantic" -> qDedupSemantic _,
   )
 
   // ---- DuckDB oracle generation -----------------------------------------

@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the four queries whose math DuckDB
+/** Driver-side differential twins for the five queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
   * training): each generator recomputes the query's EXPECTED output as
   * plain sequential Scala over the collected input table — no DataFrames,
@@ -129,20 +129,34 @@ object Expected {
     * probe-list top-5, probe-pruned scoring, and window ranking with
     * Spark's total double ordering — NaN-scored degenerate queries order
     * identically by construction. */
-  def ivfRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
-    val withNrm = embs.map { case (id, e) =>
+  /** (id, double vector, norm) triples — the shared first step of every
+    * embedding twin. */
+  private def normed(embs: Seq[(Long, Array[Float])]): Seq[(Long, Array[Double], Double)] =
+    embs.map { case (id, e) =>
       val d = e.map(_.toDouble)
       (id, d, math.sqrt(Similarity.ddot(d, d)))
     }
-    val sample = withNrm
+
+  /** The engine's quantizer over a normed corpus: the xxhash64-ordered
+    * training sample fed through the shared
+    * [[Similarity.trainQuantizerOnSample]] (see the independence
+    * contract) — one derivation for the IVF and semantic-dedup twins, as
+    * the engine trains one quantizer for both faces. */
+  private def quantizerFor(
+      withNrm: Seq[(Long, Array[Double], Double)]): Array[(Int, Array[Double], Double)] =
+    Similarity.trainQuantizerOnSample(withNrm
       .sortBy { case (id, _, _) => (XXH64.hashLong(id, 42L), id) }
       .take(Similarity.IvfSeedSample)
       .map { case (_, d, n) => d.map(_ / n) }
-      .toArray
-    val cents = Similarity.trainQuantizerOnSample(sample)
+      .toArray)
+
+  private val byScore = Ordering.Tuple2(D, Ordering.Int)
+
+  def ivfRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = normed(embs)
+    val cents = quantizerFor(withNrm)
     def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
       cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
-    val byScore = Ordering.Tuple2(D, Ordering.Int)
     val corpus = withNrm.map { case (id, d, n) =>
       (id, d, n, scores(d, n).max(byScore)._2)
     }
@@ -160,14 +174,54 @@ object Expected {
     }.sortBy(r => (r._1, r._2))
   }
 
+  // ---- q_dedup_semantic --------------------------------------------------
+  /** Expected (drop_id, keep_id, list_id, cosine) rows for the
+    * SemDeDup-style semantic dedup: same quantizer + nearest-list
+    * assignment as [[ivfRows]] (one quantizer for every embedding face),
+    * then a plain sequential all-pairs sweep WITHIN each list — the
+    * re-derivation of the engine's blocked pair join, which exists only
+    * to parallelize exactly this pair set. Spark comparison semantics
+    * replayed explicitly: a NaN cosine (zero-norm vector) passes the
+    * `>= tau` filter (Spark's NaN is greater than any value) and wins
+    * the best-keeper max via the total double ordering. */
+  def semanticRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Int, Double)] = {
+    val withNrm = normed(embs)
+    val cents = quantizerFor(withNrm)
+    def listOf(d: Array[Double], n: Double): Int =
+      cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (n * cn), i) }
+        .max(byScore)._2
+    // drop_id -> (cosine, keep_id, list_id), maximized by (cosine, -keep)
+    val best = mutable.Map.empty[Long, (Double, Long, Int)]
+    withNrm.map { case (id, d, n) => (id, d, n, listOf(d, n)) }
+      .groupBy(_._4).values.foreach { members =>
+        val sorted = members.sortBy(_._1)
+        for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+          val (ida, da, na, la) = sorted(i)
+          val (idb, db, nb, _) = sorted(j)
+          val cos = round6(Similarity.ddot(da, db) / (na * nb))
+          if (java.lang.Double.isNaN(cos) || cos >= Similarity.SemDedupTau) {
+            best.updateWith(idb) {
+              case Some((c, k, l)) =>
+                val cmp = D.compare(c, cos)
+                if (cmp > 0 || (cmp == 0 && k <= ida)) Some((c, k, l))
+                else Some((cos, ida, l))
+              case None => Some((cos, ida, la))
+            }
+          }
+        }
+      }
+    best.toSeq.map { case (drop, (cos, keep, list)) => (drop, keep, list, cos) }
+      .sortBy(_._1)
+  }
+
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all four expected outputs, write
+  /** Collect the input tables, compute all five expected outputs, write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the four former rows-only queries to full rows+schema+hash
+    * the five differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
@@ -189,6 +243,8 @@ object Expected {
     val sh = write("q_dedup_simhash", simhashRows(docs).toDF("doc_a", "doc_b", "hamming"))
     // one expected artifact for both IVF faces (stored probe ≡ in-query)
     val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val sem = write("q_dedup_semantic",
+      semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
 
     def sql(path: String, cols: String, order: String): String =
       s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
@@ -197,6 +253,7 @@ object Expected {
       "q_dedup_simhash" -> sql(sh, "doc_a, doc_b, hamming", "doc_a, doc_b"),
       "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
     )
   }
 }

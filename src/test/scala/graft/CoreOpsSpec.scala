@@ -27,10 +27,11 @@ class CoreOpsSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val static = SparkEntry.oracleSql.keySet
     assert(static.subsetOf(q), s"oracles without queries: ${static -- q}")
-    // the static gap is exactly the four queries DuckDB cannot replay in
+    // the static gap is exactly the five queries DuckDB cannot replay in
     // SQL (xxhash64 fingerprints, iterative quantizer training)...
     assert(q -- static ==
-      Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_ivf_probe"),
+      Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_ivf_probe",
+        "q_dedup_semantic"),
       s"unexpected static-oracle gap: ${q -- static}")
     // ...and the differential expected-parquet oracles close it: the FULL
     // map Verify dumps covers every registered query — no rows-only rows.

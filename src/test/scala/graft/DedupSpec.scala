@@ -511,6 +511,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
   }
 
+  test("decontamination gate: planted 8-gram overlaps flagged, clean and short docs pass") {
+    import spark.implicits._
+    // benchmark doc: 9 normalized words -> exactly two 8-grams
+    val bench = Seq((1000L, "Alpha bravo charlie delta echo foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india", // exact: both grams hit
+      2L -> "zz bravo charlie delta echo foxtrot golf hotel india",    // shares the 2nd gram only
+      3L -> "one two three four five six seven eight nine",            // 8-grams, none shared
+      4L -> "too short to shingle").toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1000L), (2L, 1L, 1000L)))
+  }
+
   test("fingerprint expressions tolerate null array elements (SQL surface)") {
     val r = spark.sql(
       """SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh,

@@ -48,6 +48,16 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("semantic-dedup twin equals the engine bit-for-bit (doubles by bits)") {
+    val expected = Expected.semanticRows(embs)
+      .map { case (d, k, l, c) => (d, k, l, java.lang.Double.doubleToLongBits(c)) }
+    val got = Similarity.qDedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    assert(expected.nonEmpty, "sf0.001 must yield semantic-dedup drops")
+    assert(got === expected)
+  }
+
   test("round6 twin matches Spark's round(_, 6) on doubles incl. NaN/Inf/ties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -93,6 +93,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_decontaminate: benchmark grams broadcast; the corpus never shuffles to meet them") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the training corpus must not shuffle into the overlap join")
+    // only doc_id+text leave the documents scans (lang/source/n_chars pruned)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>") && !p.contains("n_chars"),
+      "columns outside (doc_id, text) must not be read")
+  }
+
+  test("q_dedup_semantic: pair join runs per (list, block-pair) cell, never all-pairs") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    def joins(pl: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffledHashJoinExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => joins(q.plan)
+      case j: ShuffledHashJoinExec => Seq(j) ++ j.children.flatMap(joins)
+      case other => other.children.flatMap(joins)
+    }
+    val df = SparkEntry.queries("q_dedup_semantic")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"semantic dedup must never plan an all-pairs join:\n$p")
+    // the pair join's keys carry the block-pair columns: its exchange has
+    // k·B(B+1)/2 distinct keys, so parallelism scales past the cluster
+    // count (the q_token_shards lesson, applied at design time)
+    val pair = joins(df.queryExecution.executedPlan)
+    assert(pair.nonEmpty, s"expected the hinted shuffle-hash pair join:\n$p")
+    val keys = pair.head.leftKeys.map(_.toString.replaceAll("#\\d+L?", ""))
+    assert(keys.exists(_.contains("list_id")) && keys.exists(_.contains("b_lo")) &&
+      keys.exists(_.contains("b_hi")),
+      s"pair join must key on (list_id, b_lo, b_hi), got: $keys")
+  }
+
   test("q_token_shards: doc rows never flow through a single-language window") {
     // the two-level packer's contract: parallelism ∝ corpus size. Any
     // window partitioned on fewer than two keys must sit above the

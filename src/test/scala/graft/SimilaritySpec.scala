@@ -258,6 +258,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assertComplete() === bootstrap)
   }
 
+  test("semantic dedup: planted copy groups drop to their smallest id, keepers stay") {
+    import spark.implicits._
+    // 24 scaled basis directions (pairwise cosine 0 — no accidental
+    // near-dups, and more directions than IvfLists so the quantizer
+    // can't give every vector a private centroid) plus two EXACT-copy
+    // groups. Identical vectors score identically against every
+    // centroid, so a copy group co-clusters by construction no matter
+    // how the quantizer carves the space — the assertions below are
+    // deterministic, not distribution-dependent.
+    def unitVec(axis: Int): Array[Float] = {
+      val a = new Array[Float](64); a(axis) = 1f; a
+    }
+    val base = (0 until 24).map(i => (i.toLong, unitVec(i)))
+    val copies = Seq(100L -> unitVec(0), 101L -> unitVec(0), 102L -> unitVec(0),
+      200L -> unitVec(1), 201L -> unitVec(1))
+    val out = Similarity.qDedupSemanticFrom(spark, (base ++ copies).toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    // every non-minimal member of a copy group drops; its keeper is the
+    // group minimum (all qualifying cosines tie at exactly 1.0, so the
+    // max-struct agg's tiebreak must pick the smallest keep_id); the
+    // orthogonal base directions (cosine 0 < tau) never drop
+    assert(out === Seq((100L, 0L, 1.0), (101L, 0L, 1.0), (102L, 0L, 1.0),
+      (200L, 1L, 1.0), (201L, 1L, 1.0)))
+  }
+
   test("multi-probe LSH achieves recall >= 0.5 vs brute force") {
     val exactSet = exact.map(h => (h.qId, h.nId)).toSet
     val hit = approx.count(h => exactSet((h.qId, h.nId)))
