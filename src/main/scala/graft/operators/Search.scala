@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Relevance search over the corpus: BM25 keyword top-k and an
+  * edit-distance fuzzy join (north-star extensions, SURVEY §7.6 — the
+  * retrieval face of a training-data pipeline: "find the docs about X"
+  * and "find the near-miss variants of each doc").
+  *
+  * Scale shape of both operators is blocking-before-pairing:
+  *  - BM25 never materializes a full inverted index per query — the
+  *    exploded token stream is FILTERED TO THE QUERY TERMS map-side, so
+  *    the only rows that ever reach an exchange are (doc, query-term)
+  *    hits; document length arrives precomputed from the same scan.
+  *  - the fuzzy join only scores pairs inside an 8-char-prefix block
+  *    (with the same deterministic per-block cap as
+  *    [[Dedup.qDedupNgram]]'s gram buckets), never all pairs.
+  */
+object Search {
+
+  /** lowercase, strip non [a-z ], collapse runs of spaces, trim —
+    * byte-identical to the oracle's regexp_replace chain (one
+    * definition ↔ one oracle CTE, the [[TextOps]] convention). */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z ]", ""), " +", " "))
+
+  // ---- BM25 keyword search ------------------------------------------------
+
+  /** The demo query (corpus vocabulary is synthetic, SURVEY §7.6); a
+    * deployment passes its own terms to [[bm25]]. */
+  private[graft] val QueryTerms = Seq("spark", "merge", "vector", "stream")
+  private val K1 = 1.2
+  private val BParam = 0.75
+  private val TopK = 20
+
+  /** BM25 (Lucene's non-negative IDF variant) top-k over any
+    * (doc_id, text) frame.
+    *
+    * Distribution: one scan computes words + document length; the
+    * explode is filtered to `terms` BEFORE any exchange, so the shuffled
+    * token stream is |terms|-bounded per doc, not |doc|-bounded
+    * (PlanSpec asserts the filter sits under the first exchange). The
+    * per-term document frequencies and the (N, avgdl) corpus stats are
+    * dimension-sized and ride broadcasts back onto the hit stream. The
+    * final top-k is orderBy+limit — Spark plans TakeOrderedAndProject,
+    * a per-partition heap + driver merge, never a global sort.
+    *
+    * Determinism: each per-term partial score is fixed-pointed to 1e-6
+    * BEFORE the per-doc sum (long addition commutes; double addition
+    * does not), so partition order can never wiggle the rounded total —
+    * the same trick ensures the DuckDB oracle sums identical longs.
+    */
+  private[graft] def bm25(docs: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .withColumn("dl", size(col("words")).cast(LongType))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
+      .filter(col("word").isin(terms: _*)) // map-side: only query-term hits shuffle
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // expression order mirrors the oracle SQL token-for-token: IEEE ops
+    // are correctly rounded, so identical association ⇒ identical bits
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(K1) * (lit(1.0 - BParam) + lit(BParam) * col("dl") / col("avgdl"))
+    val fp = round(idf * col("tf") * lit(K1 + 1.0) / denom * lit(1e6)).cast(LongType)
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("fp", fp)
+      .groupBy("doc_id")
+      .agg(round(sum("fp") / lit(1e6), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir))
+
+  // ---- fuzzy (edit-distance) join ------------------------------------------
+
+  /** Per-block pair cap — [[Dedup]]'s NgramBucketCap rationale: a
+    * deterministic bound on any one block's pair count (cap² not
+    * block²), trading bounded recall inside mega-blocks for a bounded
+    * join at any corpus size. */
+  private val FuzzyBlockCap = 256
+  private val FuzzyPrefixLen = 40
+  private val FuzzyMaxDist = 12L
+
+  /** Edit-distance self-join: pairs of documents whose normalized
+    * 40-char prefixes are within Levenshtein distance [[FuzzyMaxDist]],
+    * blocked on the first 8 normalized chars.
+    *
+    * Distribution: the block key is the ONLY join key — one shuffle on
+    * `blk`, pairs form inside blocks, and the row_number cap bounds any
+    * block at [[FuzzyBlockCap]] members before the join (skew-proof by
+    * construction). Levenshtein runs on 40-char prefixes, so per-pair
+    * cost is a constant ~1600 cell DP, not |doc|². At 100 TB the same
+    * blocking carries: pair volume ∝ Σ min(block, cap)², never corpus².
+    */
+  private[graft] def fuzzyPairs(docs: DataFrame): DataFrame = {
+    val byBlock = Window.partitionBy("blk").orderBy("doc_id")
+    val base = docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"), substring(col("norm"), 1, 8).as("blk"),
+        substring(col("norm"), 1, FuzzyPrefixLen).as("pfx"))
+      .withColumn("rn", row_number().over(byBlock))
+      .filter(col("rn") <= FuzzyBlockCap).drop("rn")
+    val a = base.select(col("doc_id").as("doc_a"), col("blk"), col("pfx").as("pfx_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("blk"), col("pfx").as("pfx_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
+      .filter(col("edit_dist") <= FuzzyMaxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.documents(s, dir))
+
+  // ---- registry -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> qBm25 _,
+    "q_fuzzy_join" -> qFuzzyJoin _,
+  )
+
+  private val duckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+        |d AS (SELECT doc_id, t,
+        |        CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) AS dl FROM n),
+        |w AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS word FROM d),
+        |tf AS (SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf FROM w
+        |       WHERE word IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM d),
+        |sc AS (SELECT doc_id,
+        |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0)
+        |           AS BIGINT) AS fp
+        |       FROM tf JOIN df USING (word) CROSS JOIN s)
+        |SELECT doc_id, round(sum(fp) / 1000000.0, 6) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_fuzzy_join" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+        |f AS (SELECT doc_id, substr(t, 1, 8) AS blk, substr(t, 1, $FuzzyPrefixLen) AS pfx
+        |      FROM n WHERE length(t) >= 8),
+        |c AS (SELECT doc_id, blk, pfx,
+        |        row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM f),
+        |g AS (SELECT doc_id, blk, pfx FROM c WHERE rn <= $FuzzyBlockCap)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+        |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= $FuzzyMaxDist
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -309,6 +309,103 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // ---- repetition filters (Gopher-style quality rules) -------------------
+
+  /** Flag thresholds: ≈p90 of each signal on the synthetic corpus, so
+    * the rule splits it non-trivially; a deployment tunes these against
+    * its own distribution (Gopher used 0.2 / 0.2 on web text). */
+  private val TopWordFracMax = 0.14
+  private val DupBigramFracMax = 0.065
+
+  /** Per-document repetition statistics — the Rae et al. (Gopher,
+    * arXiv:2112.11446 §A1.1) repetition family: most-frequent-word
+    * fraction and duplicate-bigram fraction, plus the keep/drop flag.
+    *
+    * Two deliberate distribution shapes side by side:
+    *  - top-word frequency needs a per-(doc, word) count → one explode +
+    *    groupBy; the shuffle is keyed on (doc_id, word) so key count ∝
+    *    corpus tokens — it scales out, never concentrates.
+    *  - the duplicate-bigram fraction never leaves its row:
+    *    size(array_distinct(bigrams)) is an O(n) per-row hash set, so
+    *    the signal is shuffle-free (the cheaper choice whenever the
+    *    stat doesn't need cross-row grouping).
+    */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+    val wordStats = base
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_cnt"), sum("c").as("n_words"))
+    val bigrams =
+      expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")
+    val biStats = base.select(col("doc_id"),
+      (size(col("words")) - 1).cast(LongType).as("n_bigrams"),
+      size(array_distinct(bigrams)).cast(LongType).as("n_distinct_bigrams"))
+    val topFrac = round(col("top_cnt") / col("n_words").cast("double"), 6)
+    val dupFrac = round((col("n_bigrams") - col("n_distinct_bigrams"))
+      / col("n_bigrams").cast("double"), 6)
+    wordStats.join(biStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("top_cnt"),
+        topFrac.as("top_word_frac"), dupFrac.as("dup_bigram_frac"))
+      .withColumn("flagged",
+        (col("top_word_frac") > TopWordFracMax ||
+          col("dup_bigram_frac") > DupBigramFracMax).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
+
+  // ---- corpus bigram-LM scoring -------------------------------------------
+
+  /** Score every document under a word-bigram language model trained on
+    * the corpus itself (add-one smoothing) — the classic
+    * "train-on-corpus, score-the-corpus" perplexity filter (CCNet-style,
+    * with the corpus standing in for the external LM this container
+    * can't ship). Output is mean log-probability per bigram; low scorers
+    * are the distribution outliers a quality pass drops.
+    *
+    * Distribution: the LM IS two aggregates over the bigram stream —
+    * bigram counts and first-word context counts — both keyed on grams
+    * (key count ∝ vocab², scales out). Scoring joins the stream back to
+    * the two count tables on the same gram keys; AQE broadcasts them
+    * when the vocabulary is dimension-sized (this corpus) and falls back
+    * to shuffle joins when it isn't — either plan is right at its scale.
+    * A deployment trains once and materializes the LM; re-deriving it
+    * here keeps the operator a pure function of the input.
+    *
+    * Determinism: per-bigram log-probs are fixed-pointed to 1e-6 before
+    * the per-doc mean (long sums commute; double sums don't) — the
+    * [[graft.operators.Search.bm25]] trick, mirrored in the oracle.
+    */
+  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+    val grams = base.filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val lm1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("words")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val logpFp = round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
+      .cast(LongType)
+    grams.join(lm2, "bg").join(lm1, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp", logpFp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
@@ -320,9 +417,54 @@ object TextOps {
     "q_token_shards" -> qTokenShards _,
     "q_data_mixture" -> qDataMixture _,
     "q_vocab_coverage" -> qVocabCoverage _,
+    "q_repetition"  -> qRepetition _,
+    "q_lm_score"    -> qLmScore _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""WITH n AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
+        |  FROM documents),
+        |b AS (SELECT doc_id, parts FROM n WHERE len(parts) >= 2),
+        |w AS (SELECT doc_id, unnest(parts) AS w FROM b),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+        |         CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY 1),
+        |bs AS (SELECT doc_id,
+        |         CAST(len(parts) - 1 AS BIGINT) AS n_bigrams,
+        |         CAST(len(list_distinct(list_transform(generate_series(1, len(parts) - 1),
+        |           i -> parts[i] || ' ' || parts[i+1]))) AS BIGINT) AS n_distinct_bigrams
+        |       FROM b),
+        |r AS (SELECT doc_id, n_words, top_cnt,
+        |        round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+        |        round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+        |      FROM ws JOIN bs USING (doc_id))
+        |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac,
+        |  CASE WHEN top_word_frac > $TopWordFracMax
+        |         OR dup_bigram_frac > $DupBigramFracMax THEN 1 ELSE 0 END AS flagged
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(parts) - 1),
+        |          i -> parts[i] || ' ' || parts[i+1])) AS bg
+        |      FROM n WHERE len(parts) >= 2),
+        |gr AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM g),
+        |lm2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM gr GROUP BY 1),
+        |lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM gr GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(parts) AS w FROM n)),
+        |sc AS (SELECT doc_id,
+        |         CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS fp
+        |       FROM gr JOIN lm2 USING (bg) JOIN lm1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(fp) / 1000000.0 / count(*), 6) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH n AS (
         |  SELECT doc_id, lang,

@@ -273,4 +273,45 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.count() === viaFilter)
     assert(probe.count() < all.count(), "probe set must be a strict subset of the corpus")
   }
+
+  test("q_bm25: token stream filters to query terms below the first exchange; top-k is a heap, not a sort") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q_bm25")(spark, TestSpark.sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the final top-k must be TakeOrderedAndProject (per-partition heap +
+    // driver merge), never a global Sort exchange
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+    // the IN(query terms) filter must run with NO exchange below it —
+    // i.e. map-side, so only query-term hits ever shuffle
+    def unwrap(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+      case other => Seq(other) ++ other.children.flatMap(unwrap)
+    }
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    val termFilters = nodes.collect {
+      case f: FilterExec if f.condition.toString.contains("spark") => f
+    }
+    assert(termFilters.nonEmpty, s"expected the query-term IN filter:\n$p")
+    termFilters.foreach { f =>
+      val below = f.children.flatMap(unwrap)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"term filter must be map-side (no exchange below it):\n$p")
+    }
+  }
+
+  test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {
+    val pf = plan("q_fuzzy_join")
+    assert(!pf.contains("NestedLoop") && !pf.contains("CartesianProduct"),
+      s"the prefix block must keep the fuzzy join an equi-join:\n$pf")
+    assert(pf.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "fuzzy join must read only (doc_id, text)")
+    val pl = plan("q_lm_score")
+    assert(!pl.contains("CartesianProduct"),
+      s"LM scoring joins on gram keys (the 1-row vocab rides a broadcast):\n$pl")
+    assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "LM scoring must read only (doc_id, text)")
+  }
 }

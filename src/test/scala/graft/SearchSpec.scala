@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+/** Semantics of the retrieval operators on planted corpora (their values
+  * are hash-verified against DuckDB oracles by the driver gate — these
+  * tests pin the ranking/pairing BEHAVIOR on inputs where the right
+  * answer is known by construction).
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25: term-dense doc ranks first, no-term docs are absent, ties break by doc_id") {
+    val docs = Seq(
+      1L -> "spark spark spark merge vector stream extra words here",
+      2L -> "spark appears once in this otherwise unrelated text body",
+      3L -> "nothing relevant in this document at all whatsoever here",
+      4L -> "spark appears once in this otherwise unrelated text body",
+    ).toDF("doc_id", "text")
+    val got = Search.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 3 has zero query terms: never retrieved
+    assert(!got.map(_._1).contains(3L))
+    // doc 1 matches all four terms with the highest tf: top rank
+    assert(got.head._1 === 1L && got.head._3 === 4L)
+    // docs 2 and 4 are identical: equal scores, doc_id ascending
+    val twins = got.filter(r => r._1 == 2L || r._1 == 4L)
+    assert(twins.map(_._1).toSeq === Seq(2L, 4L))
+    assert(twins(0)._2 === twins(1)._2 && twins.forall(_._3 == 1L))
+    // all retrieved scores are positive and sorted descending
+    assert(got.forall(_._2 > 0.0))
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("bm25: rarer term outweighs commoner term at equal tf and length") {
+    // 'vector' appears in 1 doc, 'spark' in 3 → idf(vector) > idf(spark);
+    // the two probe docs are same length with tf=1, so ranking is idf-only
+    val docs = Seq(
+      1L -> "spark one two three four five",
+      2L -> "spark one two three four five",
+      3L -> "spark six seven eight nine ten",
+      4L -> "vector six seven eight nine ten",
+    ).toDF("doc_id", "text")
+    val scores = Search.bm25(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(4L) > scores(3L),
+      s"idf must favor the rare term: ${scores(4L)} vs ${scores(3L)}")
+  }
+
+  test("fuzzy join: pairs form only within the 8-char block, distance is exact") {
+    val docs = Seq(
+      // block "same pre": three members, two near, one far
+      10L -> "same prefix alpha bravo charlie delta echo foxtrot",
+      11L -> "same prefix alpha bravo charlie delta echo foxtrox", // 1 sub at pos 40- (within prefix)
+      12L -> "same prefix zzz yyy xxx www vvv uuu ttt sss rrr qqq", // same block, far tail
+      // different first-8 chars: never compared against the block above
+      13L -> "other prefix alpha bravo charlie delta echo foxtrot",
+    ).toDF("doc_id", "text")
+    val got = Search.fuzzyPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical 40-char prefixes -> distance 0 (11's edit is past char 40)
+    assert(got.contains((10L, 11L, 0L)))
+    // 13 shares a 40-char tail with 10 but a different block: absent
+    assert(!got.exists(p => p._1 == 13L || p._2 == 13L))
+    // 12 shares the block but its prefix diverges beyond the cutoff
+    val p12 = got.filter(p => p._1 == 12L || p._2 == 12L)
+    assert(p12.forall(_._3 <= 12L)) // anything reported respects the cutoff
+  }
+
+  test("fuzzy join: reported distance matches a reference Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val t1 = "abcdefgh kitten sat on the little branch today"
+    val t2 = "abcdefgh sitting sat on the little branch here"
+    val docs = Seq(20L -> t1, 21L -> t2).toDF("doc_id", "text")
+    val got = Search.fuzzyPairs(docs).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(2) === lev(t1.take(40), t2.take(40)).toLong)
+  }
+}

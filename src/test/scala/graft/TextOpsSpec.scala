@@ -125,4 +125,50 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("repetition stats: planted repetitive doc flags, varied doc passes") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a"×4 of 6 words → top_frac 4/6; bigrams [a a, a a, a a, a b, b c]
+      // → 5 total, 3 distinct → dup_frac 0.4: both rules trip
+      1L -> "a a a a b c",
+      // 8 distinct words → top_frac 0.125 < 0.14, all bigrams unique
+      2L -> "one two three four five six seven eight",
+      3L -> "solo").toDF("doc_id", "text") // <2 words: excluded
+    val got = graft.operators.TextOps.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    val d1 = got(0)
+    assert(d1._2 === 6L && d1._3 === 4L)
+    assert(d1._4 === 0.666667 && d1._5 === 0.4 && d1._6 === 1)
+    val d2 = got(1)
+    assert(d2._4 === 0.125 && d2._5 === 0.0 && d2._6 === 0)
+  }
+
+  test("lm score: exact value on a hand-computed corpus; repetition scores higher") {
+    import spark.implicits._
+    // two identical 2-word docs: c2("a b")=2, c1("a")=2, V={a,b}=2
+    // → P = (2+1)/(2+2) = 0.75 for the single bigram of each doc
+    val tiny = Seq(1L -> "a b", 2L -> "a b").toDF("doc_id", "text")
+    val gotTiny = graft.operators.TextOps.lmScore(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // mirror the engine's fixed-point steps exactly: HALF_UP (away from
+    // zero — NOT scala math.round, which is floor(x+0.5)) at both stages
+    val fp = BigDecimal(math.log(0.75) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = BigDecimal(fp / 1e6 / 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gotTiny.toSeq === Seq((1L, 1L, want), (2L, 1L, want)))
+    // a doc made of the corpus's dominant bigram outscores a doc of
+    // singleton bigrams (the perplexity-filter direction)
+    val docs = Seq(
+      10L -> "x y x y x y x y x y",
+      11L -> "p q r s t u v w",
+      12L -> "x y x y x y").toDF("doc_id", "text")
+    val scores = graft.operators.TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) > scores(11L),
+      s"common bigrams must score higher: ${scores(10L)} vs ${scores(11L)}")
+  }
 }
