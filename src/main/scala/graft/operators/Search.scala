@@ -38,15 +38,19 @@ object Search {
   private val BParam = 0.75
   private val TopK = 20
 
-  /** BM25 (Lucene's non-negative IDF variant) top-k over any
-    * (doc_id, text) frame.
-    *
-    * Distribution: one scan computes words + document length; the
-    * explode is filtered to `terms` BEFORE any exchange, so the shuffled
-    * token stream is |terms|-bounded per doc, not |doc|-bounded
-    * (PlanSpec asserts the filter sits under the first exchange). The
-    * per-term document frequencies and the (N, avgdl) corpus stats are
-    * dimension-sized and ride broadcasts back onto the hit stream. The
+  /** (doc_id, words, dl) over any (doc_id, text) frame — the shared
+    * base of the in-query scorer and the stored index writer (one
+    * definition, so the two faces can never disagree on tokenization). */
+  private def docWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .withColumn("dl", size(col("words")).cast(LongType))
+
+  /** The BM25 scoring stage shared by [[bm25]] and [[qBm25Probe]]:
+    * `tf` = (doc_id, dl, word, tf) restricted to the query terms,
+    * `stats` = one (n_docs, avgdl) row. Document frequency derives from
+    * `tf` itself (the probed postings of a term are ALL its postings,
+    * so the df is exact on both faces). The df and stats frames are
+    * dimension-sized and ride broadcasts back onto the hit stream; the
     * final top-k is orderBy+limit — Spark plans TakeOrderedAndProject,
     * a per-partition heap + driver merge, never a global sort.
     *
@@ -54,20 +58,11 @@ object Search {
     * BEFORE the per-doc sum (long addition commutes; double addition
     * does not), so partition order can never wiggle the rounded total —
     * the same trick ensures the DuckDB oracle sums identical longs.
+    * Expression order mirrors the oracle SQL token-for-token: IEEE ops
+    * are correctly rounded, so identical association ⇒ identical bits.
     */
-  private[graft] def bm25(docs: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-      .withColumn("dl", size(col("words")).cast(LongType))
-    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
-      .filter(col("word").isin(terms: _*)) // map-side: only query-term hits shuffle
-      .groupBy(col("doc_id"), col("dl"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+  private[graft] def scoreBm25(tf: DataFrame, stats: DataFrame): DataFrame = {
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    // expression order mirrors the oracle SQL token-for-token: IEEE ops
-    // are correctly rounded, so identical association ⇒ identical bits
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(K1) * (lit(1.0 - BParam) + lit(BParam) * col("dl") / col("avgdl"))
     val fp = round(idf * col("tf") * lit(K1 + 1.0) / denom * lit(1e6)).cast(LongType)
@@ -80,8 +75,150 @@ object Search {
       .limit(TopK)
   }
 
+  /** BM25 (Lucene's non-negative IDF variant) top-k over any
+    * (doc_id, text) frame, scoring the corpus in-query.
+    *
+    * Distribution: one scan computes words + document length; the
+    * explode is filtered to `terms` BEFORE any exchange, so the shuffled
+    * token stream is |terms|-bounded per doc, not |doc|-bounded
+    * (PlanSpec asserts the filter sits under the first exchange).
+    * avgdl is sum/count (exact integer sum, one correctly-rounded
+    * division) — bit-identical to the stored index's additive stats.
+    */
+  private[graft] def bm25(docs: DataFrame, terms: Seq[String] = QueryTerms): DataFrame = {
+    val base = docWords(docs)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
+      .filter(col("word").isin(terms: _*)) // map-side: only query-term hits shuffle
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, stats)
+  }
+
   def qBm25(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(s, dir))
+
+  // ---- stored inverted index (posting lists) --------------------------------
+
+  /** Term-hash shard count — the index's first partition level. 16
+    * keeps the verify-SF store readable at a glance; a 100 TB
+    * deployment raises it so one shard's postings fit an executor. */
+  private[graft] val PostingShards = 16
+
+  /** The shard of a term, as a Column — probe-side shard derivation
+    * reuses THIS expression (via a |terms|-row local frame), so writer
+    * and prober can never disagree on the hash. */
+  private def termShard(word: Column): Column =
+    pmod(xxhash64(word), lit(PostingShards.toLong))
+
+  /** Full posting rows over a corpus: (shard, word, doc_id, dl, tf) —
+    * one row per distinct (doc, term). This is the expensive pass a
+    * stored index pays ONCE: the full-vocabulary explode + count that
+    * the in-query scorer avoids by filtering to its terms first. */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docWords(docs)
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard", termShard(col("word")))
+
+  /** One (batch_id, n_docs, sum_dl) stats row for a batch of documents.
+    * The sidecar is ADDITIVE on purpose: BM25's global stats (N, avgdl)
+    * change with every append, so instead of a single stale row the
+    * store keeps one row per batch and the probe sums them — exact
+    * integer arithmetic, so stored stats == in-query stats bit-for-bit
+    * at any append depth. */
+  private def statsRowOf(docs: DataFrame, batchId: Long): DataFrame =
+    docWords(docs).agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Tmpdir store path for a dataset's search index (the
+    * [[graft.sources.TmpStores.scopedPath]] scheme). */
+  private[graft] def searchIndexPath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-searchidx", dir)
+
+  /** Bootstrap the stored inverted index at `path`: postings
+    * partitioned by (shard, batch_id) — term-shard FIRST, so probes
+    * prune to the query terms' shard directories before any row is
+    * read — plus the `_stats` sidecar (underscore prefix: invisible to
+    * the corpus read, the IVF `_centroids` convention). Both artifacts
+    * are written aside and swapped in by
+    * [[graft.sources.Stores.overwriteAside]], so no crash point leaves
+    * a sidecar-less live store (SearchSpec drives the stored==in-query
+    * equality; the crash protocol itself is proven in SimilaritySpec's
+    * overwriteAside battery). */
+  def writeSearchIndex(s: SparkSession, dir: String, path: String): Unit =
+    writeSearchIndexFrom(s, Tables.documents(s, dir), path)
+
+  /** [[writeSearchIndex]] from an explicit corpus frame — the seam the
+    * append/equality specs build half-corpus bootstraps through. */
+  def writeSearchIndexFrom(s: SparkSession, docs: DataFrame, path: String): Unit =
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      // one task per shard (writeSignatures' discipline): without the
+      // repartition every shuffle partition emits a sliver file into
+      // every shard directory
+      graft.sources.Sinks.overwritePartitioned(
+        postingsOf(docs).withColumn("batch_id", lit(-1L)).repartition(col("shard")),
+        tmp, Seq("shard", "batch_id"))
+      graft.sources.Sinks.overwritePartitioned(
+        statsRowOf(docs, -1L).coalesce(1), tmp + "/_stats", Seq("batch_id"))
+    }
+
+  /** Replay-idempotent incremental growth (the signature/ANN store
+    * contract): a batch's postings land as a dynamic overwrite of its
+    * (shard, batch_id) partitions and its stats row overwrites its
+    * batch_id partition of the sidecar, so a replayed batch rewrites
+    * itself instead of double-counting. The two writes are not atomic —
+    * a crash between them leaves the batch's postings visible with its
+    * stats row missing (scores skew until the replay heals both) — the
+    * same at-least-once window every store here documents.
+    * Probes need no rebuild: pruning is on the shard level, and df/
+    * stats derive from what the probe reads. */
+  def appendSearchIndexBatch(s: SparkSession, newDocs: DataFrame, path: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      postingsOf(newDocs).withColumn("batch_id", lit(batchId)).repartition(col("shard")),
+      path, Seq("shard", "batch_id"))
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      statsRowOf(newDocs, batchId).coalesce(1), path + "/_stats", Seq("batch_id"))
+  }
+
+  /** Probe-side scan of the stored index: shard ids derive from the
+    * SAME [[termShard]] expression via a |terms|-row local frame
+    * (control-plane-bounded collect), then the `isin` over the
+    * partition column prunes the scan to ≤ |terms| of
+    * [[PostingShards]] directories before any row is read (PlanSpec
+    * asserts the filters reach the scan). */
+  def probeSearchIndex(s: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    import s.implicits._
+    val shards = terms.toDF("word").select(termShard(col("word")).as("shard"))
+      .distinct().as[Long].collect().toSeq
+    s.read.parquet(path)
+      .filter(col("shard").isin(shards: _*) && col("word").isin(terms: _*))
+  }
+
+  /** [[qBm25]] served from the STORED index instead of a corpus scan —
+    * the production retrieval path: the full-vocabulary posting pass is
+    * paid once at write time, and a query reads only its terms' shard
+    * directories plus the batch-rows of the stats sidecar. Identical
+    * output to [[qBm25]] by construction (same tf/dl/df/stats values
+    * through the same [[scoreBm25]]), so it shares q_bm25's oracle;
+    * SearchSpec asserts the equality verbatim, including across
+    * appends. */
+  def qBm25Probe(s: SparkSession, dir: String): DataFrame = {
+    val path = searchIndexPath(dir)
+    graft.sources.TmpStores.buildOnce(path)(writeSearchIndex(s, dir, path))
+    val hits = probeSearchIndex(s, path, QueryTerms)
+      .select("doc_id", "dl", "word", "tf")
+    val stats = s.read.parquet(path + "/_stats")
+      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    scoreBm25(hits, stats)
+  }
 
   // ---- fuzzy (edit-distance) join ------------------------------------------
 
@@ -130,14 +267,17 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> qBm25 _,
+    "q_bm25_probe" -> qBm25Probe _,
     "q_fuzzy_join" -> qFuzzyJoin _,
   )
 
   private val duckNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))"
 
-  val oracles: Map[String, String] = Map(
-    "q_bm25" ->
+  // the stored probe is output-identical to the in-query scorer by
+  // construction, so BOTH keys carry this one SQL: a drift between the
+  // faces fails the driver gate on q_bm25_probe even if q_bm25 passes
+  private val bm25OracleSql: String =
       s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
         |d AS (SELECT doc_id, t,
         |        CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) AS dl FROM n),
@@ -146,7 +286,7 @@ object Search {
         |       WHERE word IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})
         |       GROUP BY 1, 2, 3),
         |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM d),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(dl) / count(*) AS avgdl FROM d),
         |sc AS (SELECT doc_id,
         |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0)
@@ -155,7 +295,11 @@ object Search {
         |SELECT doc_id, round(sum(fp) / 1000000.0, 6) AS bm25,
         |  CAST(count(*) AS BIGINT) AS n_terms
         |FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25OracleSql,
+    "q_bm25_probe" -> bm25OracleSql,
     "q_fuzzy_join" ->
       s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
         |f AS (SELECT doc_id, substr(t, 1, 8) AS blk, substr(t, 1, $FuzzyPrefixLen) AS pfx

@@ -302,6 +302,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25_probe: the stored posting scan prunes to the query terms' shard dirs") {
+    val df = SparkEntry.queries("q_bm25_probe")(spark, TestSpark.sfDir)
+    val postingScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("shard"))
+    assert(postingScans.nonEmpty, "probe must scan the partitioned posting store")
+    assert(postingScans.forall(_.partitionFilters.nonEmpty),
+      s"term probe must prune shard partitions, got:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {
     val pf = plan("q_fuzzy_join")
     assert(!pf.contains("NestedLoop") && !pf.contains("CartesianProduct"),

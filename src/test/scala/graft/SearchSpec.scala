@@ -70,6 +70,46 @@ class SearchSpec extends AnyFunSuite {
     assert(p12.forall(_._3 <= 12L)) // anything reported respects the cutoff
   }
 
+  test("stored search index: probe equals the in-query BM25 verbatim") {
+    val dir = TestSpark.sfDir
+    val inQuery = SparkEntry.queries("q_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val stored = SparkEntry.queries("q_bm25_probe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(inQuery.nonEmpty)
+    assert(stored === inQuery,
+      "the stored probe must be bit-identical to the in-query scorer")
+  }
+
+  test("stored search index: bootstrap+appends == full bootstrap == in-query; replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchidx").toString + "/idx"
+    def probeAll(): Seq[(Long, Double, Long)] = {
+      val hits = Search.probeSearchIndex(spark, path, Search.QueryTerms)
+        .select("doc_id", "dl", "word", "tf")
+      val stats = spark.read.parquet(path + "/_stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
+          (org.apache.spark.sql.functions.sum("sum_dl") /
+            org.apache.spark.sql.functions.sum("n_docs")).as("avgdl"))
+      Search.scoreBm25(hits, stats).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    // bootstrap on one third, append the other two thirds as two batches
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    val grown = probeAll()
+    val wantFull = Search.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(grown === wantFull,
+      "a grown index must score exactly like the full corpus in-query")
+    // a literal replay of batch 2 overwrites itself: nothing changes
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    assert(probeAll() === wantFull, "a replayed batch must leave the index unchanged")
+  }
+
   test("fuzzy join: reported distance matches a reference Levenshtein") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
