@@ -220,6 +220,62 @@ object Search {
     scoreBm25(hits, stats)
   }
 
+  // ---- hybrid retrieval (BM25 + dense, reciprocal-rank fusion) -------------
+
+  /** RRF constant (Cormack et al. 2009's k=60 default). */
+  private val RrfK = 60
+  private val HybridCandidates = 20
+  private val HybridTopK = 10
+
+  /** Attach `name` = dense-rank-of-this-frame's top candidates. The
+    * candidate cut is orderBy+limit (TakeOrderedAndProject: per-partition
+    * heap + driver merge, no global sort); the row_number that follows
+    * runs over the ALREADY-LIMITED candidate set — a single task of
+    * [[HybridCandidates]] rows, control-plane-bounded by construction,
+    * never the full corpus through one window. */
+  private def rankTop(df: DataFrame, order: Seq[Column], name: String): DataFrame =
+    df.orderBy(order: _*).limit(HybridCandidates)
+      .withColumn(name,
+        row_number().over(Window.orderBy(order: _*)).cast(LongType))
+
+  /** Hybrid search: fuse the lexical BM25 ranking with a dense cosine
+    * ranking (query = the corpus vector with vec_id 0, the q_ann_topk
+    * convention of deriving queries from the data) by reciprocal-rank
+    * fusion: score(d) = Σ_legs 1/(k + rank_leg(d)).
+    *
+    * RRF is the standard hybrid fusion precisely because it is
+    * RANK-based: no score normalization across incommensurable scales,
+    * and — what matters for the differential gate — the fused score is
+    * a two-term sum of exact rationals of small ints, deterministic on
+    * any engine. Each leg scales independently (BM25 via the term-
+    * filtered corpus scan or the stored posting index; cosine via
+    * brute-force here, the IVF/LSH stores at size); the fusion itself
+    * joins two [[HybridCandidates]]-row frames — driver-trivial at any
+    * corpus size.
+    */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val lex = rankTop(bm25(Tables.documents(s, dir)),
+      Seq(col("bm25").desc, col("doc_id")), "rank_lex")
+      .select(col("doc_id"), col("rank_lex"))
+    val e = Similarity.withNorm(s, Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(Similarity.dotCol(s, col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm")), 6))
+    val dense = rankTop(scored.select(col("vec_id"), col("cosine")),
+      Seq(col("cosine").desc, col("vec_id")), "rank_dense")
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)), 6))
+      .select("doc_id", "rank_lex", "rank_dense", "rrf_score")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(HybridTopK)
+  }
+
   // ---- fuzzy (edit-distance) join ------------------------------------------
 
   /** Per-block pair cap — [[Dedup]]'s NgramBucketCap rationale: a
@@ -268,6 +324,7 @@ object Search {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> qBm25 _,
     "q_bm25_probe" -> qBm25Probe _,
+    "q_hybrid_search" -> qHybridSearch _,
     "q_fuzzy_join" -> qFuzzyJoin _,
   )
 
@@ -277,8 +334,11 @@ object Search {
   // the stored probe is output-identical to the in-query scorer by
   // construction, so BOTH keys carry this one SQL: a drift between the
   // faces fails the driver gate on q_bm25_probe even if q_bm25 passes
-  private val bm25OracleSql: String =
-      s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+  /** The BM25 CTE chain (shared by the q_bm25/q_bm25_probe oracle and
+    * the hybrid oracle's lexical leg — one SQL body per scoring path,
+    * the [[Dedup]] duckGramCtes discipline). */
+  private val bm25Ctes: String =
+      s"""n AS (SELECT doc_id, $duckNorm AS t FROM documents),
         |d AS (SELECT doc_id, t,
         |        CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) AS dl FROM n),
         |w AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS word FROM d),
@@ -291,15 +351,42 @@ object Search {
         |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         |           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0)
         |           AS BIGINT) AS fp
-        |       FROM tf JOIN df USING (word) CROSS JOIN s)
-        |SELECT doc_id, round(sum(fp) / 1000000.0, 6) AS bm25,
-        |  CAST(count(*) AS BIGINT) AS n_terms
-        |FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        |       FROM tf JOIN df USING (word) CROSS JOIN s),
+        |bm AS (SELECT doc_id, round(sum(fp) / 1000000.0, 6) AS bm25,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |       FROM sc GROUP BY doc_id
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"WITH $bm25Ctes\nSELECT doc_id, bm25, n_terms FROM bm ORDER BY bm25 DESC, doc_id"
 
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
     "q_bm25_probe" -> bm25OracleSql,
+    "q_hybrid_search" ->
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+        |        FROM bm),
+        |e AS (SELECT vec_id, embedding,
+        |        sqrt(list_aggregate(list_transform(range(1, length(embedding) + 1),
+        |          i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum')) AS nrm
+        |      FROM embeddings),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |ds AS (SELECT e.vec_id,
+        |         round(list_aggregate(list_transform(range(1, length(q.q_emb) + 1),
+        |             i -> cast(q.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')
+        |           / (q.q_nrm * e.nrm), 6) AS cosine
+        |       FROM e, q WHERE e.vec_id <> 0),
+        |d0 AS (SELECT vec_id, cosine FROM ds ORDER BY cosine DESC, vec_id LIMIT 20),
+        |dr AS (SELECT vec_id AS doc_id,
+        |         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank_dense
+        |       FROM d0)
+        |SELECT doc_id, rank_lex, rank_dense,
+        |  round(COALESCE(1.0 / (60 + rank_lex), 0.0) +
+        |        COALESCE(1.0 / (60 + rank_dense), 0.0), 6) AS rrf_score
+        |FROM lex FULL OUTER JOIN dr USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "q_fuzzy_join" ->
       s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
         |f AS (SELECT doc_id, substr(t, 1, 8) AS blk, substr(t, 1, $FuzzyPrefixLen) AS pfx

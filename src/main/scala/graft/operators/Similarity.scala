@@ -80,7 +80,7 @@ object Similarity {
   /** Sequential-fold dot product in double precision: the injected native
     * expression when the session has GraftExtensions, else the
     * interpreted fallback (same result, slower). */
-  private def dotCol(s: SparkSession, a: Column, b: Column): Column =
+  private[graft] def dotCol(s: SparkSession, a: Column, b: Column): Column =
     if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
     else interpretedDot(a, b)
 
@@ -93,7 +93,7 @@ object Similarity {
       when(dotCol(s, embedding, planeArr(p)) > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def withNorm(s: SparkSession, df: DataFrame): DataFrame =
+  private[graft] def withNorm(s: SparkSession, df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dotCol(s, col("embedding"), col("embedding"))))
 
   // ---- cosine near-dup pairs: banded LSH blocking within label ----------

@@ -195,6 +195,29 @@ object EventStreams {
   def ingestVectorBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
     graft.operators.Similarity.appendIvfIndexBatch(batch.sparkSession, batch, indexPath, id)
 
+  /** Stream (doc_id, text) documents into a STORED search index
+    * (bootstrap via [[graft.operators.Search.writeSearchIndex]]): each
+    * micro-batch's postings land as a dynamic overwrite of their
+    * (shard, batch_id) partitions and its stats row overwrites its own
+    * sidecar partition, so an at-least-once replay rewrites itself —
+    * the [[ingestVectorStream]] contract, applied to the lexical index.
+    * BM25 probes see streamed documents immediately (df and global
+    * stats derive from what the probe reads; nothing is cached at
+    * write time), asserted in StreamingSpec. */
+  def ingestPostingsStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestPostingsBatch(batch.toDF(), id, indexPath)
+      }
+      .start()
+
+  /** One micro-batch of the posting ingest — exposed for the replay
+    * contract, like [[ingestVectorBatch]]. */
+  def ingestPostingsBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
+    graft.operators.Search.appendSearchIndexBatch(batch.sparkSession, batch, indexPath, id)
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

@@ -110,6 +110,27 @@ class SearchSpec extends AnyFunSuite {
     assert(probeAll() === wantFull, "a replayed batch must leave the index unchanged")
   }
 
+  test("hybrid search: RRF score is exactly the rank-derived sum, ordered and bounded") {
+    val rows = SparkEntry.queries("q_hybrid_search")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (docId, lex, dense, rrf) =>
+      assert(lex.isDefined || dense.isDefined, s"doc $docId fused from no leg")
+      val want = BigDecimal(
+        lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          dense.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf === want, s"doc $docId: rrf $rrf, want $want")
+      lex.foreach(r => assert(r >= 1 && r <= 20))
+      dense.foreach(r => assert(r >= 1 && r <= 20))
+    }
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq,
+      "fused results must come back score-descending")
+  }
+
   test("fuzzy join: reported distance matches a reference Levenshtein") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

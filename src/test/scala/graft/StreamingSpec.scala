@@ -17,6 +17,7 @@ final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 final case class DocText(doc_id: Long, text: String)
 
 final case class VecRow(vec_id: Long, embedding: Seq[Float])
+final case class DocRow(doc_id: Long, text: String)
 
 final case class PurchaseEvent(p_event_id: Long, p_user_id: Long, p_ts: Timestamp)
 final case class ClickEvent(c_event_id: Long, c_user_id: Long, c_ts: Timestamp)
@@ -324,6 +325,42 @@ class StreamingSpec extends AnyFunSuite {
     val (vid, lst, _) = before.find(t => t._1 >= 250 && t._3 == 1L).get
     assert(Similarity.probeIvfIndex(spark, idx, Seq(lst))
       .filter(col("vec_id") === vid).count() === 1L)
+  }
+
+  test("streaming posting ingest grows the search index; streamed BM25 == full-corpus in-query") {
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pingest").toString
+    val (idx, ckpt) = (s"$tmp/idx", s"$tmp/ckpt")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    // bootstrap from the first half, stream the rest in two micro-batches
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
+    val rest = docs.filter(col("doc_id") >= 250)
+      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+    val (b0, b1) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[DocRow]
+    val q = EventStreams.ingestPostingsStream(input.toDF(), idx, ckpt)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def probeScores(): Seq[(Long, Double, Long)] = {
+      val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
+        .select("doc_id", "dl", "word", "tf")
+      val stats = spark.read.parquet(idx + "/_stats")
+        .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+      Search.scoreBm25(hits, stats).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    val want = Search.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(probeScores() === want,
+      "the streamed index must score exactly like the full corpus in-query")
+    // the at-least-once replay, literally (MemoryStream batch ids 0, 1)
+    EventStreams.ingestPostingsBatch(b1.toDF(), 1L, idx)
+    assert(probeScores() === want,
+      "a replayed posting batch must leave BM25 scores bit-identical")
   }
 
   test("vector ingest resumes from its checkpoint across a restart") {
