@@ -77,7 +77,45 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Time-series resampling with forward fill — the gap-fill staple:
+    * densify each user's event stream onto an hourly grid spanning
+    * their first..last observed hour, mark the gap rows, and carry the
+    * last observed hourly sum forward (`last(..., ignoreNulls)` over an
+    * explicit running frame; filled values are COPIES, no arithmetic,
+    * so the differential compare is exact).
+    *
+    * Scale shape: the grid generates per user-row via `sequence` —
+    * a generator projection, no shuffle — sized users × span-hours
+    * (the dense calendar frame, orders smaller than the event log);
+    * the observed sums join back on (user_id, hr); the fill window
+    * partitions per user — parallelism ∝ user cardinality, each
+    * partition span-bounded. Hourly sums run in decimal
+    * ([[qWindowHourly]]'s determinism discipline). */
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables.events(s, dir))
+
+  /** [[qGapFill]] over an arbitrary (user_id, ts, value[, …]) frame —
+    * the seam TemporalJoinsSpec plants constructed gap patterns
+    * through. */
+  private[graft] def gapFillHourly(events: DataFrame): DataFrame = {
+    val obs = events
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("hr"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast(DoubleType).as("hr_value"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("hr").as("hr_min"), max("hr").as("hr_max"))
+      .select(col("user_id"),
+        explode(expr("sequence(hr_min, hr_max, interval 1 hour)")).as("hr"))
+    val fill = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("is_gap", col("hr_value").isNull.cast("int"))
+      .withColumn("filled_value", last(col("hr_value"), ignoreNulls = true).over(fill))
+      .select("user_id", "hr", "hr_value", "is_gap", "filled_value")
+      .orderBy("user_id", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill"      -> qGapFill _,
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
     "q_state_latest"  -> qStateLatest _,
@@ -85,6 +123,21 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, cast(date_trunc('hour', cast(ts AS timestamp)) AS timestamp) AS hr,
+        |    cast(sum(cast(value AS decimal(18,6))) AS double) AS hr_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(hr_min, hr_max, INTERVAL '1 hour')) AS hr
+        |  FROM (SELECT user_id, min(hr) AS hr_min, max(hr) AS hr_max FROM obs GROUP BY 1))
+        |SELECT g.user_id, g.hr, o.hr_value,
+        |  CASE WHEN o.hr_value IS NULL THEN 1 ELSE 0 END AS is_gap,
+        |  last_value(o.hr_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
+        |ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, event_id, cast(ts AS timestamp) AS ts,
         |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

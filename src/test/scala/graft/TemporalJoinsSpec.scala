@@ -16,6 +16,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.from(Instant.parse(s))
 
+  test("gap fill: hourly grid tiles the span, gaps carry the last observed value forward") {
+    val events = Seq(
+      // user 1: hours 10, 11, 14 observed → gaps at 12, 13 fill with 11's sum
+      (1L, ts("2026-01-01T10:15:00Z"), 1.5),
+      (1L, ts("2026-01-01T11:05:00Z"), 2.0),
+      (1L, ts("2026-01-01T11:45:00Z"), 0.5), // same hour as above: sums to 2.5
+      (1L, ts("2026-01-01T14:30:00Z"), 4.0),
+      // user 2: a single hour → one grid row, no gaps
+      (2L, ts("2026-01-01T09:00:00Z"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.operators.EventOps.gapFillHourly(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3), r.getDouble(4)))
+    val want = Seq(
+      (1L, "2026-01-01T10:00:00Z", Some(1.5), 0, 1.5),
+      (1L, "2026-01-01T11:00:00Z", Some(2.5), 0, 2.5),
+      (1L, "2026-01-01T12:00:00Z", None, 1, 2.5),
+      (1L, "2026-01-01T13:00:00Z", None, 1, 2.5),
+      (1L, "2026-01-01T14:00:00Z", Some(4.0), 0, 4.0),
+      (2L, "2026-01-01T09:00:00Z", Some(7.0), 0, 7.0))
+    assert(got.toSeq === want)
+  }
+
   test("as-of join: backward inclusive, per-key, null when nothing precedes") {
     val left = Seq(
       (1L, ts("2026-01-01T10:00:00Z")), // before any right row → null
