@@ -290,6 +290,21 @@ object CoreOps {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  // §2.4 extension — GROUPING SETS: the general form rollup/cube are
+  // sugar for, with an ARBITRARY set list — (flag, status), (flag),
+  // (status): not a rollup (it has (status)) and not a cube (it lacks
+  // ()). Same one-pass Expand + hash-aggregate plan as its siblings —
+  // rows multiply by |sets| map-side, partial aggregation absorbs it.
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   // §2.4 extension — PIVOT as conditional aggregation: one hash aggregate,
   // no extra shuffle vs the plain groupBy (each pivot cell is a map-side
   // partial). Fixed pivot values keep the schema static — the scalable
@@ -540,6 +555,7 @@ object CoreOps {
     "q_union_stragg"    -> qUnionStragg _,
     "q_rollup"          -> qRollup _,
     "q_cube"            -> qCube _,
+    "q_grouping_sets"   -> qGroupingSets _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantiles" -> qApproxQuantiles _,
@@ -767,6 +783,13 @@ object CoreOps {
         |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -48,8 +48,44 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** The quality FUNNEL: the round-9 scorers composed as sequential
+    * gates, reported as per-language attrition counts —
+    *
+    *   repetition rules (TextOps.repetitionStats, Gopher family) →
+    *   corpus-LM score ≥ [[TextOps.LmScoreMin]] (TextOps.lmScore) →
+    *   pass
+    *
+    * A doc failing an earlier gate is not counted against later ones
+    * (the real pipeline shape: cheap rules first, the LM pass only on
+    * survivors). Documents too short to score (<2 words: no repetition
+    * row, no bigrams) pass both gates by definition — left joins +
+    * coalesce make that explicit. Output is pure counts: the
+    * differential compare is exact regardless of float scoring inside.
+    * Composes with `ordered = false` stages, so the only global sort is
+    * the final per-language one. */
+  def qQualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rep = TextOps.repetitionStats(docs, ordered = false)
+      .select(col("doc_id"), col("flagged"))
+    val lm = TextOps.lmScore(docs, ordered = false)
+      .select(col("doc_id"), col("avg_logp"))
+    docs.select("doc_id", "lang")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("fail_rep", (coalesce(col("flagged"), lit(0)) === 1).cast("int"))
+      .withColumn("fail_lm", (col("fail_rep") === 0 &&
+        coalesce(col("avg_logp"), lit(0.0)) < TextOps.LmScoreMin).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum("fail_rep").cast(LongType).as("n_fail_repetition"),
+        sum("fail_lm").cast(LongType).as("n_fail_lm"),
+        (count(lit(1)) - sum("fail_rep") - sum("fail_lm")).cast(LongType).as("n_pass"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
+    "q_quality_funnel" -> qQualityFunnel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,5 +109,23 @@ object Pipeline {
         |  cast(sum(n_words) AS bigint) AS total_ws_tokens,
         |  cast(sum(cast(round(0.001 * n_words + 1.0 - punct_ratio, 6) AS decimal(18,6))) AS double) AS sum_quality
         |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_funnel" ->
+      s"""WITH ${TextOps.duckPartsCte},
+        |${TextOps.duckRepetitionCtes},
+        |${TextOps.duckLmCtes},
+        |j AS (
+        |  SELECT d.lang,
+        |    CASE WHEN coalesce(rep.flagged, 0) = 1 THEN 1 ELSE 0 END AS fail_rep,
+        |    CASE WHEN coalesce(rep.flagged, 0) = 0
+        |           AND coalesce(lmd.avg_logp, 0.0) < ${TextOps.LmScoreMin}
+        |         THEN 1 ELSE 0 END AS fail_lm
+        |  FROM documents d
+        |  LEFT JOIN rep ON d.doc_id = rep.doc_id
+        |  LEFT JOIN lmd ON d.doc_id = lmd.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(fail_rep) AS BIGINT) AS n_fail_repetition,
+        |  CAST(sum(fail_lm) AS BIGINT) AS n_fail_lm,
+        |  CAST(count(*) - sum(fail_rep) - sum(fail_lm) AS BIGINT) AS n_pass
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

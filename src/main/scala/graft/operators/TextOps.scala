@@ -330,7 +330,7 @@ object TextOps {
     *    the signal is shuffle-free (the cheaper choice whenever the
     *    stat doesn't need cross-row grouping).
     */
-  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+  private[graft] def repetitionStats(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val base = docs
       .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .filter(size(col("words")) >= 2)
@@ -347,13 +347,15 @@ object TextOps {
     val topFrac = round(col("top_cnt") / col("n_words").cast("double"), 6)
     val dupFrac = round((col("n_bigrams") - col("n_distinct_bigrams"))
       / col("n_bigrams").cast("double"), 6)
-    wordStats.join(biStats, "doc_id")
+    val out = wordStats.join(biStats, "doc_id")
       .select(col("doc_id"), col("n_words"), col("top_cnt"),
         topFrac.as("top_word_frac"), dupFrac.as("dup_bigram_frac"))
       .withColumn("flagged",
         (col("top_word_frac") > TopWordFracMax ||
           col("dup_bigram_frac") > DupBigramFracMax).cast("int"))
-      .orderBy("doc_id")
+    // the sort exists for the differential harness; compositions
+    // (q_quality_funnel) skip the global exchange
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -381,7 +383,7 @@ object TextOps {
     * the per-doc mean (long sums commute; double sums don't) — the
     * [[graft.operators.Search.bm25]] trick, mirrored in the oracle.
     */
-  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+  private[graft] def lmScore(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
     val grams = base.filter(size(col("words")) >= 2)
       .select(col("doc_id"), explode(
@@ -394,14 +396,18 @@ object TextOps {
       .agg(countDistinct(col("w")).as("v"))
     val logpFp = round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
       .cast(LongType)
-    grams.join(lm2, "bg").join(lm1, "w1")
+    val out = grams.join(lm2, "bg").join(lm1, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("fp", logpFp)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
+
+  /** LM-score keep threshold for the quality funnel (≈p07 of avg_logp
+    * on the synthetic corpus — see [[TopWordFracMax]]'s tuning note). */
+  private[graft] val LmScoreMin = -3.43
 
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
@@ -421,50 +427,65 @@ object TextOps {
     "q_lm_score"    -> qLmScore _,
   )
 
+  /** Shared DuckDB CTE chains (one SQL body per scoring path, the
+    * [[graft.operators.Dedup]] duckGramCtes discipline): `n` = the
+    * normalized word lists, `rep` = per-doc repetition verdict, `lmd` =
+    * per-doc LM score. q_repetition / q_lm_score replay them standalone;
+    * [[graft.operators.Pipeline]]'s q_quality_funnel composes all three
+    * in one WITH, so the funnel oracle can never drift from the
+    * per-stage oracles. */
+  private[operators] val duckPartsCte: String =
+    """n AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
+      |  FROM documents)""".stripMargin
+
+  private[operators] val duckRepetitionCtes: String =
+    s"""b AS (SELECT doc_id, parts FROM n WHERE len(parts) >= 2),
+      |w AS (SELECT doc_id, unnest(parts) AS w FROM b),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+      |ws AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+      |         CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY 1),
+      |bs AS (SELECT doc_id,
+      |         CAST(len(parts) - 1 AS BIGINT) AS n_bigrams,
+      |         CAST(len(list_distinct(list_transform(generate_series(1, len(parts) - 1),
+      |           i -> parts[i] || ' ' || parts[i+1]))) AS BIGINT) AS n_distinct_bigrams
+      |       FROM b),
+      |rep AS (SELECT doc_id, n_words, top_cnt,
+      |          round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+      |          round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+      |          CASE WHEN round(top_cnt / CAST(n_words AS DOUBLE), 6) > $TopWordFracMax
+      |                 OR round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) > $DupBigramFracMax
+      |               THEN 1 ELSE 0 END AS flagged
+      |        FROM ws JOIN bs USING (doc_id))""".stripMargin
+
+  private[operators] val duckLmCtes: String =
+    """g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(parts) - 1),
+      |          i -> parts[i] || ' ' || parts[i+1])) AS bg
+      |      FROM n WHERE len(parts) >= 2),
+      |gr AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM g),
+      |lm2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM gr GROUP BY 1),
+      |lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM gr GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |      FROM (SELECT unnest(parts) AS w FROM n)),
+      |lsc AS (SELECT doc_id,
+      |          CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS fp
+      |        FROM gr JOIN lm2 USING (bg) JOIN lm1 USING (w1) CROSS JOIN v),
+      |lmd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |          round(sum(fp) / 1000000.0 / count(*), 6) AS avg_logp
+      |        FROM lsc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_repetition" ->
-      s"""WITH n AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
-        |  FROM documents),
-        |b AS (SELECT doc_id, parts FROM n WHERE len(parts) >= 2),
-        |w AS (SELECT doc_id, unnest(parts) AS w FROM b),
-        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
-        |ws AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
-        |         CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY 1),
-        |bs AS (SELECT doc_id,
-        |         CAST(len(parts) - 1 AS BIGINT) AS n_bigrams,
-        |         CAST(len(list_distinct(list_transform(generate_series(1, len(parts) - 1),
-        |           i -> parts[i] || ' ' || parts[i+1]))) AS BIGINT) AS n_distinct_bigrams
-        |       FROM b),
-        |r AS (SELECT doc_id, n_words, top_cnt,
-        |        round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
-        |        round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
-        |      FROM ws JOIN bs USING (doc_id))
-        |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac,
-        |  CASE WHEN top_word_frac > $TopWordFracMax
-        |         OR dup_bigram_frac > $DupBigramFracMax THEN 1 ELSE 0 END AS flagged
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckPartsCte,
+        |$duckRepetitionCtes
+        |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac, flagged
+        |FROM rep ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |        unnest(list_transform(generate_series(1, len(parts) - 1),
-        |          i -> parts[i] || ' ' || parts[i+1])) AS bg
-        |      FROM n WHERE len(parts) >= 2),
-        |gr AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM g),
-        |lm2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM gr GROUP BY 1),
-        |lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM gr GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-        |      FROM (SELECT unnest(parts) AS w FROM n)),
-        |sc AS (SELECT doc_id,
-        |         CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS fp
-        |       FROM gr JOIN lm2 USING (bg) JOIN lm1 USING (w1) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(sum(fp) / 1000000.0 / count(*), 6) AS avg_logp
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckPartsCte,
+        |$duckLmCtes
+        |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH n AS (
         |  SELECT doc_id, lang,

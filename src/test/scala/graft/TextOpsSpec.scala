@@ -171,4 +171,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scores(10L) > scores(11L),
       s"common bigrams must score higher: ${scores(10L)} vs ${scores(11L)}")
   }
+
+  test("quality funnel reconciles exactly with its standalone stages") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = graft.operators.TextOps.repetitionStats(docs.select("doc_id", "text"))
+      .filter(col("flagged") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val lmFail = graft.operators.TextOps.lmScore(docs.select("doc_id", "text"))
+      .filter(col("avg_logp") < graft.operators.TextOps.LmScoreMin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the funnel's sequential-gate semantics from the stage outputs
+    val want = langOf.keys.toSeq.map { id =>
+      if (flagged(id)) (langOf(id), "rep")
+      else if (lmFail(id)) (langOf(id), "lm")
+      else (langOf(id), "pass")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Pipeline.qQualityFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, total, nRep, nLm, nPass) =>
+      assert(total === nRep + nLm + nPass, s"$lang: gates must partition the corpus")
+      assert(nRep === want.getOrElse((lang, "rep"), 0L), s"$lang repetition gate")
+      assert(nLm === want.getOrElse((lang, "lm"), 0L), s"$lang LM gate")
+      assert(nPass === want.getOrElse((lang, "pass"), 0L), s"$lang pass-through")
+    }
+  }
 }
