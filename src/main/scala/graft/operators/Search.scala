@@ -187,6 +187,47 @@ object Search {
       statsRowOf(newDocs, batchId).coalesce(1), path + "/_stats", Seq("batch_id"))
   }
 
+  /** Compact the posting store: fold every batch partition BELOW the
+    * caller's replay watermark into the bootstrap layout (and their
+    * sidecar rows into one summed stats row), leaving newer batches
+    * untouched. `foldBelow` is the caller's statement that no replay of
+    * batch ids under it can still arrive (the streaming checkpoint has
+    * advanced past them) — the signature/ANN stores preserve ALL scoped
+    * partitions because they cannot know that; a watermark is how a
+    * deployment actually bounds partition-count growth under continuous
+    * ingest. Folding moves rows between partitions and sums sidecar
+    * longs — it can never change a score (SearchSpec asserts scores and
+    * the preserved batch's replay contract across a compaction).
+    * Crash-safe via [[graft.sources.Stores.compactInPlace]]; the stats
+    * sidecar is read from the LIVE store inside the temp-write (the
+    * underscore dir is invisible to the corpus read), so both artifacts
+    * swap together. No-op when nothing folds. Run while no writer is
+    * active. */
+  def compactSearchIndex(s: SparkSession, path: String, foldBelow: Long): Unit = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.clearResidue(s, path)
+    val foldable = graft.sources.Stores.subPartitionDirs(s, path)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .filter(b => b >= 0 && b < foldBelow)
+    if (foldable.isEmpty) return
+    graft.sources.Stores.compactInPlace(s, path) { df =>
+      df.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
+        .unionByName(df.filter(col("batch_id") >= foldBelow))
+    } { (df, tmp) =>
+      graft.sources.Sinks.overwritePartitioned(
+        df.repartition(col("shard")), tmp, Seq("shard", "batch_id"))
+      val st = s.read.parquet(path + "/_stats")
+      val folded = st.filter(col("batch_id") < foldBelow)
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        .withColumn("batch_id", lit(-1L))
+      graft.sources.Sinks.overwritePartitioned(
+        folded.unionByName(st.filter(col("batch_id") >= foldBelow)
+          .select("n_docs", "sum_dl", "batch_id")).coalesce(1),
+        tmp + "/_stats", Seq("batch_id"))
+    }
+  }
+
   /** Probe-side scan of the stored index: shard ids derive from the
     * SAME [[termShard]] expression via a |terms|-row local frame
     * (control-plane-bounded collect), then the `isin` over the

@@ -110,6 +110,41 @@ class SearchSpec extends AnyFunSuite {
     assert(probeAll() === wantFull, "a replayed batch must leave the index unchanged")
   }
 
+  test("search index compaction folds below the watermark; scores and newer replays survive") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchcompact").toString + "/idx"
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 0L)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 1L)
+    def scores(): Seq[(Long, Double, Long)] = {
+      val hits = Search.probeSearchIndex(spark, path, Search.QueryTerms)
+        .select("doc_id", "dl", "word", "tf")
+      val stats = spark.read.parquet(path + "/_stats")
+        .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+      Search.scoreBm25(hits, stats).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    def batchDirs(): Set[String] = graft.sources.Stores.subPartitionDirs(spark, path)
+      .filter(_.startsWith("batch_id="))
+    val want = scores()
+    assert(batchDirs() === Set("batch_id=-1", "batch_id=0", "batch_id=1"))
+    // fold batch 0 (the replay watermark has passed it); keep batch 1
+    Search.compactSearchIndex(spark, path, foldBelow = 1L)
+    assert(batchDirs() === Set("batch_id=-1", "batch_id=1"),
+      "batches below the watermark must fold into the bootstrap")
+    assert(scores() === want, "compaction must never change a score")
+    val statRows = spark.read.parquet(path + "/_stats").collect()
+    assert(statRows.length === 2, "folded sidecar rows must merge into one")
+    // batch 1 is still replay-addressable: a literal replay changes nothing
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 1L)
+    assert(scores() === want, "the preserved batch's replay contract must survive compaction")
+    // nothing left below the watermark: compaction is a detected no-op
+    Search.compactSearchIndex(spark, path, foldBelow = 1L)
+    assert(batchDirs() === Set("batch_id=-1", "batch_id=1") && scores() === want)
+  }
+
   test("hybrid search: RRF score is exactly the rank-derived sum, ordered and bounded") {
     val rows = SparkEntry.queries("q_hybrid_search")(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0),
