@@ -370,10 +370,12 @@ object TextOps {
     * can't ship). Output is mean log-probability per bigram; low scorers
     * are the distribution outliers a quality pass drops.
     *
-    * Distribution: the LM IS two aggregates over the bigram stream —
-    * bigram counts and first-word context counts — both keyed on grams
-    * (key count ∝ vocab², scales out). Scoring joins the stream back to
-    * the two count tables on the same gram keys; AQE broadcasts them
+    * Distribution: the LM IS one aggregate over the bigram stream —
+    * bigram counts, keyed on grams (key count ∝ vocab², scales out) —
+    * and the context counts derive from IT by a vocab²-bounded
+    * re-aggregation, so the gram stream shuffles once, not twice.
+    * Scoring joins the stream back to the two count tables; AQE
+    * broadcasts them
     * when the vocabulary is dimension-sized (this corpus) and falls back
     * to shuffle joins when it isn't — either plan is right at its scale.
     * A deployment trains once and materializes the LM; re-deriving it
@@ -391,7 +393,11 @@ object TextOps {
         .as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val lm1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context counts DERIVE from the bigram counts (c1(w) = Σ c2 of w's
+    // bigrams) — vocab²-bounded frame arithmetic instead of a second
+    // full explode+shuffle of the gram stream
+    val lm1 = lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum("c2").as("c1"))
     val vocab = base.select(explode(col("words")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val logpFp = round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
