@@ -138,19 +138,61 @@ object Similarity {
     * uses the ROUNDED cosine with vec_id tiebreak so ordering is identical
     * across engines even at float-tie boundaries.
     */
-  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The brute-force scored frame shared by the window ([[qAnnTopk]])
+    * and aggregate ([[qAnnTopkAgg]]) top-k faces — one definition, so
+    * the two formulations can never score differently. */
+  private def bruteScored(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, dir))
     val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-    val scored = corpus.crossJoin(broadcast(queries))
+    corpus.crossJoin(broadcast(queries))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+  }
+
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    bruteScored(s, dir)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  /** Top-k per (score, id) as ONE expression: the native
+    * [[graft.functions.TopKByScore]] aggregate when the session has
+    * GraftExtensions, else a collect+sort fallback with the identical
+    * ordering — the struct sorts ascending on (negated score, id),
+    * which IS (score desc, id asc), double-negation being exact. The
+    * fallback materializes every candidate per group (what the native
+    * k-capped heap exists to avoid); results are equal either way
+    * (SimilaritySpec asserts it). */
+  private[graft] def topkCol(s: SparkSession, score: Column, id: Column, k: Int): Column =
+    if (s.catalog.functionExists("graft_topk"))
+      call_function("graft_topk", score, id, lit(k))
+    else
+      transform(
+        slice(array_sort(collect_list(struct((-score).as("ns"), id.as("i")))), 1, k),
+        x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine")))
+
+  /** [[qAnnTopk]] re-expressed as a bounded AGGREGATE instead of a
+    * window: the window face sorts every scored candidate of a query
+    * before discarding all but 5; this face reduces each map task's
+    * candidates to a 5-entry heap BEFORE the shuffle (partial
+    * aggregation — PlanSpec asserts the plan carries partial_graft_topk
+    * and no Window), so the exchange carries k·queries rows instead of
+    * the scored cross product. Identical output to [[qAnnTopk]] by the
+    * aggregate's total-ordering contract, so it shares q_ann_topk's
+    * oracle; at 100 TB this is THE brute-force formulation — the
+    * window's per-query sort is the first thing that stops fitting. */
+  def qAnnTopkAgg(s: SparkSession, dir: String): DataFrame =
+    bruteScored(s, dir)
+      .groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
+      .orderBy("q_id", "rank")
 
   // ---- multi-probe LSH ANN (Spark-native scale path) --------------------
   /** ANN via multi-probe LSH: corpus vectors sit in their own sign bucket
@@ -818,6 +860,7 @@ object Similarity {
     "q_embed_quant"   -> qEmbedQuant _,
     "q_embed_pipeline" -> qEmbedPipeline _,
     "q_ann_topk"      -> qAnnTopk _,
+    "q_ann_topk_agg"  -> qAnnTopkAgg _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
@@ -938,7 +981,13 @@ object Similarity {
     // the two share one oracle
     "q_ann_probe" -> duckAnnLshSql,
     "q_ann_lsh" -> duckAnnLshSql,
-    "q_ann_topk" ->
+    // the aggregate face is output-identical to the window face by the
+    // total-ordering contract, so both keys carry one SQL
+    "q_ann_topk" -> duckAnnTopkSql,
+    "q_ann_topk_agg" -> duckAnnTopkSql,
+  )
+
+  private lazy val duckAnnTopkSql: String =
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_aggregate(list_transform(range(1, length(embedding) + 1),
@@ -955,6 +1004,5 @@ object Similarity {
         |  SELECT q_id, neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored) t
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-  )
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 }

@@ -311,6 +311,16 @@ class PlanSpec extends AnyFunSuite {
       s"term probe must prune shard partitions, got:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q_ann_topk_agg: bounded partial aggregate, no per-query sort window") {
+    val p = plan("q_ann_topk_agg")
+    assert(p.contains("partial_graft_topk"),
+      s"map tasks must reduce candidates to k BEFORE the shuffle:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      "the typed aggregate runs in ObjectHashAggregate")
+    assert(!p.contains("Window"),
+      "the aggregate face must not fall back to the window's per-query sort")
+  }
+
   test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {
     val pf = plan("q_fuzzy_join")
     assert(!pf.contains("NestedLoop") && !pf.contains("CartesianProduct"),

@@ -110,6 +110,37 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.foreach(h => exactCos.get((h.qId, h.nId)).foreach(c => assert(c == h.cos)))
   }
 
+  test("aggregate top-k equals the window top-k verbatim; fallback equals native") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the whole point of TopKByScore: same rows, ranks, and cosines as
+    // the window formulation, from a bounded partial aggregate
+    val agg = collect(Similarity.qAnnTopkAgg(spark, dir))
+    assert(agg.nonEmpty)
+    assert(agg === exact, "aggregate and window top-k must be bit-identical")
+    // the collect+sort fallback implements the same total order,
+    // including ties (duplicate scores) and the id tie-break
+    val rows = Seq(
+      (1L, 0.5, 10L), (1L, 0.5, 3L), (1L, 0.9, 7L), (1L, 0.1, 1L), (1L, 0.5, 2L),
+      (2L, 0.0, 5L), (2L, -0.0, 4L)).toDF("g", "score", "id")
+    def top(c: org.apache.spark.sql.Column): Seq[(Long, Seq[(Long, Double)])] =
+      rows.groupBy("g").agg(c.as("top")).orderBy("g").collect().map { r =>
+        (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1))))
+      }.toSeq
+    val native = top(Similarity.topkCol(spark, col("score"), col("id"), 3))
+    val fallback = top(
+      transform(
+        slice(array_sort(collect_list(struct((-col("score")).as("ns"), col("id").as("i")))), 1, 3),
+        x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine"))))
+    assert(native === fallback, "native heap and collect+sort fallback must agree")
+    // spot-pin the order itself: score desc, then id asc on the 0.5 tie
+    assert(native.head._2 === Seq((7L, 0.9), (2L, 0.5), (3L, 0.5)))
+    // SQL comparison semantics: -0.0 TIES 0.0 (Spark normalizes zeros
+    // in comparison keys), so the id tie-break decides — not the sign
+    assert(native(1)._2.map(_._1) === Seq(4L, 5L))
+  }
+
   test("native graft_dot equals the interpreted HOF fallback bit-for-bit") {
     // Both paths must fold sequentially in double — the property that
     // makes float results comparable across the native/fallback split
