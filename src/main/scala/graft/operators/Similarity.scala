@@ -186,13 +186,9 @@ object Similarity {
     * oracle; at 100 TB this is THE brute-force formulation — the
     * window's per-query sort is the first thing that stops fitting. */
   def qAnnTopkAgg(s: SparkSession, dir: String): DataFrame =
-    bruteScored(s, dir)
+    explodeRanks(bruteScored(s, dir)
       .groupBy("q_id")
-      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
-        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
-      .orderBy("q_id", "rank")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
 
   // ---- multi-probe LSH ANN (Spark-native scale path) --------------------
   /** ANN via multi-probe LSH: corpus vectors sit in their own sign bucket
@@ -214,8 +210,22 @@ object Similarity {
       .drop("q_bucket", "probe")
   }
 
+  /** Rank-explode a [[topkCol]] result: (q_id, top[]) → one row per
+    * neighbor with rank = array position + 1 (the array is best-first
+    * by the aggregate's contract). Shared by every aggregate-ranked
+    * ANN face. */
+  private def explodeRanks(agg: DataFrame): DataFrame =
+    agg.select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
+      .orderBy("q_id", "rank")
+
   /** Bucket-joined top-5 scoring shared by the in-query LSH ANN and the
-    * stored-index probe — one definition, one oracle. */
+    * stored-index probe — one definition, one oracle. Ranking runs
+    * through the bounded [[topkCol]] aggregate (map-side partial heaps)
+    * rather than a per-query window sort — same results by the
+    * aggregate's total-ordering contract, proven window-vs-aggregate in
+    * SimilaritySpec and hash-proven here by the unchanged oracle. */
   private def annTopkFromBuckets(s: SparkSession, corpus: DataFrame,
       queries: DataFrame): DataFrame = {
     // A corpus vector has exactly one bucket and probe buckets are
@@ -223,10 +233,8 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    explodeRanks(scored.groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
   }
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
