@@ -394,6 +394,45 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("vec_id") === vid).count() === 1L)
   }
 
+  test("posting ingest resumes from its checkpoint across a restart") {
+    import graft.operators.Search
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prestart").toString
+    val (src, idx, ckpt) = (s"$tmp/src", s"$tmp/idx", s"$tmp/ckpt")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
+    val rest = docs.filter(col("doc_id") >= 250)
+      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+    val (r1, r2) = rest.splitAt(rest.length / 2)
+    val schema = Seq.empty[DocRow].toDF().schema
+    def run(batch: Seq[DocRow]): Unit = {
+      batch.toDF().write.mode("append").parquet(src)
+      val q = EventStreams.ingestPostingsStream(
+        spark.readStream.schema(schema).parquet(src), idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(r1)
+    // restart from the checkpoint: the source resumes past run 1's files
+    run(r2)
+    // each document's postings ingested exactly once across the restart
+    assert(spark.read.parquet(idx).select("doc_id").distinct().count() === docs.count())
+    assert(spark.read.parquet(idx).groupBy("doc_id", "word").count()
+      .filter(col("count") > 1).count() === 0L)
+    // the stats sidecar accounts every document exactly once too
+    assert(spark.read.parquet(idx + "/_stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    // post-restart scores equal the full-corpus in-query scorer
+    val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
+      .select("doc_id", "dl", "word", "tf")
+    val stats = spark.read.parquet(idx + "/_stats")
+      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    val got = Search.scoreBm25(hits, stats).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Search.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("streaming gate resumes from its checkpoint across a restart") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-gaterestart").toString
