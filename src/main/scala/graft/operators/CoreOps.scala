@@ -430,6 +430,30 @@ object CoreOps {
           col("n_orders_exact") * lit(0.05)).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  // Engine-completeness extension — ANALYZE-style per-column statistics
+  // (the optimizer-stats shape every engine maintains): one long-form
+  // row per profiled column with ndv / null fraction / min / max, built
+  // by stacking per-column aggregate rows over ONE scan each. Exact NDV
+  // is the oracle-able face; a deployment collecting stats at 100 TB
+  // swaps countDistinct for the HLL sketch (q_approx_distinct's bounded
+  // pattern) without changing this query's shape. min/max stringified
+  // so heterogeneous column types share the long-form schema.
+  def qColumnStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir)
+    val n = count(lit(1))
+    def statsOf(c: String): DataFrame =
+      t.agg(
+        lit(c).as("column_name"),
+        n.as("n_rows"),
+        countDistinct(col(c)).as("ndv"),
+        round(sum(col(c).isNull.cast("int")) / n.cast("double"), 6).as("null_frac"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+    Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate")
+      .map(statsOf).reduce(_.unionByName(_))
+      .orderBy("column_name")
+  }
+
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -558,6 +582,7 @@ object CoreOps {
     "q_grouping_sets"   -> qGroupingSets _,
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_column_stats"    -> qColumnStats _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
     "q_setops"          -> qSetOps _,
@@ -737,6 +762,31 @@ object CoreOps {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_column_stats" ->
+      """SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv,
+        |  round(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+        |  CAST(min(o_orderdate) AS VARCHAR) AS min_value, CAST(max(o_orderdate) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+        |  round(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+        |  CAST(min(o_orderpriority) AS VARCHAR) AS min_value, CAST(max(o_orderpriority) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+        |  round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+        |  CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv,
+        |  round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+        |  CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders_exact,
         |  count(*) AS n_rows, TRUE AS approx_ok
