@@ -454,6 +454,28 @@ object CoreOps {
       .orderBy("column_name")
   }
 
+  // Engine-completeness extension — equi-width HISTOGRAM (the other
+  // half of the optimizer-stats story next to [[qColumnStats]]): bucket
+  // o_totalprice into 10 fixed-width bins over its [min, max] span.
+  // Two scans — a 1-row min/max aggregate broadcast back onto the scan,
+  // then one groupBy on the derived bin id (keys = bin count) — the
+  // shape that scales; an equi-DEPTH histogram needs a global sort or
+  // quantile sketch instead (q_quantiles / q_approx_quantiles cover
+  // that face). The bin id is integer arithmetic on exact doubles,
+  // identical in DuckDB.
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir)
+    val span = t.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val bin = least(floor((col("o_totalprice") - col("lo"))
+      * lit(10.0) / (col("hi") - col("lo"))).cast(LongType), lit(9L))
+    t.crossJoin(broadcast(span))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("bin_min"),
+        round(max("o_totalprice"), 2).as("bin_max"))
+      .orderBy("bin")
+  }
+
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -583,6 +605,7 @@ object CoreOps {
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_column_stats"    -> qColumnStats _,
+    "q_histogram"       -> qHistogram _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
     "q_setops"          -> qSetOps _,
@@ -762,6 +785,14 @@ object CoreOps {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram" ->
+      """WITH span AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 2) AS bin_min,
+        |  round(max(o_totalprice), 2) AS bin_max
+        |FROM orders CROSS JOIN span
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_column_stats" ->
       """SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv,
