@@ -70,7 +70,6 @@ object Bench {
       // memoized per (session, dir), so a repeat would measure the
       // cache, not the operator.
       val reps = if (name == "q_dedup_clusters") 1 else 2
-      val s0 = stages.get()
       def measure(): Double = {
         val t0 = System.nanoTime()
         graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench: $name") {
@@ -78,11 +77,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      val base = (1 to reps).map(_ => measure())
+      // the stage column covers the FIRST run only: it reports the
+      // query's plan size, which must stay comparable across rounds
+      // regardless of how many jitter-damping reps this round takes
+      val s0 = stages.get()
+      val first = measure()
+      val planStages = stages.get() - s0
+      val base = first +: (2 to reps).map(_ => measure())
       val sec =
         if (reps > 1 && base.min < 1.0) (base ++ Seq(measure(), measure())).min
         else base.min
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${stages.get() - s0}%3d stages")
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s  $planStages%3d stages")
       name -> sec
     }
     // Per-query times at millisecond precision: full double precision

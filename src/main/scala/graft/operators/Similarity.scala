@@ -166,13 +166,23 @@ object Similarity {
     * which IS (score desc, id asc), double-negation being exact. The
     * fallback materializes every candidate per group (what the native
     * k-capped heap exists to avoid); results are equal either way
-    * (SimilaritySpec asserts it). */
+    * (SimilaritySpec asserts it, null scores included).
+    *
+    * Null contract, BOTH faces: a null score or id never ranks — the
+    * native aggregate skips it in update(), and the fallback's `when`
+    * feeds collect_list a null (which it drops) instead of a
+    * null-fielded struct (which array_sort would rank FIRST). Under
+    * this session's ANSI default a zero-norm cosine fails fast before
+    * either face sees a null; the contract matters for non-ANSI
+    * sessions, where the cosine is NULL. */
   private[graft] def topkCol(s: SparkSession, score: Column, id: Column, k: Int): Column =
     if (s.catalog.functionExists("graft_topk"))
       call_function("graft_topk", score, id, lit(k))
     else
       transform(
-        slice(array_sort(collect_list(struct((-score).as("ns"), id.as("i")))), 1, k),
+        slice(array_sort(collect_list(
+          when(score.isNotNull && id.isNotNull,
+            struct((-score).as("ns"), id.as("i"))))), 1, k),
         x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine")))
 
   /** [[qAnnTopk]] re-expressed as a bounded AGGREGATE instead of a
@@ -640,10 +650,6 @@ object Similarity {
     qIvfProbeStored(s, path)
   }
 
-  /** The probe half of [[qIvfProbe]] over an ALREADY-WRITTEN index —
-    * stored artifacts only. Split out so SimilaritySpec can probe
-    * indexes built from constructed corpora ([[writeIvfIndexFrom]]) and
-    * assert stored ≡ in-query on them too. */
   /** Driver-side probe assignment for every query vector in a stored
     * index (queries are control-plane-sized; 64-float vectors ×
     * |queries| is index metadata, not data movement) — the twin of the
@@ -682,6 +688,10 @@ object Similarity {
       }
   }
 
+  /** The probe half of [[qIvfProbe]] over an ALREADY-WRITTEN index —
+    * stored artifacts only. Split out so SimilaritySpec can probe
+    * indexes built from constructed corpora ([[writeIvfIndexFrom]]) and
+    * assert stored ≡ in-query on them too. */
   private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame = {
     val idx = s.read.parquet(path)
     val qSlice = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)

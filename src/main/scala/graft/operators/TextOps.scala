@@ -242,12 +242,20 @@ object TextOps {
 
   /** [[qTokenShards]] with an explicit block size — TextOpsSpec drives a
     * small block so multi-block packing is exercised hard at test SF. */
-  private[graft] def qTokenShardsBlocked(s: SparkSession, dir: String, block: Long): DataFrame = {
+  private[graft] def qTokenShardsBlocked(s: SparkSession, dir: String, block: Long): DataFrame =
+    tokenShardsOf(Tables.documents(s, dir), block)
+
+  /** The packer over an arbitrary (doc_id, lang, text) frame — the seam
+    * TextOpsSpec plants null-lang docs through. */
+  private[graft] def tokenShardsOf(docs: DataFrame, block: Long): DataFrame = {
     // the explicit isNotNull pair keeps BOTH consumers' subtrees
     // byte-identical below the repartition (the inner join would push
     // its key constraints into one side only), so AQE serves the doc
-    // window AND the block-total aggregate from ONE exchange
-    val base = Tables.documents(s, dir)
+    // window AND the block-total aggregate from ONE exchange. The lang
+    // filter is also SEMANTIC: shards are per-language, so unlabeled
+    // (null-lang) documents are excluded from packing — the oracle
+    // carries the same WHERE, and TextOpsSpec pins the exclusion
+    val base = docs
       .select(col("doc_id"), col("lang"), wordCount(col("text")).as("n_tokens"))
       .withColumn("blk", floor(col("doc_id") / block))
       .filter(col("lang").isNotNull && col("blk").isNotNull)
@@ -575,7 +583,7 @@ object TextOps {
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    length(regexp_split_to_array(trim(text), ' +')) AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE lang IS NOT NULL),
         |sh AS (
         |  SELECT lang, n_tokens,
         |    cast(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)

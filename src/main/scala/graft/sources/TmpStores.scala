@@ -35,26 +35,47 @@ object TmpStores {
     * keep serving the store built from its old contents. That matches
     * every in-repo caller (bench/verify over the driver's read-only
     * testdata); TmpStoresSpec pins the assumption explicitly. */
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]
 
   /** Build a scoped store once per JVM: the first caller pays the write
     * (logged separately, so store-build cost never hides inside probe
     * timings), every later caller reuses the store — the production
     * shape, where an index is written once and probed many times, and
     * what keeps the bench measuring what a user would actually repeat.
-    * `computeIfAbsent` makes the memo atomic: concurrent callers for one
-    * path run the build exactly once (the losers block until it lands),
-    * and a THROWING build is not memoized — the next caller retries
-    * instead of reusing a half-written store. TmpStoresSpec proves all
-    * three properties. */
-  def buildOnce(path: String)(build: => Unit): Unit =
-    built.computeIfAbsent(path, _ => {
+    * The memo is a promise per path: `putIfAbsent` elects exactly one
+    * builder, losers block on the promise until the store lands, and a
+    * THROWING build un-memoizes itself before failing its promise — the
+    * thrown-into losers retry (one may become the new winner) and later
+    * callers never reuse a half-written store. Unlike a
+    * `computeIfAbsent`-held build, the map is never locked while a
+    * multi-second Spark write runs: builds for unrelated paths proceed
+    * concurrently even under hash-bin collisions. TmpStoresSpec proves
+    * reuse, exactly-once-under-race, and retry-after-throw. */
+  def buildOnce(path: String)(build: => Unit): Unit = {
+    val mine = new java.util.concurrent.CompletableFuture[Unit]()
+    val existing = built.putIfAbsent(path, mine)
+    if (existing == null) {
       val t0 = System.nanoTime()
-      build
-      System.err.println(
-        f"[graft] store build $path: ${(System.nanoTime() - t0) / 1e9}%.3f s (reused afterwards)")
-      java.lang.Boolean.TRUE
-    })
+      try {
+        build
+        System.err.println(
+          f"[graft] store build $path: ${(System.nanoTime() - t0) / 1e9}%.3f s (reused afterwards)")
+        mine.complete(())
+      } catch {
+        case e: Throwable =>
+          built.remove(path, mine) // un-memoize FIRST: retriers see no entry
+          mine.completeExceptionally(e)
+          throw e
+      }
+    } else {
+      try { existing.join(); () }
+      catch {
+        case _: java.util.concurrent.CompletionException =>
+          buildOnce(path)(build) // winner failed and un-memoized: retry
+      }
+    }
+  }
 
   /** THE scoping scheme for self-contained tmp stores, in one place:
     * key-hashed (distinct dataset PATHS cannot collide; see [[buildOnce]]

@@ -130,11 +130,21 @@ object Expected {
     * Spark's total double ordering — NaN-scored degenerate queries order
     * identically by construction. */
   /** (id, double vector, norm) triples — the shared first step of every
-    * embedding twin. */
+    * embedding twin. Zero-norm vectors FAIL FAST here: the engine's
+    * cosine is a division, and under the verify session's ANSI default a
+    * zero divisor throws before any row materializes (SimilaritySpec's
+    * zero-norm case pins that) — a twin that divided on the driver would
+    * instead produce NaN rows the engine never emits. NaN COMPONENTS are
+    * different: the norm is NaN (non-zero), the division succeeds, and
+    * the NaN cosine flows through both faces under the same total
+    * ordering — those stay in. */
   private def normed(embs: Seq[(Long, Array[Float])]): Seq[(Long, Array[Double], Double)] =
     embs.map { case (id, e) =>
       val d = e.map(_.toDouble)
-      (id, d, math.sqrt(Similarity.ddot(d, d)))
+      val n = math.sqrt(Similarity.ddot(d, d))
+      require(n != 0.0,
+        s"vec_id=$id has zero norm: the engine's ANSI division fails fast; the twin mirrors it")
+      (id, d, n)
     }
 
   /** The engine's quantizer over a normed corpus: the xxhash64-ordered
@@ -181,9 +191,11 @@ object Expected {
     * then a plain sequential all-pairs sweep WITHIN each list — the
     * re-derivation of the engine's blocked pair join, which exists only
     * to parallelize exactly this pair set. Spark comparison semantics
-    * replayed explicitly: a NaN cosine (zero-norm vector) passes the
-    * `>= tau` filter (Spark's NaN is greater than any value) and wins
-    * the best-keeper max via the total double ordering. */
+    * replayed explicitly: a NaN cosine (NaN embedding COMPONENTS — a
+    * zero-norm vector fails fast in [[normed]], mirroring the engine's
+    * ANSI division) passes the `>= tau` filter (Spark's NaN is greater
+    * than any value) and wins the best-keeper max via the total double
+    * ordering. */
   def semanticRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Int, Double)] = {
     val withNrm = normed(embs)
     val cents = quantizerFor(withNrm)

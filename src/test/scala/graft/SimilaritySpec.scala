@@ -119,19 +119,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg.nonEmpty)
     assert(agg === exact, "aggregate and window top-k must be bit-identical")
     // the collect+sort fallback implements the same total order,
-    // including ties (duplicate scores) and the id tie-break
+    // including ties (duplicate scores), the id tie-break, and the
+    // null contract (a null score never ranks on either face)
     val rows = Seq(
-      (1L, 0.5, 10L), (1L, 0.5, 3L), (1L, 0.9, 7L), (1L, 0.1, 1L), (1L, 0.5, 2L),
-      (2L, 0.0, 5L), (2L, -0.0, 4L)).toDF("g", "score", "id")
+      (1L, Some(0.5), 10L), (1L, Some(0.5), 3L), (1L, Some(0.9), 7L),
+      (1L, Some(0.1), 1L), (1L, Some(0.5), 2L), (1L, None, 99L),
+      (2L, Some(0.0), 5L), (2L, Some(-0.0), 4L)).toDF("g", "score", "id")
     def top(c: org.apache.spark.sql.Column): Seq[(Long, Seq[(Long, Double)])] =
       rows.groupBy("g").agg(c.as("top")).orderBy("g").collect().map { r =>
         (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
           .map(x => (x.getLong(0), x.getDouble(1))))
       }.toSeq
     val native = top(Similarity.topkCol(spark, col("score"), col("id"), 3))
+    // mirrors topkCol's fallback branch verbatim (the session has the
+    // extension, so topkCol itself would take the native path here)
     val fallback = top(
       transform(
-        slice(array_sort(collect_list(struct((-col("score")).as("ns"), col("id").as("i")))), 1, 3),
+        slice(array_sort(collect_list(
+          when(col("score").isNotNull && col("id").isNotNull,
+            struct((-col("score")).as("ns"), col("id").as("i"))))), 1, 3),
         x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine"))))
     assert(native === fallback, "native heap and collect+sort fallback must agree")
     // spot-pin the order itself: score desc, then id asc on the 0.5 tie
@@ -139,6 +145,8 @@ class SimilaritySpec extends AnyFunSuite {
     // SQL comparison semantics: -0.0 TIES 0.0 (Spark normalizes zeros
     // in comparison keys), so the id tie-break decides — not the sign
     assert(native(1)._2.map(_._1) === Seq(4L, 5L))
+    // the null-scored candidate never ranks, even with a slot free
+    assert(!native.head._2.exists(_._1 == 99L) && !fallback.head._2.exists(_._1 == 99L))
   }
 
   test("native graft_dot equals the interpreted HOF fallback bit-for-bit") {

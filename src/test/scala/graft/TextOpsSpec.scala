@@ -172,6 +172,18 @@ class TextOpsSpec extends AnyFunSuite {
       s"common bigrams must score higher: ${scores(10L)} vs ${scores(11L)}")
   }
 
+  test("token shards: null-lang documents are excluded from packing (oracle carries the same WHERE)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("en"), "one two three four"),
+      (2L, None, "five six seven eight"), // unlabeled: no language, no shard
+      (3L, Some("en"), "nine ten")).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextOps.tokenShardsOf(docs, block = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the two en docs pack; doc 2 contributes to no shard
+    assert(got.toSeq === Seq(("en", 0L, 2L, 6L)))
+  }
+
   test("quality funnel reconciles exactly with its standalone stages") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
