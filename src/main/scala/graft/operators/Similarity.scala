@@ -154,6 +154,12 @@ object Similarity {
   def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     bruteScored(s, dir)
+      // null cosines never rank — [[topkCol]]'s contract, carried here
+      // so the window and aggregate faces stay output-identical even in
+      // non-ANSI sessions where a zero divisor yields NULL instead of
+      // failing fast (row_number would otherwise still rank NULLS-LAST
+      // rows that the aggregate face drops)
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id").as("neighbor_id"), col("cosine"))
       .orderBy("q_id", "rank")
@@ -174,7 +180,13 @@ object Similarity {
     * null-fielded struct (which array_sort would rank FIRST). Under
     * this session's ANSI default a zero-norm cosine fails fast before
     * either face sees a null; the contract matters for non-ANSI
-    * sessions, where the cosine is NULL. */
+    * sessions, where the cosine is NULL.
+    *
+    * NaN contract: NaN ranks FIRST on both faces (Spark's sort order:
+    * NaN greatest). Negation alone cannot express that in the fallback
+    * — -NaN is still NaN and would sort LAST ascending — so the sort
+    * key leads with an is-NaN flag (0 for NaN, 1 otherwise) and the
+    * negated score only orders the non-NaN remainder. */
   private[graft] def topkCol(s: SparkSession, score: Column, id: Column, k: Int): Column =
     if (s.catalog.functionExists("graft_topk"))
       call_function("graft_topk", score, id, lit(k))
@@ -182,7 +194,8 @@ object Similarity {
       transform(
         slice(array_sort(collect_list(
           when(score.isNotNull && id.isNotNull,
-            struct((-score).as("ns"), id.as("i"))))), 1, k),
+            struct((!isnan(score)).cast("int").as("nn"),
+              (-score).as("ns"), id.as("i"))))), 1, k),
         x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine")))
 
   /** [[qAnnTopk]] re-expressed as a bounded AGGREGATE instead of a

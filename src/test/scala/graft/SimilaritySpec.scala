@@ -124,6 +124,7 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = Seq(
       (1L, Some(0.5), 10L), (1L, Some(0.5), 3L), (1L, Some(0.9), 7L),
       (1L, Some(0.1), 1L), (1L, Some(0.5), 2L), (1L, None, 99L),
+      (1L, Some(Double.NaN), 8L),
       (2L, Some(0.0), 5L), (2L, Some(-0.0), 4L)).toDF("g", "score", "id")
     def top(c: org.apache.spark.sql.Column): Seq[(Long, Seq[(Long, Double)])] =
       rows.groupBy("g").agg(c.as("top")).orderBy("g").collect().map { r =>
@@ -137,11 +138,18 @@ class SimilaritySpec extends AnyFunSuite {
       transform(
         slice(array_sort(collect_list(
           when(col("score").isNotNull && col("id").isNotNull,
-            struct((-col("score")).as("ns"), col("id").as("i"))))), 1, 3),
+            struct((!isnan(col("score"))).cast("int").as("nn"),
+              (-col("score")).as("ns"), col("id").as("i"))))), 1, 3),
         x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine"))))
-    assert(native === fallback, "native heap and collect+sort fallback must agree")
-    // spot-pin the order itself: score desc, then id asc on the 0.5 tie
-    assert(native.head._2 === Seq((7L, 0.9), (2L, 0.5), (3L, 0.5)))
+    def keyOf(v: Seq[(Long, Seq[(Long, Double)])]) =
+      v.map { case (g, xs) => (g, xs.map { case (i, d) =>
+        (i, java.lang.Double.doubleToLongBits(d)) }) } // NaN-safe equality
+    assert(keyOf(native) === keyOf(fallback),
+      "native heap and collect+sort fallback must agree")
+    // spot-pin the order itself: NaN ranks FIRST (Spark sort order),
+    // then score desc, then id asc on the 0.5 tie
+    assert(native.head._2.map(_._1) === Seq(8L, 7L, 2L))
+    assert(native.head._2.head._2.isNaN)
     // SQL comparison semantics: -0.0 TIES 0.0 (Spark normalizes zeros
     // in comparison keys), so the id tie-break decides — not the sign
     assert(native(1)._2.map(_._1) === Seq(4L, 5L))
@@ -234,8 +242,13 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(100L, 200L, 300L).foreach { q =>
       assert(stored.count(_._1 == q) === 5, s"real query $q must rank 5 neighbors")
     }
-    assert(stored.filter(_._1 == 400L).forall(_._4.isEmpty),
-      "any ranked row of the zero-norm query carries a NULL cosine (non-ANSI division)")
+    // the zero-norm query's cosines are all NULL (non-ANSI division),
+    // and null scores never rank (topkCol's contract on both faces):
+    // the query must rank NOTHING — an explicit emptiness assertion,
+    // because `forall` over rows that never exist proves nothing
+    assert(stored.count(_._1 == 400L) === 0,
+      "a zero-norm query (all-NULL cosines) must rank no neighbors")
+    assert(inQuery.count(_._1 == 400L) === 0)
     assert(stored === inQuery)
   }
 
