@@ -329,6 +329,28 @@ object CoreOps {
     both.unionAll(windowShoppers).orderBy("src", "c_custkey")
   }
 
+  // §2.4 extension — multiset set ops (EXCEPT ALL / INTERSECT ALL):
+  // the bag-semantics siblings of q_setops' distinct forms, where
+  // duplicate cardinality carries through (x appearing m times in the
+  // left and n in the right survives EXCEPT ALL max(m-n, 0) times,
+  // INTERSECT ALL min(m, n) times). Spark plans both as count-aggregated
+  // joins — one shuffle per side, no distinct pass — so the multiset
+  // forms cost the same as the set forms at scale. Priority rows per
+  // order replay the duplication (orders has several per priority).
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderstatus").as("status"))
+    val high = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderstatus").as("status"))
+    val survived = urgent.exceptAll(high).groupBy("status")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val common = urgent.intersectAll(high).groupBy("status")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    survived.unionByName(common).orderBy("op", "status")
+  }
+
   // §2.5 extension — explicit window frames: lag/lead and a bounded
   // moving aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). One
   // shuffle on the partition key; frames evaluate inside the window
@@ -609,6 +631,7 @@ object CoreOps {
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
     "q_setops"          -> qSetOps _,
+    "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
     "q_quantiles"       -> qQuantiles _,
   )
@@ -839,6 +862,15 @@ object CoreOps {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_setops_all" ->
+      """WITH u AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |ea AS (SELECT status FROM u EXCEPT ALL SELECT status FROM h),
+        |ia AS (SELECT status FROM u INTERSECT ALL SELECT status FROM h)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op FROM ea GROUP BY 1
+        |UNION ALL
+        |SELECT status, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op FROM ia GROUP BY 1
+        |ORDER BY op, status""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey, 'building_buyer' AS src FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
