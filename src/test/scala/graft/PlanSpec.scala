@@ -321,6 +321,17 @@ class PlanSpec extends AnyFunSuite {
       "the aggregate face must not fall back to the window's per-query sort")
   }
 
+  test("q_gap_fill: generator grid, equi-join fill, pruned scan") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("Generate"),
+      s"the hourly grid must come from a sequence generator, not a join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the observed-sums fill must stay an equi-join on (user_id, hr)")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>")
+      || p.contains("ReadSchema: struct<user_id:bigint") && !p.contains("props"),
+      s"gap fill must not read event columns beyond (user_id, ts, value):\n$p")
+  }
+
   test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {
     val pf = plan("q_fuzzy_join")
     assert(!pf.contains("NestedLoop") && !pf.contains("CartesianProduct"),
