@@ -651,74 +651,53 @@ object Similarity {
 
   /** The stored-IVF flow end-to-end: write the index (train + assign,
     * paid once), then answer with STORED artifacts only — centroids
-    * loaded from the sidecar, query probes assigned driver-side against
-    * them (the [[ddot]] twin of the in-query expression, bit-identical),
-    * and the corpus read pruned to the probed list directories.
-    * Materializing the index must not change a single neighbor:
-    * SimilaritySpec asserts this query equals [[qAnnIvf]] verbatim —
-    * the claim q_ann_probe already proved for the LSH tier. */
+    * loaded from the sidecar (≤ [[IvfLists]] rows of index metadata),
+    * query probes assigned IN-PLAN by the same [[ivfProbeLists]]
+    * expression the in-query face uses, and the corpus read pruned to
+    * the probed list directories. Materializing the index must not
+    * change a single neighbor: SimilaritySpec asserts this query equals
+    * [[qAnnIvf]] verbatim — the claim q_ann_probe already proved for
+    * the LSH tier. */
   def qIvfProbe(s: SparkSession, dir: String): DataFrame = {
     val path = ivfStorePath(dir)
     graft.sources.TmpStores.buildOnce(path)(writeIvfIndex(s, dir, path))
     qIvfProbeStored(s, path)
   }
 
-  /** Driver-side probe assignment for every query vector in a stored
-    * index (queries are control-plane-sized; 64-float vectors ×
-    * |queries| is index metadata, not data movement) — the twin of the
-    * in-query reverse(array_sort(scores)) slice: ascending (cosine,
-    * list id) sort then reverse, with two degenerate-input contracts
-    * mirrored exactly (SimilaritySpec's zero-norm case pins them):
-    *  - the engine's division yields NULL on a ZERO divisor (zero-norm
-    *    query or zero-norm centroid; non-ANSI — ANSI fails fast on both
-    *    faces), and a null score sorts BEFORE every real score
-    *    ascending, so after the reverse it lands LAST. The driver's
-    *    ddot would yield NaN there; the twin replays the divisor==0
-    *    rule instead of dividing.
-    *  - a NaN score from a non-zero divisor (NaN centroid components)
-    *    is GREATEST under Spark's total double ordering — after the
-    *    reverse it lands FIRST, unlike null. Within real scores,
-    *    java.lang.Double total ordering (-0.0 < 0.0) throughout.
-    * Package-private so PlanSpec can assert the probe-pruned scan
-    * selects EXACTLY these lists' directories. */
-  private[graft] def storedProbePairs(s: SparkSession, path: String): Seq[(Long, Int)] = {
+  /** The stored query slice with its probe lists assigned IN-PLAN: the
+    * broadcast-centroid [[ivfProbeLists]] expression explodes each query
+    * row into ([[IvfProbes]], bucket) rows inside the plan — no query
+    * vector ever crosses the driver (the degenerate-input contracts —
+    * NULL scores from a zero divisor sort last, NaN scores first — are
+    * the expression's own semantics, identical on both faces by
+    * construction; SimilaritySpec's zero-norm case pins them).
+    * Package-private so PlanSpec can assert the derivation is a plan
+    * node (a Generate over the query scan), not a driver loop. */
+  private[graft] def storedProbeQueries(s: SparkSession, path: String): DataFrame = {
     val cents = readCentroids(s, path)
-    val byEngineOrder = Ordering.Tuple3(
-      Ordering.Int, Ordering.Double.TotalOrdering, Ordering.Int)
     s.read.parquet(path).filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-      .collect().toSeq.flatMap { r =>
-        val q = r.getSeq[Float](1).map(_.toDouble).toArray
-        val qn = r.getDouble(2)
-        cents.map { case (i, c, cn) =>
-          val div = qn * cn
-          // (group, score, list): group 0 = engine NULL, sorts first asc
-          if (div == 0.0) (0, 0.0, i) else (1, ddot(q, c) / div, i)
-        }
-          .sorted(byEngineOrder)
-          .reverse
-          .take(IvfProbes).map(p => (r.getLong(0), p._3))
-      }
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
   }
+
+  /** The union of all queries' probed list ids — the ONLY thing the
+    * driver collects in the stored flow: a distinct over the probe
+    * column, ≤ [[IvfLists]] values of partition-pruning metadata
+    * (the LSH pattern of [[qAnnProbe]]'s probed-bucket set). */
+  private[graft] def storedProbedLists(s: SparkSession, path: String): Seq[Int] =
+    storedProbeQueries(s, path).select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).intValue).toSeq.sorted
 
   /** The probe half of [[qIvfProbe]] over an ALREADY-WRITTEN index —
     * stored artifacts only. Split out so SimilaritySpec can probe
     * indexes built from constructed corpora ([[writeIvfIndexFrom]]) and
     * assert stored ≡ in-query on them too. */
-  private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame = {
-    val idx = s.read.parquet(path)
-    val qSlice = idx.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val probePairs = storedProbePairs(s, path)
-    import s.implicits._
-    val queries = qSlice.join(
-      broadcast(probePairs.toDF("q_id", "bucket")), Seq("q_id"))
+  private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame =
     annTopkFromBuckets(s,
-      probeIvfIndex(s, path, probePairs.map(_._2).distinct)
+      probeIvfIndex(s, path, storedProbedLists(s, path))
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           col("nrm").as("n_nrm"), col("list_id").as("bucket")),
-      queries)
-  }
+      storedProbeQueries(s, path))
 
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, each

@@ -241,7 +241,7 @@ class PlanSpec extends AnyFunSuite {
     // the pruned scan selects EXACTLY the union of the queries' probed
     // lists (bootstrap store: one batch dir per list) — no more
     val storePath = scans.head.relation.location.rootPaths.head.toString
-    val probedLists = Similarity.storedProbePairs(spark, storePath).map(_._2).distinct
+    val probedLists = Similarity.storedProbedLists(spark, storePath)
     assert(pruned.exists(_.selectedPartitions.partitionCount <= probedLists.size),
       s"scan must select at most the ${probedLists.size} probed list dirs")
     // ...and a single query's probe reads nProbe/k of the directories —
@@ -253,6 +253,30 @@ class PlanSpec extends AnyFunSuite {
       "a 2-list probe must read at most 2 list directories")
     assert(one.count() < spark.read.parquet(storePath).count(),
       "the probed slice must be a strict subset of the corpus")
+  }
+
+  test("q_ivf_probe: probe assignment is a plan node (Generate under the broadcast), not a driver loop") {
+    import org.apache.spark.sql.execution.{GenerateExec, LocalTableScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val df = SparkEntry.queries("q_ivf_probe")(spark, TestSpark.sfDir)
+    df.collect() // finalize the adaptive plan
+    def unwrap(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q) ++ unwrap(q.plan)
+      case other => Seq(other) ++ other.children.flatMap(unwrap)
+    }
+    val nodes = unwrap(df.queryExecution.executedPlan)
+    // the query-side broadcast must CONTAIN the probe-list Generate (the
+    // explode of the centroid-score slice) fed by the index scan — probe
+    // derivation is a distributed expression, not a collected table
+    val bcasts = nodes.collect { case b: BroadcastExchangeLike => b }
+    assert(bcasts.nonEmpty, "the query side must broadcast into the bucket join")
+    assert(bcasts.exists(b => unwrap(b).exists(_.isInstanceOf[GenerateExec])),
+      s"probe lists must be assigned in-plan (Generate under the broadcast):\n${df.queryExecution.executedPlan}")
+    // a driver-loop formulation would surface as a localized probe-pair
+    // table (LocalTableScan / parallelized RDD scan) — none may exist
+    assert(!nodes.exists(n => n.isInstanceOf[LocalTableScanExec] || n.isInstanceOf[RDDScanExec]),
+      "no collected probe-pair table may appear in the plan")
   }
 
   test("partitioned ANN index: probe reads prune to the probed bucket dirs") {
