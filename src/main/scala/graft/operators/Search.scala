@@ -175,11 +175,33 @@ object Search {
     * stats row missing (scores skew until the replay heals both) — the
     * same at-least-once window every store here documents.
     * Probes need no rebuild: pruning is on the shard level, and df/
-    * stats derive from what the probe reads. */
+    * stats derive from what the probe reads.
+    *
+    * Cross-batch doc-DISJOINTNESS is the caller's obligation: the
+    * exactness of tf/df/n_docs/sum_dl assumes each doc_id is only ever
+    * ingested under ONE batch id — only a same-batch-id replay is
+    * idempotent; re-ingesting a doc under a different batch id
+    * double-counts its postings and sidecar contribution and skews BM25
+    * silently (the streaming ingester satisfies this by construction:
+    * micro-batches partition the source). `assertNewDocs = true` buys a
+    * mechanical check — one semi-join of the incoming doc_ids against
+    * the store's OTHER batches before anything is written (probe-sized:
+    * distinct ids vs the pruned store read) — for callers replaying
+    * from sources without that guarantee; SearchSpec drives both the
+    * pass and the rejection. */
   def appendSearchIndexBatch(s: SparkSession, newDocs: DataFrame, path: String,
-      batchId: Long): Unit = {
+      batchId: Long, assertNewDocs: Boolean = false): Unit = {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
+    if (assertNewDocs) {
+      val clash = s.read.parquet(path).filter(col("batch_id") =!= batchId)
+        .select("doc_id").distinct()
+        .join(newDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"batch $batchId re-ingests doc_ids already stored under another batch id " +
+          "(cross-batch doc-disjointness is the store's exactness precondition)")
+    }
     graft.sources.Sinks.overwritePartitionsDynamic(
       postingsOf(newDocs).withColumn("batch_id", lit(batchId)).repartition(col("shard")),
       path, Seq("shard", "batch_id"))

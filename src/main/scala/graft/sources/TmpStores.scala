@@ -50,9 +50,16 @@ object TmpStores {
     * callers never reuse a half-written store. Unlike a
     * `computeIfAbsent`-held build, the map is never locked while a
     * multi-second Spark write runs: builds for unrelated paths proceed
-    * concurrently even under hash-bin collisions. TmpStoresSpec proves
-    * reuse, exactly-once-under-race, and retry-after-throw. */
-  def buildOnce(path: String)(build: => Unit): Unit = {
+    * concurrently even under hash-bin collisions. A loser blocked on a
+    * FAILED winner retries the build at most once (it may become the new
+    * winner); if its own attempt also fails, the winner's root cause
+    * rides along as a suppressed exception instead of being swallowed,
+    * and retries never recurse unboundedly across repeated failures.
+    * TmpStoresSpec proves reuse, exactly-once-under-race, and
+    * retry-after-throw. */
+  def buildOnce(path: String)(build: => Unit): Unit = buildOnce(path, retries = 1)(build)
+
+  private def buildOnce(path: String, retries: Int)(build: => Unit): Unit = {
     val mine = new java.util.concurrent.CompletableFuture[Unit]()
     val existing = built.putIfAbsent(path, mine)
     if (existing == null) {
@@ -71,8 +78,15 @@ object TmpStores {
     } else {
       try { existing.join(); () }
       catch {
-        case _: java.util.concurrent.CompletionException =>
-          buildOnce(path)(build) // winner failed and un-memoized: retry
+        case ce: java.util.concurrent.CompletionException =>
+          val winnerCause = if (ce.getCause != null) ce.getCause else ce
+          if (retries <= 0) throw winnerCause
+          try buildOnce(path, retries - 1)(build)
+          catch {
+            case e: Throwable =>
+              if (e ne winnerCause) e.addSuppressed(winnerCause)
+              throw e
+          }
       }
     }
   }

@@ -315,8 +315,20 @@ class PlanSpec extends AnyFunSuite {
       case other => Seq(other) ++ other.children.flatMap(unwrap)
     }
     val nodes = unwrap(df.queryExecution.executedPlan)
+    // match the term filter STRUCTURALLY: an In/InSet whose literal value
+    // set is exactly Search.QueryTerms — substring matching would also hit
+    // unrelated filters and silently weaken if the term list changed
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, Literal}
+    val terms: Set[String] = graft.operators.Search.QueryTerms.toSet
+    def isTermIn(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      cond.exists {
+        case In(_, list) => list.forall(_.isInstanceOf[Literal]) &&
+          list.collect { case Literal(v, _) => String.valueOf(v) }.toSet == terms
+        case InSet(_, hset) => hset.map(String.valueOf) == terms
+        case _ => false
+      }
     val termFilters = nodes.collect {
-      case f: FilterExec if f.condition.toString.contains("spark") => f
+      case f: FilterExec if isTermIn(f.condition) => f
     }
     assert(termFilters.nonEmpty, s"expected the query-term IN filter:\n$p")
     termFilters.foreach { f =>

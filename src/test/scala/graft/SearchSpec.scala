@@ -65,9 +65,11 @@ class SearchSpec extends AnyFunSuite {
     assert(got.contains((10L, 11L, 0L)))
     // 13 shares a 40-char tail with 10 but a different block: absent
     assert(!got.exists(p => p._1 == 13L || p._2 == 13L))
-    // 12 shares the block but its prefix diverges beyond the cutoff
+    // 12 shares the block but its prefix diverges beyond the cutoff:
+    // no pair involving it may be reported at all
     val p12 = got.filter(p => p._1 == 12L || p._2 == 12L)
-    assert(p12.forall(_._3 <= 12L)) // anything reported respects the cutoff
+    assert(p12.isEmpty,
+      s"doc 12's prefix is > max-dist edits from every block member: $p12")
   }
 
   test("stored search index: probe equals the in-query BM25 verbatim") {
@@ -108,6 +110,30 @@ class SearchSpec extends AnyFunSuite {
     // a literal replay of batch 2 overwrites itself: nothing changes
     Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
     assert(probeAll() === wantFull, "a replayed batch must leave the index unchanged")
+  }
+
+  test("append guard: cross-batch doc re-ingest is rejected, disjoint and same-batch pass") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchguard").toString + "/idx"
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    // disjoint batch: the guard passes and the append lands
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L,
+      assertNewDocs = true)
+    // a same-batch-id replay is the idempotent case: the guard passes
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L,
+      assertNewDocs = true)
+    val before = spark.read.parquet(path).count()
+    // the SAME docs under a NEW batch id would double-count: rejected,
+    // and nothing is written (the guard runs before either artifact)
+    val e = intercept[IllegalArgumentException] {
+      Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 2L,
+        assertNewDocs = true)
+    }
+    assert(e.getMessage.contains("doc-disjointness"))
+    assert(spark.read.parquet(path).count() === before,
+      "a rejected append must leave the store untouched")
   }
 
   test("search index compaction folds below the watermark; scores and newer replays survive") {
