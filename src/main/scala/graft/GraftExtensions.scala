@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSigDoc, SimHashDoc, TopKByScore}
+import graft.functions.{BpeEncode, DotProduct, MinHashSigDoc, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigDoc].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSigDoc(arity("graft_minhash", 1, children).head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_bpe", 2, children); BpeEncode(c(0), c(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),

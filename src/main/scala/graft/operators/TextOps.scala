@@ -89,6 +89,82 @@ object TextOps {
           .cast(LongType).as("pretoken_count"))
       .orderBy("doc_id")
 
+  // ---- real subword tokenization (BPE) -----------------------------------
+
+  /** Merge-table size for [[qTokenBpe]] — enough merges that common
+    * corpus words fuse to single tokens while rare words stay multi-token
+    * (the compression split a real tokenizer shows). */
+  private[graft] val BpeNumMerges = 160
+
+  /** Word-frequency rows fed to merge training: the TOP slice by (count
+    * desc, word asc) — deterministic, and it bounds the driver-side
+    * training table no matter the corpus size (production BPE trainers
+    * consume exactly such a pre-aggregated, truncated count file). */
+  private[graft] val BpeTrainVocab = 2000
+
+  /** Train the corpus' BPE merge table: ONE distributed token-keyed
+    * aggregate (scales out; the only data-plane pass), then the top
+    * [[BpeTrainVocab]] (word, count) rows — vocabulary-bounded index
+    * metadata, the IVF-quantizer-training shape — iterate driver-side
+    * through [[graft.functions.Bpe.trainMerges]]. */
+  private[graft] def bpeMergesOf(docs: DataFrame): IndexedSeq[(String, String)] = {
+    val wc = docs
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(BpeTrainVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    graft.functions.Bpe.trainMerges(wc, BpeNumMerges)
+  }
+
+  /** The flat BPE token array of a words column — the native
+    * `graft_bpe` expression with the merge table riding as a literal
+    * (per-row merge loop where the document lives; no shuffle, no
+    * driver loop) when the session has GraftExtensions, else a UDF over
+    * the same shared encoder (TextOpsSpec proves the two faces equal). */
+  private[graft] def bpeTokensCol(s: SparkSession, words: Column,
+      merges: IndexedSeq[(String, String)]): Column =
+    if (s.catalog.functionExists("graft_bpe"))
+      call_function("graft_bpe", words,
+        array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*))
+    else {
+      val table = new graft.functions.Bpe.MergeTable(merges)
+      udf((ws: Seq[String]) => graft.functions.Bpe.encodeWords(ws, table)).apply(words)
+    }
+
+  /** Per-document REAL subword token counts: train the corpus' merge
+    * table ([[bpeMergesOf]]), encode every document where it lives, and
+    * report the counts a shard packer / mixture planner would budget
+    * with — words, normalized chars, BPE tokens, and chars-per-token
+    * (the compression a deployed tokenizer actually achieves, which the
+    * chars/4 estimate in [[qTokenCount]] only guesses at). DuckDB cannot
+    * replay iterative merge training, so correctness rides the
+    * differential expected-parquet twin
+    * ([[graft.verify.Expected.bpeRows]]) — shared trainer and per-word
+    * encoder, independently re-derived word counts and aggregation. */
+  def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    tokenBpeOf(s, Tables.documents(s, dir))
+
+  /** [[qTokenBpe]] over an arbitrary (doc_id, text) frame — the seam
+    * TextOpsSpec drives constructed corpora through. */
+  private[graft] def tokenBpeOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val merges = bpeMergesOf(docs)
+    docs
+      .select(col("doc_id"),
+        filter(split(normText(col("text")), " "), w => length(w) > 0).as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast(LongType).as("n_words"),
+        length(array_join(col("words"), "")).cast(LongType).as("n_chars"),
+        bpeTokensCol(s, col("words"), merges).as("toks"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        size(col("toks")).cast(LongType).as("n_bpe_tokens"),
+        when(size(col("toks")) > 0,
+          round(col("n_chars") / size(col("toks")).cast("double"), 6))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   // Document fingerprinting: md5 over the normalized text + a coarse
   // length bucket — the join key for exact-dedup at scale (group by the
   // 128-bit fingerprint, never by the raw multi-KB text column).
@@ -430,6 +506,7 @@ object TextOps {
     "q_lang_id"     -> qLangId _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
+    "q_token_bpe"   -> qTokenBpe _,
     "q_fingerprint" -> qFingerprint _,
     "q_text_redact" -> qTextRedact _,
     "q_text_chunks" -> qTextChunks _,

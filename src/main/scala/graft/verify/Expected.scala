@@ -9,9 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the five queries whose math DuckDB
+/** Driver-side differential twins for the six queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
-  * training): each generator recomputes the query's EXPECTED output as
+  * training, iterative BPE merge training): each generator recomputes the
+  * query's EXPECTED output as
   * plain sequential Scala over the collected input table — no DataFrames,
   * no Spark expressions, no shuffles — writes it as parquet, and hands the
   * verify harness a `read_parquet` oracle so the driver's DuckDB compare
@@ -113,6 +114,37 @@ object Expected {
       }
     }
     pairs.toSeq.sorted
+  }
+
+  // ---- q_token_bpe -------------------------------------------------------
+  /** Expected (doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token)
+    * rows: word counts accumulated sequentially over the collected corpus,
+    * the top-[[graft.operators.TextOps.BpeTrainVocab]] slice by (count
+    * desc, word asc), merges trained through the SHARED
+    * [[graft.functions.Bpe.trainMerges]] and applied through the shared
+    * [[graft.functions.Bpe.encodeWord]] (the trainQuantizerOnSample /
+    * DocHashes contract — the twin must train and apply the same
+    * tokenizer or the differential tests nothing); the distributed word
+    * counting, the merge-table broadcast, and the per-doc aggregation are
+    * what the hash compare verifies. */
+  def bpeRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Option[Double])] = {
+    import graft.functions.Bpe
+    import graft.operators.TextOps
+    val wordsPerDoc = docs.map { case (id, t) =>
+      (id, splitWords(normText(t)).filter(_.nonEmpty).toSeq)
+    }
+    val wc = mutable.Map.empty[String, Long]
+    wordsPerDoc.foreach { case (_, ws) =>
+      ws.foreach(w => wc.updateWith(w)(o => Some(o.getOrElse(0L) + 1L)))
+    }
+    val top = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(TextOps.BpeTrainVocab)
+    val table = new Bpe.MergeTable(Bpe.trainMerges(top, TextOps.BpeNumMerges))
+    wordsPerDoc.map { case (id, ws) =>
+      val nTok = ws.iterator.map(w => Bpe.encodeWord(w, table).length.toLong).sum
+      val nChars = ws.iterator.map(_.length.toLong).sum
+      val cpt = if (nTok > 0) Some(round6(nChars.toDouble / nTok)) else None
+      (id, ws.length.toLong, nChars, nTok, cpt)
+    }.sortBy(_._1)
   }
 
   // ---- q_ann_ivf / q_ivf_probe -------------------------------------------
@@ -229,11 +261,11 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all five expected outputs, write
+  /** Collect the input tables, compute all six expected outputs, write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the five differential queries to full rows+schema+hash
+    * the six differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
@@ -257,6 +289,8 @@ object Expected {
     val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
+    val bpe = write("q_token_bpe", bpeRows(docs)
+      .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token"))
 
     def sql(path: String, cols: String, order: String): String =
       s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
@@ -266,6 +300,8 @@ object Expected {
       "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
+      "q_token_bpe"     -> sql(bpe,
+        "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
     )
   }
 }

@@ -58,6 +58,18 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("BPE twin equals the engine's q_token_bpe bit-for-bit (doubles by bits)") {
+    val expected = Expected.bpeRows(docs).map { case (id, w, ch, t, cpt) =>
+      (id, w, ch, t, cpt.map(java.lang.Double.doubleToLongBits))
+    }
+    val got = graft.operators.TextOps.qTokenBpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(java.lang.Double.doubleToLongBits(r.getDouble(4)))))
+      .toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("round6 twin matches Spark's round(_, 6) on doubles incl. NaN/Inf/ties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

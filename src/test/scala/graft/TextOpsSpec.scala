@@ -45,6 +45,77 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training: planted corpus yields the hand-computed merges and encoding") {
+    import graft.functions.Bpe
+    // pair counts: (a,b)=5, (b,a)=2, (b,c)=1 → merge (a,b);
+    // then (ab,ab)=2, (ab,c)=1 → merge (ab,ab); then all pairs < 2 → stop
+    val merges = Bpe.trainMerges(Seq("abab" -> 2L, "abc" -> 1L), 10)
+    assert(merges === IndexedSeq(("a", "b"), ("ab", "ab")))
+    val table = new Bpe.MergeTable(merges)
+    // rank order: (a,b) first everywhere, then leftmost-greedy (ab,ab)
+    assert(Bpe.encodeWord("ababab", table).toSeq === Seq("abab", "ab"))
+    assert(Bpe.encodeWord("abc", table).toSeq === Seq("ab", "c"))
+    assert(Bpe.encodeWord("xyz", table).toSeq === Seq("x", "y", "z"))
+    assert(Bpe.encodeWord("", table).isEmpty)
+    // the tie-break is the lexicographically smallest pair: "ba" and "ab"
+    // both occur twice; (a,b) < (b,a)
+    assert(Bpe.trainMerges(Seq("ab" -> 2L, "ba" -> 2L), 1) === IndexedSeq(("a", "b")))
+  }
+
+  test("BPE encode∘decode identity: tokens of any word rejoin to the word") {
+    import graft.functions.Bpe
+    val rnd = new scala.util.Random(11)
+    def randWord(): String = {
+      val alphabet = "abcxyz" // small alphabet → merges actually fire
+      (0 until 1 + rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val corpusWords = Seq.fill(300)(randWord())
+    val counts = corpusWords.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val table = new Bpe.MergeTable(Bpe.trainMerges(counts, 50))
+    assert(table.merges.nonEmpty, "the random corpus must train at least one merge")
+    // identity holds for trained words AND unseen words (fresh draws),
+    // including strings with characters the table never saw
+    val probes = corpusWords ++ Seq.fill(200)(randWord()) ++
+      Seq("qqqq", "a", "zzzzzzzzzzzzzzzz", "ab1!ab", "été")
+    probes.foreach { w =>
+      val toks = Bpe.encodeWord(w, table)
+      assert(toks.mkString("") === w, s"decode identity broke for '$w'")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
+  test("BPE native expression equals the UDF fallback; tokens compress the corpus") {
+    import graft.functions.Bpe
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val merges = TextOps.bpeMergesOf(docs)
+    assert(merges.nonEmpty)
+    val words = filter(split(
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " ")),
+      " "), w => length(w) > 0)
+    val base = docs.select(col("doc_id"), words.as("words"))
+    val table = new Bpe.MergeTable(merges)
+    val viaUdf = udf((ws: Seq[String]) => Bpe.encodeWords(ws, table))
+    val native = base.select(col("doc_id"),
+        TextOps.bpeTokensCol(spark, col("words"), merges).as("toks"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(spark.catalog.functionExists("graft_bpe"),
+      "the test session must exercise the NATIVE face")
+    val fallback = base.select(col("doc_id"), viaUdf(col("words")).as("toks"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(native.nonEmpty)
+    assert(native === fallback, "native graft_bpe must equal the UDF fallback verbatim")
+    // real compression: trained merges must fuse something — strictly
+    // fewer tokens than characters over the corpus
+    val rows = TextOps.qTokenBpe(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (nWords, nChars, nToks) = rows.reduce[(Long, Long, Long)] {
+      case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, c1 + c2)
+    }
+    assert(nToks < nChars, s"merges must compress: $nToks tokens vs $nChars chars")
+    assert(nToks >= nWords, "a token never spans a word boundary")
+  }
+
   test("token-shard packing matches a driver-side greedy repack exactly") {
     import org.apache.spark.sql.functions._
     // independent ground truth: collect (doc_id, lang, tokens), replay
