@@ -395,28 +395,42 @@ object TextOps {
 
   // ---- repetition filters (Gopher-style quality rules) -------------------
 
-  /** Flag thresholds: ≈p90 of each signal on the synthetic corpus, so
-    * the rule splits it non-trivially; a deployment tunes these against
-    * its own distribution (Gopher used 0.2 / 0.2 on web text). */
+  /** Flag thresholds. The repetition pair sits at ≈p90 of each signal on
+    * the synthetic corpus, so the rule splits it non-trivially; a
+    * deployment tunes those against its own distribution (Gopher used
+    * 0.2 / 0.2 on web text). The structural bounds below them are
+    * Gopher's published values verbatim (mean word length in [3, 10],
+    * symbol-to-word ≤ 0.1, ≤90% bullet lines, ≤30% ellipsis lines) —
+    * they fire on genuinely malformed documents, not distribution
+    * tails, so they need no per-corpus tuning. */
   private val TopWordFracMax = 0.14
   private val DupBigramFracMax = 0.065
+  private[graft] val MeanWordLenMin = 3.0
+  private[graft] val MeanWordLenMax = 10.0
+  private[graft] val SymbolWordRatioMax = 0.1
+  private[graft] val BulletLineFracMax = 0.9
+  private[graft] val EllipsisLineFracMax = 0.3
 
-  /** Per-document repetition statistics — the Rae et al. (Gopher,
-    * arXiv:2112.11446 §A1.1) repetition family: most-frequent-word
-    * fraction and duplicate-bigram fraction, plus the keep/drop flag.
+  /** Per-document quality rules — the Rae et al. (Gopher,
+    * arXiv:2112.11446 §A1.1) rule set: the repetition family
+    * (most-frequent-word fraction, duplicate-bigram fraction) plus the
+    * structural family (mean word length bounds, symbol-to-word ratio
+    * over `#`/`...`, bullet-started and ellipsis-ended line fractions),
+    * one keep/drop flag over all seven signals.
     *
     * Two deliberate distribution shapes side by side:
     *  - top-word frequency needs a per-(doc, word) count → one explode +
     *    groupBy; the shuffle is keyed on (doc_id, word) so key count ∝
     *    corpus tokens — it scales out, never concentrates.
-    *  - the duplicate-bigram fraction never leaves its row:
-    *    size(array_distinct(bigrams)) is an O(n) per-row hash set, so
-    *    the signal is shuffle-free (the cheaper choice whenever the
-    *    stat doesn't need cross-row grouping).
+    *  - every OTHER signal never leaves its row: distinct-bigram
+    *    counting, the char/line arithmetic and the line-prefix filters
+    *    are O(len) per-row expressions, so the whole structural family
+    *    is shuffle-free (the cheaper choice whenever the stat doesn't
+    *    need cross-row grouping).
     */
   private[graft] def repetitionStats(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val base = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .select(col("doc_id"), col("text"), split(normText(col("text")), " ").as("words"))
       .filter(size(col("words")) >= 2)
     val wordStats = base
       .select(col("doc_id"), explode(col("words")).as("w"))
@@ -425,18 +439,34 @@ object TextOps {
       .agg(max("c").as("top_cnt"), sum("c").as("n_words"))
     val bigrams =
       expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")
-    val biStats = base.select(col("doc_id"),
+    val lines = split(col("text"), "\n")
+    val rowStats = base.select(col("doc_id"),
       (size(col("words")) - 1).cast(LongType).as("n_bigrams"),
-      size(array_distinct(bigrams)).cast(LongType).as("n_distinct_bigrams"))
+      size(array_distinct(bigrams)).cast(LongType).as("n_distinct_bigrams"),
+      round(length(array_join(col("words"), "")) / size(col("words")).cast("double"), 6)
+        .as("mean_word_len"),
+      round((occ(col("text"), "#") + occ(col("text"), "..."))
+        / size(col("words")).cast("double"), 6).as("symbol_word_ratio"),
+      round(size(filter(lines, l => ltrim(l).rlike("^[-*] ")))
+        / size(lines).cast("double"), 6).as("bullet_line_frac"),
+      round(size(filter(lines, l => rtrim(l).endsWith("...")))
+        / size(lines).cast("double"), 6).as("ellipsis_line_frac"))
     val topFrac = round(col("top_cnt") / col("n_words").cast("double"), 6)
     val dupFrac = round((col("n_bigrams") - col("n_distinct_bigrams"))
       / col("n_bigrams").cast("double"), 6)
-    val out = wordStats.join(biStats, "doc_id")
+    val out = wordStats.join(rowStats, "doc_id")
       .select(col("doc_id"), col("n_words"), col("top_cnt"),
-        topFrac.as("top_word_frac"), dupFrac.as("dup_bigram_frac"))
+        topFrac.as("top_word_frac"), dupFrac.as("dup_bigram_frac"),
+        col("mean_word_len"), col("symbol_word_ratio"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"))
       .withColumn("flagged",
         (col("top_word_frac") > TopWordFracMax ||
-          col("dup_bigram_frac") > DupBigramFracMax).cast("int"))
+          col("dup_bigram_frac") > DupBigramFracMax ||
+          col("mean_word_len") < MeanWordLenMin ||
+          col("mean_word_len") > MeanWordLenMax ||
+          col("symbol_word_ratio") > SymbolWordRatioMax ||
+          col("bullet_line_frac") > BulletLineFracMax ||
+          col("ellipsis_line_frac") > EllipsisLineFracMax).cast("int"))
     // the sort exists for the differential harness; compositions
     // (q_quality_funnel) skip the global exchange
     if (ordered) out.orderBy("doc_id") else out
@@ -527,12 +557,12 @@ object TextOps {
     * per-stage oracles. */
   private[operators] val duckPartsCte: String =
     """n AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text,
       |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
       |  FROM documents)""".stripMargin
 
   private[operators] val duckRepetitionCtes: String =
-    s"""b AS (SELECT doc_id, parts FROM n WHERE len(parts) >= 2),
+    s"""b AS (SELECT doc_id, text, parts FROM n WHERE len(parts) >= 2),
       |w AS (SELECT doc_id, unnest(parts) AS w FROM b),
       |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
       |ws AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
@@ -540,13 +570,27 @@ object TextOps {
       |bs AS (SELECT doc_id,
       |         CAST(len(parts) - 1 AS BIGINT) AS n_bigrams,
       |         CAST(len(list_distinct(list_transform(generate_series(1, len(parts) - 1),
-      |           i -> parts[i] || ' ' || parts[i+1]))) AS BIGINT) AS n_distinct_bigrams
+      |           i -> parts[i] || ' ' || parts[i+1]))) AS BIGINT) AS n_distinct_bigrams,
+      |         round(length(array_to_string(parts, '')) / CAST(len(parts) AS DOUBLE), 6) AS mean_word_len,
+      |         round((((length(text) - length(replace(text, '#', ''))) // 1)
+      |                + ((length(text) - length(replace(text, '...', ''))) // 3))
+      |               / CAST(len(parts) AS DOUBLE), 6) AS symbol_word_ratio,
+      |         round(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(ltrim(l), '^[-*] ')))
+      |               / CAST(len(string_split(text, chr(10))) AS DOUBLE), 6) AS bullet_line_frac,
+      |         round(len(list_filter(string_split(text, chr(10)), l -> rtrim(l) LIKE '%...'))
+      |               / CAST(len(string_split(text, chr(10))) AS DOUBLE), 6) AS ellipsis_line_frac
       |       FROM b),
       |rep AS (SELECT doc_id, n_words, top_cnt,
       |          round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
       |          round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+      |          mean_word_len, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
       |          CASE WHEN round(top_cnt / CAST(n_words AS DOUBLE), 6) > $TopWordFracMax
       |                 OR round((n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE), 6) > $DupBigramFracMax
+      |                 OR mean_word_len < $MeanWordLenMin
+      |                 OR mean_word_len > $MeanWordLenMax
+      |                 OR symbol_word_ratio > $SymbolWordRatioMax
+      |                 OR bullet_line_frac > $BulletLineFracMax
+      |                 OR ellipsis_line_frac > $EllipsisLineFracMax
       |               THEN 1 ELSE 0 END AS flagged
       |        FROM ws JOIN bs USING (doc_id))""".stripMargin
 
@@ -571,7 +615,8 @@ object TextOps {
     "q_repetition" ->
       s"""WITH $duckPartsCte,
         |$duckRepetitionCtes
-        |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac, flagged
+        |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac,
+        |  mean_word_len, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, flagged
         |FROM rep ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       s"""WITH $duckPartsCte,

@@ -208,13 +208,48 @@ class TextOpsSpec extends AnyFunSuite {
       3L -> "solo").toDF("doc_id", "text") // <2 words: excluded
     val got = graft.operators.TextOps.repetitionStats(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+        r.getDouble(3), r.getDouble(4), r.getAs[Int]("flagged")))
     assert(got.map(_._1).toSeq === Seq(1L, 2L))
     val d1 = got(0)
     assert(d1._2 === 6L && d1._3 === 4L)
     assert(d1._4 === 0.666667 && d1._5 === 0.4 && d1._6 === 1)
     val d2 = got(1)
     assert(d2._4 === 0.125 && d2._5 === 0.0 && d2._6 === 0)
+  }
+
+  test("Gopher structural rules: each signal fires on its planted doc, clean doc passes") {
+    import spark.implicits._
+    // every planted doc keeps its repetition signals BELOW threshold
+    // (distinct words, distinct bigrams), so a flag can only come from
+    // the structural rule it plants
+    val docs = Seq(
+      // mean word length 32/8 = 4.0, no symbols, no bullet/ellipsis lines
+      1L -> "one two three four five six seven eight",
+      // ten 1-char words → mean_word_len 1.0 < 3, top_frac 0.1 < 0.14
+      2L -> "a b c d e f g h i j",
+      // eight distinct 12-char words → mean_word_len 12.0 > 10
+      3L -> ("abcdefghijkl bcdefghijklm cdefghijklmn defghijklmno " +
+        "efghijklmnop fghijklmnopq ghijklmnopqr hijklmnopqrs"),
+      // 3 '#' + 1 '...' over 8 words → symbol ratio 0.5 > 0.1
+      4L -> "alpha # beta # gamma # delta ... epsilon zeta eta theta",
+      // all 3 lines bullet-started → bullet_line_frac 1.0 > 0.9
+      5L -> "- alpha bravo charlie\n- delta echo foxtrot\n- golf hotel india",
+      // 2 of 3 lines ellipsis-ended → 0.666667 > 0.3
+      6L -> ("alpha bravo charlie trails...\ndelta echo foxtrot ends...\n" +
+        "golf hotel india is fine"),
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStats(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[Double]("mean_word_len"),
+        r.getAs[Double]("symbol_word_ratio"), r.getAs[Double]("bullet_line_frac"),
+        r.getAs[Double]("ellipsis_line_frac"), r.getAs[Int]("flagged")))
+    }.toMap
+    val (m1, s1, b1, e1, f1) = got(1L)
+    assert(m1 === 4.0 && s1 === 0.0 && b1 === 0.0 && e1 === 0.0 && f1 === 0)
+    assert(got(2L)._1 === 1.0 && got(2L)._5 === 1)
+    assert(got(3L)._1 === 12.0 && got(3L)._5 === 1)
+    assert(got(4L)._2 === 0.5 && got(4L)._5 === 1)
+    assert(got(5L)._3 === 1.0 && got(5L)._5 === 1)
+    assert(got(6L)._4 === 0.666667 && got(6L)._5 === 1)
   }
 
   test("lm score: exact value on a hand-computed corpus; repetition scores higher") {
