@@ -37,7 +37,7 @@ object SparkEntry {
       TemporalJoins.oracles ++ Pipeline.oracles ++ Search.oracles
 
   /** The COMPLETE oracle map for a dataset: the static SQL-replay oracles
-    * plus the six differential expected-parquet oracles
+    * plus the seven differential expected-parquet oracles
     * ([[graft.verify.Expected]] writes the expected files under
     * `expectedDir` and returns `read_parquet` SQL for them). Every key in
     * [[queries]] has an entry (CoreOpsSpec pins the invariant). */

@@ -43,7 +43,7 @@ object Verify {
     // Full oracle map: static SQL replays + the differential expected
     // parquet (written under outDir/_expected so it outlives this JVM for
     // the driver's DuckDB pass). A failed expected-generation falls back
-    // to the static map — 6 rows-only beats a zeroed round.
+    // to the static map — 7 rows-only beats a zeroed round.
     val oracles =
       try SparkEntry.oracleSqlFor(spark, sfDir,
         new java.io.File(outDir, "_expected").getAbsolutePath)

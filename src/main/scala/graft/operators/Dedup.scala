@@ -447,6 +447,38 @@ object Dedup {
   }
 
   // ---- SimHash (Spark-native; verified by DedupSpec) ---------------------
+  /** Banded-LSH candidate pairs over ANY (id, 64-bit fingerprint) frame —
+    * the one near-dup candidate machinery, parameterized by fingerprint
+    * source: q_dedup_simhash feeds it text SimHash, q_image_neardup
+    * ([[Multimodal.imageNeardupOf]]) feeds it image dHash. Bands the
+    * fingerprint into 4×16-bit keys, joins within band buckets, keeps
+    * pairs at Hamming ≤ `maxHamming` — complete for maxHamming ≤ 3 by
+    * pigeonhole (3 differing bits cannot dirty all 4 bands).
+    *
+    * The repartition on the band keys makes both self-join sides
+    * canonicalize to ONE exchange (fingerprints computed once —
+    * PlanSpec's ReusedExchange assertion); the shuffle_hash hint keeps
+    * the small-SF planner from broadcasting a side and silently
+    * discarding that reuse. */
+  private[operators] def bandedHammingPairs(base: DataFrame, idCol: String,
+      fpCol: String, maxHamming: Int, outA: String, outB: String): DataFrame = {
+    val banded = base.select(col(idCol), col(fpCol),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col(fpCol), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
+    val a = banded.select(col(idCol).as(outA), col(fpCol).as("fp_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as(outB), col(fpCol).as("fp_b"), col("band"), col("band_key"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
+      .filter(col(outA) < col(outB))
+      .select(col(outA), col(outB), bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      // Threshold BEFORE the distinct: hamming is functional on the pair,
+      // so filtering first is equivalent and the dedup shuffle carries only
+      // surviving pairs instead of every band collision.
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(outA, outB)
+  }
+
   /** 64-bit SimHash over word hashes: bit b of the fingerprint is the sign
     * of sum over tokens of ±1 depending on bit b of xxhash64(token).
     * Near-dups = pairs sharing a 16-bit band whose Hamming distance ≤ 3.
@@ -461,23 +493,7 @@ object Dedup {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .select(col("doc_id"), simhashCol(s, col("words")).as("simhash"))
-    // repartition on the band keys → both self-join sides reuse ONE
-    // exchange (fingerprints computed once; see qDedupMinhash's note)
-    val banded = base.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "band_key")))
-      .repartition(col("band"), col("band_key"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"), col("band_key"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"), col("band_key"))
-    a.join(b.hint("shuffle_hash"), Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      // Threshold BEFORE the distinct: hamming is functional on the pair,
-      // so filtering first is equivalent and the dedup shuffle carries only
-      // surviving pairs instead of every band collision.
-      .filter(col("hamming") <= 3)
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+    bandedHammingPairs(base, "doc_id", "simhash", 3, "doc_a", "doc_b")
   }
 
   // ---- duplicate-cluster assignment (connected components) ---------------

@@ -66,11 +66,10 @@ object Multimodal {
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
     else None
 
-  /** Decode the payload with the JDK codec it sniffed as: pixel-decode
-    * frame 0 (dims from the decoded raster, not just the header) and
-    * count the container's frames (`getNumImages(true)` walks GIF's
-    * image blocks; stills report 1). None on any decode failure. */
-  private def readImageMeta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+  /** Run `f` over the JDK reader for a payload — the shared reader dance
+    * (input stream, registry lookup, dispose) behind every decode face.
+    * None when no codec claims the bytes or the decode throws. */
+  private def withReader[A](payload: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -82,16 +81,25 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis, false, true)
-          val img = reader.read(0)
-          val frames =
-            try math.max(1, reader.getNumImages(true))
-            catch { case scala.util.control.NonFatal(_) => 1 }
-          Some((img.getWidth, img.getHeight, frames))
+          Some(f(reader))
         } catch { case scala.util.control.NonFatal(_) => None }
         finally reader.dispose()
       }
     } finally iis.close()
   }
+
+  /** Decode the payload with the JDK codec it sniffed as: pixel-decode
+    * frame 0 (dims from the decoded raster, not just the header) and
+    * count the container's frames (`getNumImages(true)` walks GIF's
+    * image blocks; stills report 1). None on any decode failure. */
+  private def readImageMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    withReader(payload) { reader =>
+      val img = reader.read(0)
+      val frames =
+        try math.max(1, reader.getNumImages(true))
+        catch { case scala.util.control.NonFatal(_) => 1 }
+      (img.getWidth, img.getHeight, frames)
+    }
 
   /** STUB decode (???-equivalent) for formats the JDK has no codec for:
     * dimensions/frames are deterministic arithmetic over the byte length.
@@ -211,6 +219,154 @@ object Multimodal {
       .drop("frame_checksum").orderBy("media_id", "frame_idx")
   }
 
+  // ---- perceptual near-dup (dHash over decoded pixels) --------------------
+
+  /** dHash grid: 8 rows × 9 cols of pooled luma → 8×8 = 64 horizontal
+    * comparisons = one long. */
+  private val DhashRows = 8
+  private val DhashCols = 9
+
+  /** 64-bit difference hash (public method — the standard perceptual
+    * image fingerprint): average-pool a grayscale raster to
+    * [[DhashRows]]×[[DhashCols]] cells, bit (r, c) = cell brighter than
+    * its right neighbor. Pooling makes the hash invariant to resizing
+    * and to the small per-pixel error a lossy re-encode introduces —
+    * which is exactly what byte-exact hashing cannot see. Pure integer
+    * grid arithmetic + double means: deterministic across JVMs and
+    * partitionings. */
+  private[graft] def dhashOfGray(gray: Array[Array[Double]]): Long = {
+    val h = gray.length
+    val w = gray(0).length
+    var bits = 0L
+    val cell = Array.ofDim[Double](DhashRows, DhashCols)
+    var r = 0
+    while (r < DhashRows) {
+      var c = 0
+      while (c < DhashCols) {
+        val y0 = r * h / DhashRows; val y1 = math.max(y0 + 1, (r + 1) * h / DhashRows)
+        val x0 = c * w / DhashCols; val x1 = math.max(x0 + 1, (c + 1) * w / DhashCols)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y)(math.min(x, w - 1)); n += 1; x += 1 }
+          y += 1
+        }
+        cell(r)(c) = s / n
+        c += 1
+      }
+      r += 1
+    }
+    r = 0
+    while (r < DhashRows) {
+      var c = 0
+      while (c < DhashCols - 1) {
+        if (cell(r)(c) > cell(r)(c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Rec. 601 luma raster of a decoded image — the real-pixels source
+    * for [[dhashOfGray]]. */
+  private def grayOf(img: java.awt.image.BufferedImage): Array[Array[Double]] =
+    Array.tabulate(img.getHeight, img.getWidth) { (y, x) =>
+      val rgb = img.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+    }
+
+  /** STUB raster for payloads no JDK codec claims (the [[fakeDecode]]
+    * doctrine): the payload bytes average-pooled into the dHash grid
+    * directly — a coarse "image" of the whole byte stream, deterministic
+    * and twin-replayable, so the banding/join machinery above it is
+    * exercised for real even on the testdata's text-byte stand-ins
+    * (byte-identical payloads hash identically; near-identical payloads
+    * land within a few bits). */
+  private[graft] def byteRaster(payload: Array[Byte]): Array[Array[Double]] =
+    Array.tabulate(DhashRows, DhashCols) { (r, c) =>
+      if (payload.isEmpty) 0.0
+      else {
+        val cells = DhashRows * DhashCols
+        val i0 = (r * DhashCols + c) * payload.length / cells
+        val i1 = math.max(i0 + 1, (r * DhashCols + c + 1) * payload.length / cells)
+        var s = 0.0; var i = i0
+        while (i < i1) { s += (payload(math.min(i, payload.length - 1)) & 0xFF); i += 1 }
+        s / (i1 - i0)
+      }
+    }
+
+  /** Perceptual fingerprint of one record: dHash over REAL decoded
+    * pixels where a JDK codec claims the payload (the [[decode]]
+    * routing), over the byte-raster stub otherwise. */
+  def perceptualHash(r: MediaRecord): Long = {
+    val pixels =
+      if (r.kind == "image" || r.kind == "video")
+        sniffFormat(r.payload).flatMap(_ => withReader(r.payload)(rd => grayOf(rd.read(0))))
+      else None
+    dhashOfGray(pixels.getOrElse(byteRaster(r.payload)))
+  }
+
+  /** Variant records get base id + this offset. */
+  private[graft] val ReencodeIdOffset = 1000000L
+
+  /** The "re-encode" stand-in for a text-byte payload: flip the case of
+    * the first few ASCII letters — same length, same content modulo a
+    * handful of byte values confined to the first raster cell, exactly
+    * the signature a lossy re-encode leaves on real pixels (small local
+    * value shifts, dHash within the band guarantee). Shared with the
+    * differential twin so both faces construct one corpus. */
+  private[graft] def reencodeVariant(payload: Array[Byte]): Array[Byte] = {
+    val v = payload.clone()
+    var i = 0; var flipped = 0
+    while (i < v.length && flipped < 8) {
+      if (v(i) >= 'a'.toByte && v(i) <= 'z'.toByte) { v(i) = (v(i) - 32).toByte; flipped += 1 }
+      i += 1
+    }
+    v
+  }
+
+  /** [[asMedia]] plus a deterministic "re-encoded" variant of every 50th
+    * record ([[reencodeVariant]], id + [[ReencodeIdOffset]]). The
+    * synthetic corpus carries no image payloads and no byte-level
+    * near-dups, so — the q_text_redact pattern — the candidates the
+    * operator exists to find are constructed deterministically from the
+    * data; the dHash + banded-join machinery is the thing under test.
+    * REAL re-encoded images (PNG vs JPEG of one raster) go through the
+    * same machinery in MultimodalSpec's planted-codec case. */
+  private[graft] def mediaWithReencodes(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    asMedia(s, dir).flatMap { r =>
+      if (r.media_id % 50 == 0)
+        Seq(r, MediaRecord(r.media_id + ReencodeIdOffset, reencodeVariant(r.payload), r.kind))
+      else Seq(r)
+    }
+  }
+
+  /** Perceptual (dHash) near-duplicate pairs over a media corpus — what
+    * joins [[Multimodal]]'s pixel decoding to [[Dedup]]'s banded-LSH
+    * candidate machinery: per-record dHash in one mapPartitions pass
+    * (payload bytes never shuffle; only (id, 64-bit hash) flows onward),
+    * then [[Dedup.bandedHammingPairs]] — the SAME banding, join shape
+    * and ≤3-Hamming completeness guarantee q_dedup_simhash carries. A
+    * re-encoded copy of an image (different bytes, same pixels) pairs
+    * here while exact hashing misses it — MultimodalSpec plants exactly
+    * that JPEG case through the real-codec path. */
+  def qImageNeardup(s: SparkSession, dir: String): DataFrame =
+    imageNeardupOf(s, mediaWithReencodes(s, dir))
+
+  /** [[qImageNeardup]] over an arbitrary media frame — the seam
+    * MultimodalSpec drives real constructed images through. */
+  private[graft] def imageNeardupOf(s: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import s.implicits._
+    val hashed = media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeAll's note
+      it.map(r => (r.media_id, perceptualHash(r)))
+    }.toDF("media_id", "dhash")
+    Dedup.bandedHammingPairs(hashed, "media_id", "dhash", 3, "media_a", "media_b")
+  }
+
   /** SQL-expressible metadata slice (byte length, content hash, stub dims)
     * — the differential-testable face of the same plumbing.
     */
@@ -227,6 +383,7 @@ object Multimodal {
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
+    "q_image_neardup"     -> qImageNeardup _,
   )
 
   /** The decode/frames oracles replay the stub arithmetic (the testdata's

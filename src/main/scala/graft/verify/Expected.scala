@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the six queries whose math DuckDB
+/** Driver-side differential twins for the seven queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
   * training, iterative BPE merge training): each generator recomputes the
   * query's EXPECTED output as
@@ -96,6 +96,45 @@ object Expected {
   def simhashRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Int)] = {
     val fps = docs.map { case (id, text) =>
       id -> DocHashes.simhashSeq(splitWords(normText(text)).toSeq, 1)
+    }
+    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
+    fps.foreach { case (id, fp) =>
+      (0 until 4).foreach { b =>
+        val key = (fp >> (b * 16)) & 0xFFFFL
+        buckets.getOrElseUpdate((b, key), mutable.ArrayBuffer.empty) += ((id, fp))
+      }
+    }
+    val pairs = mutable.Set.empty[(Long, Long, Int)]
+    buckets.values.foreach { members =>
+      val sorted = members.sortBy(_._1)
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        val ((a, fa), (b, fb)) = (sorted(i), sorted(j))
+        val h = java.lang.Long.bitCount(fa ^ fb)
+        if (h <= 3) pairs += ((a, b, h))
+      }
+    }
+    pairs.toSeq.sorted
+  }
+
+  // ---- q_image_neardup ---------------------------------------------------
+  /** Expected (media_a, media_b, hamming) rows: per-record perceptual
+    * hashes via the SHARED [[graft.operators.Multimodal.perceptualHash]]
+    * (the DocHashes contract — one fingerprint primitive for both faces),
+    * then the [[simhashRows]] banding sweep re-derived sequentially — the
+    * banded join is what the hash compare verifies. */
+  def imageNeardupRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Int)] = {
+    import graft.operators.Multimodal
+    val fps = docs.flatMap { case (id, text) =>
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val kind = if (id % 2 == 0) "image" else "audio" // asMedia's routing
+      val base = Seq(
+        id -> Multimodal.perceptualHash(Multimodal.MediaRecord(id, payload, kind)))
+      // mediaWithReencodes' planted variants, same shared construction
+      if (id % 50 == 0)
+        base :+ ((id + Multimodal.ReencodeIdOffset) -> Multimodal.perceptualHash(
+          Multimodal.MediaRecord(id + Multimodal.ReencodeIdOffset,
+            Multimodal.reencodeVariant(payload), kind)))
+      else base
     }
     val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
     fps.foreach { case (id, fp) =>
@@ -261,11 +300,11 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all six expected outputs, write
+  /** Collect the input tables, compute all seven expected outputs, write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the six differential queries to full rows+schema+hash
+    * the seven differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
@@ -291,6 +330,8 @@ object Expected {
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
     val bpe = write("q_token_bpe", bpeRows(docs)
       .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token"))
+    val img = write("q_image_neardup",
+      imageNeardupRows(docs).toDF("media_a", "media_b", "hamming"))
 
     def sql(path: String, cols: String, order: String): String =
       s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
@@ -302,6 +343,7 @@ object Expected {
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
       "q_token_bpe"     -> sql(bpe,
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
+      "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
     )
   }
 }

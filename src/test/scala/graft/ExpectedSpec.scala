@@ -58,6 +58,14 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("image near-dup twin equals the engine's banded dHash join row-for-row") {
+    val expected = Expected.imageNeardupRows(docs)
+    val got = graft.operators.Multimodal.qImageNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSeq
+    assert(expected.nonEmpty, "sf0.001 must yield perceptual near-dup pairs")
+    assert(got === expected)
+  }
+
   test("BPE twin equals the engine's q_token_bpe bit-for-bit (doubles by bits)") {
     val expected = Expected.bpeRows(docs).map { case (id, w, ch, t, cpt) =>
       (id, w, ch, t, cpt.map(java.lang.Double.doubleToLongBits))

@@ -128,6 +128,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled(1L) === Seq(0) && sampled(4L) === Seq(0))
   }
 
+  test("perceptual near-dup: a re-encoded JPEG pairs with its source; exact hashing misses it") {
+    import spark.implicits._
+    // 64×72 px of 8×9 solid blocks aligned to the dHash grid, block lumas
+    // quantized to multiples of 32 with adjacent blocks distinct — JPEG
+    // re-encoding shifts block means by a few units, far inside the
+    // 32-level margin, so the dHash survives the lossy round-trip exactly
+    def blockImage(seed: Int): java.awt.image.BufferedImage = {
+      val rnd = new scala.util.Random(seed)
+      val im = new java.awt.image.BufferedImage(72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var prev = -1
+      for (br <- 0 until 8; bc <- 0 until 9) {
+        var v = rnd.nextInt(8)
+        while (v == prev) v = rnd.nextInt(8)
+        prev = v
+        val g = v * 32 + 16
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- br * 8 until (br + 1) * 8; x <- bc * 8 until (bc + 1) * 8)
+          im.setRGB(x, y, rgb)
+      }
+      im
+    }
+    def bytes(fmt: String, im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos))
+      bos.toByteArray
+    }
+    val src = blockImage(5)
+    val png = bytes("png", src)
+    val jpg = bytes("jpg", src) // same pixels modulo JPEG loss, new bytes
+    val far = bytes("png", blockImage(99))
+    // exact (byte-level) hashing cannot see the pair
+    assert(!java.util.Arrays.equals(png, jpg))
+    assert(java.security.MessageDigest.getInstance("MD5").digest(png).toSeq !==
+      java.security.MessageDigest.getInstance("MD5").digest(jpg).toSeq)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "image"),
+      Multimodal.MediaRecord(2L, jpg, "image"),
+      Multimodal.MediaRecord(3L, far, "image"))
+    // the per-record hashes go through the REAL decode path (sniff → JDK
+    // codec → luma raster), not the byte-raster stub
+    val hPng = Multimodal.perceptualHash(media(0))
+    val hJpg = Multimodal.perceptualHash(media(1))
+    val hFar = Multimodal.perceptualHash(media(2))
+    assert(java.lang.Long.bitCount(hPng ^ hJpg) <= 3,
+      "re-encode must stay within the banded candidate guarantee")
+    assert(java.lang.Long.bitCount(hPng ^ hFar) > 3, "a different image must land far")
+    // ...and the distributed query reports exactly the planted pair
+    val pairs = Multimodal.imageNeardupOf(spark, spark.createDataset(media)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 === java.lang.Long.bitCount(hPng ^ hJpg))
+  }
+
   test("stub decode invariants: dims in range, checksum matches direct call") {
     val rows = Multimodal.decodeAll(Multimodal.asMedia(spark, dir)).toDF()
       .orderBy("media_id").collect()
