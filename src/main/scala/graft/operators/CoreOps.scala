@@ -402,6 +402,82 @@ object CoreOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // ---- TPC-H deep-join analogues (Q3 / Q10 / Q18 shapes) ------------------
+  // The optimizer story at 100× wants evidence on join TREES, not just the
+  // Q5-shape star: Q3 (3-table selective join under a group-limit), Q10
+  // (4-table with a fixed-size dimension broadcast), Q18 (self-referential
+  // big-order semi-join via a HAVING aggregate). Shared determinism
+  // discipline: money/quantity sums run in decimal (partition-order
+  // independent), and every ORDER BY ends in a unique key so the LIMIT
+  // cut cannot straddle a tie. PlanSpec asserts the join strategy each
+  // shape should pick (broadcast for bounded dims, hash for fact-fact,
+  // never a cartesian) and the TakeOrderedAndProject top-k.
+
+  private def revenueExpr =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  /** Q3 analogue — shipping-priority top-10: BUILDING-segment orders
+    * placed before the cutoff with lines still shipping after it. The
+    * segment filter reaches the customer scan, both date filters reach
+    * their scans, and the final top-10 is a heap (TakeOrderedAndProject),
+    * not a global sort. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q10 analogue — returned-item reporting: per-customer revenue lost to
+    * returns in one quarter, nation joined from the fixed 25-row
+    * dimension (explicit broadcast — correct at ANY scale). */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q18 analogue — large-volume customers: orders whose total line
+    * quantity clears the threshold. The classic formulation re-joins
+    * lineitem against a HAVING subquery; here the aggregate IS the join
+    * input (one lineitem pass, no second scan), which is the plan the
+    * subquery form optimizes to anyway. */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("tq"))
+      .filter(col("tq") > 200)
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("tq").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -630,6 +706,9 @@ object CoreOps {
     "q_histogram"       -> qHistogram _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
+    "q_tpch_q3"         -> qTpchQ3 _,
+    "q_tpch_q10"        -> qTpchQ10 _,
+    "q_tpch_q18"        -> qTpchQ18 _,
     "q_setops"          -> qSetOps _,
     "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
@@ -862,6 +941,40 @@ object CoreOps {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH bo AS (
+        |  SELECT l_orderkey, sum(cast(l_quantity AS decimal(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(cast(l_quantity AS decimal(18,2))) > 200)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  cast(tq AS double) AS total_qty
+        |FROM orders
+        |JOIN bo ON o_orderkey = bo.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     "q_setops_all" ->
       """WITH u AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'),
         |h AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '2-HIGH'),

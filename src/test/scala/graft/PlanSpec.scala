@@ -255,6 +255,37 @@ class PlanSpec extends AnyFunSuite {
       "the probed slice must be a strict subset of the corpus")
   }
 
+  test("TPC-H analogues: pushed filters, sane join strategies, heap top-k") {
+    // Q3: both date filters and the segment filter reach their scans;
+    // the sorted LIMIT is a TakeOrderedAndProject heap, never a global
+    // sort exchange; no join degenerates to a cartesian.
+    Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q must keep every join keyed:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q's sorted LIMIT must be a heap top-k:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must broadcast its bounded dimension side:\n$p")
+    }
+    val q3scans = allScans(SparkEntry.queries("q_tpch_q3")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan)
+    assert(q3scans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("c_mktsegment")),
+      "Q3's segment filter must reach the customer scan")
+    assert(q3scans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("l_shipdate")),
+      "Q3's ship-date filter must reach the lineitem scan")
+    // Q18's big-order aggregate must map-side combine (partial_sum below
+    // the exchange), not ship every lineitem row to the reducers
+    val p18 = SparkEntry.queries("q_tpch_q18")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p18.contains("partial_sum"),
+      s"Q18's quantity aggregate must combine map-side:\n$p18")
+  }
+
   test("q_ivf_probe: probe assignment is a plan node (Generate under the broadcast), not a driver loop") {
     import org.apache.spark.sql.execution.{GenerateExec, LocalTableScanExec, RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
