@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DoubleType
@@ -217,6 +217,41 @@ object EventStreams {
     * contract, like [[ingestVectorBatch]]. */
   def ingestPostingsBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
     graft.operators.Search.appendSearchIndexBatch(batch.sparkSession, batch, indexPath, id)
+
+  /** Highest micro-batch id the streaming checkpoint's commit log
+    * records as COMMITTED, or -1 when none have. This is the fact a
+    * compaction watermark actually rests on: across a restart,
+    * Structured Streaming re-executes only batches ABOVE it (a batch
+    * whose offsets were planned but whose commit never landed), so
+    * `committedWatermark + 1` is exactly the largest safe `foldBelow`
+    * for the batch-scoped stores — asserted by the caller no longer,
+    * derived from the engine's own ledger. Reads
+    * `checkpointDir/commits` through the Hadoop FS API; the listing is
+    * control-plane-sized (one entry per committed micro-batch, and
+    * [[compactPostingsFromCheckpoint]] folds store partitions at the
+    * same cadence, so neither grows unboundedly). Metadata-log temp
+    * files (`.<id>.tmp`) are non-numeric and skipped. */
+  def committedWatermark(s: SparkSession, checkpointDir: String): Long = {
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val fs = commits.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(commits)) -1L
+    else fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
+  }
+
+  /** [[graft.operators.Search.compactSearchIndex]] with the watermark
+    * DERIVED from the ingest stream's checkpoint instead of asserted by
+    * the caller: folds exactly the batches the commit log proves can
+    * never be replayed (ids ≤ [[committedWatermark]]), and leaves any
+    * planned-but-uncommitted batch scoped so the restart's replay
+    * rewrites it idempotently (StreamingSpec stages that crash window
+    * literally). Run between micro-batches / while the stream is
+    * stopped, like every store compaction here. */
+  def compactPostingsFromCheckpoint(s: SparkSession, indexPath: String,
+      checkpointDir: String): Unit =
+    graft.operators.Search.compactSearchIndex(s, indexPath,
+      foldBelow = committedWatermark(s, checkpointDir) + 1)
 
   // ---- custom state: flatMapGroupsWithState ------------------------------
 

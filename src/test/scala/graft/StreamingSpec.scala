@@ -433,6 +433,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("auto-compaction folds exactly the committed batches; an uncommitted batch's replay still lands") {
+    import graft.operators.Search
+    import graft.sources.Stores
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pcompact").toString
+    val (src, idx, ckpt) = (s"$tmp/src", s"$tmp/idx", s"$tmp/ckpt")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
+    val rest = docs.filter(col("doc_id") >= 250)
+      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+    val (r1, r2) = rest.splitAt(rest.length / 2)
+    val schema = Seq.empty[DocRow].toDF().schema
+    def run(): Unit = {
+      val q = EventStreams.ingestPostingsStream(
+        spark.readStream.schema(schema).parquet(src), idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    r1.toDF().write.mode("append").parquet(src)
+    run() // batch 0: planned, executed, COMMITTED
+    assert(EventStreams.committedWatermark(spark, ckpt) === 0L)
+    // crash-simulate batch 1: new source files arrive and the foreachBatch
+    // body runs (the store IS written), but the commit never lands — the
+    // exact at-least-once window the replay contract exists for
+    r2.toDF().write.mode("append").parquet(src)
+    EventStreams.ingestPostingsBatch(r2.toDF(), 1L, idx)
+    assert(EventStreams.committedWatermark(spark, ckpt) === 0L,
+      "a batch whose commit never landed must not advance the watermark")
+    EventStreams.compactPostingsFromCheckpoint(spark, idx, ckpt)
+    def batchDirs() = Stores.subPartitionDirs(spark, idx)
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+    assert(batchDirs() === Set(-1L, 1L),
+      "compaction must fold exactly the committed batch (0) into the " +
+        "bootstrap layout and leave the uncommitted batch (1) scoped")
+    run() // restart from the checkpoint: batch 1 replays over its own partitions
+    assert(EventStreams.committedWatermark(spark, ckpt) === 1L)
+    assert(batchDirs() === Set(-1L, 1L))
+    // the replay healed, not duplicated: every doc exactly once, and the
+    // probed scores equal the full-corpus in-query scorer
+    assert(spark.read.parquet(idx).select("doc_id").distinct().count() === docs.count())
+    assert(spark.read.parquet(idx).groupBy("doc_id", "word").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(spark.read.parquet(idx + "/_stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
+      .select("doc_id", "dl", "word", "tf")
+    val stats = spark.read.parquet(idx + "/_stats")
+      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    val got = Search.scoreBm25(hits, stats).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Search.bm25(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // now that batch 1 IS committed, the next auto-compact folds it too
+    EventStreams.compactPostingsFromCheckpoint(spark, idx, ckpt)
+    assert(batchDirs() === Set(-1L))
+    val stats2 = spark.read.parquet(idx + "/_stats") // re-list: compaction swapped the files
+      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    assert(Search.scoreBm25(Search.probeSearchIndex(spark, idx, Search.QueryTerms)
+        .select("doc_id", "dl", "word", "tf"), stats2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq === want,
+      "folding can move rows between partitions but never change a score")
+  }
+
   test("streaming gate resumes from its checkpoint across a restart") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-gaterestart").toString
