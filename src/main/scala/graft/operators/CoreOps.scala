@@ -536,21 +536,11 @@ object CoreOps {
   // swaps countDistinct for the HLL sketch (q_approx_distinct's bounded
   // pattern) without changing this query's shape. min/max stringified
   // so heterogeneous column types share the long-form schema.
-  def qColumnStats(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.orders(s, dir)
-    val n = count(lit(1))
-    def statsOf(c: String): DataFrame =
-      t.agg(
-        lit(c).as("column_name"),
-        n.as("n_rows"),
-        countDistinct(col(c)).as("ndv"),
-        round(sum(col(c).isNull.cast("int")) / n.cast("double"), 6).as("null_frac"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-    Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate")
-      .map(statsOf).reduce(_.unionByName(_))
-      .orderBy("column_name")
-  }
+  // Delegates to the generic [[Analyze.columnStats]] entry point so the
+  // DuckDB oracle pins the reusable face, not a private copy.
+  def qColumnStats(s: SparkSession, dir: String): DataFrame =
+    Analyze.columnStats(Tables.orders(s, dir),
+      Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"))
 
   // Engine-completeness extension — equi-width HISTOGRAM (the other
   // half of the optimizer-stats story next to [[qColumnStats]]): bucket
@@ -561,18 +551,10 @@ object CoreOps {
   // quantile sketch instead (q_quantiles / q_approx_quantiles cover
   // that face). The bin id is integer arithmetic on exact doubles,
   // identical in DuckDB.
-  def qHistogram(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.orders(s, dir)
-    val span = t.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
-    val bin = least(floor((col("o_totalprice") - col("lo"))
-      * lit(10.0) / (col("hi") - col("lo"))).cast(LongType), lit(9L))
-    t.crossJoin(broadcast(span))
-      .groupBy(bin.as("bin"))
-      .agg(count(lit(1)).as("n"),
-        round(min("o_totalprice"), 2).as("bin_min"),
-        round(max("o_totalprice"), 2).as("bin_max"))
-      .orderBy("bin")
-  }
+  // Delegates to the generic [[Analyze.histogram]] entry point so the
+  // DuckDB oracle pins the reusable face, not a private copy.
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Analyze.histogram(Tables.orders(s, dir), "o_totalprice", bins = 10)
 
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
