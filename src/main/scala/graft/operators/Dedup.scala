@@ -40,6 +40,63 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
+  // ---- cross-document span dedup (C4-style) ------------------------------
+  /** Span width for [[qSpanDedup]] — non-overlapping windows so removal is
+    * well-defined (a word belongs to exactly one span). */
+  private val SpanSize = 20
+
+  /** C4-style duplicate-SPAN removal across the whole corpus (Raffel et
+    * al. 2020 dedup three-sentence spans; the synthetic corpus has no
+    * sentence boundaries, so the span unit is a fixed
+    * [[SpanSize]]-word window): every occurrence of a span whose
+    * normalized content already appeared earlier in the corpus —
+    * earlier = lower (doc_id, span_idx) — is dropped, INCLUDING repeats
+    * inside one document; the first occurrence stays. Emits the per-doc
+    * removal summary plus `kept_hash`, a fingerprint of the surviving
+    * spans in order, so the oracle pins the reassembled document, not
+    * just counts.
+    *
+    * Scale shape: the corpus fans out to narrow (doc_id, span_idx,
+    * span_hash) rows — span text never crosses an exchange — then ONE
+    * shuffle keyed on span_hash ranks occurrences (row_number inside
+    * each hash's tiny partition; cardinality ≈ distinct spans, so no
+    * global window — PlanSpec asserts the partitioning), and one keyed
+    * groupBy reassembles per-doc summaries. Both exchanges are on
+    * high-cardinality uniform keys. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(expr(s"sequence(1, n, $SpanSize)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"(start - 1) div $SpanSize").cast(LongType).as("span_idx"),
+        size(slice(col("words"), col("start"), lit(SpanSize))).cast(LongType)
+          .as("n_span_tokens"),
+        md5(concat_ws(" ", slice(col("words"), col("start"), lit(SpanSize)))
+          .cast("binary")).as("span_hash"))
+    val firstSeen = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("rn") > 1).cast("int")).cast(LongType).as("n_dup_spans"),
+        sum(when(col("rn") === 1, col("n_span_tokens")).otherwise(0L))
+          .cast(LongType).as("n_kept_tokens"),
+        // surviving spans' hashes concatenated in span order (null structs
+        // for dropped spans are skipped by collect_list; array_sort orders
+        // the struct array by span_idx) — the document fingerprint after
+        // removal, identically string_agg(… ORDER BY span_idx) in DuckDB
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(span_idx, span_hash) END)), x -> x.span_hash)"),
+          "").cast("binary")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(s, dir))
+
   // ---- n-gram Jaccard near-dup -------------------------------------------
   /** Distinct word-3-gram set of the normalized text (requires >= 3 words). */
   private def gramSet: Column = expr(
@@ -652,6 +709,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> qDedupExact _,
+    "q_span_dedup"     -> qSpanDedup _,
     "q_dedup_ngram"    -> qDedupNgram _,
     "q_dedup_minhash"  -> qDedupMinhash _,
     "q_dedup_simhash"  -> qDedupSimhash _,
@@ -740,6 +798,30 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, words, length(words) AS n,
+         |    unnest(range(1, length(words) + 1, $SpanSize)) AS start
+         |  FROM w),
+         |sp AS (
+         |  SELECT doc_id,
+         |    (start - 1) // $SpanSize AS span_idx,
+         |    cast(length(words[start : least(start + ${SpanSize - 1}, n)]) AS bigint) AS n_span_tokens,
+         |    md5(array_to_string(words[start : least(start + ${SpanSize - 1}, n)], ' ')) AS span_hash
+         |  FROM st),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) AS rn
+         |  FROM sp)
+         |SELECT doc_id,
+         |  count(*) AS n_spans,
+         |  cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_spans,
+         |  cast(sum(CASE WHEN rn = 1 THEN n_span_tokens ELSE 0 END) AS bigint) AS n_kept_tokens,
+         |  md5(coalesce(string_agg(span_hash, '' ORDER BY span_idx) FILTER (WHERE rn = 1), '')) AS kept_hash
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $duckGramCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -536,4 +536,39 @@ class DedupSpec extends AnyFunSuite {
     val same = spark.sql("SELECT graft_simhash(array('a', '', 'b')) AS sh").collect()(0)
     assert(r.getLong(0) === same.getLong(0))
   }
+
+  test("span dedup: first occurrence survives, later and intra-doc repeats drop") {
+    import spark.implicits._
+    // spans are 20 words; four distinct 20-word units s1..s4
+    def unit(w: String) = Seq.fill(20)(w).mkString(" ")
+    val (s1, s2, s3, s4) = (unit("aa"), unit("bb"), unit("cc"), unit("dd"))
+    val docs = Seq(
+      (1L, s"$s1 $s2"), // both novel: keeps 2 spans
+      (2L, s"$s1 $s3"), // first span duplicates doc 1's: drops 1
+      (3L, s"$s1 $s2"), // exact copy of doc 1: drops both
+      (4L, s"$s4 $s4"), // intra-doc repeat: second occurrence drops
+      (5L, s4)          // s4 already seen in doc 4: drops its only span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === Seq(
+      (1L, 2L, 0L, 40L),
+      (2L, 2L, 1L, 20L),
+      (3L, 2L, 2L, 0L),
+      (4L, 2L, 1L, 20L),
+      (5L, 1L, 1L, 0L)))
+    val hashOf = got.map(t => t._1 -> t._5).toMap
+    // doc 3 kept nothing: fingerprint of the empty document
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val emptyMd5 = md.digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hashOf(3L) === emptyMd5)
+    assert(hashOf(5L) === emptyMd5)
+    // docs 4 and a hypothetical doc holding only s4's first occurrence
+    // fingerprint identically: doc 4's survivor set is exactly [s4]
+    val s4Only = Dedup.spanDedup(Seq((9L, s4)).toDF("doc_id", "text"))
+      .collect()(0).getString(4)
+    assert(hashOf(4L) === s4Only)
+    // doc 1 and doc 2 diverge (different survivor sets)
+    assert(hashOf(1L) !== hashOf(2L))
+  }
 }

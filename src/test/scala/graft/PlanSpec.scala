@@ -411,4 +411,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "LM scoring must read only (doc_id, text)")
   }
+
+  test("q_span_dedup: occurrence ranking partitions on span_hash, never a global window") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_span_dedup")(spark, TestSpark.sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "span dedup ranks occurrences via a window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "every window must partition (a global window serializes the corpus through one task)")
+    assert(wins.exists(_.partitionSpec.exists(_.toString.contains("span_hash"))),
+      "the first-seen ranking must key on the span content hash")
+    // span text never crosses an exchange: rows entering the shuffle carry
+    // hashes + offsets only
+    val p = plan("q_span_dedup")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "span dedup must read only (doc_id, text)")
+  }
 }
