@@ -532,8 +532,33 @@ object TextOps {
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
+  // Deterministic train/val/test split: a hash-bucket Bernoulli over the
+  // STABLE document key — not the content, because editing a document
+  // must never move it across the train/eval boundary (a content-keyed
+  // split re-contaminates eval every time the corpus is re-cleaned).
+  // First md5 byte of the key partitions [00,ff] into ~80/10/10; like
+  // qStratifiedSample the decision is RNG-free, so any engine,
+  // partitioning, or rerun assigns identically — and everything DERIVED
+  // from a doc (chunks, spans, embeddings keyed by doc_id) inherits its
+  // split by joining on the key, never by re-hashing content. One
+  // shuffle-free projection; at 100 TB the split filter fuses into the
+  // scan of whichever split a training job reads.
+  private val TrainMax = "cb" // 0x00-0xcb ≈ 79.7%
+  private val ValMax   = "e5" // 0xcc-0xe5 ≈ 10.2%; rest test
+
+  def qDataSplit(s: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h2.as("hash_bucket"),
+        when(h2 <= TrainMax, "train")
+          .when(h2 <= ValMax, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
+    "q_data_split"  -> qDataSplit _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,
@@ -612,6 +637,15 @@ object TextOps {
       |        FROM lsc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_data_split" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket
+        |  FROM documents)
+        |SELECT doc_id, hash_bucket,
+        |  CASE WHEN hash_bucket <= '$TrainMax' THEN 'train'
+        |       WHEN hash_bucket <= '$ValMax' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH $duckPartsCte,
         |$duckRepetitionCtes

@@ -316,4 +316,30 @@ class TextOpsSpec extends AnyFunSuite {
       assert(nPass === want.getOrElse((lang, "pass"), 0L), s"$lang pass-through")
     }
   }
+
+  test("data split: key-pure assignment matching reference md5, ~80/10/10") {
+    val rows = TextOps.qDataSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length.toLong === nDocs, "every document gets exactly one split row")
+    // reference reimplementation: split must be a pure function of doc_id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, bucket, split) =>
+      val want = f"${md.digest(id.toString.getBytes("UTF-8")).head & 0xff}%02x"
+      assert(bucket === want, s"doc $id bucket")
+      val wantSplit =
+        if (bucket <= "cb") "train" else if (bucket <= "e5") "val" else "test"
+      assert(split === wantSplit, s"doc $id split")
+      md.reset()
+    }
+    // hash-bucket Bernoulli concentrates near the 79.7/10.2/10.1 design
+    val frac = rows.groupBy(_._3).view.mapValues(_.length.toDouble / rows.length).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.797) < 0.06, s"train ${frac.get("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.102) < 0.04, s"val ${frac.get("val")}")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.101) < 0.04, s"test ${frac.get("test")}")
+    // rerun → identical assignment (no RNG anywhere)
+    val again = TextOps.qDataSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
