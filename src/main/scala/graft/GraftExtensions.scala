@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, DotProduct, MinHashSigDoc, SimHashDoc, TopKByScore}
+import graft.functions.{BpeEncode, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (children: Seq[Expression]) => {
         val c = arity("graft_bpe", 2, children); BpeEncode(c(0), c(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MgFrequentItems].getName, "graft_mg"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_mg", 2, children)
+        MgFrequentItems(c(0), c(1)).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

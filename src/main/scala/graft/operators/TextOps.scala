@@ -556,9 +556,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // Heavy hitters: per-language words above a frequency threshold, via
+  // the two-pass sketch pattern. Pass 1 runs the bounded `graft_mg`
+  // Misra-Gries aggregate (functions/FreqSketch.scala): each map task
+  // reduces its token stream to ≤ HhCapacity counters before the
+  // exchange, so the shuffle carries k rows per task instead of one row
+  // per distinct term — at 100 TB the distinct-term exchange is exactly
+  // what kills the naive groupBy. Pass 2 recounts ONLY the candidates
+  // exactly (broadcast semi-filter, then a shuffle over candidate rows
+  // alone) and applies the threshold. Correctness: MG guarantees every
+  // item with true freq > n/(capacity+1) survives any merge order, and
+  // HhPctDenom puts the reported threshold (n/100) strictly above that
+  // floor (n/201), so the candidate set is a guaranteed superset and the
+  // exact recount makes the final answer deterministic even though the
+  // sketch content is partitioning-dependent.
+  private[graft] val HhCapacity = 200
+  private[graft] val HhPctDenom = 100L
+
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(s, Tables.documents(s, dir))
+
+  private[graft] def heavyHittersOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val words = docs
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(split(normText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val totals = words.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val cands =
+      if (s.catalog.functionExists("graft_mg"))
+        words.groupBy("lang")
+          .agg(call_function("graft_mg", col("word"), lit(HhCapacity)).as("sk"))
+          .select(col("lang"), explode(col("sk.word")).as("word"))
+      else // extension absent: every distinct term is a candidate (exact, unbounded)
+        words.select("lang", "word").distinct()
+    words.join(broadcast(cands), Seq("lang", "word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "lang")
+      .filter(col("cnt") * lit(HhPctDenom) > col("n_lang"))
+      .select(col("lang"), col("word"), col("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_data_split"  -> qDataSplit _,
+    "q_heavy_hitters" -> qHeavyHitters _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,
@@ -646,6 +688,17 @@ object TextOps {
         |       WHEN hash_bucket <= '$ValMax' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH w AS (
+        |  SELECT lang,
+        |    unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS word
+        |  FROM documents WHERE lang IS NOT NULL),
+        |wf AS (SELECT lang, word FROM w WHERE word <> ''),
+        |n AS (SELECT lang, count(*) AS n_lang FROM wf GROUP BY 1),
+        |c AS (SELECT lang, word, count(*) AS cnt FROM wf GROUP BY 1, 2)
+        |SELECT c.lang, c.word, c.cnt FROM c JOIN n USING (lang)
+        |WHERE c.cnt * $HhPctDenom > n.n_lang
+        |ORDER BY lang, cnt DESC, word""".stripMargin,
     "q_repetition" ->
       s"""WITH $duckPartsCte,
         |$duckRepetitionCtes

@@ -388,6 +388,16 @@ class PlanSpec extends AnyFunSuite {
       "the aggregate face must not fall back to the window's per-query sort")
   }
 
+  test("q_heavy_hitters: partial sketch before the shuffle, broadcast recount") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_graft_mg"),
+      s"map tasks must reduce their token stream to k counters BEFORE the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the candidate recount must be a broadcast semi-filter, never a full-vocab shuffle join")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"heavy hitters must read only (text, lang):\n$p")
+  }
+
   test("q_gap_fill: generator grid, equi-join fill, pruned scan") {
     val p = plan("q_gap_fill")
     assert(p.contains("Generate"),

@@ -317,6 +317,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: sketch path active, result equals the exact answer") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_mg"), "extension must register graft_mg")
+    // planted: 'pad' is 150 of 300 en words (50%); each filler appears
+    // once (1/300 < 1% → excluded). The tiny es stratum shows the
+    // threshold is per-language: 1 of 2 words is 50%, so both report.
+    // NB alphabetic suffixes — normText strips digits, so "filler1"
+    // would collapse every filler into one (very heavy) word
+    val docs = ((0 until 150).map { i =>
+      val suffix = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      (i.toLong, s"pad filler$suffix", "en")
+    } :+ (999L, "unico dos", "es")).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextOps.heavyHittersOf(spark, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("en", "pad", 150L), ("es", "dos", 1L), ("es", "unico", 1L)))
+
+    // against the real corpus: two-pass sketch result ≡ exact groupBy
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(split(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z ]", ""), " +", " ")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val exact = words.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(words.groupBy("lang").agg(count(lit(1)).as("n_lang")), "lang")
+      .filter(col("cnt") * lit(100L) > col("n_lang"))
+      .select("lang", "word", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val q = TextOps.qHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(q.nonEmpty, "the Zipfy corpus must have >1% words")
+    assert(q.toSet === exact, "sketch+recount must equal the exact heavy hitters")
+    // deterministic: partitioning-dependent sketch content must not leak
+    val again = TextOps.qHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == q.toSeq)
+  }
+
   test("data split: key-pure assignment matching reference md5, ~80/10/10") {
     val rows = TextOps.qDataSplit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
