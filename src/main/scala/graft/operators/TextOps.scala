@@ -597,10 +597,36 @@ object TextOps {
       .orderBy(col("lang"), col("cnt").desc, col("word"))
   }
 
+  // Deterministic fixed-size per-stratum sample: exactly k documents per
+  // language, chosen by a key-hash priority (top-k doc_ids by 32-bit
+  // md5-prefix). Like qDataSplit the decision is RNG-free and keyed on
+  // the stable doc_id, so any engine or rerun draws the same sample —
+  // the standard construction for inspection panels and held-out eval
+  // slices. Scale shape: the sample rides the bounded `graft_topk`
+  // partial aggregate (k rows per map task cross the shuffle, no
+  // per-group sort); the window formulation DuckDB replays as the
+  // oracle would sort every stratum. The hash priority is 8 hex chars
+  // (32 bits) because both engines hold 2^32 exactly in a double and
+  // ties still break deterministically by doc_id.
+  private[graft] val SamplePerGroupK = 16
+
+  def qSamplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val pri = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double")
+    Tables.documents(s, dir)
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), col("doc_id"), pri.as("pri"))
+      .groupBy("lang")
+      .agg(Similarity.topkCol(s, col("pri"), col("doc_id"), SamplePerGroupK).as("top"))
+      .select(col("lang"), explode(col("top.neighbor_id")).as("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id"     -> qLangId _,
     "q_data_split"  -> qDataSplit _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_sample_pergroup" -> qSamplePerGroup _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,
@@ -699,6 +725,16 @@ object TextOps {
         |SELECT c.lang, c.word, c.cnt FROM c JOIN n USING (lang)
         |WHERE c.cnt * $HhPctDenom > n.n_lang
         |ORDER BY lang, cnt DESC, word""".stripMargin,
+    "q_sample_pergroup" ->
+      s"""WITH s AS (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS pri
+        |  FROM documents WHERE lang IS NOT NULL),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT lang, doc_id FROM r WHERE rk <= $SamplePerGroupK
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH $duckPartsCte,
         |$duckRepetitionCtes

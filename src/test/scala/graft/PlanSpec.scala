@@ -398,6 +398,16 @@ class PlanSpec extends AnyFunSuite {
       s"heavy hitters must read only (text, lang):\n$p")
   }
 
+  test("q_sample_pergroup: bounded partial aggregate, no per-stratum sort") {
+    val p = plan("q_sample_pergroup")
+    assert(p.contains("partial_graft_topk"),
+      s"map tasks must reduce each stratum to k before the shuffle:\n$p")
+    assert(!p.contains("Window"),
+      "the sampler must not fall back to a per-stratum window sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"sampling must read only (doc_id, lang):\n$p")
+  }
+
   test("q_gap_fill: generator grid, equi-join fill, pruned scan") {
     val p = plan("q_gap_fill")
     assert(p.contains("Generate"),

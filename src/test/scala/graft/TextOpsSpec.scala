@@ -354,6 +354,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.toSeq == q.toSeq)
   }
 
+  test("per-group sample: exactly k per stratum, equal to the window formulation") {
+    val rows = TextOps.qSamplePerGroup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    strata.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0) ===
+        math.min(n, graft.operators.TextOps.SamplePerGroupK.toLong).toInt,
+        s"$lang must sample min(k, stratum)")
+    }
+    // the aggregate face must equal the window face it replaces
+    import org.apache.spark.sql.expressions.Window
+    val pri = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double")
+    val windowed = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), col("doc_id"), pri.as("pri"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("pri").desc, col("doc_id"))))
+      .filter(col("rk") <= graft.operators.TextOps.SamplePerGroupK)
+      .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.toSet === windowed)
+    // rerun → identical sample (key-hash priority, no RNG)
+    val again = TextOps.qSamplePerGroup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("data split: key-pure assignment matching reference md5, ~80/10/10") {
     val rows = TextOps.qDataSplit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
