@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
+import graft.functions.{BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("graft_bpe", 2, children); BpeEncode(c(0), c(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(arity("graft_deflate_len", 1, children).head)))
     ext.injectFunction((
       FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MgFrequentItems].getName, "graft_mg"),

@@ -597,6 +597,50 @@ object TextOps {
       .orderBy(col("lang"), col("cnt").desc, col("word"))
   }
 
+  // Compression-ratio quality signal (RedPajama-v2's
+  // ccnet-compression-ratio style): deflate_len/n_bytes per document.
+  // Highly compressible text is boilerplate or repetition, nearly
+  // incompressible text is noise — both ends get flagged. The length
+  // comes from the codegen'd `graft_deflate_len` native expression
+  // (functions/Zlib.scala), so at 100 TB the whole signal is a per-row
+  // projection fused into the scan; no shuffle anywhere (the orderBy is
+  // the harness's determinism requirement). DuckDB has no deflate, so
+  // correctness is a differential Expected twin (verify/Expected.scala)
+  // with an independently-coded streaming deflate loop.
+  // Bounds picked from measured deflate behavior: English-like prose
+  // lands ~0.35-0.67, pure repetition near 0, random-character junk
+  // ~0.76-0.83 (no TEXT reaches 0.95 — limited alphabets cap the byte
+  // entropy), and very short docs pay the deflate overhead and rise
+  // above 0.75 — short-doc flagging is intended (they're junk for
+  // training too, cf. Gopher's min word count).
+  private[graft] val CompressRatioMin = 0.30
+  private[graft] val CompressRatioMax = 0.75
+
+  private def deflateLenCol(s: SparkSession, c: Column): Column =
+    if (s.catalog.functionExists("graft_deflate_len"))
+      call_function("graft_deflate_len", c)
+    else udf((t: String) =>
+      graft.functions.Zlib.deflateLen(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .apply(c)
+
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame =
+    compressRatioOf(s, Tables.documents(s, dir))
+
+  private[graft] def compressRatioOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflateLenCol(s, col("text")).as("deflate_len"))
+      // guard the ANSI division: an empty doc has no ratio and is junk
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_len") / col("n_bytes").cast("double"), 6)))
+      .withColumn("flagged",
+        when(col("n_bytes") === 0, lit(1))
+          .otherwise((col("compress_ratio") < CompressRatioMin ||
+            col("compress_ratio") > CompressRatioMax).cast("int")))
+      .orderBy("doc_id")
+
   // Deterministic fixed-size per-stratum sample: exactly k documents per
   // language, chosen by a key-hash priority (top-k doc_ids by 32-bit
   // md5-prefix). Like qDataSplit the decision is RNG-free and keyed on
@@ -627,6 +671,7 @@ object TextOps {
     "q_data_split"  -> qDataSplit _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_sample_pergroup" -> qSamplePerGroup _,
+    "q_compress_ratio" -> qCompressRatio _,
     "q_text_quality" -> qTextQuality _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,

@@ -9,9 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the seven queries whose math DuckDB
+/** Driver-side differential twins for the eight queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
-  * training, iterative BPE merge training): each generator recomputes the
+  * training, iterative BPE merge training, zlib deflate): each generator
+  * recomputes the
   * query's EXPECTED output as
   * plain sequential Scala over the collected input table — no DataFrames,
   * no Spark expressions, no shuffles — writes it as parquet, and hands the
@@ -186,6 +187,33 @@ object Expected {
     }.sortBy(_._1)
   }
 
+  // ---- q_compress_ratio --------------------------------------------------
+  /** Expected (doc_id, n_bytes, deflate_len, compress_ratio, flagged)
+    * rows. The deflate loop here is INDEPENDENT of
+    * [[graft.functions.Zlib.deflateLen]] — fresh Deflater per row, a
+    * deliberately different sink size — sharing only the level/nowrap
+    * contract constants, so a pooling or buffer-management bug in the
+    * engine's per-thread stream shows up as a hash mismatch. */
+  def compressRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Option[Double], Int)] = {
+    import graft.operators.TextOps
+    docs.map { case (id, t) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(graft.functions.Zlib.Level, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](997)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      val ratio = if (bytes.length > 0) Some(round6(total.toDouble / bytes.length)) else None
+      val flagged = ratio match {
+        case Some(r) =>
+          if (r < TextOps.CompressRatioMin || r > TextOps.CompressRatioMax) 1 else 0
+        case None => 1
+      }
+      (id, bytes.length.toLong, total, ratio, flagged)
+    }.sortBy(_._1)
+  }
+
   // ---- q_ann_ivf / q_ivf_probe -------------------------------------------
   /** Expected (q_id, rank, neighbor_id, cosine) rows for the IVF tier —
     * ONE artifact for both queries, because the stored probe is DEFINED
@@ -300,11 +328,11 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all seven expected outputs, write
+  /** Collect the input tables, compute all eight expected outputs, write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the seven differential queries to full rows+schema+hash
+    * the eight differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
@@ -332,6 +360,8 @@ object Expected {
       .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token"))
     val img = write("q_image_neardup",
       imageNeardupRows(docs).toDF("media_a", "media_b", "hamming"))
+    val cr = write("q_compress_ratio", compressRows(docs)
+      .toDF("doc_id", "n_bytes", "deflate_len", "compress_ratio", "flagged"))
 
     def sql(path: String, cols: String, order: String): String =
       s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
@@ -344,6 +374,8 @@ object Expected {
       "q_token_bpe"     -> sql(bpe,
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
+      "q_compress_ratio" -> sql(cr,
+        "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),
     )
   }
 }

@@ -78,6 +78,18 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("compress-ratio twin equals the engine bit-for-bit (doubles by bits)") {
+    val expected = Expected.compressRows(docs).map { case (id, nb, dl, r, f) =>
+      (id, nb, dl, r.map(java.lang.Double.doubleToLongBits), f)
+    }
+    val got = graft.operators.TextOps.qCompressRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(java.lang.Double.doubleToLongBits(r.getDouble(3))),
+        r.getInt(4))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("round6 twin matches Spark's round(_, 6) on doubles incl. NaN/Inf/ties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -398,6 +398,24 @@ class PlanSpec extends AnyFunSuite {
       s"heavy hitters must read only (text, lang):\n$p")
   }
 
+  test("q_compress_ratio: codegen'd per-row projection, pruned scan, no shuffle before the sort") {
+    // codegen stage markers only appear in the AQE final plan — execute first
+    val df = SparkEntry.queries("q_compress_ratio")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_deflate_len"),
+      s"the signal must come from the native expression, not a UDF:\n$p")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"the deflate projection must sit inside WholeStageCodegen:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"),
+      "no UDF in the hot path")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"compress ratio must read only (doc_id, text):\n$p")
+    // exactly one exchange: the harness's deterministic orderBy
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 2, s"per-row signal must not shuffle beyond the final sort:\n$p")
+  }
+
   test("q_sample_pergroup: bounded partial aggregate, no per-stratum sort") {
     val p = plan("q_sample_pergroup")
     assert(p.contains("partial_graft_topk"),

@@ -385,6 +385,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("compress ratio: repetition flags low, noise flags high, prose passes") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_deflate_len"),
+      "extension must register graft_deflate_len")
+    val noise = new scala.util.Random(11).alphanumeric.take(400).mkString
+    val docs = Seq(
+      1L -> ("lorem " * 200).trim,      // pure repetition → ratio near 0
+      2L -> noise,                       // high-entropy → ratio near 1
+      3L -> ("the quick brown fox jumps over the lazy dog and then " +
+        "wanders far away to sleep under an old oak tree until dawn " +
+        "breaks and the farm slowly wakes to another quiet morning") * 2,
+      4L -> "").toDF("doc_id", "text")
+    val got = graft.operators.TextOps.compressRatioOf(spark, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getInt(4)))).toMap
+    assert(got(1L)._2.get < 0.30 && got(1L)._3 === 1, s"repetition must flag low: ${got(1L)}")
+    assert(got(2L)._2.get > 0.75 && got(2L)._3 === 1, s"noise must flag high: ${got(2L)}")
+    assert(got(3L)._3 === 0, s"ordinary prose must pass: ${got(3L)}")
+    assert(got(4L)._1 === 0L && got(4L)._2.isEmpty && got(4L)._3 === 1,
+      "empty doc: null ratio, flagged")
+    // native expression ≡ UDF fallback (same deflate contract)
+    val viaUdf = docs.select(col("doc_id"),
+      udf((t: String) => graft.functions.Zlib.deflateLen(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8))).apply(col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (nb, _, _)) => assert(nb >= 0, s"doc $id") }
+    val viaExpr = docs.select(col("doc_id"),
+      call_function("graft_deflate_len", col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaUdf)
+  }
+
   test("data split: key-pure assignment matching reference md5, ~80/10/10") {
     val rows = TextOps.qDataSplit(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
