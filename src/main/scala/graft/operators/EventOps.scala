@@ -41,6 +41,33 @@ object EventOps {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  // Time-RANGE rolling window: per event, the count and value sum over
+  // the trailing hour of the SAME user's stream — the frame class
+  // q_window_frames' ROWS frames don't cover (membership is decided by
+  // timestamp distance, not row offsets, so same-timestamp peers are
+  // always in together). The frame key is unix_micros on BOTH engines
+  // (DuckDB: epoch_us) — second-truncated keys would disagree with the
+  // oracle on sub-second gaps. Scale shape: one shuffle on user_id, then
+  // the range frame evaluates in a single sorted pass with a sliding
+  // accumulator — the self-join formulation (events ⋈ events ON ts
+  // BETWEEN) it replaces is quadratic in events-per-hour. Sum in decimal
+  // for accumulation-order independence.
+  def qRolling1h(s: SparkSession, dir: String): DataFrame =
+    rolling1hOf(Tables.events(s, dir))
+
+  /** [[qRolling1h]] over an arbitrary (user_id, event_id, ts, value)
+    * frame — the seam the spec plants frame-boundary patterns through. */
+  private[graft] def rolling1hOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast(DoubleType).as("sum_1h"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   // Hourly windowed aggregation (batch twin of the streaming
   // window(ts, "1 hour") aggregation). Sum runs in decimal so the result
   // is independent of partitioning/accumulation order.
@@ -118,6 +145,7 @@ object EventOps {
     "q_gap_fill"      -> qGapFill _,
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
+    "q_rolling_1h"    -> qRolling1h _,
     "q_state_latest"  -> qStateLatest _,
     "q_json_extract"  -> qJsonExtract _,
   )
@@ -156,6 +184,14 @@ object EventOps {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rolling_1h" ->
+      """SELECT user_id, event_id, cast(ts AS timestamp) AS ts,
+        |  count(*) OVER w AS n_1h,
+        |  cast(sum(cast(value AS decimal(18,6))) OVER w AS double) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(cast(ts AS timestamp))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_state_latest" ->
       """SELECT user_id, event_id, cast(ts AS timestamp) AS ts, event_type FROM (
         |  SELECT user_id, event_id, ts, event_type,

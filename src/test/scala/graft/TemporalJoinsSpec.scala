@@ -61,6 +61,29 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (2L, Some("x")), (3L, None)))
   }
 
+  test("rolling 1h range frame: inclusive boundary at exactly 3600s, micros precision") {
+    val events = Seq(
+      // user 1: a cluster, then probes at the frame boundary
+      (1L, 10L, ts("2026-01-01T10:00:00Z"), 1.0),
+      (1L, 11L, ts("2026-01-01T10:30:00Z"), 2.0),
+      (1L, 12L, ts("2026-01-01T11:00:00Z"), 4.0),    // exactly 3600s after e10: IN
+      (1L, 13L, ts("2026-01-01T11:00:00.000001Z"), 8.0), // 1µs past: e10 OUT
+      (1L, 14L, ts("2026-01-01T13:00:00Z"), 16.0),   // isolated
+      // user 2: same timestamps must not leak across users
+      (2L, 20L, ts("2026-01-01T10:59:00Z"), 100.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = graft.operators.EventOps.rolling1hOf(events).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    val want = Seq(
+      (10L, 1L, 1.0),
+      (11L, 2L, 3.0),
+      (12L, 3L, 7.0),   // 10:00:00 still inside the inclusive trailing hour
+      (13L, 3L, 14.0),  // e10 dropped, e13 joined
+      (14L, 1L, 16.0),
+      (20L, 1L, 100.0))
+    assert(got.toSeq === want)
+  }
+
   test("as-of join property: equals the brute-force reference on random inputs") {
     val rnd = new scala.util.Random(42) // fixed seed — deterministic test
     val base = Instant.parse("2026-01-01T00:00:00Z")
