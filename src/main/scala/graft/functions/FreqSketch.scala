@@ -48,6 +48,14 @@ final class MgBuf(val k: Int) {
     }
   }
 
+  /** Restore held counters verbatim (state/deserialization path — NOT an
+    * offer: restored counts must not re-trigger eviction accounting). */
+  def seed(ws: Iterable[(String, Long)]): Unit =
+    ws.foreach { case (w, c) => counts.update(w, c) }
+
+  /** The held counters as an immutable snapshot (state persistence). */
+  def snapshot: Map[String, Long] = counts.toMap
+
   /** Deterministic rendering OF THIS BUFFER (count desc, word asc). The
     * buffer content itself depends on stream partitioning — callers that
     * need a deterministic result must recount candidates exactly

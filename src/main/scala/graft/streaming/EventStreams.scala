@@ -287,6 +287,43 @@ object EventStreams {
     * event-time order across batches (the usual replay contract;
     * out-of-order streams need the watermarked session_window variant).
     */
+  final case class TokenEvent(lang: String, word: String, seq: Long)
+  final case class HhCandidate(lang: String, word: String, freq_floor: Long)
+  final case class MgSnapshot(counts: Map[String, Long])
+
+  /** Streaming frequent-items: the batch `graft_mg` sketch's stateful
+    * twin. Per-language state = the Misra-Gries counter map
+    * ([[graft.functions.MgBuf]] — ONE sketch implementation for both
+    * faces, the DocHashes contract), carried across micro-batches;
+    * each batch's tokens re-enter the SAME buffer, so the stream-long
+    * result is exactly a sequential MG fold over the concatenated
+    * batches (StreamingSpec asserts it against a driver-side fold).
+    * Every batch emits the group's refreshed candidate set (Update
+    * mode) — the continuously-maintained "trending terms" view.
+    *
+    * State is BOUNDED BY CONSTRUCTION: at most `capacity` counters per
+    * language ever exist, so unlike the sessionizer there is no
+    * timeout/eviction trade — the sketch IS the eviction policy. The
+    * MG guarantee degrades gracefully over an unbounded stream: items
+    * with frequency > n/(capacity+1) of the stream SO FAR are always
+    * held. In-batch order is pinned by `seq` (the replay contract);
+    * cross-batch order is arrival order, and the candidate GUARANTEE
+    * (unlike the counter values) is order-independent.
+    */
+  def heavyHittersStateful(tokens: Dataset[TokenEvent],
+      capacity: Int = 200): Dataset[HhCandidate] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[TokenEvent], state: GroupState[MgSnapshot]) =>
+          val buf = new graft.functions.MgBuf(capacity)
+          state.getOption.foreach(s => buf.seed(s.counts))
+          it.toSeq.sortBy(e => (e.seq, e.word)).foreach(e => buf.offer(e.word))
+          state.update(MgSnapshot(buf.snapshot))
+          buf.sorted.iterator.map { case (w, c) => HhCandidate(lang, w, c) }
+      }
+  }
+
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
       idleTimeoutMinutes: Long = 120, watermarkDelay: String = "10 minutes"): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._

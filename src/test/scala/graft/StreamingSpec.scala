@@ -107,6 +107,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful heavy hitters carry MG counters across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{TokenEvent, heavyHittersStateful}
+    val input = MemoryStream[TokenEvent]
+    val q = heavyHittersStateful(input.toDS(), capacity = 2).toDF()
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        TokenEvent("en", "a", 1), TokenEvent("en", "a", 2),
+        TokenEvent("en", "a", 3), TokenEvent("en", "b", 4))
+      q.processAllAvailable()
+      val afterB1 = spark.table("hh_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterB1 === Set(("en", "a", 3L), ("en", "b", 1L)))
+      // batch 2: one 'c' against full capacity-2 state {a:3, b:1}.
+      // MG decrements all → {a:2}; a fresh (state-lost) buffer would
+      // instead hold {c:1} — the emission proves the carry.
+      input.addData(TokenEvent("en", "c", 5))
+      q.processAllAvailable()
+      val all = spark.table("hh_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(all.contains(("en", "a", 2L)),
+        s"batch-2 emission must reflect the carried counters, got $all")
+      assert(!all.exists(_._2 == "c"),
+        "a cold buffer would have held the batch-2 token — state was lost")
+      // the batch-2 emission equals a sequential driver-side MG fold
+      val ref = new graft.functions.MgBuf(2)
+      Seq("a", "a", "a", "b", "c").foreach(ref.offer)
+      assert(ref.sorted.toSeq === Seq(("a", 2L)))
+    } finally q.stop()
+  }
+
+  test("stateful heavy hitters over a batch Dataset equal one MG fold per group") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{TokenEvent, heavyHittersStateful}
+    val tokens = Seq(
+      TokenEvent("en", "x", 1), TokenEvent("en", "y", 2), TokenEvent("en", "x", 3),
+      TokenEvent("de", "der", 1), TokenEvent("de", "der", 2)).toDS()
+    val got = heavyHittersStateful(tokens, capacity = 8).collect()
+      .map(c => (c.lang, c.word, c.freq_floor)).sorted
+    assert(got.toSeq === Seq(("de", "der", 2L), ("en", "x", 2L), ("en", "y", 1L)))
+  }
+
   test("streaming exact dedup drops re-arrivals within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
