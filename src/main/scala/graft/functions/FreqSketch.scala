@@ -117,11 +117,17 @@ case class MgFrequentItems(
       new GenericInternalRow(Array[Any](UTF8String.fromString(w), c))
     })
 
+  // Length-prefixed UTF-8, not writeUTF: writeUTF caps a string at
+  // 65535 encoded bytes and a web-scale junk document can hold a single
+  // unbroken token far past that — the sketch must survive any held word.
   override def serialize(b: MgBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.counts.size)
-    b.counts.foreach { case (w, c) => out.writeUTF(w); out.writeLong(c) }
+    b.counts.foreach { case (w, c) =>
+      val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(wb.length); out.write(wb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -130,7 +136,11 @@ case class MgFrequentItems(
     val n = in.readInt()
     val b = new MgBuf(kVal)
     var j = 0
-    while (j < n) { b.counts.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val wb = new Array[Byte](in.readInt()); in.readFully(wb)
+      b.counts.update(new String(wb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      j += 1
+    }
     b
   }
 

@@ -870,12 +870,17 @@ object CoreOps {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_histogram" ->
+      // Mirrors Analyze.histogram exactly: NULLs excluded (accounted as
+      // null_frac in the stats face), constant column short-circuits to
+      // bin 0 before the 0/0 division.
       """WITH span AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        |SELECT CAST(least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9) AS BIGINT) AS bin,
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9) END AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(min(o_totalprice), 2) AS bin_min,
         |  round(max(o_totalprice), 2) AS bin_max
         |FROM orders CROSS JOIN span
+        |WHERE o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_column_stats" ->
       """SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -124,6 +124,46 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .withColumn("shard", termShard(col("word")))
 
+  /** The doc-membership shard of a doc id — the `_docs` sidecar's
+    * partition key. Same modulus as the term shards, but hashed on
+    * doc_id: a membership probe prunes to the INCOMING batch's doc
+    * shards, independent of which terms the docs contain. */
+  private def docShard(docId: Column): Column =
+    pmod(xxhash64(docId), lit(PostingShards.toLong))
+
+  /** One membership row per document of a batch: (doc_id, dshard,
+    * batch_id). The `_docs` sidecar is what makes [[appendSearchIndexBatch]]'s
+    * disjointness guard genuinely probe-sized: membership is |docs| rows
+    * (not |postings|), partitioned by doc-hash shard so a guard reads
+    * only the incoming docs' shard directories. */
+  private def docsRowsOf(docs: DataFrame, batchId: Long): DataFrame =
+    docs.select(col("doc_id")).distinct()
+      .withColumn("dshard", docShard(col("doc_id")))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Backfill the `_docs` sidecar of a store written before the sidecar
+    * existed: one full postings scan deriving (doc_id, batch_id)
+    * membership, paid once — every append calls this, so the sidecar is
+    * complete before any row lands under it and the disjointness guard
+    * can always trust it. Crash-safe: built under `_docs.tmp` (also
+    * underscore-invisible to the corpus read) and renamed into place;
+    * a crashed half-build is cleared and rebuilt on the next call. */
+  private def ensureDocsSidecar(s: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val docs = new org.apache.hadoop.fs.Path(path + "/_docs")
+    if (!fs.exists(live) || fs.exists(docs)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + "/_docs.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    graft.sources.Sinks.overwritePartitioned(
+      s.read.parquet(path).select("doc_id", "batch_id").distinct()
+        .withColumn("dshard", docShard(col("doc_id")))
+        .repartition(col("dshard")),
+      tmp.toString, Seq("dshard", "batch_id"))
+    fs.rename(tmp, docs)
+  }
+
   /** One (batch_id, n_docs, sum_dl) stats row for a batch of documents.
     * The sidecar is ADDITIVE on purpose: BM25's global stats (N, avgdl)
     * change with every append, so instead of a single stale row the
@@ -164,6 +204,9 @@ object Search {
         tmp, Seq("shard", "batch_id"))
       graft.sources.Sinks.overwritePartitioned(
         statsRowOf(docs, -1L).coalesce(1), tmp + "/_stats", Seq("batch_id"))
+      graft.sources.Sinks.overwritePartitioned(
+        docsRowsOf(docs, -1L).repartition(col("dshard")),
+        tmp + "/_docs", Seq("dshard", "batch_id"))
     }
 
   /** Replay-idempotent incremental growth (the signature/ANN store
@@ -184,24 +227,51 @@ object Search {
     * double-counts its postings and sidecar contribution and skews BM25
     * silently (the streaming ingester satisfies this by construction:
     * micro-batches partition the source). `assertNewDocs = true` buys a
-    * mechanical check — one semi-join of the incoming doc_ids against
-    * the store's OTHER batches before anything is written (probe-sized:
-    * distinct ids vs the pruned store read) — for callers replaying
-    * from sources without that guarantee; SearchSpec drives both the
-    * pass and the rejection. */
+    * mechanical check before anything is written, and it is genuinely
+    * probe-sized: membership lives in the `_docs` sidecar — ONE row per
+    * (doc, batch), partitioned by doc-hash shard — so the guard reads
+    * the incoming docs' shard directories of a |docs|-cardinality
+    * table, never the |postings|-cardinality corpus. A fresh path
+    * passes vacuously (the guard is how a store is bootstrapped safely
+    * from batch 0); a pre-sidecar store gets its sidecar backfilled
+    * from one postings scan before anything lands
+    * ([[ensureDocsSidecar]]). SearchSpec drives the pass, the
+    * same-batch replay, the rejection, and the fresh-store bootstrap.
+    *
+    * Write order is membership FIRST, then postings, then stats: the
+    * three dynamic overwrites share the usual at-least-once crash
+    * window (a same-batch replay heals all three), and landing `_docs`
+    * before any posting guarantees a crashed append can never leave
+    * postings the guard doesn't know about — the conservative failure
+    * is a membership row whose postings are still missing, which
+    * REJECTS a different-batch re-ingest instead of silently
+    * double-counting it. */
   def appendSearchIndexBatch(s: SparkSession, newDocs: DataFrame, path: String,
       batchId: Long, assertNewDocs: Boolean = false): Unit = {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
+    ensureDocsSidecar(s, path)
     if (assertNewDocs) {
-      val clash = s.read.parquet(path).filter(col("batch_id") =!= batchId)
-        .select("doc_id").distinct()
-        .join(newDocs.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
-        s"batch $batchId re-ingests doc_ids already stored under another batch id " +
-          "(cross-batch doc-disjointness is the store's exactness precondition)")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      val incoming = newDocs.select("doc_id").distinct()
+      if (fs.exists(new org.apache.hadoop.fs.Path(path + "/_docs"))) {
+        // prune the membership read to the incoming docs' shards
+        // (bounded collect: ≤ PostingShards distinct values)
+        val shards = incoming.select(docShard(col("doc_id")).as("dshard"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val clash = s.read.parquet(path + "/_docs")
+          .filter(col("dshard").isin(shards: _*) && col("batch_id") =!= batchId)
+          .join(incoming, Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"batch $batchId re-ingests doc_ids already stored under another batch id " +
+            "(cross-batch doc-disjointness is the store's exactness precondition)")
+      } // else: fresh path — vacuously disjoint, the bootstrap-from-batch-0 case
     }
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      docsRowsOf(newDocs, batchId).repartition(col("dshard")),
+      path + "/_docs", Seq("dshard", "batch_id"))
     graft.sources.Sinks.overwritePartitionsDynamic(
       postingsOf(newDocs).withColumn("batch_id", lit(batchId)).repartition(col("shard")),
       path, Seq("shard", "batch_id"))
@@ -227,6 +297,7 @@ object Search {
     * active. */
   def compactSearchIndex(s: SparkSession, path: String, foldBelow: Long): Unit = {
     graft.sources.Stores.recover(s, path)
+    ensureDocsSidecar(s, path)
     graft.sources.Stores.clearResidue(s, path)
     val foldable = graft.sources.Stores.subPartitionDirs(s, path)
       .filter(_.startsWith("batch_id="))
@@ -247,6 +318,16 @@ object Search {
         folded.unionByName(st.filter(col("batch_id") >= foldBelow)
           .select("n_docs", "sum_dl", "batch_id")).coalesce(1),
         tmp + "/_stats", Seq("batch_id"))
+      // membership sidecar folds the same way: folded batches' rows move
+      // to batch_id=-1 (distinct absorbs a retried append's duplicates —
+      // under the doc-disjointness precondition nothing else can collide)
+      val dm = s.read.parquet(path + "/_docs")
+      graft.sources.Sinks.overwritePartitioned(
+        dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
+          .unionByName(dm.filter(col("batch_id") >= foldBelow))
+          .select("doc_id", "batch_id", "dshard").distinct()
+          .repartition(col("dshard")),
+        tmp + "/_docs", Seq("dshard", "batch_id"))
     }
   }
 

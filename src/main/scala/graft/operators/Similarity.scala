@@ -684,20 +684,27 @@ object Similarity {
     * driver collects in the stored flow: a distinct over the probe
     * column, ≤ [[IvfLists]] values of partition-pruning metadata
     * (the LSH pattern of [[qAnnProbe]]'s probed-bucket set). */
-  private[graft] def storedProbedLists(s: SparkSession, path: String): Seq[Int] =
-    storedProbeQueries(s, path).select("bucket").distinct()
+  private[graft] def storedProbedLists(queries: DataFrame): Seq[Int] =
+    queries.select("bucket").distinct()
       .collect().map(_.getAs[Number](0).intValue).toSeq.sorted
 
   /** The probe half of [[qIvfProbe]] over an ALREADY-WRITTEN index —
     * stored artifacts only. Split out so SimilaritySpec can probe
     * indexes built from constructed corpora ([[writeIvfIndexFrom]]) and
-    * assert stored ≡ in-query on them too. */
-  private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame =
+    * assert stored ≡ in-query on them too. The query slice is built
+    * ONCE and shared between the pruning-metadata collect (an eager
+    * column-pruned job over it) and the answer plan — the probe
+    * assignment still evaluates in each job (the collect must run
+    * before literal partition filters can exist), but both read one
+    * plan, and the derivation job prunes to the bucket column. */
+  private[graft] def qIvfProbeStored(s: SparkSession, path: String): DataFrame = {
+    val queries = storedProbeQueries(s, path)
     annTopkFromBuckets(s,
-      probeIvfIndex(s, path, storedProbedLists(s, path))
+      probeIvfIndex(s, path, storedProbedLists(queries))
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           col("nrm").as("n_nrm"), col("list_id").as("bucket")),
-      storedProbeQueries(s, path))
+      queries)
+  }
 
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, each

@@ -126,8 +126,12 @@ object TextOps {
   private[graft] def bpeTokensCol(s: SparkSession, words: Column,
       merges: IndexedSeq[(String, String)]): Column =
     if (s.catalog.functionExists("graft_bpe"))
+      // typedLit, not array(array(..)): it ships the table as ONE literal
+      // and keeps the array<array<string>> type when the trained table is
+      // EMPTY (array() of zero elements types as array<null>, which the
+      // expression's type check rightly rejects).
       call_function("graft_bpe", words,
-        array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*))
+        typedLit(merges.map { case (l, r) => Seq(l, r) }))
     else {
       val table = new graft.functions.Bpe.MergeTable(merges)
       udf((ws: Seq[String]) => graft.functions.Bpe.encodeWords(ws, table)).apply(words)

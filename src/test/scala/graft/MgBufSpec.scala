@@ -86,4 +86,17 @@ class MgBufSpec extends AnyFunSuite {
     List("b", "a", "a", "c", "b", "a", "c").foreach(b.offer)
     assert(b.sorted.toSeq === Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
+
+  test("aggregate buffer serialization survives words past writeUTF's 64 KB cap") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // an unbroken 100k-char token (web junk survives normText intact) plus
+    // a multi-byte word: the shuffle round-trip must hold both verbatim
+    val agg = graft.functions.MgFrequentItems(Literal("x"), Literal(4))
+    val b = agg.createAggregationBuffer()
+    val huge = "z" * 100000
+    Seq(huge, huge, "été", "a").foreach(b.offer)
+    val back = agg.deserialize(agg.serialize(b))
+    assert(back.sorted.toSeq === b.sorted.toSeq)
+    assert(back.sorted.toMap.get(huge) === Some(2L))
+  }
 }

@@ -241,7 +241,8 @@ class PlanSpec extends AnyFunSuite {
     // the pruned scan selects EXACTLY the union of the queries' probed
     // lists (bootstrap store: one batch dir per list) — no more
     val storePath = scans.head.relation.location.rootPaths.head.toString
-    val probedLists = Similarity.storedProbedLists(spark, storePath)
+    val probedLists = Similarity.storedProbedLists(
+      Similarity.storedProbeQueries(spark, storePath))
     assert(pruned.exists(_.selectedPartitions.partitionCount <= probedLists.size),
       s"scan must select at most the ${probedLists.size} probed list dirs")
     // ...and a single query's probe reads nProbe/k of the directories —

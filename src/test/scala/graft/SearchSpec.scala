@@ -136,6 +136,54 @@ class SearchSpec extends AnyFunSuite {
       "a rejected append must leave the store untouched")
   }
 
+  test("append guard bootstraps a fresh store from batch 0") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchboot").toString + "/idx"
+    // no store exists at path: the guard must pass vacuously, not crash
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 0), path, 0L,
+      assertNewDocs = true)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L,
+      assertNewDocs = true)
+    // from batch 1 on the guard has teeth: a cross-batch re-ingest rejects
+    val e = intercept[IllegalArgumentException] {
+      Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 0), path, 2L,
+        assertNewDocs = true)
+    }
+    assert(e.getMessage.contains("doc-disjointness"))
+  }
+
+  test("membership sidecar is docs-sized and backfills a store that lacks it") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchback").toString + "/idx"
+    Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L)
+    // the guard's read target is |docs|-cardinality, not |postings|
+    val members = spark.read.parquet(path + "/_docs")
+    val nDocs = spark.read.parquet(path).select("doc_id").distinct().count()
+    assert(members.count() === nDocs,
+      "membership must hold exactly one row per stored document")
+    assert(members.count() < spark.read.parquet(path).count(),
+      "membership must be smaller than the posting corpus it summarizes")
+    // delete the sidecar (a pre-sidecar store): the next append backfills
+    // it from the postings before anything lands, so the guard still
+    // knows about BATCH 1's docs afterwards
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/_docs"), true)
+    Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L,
+      assertNewDocs = true) // disjoint: passes over the backfilled sidecar
+    val e = intercept[IllegalArgumentException] {
+      Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 3L,
+        assertNewDocs = true)
+    }
+    assert(e.getMessage.contains("doc-disjointness"),
+      "backfill must restore membership for batches written before the sidecar existed")
+  }
+
   test("search index compaction folds below the watermark; scores and newer replays survive") {
     import org.apache.spark.sql.functions.{col, sum}
     val dir = TestSpark.sfDir

@@ -116,6 +116,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nToks >= nWords, "a token never spans a word boundary")
   }
 
+  test("BPE native path survives an EMPTY trained merge table") {
+    import spark.implicits._
+    // every word is a single distinct character: no adjacent pair ever
+    // occurs, training stops with zero merges, and the native
+    // expression must still type (array() of nothing is array<null> —
+    // the literal has to keep array<array<string>>): per-char tokens out
+    assert(spark.catalog.functionExists("graft_bpe"),
+      "the test session must exercise the NATIVE face")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val rows = TextOps.tokenBpeOf(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)),
+      "an empty merge table must tokenize per character, not crash")
+  }
+
   test("token-shard packing matches a driver-side greedy repack exactly") {
     import org.apache.spark.sql.functions._
     // independent ground truth: collect (doc_id, lang, tokens), replay
