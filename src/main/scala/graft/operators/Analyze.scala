@@ -73,4 +73,64 @@ object Analyze {
   def analyzeTable(df: DataFrame, cols: Seq[String], histCol: String,
       bins: Int = 10): (DataFrame, DataFrame) =
     (columnStats(df, cols), histogram(df, histCol, bins))
+
+  /** Pairwise Pearson correlation + sample covariance over numeric
+    * columns — one row per unordered pair, ALL pairs from ONE full-scan
+    * aggregate (the moment sums Σx, Σx², Σxy per pair live in a single
+    * 1-row agg; the per-pair rows are then unioned selects OVER that
+    * broadcast row, so the table is read once however many pairs are
+    * profiled).
+    *
+    * Determinism is the reason this exists instead of `corr()`/
+    * `covar_samp()`: the built-ins stream double co-moments whose low
+    * bits depend on partition order, which a differential gate cannot
+    * tolerate. Here every moment is an EXACT decimal(38,8) sum (inputs
+    * cast to decimal(18,4) first — exact for the ≤2-dp money/quantity
+    * columns this profiles), and the classic closed forms
+    * corr = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ᵗᵒᵗ)(n·Σy² − Σy²ᵗᵒᵗ)),
+    * covar_samp = (Σxy − Σx·Σy/n) / (n−1)
+    * evaluate in double ONCE at the end — identical exact inputs +
+    * identical association order ⇒ identical IEEE bits on any engine.
+    * Rows with a NULL in either column of a pair are excluded pairwise
+    * (the SQL-standard corr/covar semantics).
+    *
+    * The moment row is COLLECTED — one row of control-plane metadata
+    * per call — and the pair rows derive from it locally, because a
+    * lazy union-of-selects over the shared aggregate gets its columns
+    * pruned per branch by Catalyst, splitting the one aggregate into
+    * |pairs| scans. Collecting pins the single scan by construction
+    * (PlanSpec asserts the returned frame contains NO file scan). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    def dec(c: String) = col(c).cast("decimal(18,4)")
+    val momentCols = pairs.flatMap { case (x, y) =>
+      val both = dec(x).isNotNull && dec(y).isNotNull
+      val gx = when(both, dec(x))
+      val gy = when(both, dec(y))
+      Seq(count(when(both, lit(1))), sum(gx), sum(gy),
+        sum(gx * gx), sum(gy * gy), sum(gx * gy))
+    }
+    val m = df.agg(momentCols.head, momentCols.tail: _*).collect()(0)
+    def dbl(i: Int): Double =
+      if (m.isNullAt(i)) Double.NaN else m.getDecimal(i).doubleValue
+    val out = pairs.zipWithIndex.map { case ((x, y), p) =>
+      val i = p * 6
+      val n = m.getLong(i).toDouble
+      val (sx, sy, sxx, syy, sxy) = (dbl(i + 1), dbl(i + 2), dbl(i + 3), dbl(i + 4), dbl(i + 5))
+      // the exact association order of the SQL twin, in IEEE doubles
+      val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val covar = (sxy - sx * sy / n) / (n - 1.0)
+      // degenerate pairs (0/1 rows, constant column) yield NaN/Inf,
+      // which BigDecimal cannot hold — pass them through unrounded
+      def r6(v: Double): Double =
+        if (java.lang.Double.isFinite(v))
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else v
+      (x, y, m.getLong(i), r6(corr), r6(covar))
+    }.sortBy(t => (t._1, t._2))
+    import df.sparkSession.implicits._
+    out.toDF("col_x", "col_y", "n", "corr", "covar_samp")
+  }
 }

@@ -556,6 +556,38 @@ object CoreOps {
   def qHistogram(s: SparkSession, dir: String): DataFrame =
     Analyze.histogram(Tables.orders(s, dir), "o_totalprice", bins = 10)
 
+  // Engine-completeness extension — pairwise CORRELATION / COVARIANCE
+  // (the column-relationship face of ANALYZE, next to the per-column
+  // stats and histogram): Pearson corr + sample covariance over
+  // lineitem's quantity/price/discount triple. Delegates to
+  // [[Analyze.corrMatrix]] — exact decimal moment sums, one scan for
+  // all pairs, the closed forms evaluated in double once at the end —
+  // because the built-in corr()/covar_samp() stream double co-moments
+  // whose low bits depend on partition order, which the differential
+  // gate cannot tolerate.
+  def qCorrStats(s: SparkSession, dir: String): DataFrame =
+    Analyze.corrMatrix(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  // §2.2 extension — UNPIVOT/melt (the inverse of [[qPivot]]): rotate
+  // lineitem's measure triple into (key, metric, value) long form — the
+  // wide→long reshaping every profiling/plotting pipeline leans on.
+  // Plans as a Generate/Expand projection — per-row fan-out, NO shuffle
+  // (PlanSpec asserts no Exchange below the sort) — so it scales as a
+  // map-side transform; values pass through untouched (no arithmetic),
+  // making the differential compare exact.
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   // U1 — func_datediff H:M:S over real spans (spec:28-29, body:17-36).
   def qDatediff(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -685,6 +717,8 @@ object CoreOps {
     "q_pivot"           -> qPivot _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_column_stats"    -> qColumnStats _,
+    "q_corr_stats"      -> qCorrStats _,
+    "q_unpivot"         -> qUnpivot _,
     "q_histogram"       -> qHistogram _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
@@ -882,6 +916,50 @@ object CoreOps {
         |FROM orders CROSS JOIN span
         |WHERE o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr_stats" ->
+      // Mirrors Analyze.corrMatrix token-for-token: exact decimal moment
+      // sums (cast to decimal(18,4) first), the closed forms evaluated
+      // in double with identical association order. CASE WHEN mirrors
+      // the engine's pairwise-NULL exclusion (vacuous on this data).
+      """WITH m AS (SELECT
+        |  CAST(count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS double) AS n_a,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS decimal(18,4)) END) AS double) AS sx_a,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice AS decimal(18,4)) END) AS double) AS sy_a,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS decimal(19,4)) * CAST(l_quantity AS decimal(19,4)) END) AS double) AS sxx_a,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_extendedprice AS decimal(19,4)) * CAST(l_extendedprice AS decimal(19,4)) END) AS double) AS syy_a,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN CAST(l_quantity AS decimal(19,4)) * CAST(l_extendedprice AS decimal(19,4)) END) AS double) AS sxy_a,
+        |  CAST(count(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS double) AS n_b,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity AS decimal(18,4)) END) AS double) AS sx_b,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS decimal(18,4)) END) AS double) AS sy_b,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity AS decimal(19,4)) * CAST(l_quantity AS decimal(19,4)) END) AS double) AS sxx_b,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS decimal(19,4)) * CAST(l_discount AS decimal(19,4)) END) AS double) AS syy_b,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_quantity AS decimal(19,4)) * CAST(l_discount AS decimal(19,4)) END) AS double) AS sxy_b,
+        |  CAST(count(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN 1 END) AS double) AS n_c,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice AS decimal(18,4)) END) AS double) AS sx_c,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS decimal(18,4)) END) AS double) AS sy_c,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice AS decimal(19,4)) * CAST(l_extendedprice AS decimal(19,4)) END) AS double) AS sxx_c,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_discount AS decimal(19,4)) * CAST(l_discount AS decimal(19,4)) END) AS double) AS syy_c,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL THEN CAST(l_extendedprice AS decimal(19,4)) * CAST(l_discount AS decimal(19,4)) END) AS double) AS sxy_c
+        |FROM lineitem)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, CAST(n_a AS bigint) AS n,
+        |  round((n_a * sxy_a - sx_a * sy_a) / sqrt((n_a * sxx_a - sx_a * sx_a) * (n_a * syy_a - sy_a * sy_a)), 6) AS corr,
+        |  round((sxy_a - sx_a * sy_a / n_a) / (n_a - 1.0), 6) AS covar_samp FROM m
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', CAST(n_b AS bigint),
+        |  round((n_b * sxy_b - sx_b * sy_b) / sqrt((n_b * sxx_b - sx_b * sx_b) * (n_b * syy_b - sy_b * sy_b)), 6),
+        |  round((sxy_b - sx_b * sy_b / n_b) / (n_b - 1.0), 6) FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', CAST(n_c AS bigint),
+        |  round((n_c * sxy_c - sx_c * sy_c) / sqrt((n_c * sxx_c - sx_c * sx_c) * (n_c * syy_c - sy_c * sy_c)), 6),
+        |  round((sxy_c - sx_c * sy_c / n_c) / (n_c - 1.0), 6) FROM m
+        |ORDER BY col_x, col_y""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS double) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS double) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS double) FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_column_stats" ->
       """SELECT 'o_orderdate' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv,

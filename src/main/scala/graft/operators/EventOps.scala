@@ -141,7 +141,44 @@ object EventOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Slowly-changing-dimension (type 2) build from the event log: the
+    * reference's UPDATE-in-place state (SURVEY §2 S5) re-expressed as
+    * versioned validity intervals — the warehouse-standard history
+    * shape an ETL batch materializes for dimensions. Per user, tracked
+    * attribute = event_type: consecutive duplicates collapse (an event
+    * restating the current value opens no version), each change row
+    * becomes a version with `valid_from` = its event time, `valid_to` =
+    * the next change's time (NULL = current row), `version` = 1-based
+    * change ordinal, `is_current` marking the open interval.
+    *
+    * Scale shape: ONE shuffle on user_id — the change-detection lag,
+    * the valid_to lead, and the version row_number all run over the
+    * same (user_id, ts, event_id) ordering, and the filter between
+    * them preserves partitioning, so Catalyst plans a single Exchange
+    * (PlanSpec asserts exactly one) — a 100 TB event log builds its
+    * dimension history in one pass per user partition. Ordering ties
+    * break on event_id (the replay contract), so the build is
+    * deterministic under any partitioning. */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.events(s, dir))
+
+  /** [[qScd2]] over an arbitrary (user_id, event_type, ts, event_id)
+    * frame — the seam TemporalJoinsSpec plants change patterns through. */
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(!(col("prev_type") <=> col("event_type")))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .withColumn("version", row_number().over(byUser).cast(LongType))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"          -> qScd2 _,
     "q_gap_fill"      -> qGapFill _,
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
@@ -151,6 +188,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, cast(ts AS timestamp) AS ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM seq
+        |  WHERE prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bigint) AS version,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM chg ORDER BY user_id, version""".stripMargin,
     "q_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id, cast(date_trunc('hour', cast(ts AS timestamp)) AS timestamp) AS hr,

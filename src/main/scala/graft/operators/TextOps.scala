@@ -536,6 +536,71 @@ object TextOps {
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
+  // ---- Naive-Bayes quality classifier --------------------------------------
+
+  /** A trained quality CLASSIFIER over the corpus — the CCNet/fastText
+    * pattern (a linear model over token features separating a curated
+    * from an uncurated distribution) re-expressed as distributed Naive
+    * Bayes with the Gopher rule flag ([[repetitionStats]]' `flagged`)
+    * standing in as the weak label this container's zero-egress sandbox
+    * can't download a reference model for. Rule flags are brittle
+    * point tests; the classifier GENERALIZES them — a doc sharing the
+    * flagged class's vocabulary scores positive even where no single
+    * rule fires — which is why real pipelines train the classifier
+    * instead of shipping the rules.
+    *
+    * Model: add-one-smoothed multinomial NB. Per-token class counts are
+    * ONE gram-keyed aggregate over the labeled token stream (map-side
+    * partial sums — PlanSpec asserts them under the exchange; key count
+    * ∝ vocabulary, scales out); totals and the doc-count prior are
+    * 1-row broadcasts derived from it; scoring joins the token stream
+    * back to the vocab-sized count table (AQE broadcasts it at this
+    * corpus' scale) and sums per doc. The token stream itself shuffles
+    * twice — the label join on doc_id and the class counts on token —
+    * on top of [[repetitionStats]]' own doc-keyed label pass. A
+    * deployment trains once and materializes `cls`; re-deriving it
+    * keeps the operator a pure function of its input.
+    *
+    * Determinism: per-occurrence log-likelihood ratios are fixed-pointed
+    * to 1e-6 longs BEFORE the per-doc sum ([[lmScore]]'s discipline);
+    * the prior joins as one more fixed-point long. Domain matches
+    * [[repetitionStats]] (docs with ≥ 2 words — a label needs rule
+    * stats to exist). */
+  private[graft] def qualityClassifier(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val labels = repetitionStats(docs, ordered = false).select(col("doc_id"), col("flagged"))
+    val toks = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .join(labels, "doc_id")
+    val cls = toks.groupBy("w").agg(
+      sum(col("flagged")).cast(LongType).as("c_pos"),
+      count(lit(1)).as("c_all"))
+      .withColumn("c_neg", col("c_all") - col("c_pos"))
+    val tot = cls.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("v"))
+    val prior = labels.agg(
+      round(log((sum("flagged") + lit(1.0)) /
+        (count(lit(1)) - sum("flagged") + lit(1.0))) * lit(1e6))
+        .cast(LongType).as("prior_fp"))
+    val llrFp = round((log((col("c_pos") + lit(1.0)) / (col("n_pos") + col("v")))
+      - log((col("c_neg") + lit(1.0)) / (col("n_neg") + col("v")))) * lit(1e6))
+      .cast(LongType)
+    val out = toks.join(cls.select("w", "c_pos", "c_neg"), "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", llrFp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("fp").as("sum_fp"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("prior_fp") + col("sum_fp")) / lit(1e6), 6).as("nb_logodds"),
+        ((col("prior_fp") + col("sum_fp")) > 0).cast("int").as("pred_flagged"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifier(Tables.documents(s, dir))
+
   // Deterministic train/val/test split: a hash-bucket Bernoulli over the
   // STABLE document key — not the content, because editing a document
   // must never move it across the train/eval boundary (a content-keyed
@@ -688,6 +753,7 @@ object TextOps {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
+    "q_quality_classifier" -> qQualityClassifier _,
   )
 
   /** Shared DuckDB CTE chains (one SQL body per scoring path, the
@@ -794,6 +860,30 @@ object TextOps {
       s"""WITH $duckPartsCte,
         |$duckLmCtes
         |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      // Shares the repetition CTEs verbatim (`w` is the labeled-domain
+      // token stream, `rep` carries the weak label) — the engine and the
+      // oracle train the same NB model or the differential fails.
+      s"""WITH $duckPartsCte,
+        |$duckRepetitionCtes,
+        |tl AS (SELECT w.doc_id, w.w, flagged FROM w JOIN rep USING (doc_id)),
+        |cls AS (SELECT w, CAST(sum(flagged) AS BIGINT) AS c_pos,
+        |          CAST(count(*) AS BIGINT) AS c_all,
+        |          CAST(count(*) - sum(flagged) AS BIGINT) AS c_neg
+        |        FROM tl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+        |          CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |          CAST(count(*) AS BIGINT) AS v FROM cls),
+        |pr AS (SELECT CAST(round(ln((sum(flagged) + 1.0) / (count(*) - sum(flagged) + 1.0)) * 1000000.0) AS BIGINT) AS prior_fp
+        |       FROM rep),
+        |sc AS (SELECT doc_id,
+        |         CAST(round((ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v))) * 1000000.0) AS BIGINT) AS fp
+        |       FROM tl JOIN cls USING (w) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round((prior_fp + sum(fp)) / 1000000.0, 6) AS nb_logodds,
+        |  CASE WHEN (prior_fp + sum(fp)) > 0 THEN 1 ELSE 0 END AS pred_flagged
+        |FROM sc CROSS JOIN pr
+        |GROUP BY doc_id, prior_fp ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH n AS (
         |  SELECT doc_id, lang,

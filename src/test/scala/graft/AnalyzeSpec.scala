@@ -69,6 +69,38 @@ class AnalyzeSpec extends AnyFunSuite {
       Analyze.histogram(planted, "score", bins = 3).collect().toSeq)
   }
 
+  test("corrMatrix: exact closed forms on a hand-computable frame, pairwise NULL exclusion") {
+    // y = 2x (perfect positive), z = -x (perfect negative); the NULL-y
+    // row must drop from (x,y) pairs but stay in (x,z) pairs
+    val df = Seq(
+      (1.0, Some(2.0), -1.0),
+      (2.0, Some(4.0), -2.0),
+      (3.0, Some(6.0), -3.0),
+      (4.0, None, -4.0)
+    ).toDF("x", "y", "z")
+    val got = Analyze.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // covar_samp(x,y) over {1,2,3}×{2,4,6} = 2; covar_samp(x,z) over 4 rows
+    // = -var_samp(x) = -(10/3); covar_samp(y,z) over 3 rows = -2
+    assert(got.toSeq === Seq(
+      ("x", "y", 3L, 1.0, 2.0),
+      ("x", "z", 4L, -1.0, -1.666667),
+      ("y", "z", 3L, -1.0, -2.0)))
+  }
+
+  test("corrMatrix matches corr()/covar_samp() to float tolerance on real data") {
+    // the built-ins are partition-order-dependent in their low bits (why
+    // corrMatrix exists) but must agree to ~1e-9 — a sanity anchor that
+    // the closed forms are the right formulas, not just deterministic
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val want = li.agg(
+      corr("l_quantity", "l_extendedprice"),
+      covar_samp("l_quantity", "l_extendedprice")).collect()(0)
+    val got = Analyze.corrMatrix(li, Seq("l_quantity", "l_extendedprice")).collect()(0)
+    assert(math.abs(got.getDouble(3) - want.getDouble(0)) < 1e-6)
+    assert(math.abs(got.getDouble(4) - want.getDouble(1)) < math.abs(want.getDouble(1)) * 1e-9)
+  }
+
   test("empty input: columnStats reports 0 rows / 0 ndv; histogram is empty") {
     val empty = Seq.empty[(Long, Option[Double])].toDF("id", "score")
     val s = Analyze.columnStats(empty, Seq("score")).collect()

@@ -66,6 +66,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scd2: one hash shuffle serves all three windows") {
+    // lag (change detection), lead (valid_to) and row_number (version)
+    // all run over the same (user_id → ts, event_id) ordering, and the
+    // filter between them preserves partitioning — the plan must carry
+    // exactly ONE hash exchange (the second Exchange is the harness
+    // sort's range partitioning).
+    val p = plan("q_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"q_scd2 plans $hashEx hash exchanges (want 1):\n$p")
+    assert(p.contains("Window"), "the SCD2 build is window passes, not joins")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q_unpivot: a generate/expand projection, no hash shuffle") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"unpivot must plan as a per-row fan-out projection:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"wide→long reshaping must not shuffle (only the harness sort may):\n$p")
+  }
+
+  test("q_corr_stats: all pair moments come from ONE scan") {
+    // corrMatrix collects the single all-pairs moment row (one row of
+    // control-plane metadata) and derives the pair rows locally — the
+    // returned frame must be a local relation with NO file scan (a lazy
+    // union-of-selects gets pruned into |pairs| separate scans, the
+    // shape this construction exists to forbid)
+    val df = SparkEntry.queries("q_corr_stats")(spark, TestSpark.sfDir)
+    assert(allScans(df.queryExecution.executedPlan).isEmpty,
+      s"the pair rows must derive from the one collected moment row:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().length === 3)
+  }
+
+  test("q_quality_classifier: class counts combine map-side; no cartesian pairing") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the gram-keyed class counts must partial-aggregate before their exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only 1-row broadcast stat frames may cross-join:\n$p")
+  }
+
   test("q_star_join: tiny dims broadcast, never a cartesian product") {
     val p = plan("q_star_join")
     assert(p.contains("BroadcastHashJoin"), "nation/region must ride the broadcast path")

@@ -16,6 +16,42 @@ class TemporalJoinsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.from(Instant.parse(s))
 
+  test("scd2: consecutive duplicates collapse, intervals chain, last version is current") {
+    val events = Seq(
+      // user 1: A, A (restatement — no new version), B, B, A
+      (1L, "A", ts("2026-01-01T10:00:00Z"), 1L),
+      (1L, "A", ts("2026-01-01T11:00:00Z"), 2L),
+      (1L, "B", ts("2026-01-01T12:00:00Z"), 3L),
+      (1L, "B", ts("2026-01-01T13:00:00Z"), 4L),
+      (1L, "A", ts("2026-01-01T14:00:00Z"), 5L),
+      // user 2: a single event → one current version
+      (2L, "X", ts("2026-01-01T09:00:00Z"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.EventOps.scd2Of(events).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant.toString,
+        Option(r.getTimestamp(3)).map(_.toInstant.toString),
+        r.getLong(4), r.getInt(5)))
+    assert(got.toSeq === Seq(
+      (1L, "A", "2026-01-01T10:00:00Z", Some("2026-01-01T12:00:00Z"), 1L, 0),
+      (1L, "B", "2026-01-01T12:00:00Z", Some("2026-01-01T14:00:00Z"), 2L, 0),
+      (1L, "A", "2026-01-01T14:00:00Z", None, 3L, 1),
+      (2L, "X", "2026-01-01T09:00:00Z", None, 1L, 1)))
+    // intervals tile each user's history: every valid_to is the next
+    // version's valid_from, exactly one open interval per user
+    assert(got.filter(_._6 == 1).map(_._1).toSeq.sorted === Seq(1L, 2L))
+  }
+
+  test("scd2: same-timestamp changes order by event_id, zero-length interval included") {
+    val events = Seq(
+      (1L, "A", ts("2026-01-01T10:00:00Z"), 1L),
+      (1L, "B", ts("2026-01-01T10:00:00Z"), 2L) // same instant: B wins by event_id
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.EventOps.scd2Of(events).collect().map(r =>
+      (r.getString(1), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq === Seq(("A", 1L, 0), ("B", 2L, 1)),
+      "tie-broken ordering must be deterministic and keep both versions")
+  }
+
   test("gap fill: hourly grid tiles the span, gaps carry the last observed value forward") {
     val events = Seq(
       // user 1: hours 10, 11, 14 observed → gaps at 12, 13 fill with 11's sum

@@ -267,6 +267,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(6L)._4 === 0.666667 && got(6L)._5 === 1)
   }
 
+  test("NB quality classifier separates planted classes and generalizes past the rules") {
+    import spark.implicits._
+    // Three spam docs (top-word rule flags them), three clean docs, one
+    // MIXED doc sharing the spam vocabulary without tripping any rule —
+    // the classifier must reproduce the rule verdicts on the extremes
+    // AND rank the mixed doc above every clean one (generalization: no
+    // rule fires on it, but its tokens carry the flagged class's mass).
+    // clean docs carry 8 DISTINCT words: top-word fraction 1/8 = 0.125
+    // stays under Gopher's 0.14 (6 distinct words would be 0.167 — flagged,
+    // and with no clean class the classifier degenerates to all-positive)
+    val docs = Seq(
+      1L -> "buy buy buy buy buy now",
+      2L -> "buy buy buy buy buy cheap",
+      3L -> "buy buy buy buy buy fast",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",
+      5L -> "science method result evidence theory claim data proof",
+      6L -> "river mountain forest valley meadow stone cloud rain",
+      7L -> "buy now alpha river science method cloud rain"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    val byId = got.map(t => t._1 -> t).toMap
+    Seq(1L, 2L, 3L).foreach(id => assert(byId(id)._3 === 1,
+      s"doc $id carries the flagged class's tokens and must predict flagged"))
+    Seq(4L, 5L, 6L).foreach(id => assert(byId(id)._3 === 0,
+      s"doc $id is clean vocabulary and must predict clean"))
+    val cleanMax = Seq(4L, 5L, 6L).map(byId(_)._2).max
+    assert(byId(7L)._2 > cleanMax,
+      "the mixed doc shares spam vocabulary: it must outrank every clean doc " +
+        "even though no Gopher rule fires on it")
+  }
+
   test("lm score: exact value on a hand-computed corpus; repetition scores higher") {
     import spark.implicits._
     // two identical 2-word docs: c2("a b")=2, c1("a")=2, V={a,b}=2
