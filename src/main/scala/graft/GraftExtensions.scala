@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("graft_mg", 2, children)
         MgFrequentItems(c(0), c(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_bloom", 3, children)
+        BloomAgg(c(0), c(1), c(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_bloom_contains", 2, children)
+        BloomMightContain(c(0), c(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

@@ -160,8 +160,20 @@ object Dedup {
     * Jaccard + match count (no match → 0). One definition ↔ one oracle,
     * so the two flows can never drift apart. */
   private def gateAgg(incoming: DataFrame, corpus: DataFrame,
-      ordered: Boolean = true): DataFrame = {
-    val agg = incoming.join(corpus, Seq("bucket"), "left")
+      ordered: Boolean = true, prefilter: Option[Column] = None): DataFrame = {
+    // With a Bloom prefilter, rows whose bucket PROVABLY isn't stored
+    // bypass the join entirely (they can match nothing — the filter has
+    // no false negatives) and rejoin as no-match rows; only the maybe
+    // rows shuffle. The aggregate below is identical either way, so the
+    // gate verdicts cannot change — DedupSpec asserts the equality.
+    val joined = prefilter match {
+      case None => incoming.join(corpus, Seq("bucket"), "left")
+      case Some(p) =>
+        incoming.filter(p).join(corpus, Seq("bucket"), "left")
+          .unionByName(incoming.filter(!p)
+            .withColumn("grams_b", lit(null).cast("array<string>")))
+    }
+    val agg = joined
       .withColumn("j", when(col("grams_b").isNotNull, jaccardCol))
       .groupBy("doc_id")
       .agg(coalesce(max(when(col("j") >= 0.5, col("j"))), lit(0.0)).as("best_jaccard"),
@@ -281,12 +293,31 @@ object Dedup {
     * (shard, batch_id) so gate-side reads prune on shard (PlanSpec
     * asserts the pruning filters reach the scan) and batch-scoped
     * rewrites stay surgical. */
-  def writeSignatures(sig: DataFrame, path: String): Unit =
+  def writeSignatures(sig: DataFrame, path: String): Unit = {
     // one task per shard: without the repartition every shuffle partition
     // writes a sliver into every shard dir (shards × partitions small
     // files — the object-store listing killer compaction exists to fix)
     graft.sources.Sinks.overwritePartitioned(
       withBatchId(sig).repartition(col("shard")), path, Seq("shard", "batch_id"))
+    // the Bloom sidecar rides every bootstrap (one extra bucket-column
+    // pass) so the pre-gate never pays a build at probe time
+    writeBloomBytes(sig.sparkSession, path,
+      bloomOfBuckets(sig.sparkSession, sig.select("bucket")))
+  }
+
+  /** Union `buckets` into the store's Bloom sidecar — called by every
+    * append path BEFORE its data lands, so the sidecar (when present)
+    * is always a SUPERSET of the stored buckets: the invariant the
+    * pre-gate's no-false-negative soundness rests on. A crash between
+    * the union and the append leaves only harmless extra bits (false
+    * positives); a replayed batch re-ORs the same bits (idempotent).
+    * Absent sidecar → no-op ([[ensureBloomSidecar]] rebuilds from the
+    * full store on first probe, which includes whatever was appended). */
+  private[graft] def absorbIntoBloom(s: SparkSession, path: String, buckets: DataFrame): Unit =
+    readBloomBytes(s, path).foreach { cur =>
+      writeBloomBytes(s, path,
+        graft.functions.GBloom.union(cur, bloomOfBuckets(s, buckets)))
+    }
 
   /** Grow the store in place: append a gated batch's ACCEPTED signatures
     * so the next batch is gated against everything admitted before it —
@@ -301,6 +332,7 @@ object Dedup {
     * off exactly that distinction. */
   def appendSignatures(sig: DataFrame, path: String): Unit = {
     graft.sources.Stores.recover(sig.sparkSession, path)
+    absorbIntoBloom(sig.sparkSession, path, sig.select("bucket"))
     // -1 is reserved for one-shot deduped bootstrap writes: a caller
     // frame carrying batch_id = -1 would append duplicate rows into the
     // bootstrap partition while the layout still lists as pristine, so
@@ -320,6 +352,87 @@ object Dedup {
     * names under `shard=S/`. */
   private def storeBatchDirs(s: SparkSession, path: String): Set[String] =
     graft.sources.Stores.subPartitionDirs(s, path).filter(_.startsWith("batch_id="))
+
+  // ---- Bloom pre-gate sidecar ---------------------------------------------
+  /** Sidecar sizing for the verify SF (128 KiB). A deployment sizes
+    * m ≈ 1.44 · n · log2(1/p) bits for its stored-bucket cardinality n
+    * and false-positive target p; the sidecar is self-describing
+    * ([[graft.functions.GBloom.encode]]), so resizing is a rewrite, not
+    * a format change. k = 5 ≈ the optimum for ~7 bits/key. */
+  private[graft] val BloomBits = 1 << 20
+  private[graft] val BloomHashes = 5
+
+  /** Build the Bloom filter of a bucket column: the `graft_bloom`
+    * partial aggregate when the session has GraftExtensions (map tasks
+    * carry bit arrays, never the bucket stream), else the same filter
+    * folded per partition and OR-merged on the driver — identical bits
+    * either way (OR is associative; DedupSpec asserts native ≡
+    * fallback). */
+  private[graft] def bloomOfBuckets(s: SparkSession, buckets: DataFrame): Array[Byte] = {
+    import s.implicits._
+    if (s.catalog.functionExists("graft_bloom"))
+      buckets.agg(call_function("graft_bloom",
+          col("bucket"), lit(BloomBits), lit(BloomHashes)).as("f"))
+        .collect()(0).getAs[Array[Byte]](0)
+    else {
+      val ds = buckets.select(col("bucket").cast("string")).as[String]
+      ds.rdd.mapPartitions { it =>
+        val bits = new Array[Long](BloomBits / 64)
+        it.foreach(b => graft.functions.GBloom.add(bits, BloomHashes,
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Iterator.single(graft.functions.GBloom.encode(bits, BloomHashes))
+      }.fold(graft.functions.GBloom.encode(new Array[Long](BloomBits / 64), BloomHashes))(
+        graft.functions.GBloom.union)
+    }
+  }
+
+  private def bloomPath(path: String) = path + "/_bloom.bin"
+
+  private def writeBloomBytes(s: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(bloomPath(path) + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(bloomPath(path))
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst) // crash before the rename leaves only .tmp residue
+  }
+
+  private def readBloomBytes(s: SparkSession, path: String): Option[Array[Byte]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(bloomPath(path))
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try { in.readFully(buf); Some(buf) } finally in.close()
+    }
+  }
+
+  /** The store's Bloom sidecar, built from the stored buckets if absent
+    * (one column scan, paid once per store version — the `_docs`
+    * backfill pattern). The underscore name keeps it invisible to the
+    * corpus parquet read. */
+  private[graft] def ensureBloomSidecar(s: SparkSession, path: String): Array[Byte] =
+    readBloomBytes(s, path).getOrElse {
+      val bytes = bloomOfBuckets(s, s.read.parquet(path).select("bucket"))
+      writeBloomBytes(s, path, bytes)
+      bytes
+    }
+
+  /** The membership probe as a Column — native expression with the
+    * filter riding as a literal when the extension is registered, else
+    * a UDF over the same [[graft.functions.GBloom]] bits. */
+  private def bloomContainsCol(s: SparkSession, bucket: Column, bytes: Array[Byte]): Column =
+    if (s.catalog.functionExists("graft_bloom_contains"))
+      call_function("graft_bloom_contains", bucket, lit(bytes))
+    else {
+      val (k, bits) = graft.functions.GBloom.decode(bytes)
+      udf((b: String) => graft.functions.GBloom.contains(bits, k,
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))).apply(bucket)
+    }
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,
@@ -341,7 +454,8 @@ object Dedup {
     * streaming gate passes `batch_id < id` so a replayed batch never
     * gates against its own admissions). */
   def gateAgainstStored(s: SparkSession, path: String, incoming: DataFrame,
-      corpusFilter: Column = lit(true), ordered: Boolean = true): DataFrame = {
+      corpusFilter: Column = lit(true), ordered: Boolean = true,
+      useBloom: Boolean = false): DataFrame = {
     graft.sources.Stores.recover(s, path)
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = s.read.parquet(path)
@@ -364,8 +478,18 @@ object Dedup {
           .withColumn("rn", row_number().over(byBucket))
           .filter(col("rn") <= NgramBucketCap)
       }
+    // The Bloom pre-gate: a map-side membership probe of each incoming
+    // row's bucket against the store's `_bloom.bin` sidecar — rows whose
+    // bucket the filter rules out (no false negatives, so PROVABLY novel)
+    // never reach the join's exchange. Shard pruning bounds the CORPUS
+    // read; the Bloom bounds the INCOMING side's shuffle — at 100 TB a
+    // mostly-novel batch gates in approximately the filter's
+    // false-positive fraction of its former shuffle volume.
+    val prefilter =
+      if (useBloom) Some(bloomContainsCol(s, col("bucket"), ensureBloomSidecar(s, path)))
+      else None
     gateAgg(incoming.select(col("doc_id"), col("bucket"), col("grams").as("grams_a")),
-      capped.select(col("bucket"), col("grams").as("grams_b")), ordered)
+      capped.select(col("bucket"), col("grams").as("grams_b")), ordered, prefilter)
   }
 
   /** Compact the signature store: fold the per-batch append partitions
@@ -445,6 +569,24 @@ object Dedup {
     graft.sources.TmpStores.buildOnce(path)(
       writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path))
     gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0))
+  }
+
+  /** [[qDedupGate]] behind the Bloom PRE-gate: identical verdicts (the
+    * filter has no false negatives, so dropping its rejects cannot lose
+    * a match — DedupSpec asserts the row-for-row equality and PlanSpec
+    * asserts the probe sits map-side under the join), shared oracle.
+    * The scale claim it demonstrates: the incoming side of the gate
+    * join shrinks to roughly the stored-bucket hit fraction BEFORE any
+    * exchange, which for a mostly-novel batch (the common ingest case)
+    * is the difference between shuffling the batch and shuffling almost
+    * nothing. */
+  def qDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val path = sigStorePath(dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path))
+    gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0),
+      useBloom = true)
   }
 
   // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
@@ -716,6 +858,7 @@ object Dedup {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_gate" -> qDedupGate _,
+    "q_dedup_bloom" -> qDedupBloom _,
     "q_decontaminate" -> qDecontaminate _,
   )
 
@@ -833,6 +976,8 @@ object Dedup {
     // the stored-table gate materializes the signatures but must not
     // change the answer — its oracle IS the in-query gate's oracle
     "q_dedup_gate" -> duckGateSql,
+    // the Bloom pre-gate must be answer-invisible: same oracle, verbatim
+    "q_dedup_bloom" -> duckGateSql,
     "q_decontaminate" ->
       s"""WITH norm AS (
          |  SELECT doc_id,

@@ -157,6 +157,11 @@ object EventStreams {
             lit(id).as("batch_id"))
         Sinks.overwritePartitionsDynamic(verdicts, outPath, Seq("batch_id"))
         val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
+        // keep the Bloom sidecar a superset of stored buckets BEFORE the
+        // admission lands (Dedup.absorbIntoBloom's soundness ordering);
+        // the whole batch's buckets over-approximate the accepted set,
+        // which only costs false-positive bits
+        Dedup.absorbIntoBloom(batch.sparkSession, storePath, sig.select("bucket"))
         Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
           storePath, Seq("shard", "batch_id"))
       } finally gated.unpersist()

@@ -511,6 +511,73 @@ class DedupSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
   }
 
+  test("GBloom: no false negatives ever; unions merge exactly; fp rate sane") {
+    import graft.functions.GBloom
+    val k = 5
+    val bits = new Array[Long](1 << 14) // 2^20 bits
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val members = (0 until 5000).map(i => s"bucket-$i")
+    members.foreach(m => GBloom.add(bits, k, b(m)))
+    assert(members.forall(m => GBloom.contains(bits, k, b(m))),
+      "a Bloom filter must NEVER answer a false no — the pre-gate's soundness")
+    val fp = (0 until 5000).count(i => GBloom.contains(bits, k, b(s"novel-$i")))
+    assert(fp < 250, s"fp rate ${fp / 5000.0} is far beyond the sizing target")
+    // union of blooms IS the bloom of the union (bitwise OR): build two
+    // halves separately and together, byte-identical
+    val h1 = new Array[Long](1 << 14); val h2 = new Array[Long](1 << 14)
+    members.take(2500).foreach(m => GBloom.add(h1, k, b(m)))
+    members.drop(2500).foreach(m => GBloom.add(h2, k, b(m)))
+    assert(java.util.Arrays.equals(
+      GBloom.union(GBloom.encode(h1, k), GBloom.encode(h2, k)),
+      GBloom.encode(bits, k)))
+    // wire form round-trips
+    val (kd, bd) = GBloom.decode(GBloom.encode(bits, k))
+    assert(kd === k && java.util.Arrays.equals(bd, bits))
+  }
+
+  test("native graft_bloom aggregate equals the driver-side fold bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.GBloom
+    assert(spark.catalog.functionExists("graft_bloom"))
+    val buckets = (0 until 1000).map(i => s"bk-$i").toDF("bucket")
+    val native = Dedup.bloomOfBuckets(spark, buckets)
+    val bits = new Array[Long](Dedup.BloomBits / 64)
+    (0 until 1000).foreach(i => GBloom.add(bits, Dedup.BloomHashes,
+      s"bk-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(java.util.Arrays.equals(native, GBloom.encode(bits, Dedup.BloomHashes)),
+      "distributed OR-merge must equal a sequential build (determinism contract)")
+  }
+
+  test("bloom pre-gate: verdicts equal the plain stored gate row-for-row") {
+    val plain = graft.SparkEntry.queries("q_dedup_gate")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val bloom = graft.SparkEntry.queries("q_dedup_bloom")(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(bloom.toSeq === plain.toSeq,
+      "the pre-gate has no false negatives: it must be answer-invisible")
+  }
+
+  test("bloom sidecar stays sound across appends: appended docs still gate as dups") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-bloomapp").toString + "/store"
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")
+    val bNew = Seq(
+      (11L, "a freshly appended document with its own unique wording"),
+      (12L, "another appended piece of text nobody bootstrapped with")).toDF("doc_id", "text")
+    Dedup.writeSignatures(Dedup.signaturesOf(a), store)
+    Dedup.appendSignatures(Dedup.signaturesOf(bNew), store)
+    // re-ingesting the appended docs must report duplicates THROUGH the
+    // bloom path: if the append had not absorbed its buckets into the
+    // sidecar, the pre-filter would wrongly drop them as novel
+    val verdicts = Dedup.gateAgainstStored(spark, store,
+      Dedup.signaturesOf(bNew), useBloom = true).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(verdicts === Map(11L -> 1, 12L -> 1),
+      "appended buckets must be visible to the pre-gate (sidecar superset invariant)")
+  }
+
   test("decontamination gate: planted 8-gram overlaps flagged, clean and short docs pass") {
     import spark.implicits._
     // benchmark doc: 9 normalized words -> exactly two 8-grams

@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
       s"only 1-row broadcast stat frames may cross-join:\n$p")
   }
 
+  test("q_dedup_bloom: the membership probe filters map-side, under the gate join") {
+    val df = SparkEntry.queries("q_dedup_bloom")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan
+    val s = p.toString
+    assert(s.contains("graft_bloom_contains"),
+      s"the Bloom probe must be a native filter in the plan:\n$s")
+    // the probe must sit in a Filter BELOW the join (map-side on the
+    // incoming scan), never above it — above the join it would filter
+    // nothing out of the shuffle, which is the entire point
+    def joinsAbove(node: org.apache.spark.sql.execution.SparkPlan, inJoin: Boolean): Boolean =
+      node match {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("graft_bloom_contains") => inJoin
+        case j if j.nodeName.contains("Join") =>
+          j.children.exists(c => joinsAbove(c, inJoin = true))
+        case other => other.children.exists(c => joinsAbove(c, inJoin))
+      }
+    assert(joinsAbove(p, inJoin = false) ||
+      // AQE may hide the join under query stages; unwrap via string check:
+      // the filter text must appear after the join in the tree rendering
+      s.indexOf("graft_bloom_contains") > s.indexOf("Join"),
+      s"the Bloom filter must apply below the gate join:\n$s")
+  }
+
   test("q_star_join: tiny dims broadcast, never a cartesian product") {
     val p = plan("q_star_join")
     assert(p.contains("BroadcastHashJoin"), "nation/region must ride the broadcast path")
