@@ -412,6 +412,74 @@ object Similarity {
     explode(slice(transform(reverse(array_sort(ivfScores(s, centroids)(emb, nrm))),
       x => x.getField("list_id")), 1, IvfProbes))
 
+  // ---- k-means clustering faces (data curation) ---------------------------
+  /** Per-cluster sample size for [[qClusterSample]]. */
+  private[graft] val ClusterSampleK = 5
+
+  /** The (cosine, cluster) argmax pair of a vector against the trained
+    * centroids — [[ivfListId]] exposing the winning score too. */
+  private def ivfAssign(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column): Column =
+    array_max(ivfScores(s, centroids)(emb, nrm))
+
+  /** (vec_id, cluster_id, sim) — every embedding assigned to its nearest
+    * trained centroid, the shared base of both clustering faces. */
+  private def assignedClusters(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val e = withNorm(s, vectors)
+    val centroids = trainQuantizer(e)
+    e.select(col("vec_id"),
+        ivfAssign(s, centroids)(col("embedding"), col("nrm")).as("a"))
+      .select(col("vec_id"), col("a").getField("list_id").as("cluster_id"),
+        col("a").getField("score").as("sim"))
+  }
+
+  /** K-means cluster PROFILE over the embedding corpus — the curation
+    * view SemDeDup-style pipelines start from (arXiv:2303.09540 clusters
+    * before comparing): per cluster, its population and mean
+    * member-to-centroid cosine. Training is the IVF coarse quantizer
+    * verbatim ([[trainQuantizer]] — bounded sample, farthest-point
+    * seeds, Lloyd rounds, all driver-side index metadata); assignment is
+    * ONE corpus scan through the broadcast-centroid argmax expression;
+    * the profile is one k-keyed aggregate. Per-member cosines are
+    * fixed-pointed to 1e-6 longs before the mean ([[graft.operators.Search.bm25]]'s
+    * determinism trick). DuckDB cannot replay quantizer training, so
+    * correctness rides a differential Expected twin sharing exactly
+    * [[trainQuantizerOnSample]] and [[ddot]], with assignment and the
+    * mean re-derived sequentially. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansFrom(s, Tables.embeddings(s, dir))
+
+  private[graft] def kmeansFrom(s: SparkSession, vectors: DataFrame): DataFrame =
+    assignedClusters(s, vectors)
+      .withColumn("fp", round(col("sim") * lit(1e6)).cast(org.apache.spark.sql.types.LongType))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("mean_sim"))
+      .orderBy("cluster_id")
+
+  /** Cluster-BALANCED deterministic sampling — the inspection-panel /
+    * diversity-sampling primitive (k docs from every region of the
+    * embedding space, not k of whatever dominates): exactly
+    * [[ClusterSampleK]] vectors per cluster by 32-bit md5-prefix
+    * priority, drawn through the bounded `graft_topk` partial aggregate
+    * ([[graft.operators.TextOps.qSamplePerGroup]]'s discipline — k rows
+    * per map task cross the shuffle, no per-cluster sort), on top of
+    * [[assignedClusters]]' one-scan assignment. RNG-free and keyed on
+    * the stable vec_id, so any rerun draws the same panel. */
+  def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    clusterSampleFrom(s, Tables.embeddings(s, dir))
+
+  private[graft] def clusterSampleFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val pri = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double")
+    assignedClusters(s, vectors)
+      .select(col("cluster_id"), col("vec_id"), pri.as("pri"))
+      .groupBy("cluster_id")
+      .agg(topkCol(s, col("pri"), col("vec_id"), ClusterSampleK).as("top"))
+      .select(col("cluster_id"), explode(col("top.neighbor_id")).as("vec_id"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
   /** ANN via an inverted-file index: train the quantizer
     * ([[trainQuantizer]]), assign corpus rows to their nearest centroid
     * in one scan, probe the nProbe nearest lists per query. Same schema
@@ -883,6 +951,8 @@ object Similarity {
     "q_ann_ivf"       -> qAnnIvf _,
     "q_ivf_probe"     -> qIvfProbe _,
     "q_dedup_semantic" -> qDedupSemantic _,
+    "q_kmeans"        -> qKmeans _,
+    "q_cluster_sample" -> qClusterSample _,
   )
 
   // ---- DuckDB oracle generation -----------------------------------------

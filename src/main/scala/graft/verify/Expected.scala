@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the eight queries whose math DuckDB
+/** Driver-side differential twins for the ten queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
   * training, iterative BPE merge training, zlib deflate): each generator
   * recomputes the
@@ -325,14 +325,66 @@ object Expected {
       .sortBy(_._1)
   }
 
+  // ---- q_kmeans / q_cluster_sample ---------------------------------------
+  /** Spark's round(x * 1e6) → long: HALF_UP at scale 0 on the double. */
+  private def fpRound(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** The engine's nearest-centroid assignment, sequentially: argmax by
+    * (cosine, list id) — array_max's lexicographic struct order. */
+  private def assignments(
+      embs: Seq[(Long, Array[Float])]): (Seq[(Long, Int, Double)]) = {
+    val withNrm = normed(embs)
+    val cents = quantizerFor(withNrm)
+    withNrm.map { case (id, d, n) =>
+      val (sim, list) = cents.toSeq
+        .map { case (i, c, cn) => (Similarity.ddot(d, c) / (n * cn), i) }
+        .max(byScore)
+      (id, list, sim)
+    }
+  }
+
+  /** Expected (cluster_id, n, mean_sim) rows: the cluster profile with
+    * the engine's fixed-point mean (per-member cosine → 1e-6 long →
+    * long sum → one rounded division chain). */
+  def kmeansRows(embs: Seq[(Long, Array[Float])]): Seq[(Int, Long, Double)] =
+    assignments(embs)
+      .groupBy(_._2).toSeq
+      .map { case (cluster, rows) =>
+        val sumFp = rows.map(r => fpRound(r._3)).sum
+        (cluster, rows.size.toLong, round6(sumFp / 1e6 / rows.size))
+      }
+      .sortBy(_._1)
+
+  /** Expected (cluster_id, vec_id) rows: per cluster, the
+    * [[Similarity.ClusterSampleK]] members with the highest 32-bit
+    * md5-prefix priority (ties by vec_id asc) — the engine's
+    * `graft_topk` draw re-derived as a sort. */
+  def clusterSampleRows(embs: Seq[(Long, Array[Float])]): Seq[(Int, Long)] = {
+    def pri(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16).toDouble
+    }
+    assignments(embs)
+      .groupBy(_._2).toSeq
+      .flatMap { case (cluster, rows) =>
+        rows.map(_._1).sortBy(id => (-pri(id), id))
+          .take(Similarity.ClusterSampleK)
+          .map(id => (cluster, id))
+      }
+      .sortBy(identity)
+  }
+
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all eight expected outputs, write
+  /** Collect the input tables, compute all ten expected outputs, write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the eight differential queries to full rows+schema+hash
+    * the ten differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
@@ -362,6 +414,9 @@ object Expected {
       imageNeardupRows(docs).toDF("media_a", "media_b", "hamming"))
     val cr = write("q_compress_ratio", compressRows(docs)
       .toDF("doc_id", "n_bytes", "deflate_len", "compress_ratio", "flagged"))
+    val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
+    val cs = write("q_cluster_sample",
+      clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
 
     def sql(path: String, cols: String, order: String): String =
       s"SELECT $cols FROM read_parquet('${sqlQuote(path)}/*.parquet') ORDER BY $order"
@@ -376,6 +431,8 @@ object Expected {
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
       "q_compress_ratio" -> sql(cr,
         "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),
+      "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),
+      "q_cluster_sample" -> sql(cs, "cluster_id, vec_id", "cluster_id, vec_id"),
     )
   }
 }

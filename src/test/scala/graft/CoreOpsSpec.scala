@@ -27,12 +27,13 @@ class CoreOpsSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val static = SparkEntry.oracleSql.keySet
     assert(static.subsetOf(q), s"oracles without queries: ${static -- q}")
-    // the static gap is exactly the eight queries DuckDB cannot replay in
+    // the static gap is exactly the ten queries DuckDB cannot replay in
     // SQL (xxhash64/perceptual fingerprints, iterative quantizer training,
     // iterative BPE merge training, zlib deflate)...
     assert(q -- static ==
       Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_ivf_probe",
-        "q_dedup_semantic", "q_token_bpe", "q_image_neardup", "q_compress_ratio"),
+        "q_dedup_semantic", "q_token_bpe", "q_image_neardup", "q_compress_ratio",
+        "q_kmeans", "q_cluster_sample"),
       s"unexpected static-oracle gap: ${q -- static}")
     // ...and the differential expected-parquet oracles close it: the FULL
     // map Verify dumps covers every registered query — no rows-only rows.

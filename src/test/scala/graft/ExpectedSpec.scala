@@ -58,6 +58,32 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("k-means twin equals the engine's cluster profile bit-for-bit") {
+    val expected = Expected.kmeansRows(embs)
+      .map { case (c, n, m) => (c, n, java.lang.Double.doubleToLongBits(m)) }
+    val got = Similarity.qKmeans(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("cluster-sample twin equals the engine's balanced draw row-for-row") {
+    val expected = Expected.clusterSampleRows(embs)
+    val got = Similarity.qClusterSample(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+    // balance: every non-empty cluster contributes at most K, and a
+    // cluster with >= K members contributes exactly K
+    val profile = Similarity.qKmeans(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val drawn = got.groupBy(_._1).view.mapValues(_.size).toMap
+    drawn.foreach { case (c, n) =>
+      assert(n === math.min(profile(c), Similarity.ClusterSampleK.toLong))
+    }
+  }
+
   test("image near-dup twin equals the engine's banded dHash join row-for-row") {
     val expected = Expected.imageNeardupRows(docs)
     val got = graft.operators.Multimodal.qImageNeardup(spark, dir).collect()
