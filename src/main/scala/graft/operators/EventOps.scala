@@ -177,8 +177,79 @@ object EventOps {
       .orderBy("user_id", "version")
   }
 
+  /** Ordered conversion funnel (view → click → purchase): a user counts
+    * at step N only with a step-N event STRICTLY AFTER their step-N−1
+    * entry time — the product-analytics staple, and the shape that
+    * catches out-of-order noise a naive per-type count would admit.
+    *
+    * Scale shape: one keyed aggregation per step (min-ts per user,
+    * filtered to events after the previous step's entry), each a
+    * user_id-keyed shuffle of an already user-bounded frame; the final
+    * output is |steps| rows. No windows, no per-user collect — a 100 TB
+    * event log funnels in |steps| keyed passes. Conversion fractions
+    * divide exact longs, rounded to 6. */
+  def qEventFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(s, Tables.events(s, dir))
+
+  /** [[qEventFunnel]] over an arbitrary (user_id, event_type, ts) frame —
+    * the seam TemporalJoinsSpec plants ordering edge cases through. */
+  private[graft] def funnelOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    // one job for all three counts (per-user left-join chain, then a
+    // 1-row aggregate collected as control-plane metadata — the
+    // Analyze.corrMatrix pattern; three separate count() actions would
+    // re-evaluate the step chain per step)
+    val m = s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count("t1"), count("t2"), count("t3")).head
+    val (n1, n2, n3) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    import s.implicits._
+    Seq((1, "view", n1), (2, "click", n2), (3, "purchase", n3))
+      .toDF("step", "event_type", "n_users")
+      .withColumn("conv_from_first",
+        round(col("n_users") / lit(n1.toDouble), 6))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by first-seen DAY, each cohort's
+    * distinct-active count and retention fraction over day offsets
+    * 0..7. Two keyed aggregations (first-seen per user, then distinct
+    * (cohort, offset, user) counts) and a cohort-keyed window for the
+    * day-0 denominator — every shuffle is on natural keys and the
+    * output is cohorts × offsets rows, so the operator's cost is the
+    * two passes regardless of corpus size. */
+  def qCohort(s: SparkSession, dir: String): DataFrame =
+    cohortOf(Tables.events(s, dir))
+
+  /** [[qCohort]] over an arbitrary (user_id, ts) frame — the spec seam. */
+  private[graft] def cohortOf(ev: DataFrame): DataFrame = {
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("DAY", min("ts")).as("cohort_day"))
+    val active = ev.select(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+      .distinct()
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")).cast(LongType))
+      .filter(col("day_offset").between(0, 7))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    val base = Window.partitionBy("cohort_day")
+    active
+      .withColumn("cohort_size", sum(when(col("day_offset") === 0, col("n_active"))).over(base))
+      .withColumn("retention", round(col("n_active") / col("cohort_size").cast("double"), 6))
+      .select("cohort_day", "day_offset", "n_active", "retention")
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"          -> qScd2 _,
+    "q_event_funnel"  -> qEventFunnel _,
+    "q_cohort"        -> qCohort _,
     "q_gap_fill"      -> qGapFill _,
     "q_sessionize"    -> qSessionize _,
     "q_window_hourly" -> qWindowHourly _,
@@ -188,6 +259,47 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(cast(ts AS timestamp)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(cast(e.ts AS timestamp)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND cast(e.ts AS timestamp) > t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(cast(e.ts AS timestamp)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND cast(e.ts AS timestamp) > t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT step, event_type, n_users,
+        |  round(n_users / CAST(n1 AS double), 6) AS conv_from_first
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users, n1 FROM n
+        |  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+        |  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)
+        |ORDER BY step""".stripMargin,
+    "q_cohort" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    cast(date_trunc('day', min(cast(ts AS timestamp))) AS timestamp) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS d
+        |  FROM events),
+        |r AS (
+        |  SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM act JOIN cohorts USING (user_id)
+        |  WHERE date_diff('day', cohort_day, d) BETWEEN 0 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_active,
+        |  round(n_active / CAST(sum(CASE WHEN day_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_day) AS double), 6) AS retention
+        |FROM r ORDER BY cohort_day, day_offset""".stripMargin,
     "q_scd2" ->
       """WITH seq AS (
         |  SELECT user_id, event_type, cast(ts AS timestamp) AS ts, event_id,

@@ -329,6 +329,45 @@ object EventStreams {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
+  final case class Scd2State(currentType: String, validFrom: Timestamp, version: Long)
+  final case class Scd2Closed(user_id: Long, event_type: String,
+      valid_from: Timestamp, valid_to: Timestamp, version: Long)
+
+  /** Streaming SCD2: the stateful twin of
+    * [[graft.operators.EventOps.scd2Of]]. Per-user state is the OPEN
+    * version (current attribute value, its valid_from, its ordinal); an
+    * arriving change CLOSES it — the closed version row is emitted with
+    * its valid_to — and opens the next. Restatements (an event carrying
+    * the current value) emit nothing, exactly the batch build's
+    * collapse rule. The open version is state, not output: it has no
+    * valid_to yet, and a restart from the checkpoint resumes it instead
+    * of re-opening version 1 (StreamingSpec proves the carry and pins
+    * the emitted rows to the batch build's closed rows). In-batch order
+    * is (ts, event_id), the batch face's ordering contract; state is
+    * one row per user, bounded by user cardinality like the
+    * sessionizer. */
+  def scd2Stateful(events: Dataset[TypedEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TypedEvent], state: GroupState[Scd2State]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          sorted.foreach { e =>
+            if (st == null)
+              st = Scd2State(e.event_type, e.ts, 1L)
+            else if (st.currentType != e.event_type) {
+              out += Scd2Closed(user, st.currentType, st.validFrom, e.ts, st.version)
+              st = Scd2State(e.event_type, e.ts, st.version + 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
       idleTimeoutMinutes: Long = 120, watermarkDelay: String = "10 minutes"): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._

@@ -151,6 +151,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("de", "der", 2L), ("en", "x", 2L), ("en", "y", 1L)))
   }
 
+  test("stateful SCD2 carries the open version across batches; closed rows equal the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.{TypedEvent, scd2Stateful}
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val input = MemoryStream[TypedEvent]
+    val q = scd2Stateful(input.toDS()).toDF()
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: A opens v1; a restatement; B closes v1
+      input.addData(
+        TypedEvent(1L, "A", ts("2026-01-01T10:00:00Z"), 1L),
+        TypedEvent(1L, "A", ts("2026-01-01T11:00:00Z"), 2L),
+        TypedEvent(1L, "B", ts("2026-01-01T12:00:00Z"), 3L))
+      q.processAllAvailable()
+      // batch 2: A closes v2 — valid_from must be batch 1's 12:00 (the
+      // carried open version), version must be 2 (carried ordinal)
+      input.addData(TypedEvent(1L, "A", ts("2026-01-01T14:00:00Z"), 4L))
+      q.processAllAvailable()
+      val got = spark.table("scd2_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant.toString,
+          r.getTimestamp(3).toInstant.toString, r.getLong(4))).sortBy(_._5)
+      assert(got.toSeq === Seq(
+        (1L, "A", "2026-01-01T10:00:00Z", "2026-01-01T12:00:00Z", 1L),
+        (1L, "B", "2026-01-01T12:00:00Z", "2026-01-01T14:00:00Z", 2L)))
+      // the stream's closed rows ARE the batch build's closed rows
+      val batch = graft.operators.EventOps.scd2Of(Seq(
+        (1L, "A", ts("2026-01-01T10:00:00Z"), 1L),
+        (1L, "A", ts("2026-01-01T11:00:00Z"), 2L),
+        (1L, "B", ts("2026-01-01T12:00:00Z"), 3L),
+        (1L, "A", ts("2026-01-01T14:00:00Z"), 4L)
+      ).toDF("user_id", "event_type", "ts", "event_id"))
+        .filter(org.apache.spark.sql.functions.col("valid_to").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant.toString,
+          r.getTimestamp(3).toInstant.toString, r.getLong(4))).sortBy(_._5)
+      assert(got.toSeq === batch.toSeq,
+        "stream-closed versions must equal the batch SCD2 build's closed rows")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops re-arrivals within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]

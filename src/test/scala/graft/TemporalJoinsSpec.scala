@@ -52,6 +52,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "tie-broken ordering must be deterministic and keep both versions")
   }
 
+  test("funnel: steps count only in order — a click before the view earns no credit") {
+    val events = Seq(
+      // user 1 converts fully, in order
+      (1L, "view", ts("2026-01-01T10:00:00Z")),
+      (1L, "click", ts("2026-01-01T11:00:00Z")),
+      (1L, "purchase", ts("2026-01-01T12:00:00Z")),
+      // user 2 clicked BEFORE viewing: no step-2 credit, so the
+      // later purchase cannot count either
+      (2L, "click", ts("2026-01-01T10:00:00Z")),
+      (2L, "view", ts("2026-01-01T11:00:00Z")),
+      (2L, "purchase", ts("2026-01-01T12:00:00Z")),
+      // user 3 only views
+      (3L, "view", ts("2026-01-01T10:00:00Z"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.EventOps.funnelOf(spark, events).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1, "view", 3L, 1.0),
+      (2, "click", 1L, 0.333333),
+      (3, "purchase", 1L, 0.333333)))
+  }
+
+  test("cohort: users group by first-seen day; retention divides by the day-0 cohort size") {
+    val events = Seq(
+      (1L, ts("2026-01-01T09:00:00Z")), (1L, ts("2026-01-02T09:00:00Z")),
+      (2L, ts("2026-01-01T15:00:00Z")),
+      (3L, ts("2026-01-02T09:00:00Z")), (3L, ts("2026-01-03T09:00:00Z"))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.EventOps.cohortOf(events).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("2026-01-01T00:00:00Z", 0L, 2L, 1.0),
+      ("2026-01-01T00:00:00Z", 1L, 1L, 0.5),
+      ("2026-01-02T00:00:00Z", 0L, 1L, 1.0),
+      ("2026-01-02T00:00:00Z", 1L, 1L, 1.0)))
+  }
+
   test("gap fill: hourly grid tiles the span, gaps carry the last observed value forward") {
     val events = Seq(
       // user 1: hours 10, 11, 14 observed → gaps at 12, 13 fill with 11's sum
