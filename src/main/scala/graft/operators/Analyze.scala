@@ -117,18 +117,25 @@ object Analyze {
       if (m.isNullAt(i)) Double.NaN else m.getDecimal(i).doubleValue
     val out = pairs.zipWithIndex.map { case ((x, y), p) =>
       val i = p * 6
-      val n = m.getLong(i).toDouble
-      val (sx, sy, sxx, syy, sxy) = (dbl(i + 1), dbl(i + 2), dbl(i + 3), dbl(i + 4), dbl(i + 5))
-      // the exact association order of the SQL twin, in IEEE doubles
-      val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-      val covar = (sxy - sx * sy / n) / (n - 1.0)
-      // degenerate pairs (0/1 rows, constant column) yield NaN/Inf,
-      // which BigDecimal cannot hold — pass them through unrounded
-      def r6(v: Double): Double =
-        if (java.lang.Double.isFinite(v))
-          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        else v
-      (x, y, m.getLong(i), r6(corr), r6(covar))
+      val nRows = m.getLong(i)
+      if (nRows == 0L)
+        // zero overlap: NULL stats, matching SQL's NULL-sum arithmetic
+        // (a NaN here would diverge from the oracle's closed form)
+        (x, y, 0L, Option.empty[Double], Option.empty[Double])
+      else {
+        val n = nRows.toDouble
+        val (sx, sy, sxx, syy, sxy) = (dbl(i + 1), dbl(i + 2), dbl(i + 3), dbl(i + 4), dbl(i + 5))
+        // the exact association order of the SQL twin, in IEEE doubles
+        val corr = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        val covar = (sxy - sx * sy / n) / (n - 1.0)
+        // degenerate pairs (1 row, constant column) yield NaN/Inf, which
+        // BigDecimal cannot hold — pass them through unrounded
+        def r6(v: Double): Double =
+          if (java.lang.Double.isFinite(v))
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else v
+        (x, y, nRows, Some(r6(corr)), Some(r6(covar)))
+      }
     }.sortBy(t => (t._1, t._2))
     import df.sparkSession.implicits._
     out.toDF("col_x", "col_y", "n", "corr", "covar_samp")

@@ -164,13 +164,23 @@ object Dedup {
     // With a Bloom prefilter, rows whose bucket PROVABLY isn't stored
     // bypass the join entirely (they can match nothing — the filter has
     // no false negatives) and rejoin as no-match rows; only the maybe
-    // rows shuffle. The aggregate below is identical either way, so the
-    // gate verdicts cannot change — DedupSpec asserts the equality.
+    // rows shuffle (and the novel branch map-side-combines to one row
+    // per doc before its exchange). The aggregate below is identical
+    // either way, so the gate verdicts cannot change — DedupSpec asserts
+    // the equality. The marked frame is PERSISTED so the probe and the
+    // incoming derivation evaluate once, not once per branch — incoming-
+    // batch-sized, the same cache the streaming gate already holds on
+    // its sig frame. A NULL probe (null bucket) conservatively routes to
+    // the join branch: the plain path emits a no-match row for it, and
+    // dropping it from both branches would lose the verdict.
     val joined = prefilter match {
       case None => incoming.join(corpus, Seq("bucket"), "left")
       case Some(p) =>
-        incoming.filter(p).join(corpus, Seq("bucket"), "left")
-          .unionByName(incoming.filter(!p)
+        val marked = incoming.withColumn("__graft_may", coalesce(p, lit(true)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        marked.filter(col("__graft_may")).drop("__graft_may")
+          .join(corpus, Seq("bucket"), "left")
+          .unionByName(marked.filter(!col("__graft_may")).drop("__graft_may")
             .withColumn("grams_b", lit(null).cast("array<string>")))
     }
     val agg = joined
@@ -312,7 +322,16 @@ object Dedup {
     * the union and the append leaves only harmless extra bits (false
     * positives); a replayed batch re-ORs the same bits (idempotent).
     * Absent sidecar → no-op ([[ensureBloomSidecar]] rebuilds from the
-    * full store on first probe, which includes whatever was appended). */
+    * full store on first probe, which includes whatever was appended).
+    *
+    * CONCURRENT DISTINCT WRITERS must be serialized by the caller — the
+    * read-union-write here is not atomic, so two simultaneous appends
+    * would each miss the other's bits. That is the signature store's
+    * existing single-writer protocol (the streaming gate is the one
+    * writer in the streaming flow; [[compactSignatures]] already
+    * requires no active gate stream), restated here because for the
+    * sidecar the failure mode is a silent false negative, not a
+    * detectable layout conflict. */
   private[graft] def absorbIntoBloom(s: SparkSession, path: String, buckets: DataFrame): Unit =
     readBloomBytes(s, path).foreach { cur =>
       writeBloomBytes(s, path,
@@ -395,8 +414,14 @@ object Dedup {
     val dst = new org.apache.hadoop.fs.Path(bloomPath(path))
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst) // crash before the rename leaves only .tmp residue
+    // Hadoop FS reports delete/rename failure by RETURNING FALSE, not by
+    // throwing — an unchecked failure here would leave a STALE sidecar
+    // missing newly absorbed buckets, which breaks the pre-gate's
+    // no-false-negative soundness silently. Fail loudly instead.
+    if (fs.exists(dst)) require(fs.delete(dst, false),
+      s"could not replace bloom sidecar at $dst")
+    require(fs.rename(tmp, dst), // crash before this leaves only .tmp residue
+      s"could not move bloom sidecar into place at $dst")
   }
 
   private def readBloomBytes(s: SparkSession, path: String): Option[Array[Byte]] = {
@@ -430,8 +455,11 @@ object Dedup {
       call_function("graft_bloom_contains", bucket, lit(bytes))
     else {
       val (k, bits) = graft.functions.GBloom.decode(bytes)
-      udf((b: String) => graft.functions.GBloom.contains(bits, k,
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))).apply(bucket)
+      // Option return = null-safe like the native expression (null in,
+      // null out); gateAgg's coalesce then routes null probes to the
+      // conservative branch
+      udf((b: String) => Option(b).map(v => graft.functions.GBloom.contains(bits, k,
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).apply(bucket)
     }
 
   /** Gate an incoming signature batch against the STORED corpus: the

@@ -346,7 +346,17 @@ object EventStreams {
     * the emitted rows to the batch build's closed rows). In-batch order
     * is (ts, event_id), the batch face's ordering contract; state is
     * one row per user, bounded by user cardinality like the
-    * sessionizer. */
+    * sessionizer.
+    *
+    * Cross-batch LATE events (ts strictly before the open version's
+    * valid_from) are DROPPED, not applied: applying one would emit an
+    * inverted interval (valid_to < valid_from) and silently corrupt the
+    * history. An SCD2 build is inherently order-sensitive — in-batch
+    * disorder is healed by the (ts, event_id) sort, but an event older
+    * than an already-opened version cannot be spliced into emitted
+    * output. Deployments with cross-batch disorder run the batch face
+    * ([[graft.operators.EventOps.scd2Of]]) over compacted data instead;
+    * StreamingSpec pins the drop rule. */
   def scd2Stateful(events: Dataset[TypedEvent]): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -358,7 +368,10 @@ object EventStreams {
           sorted.foreach { e =>
             if (st == null)
               st = Scd2State(e.event_type, e.ts, 1L)
-            else if (st.currentType != e.event_type) {
+            else if (micros(e.ts) < micros(st.validFrom)) {
+              // late arrival from a prior batch: dropping it keeps every
+              // emitted interval well-formed (see the contract above)
+            } else if (st.currentType != e.event_type) {
               out += Scd2Closed(user, st.currentType, st.validFrom, e.ts, st.version)
               st = Scd2State(e.event_type, e.ts, st.version + 1L)
             }

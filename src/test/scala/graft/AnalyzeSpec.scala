@@ -88,6 +88,18 @@ class AnalyzeSpec extends AnyFunSuite {
       ("y", "z", 3L, -1.0, -2.0)))
   }
 
+  test("corrMatrix: a zero-overlap pair reports NULL stats (the SQL semantics), not NaN") {
+    // x and y never co-occur: n = 0 and the oracle's NULL-sum arithmetic
+    // yields NULL — the engine must agree or the differential gate breaks
+    val df = Seq(
+      (Some(1.0), Option.empty[Double]),
+      (Option.empty[Double], Some(2.0))
+    ).toDF("x", "y")
+    val got = Analyze.corrMatrix(df, Seq("x", "y")).collect()(0)
+    assert(got.getLong(2) === 0L)
+    assert(got.isNullAt(3) && got.isNullAt(4))
+  }
+
   test("corrMatrix matches corr()/covar_samp() to float tolerance on real data") {
     // the built-ins are partition-order-dependent in their low bits (why
     // corrMatrix exists) but must agree to ~1e-9 — a sanity anchor that

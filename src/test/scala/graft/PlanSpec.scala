@@ -126,8 +126,9 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(joinsAbove(p, inJoin = false) ||
       // AQE may hide the join under query stages; unwrap via string check:
-      // the filter text must appear after the join in the tree rendering
-      s.indexOf("graft_bloom_contains") > s.indexOf("Join"),
+      // the filter text must appear after the join in the tree rendering.
+      // The contains guard keeps indexOf(-1) from passing this vacuously.
+      (s.contains("Join") && s.indexOf("graft_bloom_contains") > s.indexOf("Join")),
       s"the Bloom filter must apply below the gate join:\n$s")
   }
 

@@ -189,6 +189,21 @@ class StreamingSpec extends AnyFunSuite {
           r.getTimestamp(3).toInstant.toString, r.getLong(4))).sortBy(_._5)
       assert(got.toSeq === batch.toSeq,
         "stream-closed versions must equal the batch SCD2 build's closed rows")
+      // a LATE cross-batch event (older than the open version) is
+      // dropped, never spliced: applying it would emit an inverted
+      // interval. The open version stays A@14:00, so a later C change
+      // closes exactly that.
+      input.addData(TypedEvent(1L, "Z", ts("2026-01-01T13:00:00Z"), 5L))
+      q.processAllAvailable()
+      assert(spark.table("scd2_out").count() === 2,
+        "a late event must not emit a corrupt closed row")
+      input.addData(TypedEvent(1L, "C", ts("2026-01-01T15:00:00Z"), 6L))
+      q.processAllAvailable()
+      val last = spark.table("scd2_out").collect()
+        .map(r => (r.getString(1), r.getTimestamp(2).toInstant.toString,
+          r.getTimestamp(3).toInstant.toString, r.getLong(4))).sortBy(_._4).last
+      assert(last === ("A", "2026-01-01T14:00:00Z", "2026-01-01T15:00:00Z", 3L),
+        "the dropped late event must leave the open version untouched")
     } finally q.stop()
   }
 
