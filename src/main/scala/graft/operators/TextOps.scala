@@ -150,10 +150,48 @@ object TextOps {
   def qTokenBpe(s: SparkSession, dir: String): DataFrame =
     tokenBpeOf(s, Tables.documents(s, dir))
 
+  /** Materialize a trained BPE merge table as a stored MODEL — the
+    * "train once, encode forever" artifact a deployment actually ships
+    * (retraining per query keeps the operator pure; production encodes
+    * a 100 TB corpus under one frozen tokenizer so token budgets stay
+    * comparable across runs). Layout: (rank, left, right) parquet rows,
+    * rank = merge priority — tiny index metadata, written through the
+    * crash-safe [[graft.sources.Stores.overwriteAside]] swap like every
+    * store here. */
+  def writeBpeModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val merges = bpeMergesOf(docs)
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Load a stored merge table, rank-ordered — the exact
+    * `IndexedSeq[(left, right)]` [[bpeTokensCol]] encodes under, so a
+    * stored model and an in-query training run are interchangeable
+    * (TextOpsSpec asserts encode-equality end to end). */
+  def loadBpeModel(s: SparkSession, path: String): IndexedSeq[(String, String)] = {
+    graft.sources.Stores.recover(s, path)
+    s.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+  }
+
+  /** [[tokenBpeOf]] served from a STORED model instead of retraining —
+    * identical output by construction (same encoder, same merge table). */
+  private[graft] def tokenBpeStoredOf(s: SparkSession, docs: DataFrame,
+      modelPath: String): DataFrame =
+    tokenBpeWith(s, docs, loadBpeModel(s, modelPath))
+
   /** [[qTokenBpe]] over an arbitrary (doc_id, text) frame — the seam
     * TextOpsSpec drives constructed corpora through. */
-  private[graft] def tokenBpeOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val merges = bpeMergesOf(docs)
+  private[graft] def tokenBpeOf(s: SparkSession, docs: DataFrame): DataFrame =
+    tokenBpeWith(s, docs, bpeMergesOf(docs))
+
+  private def tokenBpeWith(s: SparkSession, docs: DataFrame,
+      merges: IndexedSeq[(String, String)]): DataFrame = {
     docs
       .select(col("doc_id"),
         filter(split(normText(col("text")), " "), w => length(w) > 0).as("words"))

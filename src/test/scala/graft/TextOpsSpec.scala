@@ -116,6 +116,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nToks >= nWords, "a token never spans a word boundary")
   }
 
+  test("stored BPE model encodes identically to in-query training") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpemodel").toString + "/model"
+    TextOps.writeBpeModel(spark, docs, path)
+    // the stored table round-trips rank-exact
+    assert(TextOps.loadBpeModel(spark, path) === TextOps.bpeMergesOf(docs))
+    // and the stored-model face is bit-identical to retraining in-query
+    val fromStore = TextOps.tokenBpeStoredOf(spark, docs, path).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val inQuery = TextOps.tokenBpeOf(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(fromStore === inQuery,
+      "a frozen stored tokenizer must encode exactly like the training run that built it")
+  }
+
   test("BPE native path survives an EMPTY trained merge table") {
     import spark.implicits._
     // every word is a single distinct character: no adjacent pair ever
