@@ -574,6 +574,61 @@ object TextOps {
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
+  /** Materialize the corpus bigram LM as a stored MODEL: the (bg, c2)
+    * count table plus a `_meta` sidecar carrying the vocabulary size —
+    * the train-once artifact that turns the CCNet-shape quality gate
+    * into a per-batch scoring pass. Training pays its one gram-keyed
+    * shuffle here; every later batch only explodes ITS OWN grams and
+    * joins the vocab-sized stored tables (context counts re-derive from
+    * the stored bigram counts at load, the same no-second-shuffle trick
+    * as the in-query face). Crash-safe via
+    * [[graft.sources.Stores.overwriteAside]]. */
+  def writeLmModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+    val grams = base.filter(size(col("words")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
+        .as("bg"))
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+        .coalesce(1).write.parquet(tmp)
+      base.select(explode(col("words")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+        .coalesce(1).write.parquet(tmp + "/_meta")
+    }
+  }
+
+  /** Score a batch under a STORED LM. For grams the model never saw,
+    * add-one smoothing degrades gracefully: a missing bigram scores
+    * ln(1/(c1 + v)), a fully novel context ln(1/v) — the coalesce(0)
+    * forms below, which collapse to the in-query face's inner-join
+    * values whenever the batch IS the training corpus (TextOpsSpec
+    * asserts that equality bit-for-bit, plus the OOV value by hand). */
+  private[graft] def lmScoreStored(s: SparkSession, docs: DataFrame,
+      path: String): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    val lm2 = s.read.parquet(path)
+    val lm1 = lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = s.read.parquet(path + "/_meta")
+    val grams = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val logpFp = round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
+      / (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1e6)).cast(LongType)
+    grams.join(lm2, Seq("bg"), "left").join(lm1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp", logpFp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   // ---- Naive-Bayes quality classifier --------------------------------------
 
   /** A trained quality CLASSIFIER over the corpus — the CCNet/fastText

@@ -116,6 +116,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nToks >= nWords, "a token never spans a word boundary")
   }
 
+  test("stored LM scores the training corpus identically to in-query; OOV smooths by hand value") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-lmmodel").toString + "/model"
+    TextOps.writeLmModel(spark, docs, path)
+    val stored = TextOps.lmScoreStored(spark, docs, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val inQuery = TextOps.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(stored === inQuery,
+      "on its own training corpus the stored LM must score bit-identically to retraining")
+    // a fully-OOV doc: every bigram scores ln(1/v) exactly (c2=0, c1=0)
+    val v = spark.read.parquet(path + "/_meta").collect()(0).getLong(0)
+    val novel = Seq((999L, "zz qq xx")).toDF("doc_id", "text")
+    val got = TextOps.lmScoreStored(spark, novel, path).collect()(0)
+    val fp = BigDecimal(math.log(1.0 / v) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = BigDecimal(fp * 2 / 1e6 / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) === 2L && got.getDouble(2) === want,
+      "novel grams must smooth to ln(1/v) — the stored gate's graceful-degradation contract")
+  }
+
   test("stored BPE model encodes identically to in-query training") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-bpemodel").toString + "/model"
