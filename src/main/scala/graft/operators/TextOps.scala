@@ -694,6 +694,65 @@ object TextOps {
   def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
     qualityClassifier(Tables.documents(s, dir))
 
+  /** Materialize the trained NB quality classifier: the per-token class
+    * counts plus a `_meta` sidecar with the totals (n_pos, n_neg, v,
+    * prior_fp) — completing the stored-model trilogy (BPE merges, bigram
+    * LM, and this). Training pays the label derivation and the
+    * gram-keyed count once; scoring a later batch explodes only its own
+    * tokens against the vocab-sized stored table. */
+  def writeNbModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val labels = repetitionStats(docs, ordered = false).select(col("doc_id"), col("flagged"))
+    val toks = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .join(labels, "doc_id")
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      val cls = toks.groupBy("w").agg(
+        sum(col("flagged")).cast(LongType).as("c_pos"),
+        count(lit(1)).as("c_all"))
+        .withColumn("c_neg", col("c_all") - col("c_pos"))
+      cls.select("w", "c_pos", "c_neg").coalesce(1).write.parquet(tmp)
+      val tot = cls.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+        count(lit(1)).as("v"))
+      val prior = labels.agg(
+        round(log((sum("flagged") + lit(1.0)) /
+          (count(lit(1)) - sum("flagged") + lit(1.0))) * lit(1e6))
+          .cast(LongType).as("prior_fp"))
+      tot.crossJoin(prior).coalesce(1).write.parquet(tmp + "/_meta")
+    }
+  }
+
+  /** Score a batch under a STORED classifier. Tokens the model never
+    * saw smooth add-one style — c_pos = c_neg = 0, so the llr is the
+    * constant ln((n_neg+v)/(n_pos+v)) (the coalesce(0) forms) — and the
+    * values collapse to the in-query face's whenever the batch IS the
+    * training corpus (TextOpsSpec pins the equality bit-for-bit and the
+    * OOV constant by hand). Docs with < 2 words are out of the model's
+    * domain, as in training. */
+  private[graft] def qualityClassifierStored(s: SparkSession, docs: DataFrame,
+      path: String): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    val cls = s.read.parquet(path)
+    val meta = s.read.parquet(path + "/_meta")
+    val toks = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+    val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / (col("n_pos") + col("v")))
+      - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / (col("n_neg") + col("v")))) * lit(1e6))
+      .cast(LongType)
+    toks.join(cls, Seq("w"), "left")
+      .crossJoin(broadcast(meta))
+      .withColumn("fp", llrFp)
+      .groupBy("doc_id", "prior_fp")
+      .agg(count(lit(1)).as("n_tokens"), sum("fp").as("sum_fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("prior_fp") + col("sum_fp")) / lit(1e6), 6).as("nb_logodds"),
+        ((col("prior_fp") + col("sum_fp")) > 0).cast("int").as("pred_flagged"))
+      .orderBy("doc_id")
+  }
+
   // Deterministic train/val/test split: a hash-bucket Bernoulli over the
   // STABLE document key — not the content, because editing a document
   // must never move it across the train/eval boundary (a content-keyed

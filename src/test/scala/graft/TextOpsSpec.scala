@@ -139,6 +139,31 @@ class TextOpsSpec extends AnyFunSuite {
       "novel grams must smooth to ln(1/v) — the stored gate's graceful-degradation contract")
   }
 
+  test("stored NB classifier scores the training corpus identically; OOV llr is the hand constant") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-nbmodel").toString + "/model"
+    TextOps.writeNbModel(spark, docs, path)
+    val stored = TextOps.qualityClassifierStored(spark, docs, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
+    val inQuery = TextOps.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
+    assert(stored === inQuery,
+      "on its training corpus the stored classifier must score bit-identically")
+    // a fully-OOV doc: every token's llr is ln((1)/(n_pos+v)) − ln((1)/(n_neg+v))
+    val m = spark.read.parquet(path + "/_meta").collect()(0)
+    val (nPos, nNeg, v, priorFp) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    val novel = Seq((999L, "zz qq")).toDF("doc_id", "text")
+    val got = TextOps.qualityClassifierStored(spark, novel, path).collect()(0)
+    val fp = BigDecimal((math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = BigDecimal((priorFp + 2 * fp) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) === 2L && got.getDouble(2) === want)
+  }
+
   test("stored BPE model encodes identically to in-query training") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft-bpemodel").toString + "/model"
