@@ -185,6 +185,21 @@ object TextOps {
       modelPath: String): DataFrame =
     tokenBpeWith(s, docs, loadBpeModel(s, modelPath))
 
+  /** Tmp-scoped model path per dataset ([[graft.sources.TmpStores]]). */
+  private def modelPath(kind: String, dir: String): String =
+    graft.sources.TmpStores.scopedPath(s"graft-$kind", dir)
+
+  /** [[qTokenBpe]] served END-TO-END from the stored merge table: write
+    * the model (once, memoized), load it back, encode. Shares
+    * q_token_bpe's differential Expected oracle — materializing the
+    * tokenizer must not change a single token count. */
+  def qBpeProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = modelPath("bpemodel", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeBpeModel(s, Tables.documents(s, dir), path))
+    tokenBpeStoredOf(s, Tables.documents(s, dir), path)
+  }
+
   /** [[qTokenBpe]] over an arbitrary (doc_id, text) frame — the seam
     * TextOpsSpec drives constructed corpora through. */
   private[graft] def tokenBpeOf(s: SparkSession, docs: DataFrame): DataFrame =
@@ -629,6 +644,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[qLmScore]] served from the stored LM ([[writeLmModel]] once,
+    * memoized, then [[lmScoreStored]]) — shares q_lm_score's DuckDB
+    * oracle because materializing the LM must not move a score. */
+  def qLmProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = modelPath("lmmodel", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeLmModel(s, Tables.documents(s, dir), path))
+    lmScoreStored(s, Tables.documents(s, dir), path)
+  }
+
   // ---- Naive-Bayes quality classifier --------------------------------------
 
   /** A trained quality CLASSIFIER over the corpus — the CCNet/fastText
@@ -751,6 +776,15 @@ object TextOps {
         round((col("prior_fp") + col("sum_fp")) / lit(1e6), 6).as("nb_logodds"),
         ((col("prior_fp") + col("sum_fp")) > 0).cast("int").as("pred_flagged"))
       .orderBy("doc_id")
+  }
+
+  /** [[qQualityClassifier]] served from the stored model — shares its
+    * DuckDB oracle (materializing the classifier moves no score). */
+  def qNbProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = modelPath("nbmodel", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeNbModel(s, Tables.documents(s, dir), path))
+    qualityClassifierStored(s, Tables.documents(s, dir), path)
   }
 
   // Deterministic train/val/test split: a hash-bucket Bernoulli over the
@@ -905,7 +939,10 @@ object TextOps {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
+    "q_lm_probe"    -> qLmProbe _,
     "q_quality_classifier" -> qQualityClassifier _,
+    "q_nb_probe"    -> qNbProbe _,
+    "q_bpe_probe"   -> qBpeProbe _,
   )
 
   /** Shared DuckDB CTE chains (one SQL body per scoring path, the
@@ -971,6 +1008,36 @@ object TextOps {
       |          round(sum(fp) / 1000000.0 / count(*), 6) AS avg_logp
       |        FROM lsc GROUP BY doc_id)""".stripMargin
 
+  private[operators] val lmScoreSql: String =
+    s"""WITH $duckPartsCte,
+      |$duckLmCtes
+      |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin
+
+  /** Shares the repetition CTEs verbatim (`w` is the labeled-domain
+    * token stream, `rep` carries the weak label) — the engine and the
+    * oracle train the same NB model or the differential fails. */
+  private[operators] val nbClassifierSql: String =
+    s"""WITH $duckPartsCte,
+        |$duckRepetitionCtes,
+        |tl AS (SELECT w.doc_id, w.w, flagged FROM w JOIN rep USING (doc_id)),
+        |cls AS (SELECT w, CAST(sum(flagged) AS BIGINT) AS c_pos,
+        |          CAST(count(*) AS BIGINT) AS c_all,
+        |          CAST(count(*) - sum(flagged) AS BIGINT) AS c_neg
+        |        FROM tl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+        |          CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |          CAST(count(*) AS BIGINT) AS v FROM cls),
+        |pr AS (SELECT CAST(round(ln((sum(flagged) + 1.0) / (count(*) - sum(flagged) + 1.0)) * 1000000.0) AS BIGINT) AS prior_fp
+        |       FROM rep),
+        |sc AS (SELECT doc_id,
+        |         CAST(round((ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v))) * 1000000.0) AS BIGINT) AS fp
+        |       FROM tl JOIN cls USING (w) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round((prior_fp + sum(fp)) / 1000000.0, 6) AS nb_logodds,
+        |  CASE WHEN (prior_fp + sum(fp)) > 0 THEN 1 ELSE 0 END AS pred_flagged
+        |FROM sc CROSS JOIN pr
+        |GROUP BY doc_id, prior_fp ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_data_split" ->
       s"""WITH h AS (
@@ -1008,34 +1075,13 @@ object TextOps {
         |SELECT doc_id, n_words, top_cnt, top_word_frac, dup_bigram_frac,
         |  mean_word_len, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, flagged
         |FROM rep ORDER BY doc_id""".stripMargin,
-    "q_lm_score" ->
-      s"""WITH $duckPartsCte,
-        |$duckLmCtes
-        |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin,
-    "q_quality_classifier" ->
-      // Shares the repetition CTEs verbatim (`w` is the labeled-domain
-      // token stream, `rep` carries the weak label) — the engine and the
-      // oracle train the same NB model or the differential fails.
-      s"""WITH $duckPartsCte,
-        |$duckRepetitionCtes,
-        |tl AS (SELECT w.doc_id, w.w, flagged FROM w JOIN rep USING (doc_id)),
-        |cls AS (SELECT w, CAST(sum(flagged) AS BIGINT) AS c_pos,
-        |          CAST(count(*) AS BIGINT) AS c_all,
-        |          CAST(count(*) - sum(flagged) AS BIGINT) AS c_neg
-        |        FROM tl GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
-        |          CAST(sum(c_neg) AS BIGINT) AS n_neg,
-        |          CAST(count(*) AS BIGINT) AS v FROM cls),
-        |pr AS (SELECT CAST(round(ln((sum(flagged) + 1.0) / (count(*) - sum(flagged) + 1.0)) * 1000000.0) AS BIGINT) AS prior_fp
-        |       FROM rep),
-        |sc AS (SELECT doc_id,
-        |         CAST(round((ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v))) * 1000000.0) AS BIGINT) AS fp
-        |       FROM tl JOIN cls USING (w) CROSS JOIN tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round((prior_fp + sum(fp)) / 1000000.0, 6) AS nb_logodds,
-        |  CASE WHEN (prior_fp + sum(fp)) > 0 THEN 1 ELSE 0 END AS pred_flagged
-        |FROM sc CROSS JOIN pr
-        |GROUP BY doc_id, prior_fp ORDER BY doc_id""".stripMargin,
+    "q_lm_score" -> lmScoreSql,
+    // stored-model face: same oracle — materializing the LM moves no score
+    "q_lm_probe" -> lmScoreSql,
+    "q_quality_classifier" -> nbClassifierSql,
+    // stored-model face: same oracle — materializing the model moves nothing
+    "q_nb_probe" -> nbClassifierSql,
+
     "q_lang_id" ->
       """WITH n AS (
         |  SELECT doc_id, lang,

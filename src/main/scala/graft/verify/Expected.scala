@@ -428,6 +428,9 @@ object Expected {
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
       "q_token_bpe"     -> sql(bpe,
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
+      // the stored-model face shares the artifact (stored ≡ in-query)
+      "q_bpe_probe"     -> sql(bpe,
+        "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
       "q_compress_ratio" -> sql(cr,
         "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),

@@ -32,8 +32,8 @@ class CoreOpsSpec extends AnyFunSuite {
     // iterative BPE merge training, zlib deflate)...
     assert(q -- static ==
       Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_ivf_probe",
-        "q_dedup_semantic", "q_token_bpe", "q_image_neardup", "q_compress_ratio",
-        "q_kmeans", "q_cluster_sample"),
+        "q_dedup_semantic", "q_token_bpe", "q_bpe_probe", "q_image_neardup",
+        "q_compress_ratio", "q_kmeans", "q_cluster_sample"),
       s"unexpected static-oracle gap: ${q -- static}")
     // ...and the differential expected-parquet oracles close it: the FULL
     // map Verify dumps covers every registered query — no rows-only rows.
