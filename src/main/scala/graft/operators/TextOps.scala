@@ -556,21 +556,37 @@ object TextOps {
     * the per-doc mean (long sums commute; double sums don't) — the
     * [[graft.operators.Search.bm25]] trick, mirrored in the oracle.
     */
-  private[graft] def lmScore(docs: DataFrame, ordered: Boolean = true): DataFrame = {
-    val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-    val grams = base.filter(size(col("words")) >= 2)
+  /** The gram stream of a corpus — (doc_id, bg, w1), ONE definition for
+    * the in-query LM, the model writer, and the stored scorer, so the
+    * three can never tokenize differently. */
+  private def lmGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
         .as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    // context counts DERIVE from the bigram counts (c1(w) = Σ c2 of w's
-    // bigrams) — vocab²-bounded frame arithmetic instead of a second
-    // full explode+shuffle of the gram stream
-    val lm1 = lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy("w1").agg(sum("c2").as("c1"))
-    val vocab = base.select(explode(col("words")).as("w"))
+
+  /** The 1-row vocabulary-size frame of a corpus (add-one smoothing's
+    * denominator term) — shared like [[lmGrams]]. */
+  private def lmVocab(docs: DataFrame): DataFrame =
+    docs.select(split(normText(col("text")), " ").as("words"))
+      .select(explode(col("words")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+
+  /** Context counts derived FROM the bigram counts (c1(w) = Σ c2 of w's
+    * bigrams) — vocab²-bounded frame arithmetic instead of a second full
+    * explode+shuffle of the gram stream; also how the stored face
+    * reconstitutes contexts at load. */
+  private def lmContexts(lm2: DataFrame): DataFrame =
+    lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+
+  private[graft] def lmScore(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val grams = lmGrams(docs)
+    val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val lm1 = lmContexts(lm2)
+    val vocab = lmVocab(docs)
     val logpFp = round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
       .cast(LongType)
     val out = grams.join(lm2, "bg").join(lm1, "w1")
@@ -598,20 +614,14 @@ object TextOps {
     * the stored bigram counts at load, the same no-second-shuffle trick
     * as the in-query face). Crash-safe via
     * [[graft.sources.Stores.overwriteAside]]. */
-  def writeLmModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
-    val base = docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-    val grams = base.filter(size(col("words")) >= 2)
-      .select(explode(
-        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
-        .as("bg"))
+  def writeLmModel(s: SparkSession, docs: DataFrame, path: String): Unit =
     graft.sources.Stores.overwriteAside(s, path) { tmp =>
-      grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      // the same lmGrams/lmVocab the in-query face trains from — the
+      // stored model cannot tokenize differently by construction
+      lmGrams(docs).groupBy("bg").agg(count(lit(1)).as("c2"))
         .coalesce(1).write.parquet(tmp)
-      base.select(explode(col("words")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-        .coalesce(1).write.parquet(tmp + "/_meta")
+      lmVocab(docs).coalesce(1).write.parquet(tmp + "/_meta")
     }
-  }
 
   /** Score a batch under a STORED LM. For grams the model never saw,
     * add-one smoothing degrades gracefully: a missing bigram scores
@@ -623,20 +633,16 @@ object TextOps {
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
     val lm2 = s.read.parquet(path)
-    val lm1 = lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy("w1").agg(sum("c2").as("c1"))
-    val vocab = s.read.parquet(path + "/_meta")
-    val grams = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
-        .as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val lm1 = lmContexts(lm2)
+    // the vocabulary scalar is one meta row — collect it (control-plane)
+    // so a degenerate model fails LOUDLY: v = 0 (a model trained on an
+    // empty corpus) would otherwise score every gram ln(1/0) = ∞,
+    // fixed-pointed silently to Long.MaxValue
+    val v = s.read.parquet(path + "/_meta").collect()(0).getLong(0)
+    require(v > 0, s"stored LM at $path has an empty vocabulary — refusing to score")
     val logpFp = round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
-      / (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1e6)).cast(LongType)
-    grams.join(lm2, Seq("bg"), "left").join(lm1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      / (coalesce(col("c1"), lit(0L)) + lit(v))) * lit(1e6)).cast(LongType)
+    lmGrams(docs).join(lm2, Seq("bg"), "left").join(lm1, Seq("w1"), "left")
       .withColumn("fp", logpFp)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -684,23 +690,39 @@ object TextOps {
     * the prior joins as one more fixed-point long. Domain matches
     * [[repetitionStats]] (docs with ≥ 2 words — a label needs rule
     * stats to exist). */
-  private[graft] def qualityClassifier(docs: DataFrame, ordered: Boolean = true): DataFrame = {
-    val labels = repetitionStats(docs, ordered = false).select(col("doc_id"), col("flagged"))
-    val toks = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+  /** The weak-label frame — ONE definition for the in-query face and
+    * the model writer (the [[lmGrams]] contract). */
+  private def nbLabels(docs: DataFrame): DataFrame =
+    repetitionStats(docs, ordered = false).select(col("doc_id"), col("flagged"))
+
+  /** The token stream of the classifier's domain (docs with ≥ 2 words),
+    * shared by training and every scoring face. */
+  private def nbToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), explode(col("words")).as("w"))
-      .join(labels, "doc_id")
-    val cls = toks.groupBy("w").agg(
+
+  /** Per-token class counts over a labeled token stream. */
+  private def nbClassCounts(labeledToks: DataFrame): DataFrame =
+    labeledToks.groupBy("w").agg(
       sum(col("flagged")).cast(LongType).as("c_pos"),
       count(lit(1)).as("c_all"))
       .withColumn("c_neg", col("c_all") - col("c_pos"))
-    val tot = cls.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
-      count(lit(1)).as("v"))
-    val prior = labels.agg(
+
+  /** The 1-row fixed-point doc-count prior. */
+  private def nbPrior(labels: DataFrame): DataFrame =
+    labels.agg(
       round(log((sum("flagged") + lit(1.0)) /
         (count(lit(1)) - sum("flagged") + lit(1.0))) * lit(1e6))
         .cast(LongType).as("prior_fp"))
+
+  private[graft] def qualityClassifier(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    val labels = nbLabels(docs)
+    val toks = nbToks(docs).join(labels, "doc_id")
+    val cls = nbClassCounts(toks)
+    val tot = cls.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("v"))
+    val prior = nbPrior(labels)
     val llrFp = round((log((col("c_pos") + lit(1.0)) / (col("n_pos") + col("v")))
       - log((col("c_neg") + lit(1.0)) / (col("n_neg") + col("v")))) * lit(1e6))
       .cast(LongType)
@@ -723,29 +745,24 @@ object TextOps {
     * counts plus a `_meta` sidecar with the totals (n_pos, n_neg, v,
     * prior_fp) — completing the stored-model trilogy (BPE merges, bigram
     * LM, and this). Training pays the label derivation and the
-    * gram-keyed count once; scoring a later batch explodes only its own
-    * tokens against the vocab-sized stored table. */
+    * gram-keyed count ONCE: the labels frame is cached for its two
+    * consumers (the token join and the prior), and the totals derive
+    * from the just-written class-count parquet instead of re-running
+    * the token pipeline. Trains through the same [[nbLabels]]/
+    * [[nbToks]]/[[nbClassCounts]]/[[nbPrior]] definitions as the
+    * in-query face — the stored model cannot train differently. */
   def writeNbModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
-    val labels = repetitionStats(docs, ordered = false).select(col("doc_id"), col("flagged"))
-    val toks = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(col("words")).as("w"))
-      .join(labels, "doc_id")
-    graft.sources.Stores.overwriteAside(s, path) { tmp =>
-      val cls = toks.groupBy("w").agg(
-        sum(col("flagged")).cast(LongType).as("c_pos"),
-        count(lit(1)).as("c_all"))
-        .withColumn("c_neg", col("c_all") - col("c_pos"))
-      cls.select("w", "c_pos", "c_neg").coalesce(1).write.parquet(tmp)
-      val tot = cls.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+    val labels = nbLabels(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      nbClassCounts(nbToks(docs).join(labels, "doc_id"))
+        .select("w", "c_pos", "c_neg")
+        .coalesce(1).write.parquet(tmp)
+      val clsStored = s.read.parquet(tmp)
+      val tot = clsStored.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
         count(lit(1)).as("v"))
-      val prior = labels.agg(
-        round(log((sum("flagged") + lit(1.0)) /
-          (count(lit(1)) - sum("flagged") + lit(1.0))) * lit(1e6))
-          .cast(LongType).as("prior_fp"))
-      tot.crossJoin(prior).coalesce(1).write.parquet(tmp + "/_meta")
-    }
+      tot.crossJoin(nbPrior(labels)).coalesce(1).write.parquet(tmp + "/_meta")
+    } finally labels.unpersist()
   }
 
   /** Score a batch under a STORED classifier. Tokens the model never
@@ -759,22 +776,22 @@ object TextOps {
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
     val cls = s.read.parquet(path)
-    val meta = s.read.parquet(path + "/_meta")
-    val toks = docs
-      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(col("words")).as("w"))
-    val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / (col("n_pos") + col("v")))
-      - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / (col("n_neg") + col("v")))) * lit(1e6))
+    // one meta row, collected (control-plane) so a degenerate model —
+    // v = 0, an empty training corpus — refuses loudly instead of
+    // scoring every token against a zero vocabulary
+    val m = s.read.parquet(path + "/_meta").collect()(0)
+    val (nPos, nNeg, v, priorFp) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    require(v > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
+    val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / lit(nPos + v).cast("double"))
+      - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / lit(nNeg + v).cast("double"))) * lit(1e6))
       .cast(LongType)
-    toks.join(cls, Seq("w"), "left")
-      .crossJoin(broadcast(meta))
+    nbToks(docs).join(cls, Seq("w"), "left")
       .withColumn("fp", llrFp)
-      .groupBy("doc_id", "prior_fp")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("fp").as("sum_fp"))
       .select(col("doc_id"), col("n_tokens"),
-        round((col("prior_fp") + col("sum_fp")) / lit(1e6), 6).as("nb_logodds"),
-        ((col("prior_fp") + col("sum_fp")) > 0).cast("int").as("pred_flagged"))
+        round((lit(priorFp) + col("sum_fp")) / lit(1e6), 6).as("nb_logodds"),
+        ((lit(priorFp) + col("sum_fp")) > 0).cast("int").as("pred_flagged"))
       .orderBy("doc_id")
   }
 

@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the ten queries whose math DuckDB
+/** Driver-side differential twins for the eleven queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
   * training, iterative BPE merge training, zlib deflate): each generator
   * recomputes the
@@ -380,11 +380,13 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute all ten expected outputs, write
+  /** Collect the input tables, compute the expected outputs (nine
+    * artifacts serving eleven oracle entries — the IVF and BPE artifacts
+    * each cover their stored face too), write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
-    * the ten differential queries to full rows+schema+hash
+    * the differential queries to full rows+schema+hash
     * CORRECTNESS rows. `expectedDir` must outlive this JVM (the driver's
     * DuckDB compare runs after Verify exits), so it lives under the
     * verify outDir — never a TmpStores-registered path. */
