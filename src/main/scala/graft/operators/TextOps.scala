@@ -605,23 +605,87 @@ object TextOps {
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
-  /** Materialize the corpus bigram LM as a stored MODEL: the (bg, c2)
-    * count table plus a `_meta` sidecar carrying the vocabulary size —
-    * the train-once artifact that turns the CCNet-shape quality gate
-    * into a per-batch scoring pass. Training pays its one gram-keyed
-    * shuffle here; every later batch only explodes ITS OWN grams and
-    * joins the vocab-sized stored tables (context counts re-derive from
-    * the stored bigram counts at load, the same no-second-shuffle trick
-    * as the in-query face). Crash-safe via
+  /** Materialize the corpus bigram LM as a stored MODEL: the
+    * batch-scoped (bg, c2) count table plus a `_vocab` sidecar of
+    * per-batch word sets — the train-once artifact that turns the
+    * CCNet-shape quality gate into a per-batch scoring pass, GROWN
+    * incrementally by [[appendLmBatch]] and folded by
+    * [[compactLmModel]]. Training pays its one gram-keyed shuffle here;
+    * every later batch only explodes ITS OWN grams and joins the
+    * vocab-sized stored tables (context counts re-derive from the
+    * stored bigram counts at load, the same no-second-shuffle trick as
+    * the in-query face). Crash-safe via
     * [[graft.sources.Stores.overwriteAside]]. */
   def writeLmModel(s: SparkSession, docs: DataFrame, path: String): Unit =
     graft.sources.Stores.overwriteAside(s, path) { tmp =>
-      // the same lmGrams/lmVocab the in-query face trains from — the
-      // stored model cannot tokenize differently by construction
+      // the same lmGrams/lmVocab-shape the in-query face trains from —
+      // the stored model cannot tokenize differently by construction.
+      // Counts are batch-scoped (bootstrap = -1) because they are
+      // ADDITIVE: an appended batch lands as its own partition and the
+      // loader sums per bigram, so the stored LM stays EXACT under
+      // continuous ingest — the posting store's sidecar argument.
       lmGrams(docs).groupBy("bg").agg(count(lit(1)).as("c2"))
-        .coalesce(1).write.parquet(tmp)
-      lmVocab(docs).coalesce(1).write.parquet(tmp + "/_meta")
+        .withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      // vocabulary is NOT additive (|A ∪ B| ≠ |A| + |B|), so the store
+      // keeps the distinct word SET per batch and the loader counts the
+      // union — vocab-cardinality rows, still model-plane metadata
+      lmWords(docs).withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
     }
+
+  /** The distinct word set of a corpus — the vocabulary's stored form. */
+  private def lmWords(docs: DataFrame): DataFrame =
+    docs.select(split(normText(col("text")), " ").as("words"))
+      .select(explode(col("words")).as("w")).distinct()
+
+  /** Grow the stored LM: the batch's bigram counts and word set land as
+    * dynamic overwrites of their batch_id partitions — replay-idempotent
+    * (a retried batch rewrites itself) and EXACT at any append depth,
+    * because counts sum and word sets union at load. The one-shot
+    * bootstrap id -1 is reserved ([[graft.operators.Dedup.appendSignatures]]'
+    * convention). */
+  def appendLmBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      lmGrams(docs).groupBy("bg").agg(count(lit(1)).as("c2"))
+        .withColumn("batch_id", lit(batchId)).coalesce(1),
+      path, Seq("batch_id"))
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      lmWords(docs).withColumn("batch_id", lit(batchId)).coalesce(1),
+      path + "/_vocab", Seq("batch_id"))
+  }
+
+  /** Compact the stored LM: batch partitions below the caller's replay
+    * watermark fold into the bootstrap — counts SUM per bigram, word
+    * sets union distinct — score-preserving by construction (the loader
+    * computes exactly those folds on every read) and crash-safe via
+    * [[graft.sources.Stores.compactInPlace]]. The maintenance op that
+    * bounds partition growth under continuous ingest, as for the
+    * posting store. */
+  def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.clearResidue(s, path)
+    // partition-dir type inference reads batch_id back as int — cast up
+    val ids = s.read.parquet(path).select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filter(b => b >= 0 && b < foldBelow)
+    if (ids.isEmpty) return
+    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+      val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
+      df.filter(col("batch_id") < foldBelow)
+        .groupBy("bg").agg(sum("c2").as("c2")).withColumn("batch_id", lit(-1L))
+        .unionByName(df.filter(col("batch_id") >= foldBelow))
+    } { (df, tmp) =>
+      df.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      val vw = s.read.parquet(path + "/_vocab")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      vw.filter(col("batch_id") < foldBelow).select("w").distinct()
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(vw.filter(col("batch_id") >= foldBelow))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
+    }
+  }
 
   /** Score a batch under a STORED LM. For grams the model never saw,
     * add-one smoothing degrades gracefully: a missing bigram scores
@@ -632,13 +696,18 @@ object TextOps {
   private[graft] def lmScoreStored(s: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    val lm2 = s.read.parquet(path)
+    // counts SUM across batch partitions (additive appends) and the
+    // vocabulary is the distinct union of the per-batch word sets —
+    // exactly what a single-shot training run over the union computes,
+    // so the stored LM is exact at any append depth
+    val lm2 = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
     val lm1 = lmContexts(lm2)
-    // the vocabulary scalar is one meta row — collect it (control-plane)
-    // so a degenerate model fails LOUDLY: v = 0 (a model trained on an
-    // empty corpus) would otherwise score every gram ln(1/0) = ∞,
-    // fixed-pointed silently to Long.MaxValue
-    val v = s.read.parquet(path + "/_meta").collect()(0).getLong(0)
+    // the vocabulary size collects as one scalar (model-plane) so a
+    // degenerate model fails LOUDLY: v = 0 (an empty training corpus)
+    // would otherwise score every gram ln(1/0) = ∞, fixed-pointed
+    // silently to Long.MaxValue
+    val v = s.read.parquet(path + "/_vocab")
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     require(v > 0, s"stored LM at $path has an empty vocabulary — refusing to score")
     val logpFp = round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
       / (coalesce(col("c1"), lit(0L)) + lit(v))) * lit(1e6)).cast(LongType)

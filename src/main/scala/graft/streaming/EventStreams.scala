@@ -258,6 +258,34 @@ object EventStreams {
     graft.operators.Search.compactSearchIndex(s, indexPath,
       foldBelow = committedWatermark(s, checkpointDir) + 1)
 
+  /** Streaming LM ingest: each micro-batch of (doc_id, text) documents
+    * lands its bigram counts and word set as the batch's partitions of
+    * the stored LM ([[graft.operators.TextOps.appendLmBatch]] — additive
+    * counts, vocab union at load), so the quality gate's model tracks
+    * the corpus continuously. Replay-idempotent like every batch-scoped
+    * store here (a re-executed micro-batch overwrites its own
+    * partitions); compaction derives its watermark from the SAME
+    * checkpoint via [[compactLmFromCheckpoint]]. Bootstrap the model
+    * with `writeLmModel` over the existing corpus before starting. */
+  def ingestLmStream(docs: DataFrame, modelPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestLmBatch(batch.toDF(), id, modelPath)
+      }
+      .start()
+
+  /** One micro-batch of the LM ingest — the replay-contract seam. */
+  def ingestLmBatch(batch: DataFrame, id: Long, modelPath: String): Unit =
+    graft.operators.TextOps.appendLmBatch(batch.sparkSession, batch, modelPath, id)
+
+  /** [[compactPostingsFromCheckpoint]] for the stored LM. */
+  def compactLmFromCheckpoint(s: SparkSession, modelPath: String,
+      checkpointDir: String): Unit =
+    graft.operators.TextOps.compactLmModel(s, modelPath,
+      foldBelow = committedWatermark(s, checkpointDir) + 1)
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)

@@ -427,6 +427,48 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("vec_id") === vid).count() === 1L)
   }
 
+  test("streaming LM ingest tracks the corpus; streamed model == single-shot; checkpoint-compaction preserves scores") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmingest").toString
+    val (model, ckpt) = (s"$tmp/model", s"$tmp/ckpt")
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    TextOps.writeLmModel(spark, docs.filter(col("doc_id") < 250), model)
+    val rest = docs.filter(col("doc_id") >= 250)
+      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+    val (b0, b1) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[DocRow]
+    val q = EventStreams.ingestLmStream(input.toDF(), model, ckpt)
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def scores(): Seq[(Long, Long, Long)] =
+      TextOps.lmScoreStored(spark, docs, model).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val streamed = scores()
+    val single = java.nio.file.Files.createTempDirectory("graft-lmss").toString + "/model"
+    TextOps.writeLmModel(spark, docs, single)
+    assert(streamed === TextOps.lmScoreStored(spark, docs, single).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq,
+      "the streamed LM must equal single-shot training on the full corpus")
+    // replay of a committed batch overwrites itself
+    EventStreams.ingestLmBatch(b1.toDF(), 1L, model)
+    assert(scores() === streamed, "a replayed LM batch must change nothing")
+    // the checkpoint knows batches 0..1 committed: auto-compaction folds
+    // exactly them and moves no score
+    EventStreams.compactLmFromCheckpoint(spark, model, ckpt)
+    val remaining = spark.read.parquet(model)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining === Set(-1L),
+      s"all committed batches must fold into the bootstrap, got $remaining")
+    assert(scores() === streamed, "checkpoint-derived compaction must move no score")
+  }
+
   test("streaming posting ingest grows the search index; streamed BM25 == full-corpus in-query") {
     import graft.operators.Search
     implicit val sqlCtx = spark.sqlContext

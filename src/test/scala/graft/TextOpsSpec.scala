@@ -128,7 +128,8 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stored === inQuery,
       "on its own training corpus the stored LM must score bit-identically to retraining")
     // a fully-OOV doc: every bigram scores ln(1/v) exactly (c2=0, c1=0)
-    val v = spark.read.parquet(path + "/_meta").collect()(0).getLong(0)
+    val v = spark.read.parquet(path + "/_vocab")
+      .select("w").distinct().count()
     val novel = Seq((999L, "zz qq xx")).toDF("doc_id", "text")
     val got = TextOps.lmScoreStored(spark, novel, path).collect()(0)
     val fp = BigDecimal(math.log(1.0 / v) * 1e6)
@@ -137,6 +138,40 @@ class TextOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.getLong(1) === 2L && got.getDouble(2) === want,
       "novel grams must smooth to ln(1/v) — the stored gate's graceful-degradation contract")
+  }
+
+  test("LM store grows exactly: bootstrap+appends ≡ single-shot training; replay and compaction preserve scores") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-lmgrow").toString + "/model"
+    // bootstrap on a third, append the other two thirds as two batches
+    TextOps.writeLmModel(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    TextOps.appendLmBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L)
+    TextOps.appendLmBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    def scores(): Seq[(Long, Long, Long)] =
+      TextOps.lmScoreStored(spark, docs, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val grown = scores()
+    // counts sum and vocab unions: the grown store must equal one
+    // single-shot model over the full corpus, bit-for-bit
+    val single = java.nio.file.Files.createTempDirectory("graft-lmsingle").toString + "/model"
+    TextOps.writeLmModel(spark, docs, single)
+    assert(grown === TextOps.lmScoreStored(spark, docs, single).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq,
+      "additive counts + vocab union must reproduce single-shot training exactly")
+    // a replayed append overwrites itself
+    TextOps.appendLmBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    assert(scores() === grown, "a replayed batch must leave the model unchanged")
+    // folding batch 1 below the watermark preserves every score
+    TextOps.compactLmModel(spark, path, foldBelow = 2L)
+    assert(scores() === grown, "compaction must never move a score")
+    val remaining = spark.read.parquet(path)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining === Set(-1L, 2L),
+      "folded batch partitions must collapse into the bootstrap")
   }
 
   test("stored NB classifier scores the training corpus identically; OOV llr is the hand constant") {
