@@ -367,6 +367,46 @@ object CoreOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  // §2.5 extension — the rank family (rank, dense_rank, percent_rank,
+  // cume_dist, ntile): one window pass per group ordering, the
+  // analytics-SQL staple qWindowFrames' lag/lead/frames don't cover.
+  // Ties rank identically in both engines (ORDER BY l_quantity alone, so
+  // ties are real and the tie semantics — not just the happy path — are
+  // what the oracle pins); ntile's uneven-bucket rule (first buckets get
+  // the extra rows) matches DuckDB's.
+  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1) // one row per order: bounded output
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w.orderBy(col("l_quantity"), col("l_orderkey")))
+          .cast(LongType).as("quartile"))
+      .orderBy("l_returnflag", "l_quantity", "l_orderkey")
+  }
+
+  // §2.3 extension — FULL OUTER join: daily signup activity vs daily
+  // purchase activity over events, keyed on the day — days with only one
+  // side must survive with the other side NULL-filled (the reconciliation
+  // shape left/inner joins silently drop). Plans as a shuffled full outer
+  // hash/merge join on the day key; day cardinality bounds the output.
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def daily(t: String, name: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(count(lit(1)).as(name))
+    daily("signup", "n_signups")
+      .join(daily("purchase", "n_purchases"), Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("d")
+  }
+
   // §2.4 extension — exact interpolated quantiles (percentile agg): both
   // engines use the same linear-interpolation definition, so this is
   // differentially testable. At 100 TB the sketch twin is
@@ -719,6 +759,8 @@ object CoreOps {
     "q_column_stats"    -> qColumnStats _,
     "q_corr_stats"      -> qCorrStats _,
     "q_unpivot"         -> qUnpivot _,
+    "q_window_ranks"    -> qWindowRanks _,
+    "q_full_outer"      -> qFullOuter _,
     "q_histogram"       -> qHistogram _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
@@ -953,6 +995,30 @@ object CoreOps {
         |  round((n_c * sxy_c - sx_c * sy_c) / sqrt((n_c * sxx_c - sx_c * sx_c) * (n_c * syy_c - sy_c * sy_c)), 6),
         |  round((sxy_c - sx_c * sy_c / n_c) / (n_c - 1.0), 6) FROM m
         |ORDER BY col_x, col_y""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT l_returnflag, l_orderkey, l_quantity,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey) AS BIGINT) AS quartile
+        |FROM lineitem WHERE l_linenumber = 1
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH s AS (
+        |  SELECT cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS d,
+        |    count(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS d,
+        |    count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(s.d, p.d) AS d,
+        |  coalesce(n_signups, 0) AS n_signups,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM s FULL OUTER JOIN p ON s.d = p.d
+        |ORDER BY d""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS double) AS value FROM lineitem
         |UNION ALL
