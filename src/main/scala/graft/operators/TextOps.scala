@@ -568,11 +568,10 @@ object TextOps {
       .withColumn("w1", substring_index(col("bg"), " ", 1))
 
   /** The 1-row vocabulary-size frame of a corpus (add-one smoothing's
-    * denominator term) — shared like [[lmGrams]]. */
+    * denominator term) — DERIVED from [[lmWords]] so the in-query scalar
+    * and the stored word sets are one tokenization by construction. */
   private def lmVocab(docs: DataFrame): DataFrame =
-    docs.select(split(normText(col("text")), " ").as("words"))
-      .select(explode(col("words")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    lmWords(docs).agg(count(col("w")).as("v"))
 
   /** Context counts derived FROM the bigram counts (c1(w) = Σ c2 of w's
     * bigrams) — vocab²-bounded frame arithmetic instead of a second full
@@ -667,9 +666,24 @@ object TextOps {
   def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit = {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
-    // partition-dir type inference reads batch_id back as int — cast up
-    val ids = s.read.parquet(path).select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).filter(b => b >= 0 && b < foldBelow)
+    // foldable ids from DIRECTORY LISTINGS (the compactSearchIndex
+    // discipline — no file footer is touched to learn partition names;
+    // a missing store no-ops like the sibling). Counts partition one
+    // level deep, so this is the first-level children. BOTH stores are
+    // consulted: a batch of only short docs writes a _vocab partition
+    // but no counts partition, and its vocab rows must still fold.
+    def batchDirs(p: String): Set[Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), s.sparkContext.hadoopConfiguration)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Set.empty
+      else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSet
+    }
+    if (batchDirs(path).isEmpty) return // no store (or no partitions): no-op
+    val ids = (batchDirs(path) ++ batchDirs(path + "/_vocab"))
+      .filter(b => b >= 0 && b < foldBelow)
     if (ids.isEmpty) return
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
@@ -849,8 +863,14 @@ object TextOps {
     // v = 0, an empty training corpus — refuses loudly instead of
     // scoring every token against a zero vocabulary
     val m = s.read.parquet(path + "/_meta").collect()(0)
-    val (nPos, nNeg, v, priorFp) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    // by NAME, not ordinal (a writeNbModel column reorder must not swap
+    // denominators silently), and v — a count, never NULL — checks FIRST:
+    // an empty-domain model has NULL totals, and reading those before the
+    // guard would throw a bare NPE instead of this message
+    val v = m.getAs[Long]("v")
     require(v > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
+    val (nPos, nNeg, priorFp) =
+      (m.getAs[Long]("n_pos"), m.getAs[Long]("n_neg"), m.getAs[Long]("prior_fp"))
     val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / lit(nPos + v).cast("double"))
       - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / lit(nNeg + v).cast("double"))) * lit(1e6))
       .cast(LongType)

@@ -174,6 +174,38 @@ class TextOpsSpec extends AnyFunSuite {
       "folded batch partitions must collapse into the bootstrap")
   }
 
+  test("degenerate stored models refuse loudly; LM compaction no-ops and folds vocab-only batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a corpus of single-word docs has an empty classifier domain: the
+    // stored scorer must refuse with the vocabulary message, not NPE on
+    // the NULL totals
+    val nbPath = java.nio.file.Files.createTempDirectory("graft-nbdegen").toString + "/model"
+    TextOps.writeNbModel(spark, Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text"), nbPath)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.qualityClassifierStored(spark, Seq((3L, "some text")).toDF("doc_id", "text"), nbPath)
+    }
+    assert(e.getMessage.contains("empty vocabulary"))
+    // compacting a store that does not exist is a no-op, not a crash
+    TextOps.compactLmModel(spark,
+      java.nio.file.Files.createTempDirectory("graft-lmnone").toString + "/never", 5L)
+    // a batch of only short docs writes a _vocab partition but no counts
+    // partition; compaction must fold it anyway
+    val lmPath = java.nio.file.Files.createTempDirectory("graft-lmshort").toString + "/model"
+    TextOps.writeLmModel(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), lmPath)
+    TextOps.appendLmBatch(spark, Seq((2L, "solo")).toDF("doc_id", "text"), lmPath, 0L)
+    TextOps.compactLmModel(spark, lmPath, foldBelow = 1L)
+    val vocabBatches = spark.read.parquet(lmPath + "/_vocab")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(vocabBatches === Set(-1L),
+      s"vocab-only batch partitions must fold below the watermark, got $vocabBatches")
+    // ...and the folded vocabulary still counts the union
+    val v = spark.read.parquet(lmPath + "/_vocab").select("w").distinct().count()
+    assert(v === 4L, "alpha beta gamma + solo")
+  }
+
   test("stored NB classifier scores the training corpus identically; OOV llr is the hand constant") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
