@@ -104,7 +104,12 @@ object Analyze {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    def dec(c: String) = col(c).cast("decimal(18,4)")
+    // cast each column to decimal ONCE in a projection below the
+    // aggregate — the per-pair moment expressions otherwise repeat the
+    // double→decimal conversion up to 5·|pairs| times per row, which
+    // dominates the scan at bench scale
+    val projected = df.select(cols.map(c => col(c).cast("decimal(18,4)").as(c)): _*)
+    def dec(c: String) = col(c)
     val momentCols = pairs.flatMap { case (x, y) =>
       val both = dec(x).isNotNull && dec(y).isNotNull
       val gx = when(both, dec(x))
@@ -112,7 +117,7 @@ object Analyze {
       Seq(count(when(both, lit(1))), sum(gx), sum(gy),
         sum(gx * gx), sum(gy * gy), sum(gx * gy))
     }
-    val m = df.agg(momentCols.head, momentCols.tail: _*).collect()(0)
+    val m = projected.agg(momentCols.head, momentCols.tail: _*).collect()(0)
     def dbl(i: Int): Double =
       if (m.isNullAt(i)) Double.NaN else m.getDecimal(i).doubleValue
     val out = pairs.zipWithIndex.map { case ((x, y), p) =>
