@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{CoreOps, Dedup, EventOps, Multimodal, Pipeline, Search, Similarity, TemporalJoins, TextOps}
+import graft.operators.{CoreOps, Dedup, EventOps, Graph, Multimodal, Pipeline, Search, Similarity, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ EventOps.queries ++ Multimodal.queries ++
-      TemporalJoins.queries ++ Pipeline.queries ++ Search.queries
+      TemporalJoins.queries ++ Pipeline.queries ++ Search.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys omitted HERE are covered by the
@@ -34,7 +35,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreOps.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
-      TemporalJoins.oracles ++ Pipeline.oracles ++ Search.oracles
+      TemporalJoins.oracles ++ Pipeline.oracles ++ Search.oracles ++
+      Graph.oracles
 
   /** The COMPLETE oracle map for a dataset: the static SQL-replay oracles
     * plus the seven differential expected-parquet oracles

@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subsetting for local iteration (tools/selfcheck.py): the
+    // driver never sets this, so its runs always dump every query.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    selected.foreach { case (name, fn) =>
       // X5 observability (body:486-487, 1253-1266): tag every job with the
       // query it belongs to, so the Spark UI / event log attributes stages.
       graft.lifecycle.Observability.withJobGroup(spark, name, s"graft verify: $name") {

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relationship edges derived from the relational
+  * tables — the second graph-family member beside [[Dedup]]'s
+  * large-star/small-star connected components (q_dedup_clusters).
+  *
+  * The reference has no graph operators (its only "graph" is the
+  * batch_dependency DAG, walked row-at-a-time in
+  * pkg_batch_util_body.sql:258-331); PageRank is a north-star extension —
+  * the influence/centrality measure a curation pipeline uses to weight
+  * link-graph-derived quality signals (the original web-scale use).
+  *
+  * Scale + determinism design:
+  *  - **Fixed-point integer arithmetic.** Ranks are micro-units
+  *    (1e6 = 1.0) held in BIGINT; per-edge contributions are integer
+  *    floor divisions and the damping step is `(85 * Σ) div 100`. Integer
+  *    addition is associative-commutative, so partition order, retries
+  *    and AQE re-plans cannot wiggle a rank — the property that lets the
+  *    DuckDB oracle replay the same unrolled iterations and hash-match
+  *    exactly (the q_lm_score / bm25 fixed-point discipline applied to an
+  *    iterative algorithm).
+  *  - **One shuffle per iteration.** Each round is a keyed join of the
+  *    (src-degreed) edge list against the current rank vector plus one
+  *    dst-keyed aggregation — the textbook distributed formulation whose
+  *    cost is O(|E|) per round at any scale. Iteration count is a fixed
+  *    constant (power iteration, not convergence polling), so the plan is
+  *    a static [[PrIters]]-deep DAG — no driver-side loop state, no
+  *    collect anywhere.
+  *  - At 100 TB the edge list would be persisted/bucketed by `src` once
+  *    (Sinks.saveBucketed) so every round's join is co-located; here the
+  *    3-round lineage re-reads the (broadcast-joinable) inputs, which AQE
+  *    handles at bench scale.
+  */
+object Graph {
+
+  /** Power-iteration rounds. Fixed (not convergence-tested) so the plan
+    * shape, the oracle SQL, and the sequential spec twin all agree on
+    * exactly how many rounds ran. */
+  private[graft] val PrIters = 3
+
+  /** Initial rank in micro-units (1.0 per node — the uniform start). */
+  private[graft] val PrInit = 1000000L
+
+  /** Undirected customer↔supplier edges: customer `c` bought from
+    * supplier `s` somewhere in lineitem. Node ids interleave the two key
+    * spaces (customer 2k, supplier 2k+1) so one BIGINT column addresses
+    * both sides. DISTINCT first — multiplicity is not adjacency. */
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("bigint").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("bigint").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank over an arbitrary directed edge frame (src, dst) — both
+    * directions of an undirected graph are the caller's two rows. The
+    * update is the standard damped form in micro-units:
+    * `r' = 150000 + (85 * Σ_in (r_src div deg_src)) div 100`. Nodes
+    * outside the edge list don't exist; a node with edges always has
+    * in-edges under an undirected edge set, so no rank mass silently
+    * vanishes into dangling nodes. */
+  private[graft] def pagerank(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // degree rides the edge list once; each round joins only the rank
+    val edgesDeg = edges.join(deg, "src")
+    var rank = deg.select(col("src").as("node"), lit(PrInit).as("r"))
+    (1 to PrIters).foreach { _ =>
+      rank = edgesDeg.join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node")
+        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("r"))
+    }
+    rank
+  }
+
+  /** Registered face: PageRank centrality of every customer and supplier
+    * in the purchase graph, [[PrIters]] exact-integer rounds. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = custSuppEdges(s, dir)
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    pagerank(und)
+      .select(col("node"),
+        when(pmod(col("node"), lit(2L)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        col("r").as("rank_micro"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> qPagerank _,
+  )
+
+  /** The oracle unrolls the same [[PrIters]] integer rounds as CTEs.
+    * DuckDB's `//` is floor division and Spark's `div` truncates toward
+    * zero — identical on the all-nonnegative values here; the HUGEINT
+    * that DuckDB's BIGINT sum() widens to is cast back down so both
+    * engines hash BIGINT ranks. */
+  val oracles: Map[String, String] = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT u.dst AS node,
+         |    CAST(150000 + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
+         |  FROM und u
+         |  JOIN r${i - 1} p ON u.src = p.node
+         |  JOIN deg ON u.src = deg.node
+         |  GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q_pagerank" ->
+        s"""$base,
+           |$iters
+           |SELECT node,
+           |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           |  r AS rank_micro
+           |FROM r$PrIters ORDER BY node""".stripMargin,
+    )
+  }
+}

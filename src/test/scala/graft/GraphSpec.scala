@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank (operators/Graph): the distributed fixed-point iteration must
+  * equal a sequential driver-side fold of the same integer update — the
+  * determinism contract that lets the DuckDB oracle replay it. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  /** Sequential reference: the same damped integer update, computed in a
+    * driver loop over an adjacency map. */
+  private def seqPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val bySrc = edges.groupBy(_._1)
+    val deg = bySrc.map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    (1 to iters).foreach { _ =>
+      val recv = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => recv(dst) += rank(src) / deg(src) }
+      rank = recv.map { case (n, sum) => n -> (150000L + 85L * sum / 100L) }.toMap
+    }
+    rank
+  }
+
+  test("pagerank equals the sequential integer fold on a hand graph") {
+    // path + hub: 1—2, 2—3, 2—4 (undirected)
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (2L, 4L), (4L, 2L))
+    val got = Graph.pagerank(und.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === seqPagerank(und, 3))
+    // the hub (node 2) must out-rank the leaves
+    assert(got(2L) > got(1L) && got(2L) > got(3L) && got(2L) > got(4L))
+  }
+
+  test("q_pagerank covers every connected node exactly once, typed by key space") {
+    val df = Graph.qPagerank(s, TestSpark.sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(r =>
+      (r.getLong(0) % 2 == 0) == (r.getString(1) == "customer")))
+    // both node types participate and every rank carries the damping floor
+    assert(rows.exists(_.getString(1) == "customer"))
+    assert(rows.exists(_.getString(1) == "supplier"))
+    assert(rows.forall(_.getLong(2) >= 150000L))
+  }
+
+  test("pagerank is invariant to edge-list partitioning") {
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val one = Graph.pagerank(und.toDF("src", "dst").repartition(1))
+      .orderBy("node").collect().toSeq
+    val many = Graph.pagerank(und.toDF("src", "dst").repartition(7, col("dst")))
+      .orderBy("node").collect().toSeq
+    assert(one === many)
+  }
+}
