@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.ScalarLib
 import graft.sources.Tables
@@ -718,6 +718,53 @@ object CoreOps {
       .orderBy("batch")
   }
 
+  // ---- file-level data skipping (sources/Manifest) ----------------------
+  // S1/S6 extension: the manifest generalizes partition pruning to ANY
+  // orderable column (per-file min/max sidecar; Iceberg/Delta's data-
+  // skipping idea from public primitives). Both query faces share their
+  // oracle with a plain filtered scan — skipping must be answer-invisible;
+  // ManifestSpec asserts the pruned scans touch strict file subsets.
+  private def manifestStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-manifest", dir)
+
+  private def zorderStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-zorder", dir)
+
+  /** One year of shipments served through a manifest-pruned read of a
+    * ship-date-clustered lineitem layout (range clustering → tight
+    * per-file date intervals → most files skip). */
+  def qManifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = manifestStorePath(dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      graft.sources.Manifest.writeClustered(
+        Tables.lineitem(s, dir), path, "l_shipdate", 16, Seq("l_shipdate"))
+    }
+    graft.sources.Manifest.readPruned(s, path, "l_shipdate",
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1996-12-31 23:59:59"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A part-key range served through the Z-ordered layout: bit-interleaved
+    * (l_partkey, l_suppkey) sort key, so ONE layout prunes on either
+    * column (ManifestSpec measures both) — lexicographic clustering would
+    * be tight only on its leading column. */
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = zorderStorePath(dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      graft.sources.Manifest.writeZordered(
+        Tables.lineitem(s, dir), path, Seq("l_partkey", "l_suppkey"), 24, 16)
+    }
+    graft.sources.Manifest.readPruned(s, path, "l_partkey", 100L, 299L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Query registry (name → builder). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project"    -> qScanProject _,
@@ -771,10 +818,27 @@ object CoreOps {
     "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
     "q_quantiles"       -> qQuantiles _,
+    "q_manifest_prune"  -> qManifestPrune _,
+    "q_zorder_prune"    -> qZorderPrune _,
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
   val oracles: Map[String, String] = Map(
+    // data skipping is answer-invisible: both oracles are plain filtered
+    // scans of the source table (no manifest, no layout)
+    "q_manifest_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |  AND TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
