@@ -774,6 +774,155 @@ object Similarity {
       queries)
   }
 
+  // ---- PQ ANN (product quantization, the third scale tier) --------------
+  /** PQ parameters: [[PqSubspaces]] subspaces of [[PqSubDim]] dims, each
+    * quantized to one of [[PqCodes]] centroids — a vector compresses to
+    * M 4-bit codes (+ one reconstruction norm), 64 floats → 16 bytes
+    * here. Where IVF prunes WHICH vectors a query reads, PQ shrinks WHAT
+    * a read costs: the scored scan streams codes instead of vectors, and
+    * the two compose (IVF-PQ is the production pairing — Jégou et al.
+    * 2011, "Product quantization for nearest neighbor search", public
+    * method). Subspace width trades compression against distortion: the
+    * synthetic corpus is near-uniform (top-5 cosine margins are tiny), so
+    * the demo uses narrow 2-dim subspaces — 16 codes over 2 dims keeps
+    * enough rank fidelity to measure honest recall; clustered production
+    * embeddings run wider subspaces (classic 8×256) at the same recall. */
+  private[graft] val PqSubspaces = 32
+  private[graft] val PqSubDim = Dim / PqSubspaces
+  private[graft] val PqCodes = 16
+  private val PqLloydIters = 3
+
+  /** RAW training sample (the [[trainQuantizer]] selection without the
+    * unit normalization — PQ quantizes subvector VALUES, not directions):
+    * the [[IvfSeedSample]] vectors with the smallest xxhash64(vec_id). */
+  private[graft] def pqSample(vectors: DataFrame): Array[Array[Double]] =
+    vectors.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Train the PQ codebook over an already-collected raw sample: per
+    * subspace, farthest-point seeding + [[PqLloydIters]] Euclidean Lloyd
+    * rounds (squared-distance objective — the spherical variant in
+    * [[trainQuantizerOnSample]] would discard subvector magnitudes, which
+    * is exactly what PQ must preserve). Driver-side, sequential,
+    * deterministic; SHARED with the differential twin
+    * ([[graft.verify.Expected.pqRows]]) — the trainQuantizerOnSample
+    * contract: twin and engine must train one codebook.
+    * Returns codebook(m)(k) = the k-th centroid of subspace m. */
+  private[graft] def trainPqOnSample(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+      s0
+    }
+    (0 until PqSubspaces).map { m =>
+      val sub = sample.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      // farthest-point seeding (deterministic: maxBy keeps the first tie)
+      val seeds = scala.collection.mutable.ArrayBuffer(sub.head)
+      while (seeds.size < math.min(PqCodes, sub.length)) {
+        seeds += sub.maxBy(u => seeds.map(c => d2(u, c)).min)
+      }
+      var cents: Array[Array[Double]] = seeds.toArray
+      (0 until PqLloydIters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](PqSubDim))
+        val counts = new Array[Int](cents.length)
+        sub.foreach { u =>
+          var best = 0; var bestD = Double.PositiveInfinity; var i = 0
+          while (i < cents.length) {
+            val d = d2(u, cents(i))
+            if (d < bestD) { bestD = d; best = i }
+            i += 1
+          }
+          counts(best) += 1
+          var j = 0; while (j < PqSubDim) { sums(best)(j) += u(j); j += 1 }
+        }
+        // an empty cell keeps its seed (can't recenter nothing)
+        cents = cents.zipWithIndex.map { case (c, i) =>
+          if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+        }
+      }
+      cents
+    }.toArray
+  }
+
+  /** Per-(subspace, code) squared centroid norms — shared between the
+    * engine expressions and the twin so both faces subtract and
+    * reconstruct with the same scalars. */
+  private[graft] def pqCn2(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map(c => ddot(c, c)))
+
+  /** Per-subspace code assignment, in-plan: argmin squared distance ==
+    * argmax of (dot(x_m, c) − ‖c‖²/2) (the ‖x_m‖² term is
+    * code-independent), expressed with the IVF argmax idiom — ties take
+    * the larger code on both faces (array_max's struct order; the twin's
+    * tuple max). */
+  private def pqCodeCols(s: SparkSession, cb: Array[Array[Array[Double]]])(emb: Column): Column = {
+    val cn2 = pqCn2(cb)
+    array((0 until PqSubspaces).map { m =>
+      val sub = slice(emb, m * PqSubDim + 1, PqSubDim)
+      array_max(array(cb(m).indices.map { k =>
+        struct((dotCol(s, sub, array(cb(m)(k).map(lit): _*)) - lit(cn2(m)(k) / 2)).as("score"),
+          lit(k).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+  }
+
+  /** ‖reconstruction‖ from the codes alone: √(Σ_m ‖c_{m,code_m}‖²) —
+    * subspace centroids are orthogonal blocks, so the reconstruction's
+    * squared norm is the sum of its parts'. */
+  private def pqReconNorm(cb: Array[Array[Array[Double]]])(codes: Column): Column = {
+    val cn2 = pqCn2(cb)
+    sqrt((0 until PqSubspaces).map { m =>
+      element_at(array(cn2(m).map(lit): _*), codes.getItem(m) + 1)
+    }.reduce[Column](_ + _))
+  }
+
+  /** The query-side ADC lookup table, built ONCE per query row before the
+    * join: lut(m)(k) = dot(q_m, c_{m,k}). Scoring a corpus row is then M
+    * two-level element_ats + adds — the asymmetric-distance trick that
+    * makes a PQ scan cheap. */
+  private def pqLut(s: SparkSession, cb: Array[Array[Array[Double]]])(qEmb: Column): Column =
+    array((0 until PqSubspaces).map { m =>
+      val sub = slice(qEmb, m * PqSubDim + 1, PqSubDim)
+      array(cb(m).indices.map(k => dotCol(s, sub, array(cb(m)(k).map(lit): _*))): _*)
+    }: _*)
+
+  /** ADC approximate dot: Σ_m lut(m)(code_m), summed in subspace order so
+    * the twin's left fold reproduces it bit-for-bit. */
+  private def pqAdc(lut: Column, codes: Column): Column =
+    (0 until PqSubspaces).map(m =>
+      element_at(element_at(lut, m + 1), codes.getItem(m) + 1)).reduce[Column](_ + _)
+
+  /** ANN top-5 via product quantization: the brute-force scan shape of
+    * [[qAnnTopkAgg]], but the corpus side the join streams is 16 code
+    * bytes + a norm per vector instead of 64 floats — a 16× smaller scan
+    * (25 TB of vectors → ~1.6 TB of codes at 100 TB corpus scale).
+    * Encoding (one scan through the broadcast-codebook argmax
+    * expressions) is paid once; queries carry their ADC lookup tables
+    * through the broadcast. Approximation quality is MEASURED, not
+    * asserted: SimilaritySpec bounds recall@5 vs the exact brute force;
+    * correctness of the machinery rides a differential Expected twin
+    * (DuckDB cannot replay codebook training). */
+  def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    qAnnPqFrom(s, Tables.embeddings(s, dir))
+
+  private[graft] def qAnnPqFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val cb = trainPqOnSample(pqSample(vectors))
+    val e = withNorm(s, vectors)
+    val corpus = e.select(col("vec_id").as("n_id"),
+        pqCodeCols(s, cb)(col("embedding")).as("codes"))
+      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
+        pqLut(s, cb)(col("embedding")).as("lut"))
+    explodeRanks(corpus.crossJoin(broadcast(queries))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+  }
+
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, each
     * component stored as round(v/scale) — 4× smaller than float32, the
@@ -949,6 +1098,7 @@ object Similarity {
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
+    "q_ann_pq"        -> qAnnPq _,
     "q_ivf_probe"     -> qIvfProbe _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_kmeans"        -> qKmeans _,

@@ -9,10 +9,10 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the eleven queries whose math DuckDB
+/** Driver-side differential twins for the twelve queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
-  * training, iterative BPE merge training, zlib deflate): each generator
-  * recomputes the
+  * and PQ-codebook training, iterative BPE merge training, zlib deflate):
+  * each generator recomputes the
   * query's EXPECTED output as
   * plain sequential Scala over the collected input table — no DataFrames,
   * no Spark expressions, no shuffles — writes it as parquet, and hands the
@@ -283,6 +283,51 @@ object Expected {
     }.sortBy(r => (r._1, r._2))
   }
 
+  // ---- q_ann_pq ----------------------------------------------------------
+  /** Expected (q_id, rank, neighbor_id, cosine) rows for the PQ tier.
+    * Shares ONLY [[Similarity.trainPqOnSample]] (+ [[Similarity.ddot]] and
+    * the cn2 scalars) with the engine — the codebook-training contract;
+    * sample selection, per-vector encoding (argmax ties to the larger
+    * code), reconstruction norms, the ADC lookup-table sum in subspace
+    * order, and the top-5 ranking are re-derived sequentially here, so
+    * any distributed-stage drift in the PQ scan is a hash mismatch. */
+  def pqRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val sample = embs
+      .sortBy { case (id, _) => (XXH64.hashLong(id, 42L), id) }
+      .take(Similarity.IvfSeedSample)
+      .map(_._2.map(_.toDouble)).toArray
+    val cb = Similarity.trainPqOnSample(sample)
+    val cn2 = Similarity.pqCn2(cb)
+    val m = Similarity.PqSubspaces
+    val sd = Similarity.PqSubDim
+    def subv(v: Array[Double], i: Int): Array[Double] = v.slice(i * sd, (i + 1) * sd)
+    val withNrm = normed(embs)
+    val corpus = withNrm.map { case (id, d, _) =>
+      val codes = (0 until m).map { i =>
+        val x = subv(d, i)
+        cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
+          .max(byScore)._2
+      }
+      // left fold in subspace order — the engine's reduce(_ + _)
+      val recon = math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
+      (id, codes, recon)
+    }
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      val lut = (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
+      corpus.iterator
+        .filter(_._1 != qid)
+        .map { case (nid, codes, recon) =>
+          val adc = (0 until m).map(i => lut(i)(codes(i))).sum
+          (round6(adc / (qn * recon)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5)
+        .zipWithIndex
+        .map { case ((cos, nid), r) => (qid, (r + 1).toLong, nid, cos) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
   // ---- q_dedup_semantic --------------------------------------------------
   /** Expected (drop_id, keep_id, list_id, cosine) rows for the
     * SemDeDup-style semantic dedup: same quantizer + nearest-list
@@ -380,8 +425,8 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute the expected outputs (nine
-    * artifacts serving eleven oracle entries — the IVF and BPE artifacts
+  /** Collect the input tables, compute the expected outputs (ten
+    * artifacts serving twelve oracle entries — the IVF and BPE artifacts
     * each cover their stored face too), write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
@@ -408,6 +453,7 @@ object Expected {
     val sh = write("q_dedup_simhash", simhashRows(docs).toDF("doc_a", "doc_b", "hamming"))
     // one expected artifact for both IVF faces (stored probe ≡ in-query)
     val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val pq = write("q_ann_pq", pqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
     val bpe = write("q_token_bpe", bpeRows(docs)
@@ -426,6 +472,7 @@ object Expected {
       "q_dedup_minhash" -> sql(mh, "doc_a, doc_b, n_bands", "doc_a, doc_b"),
       "q_dedup_simhash" -> sql(sh, "doc_a, doc_b, hamming", "doc_a, doc_b"),
       "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_ann_pq"        -> sql(pq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
       "q_token_bpe"     -> sql(bpe,

@@ -48,6 +48,16 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PQ twin equals the engine's ADC scan bit-for-bit (doubles by bits)") {
+    val expected = Expected.pqRows(embs)
+      .map { case (q, r, n, c) => (q, r, n, java.lang.Double.doubleToLongBits(c)) }
+    val got = Similarity.qAnnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("semantic-dedup twin equals the engine bit-for-bit (doubles by bits)") {
     val expected = Expected.semanticRows(embs)
       .map { case (d, k, l, c) => (d, k, l, java.lang.Double.doubleToLongBits(c)) }

@@ -455,6 +455,16 @@ class PlanSpec extends AnyFunSuite {
       "the aggregate face must not fall back to the window's per-query sort")
   }
 
+  test("q_ann_pq: broadcast ADC scan, bounded partial aggregate, no window") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("partial_graft_topk"),
+      s"map tasks must reduce PQ candidates to k BEFORE the shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the query batch (with its ADC lookup tables) must broadcast — the corpus never shuffles")
+    assert(!p.contains("Window"),
+      "the PQ face must not fall back to a per-query window sort")
+  }
+
   test("q_heavy_hitters: partial sketch before the shuffle, broadcast recount") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("partial_graft_mg"),
