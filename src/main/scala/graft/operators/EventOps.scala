@@ -246,7 +246,45 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ---- mergeable-sketch rollup (the pre-aggregated distinct-count store) --
+  /** Hourly HLL sketches of the active-user set, materialized ONCE as a
+    * parquet pre-aggregate (one binary sketch row per hour), then rolled
+    * up to days by sketch UNION — the datasketches property that makes
+    * distinct counts pre-aggregable at all: union is register-wise max,
+    * so merging hourly sketches equals sketching the day directly, and
+    * ANY time-range distinct count is answered from bytes-per-bucket
+    * state instead of a raw rescan (at 100 TB: a dashboard query over a
+    * year touches ~9k sketch rows, not the event log).
+    *
+    * The estimate itself is engine-specific, so the oracle surface is
+    * the q_approx_distinct pattern: (day, exact count, within-bound
+    * boolean) with the oracle recomputing exact and pinning
+    * approx_ok=TRUE — a sketch drifting past 5% turns the row red.
+    * SketchSpec additionally proves the rollup is GROUPING-INVARIANT
+    * (hourly-then-union ≡ daily-then-union bit-for-bit). */
+  def qHllRollup(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.TmpStores.scopedPath("graft-hllsk", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hr"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val daily = s.read.parquet(path)
+      .groupBy(date_trunc("DAY", col("hr")).as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = Tables.events(s, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(daily, "day")
+      .select(col("day"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact").cast(DoubleType) * 0.05)
+          .as("approx_ok"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_rollup"    -> qHllRollup _,
     "q_scd2"          -> qScd2 _,
     "q_event_funnel"  -> qEventFunnel _,
     "q_cohort"        -> qCohort _,
@@ -259,6 +297,10 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_rollup" ->
+      """SELECT cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS day,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(cast(ts AS timestamp)) AS t1 FROM events
