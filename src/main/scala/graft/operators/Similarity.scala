@@ -923,6 +923,45 @@ object Similarity {
       .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
   }
 
+  // ---- IVF-PQ (the production pairing of the two tiers) ------------------
+  /** IVF list pruning COMPOSED with PQ ADC scoring — the standard
+    * large-scale ANN deployment (FAISS's IVFPQ shape, Jégou et al. 2011):
+    * the coarse quantizer bounds WHICH vectors a query scores
+    * (nProbe/k of the corpus) and the PQ codes bound what each scored
+    * row COSTS (16 code bytes, no vector read). At 100 TB the two
+    * multiply: a query touches 5/16 of the data at 1/16 the bytes —
+    * ~2% of a brute-force scan's I/O. Both trainers are the existing
+    * bounded-sample driver-side procedures; one corpus scan emits list
+    * id + codes together. Accuracy rides the same differential
+    * discipline as the parents: an Expected twin re-derives the whole
+    * pipeline sequentially, and SimilaritySpec measures recall against
+    * brute force. */
+  def qIvfPq(s: SparkSession, dir: String): DataFrame =
+    qIvfPqFrom(s, Tables.embeddings(s, dir))
+
+  private[graft] def qIvfPqFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+    val e = withNorm(s, vectors)
+    val cents = trainQuantizer(e)
+    val cb = trainPqOnSample(pqSample(vectors))
+    // one scan: coarse list assignment + PQ encoding side by side
+    val corpus = e.select(col("vec_id").as("n_id"),
+        ivfListId(s, cents)(col("embedding"), col("nrm")).as("bucket"),
+        pqCodeCols(s, cb)(col("embedding")).as("codes"))
+      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
+        pqLut(s, cb)(col("embedding")).as("lut"),
+        ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
+    // a corpus vector lives in exactly one list, so a (query, neighbor)
+    // pair can match at most one probed bucket — no dedup needed
+    explodeRanks(corpus.join(broadcast(queries), "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+  }
+
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, each
     * component stored as round(v/scale) — 4× smaller than float32, the
@@ -1099,6 +1138,7 @@ object Similarity {
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_ann_pq"        -> qAnnPq _,
+    "q_ivf_pq"        -> qIvfPq _,
     "q_ivf_probe"     -> qIvfProbe _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_kmeans"        -> qKmeans _,

@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.DocHashes
 import graft.operators.{Dedup, Similarity}
 
-/** Driver-side differential twins for the twelve queries whose math DuckDB
+/** Driver-side differential twins for the thirteen queries whose math DuckDB
   * cannot replay in SQL (xxhash64-based fingerprints, iterative quantizer
   * and PQ-codebook training, iterative BPE merge training, zlib deflate):
   * each generator recomputes the
@@ -328,6 +328,53 @@ object Expected {
     }.sortBy(r => (r._1, r._2))
   }
 
+  // ---- q_ivf_pq ----------------------------------------------------------
+  /** Expected rows for the IVF-PQ composition: the [[ivfRows]] probe
+    * pipeline (shared coarse quantizer, probed-list filter) scored the
+    * [[pqRows]] way (shared codebook, ADC sum) — re-derived sequentially
+    * end-to-end, so drift in EITHER stage of the composed scan is a hash
+    * mismatch. */
+  def ivfPqRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = normed(embs)
+    val cents = quantizerFor(withNrm)
+    def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
+      cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
+    val sample = embs
+      .sortBy { case (id, _) => (XXH64.hashLong(id, 42L), id) }
+      .take(Similarity.IvfSeedSample)
+      .map(_._2.map(_.toDouble)).toArray
+    val cb = Similarity.trainPqOnSample(sample)
+    val cn2 = Similarity.pqCn2(cb)
+    val m = Similarity.PqSubspaces
+    val sd = Similarity.PqSubDim
+    def subv(v: Array[Double], i: Int): Array[Double] = v.slice(i * sd, (i + 1) * sd)
+    val corpus = withNrm.map { case (id, d, n) =>
+      val codes = (0 until m).map { i =>
+        val x = subv(d, i)
+        cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
+          .max(byScore)._2
+      }
+      val recon = math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
+      (id, codes, recon, scores(d, n).max(byScore)._2)
+    }
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      val probed = scores(qd, qn).sorted(byScore).reverse
+        .take(Similarity.IvfProbes).map(_._2).toSet
+      val lut = (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
+      corpus.iterator
+        .filter { case (nid, _, _, list) => probed(list) && nid != qid }
+        .map { case (nid, codes, recon, _) =>
+          val adc = (0 until m).map(i => lut(i)(codes(i))).sum
+          (round6(adc / (qn * recon)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5)
+        .zipWithIndex
+        .map { case ((cos, nid), r) => (qid, (r + 1).toLong, nid, cos) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
   // ---- q_dedup_semantic --------------------------------------------------
   /** Expected (drop_id, keep_id, list_id, cosine) rows for the
     * SemDeDup-style semantic dedup: same quantizer + nearest-list
@@ -425,9 +472,9 @@ object Expected {
   // ---- harness wiring ----------------------------------------------------
   private def sqlQuote(path: String): String = path.replace("'", "''")
 
-  /** Collect the input tables, compute the expected outputs (ten
-    * artifacts serving twelve oracle entries — the IVF and BPE artifacts
-    * each cover their stored face too), write
+  /** Collect the input tables, compute the expected outputs (eleven
+    * artifacts serving thirteen oracle entries — the IVF and BPE
+    * artifacts each cover their stored face too), write
     * them as parquet under `expectedDir`, and return the `read_parquet`
     * oracle SQL per query name — merged into oracle_sql.json by
     * [[graft.Verify]] (and [[graft.SparkEntry.oracleSqlFor]]), upgrading
@@ -454,6 +501,7 @@ object Expected {
     // one expected artifact for both IVF faces (stored probe ≡ in-query)
     val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val pq = write("q_ann_pq", pqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val ivfpq = write("q_ivf_pq", ivfPqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
     val bpe = write("q_token_bpe", bpeRows(docs)
@@ -473,6 +521,7 @@ object Expected {
       "q_dedup_simhash" -> sql(sh, "doc_a, doc_b, hamming", "doc_a, doc_b"),
       "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ann_pq"        -> sql(pq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_ivf_pq"        -> sql(ivfpq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
       "q_token_bpe"     -> sql(bpe,

@@ -58,6 +58,16 @@ class ExpectedSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("IVF-PQ twin equals the engine's composed scan bit-for-bit (doubles by bits)") {
+    val expected = Expected.ivfPqRows(embs)
+      .map { case (q, r, n, c) => (q, r, n, java.lang.Double.doubleToLongBits(c)) }
+    val got = Similarity.qIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("semantic-dedup twin equals the engine bit-for-bit (doubles by bits)") {
     val expected = Expected.semanticRows(embs)
       .map { case (d, k, l, c) => (d, k, l, java.lang.Double.doubleToLongBits(c)) }

@@ -128,6 +128,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composition: pruning+quantization still recovers a usable top-5") {
+    val got = collect(Similarity.qIvfPq(spark, dir))
+    assert(got.nonEmpty)
+    val exactSet = exact.map(h => (h.qId, h.nId)).toSet
+    val recall = got.count(h => exactSet((h.qId, h.nId))).toDouble / exactSet.size
+    // compounds the two approximations (IVF 0.70 × PQ ranking noise);
+    // bound under the measured 0.480, asserted so a regression in either
+    // stage of the composition shows up here as well as in the twin
+    assert(recall >= 0.35, f"IVF-PQ recall $recall%.3f")
+    // the IVF prune is real: every reported neighbor also appears in the
+    // pure-PQ candidate ordering only if its list was probed, so the
+    // composed result can never exceed the probe fraction's candidates —
+    // structurally, ranks stay dense 1..5
+    got.groupBy(_.qId).foreach { case (q, hits) =>
+      assert(hits.map(_.rank).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"query $q")
+    }
+  }
+
   test("aggregate top-k equals the window top-k verbatim; fallback equals native") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
