@@ -91,16 +91,59 @@ object Manifest {
     buildManifest(df.sparkSession, path, zCols)
   }
 
+  /** Grow a clustered layout by one batch and extend the manifest with
+    * stats for ONLY the new files — the incremental half of the store
+    * (the appendSignatures discipline applied to data skipping): the
+    * existing files and their stats rows are never re-read or rewritten.
+    * New-file identification is a listing diff around the append, so the
+    * stats scan touches exactly the batch just written.
+    *
+    * Crash contract: data lands before its manifest rows, so a crash
+    * between the two leaves UNMANIFESTED files — which [[prunedFiles]]
+    * includes unconditionally (no stats → must-read), trading I/O for
+    * soundness until the next [[buildManifest]] heals the stats
+    * (ManifestSpec plants exactly this state). The unsafe ordering —
+    * stats first — could claim an interval for files holding no rows,
+    * which is harmless, but data-first keeps the store readable by plain
+    * scans at every instant. */
+  def appendClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int, statsCols: Seq[String]): Unit = {
+    val s = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+      writeClustered(df, path, clusterCol, numFiles, statsCols)
+      return
+    }
+    val before = s.read.parquet(path).inputFiles.toSet
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("append").parquet(path)
+    val newFiles = s.read.parquet(path).inputFiles.toSet -- before
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
+    s.read.parquet(newFiles.toSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("append").parquet(manifestPath(path))
+  }
+
   /** The data files whose `[c_min, c_max]` interval intersects
     * `[lo, hi]` — the control-plane pruning decision (one
     * file-count-sized manifest read; the collect is the file list, the
     * thing a driver must hold to schedule the scan anyway). Files with
     * NULL stats (all-NULL column) hold no row a range predicate can
-    * match, so the null-rejecting comparison pruning them is sound. */
+    * match, so the null-rejecting comparison pruning them is sound.
+    * Files the manifest does not cover (a crashed [[appendClustered]])
+    * are included UNCONDITIONALLY: no stats means no license to skip. */
   def prunedFiles(s: SparkSession, path: String, c: String, lo: Any, hi: Any): Seq[String] = {
-    s.read.parquet(manifestPath(path))
+    val manifest = s.read.parquet(manifestPath(path))
+    val selected = manifest
       .filter(col(c + "_min") <= lit(hi) && col(c + "_max") >= lit(lo))
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").collect().map(_.getString(0))
+    val known = manifest.select("file").collect().map(_.getString(0)).toSet
+    val unmanifested = s.read.parquet(path).inputFiles.filterNot(known)
+    selected.toSeq ++ unmanifested
   }
 
   /** `SELECT * FROM path WHERE c BETWEEN lo AND hi`, reading only the
