@@ -31,15 +31,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * convert with integer division — ns epoch values (~1.7e18) exceed
-    * 2^53, so this MUST be `div`, never a double-typed `/`.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
-    * set it at session construction (Verify/Bench/TestSpark do). Loaders are
-    * side-effect-free: a table getter must never silently change how every
-    * later read in the session treats TIMESTAMP(NANOS).
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — INT64 TIMESTAMP(NANOS) (which Spark 4 rejects outright,
+    * [PARQUET_TYPE_ILLEGAL]), plain TIMESTAMP(MICROS) without timezone
+    * (read as TIMESTAMP_NTZ), and TIMESTAMP(MICROS) adjusted to UTC (read
+    * as TIMESTAMP). Every operator downstream assumes the session-zoned
+    * TIMESTAMP type (`unix_micros`, `window()`, streaming watermarks), so
+    * this loader normalizes all three flavors to it here, in ONE place:
+    *  - INT64 nanos: read nanos as long and convert with integer
+    *    division — ns epoch values (~1.7e18) exceed 2^53, so this MUST be
+    *    `div`, never a double-typed `/`. Requires
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` on the session — set
+    *    it at session construction (Verify/Bench/TestSpark do). Loaders
+    *    are side-effect-free: a table getter must never silently change
+    *    how every later read in the session treats TIMESTAMP(NANOS).
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP. Sessions run in UTC (enforced
+    *    at session build), so the wall-clock values are preserved exactly
+    *    and match what DuckDB's naive read of the same file sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Don't gate on the conf up front: an events table regenerated with
@@ -56,10 +64,12 @@ object Tables {
               "spark.sql.legacy.parquet.nanosAsLong=true at session build time to read it", e)
       }
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
