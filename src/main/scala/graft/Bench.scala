@@ -10,6 +10,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC is the precondition of Tables.events' NTZ→TIMESTAMP cast
+      // being wall-clock-preserving; every other session builder
+      // (Verify/Explain/TestSpark) already pins it
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -58,7 +62,13 @@ object Bench {
     // the two reports the full iteration cost. Sorted, q_dedup_clusters
     // always pays it and q_pipeline_e2e always measures the composition
     // over the materialized stage.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (the
+    // driver never sets it, so round benches always measure everything).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val firstPass = selected.map { case (name, fn) =>
       // min of repeated measurements: sub-second queries otherwise pick
       // up position-dependent GC/scheduling jitter that reads as a
       // phantom 2-3x regression between rounds. Min-of-2 demonstrably
@@ -88,7 +98,29 @@ object Bench {
         if (reps > 1 && base.min < 1.0) (base ++ Seq(measure(), measure())).min
         else base.min
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  $planStages%3d stages")
-      name -> sec
+      (name, fn, sec)
+    }
+    // Outlier re-measure, TIME-SEPARATED from the first pass: round-10's
+    // phantom regression cluster (q_rollup 0.27→5.07 s with an unchanged
+    // plan, both back-to-back reps slow) was a sustained external-load
+    // window on the host — back-to-back reps share the window, so min-of-k
+    // cannot damp it. Queries that measured expensive get ONE more rep
+    // after the whole sweep (minutes later), when any transient load has
+    // moved on; min picks the honest figure. q_dedup_clusters is excluded
+    // for the same reason it is single-shot above: a re-run would measure
+    // its memoized stage, not the operator.
+    val results = firstPass.map { case (name, fn, sec) =>
+      if (sec <= 0.75 || name == "q_dedup_clusters") name -> sec
+      else {
+        val t0 = System.nanoTime()
+        graft.lifecycle.Observability.withJobGroup(spark, name, s"graft bench re-measure: $name") {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        }
+        val again = (System.nanoTime() - t0) / 1e9
+        if (again < sec)
+          System.err.println(f"[bench] $name%-22s $again%8.3f s  (re-measure; first pass $sec%.3f)")
+        name -> math.min(sec, again)
+      }
     }
     // Per-query times at millisecond precision: full double precision
     // tripled the JSON line's length and got its head truncated off in a

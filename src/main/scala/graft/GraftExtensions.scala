@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomMightContain, BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, SimHashDoc, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, PqEncode, PqLut, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -66,6 +66,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("graft_bloom_contains", 2, children)
         BloomMightContain(c(0), c(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_pq_encode", 2, children); PqEncode(c(0), c(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_pq_lut", 2, children); PqLut(c(0), c(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),

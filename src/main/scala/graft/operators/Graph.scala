@@ -31,10 +31,13 @@ import graft.sources.Tables
   *    constant (power iteration, not convergence polling), so the plan is
   *    a static [[PrIters]]-deep DAG — no driver-side loop state, no
   *    collect anywhere.
-  *  - At 100 TB the edge list would be persisted/bucketed by `src` once
-  *    (Sinks.saveBucketed) so every round's join is co-located; here the
-  *    3-round lineage re-reads the (broadcast-joinable) inputs, which AQE
-  *    handles at bench scale.
+  *  - The degreed edge list is materialized ONCE per run through the
+  *    [[Checkpointer]] deployment seam (local blocks in dev, reliable
+  *    DFS checkpoint on a cluster) — every round joins the materialized
+  *    edges instead of recomputing the lineitem⋈orders derivation, and
+  *    long iteration counts periodically truncate the rank lineage too.
+  *    At 100 TB the edge list would additionally be bucketed by `src`
+  *    (Sinks.saveBucketed) so every round's join is co-located.
   */
 object Graph {
 
@@ -67,18 +70,39 @@ object Graph {
     * in-edges under an undirected edge set, so no rank mass silently
     * vanishes into dangling nodes. */
   private[graft] def pagerank(edges: DataFrame): DataFrame = {
+    val cp = Checkpointer.fromConf(edges.sparkSession)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    // degree rides the edge list once; each round joins only the rank
-    val edgesDeg = edges.join(deg, "src")
+    // The degreed edge list appears in EVERY round's join; left lazy it
+    // rides the final DAG PrIters times and is recomputed per round
+    // (lineage × iterations — the iterative-algorithm scale-killer).
+    // Materialize it ONCE through the same deployment seam the CC loop
+    // uses: executor-local blocks here, reliable DFS checkpoint on a
+    // cluster (spark.graft.cc.checkpoint=reliable). Blocks release with
+    // the RDD via the context cleaner once the result frame is garbage.
+    val edgesDeg = cp(edges.join(deg, "src"))
     var rank = deg.select(col("src").as("node"), lit(PrInit).as("r"))
-    (1 to PrIters).foreach { _ =>
+    var lastCk: Option[DataFrame] = None
+    (1 to PrIters).foreach { i =>
       rank = edgesDeg.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node")
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("r"))
+      // Long power iterations (the 20+ rounds real PageRank runs) also
+      // need the RANK lineage truncated periodically, or round N's plan
+      // nests N joins deep; a no-op at PrIters=3. Integer arithmetic
+      // makes the truncation value-invariant.
+      if (i % RankCheckpointEvery == 0 && i < PrIters) {
+        val ck = cp(rank)
+        lastCk.foreach(cp.release)
+        lastCk = Some(ck)
+        rank = ck
+      }
     }
     rank
   }
+
+  /** Truncate the rank lineage every this many rounds (see above). */
+  private[graft] val RankCheckpointEvery = 10
 
   /** Registered face: PageRank centrality of every customer and supplier
     * in the purchase graph, [[PrIters]] exact-integer rounds. */

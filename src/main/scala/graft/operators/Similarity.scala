@@ -851,12 +851,27 @@ object Similarity {
   private[graft] def pqCn2(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
     cb.map(_.map(c => ddot(c, c)))
 
+  /** The trained codebook as ONE nested-array literal — a single plan
+    * node, versus the ~512 per-centroid `lit()` subtrees the tree-form
+    * kernels below would otherwise inline twice per query. */
+  private def pqCbLit(cb: Array[Array[Array[Double]]]): Column =
+    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
   /** Per-subspace code assignment, in-plan: argmin squared distance ==
     * argmax of (dot(x_m, c) − ‖c‖²/2) (the ‖x_m‖² term is
-    * code-independent), expressed with the IVF argmax idiom — ties take
-    * the larger code on both faces (array_max's struct order; the twin's
-    * tuple max). */
-  private def pqCodeCols(s: SparkSession, cb: Array[Array[Array[Double]]])(emb: Column): Column = {
+    * code-independent) — ties take the larger code on both faces (the
+    * native kernel's `>=` on ascending codes; the twin's tuple max).
+    * Native [[graft.functions.PqEncode]] when the session has
+    * GraftExtensions (one expression node, tight loop); else the
+    * equivalent builtin argmax tree — correct but plan-heavy. */
+  private def pqCodeCols(s: SparkSession, cb: Array[Array[Array[Double]]])(emb: Column): Column =
+    if (s.catalog.functionExists("graft_pq_encode"))
+      call_function("graft_pq_encode", emb, pqCbLit(cb))
+    else pqCodeColsTree(s, cb)(emb)
+
+  /** The builtin-composition fallback (and the spec's cross-check twin
+    * for the native kernel — SimilaritySpec pins both paths equal). */
+  private[graft] def pqCodeColsTree(s: SparkSession, cb: Array[Array[Array[Double]]])(emb: Column): Column = {
     val cn2 = pqCn2(cb)
     array((0 until PqSubspaces).map { m =>
       val sub = slice(emb, m * PqSubDim + 1, PqSubDim)
@@ -871,9 +886,12 @@ object Similarity {
     * subspace centroids are orthogonal blocks, so the reconstruction's
     * squared norm is the sum of its parts'. */
   private def pqReconNorm(cb: Array[Array[Array[Double]]])(codes: Column): Column = {
-    val cn2 = pqCn2(cb)
+    // the ‖c‖² table as one nested literal (same node-count argument as
+    // pqCbLit); the sum stays a left fold in subspace order — the twin's
+    // `.sum` — so the recon norm is bit-stable across both forms
+    val cn2Lit = typedlit(pqCn2(cb).map(_.toSeq).toSeq)
     sqrt((0 until PqSubspaces).map { m =>
-      element_at(array(cn2(m).map(lit): _*), codes.getItem(m) + 1)
+      element_at(element_at(cn2Lit, m + 1), codes.getItem(m) + 1)
     }.reduce[Column](_ + _))
   }
 
@@ -882,6 +900,13 @@ object Similarity {
     * two-level element_ats + adds — the asymmetric-distance trick that
     * makes a PQ scan cheap. */
   private def pqLut(s: SparkSession, cb: Array[Array[Array[Double]]])(qEmb: Column): Column =
+    if (s.catalog.functionExists("graft_pq_lut"))
+      call_function("graft_pq_lut", qEmb, pqCbLit(cb))
+    else pqLutTree(s, cb)(qEmb)
+
+  /** Builtin-composition fallback / spec cross-check twin of the native
+    * LUT kernel. */
+  private[graft] def pqLutTree(s: SparkSession, cb: Array[Array[Array[Double]]])(qEmb: Column): Column =
     array((0 until PqSubspaces).map { m =>
       val sub = slice(qEmb, m * PqSubDim + 1, PqSubDim)
       array(cb(m).indices.map(k => dotCol(s, sub, array(cb(m)(k).map(lit): _*))): _*)

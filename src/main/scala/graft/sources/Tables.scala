@@ -64,11 +64,17 @@ object Tables {
               "spark.sql.legacy.parquet.nanosAsLong=true at session build time to read it", e)
       }
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => raw
+      case TimestampType    => raw
+      // fail HERE, where the promise to normalize is made — a silent
+      // pass-through of e.g. a string ts would surface as opaque operator
+      // errors far from this loader
+      case other => throw new IllegalStateException(
+        s"events.parquet stores ts as unsupported type ${other.sql}; " +
+          "Tables.events normalizes INT64-nanos, TIMESTAMP and TIMESTAMP_NTZ only")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -509,9 +509,19 @@ class PlanSpec extends AnyFunSuite {
       s"the hourly grid must come from a sequence generator, not a join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "the observed-sums fill must stay an equi-join on (user_id, hr)")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>")
-      || p.contains("ReadSchema: struct<user_id:bigint") && !p.contains("props"),
-      s"gap fill must not read event columns beyond (user_id, ts, value):\n$p")
+    // Column NAMES only — the physical type of events.ts is the data
+    // generator's choice (INT64 nanos, TIMESTAMP, TIMESTAMP_NTZ have all
+    // appeared across rounds) and Tables.events normalizes all of them;
+    // pinning a flavor here broke on a regenerated file once already.
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val eventScans = readSchemas.filter(s => s.contains("user_id") || s.contains("props"))
+    assert(eventScans.nonEmpty, s"expected an events scan in:\n$p")
+    eventScans.foreach { rs =>
+      val cols = rs.split(",").map(_.takeWhile(_ != ':').trim).toSet
+      assert(cols.subsetOf(Set("ts", "user_id", "value")),
+        s"gap fill must not read event columns beyond (user_id, ts, value), got $cols:\n$p")
+    }
   }
 
   test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {

@@ -210,6 +210,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs === 0, "native and interpreted dot products must be identical")
   }
 
+  test("native PQ encode/LUT kernels equal the builtin-tree forms bit-for-bit") {
+    // The native kernels exist for plan size (one node vs ~512 literal
+    // subtrees), NOT for different arithmetic: codes (argmax, ties to
+    // the larger code) and every LUT entry must match the tree form
+    // exactly, or the differential twin's hashes would drift with the
+    // session's extension state.
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir).limit(200)
+    val cb = Similarity.trainPqOnSample(Similarity.pqSample(Tables.embeddings(spark, dir)))
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val diffs = e.select(
+        call_function("graft_pq_encode", col("embedding"), cbLit).as("nc"),
+        Similarity.pqCodeColsTree(spark, cb)(col("embedding")).as("tc"),
+        call_function("graft_pq_lut", col("embedding"), cbLit).as("nl"),
+        Similarity.pqLutTree(spark, cb)(col("embedding")).as("tl"))
+      .filter(col("nc") =!= col("tc") || col("nl") =!= col("tl")).count()
+    assert(diffs === 0, "native and tree-form PQ kernels must be identical")
+  }
+
   test("int8 quantization keeps per-vector cosine >= 0.999") {
     val rows = Similarity.qEmbedQuant(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
