@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, BloomMightContain, BpeEncode, DeflateLen, DotProduct, MgFrequentItems, MinHashSigDoc, PqEncode, PqLut, SimHashDoc, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, BpeEncode, DeflateLen, DotProduct, IvfScores, MgFrequentItems, MinHashSigDoc, PqEncode, PqLut, SimHashDoc, TopKByScore}
 
 /** Session extension registering the engine's native Catalyst expressions
   * (installed with `.config("spark.sql.extensions", "graft.GraftExtensions")`;
@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("graft_bloom_contains", 2, children)
         BloomMightContain(c(0), c(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ivf_scores"),
+      new ExpressionInfo(classOf[IvfScores].getName, "graft_ivf_scores"),
+      (children: Seq[Expression]) => {
+        val c = arity("graft_ivf_scores", 3, children); IvfScores(c(0), c(1), c(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),

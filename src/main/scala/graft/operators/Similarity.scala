@@ -393,8 +393,20 @@ object Similarity {
   }
 
   /** Per-centroid (cosine, list id) score structs for a vector; argmax =
-    * array_max's lexicographic struct order (score first). */
+    * array_max's lexicographic struct order (score first). Native
+    * [[graft.functions.IvfScores]] kernel under GraftExtensions — the
+    * quantizer rides as one packed literal instead of IvfLists × Dim
+    * per-component `lit()`s — else the equivalent builtin tree. */
   private def ivfScores(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
+      emb: Column, nrm: Column): Column =
+    if (s.catalog.functionExists("graft_ivf_scores"))
+      call_function("graft_ivf_scores", emb, nrm,
+        typedlit(centroids.map { case (i, c, cn) => (i, c.toSeq, cn) }.toSeq))
+    else ivfScoresTree(s, centroids)(emb, nrm)
+
+  /** Builtin-composition fallback / spec cross-check twin of the native
+    * scores kernel. */
+  private[graft] def ivfScoresTree(s: SparkSession, centroids: Array[(Int, Array[Double], Double)])(
       emb: Column, nrm: Column): Column = array(centroids.map { case (i, c, cn) =>
     val cArr = array(c.map(lit): _*)
     struct((dotCol(s, emb, cArr) / (nrm * lit(cn))).as("score"), lit(i).as("list_id"))

@@ -229,6 +229,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs === 0, "native and tree-form PQ kernels must be identical")
   }
 
+  test("native IVF scores kernel equals the builtin-tree form bit-for-bit") {
+    // array_max / array_sort consume the scores downstream with
+    // lexicographic struct semantics either way; the kernel only builds
+    // the array, so every (score, list_id) entry must match exactly.
+    import org.apache.spark.sql.functions._
+    val e = Similarity.qAnnTopk(spark, dir) // just to force ext registration
+    assert(e != null)
+    val base = Tables.embeddings(spark, dir)
+    val withN = base.withColumn("nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val cents = Similarity.trainQuantizerOnSample(
+      withN.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+        .select("embedding", "nrm").collect()
+        .map(r => { val n = r.getDouble(1); r.getSeq[Float](0).map(_ / n).toArray }))
+    val packed = typedlit(cents.map { case (i, c, cn) => (i, c.toSeq, cn) }.toSeq)
+    val diffs = withN.limit(200).select(
+        call_function("graft_ivf_scores", col("embedding"), col("nrm"), packed).as("n"),
+        Similarity.ivfScoresTree(spark, cents)(col("embedding"), col("nrm")).as("t"))
+      .filter(col("n") =!= col("t")).count()
+    assert(diffs === 0, "native and tree-form IVF scores must be identical")
+  }
+
   test("int8 quantization keeps per-vector cosine >= 0.999") {
     val rows = Similarity.qEmbedQuant(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
