@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Salted equi-join for skewed keys (SURVEY §7.6 scale toolkit, alongside
   * bucket caps and bounded LSH blocks).
@@ -57,4 +59,46 @@ object SkewJoin {
     * produces (a reimplementation in the spec could silently drift). */
   private[graft] def saltColumn(identityCols: Seq[String], saltFactor: Int): Column =
     pmod(xxhash64(identityCols.map(col): _*), lit(saltFactor.toLong))
+
+  /** Salt fan-out for the registered face: each hot key spreads across
+    * this many reducers. Sized like a straggler budget, not like the
+    * partition count — the dim side pays the factor in replication. */
+  private[graft] val SkewSalts = 8
+
+  /** Registered face (q_skew_join): every event enriched with its user's
+    * first-seen day through the salted join — user activity is the
+    * canonical zipf key — then rolled up per cohort day. The dim is
+    * events' own first-touch aggregate (map-side combine absorbs key
+    * skew in the GROUPBY on its own; it is the enrichment JOIN that
+    * needs the salt). The dim side carries a shuffle_hash hint: a
+    * broadcast would make the salt dead weight, and the operator exists
+    * to shape the shuffled case — at a scale where the dim fits a
+    * broadcast, broadcast INSTEAD of salting.
+    *
+    * Salt-invariance (the result equals the plain join's) is what lets
+    * the plain-SQL DuckDB oracle gate the salted plan. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val dim = e.groupBy("user_id").agg(date_trunc("DAY", min(col("ts"))).as("first_day"))
+    saltedJoin(e.select("event_id", "user_id"), dim.hint("shuffle_hash"),
+        "user_id", Seq("event_id"), SkewSalts)
+      .groupBy("first_day")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy("first_day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> qSkewJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    cast(date_trunc('day', min(cast(ts AS timestamp))) AS timestamp) AS first_day
+        |  FROM events GROUP BY 1)
+        |SELECT d.first_day, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -524,6 +524,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join: the enrichment join shuffles on (key, salt), never broadcasts") {
+    val p = plan("q_skew_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salting shapes the SHUFFLED join case; a broadcast would make it a no-op:\n$p")
+    assert(p.contains("__salt"),
+      s"the join keys must carry the salt column:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the salted join must not degrade to a broadcast (salt would be dead weight):\n$p")
+  }
+
   test("q_fuzzy_join and q_lm_score: blocked equi-joins only, pruned scans") {
     val pf = plan("q_fuzzy_join")
     assert(!pf.contains("NestedLoop") && !pf.contains("CartesianProduct"),
