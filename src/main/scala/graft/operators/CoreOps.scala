@@ -457,6 +457,31 @@ object CoreOps {
     col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
 
+  /** Q1 analogue — the pricing summary: ONE lineitem scan, map-side
+    * partial aggregation into a handful of (returnflag, linestatus)
+    * groups — the canonical "aggregate 100 TB in one pass" shape (the
+    * shuffle carries |groups| × |partitions| partial rows, not data).
+    * Sums run in decimal (partition-order independent); averages divide
+    * the exact decimal sum by the group count and round, so both engines
+    * do ONE double division on identical operands. The charge chain
+    * extends [[revenueExpr]]'s decimal discipline with the (1+tax)
+    * factor. */
+  def qTpchQ1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueExpr).cast("double").as("sum_disc_price"),
+        sum(revenueExpr * (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)")))
+          .cast("double").as("sum_charge"),
+        round(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        round(moneySum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Q3 analogue — shipping-priority top-10: BUILDING-segment orders
     * placed before the cutoff with lines still shipping after it. The
     * segment filter reaches the customer scan, both date filters reach
@@ -811,6 +836,7 @@ object CoreOps {
     "q_histogram"       -> qHistogram _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
+    "q_tpch_q1"         -> qTpchQ1 _,
     "q_tpch_q3"         -> qTpchQ3 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
@@ -1136,6 +1162,19 @@ object CoreOps {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2))) * (1 + cast(l_tax AS decimal(18,2)))) AS double) AS sum_charge,
+        |  round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*), 6) AS avg_qty,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*), 6) AS avg_price,
+        |  round(cast(sum(cast(l_discount AS decimal(18,2))) AS double) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue

@@ -524,6 +524,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_tpch_q1: pushed date filter, pruned scan, two-phase aggregation") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"the ship-date cutoff must reach the parquet scan:\n$p")
+    assert(!p.contains("l_partkey") && !p.contains("l_orderkey"),
+      s"the pricing summary must not read key columns:\n$p")
+    // partial + final HashAggregate: the shuffle carries |groups| partial
+    // rows per map task, not data — the property that makes this the
+    // one-pass 100 TB aggregate
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected two-phase hash aggregation:\n$p")
+  }
+
   test("q_skew_join: the enrichment join shuffles on (key, salt), never broadcasts") {
     val p = plan("q_skew_join")
     assert(p.contains("ShuffledHashJoin"),
