@@ -31,12 +31,12 @@ import graft.sources.Tables
   *    constant (power iteration, not convergence polling), so the plan is
   *    a static [[PrIters]]-deep DAG — no driver-side loop state, no
   *    collect anywhere.
-  *  - The degreed edge list is materialized ONCE per run through the
-  *    [[Checkpointer]] deployment seam (local blocks in dev, reliable
-  *    DFS checkpoint on a cluster) — every round joins the materialized
-  *    edges instead of recomputing the lineitem⋈orders derivation, and
-  *    long iteration counts periodically truncate the rank lineage too.
-  *    At 100 TB the edge list would additionally be bucketed by `src`
+  *  - The degreed edge list is persisted ONCE per run — every round
+  *    joins the cached edges instead of recomputing the lineitem⋈orders
+  *    derivation — and long iteration counts periodically truncate the
+  *    rank lineage through the [[Checkpointer]] deployment seam (local
+  *    blocks in dev, reliable DFS checkpoint on a cluster). At 100 TB
+  *    the edge list would additionally be bucketed by `src`
   *    (Sinks.saveBucketed) so every round's join is co-located.
   */
 object Graph {
@@ -75,11 +75,14 @@ object Graph {
     // The degreed edge list appears in EVERY round's join; left lazy it
     // rides the final DAG PrIters times and is recomputed per round
     // (lineage × iterations — the iterative-algorithm scale-killer).
-    // Materialize it ONCE through the same deployment seam the CC loop
-    // uses: executor-local blocks here, reliable DFS checkpoint on a
-    // cluster (spark.graft.cc.checkpoint=reliable). Blocks release with
-    // the RDD via the context cleaner once the result frame is garbage.
-    val edgesDeg = cp(edges.join(deg, "src"))
+    // persist(), not checkpoint: the first round's own tasks populate
+    // the cache in-job (no separate materialization job), rounds 2..N
+    // read blocks, and lineage stays intact so an executor loss
+    // recomputes instead of failing — the right trade for a REUSED
+    // frame, vs the rank chain below where the problem is lineage DEPTH
+    // and truncation (the Checkpointer seam) is the point. Blocks
+    // release via the context cleaner once the result frame is garbage.
+    val edgesDeg = edges.join(deg, "src").persist()
     var rank = deg.select(col("src").as("node"), lit(PrInit).as("r"))
     var lastCk: Option[DataFrame] = None
     (1 to PrIters).foreach { i =>
