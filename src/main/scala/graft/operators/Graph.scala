@@ -83,7 +83,11 @@ object Graph {
     // and truncation (the Checkpointer seam) is the point. Blocks
     // release via the context cleaner once the result frame is garbage.
     val edgesDeg = edges.join(deg, "src").persist()
-    var rank = deg.select(col("src").as("node"), lit(PrInit).as("r"))
+    // seed from the CACHED frame, not deg's own lineage — deg re-derives
+    // the full edge list (at 100 TB, a second corpus-scale derivation
+    // for a node-id list); the cached join carries the same src set
+    var rank = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(PrInit).as("r"))
     var lastCk: Option[DataFrame] = None
     (1 to PrIters).foreach { i =>
       rank = edgesDeg.join(rank.withColumnRenamed("node", "src"), "src")

@@ -524,6 +524,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pagerank: iteration rounds read the persisted edge list, not its lineage") {
+    val df = SparkEntry.queries("q_pagerank")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"each round must scan the cached edges:\n$p")
+    // rounds AND the rank seed read the cache: the lineitem⋈orders edge
+    // derivation must not appear in the DAG outside the cached plan
+    val direct = allScans(df.queryExecution.executedPlan)
+      .count(_.relation.location.rootPaths.exists(_.toString.contains("lineitem")))
+    assert(direct === 0,
+      s"edge derivation must be cached, found $direct direct lineitem scans:\n$p")
+  }
+
   test("q_tpch_q1: pushed date filter, pruned scan, two-phase aggregation") {
     val p = plan("q_tpch_q1")
     assert(p.contains("LessThanOrEqual(l_shipdate"),
