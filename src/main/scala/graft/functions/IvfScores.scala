@@ -29,6 +29,11 @@ import org.apache.spark.sql.types._
   * The quantizer argument must be a foldable
   * `array<struct<_1:int,_2:array<double>,_3:double>>` of
   * (list id, centroid, centroid norm) — evaluated once on the driver.
+  *
+  * NULL-embedding rows are outside the contract (kernel: NULL result;
+  * tree fallback: an array of null-scored structs) — the embeddings
+  * loader guarantees non-null vectors, and a null norm cannot arise from
+  * a non-null vector. Null ELEMENTS contribute 0, like graft_dot.
   */
 object IvfScoresKernel {
   /** Driver-side: unpack the foldable quantizer literal. */

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   * The codebook argument must be a foldable `array<array<array<double>>>`
   * (subspace → code → component) — it is evaluated once on the driver and
   * shipped as a plan constant, not re-evaluated per row.
+  *
+  * NULL-embedding rows are outside the contract: as BinaryExpressions the
+  * kernels return NULL for them, while the builtin-tree fallback returns
+  * an array built over null scores. The embeddings loader guarantees
+  * non-null vectors (null ELEMENTS inside a vector are handled — they
+  * contribute 0, like graft_dot); callers feeding other sources must
+  * filter nulls first.
   */
 object PqOps {
   /** Driver-side: materialize the foldable codebook literal. */
@@ -54,6 +61,19 @@ object PqOps {
 
   private def elem(emb: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+
+  /** Spark SQL's double ordering, which the tree form's `array_max`
+    * applies: plain IEEE </> first (so -0.0 == 0.0 — java.lang.Double
+    * .compare would order them), NaN greater than every value, NaN ==
+    * NaN. Using anything else here would let a NaN-scored subspace
+    * (an Inf/NaN embedding component) encode differently with and
+    * without the extension. */
+  private def cmpSql(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else if (y.isNaN) -1
+    else 0
 
   /** Per-subspace nearest-code assignment: argmax of
     * `dot(sub_m, c) − ‖c‖²/2` (== argmin squared distance), ties to the
@@ -81,7 +101,7 @@ object PqOps {
           j += 1
         }
         val score = acc - half(s)(k)
-        if (score >= best) { best = score; bestK = k }
+        if (cmpSql(score, best) >= 0) { best = score; bestK = k }
         k += 1
       }
       codes(s) = bestK

@@ -229,13 +229,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs === 0, "native and tree-form PQ kernels must be identical")
   }
 
+  test("PQ encode treats a NaN-scored subspace identically in both forms") {
+    // a NaN embedding component makes every code's score NaN in that
+    // subspace; Spark's array_max orders NaN above everything with the
+    // larger code winning ties — the kernel's cmpSql must reproduce
+    // that, not java.lang.Double semantics
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cb = Similarity.trainPqOnSample(Similarity.pqSample(Tables.embeddings(spark, dir)))
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val bad = Seq(
+      Tuple1(Array.tabulate(64)(i => if (i == 3) Float.NaN else 0.5f)),
+      Tuple1(Array.tabulate(64)(i => if (i == 63) Float.NegativeInfinity else -0.25f)))
+      .toDF("embedding")
+    val rows = bad.select(
+        call_function("graft_pq_encode", col("embedding"), cbLit).as("nc"),
+        Similarity.pqCodeColsTree(spark, cb)(col("embedding")).as("tc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1),
+        "kernel and tree must encode NaN/Inf subspaces to the same codes")
+    }
+  }
+
   test("native IVF scores kernel equals the builtin-tree form bit-for-bit") {
     // array_max / array_sort consume the scores downstream with
     // lexicographic struct semantics either way; the kernel only builds
     // the array, so every (score, list_id) entry must match exactly.
     import org.apache.spark.sql.functions._
-    val e = Similarity.qAnnTopk(spark, dir) // just to force ext registration
-    assert(e != null)
     val base = Tables.embeddings(spark, dir)
     val withN = base.withColumn("nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
