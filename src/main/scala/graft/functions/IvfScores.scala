@@ -34,6 +34,12 @@ import org.apache.spark.sql.types._
   * tree fallback: an array of null-scored structs) — the embeddings
   * loader guarantees non-null vectors, and a null norm cannot arise from
   * a non-null vector. Null ELEMENTS contribute 0, like graft_dot.
+  *
+  * Division follows builtin `Divide`, not raw IEEE: a zero divisor (a
+  * zero-norm vector × a centroid norm) throws DIVIDE_BY_ZERO under ANSI
+  * and produces a NULL score otherwise — so the kernel and the tree
+  * fallback fail (or null) identically on degenerate vectors
+  * (SimilaritySpec pins both).
   */
 object IvfScoresKernel {
   /** Driver-side: unpack the foldable quantizer literal. */
@@ -56,7 +62,8 @@ object IvfScoresKernel {
   }
 
   def scores(emb: ArrayData, isFloat: Boolean, nrm: Double,
-      ids: Array[Int], cents: Array[Array[Double]], cns: Array[Double]): GenericArrayData = {
+      ids: Array[Int], cents: Array[Array[Double]], cns: Array[Double],
+      failOnError: Boolean): GenericArrayData = {
     val n = emb.numElements()
     val out = new Array[Any](cents.length)
     var i = 0
@@ -70,7 +77,26 @@ object IvfScoresKernel {
           acc += (if (isFloat) emb.getFloat(j).toDouble else emb.getDouble(j)) * c(j)
         j += 1
       }
-      out(i) = new GenericInternalRow(Array[Any](acc / (nrm * cns(i)), ids(i)))
+      // builtin Divide semantics, NOT raw IEEE: a zero divisor (a
+      // zero-norm vector) throws under ANSI and yields a NULL score
+      // otherwise — the tree form's behavior, asserted by the
+      // SimilaritySpec zero-norm tests. A NaN divisor is not zero and
+      // flows through as IEEE NaN, same as builtin.
+      val divisor = nrm * cns(i)
+      val score: Any =
+        if (divisor == 0.0) {
+          if (failOnError)
+            // SparkArithmeticException / QueryExecutionErrors are
+            // private[spark]; raise the same error class + SQLSTATE text
+            // through the public supertype builtin Divide throws
+            throw new ArithmeticException(
+              "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
+                "divisor being 0 and return NULL instead. If necessary set " +
+                "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error. " +
+                "SQLSTATE: 22012")
+          else null
+        } else acc / divisor
+      out(i) = new GenericInternalRow(Array[Any](score, ids(i)))
       i += 1
     }
     new GenericArrayData(out)
@@ -81,8 +107,14 @@ case class IvfScores(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType, nullable = false),
+    StructField("score", DoubleType, nullable = true),
     StructField("list_id", IntegerType, nullable = false))), containsNull = false)
+
+  // captured at plan time on the driver (the pattern Spark's own
+  // arithmetic expressions use for ANSI behavior), serialized with the
+  // expression
+  private val failOnError: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   @transient private lazy val (ids, cents, cns) = IvfScoresKernel.unpack(third)
   @transient private lazy val isFloat: Boolean =
@@ -109,7 +141,7 @@ case class IvfScores(first: Expression, second: Expression, third: Expression)
 
   override def nullSafeEval(emb: Any, nrm: Any, @annotation.unused q: Any): Any =
     IvfScoresKernel.scores(emb.asInstanceOf[ArrayData], isFloat,
-      nrm.asInstanceOf[Double], ids, cents, cns)
+      nrm.asInstanceOf[Double], ids, cents, cns, failOnError)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idsRef = ctx.addReferenceObj("ivfIds", ids, "int[]")
@@ -117,7 +149,7 @@ case class IvfScores(first: Expression, second: Expression, third: Expression)
     val cnsRef = ctx.addReferenceObj("ivfCns", cns, "double[]")
     nullSafeCodeGen(ctx, ev, (emb, nrm, _) =>
       s"${ev.value} = graft.functions.IvfScoresKernel.scores(" +
-        s"$emb, $isFloat, $nrm, $idsRef, $centsRef, $cnsRef);")
+        s"$emb, $isFloat, $nrm, $idsRef, $centsRef, $cnsRef, $failOnError);")
   }
 
   override protected def withNewChildrenInternal(

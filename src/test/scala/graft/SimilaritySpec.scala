@@ -216,8 +216,21 @@ class SimilaritySpec extends AnyFunSuite {
     // the larger code) and every LUT entry must match the tree form
     // exactly, or the differential twin's hashes would drift with the
     // session's extension state.
+    import spark.implicits._
     import org.apache.spark.sql.functions._
-    val e = Tables.embeddings(spark, dir).limit(200)
+    // real corpus rows + adversarial values: ±0.0, denormals, huge and
+    // tiny magnitudes, sign flips — anywhere the kernel's loop could
+    // round or order differently from the codegen'd builtin tree
+    val rnd = new scala.util.Random(7)
+    val adversarial = Seq(
+      Array.fill(64)(0.0f), Array.fill(64)(-0.0f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1e30f else -1e30f),
+      Array.fill(64)(Float.MinPositiveValue),
+      Array.tabulate(64)(i => ((i % 7) - 3) * 1e-20f),
+      Array.fill(64)((rnd.nextFloat() - 0.5f) * 2000f))
+      .map(Tuple1(_)).toDF("embedding")
+    val e = Tables.embeddings(spark, dir).limit(200).select("embedding")
+      .unionByName(adversarial)
     val cb = Similarity.trainPqOnSample(Similarity.pqSample(Tables.embeddings(spark, dir)))
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val diffs = e.select(
@@ -256,20 +269,55 @@ class SimilaritySpec extends AnyFunSuite {
     // array_max / array_sort consume the scores downstream with
     // lexicographic struct semantics either way; the kernel only builds
     // the array, so every (score, list_id) entry must match exactly.
+    import spark.implicits._
     import org.apache.spark.sql.functions._
+    // magnitude extremes and denormals ride the main ANSI comparison;
+    // the zero-norm vector (zero DIVISOR) is exercised separately below
+    // because under ANSI both forms must THROW, not differ
+    val adversarial = Seq(
+      Array.tabulate(64)(i => if (i % 2 == 0) 1e30f else -1e30f),
+      Array.fill(64)(Float.MinPositiveValue))
+      .map(Tuple1(_)).toDF("embedding")
     val base = Tables.embeddings(spark, dir)
-    val withN = base.withColumn("nrm",
-      sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     val cents = Similarity.trainQuantizerOnSample(
-      withN.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
         .select("embedding", "nrm").collect()
         .map(r => { val n = r.getDouble(1); r.getSeq[Float](0).map(_ / n).toArray }))
+    val withN = base.select("embedding").limit(200).unionByName(adversarial)
+      .withColumn("nrm",
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     val packed = typedlit(cents.map { case (i, c, cn) => (i, c.toSeq, cn) }.toSeq)
-    val diffs = withN.limit(200).select(
+    val diffs = withN.select(
         call_function("graft_ivf_scores", col("embedding"), col("nrm"), packed).as("n"),
         Similarity.ivfScoresTree(spark, cents)(col("embedding"), col("nrm")).as("t"))
       .filter(col("n") =!= col("t")).count()
     assert(diffs === 0, "native and tree-form IVF scores must be identical")
+    // zero-norm vector: builtin-Divide parity. ANSI → BOTH forms throw
+    // DIVIDE_BY_ZERO; non-ANSI → BOTH yield null-scored structs.
+    val zero = Seq(Tuple1(Array.fill(64)(0.0f))).toDF("embedding")
+      .withColumn("nrm", lit(0.0))
+    Seq(
+      zero.select(call_function("graft_ivf_scores", col("embedding"), col("nrm"), packed)),
+      zero.select(Similarity.ivfScoresTree(spark, cents)(col("embedding"), col("nrm")))
+    ).foreach { df =>
+      val e = intercept[Throwable](df.collect())
+      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(t => String.valueOf(t.getMessage).contains("DIVIDE_BY_ZERO")),
+        s"ANSI zero-divisor must fail fast on both forms, got: $e")
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "false")
+    val zero2 = { import s2.implicits._
+      Seq(Tuple1(Array.fill(64)(0.0f))).toDF("embedding").withColumn("nrm", lit(0.0)) }
+    val pair = zero2.select(
+        call_function("graft_ivf_scores", col("embedding"), col("nrm"), packed).as("n"),
+        Similarity.ivfScoresTree(s2, cents)(col("embedding"), col("nrm")).as("t"))
+      .collect().head
+    assert(pair.getSeq[org.apache.spark.sql.Row](0) === pair.getSeq[org.apache.spark.sql.Row](1),
+      "non-ANSI zero-divisor must yield identical null-scored structs on both forms")
+    assert(pair.getSeq[org.apache.spark.sql.Row](0).forall(_.isNullAt(0)),
+      "non-ANSI zero-divisor scores must be NULL (builtin Divide), not NaN")
   }
 
   test("int8 quantization keeps per-vector cosine >= 0.999") {
