@@ -806,9 +806,15 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < maxIter) {
       val next = ckpt(smallStar(largeStar(edges)))
-      // one action per round: both frames are deduped, so set equality is
-      // an empty symmetric difference (early-terminating isEmpty)
-      converged = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+      // Convergence stays EXACT but cheap: counts first (two scans over
+      // the checkpointed frames, no shuffle) — unequal counts prove
+      // non-convergence and skip the expensive symmetric difference,
+      // which in practice is every round but the last. Equal counts do
+      // NOT prove equality (equal-size different sets exist), so the
+      // empty-symmetric-difference check still gates the exit; both
+      // frames are deduped, so set equality is exactly that emptiness.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
       // round N materialized and compared — round N-1's storage is dead
       // (never the initial canon frame, which the caller may still hold)
       prev.foreach(ckpt.release)
