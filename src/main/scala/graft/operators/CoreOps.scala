@@ -482,6 +482,21 @@ object CoreOps {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Q6 analogue — the forecasting-revenue-change scan: ONE lineitem
+    * pass, every predicate pushed to parquet (date range + discount band
+    * + quantity cap all appear in PushedFilters), aggregating to a
+    * single row. With Q1 it brackets the scan-bound end of TPC-H: Q1
+    * measures wide-aggregate throughput, Q6 measures predicate
+    * selectivity reaching the reader — at 100 TB the difference between
+    * scanning row-groups the filters exclude and not reading them. */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** Q3 analogue — shipping-priority top-10: BUILDING-segment orders
     * placed before the cutoff with lines still shipping after it. The
     * segment filter reaches the customer scan, both date filters reach
@@ -837,6 +852,7 @@ object CoreOps {
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_star_join"       -> qStarJoin _,
     "q_tpch_q1"         -> qTpchQ1 _,
+    "q_tpch_q6"         -> qTpchQ6 _,
     "q_tpch_q3"         -> qTpchQ3 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
@@ -1175,6 +1191,13 @@ object CoreOps {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(l_discount AS decimal(18,2))) AS double) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue

@@ -551,6 +551,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected two-phase hash aggregation:\n$p")
   }
 
+  test("q_tpch_q6: every predicate reaches the parquet reader") {
+    // the rendered plan truncates long PushedFilters lists, so assert on
+    // the scan node's metadata, which carries the full string
+    val df = SparkEntry.queries("q_tpch_q6")(spark, TestSpark.sfDir)
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a lineitem file scan")
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString("; ")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f), s"predicate $f must be in PushedFilters: $pushed")
+    }
+    assert(!plan("q_tpch_q6").contains("l_orderkey"),
+      "the revenue scan must not read key columns")
+  }
+
   test("q_skew_join: the enrichment join shuffles on (key, salt), never broadcasts") {
     val p = plan("q_skew_join")
     assert(p.contains("ShuffledHashJoin"),
