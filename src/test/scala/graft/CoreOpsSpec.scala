@@ -13,6 +13,25 @@ class CoreOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
+  test("Tables.events normalizes known ts flavors and rejects the rest at the loader") {
+    import org.apache.spark.sql.functions._
+    // TIMESTAMP passes through; a string ts must fail HERE with an
+    // actionable message, not downstream in some operator's cast
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-ts").toString
+    spark.range(3).select(col("id").as("event_id"),
+        lit("2020-01-01").as("ts"), col("id").as("user_id"))
+      .write.parquet(tmp + "/events.parquet")
+    val e = intercept[IllegalStateException](graft.sources.Tables.events(spark, tmp))
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+    val ok = java.nio.file.Files.createTempDirectory("graft-events-ok").toString
+    spark.range(3).select(col("id").as("event_id"),
+        timestamp_seconds(col("id")).as("ts"), col("id").as("user_id"))
+      .write.parquet(ok + "/events.parquet")
+    val loaded = graft.sources.Tables.events(spark, ok)
+    assert(loaded.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    assert(loaded.count() === 3)
+  }
+
   test("entry (flagship union+string-agg) returns rows on sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 3) // one group per dispatched brand branch
