@@ -108,6 +108,79 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Generic INTERVAL-OVERLAP join: pairs of (left interval, right
+    * interval) that intersect, both sides half-open `[start, end)` in
+    * epoch micros — the two-sided generalization of [[rangeJoinCounts]]
+    * (whose right side is a point). Catalyst plans a raw inequality
+    * join as a nested loop; banding makes it an equi-join:
+    *
+    *  1. each interval explodes into the band ids it covers
+    *     (`start div w .. (end-1) div w` — arbitrary lengths allowed,
+    *     unlike the ≤-one-band probe of the range join);
+    *  2. the band equi-join bounds candidate pairs;
+    *  3. the exact predicate `ls < re && rs < le` keeps true overlaps;
+    *  4. a pair sharing several bands is kept ONCE, at the canonical
+    *     band `max(ls, rs) div w` — the first band of the intersection,
+    *     which both sides necessarily cover. No distinct, no window:
+    *     exactly-once by arithmetic.
+    *
+    * Band width trades replication (long intervals cover many bands)
+    * against candidate precision (wide bands pair distant intervals);
+    * at 100 TB, size it near the median interval length. Extra columns
+    * on either input ride through untouched (names must not collide).
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column, bandMicros: Long): DataFrame = {
+    require(bandMicros > 0, s"bandMicros must be positive, got $bandMicros")
+    // exact long floor-div: subtract the remainder FIRST so the double
+    // division divides two exactly-representable values (epoch micros
+    // ≪ 2^53) whose quotient is an integer — a raw c/band could truncate
+    // one band off at exact multiples
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(bandMicros))) / lit(bandMicros)).cast("long")
+    def bands(s: Column, e: Column): Column =
+      explode(sequence(floorDiv(s), floorDiv(e - lit(1L))))
+    // empty intervals ([s, e) with e <= s) overlap nothing and would
+    // band backwards through sequence's descending step — drop them here
+    val l = left.filter(lEnd > lStart)
+      .withColumn("__ls", lStart).withColumn("__le", lEnd)
+      .withColumn("__band", bands(col("__ls"), col("__le")))
+    val r = right.filter(rEnd > rStart)
+      .withColumn("__rs", rStart).withColumn("__re", rEnd)
+      .withColumn("__band", bands(col("__rs"), col("__re")))
+    l.join(r, Seq("__band"))
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
+      .filter(col("__band") === floorDiv(greatest(col("__ls"), col("__rs"))))
+      .drop("__band", "__ls", "__le", "__rs", "__re")
+  }
+
+  /** Registered face (q_interval_join): per-user daily activity spans
+    * overlapped against corpus-wide "busy hours" (hours with ≥
+    * [[BusyHourMin]] events) — the "which user sessions hit the rush
+    * window" shape. The busy-hour side is tiny (≤ |hours| rows), so the
+    * band join broadcasts at any corpus scale; the activity side never
+    * shuffles for the join itself. */
+  private[graft] val BusyHourMin = 20
+
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000
+    val e = Tables.events(s, dir)
+    // half-open activity span: [first event, last event + 1s)
+    val act = e.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(unix_micros(min(col("ts"))).as("act_s"),
+        (unix_micros(max(col("ts"))) + lit(1000000L)).as("act_e"))
+    val busy = e.groupBy(date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= BusyHourMin)
+      .select(unix_micros(col("h")).as("busy_s"),
+        (unix_micros(col("h")) + lit(HourUs)).as("busy_e"))
+    intervalOverlapJoin(act, col("act_s"), col("act_e"),
+        busy, col("busy_s"), col("busy_e"), HourUs)
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_busy_hours"))
+      .orderBy("user_id", "day")
+  }
+
   /** For each purchase, clicks by the same user within the following hour
     * — the registered face of [[rangeJoinCounts]] over the events table. */
   def qRangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
@@ -120,6 +193,7 @@ object TemporalJoins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_purchase"    -> qAsofPurchase _,
     "q_range_join"       -> qRangeJoinClicks _,
+    "q_interval_join"    -> qIntervalJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +215,25 @@ object TemporalJoins {
         |  ON c.user_id = p.user_id AND c.ts > p.ts
         | AND c.ts <= p.ts + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle replays the overlap as a plain inequality join on the
+    // same half-open epoch-micro arithmetic — banding is plan shape, not
+    // semantics, so the naive join is the correct reference
+    "q_interval_join" ->
+      s"""WITH act AS (
+        |  SELECT user_id,
+        |    cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS day,
+        |    epoch_us(min(cast(ts AS timestamp))) AS act_s,
+        |    epoch_us(max(cast(ts AS timestamp))) + 1000000 AS act_e
+        |  FROM events GROUP BY 1, 2),
+        |busy AS (
+        |  SELECT epoch_us(h) AS busy_s, epoch_us(h) + 3600000000 AS busy_e
+        |  FROM (SELECT cast(date_trunc('hour', cast(ts AS timestamp)) AS timestamp) AS h,
+        |               count(*) AS n
+        |        FROM events GROUP BY 1)
+        |  WHERE n >= ${BusyHourMin})
+        |SELECT a.user_id, a.day, count(*) AS n_busy_hours
+        |FROM act a JOIN busy b
+        |  ON a.act_s < b.busy_e AND b.busy_s < a.act_e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

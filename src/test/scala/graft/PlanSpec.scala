@@ -41,6 +41,12 @@ class PlanSpec extends AnyFunSuite {
       "the band equi-key must keep this a hash join")
   }
 
+  test("q_interval_join: band cover keeps the overlap an equi-join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the band key must keep the interval overlap a hash join:\n$p")
+  }
+
   test("q_asof_purchase: one window pass, no join of any kind") {
     val p = plan("q_asof_purchase")
     assert(p.contains("Window"), "as-of carries values via a window")

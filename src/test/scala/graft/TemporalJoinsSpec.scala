@@ -262,6 +262,44 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(res.passed, s"range join property failed: ${res.status}")
   }
 
+  test("interval overlap join ScalaCheck property: equals the naive predicate, exactly once") {
+    // The band-cover rewrite must report each overlapping pair EXACTLY
+    // once (the canonical-band dedup) and nothing else. Generator favors
+    // band-boundary-aligned endpoints, multi-band spans, adjacent
+    // (touching, non-overlapping) intervals, and empty intervals.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions.col
+    val Band = 1000L // micros, small so intervals span many bands
+    val genPt = Gen.oneOf(
+      Gen.choose(0L, 10L * Band),
+      Gen.choose(0L, 10L).map(_ * Band),
+      Gen.choose(0L, 10L).map(_ * Band + 1),
+      Gen.choose(1L, 10L).map(_ * Band - 1))
+    val genIv = for { a <- genPt; b <- genPt } yield (math.min(a, b), math.max(a, b))
+    val prop = Prop.forAll(
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, genIv)),
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, genIv))) { (ls, rs) =>
+      val lrows = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val rrows = rs.zipWithIndex.map { case ((s, e), i) => (100L + i, s, e) }
+      val got = TemporalJoins.intervalOverlapJoin(
+          lrows.toDF("lid", "ls", "le"), col("ls"), col("le"),
+          rrows.toDF("rid", "rs", "re"), col("rs"), col("re"), Band)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = for {
+        (lid, s1, e1) <- lrows
+        (rid, s2, e2) <- rrows
+        // half-open overlap — the textbook s1<e2 && s2<e1 is only valid
+        // for NON-empty intervals (an empty [x,x) satisfies it against
+        // any interval containing x but holds no points), so empties are
+        // excluded explicitly, matching the operator's filter
+        if e1 > s1 && e2 > s2 && s1 < e2 && s2 < e1
+      } yield (lid, rid)
+      got.sorted == expected.sorted && got.distinct.size == got.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"interval overlap property failed: ${res.status}")
+  }
+
   test("as-of join: NULL value in the matched right row is preserved, not skipped") {
     val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
     val right = Seq(
