@@ -289,8 +289,13 @@ object Multimodal {
       if (payload.isEmpty) 0.0
       else {
         val cells = DhashRows * DhashCols
-        val i0 = (r * DhashCols + c) * payload.length / cells
-        val i1 = math.max(i0 + 1, (r * DhashCols + c + 1) * payload.length / cells)
+        // Long offset math: (cell index) × (payload length) overflows Int
+        // for payloads past ~2^31/cells ≈ 30 MB, which would send a
+        // NEGATIVE index into payload() and kill the task — on exactly
+        // the oversized records a 100 TB corpus is guaranteed to contain
+        val i0 = ((r * DhashCols + c).toLong * payload.length / cells).toInt
+        val i1 = math.max(i0 + 1,
+          ((r * DhashCols + c + 1).toLong * payload.length / cells).toInt)
         var s = 0.0; var i = i0
         while (i < i1) { s += (payload(math.min(i, payload.length - 1)) & 0xFF); i += 1 }
         s / (i1 - i0)

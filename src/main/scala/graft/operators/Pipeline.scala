@@ -107,7 +107,7 @@ object Pipeline {
         |  SELECT * FROM ek WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = ek.doc_id))
         |SELECT lang, count(*) AS n_docs,
         |  cast(sum(n_words) AS bigint) AS total_ws_tokens,
-        |  cast(sum(cast(round(0.001 * n_words + 1.0 - punct_ratio, 6) AS decimal(18,6))) AS double) AS sum_quality
+        |  cast(sum(cast(round(cast(0.001 AS double) * n_words + cast(1.0 AS double) - punct_ratio, 6) AS decimal(18,6))) AS double) AS sum_quality
         |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_funnel" ->
       s"""WITH ${TextOps.duckPartsCte},

@@ -161,7 +161,14 @@ object Search {
         .withColumn("dshard", docShard(col("doc_id")))
         .repartition(col("dshard")),
       tmp.toString, Seq("dshard", "batch_id"))
-    fs.rename(tmp, docs)
+    // Hadoop FileSystem reports rename failure by RETURNING FALSE
+    // (writeBloomBytes' guard, Dedup.scala) — ignoring it would leave no
+    // sidecar now, and the NEXT append would then CREATE one holding
+    // only its own batch: the disjointness guard would trust a
+    // permanently incomplete doc set and silently re-admit old doc_ids
+    require(fs.rename(tmp, docs),
+      s"could not move $tmp to $docs — aborting rather than risk a " +
+        "partial _docs sidecar that would silently break batch disjointness")
   }
 
   /** One (batch_id, n_docs, sum_dl) stats row for a batch of documents.

@@ -361,6 +361,10 @@ object Similarity {
     * quantizers. */
   private[graft] def trainQuantizerOnSample(
       sample: Array[Array[Double]]): Array[(Int, Array[Double], Double)] = {
+    // fail HERE with the cause, not as a NoSuchElementException deep in
+    // seeding (the lmScoreStored empty-vocabulary convention)
+    require(sample.nonEmpty,
+      "cannot train an IVF quantizer on an empty embedding sample — the corpus is empty or fully filtered")
     // 2. farthest-point seeding over unit vectors (deterministic: sample
     // order is fixed, maxBy keeps the first of tied candidates)
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
@@ -822,6 +826,8 @@ object Similarity {
     * contract: twin and engine must train one codebook.
     * Returns codebook(m)(k) = the k-th centroid of subspace m. */
   private[graft] def trainPqOnSample(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty,
+      "cannot train a PQ codebook on an empty embedding sample — the corpus is empty or fully filtered")
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s0 = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }

@@ -73,9 +73,17 @@ object TemporalJoins {
     * the "attach reference data as of event time" shape. */
   def qAsofPurchase(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    // Tie policy made EXPLICIT on both faces: two purchases by one user
+    // at the same ts collapse to the max event_id BEFORE the as-of.
+    // asofJoin itself carries a deterministic struct-max on ties, but
+    // DuckDB's ASOF JOIN picks an unspecified tied row — pre-aggregating
+    // on both sides is what keeps the differential gate deterministic
+    // if the generator ever emits same-microsecond purchases.
     val purchases = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("ts"), col("purchase_id"),
         col("ts").as("purchase_ts"))
     asofJoin(e, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_id", "purchase_ts"))
       .withColumnRenamed("asof_purchase_id", "last_purchase_id")
@@ -202,8 +210,8 @@ object TemporalJoins {
         |  p.ts AS last_purchase_ts
         |FROM (SELECT event_id, user_id, cast(ts AS timestamp) AS ts FROM events) e
         |ASOF LEFT JOIN (
-        |  SELECT user_id, cast(ts AS timestamp) AS ts, event_id
-        |  FROM events WHERE event_type = 'purchase') p
+        |  SELECT user_id, cast(ts AS timestamp) AS ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
     "q_range_join" ->

@@ -1214,7 +1214,7 @@ object TextOps {
         |        cast(length(text) AS double), 6) AS punct_ratio,
         |  round(((length(text) - length(replace(text, 'the', ''))) / 3) /
         |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS stop_ratio,
-        |  round(0.001 * length(regexp_split_to_array(trim(text), ' +')) + 1.0 -
+        |  round(cast(0.001 AS double) * length(regexp_split_to_array(trim(text), ' +')) + cast(1.0 AS double) -
         |        length(regexp_replace(text, '[a-z ]', '', 'g')) /
         |        cast(length(text) AS double), 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
