@@ -153,19 +153,33 @@ class Lifecycle(
   private def today(): Timestamp = ts(clock.now().truncatedTo(ChronoUnit.DAYS))
 
   // ---- proc_set_session_vars (body:349-419) ------------------------------
+  private val FlagVars = Seq("BATCH_FLG_DBG", "BATCH_FLG_LOG", "BATCH_FLG_ERR")
+
+  private def flagsFrom(env: Map[String, String]): SessionFlags = SessionFlags(
+    debug = env.get("BATCH_FLG_DBG").contains("Y"),
+    logEnabled = env.get("BATCH_FLG_LOG").contains("Y"),
+    errEnabled = env.get("BATCH_FLG_ERR").contains("Y"))
+
+  private def controlDateFrom(v: Option[String]): Timestamp =
+    v.flatMap { s =>
+      val (code, d) = ScalarLib.checkDate(s)
+      if (code == 0) Some(ts(d.atStartOfDay.toInstant(ZoneOffset.UTC))) else None
+    }.getOrElse(today())
+
   /** Env flags, each defaulting off on any failure (body:365-401). */
-  def sessionFlags(): SessionFlags = SessionFlags(
-    debug = store.getEnv("BATCH_FLG_DBG").contains("Y"),
-    logEnabled = store.getEnv("BATCH_FLG_LOG").contains("Y"),
-    errEnabled = store.getEnv("BATCH_FLG_ERR").contains("Y"))
+  def sessionFlags(): SessionFlags = flagsFrom(store.getEnvs(FlagVars))
 
   /** glo_b_control_date (body:410-418): BATCH_CONTROL_DATE env parsed as
     * DD-MON-YYYY, falling back to TRUNC(SYSDATE) on any failure. */
   def sessionControlDate(): Timestamp =
-    store.getEnv("BATCH_CONTROL_DATE").flatMap { s =>
-      val (code, d) = ScalarLib.checkDate(s)
-      if (code == 0) Some(ts(d.atStartOfDay.toInstant(ZoneOffset.UTC))) else None
-    }.getOrElse(today())
+    controlDateFrom(store.getEnv("BATCH_CONTROL_DATE"))
+
+  /** The session vars startup needs, in ONE env-store job (vs four
+    * window-over-events jobs per batch start). */
+  private def sessionVars(): (SessionFlags, Timestamp) = {
+    val env = store.getEnvs(FlagVars :+ "BATCH_CONTROL_DATE")
+    (flagsFrom(env), controlDateFrom(env.get("BATCH_CONTROL_DATE")))
+  }
 
   // ---- proc_get_module_info (body:127-151) -------------------------------
   /** Single-row fetch contract (S1): case-insensitive name match; explicit
@@ -274,8 +288,7 @@ class Lifecycle(
         runKey = s"forms-$batchName", runId = 0L, params,
         ts(clock.now()), today(), exclusiveRun, SessionFlags(false, false, false),
         clock, calledByForms = true))
-    val flags = sessionFlags()
-    val controlDate = sessionControlDate()
+    val (flags, controlDate) = sessionVars()
 
     def failureEvent(moduleId: Long, subSystem: Option[String], err: BatchError,
         paramsOut: String): Either[BatchError, BatchContext] = {
@@ -316,22 +329,30 @@ class Lifecycle(
             // run_id scopes to the PRE-wait day (the reference's
             // glo_sysdate is captured before the WAITING insert): a
             // dependency wait crossing midnight continues the old day's
-            // sequence instead of restarting at 1 on the new day
-            val runId = getRunId(master.module_id, start)
-            appendEvent(key, store.nextSeq(), master.module_id, ts(now), runId, params,
+            // sequence instead of restarting at 1 on the new day.
+            // read-assign-append under the store's write monitor: two
+            // concurrent startups of one module (distinct params pass
+            // the duplicate check) must not both read max=N and claim
+            // run_id N+1
+            store.writeMonitor.synchronized {
+              val runId = getRunId(master.module_id, start)
+              appendEvent(key, store.nextSeq(), master.module_id, ts(now), runId, params,
+                RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
+              Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
+                exclusiveRun, flags, clock))
+            }
+          }
+        } else {                                      // body:532-538
+          val now = clock.now()
+          store.writeMonitor.synchronized {
+            val runId = getRunId(master.module_id, now)
+            val s0 = store.nextSeq()
+            val key = s"${master.module_id}-$s0"
+            appendEvent(key, s0, master.module_id, ts(now), runId, params,
               RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
             Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
               exclusiveRun, flags, clock))
           }
-        } else {                                      // body:532-538
-          val now = clock.now()
-          val runId = getRunId(master.module_id, now)
-          val s0 = store.nextSeq()
-          val key = s"${master.module_id}-$s0"
-          appendEvent(key, s0, master.module_id, ts(now), runId, params,
-            RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
-          Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
-            exclusiveRun, flags, clock))
         }
     }
   }
@@ -485,6 +506,16 @@ class Lifecycle(
     * distributed rendition of the same pipeline is CoreOps.qUnionStragg.
     */
   def getLoaderFileName(batchName: String, runDay: String): String = {
+    val names = loaderFileNames(batchName, runDay)
+    if (names.isEmpty) "0" else names.mkString(" ")
+  }
+
+  /** The resolved name LIST behind [[getLoaderFileName]] — consumers that
+    * go on to READ the files use this directly: round-tripping through
+    * the reference's space-joined string would split a name containing a
+    * space into bogus paths (and make a file literally named "0"
+    * indistinguishable from the empty manifest). */
+  private[graft] def loaderFileNames(batchName: String, runDay: String): Seq[String] = {
     val flag =
       if (batchName.equalsIgnoreCase("EISU242"))
         (if (runDay.equalsIgnoreCase("SATURDAY")) 3 else 2)
@@ -498,13 +529,13 @@ class Lifecycle(
       .select(regexp_replace(col("file_name"), "\\$\\{DAY\\}", runDay).as("file_name"),
         col("file_seq"))
       .orderBy("file_seq")
-      .select("file_name").collect().map(_.getString(0))
+      .select("file_name").collect().map(_.getString(0)).toSeq
     if (names.isEmpty) {
       store.appendLog(graft.state.BatchLogRec(ts(clock.now()), "func_get_loader_file_name",
         610, "graft.lifecycle", Some(batchName),
         Some(s"No Data file name found for batch <$batchName>")))
-      "0"
-    } else names.mkString(" ")
+    }
+    names
   }
 
   /** The load the manifest exists for: resolve the batch's file names via
@@ -516,12 +547,12 @@ class Lifecycle(
   def loadBatchFiles(batchName: String, runDay: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       options: Map[String, String] = Map("header" -> "false")): Option[org.apache.spark.sql.DataFrame] = {
-    getLoaderFileName(batchName, runDay) match {
-      case "0" => None
+    loaderFileNames(batchName, runDay) match {
+      case Seq() => None
       case names =>
         val reader = store.spark.read.options(options)
         Some(schema.fold(reader.option("inferSchema", "true"))(reader.schema)
-          .csv(names.split(" ").toIndexedSeq: _*))
+          .csv(names: _*))
     }
   }
 
@@ -563,7 +594,11 @@ class Lifecycle(
           endup(ctx, RunStatus.Success)                                  // body:978
           0
         } catch {
-          case e: Throwable =>                                           // body:980-991
+          // NonFatal, not Throwable (getRunCommand's rationale): the
+          // reference's WHEN OTHERS never survived OOM/interrupt either,
+          // and endup runs Spark work — doing that on a half-dead JVM
+          // masks the fatal cause behind a fake ordinary failure
+          case scala.util.control.NonFatal(e) =>                         // body:980-991
             log(s"daily gate failed: ${e.getMessage}")
             endup(ctx, RunStatus.Failure)
             1

@@ -40,14 +40,20 @@ object Manifest {
     * so plain reads of `path` never see it. One scan of the just-written
     * files, grouped by file — the write-side cost of every later pruned
     * read. */
-  def buildManifest(s: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+  def buildManifest(s: SparkSession, path: String, statsCols: Seq[String]): Unit =
+    writeStats(s.read.parquet(path), manifestPath(path), statsCols, "overwrite")
+
+  /** THE per-file stats shape — bootstrap build and incremental append
+    * share it, so the two manifests can never silently diverge in
+    * schema (which would break [[prunedFiles]] on mixed stores). */
+  private def writeStats(data: DataFrame, manifestDir: String,
+      statsCols: Seq[String], mode: String): Unit = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
-    s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // manifests are file-count-sized: one footer to read
-      .write.mode("overwrite").parquet(manifestPath(path))
+      .write.mode(mode).parquet(manifestDir)
   }
 
   /** Write `df` into `numFiles` range-clustered files by `clusterCol` and
@@ -119,13 +125,7 @@ object Manifest {
       .sortWithinPartitions(clusterCol)
       .write.mode("append").parquet(path)
     val newFiles = s.read.parquet(path).inputFiles.toSet -- before
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
-    s.read.parquet(newFiles.toSeq: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("append").parquet(manifestPath(path))
+    writeStats(s.read.parquet(newFiles.toSeq: _*), manifestPath(path), statsCols, "append")
   }
 
   /** The data files whose `[c_min, c_max]` interval intersects
@@ -137,11 +137,15 @@ object Manifest {
     * Files the manifest does not cover (a crashed [[appendClustered]])
     * are included UNCONDITIONALLY: no stats means no license to skip. */
   def prunedFiles(s: SparkSession, path: String, c: String, lo: Any, hi: Any): Seq[String] = {
-    val manifest = s.read.parquet(manifestPath(path))
-    val selected = manifest
-      .filter(col(c + "_min") <= lit(hi) && col(c + "_max") >= lit(lo))
-      .select("file").collect().map(_.getString(0))
-    val known = manifest.select("file").collect().map(_.getString(0)).toSet
+    // ONE manifest job: collect (file, selected?) together — a separate
+    // all-files collect would double the control-plane jobs on the hot
+    // read path the manifest exists to make cheap
+    val rows = s.read.parquet(manifestPath(path))
+      .select(col("file"),
+        (col(c + "_min") <= lit(hi) && col(c + "_max") >= lit(lo)).as("sel"))
+      .collect()
+    val selected = rows.filter(r => !r.isNullAt(1) && r.getBoolean(1)).map(_.getString(0))
+    val known = rows.map(_.getString(0)).toSet
     val unmanifested = s.read.parquet(path).inputFiles.filterNot(known)
     selected.toSeq ++ unmanifested
   }

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 class StateStore(val spark: SparkSession, val dir: String) {
 
+  // The locking/recovery layer is java.nio, which resolves a remote URI
+  // ("s3a://…", "hdfs://…") as a LITERAL LOCAL PATH: existence checks go
+  // false, so the store would read as empty (no duplicate-run guard,
+  // seqs re-assigned from 0) while Spark happily appends real events to
+  // the remote dir — the exact silent no-op Stores.scala documents.
+  // The control plane is driver-local by design; fail construction, not
+  // the first read that quietly returns nothing.
+  require(!dir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") && !dir.startsWith("file:"),
+    s"StateStore requires a driver-local filesystem path, got '$dir' — its java.nio " +
+      "locking/crash-recovery would silently treat a remote URI as a missing local " +
+      "path (empty state, duplicate seqs). Use local storage for the control plane.")
+
   private def p(name: String): String = s"$dir/$name"
 
   // ---- single-writer guard ----------------------------------------------
@@ -102,8 +114,21 @@ class StateStore(val spark: SparkSession, val dir: String) {
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** In-JVM write serialization. The lock FILE guards cross-process
+    * writers; threads inside one driver share this instance (the
+    * BatchContext-per-run design invites concurrent batches), and
+    * Spark's FileOutputCommitter stages every append of a log under the
+    * same `_temporary` dir — two concurrent commits there can delete
+    * each other's staged task files and silently lose events. All
+    * writes serialize here, and callers composing an atomic
+    * read-assign-append section (run-id assignment) synchronize on the
+    * same monitor — `synchronized` is reentrant, so their inner appends
+    * are safe. Appends are single-row control-plane writes; serializing
+    * them costs nothing. */
+  private[graft] val writeMonitor = new Object
+
   private def append[T <: Product : scala.reflect.runtime.universe.TypeTag](
-      name: String, rows: Seq[T]): Unit = {
+      name: String, rows: Seq[T]): Unit = writeMonitor.synchronized {
     ensureWriterLock()
     spark.createDataset(rows)(Encoders.product[T]).write.mode("append").parquet(p(name))
   }
@@ -168,7 +193,7 @@ class StateStore(val spark: SparkSession, val dir: String) {
     * and envvar logs — the control state's single source of truth, NOT
     * re-derivable — and it is still the seam where a transactional table
     * format would slot in. */
-  private def rewriteInPlace(name: String, df: DataFrame): Unit = {
+  private def rewriteInPlace(name: String, df: DataFrame): Unit = writeMonitor.synchronized {
     recoverRewrite(name)
     val path = Paths.get(p(name))
     if (!Files.exists(path)) return
@@ -189,7 +214,16 @@ class StateStore(val spark: SparkSession, val dir: String) {
   private def recoverRewrite(name: String): Unit = {
     val path = Paths.get(p(name))
     val bak = Paths.get(p(s"$name.bak"))
-    if (!Files.exists(path) && Files.exists(bak)) Files.move(bak, path)
+    if (!Files.exists(path) && Files.exists(bak)) {
+      // runs on every READ path, so two threads can race the same
+      // recovery; the loser's move throws after the winner already
+      // restored — tolerate exactly that state (Stores.recover's
+      // require(ok || exists) discipline), re-throw anything else
+      try Files.move(bak, path)
+      catch { case e: java.nio.file.FileSystemException =>
+        if (!Files.exists(path)) throw e
+      }
+    }
   }
 
   /** S6 retention purge (body:926-939) as filter-rewrite: keep rows newer
@@ -201,13 +235,19 @@ class StateStore(val spark: SparkSession, val dir: String) {
   def envvarEvents: DataFrame = readOrEmpty[EnvVarEvent]("envvar_events")
 
   /** func_get_env_from_db (body:861-875): current value or None. */
-  def getEnv(name: String): Option[String] = {
-    val rows = StateStore.latestState(
-        envvarEvents.filter(col("variable_name") === name),
+  def getEnv(name: String): Option[String] = getEnvs(Seq(name)).get(name)
+
+  /** Batched [[getEnv]]: ONE latest-state job for any number of
+    * variables — startup needs four (three flags + the control date),
+    * and four independent window-over-events jobs per batch start is
+    * pure control-plane overhead. */
+  def getEnvs(names: Seq[String]): Map[String, String] =
+    if (names.isEmpty) Map.empty
+    else StateStore.latestState(
+        envvarEvents.filter(col("variable_name").isin(names: _*)),
         Seq("variable_name"), Seq(col("event_seq").desc))
-      .select("value").collect()
-    rows.headOption.map(_.getString(0))
-  }
+      .select("variable_name", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** pack_envvar.proc_upd_env analogue (body:919-922): append new value. */
   def updEnv(name: String, value: String): Unit =
