@@ -167,26 +167,30 @@ object Dedup {
     // rows shuffle (and the novel branch map-side-combines to one row
     // per doc before its exchange). The aggregate below is identical
     // either way, so the gate verdicts cannot change — DedupSpec asserts
-    // the equality. The marked frame materializes ONCE for both branches
-    // via a lazy LOCAL CHECKPOINT, not persist(): persist registers the
-    // plan in the CacheManager, which pins the batch's blocks until an
-    // explicit unpersist nobody here can issue (the result is lazy, so
-    // the cache must outlive this function) — a leak per gate call in a
+    // the equality. The EXPENSIVE part of the incoming side (the gram
+    // derivation) materializes ONCE for both branches via a lazy LOCAL
+    // CHECKPOINT — not persist(): persist registers the plan in the
+    // CacheManager, which pins the batch's blocks until an explicit
+    // unpersist nobody here can issue (the result is lazy, so the cache
+    // must outlive this function) — a leak per gate call in a
     // long-lived ingest session. Checkpoint blocks instead release with
     // the RDD through the context cleaner once the result frame is
     // garbage; the truncated-lineage trade (executor loss → retry the
-    // batch) is the repo's accepted Checkpointer.Local posture. A NULL
-    // probe (null bucket) conservatively routes to the join branch: the
-    // plain path emits a no-match row for it, and dropping it from both
-    // branches would lose the verdict.
+    // batch) is the repo's accepted Checkpointer.Local posture. The
+    // CHEAP bitset probe stays a live expression evaluated per branch
+    // (PlanSpec pins it map-side under the join — inside the checkpoint
+    // it would vanish from the auditable plan). A NULL probe (null
+    // bucket) conservatively routes to the join branch: the plain path
+    // emits a no-match row for it, and dropping it from both branches
+    // would lose the verdict.
     val joined = prefilter match {
       case None => incoming.join(corpus, Seq("bucket"), "left")
       case Some(p) =>
-        val marked = incoming.withColumn("__graft_may", coalesce(p, lit(true)))
-          .localCheckpoint(eager = false)
-        marked.filter(col("__graft_may")).drop("__graft_may")
+        val base = incoming.localCheckpoint(eager = false)
+        val may = coalesce(p, lit(true))
+        base.filter(may)
           .join(corpus, Seq("bucket"), "left")
-          .unionByName(marked.filter(!col("__graft_may")).drop("__graft_may")
+          .unionByName(base.filter(!may)
             .withColumn("grams_b", lit(null).cast("array<string>")))
     }
     val agg = joined
