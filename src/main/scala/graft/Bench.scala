@@ -87,6 +87,25 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // The stage/task counters feed from an ASYNC listener: events still
+    // queued on the bus when a fast query returns would be attributed to
+    // the NEXT query, wobbling the per-query plan-size column the bench
+    // reports for cross-round comparability. listenerBus/waitUntilEmpty
+    // are private[spark] (public at bytecode level) — reflection is the
+    // supported-surface-free way to drain; best-effort by design.
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").map(_.invoke(sc))
+        bus.foreach { b =>
+          b.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .map(_.invoke(b))
+            .getOrElse(b.getClass.getMethods
+              .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+              .foreach(_.invoke(b, java.lang.Long.valueOf(10000L))))
+        }
+      } catch { case _: Throwable => () }
     val firstPass = selected.map { case (name, fn) =>
       // min of repeated measurements: sub-second queries otherwise pick
       // up position-dependent GC/scheduling jitter that reads as a
@@ -103,8 +122,10 @@ object Bench {
       // the stage column covers the FIRST run only: it reports the
       // query's plan size, which must stay comparable across rounds
       // regardless of how many jitter-damping reps this round takes
+      drainListenerBus()
       val s0 = stages.get()
       val first = measure()
+      drainListenerBus()
       val planStages = stages.get() - s0
       var ms = Vector(first) ++ (2 to reps).map(_ => measure())
       if (reps > 1 && ms.map(_._1).min < 1.0) ms ++= Seq(measure(), measure())

@@ -23,7 +23,16 @@ object Explain {
       else Seq("q_scan_project", "q_join_lookup", "q_dedup_simhash", "q_ann_lsh")
     names.foreach { n =>
       println(s"==== $n ====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None =>
+          // a typo'd name after full session startup deserves better
+          // than a bare key-not-found
+          val close = SparkEntry.queries.keys.filter(_.contains(n.stripPrefix("q_"))).toSeq.sorted
+          System.err.println(s"unknown query '$n'" +
+            (if (close.nonEmpty) s"; did you mean: ${close.mkString(", ")}?"
+             else s"; known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      }
     }
     spark.stop()
   }

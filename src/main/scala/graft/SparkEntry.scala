@@ -39,7 +39,7 @@ object SparkEntry {
       Graph.oracles ++ SkewJoin.oracles
 
   /** The COMPLETE oracle map for a dataset: the static SQL-replay oracles
-    * plus the seven differential expected-parquet oracles
+    * plus the differential expected-parquet oracles (one per Expected.writeAll key)
     * ([[graft.verify.Expected]] writes the expected files under
     * `expectedDir` and returns `read_parquet` SQL for them). Every key in
     * [[queries]] has an entry (CoreOpsSpec pins the invariant). */

@@ -48,9 +48,18 @@ object Verify {
     // Full oracle map: static SQL replays + the differential expected
     // parquet (written under outDir/_expected so it outlives this JVM for
     // the driver's DuckDB pass). A failed expected-generation falls back
-    // to the static map — 7 rows-only beats a zeroed round.
+    // to the static map — the differential queries drop to rows-only
+    // checks (every writeAll key), which beats a zeroed round.
+    // A dev-subset run (GRAFT_VERIFY_ONLY) whose queries all have static
+    // SQL oracles skips expected-generation entirely — writeAll collects
+    // both tables and trains every model, minutes of work for oracles of
+    // queries that were never dumped. Driver runs (no subset) always
+    // generate.
+    val needsExpected = only.isEmpty ||
+      selected.keys.exists(k => !SparkEntry.oracleSql.contains(k))
     val oracles =
-      try SparkEntry.oracleSqlFor(spark, sfDir,
+      if (!needsExpected) SparkEntry.oracleSql
+      else try SparkEntry.oracleSqlFor(spark, sfDir,
         new java.io.File(outDir, "_expected").getAbsolutePath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] expected-oracle generation failed: $e")

@@ -59,9 +59,21 @@ object Expected {
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Spark's double ordering (java.lang.Double.compare: NaN greatest,
-    * -0.0 < 0.0) — what array_sort / ORDER BY / window ranking use. */
-  private val D: Ordering[Double] = Ordering.Double.TotalOrdering
+  /** Spark SQL's double ordering (SQLOrderingUtil semantics): IEEE </>
+    * first — so -0.0 TIES 0.0, unlike java.lang.Double.compare /
+    * TotalOrdering which would rank -0.0 below and break ties
+    * differently than the engine's array_max/array_sort — with NaN
+    * above everything and NaN == NaN. The engine's own kernels
+    * (PqOps.cmpSql, TopKBuf's zero normalization) hold the same
+    * contract. */
+  private val D: Ordering[Double] = new Ordering[Double] {
+    def compare(x: Double, y: Double): Int =
+      if (x < y) -1
+      else if (x > y) 1
+      else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+      else if (y.isNaN) -1
+      else 0
+  }
 
   // ---- q_dedup_minhash ---------------------------------------------------
   /** Expected (doc_a, doc_b, n_bands) rows: minhash signatures via the
@@ -301,8 +313,13 @@ object Expected {
     val m = Similarity.PqSubspaces
     val sd = Similarity.PqSubDim
     def subv(v: Array[Double], i: Int): Array[Double] = v.slice(i * sd, (i + 1) * sd)
-    val withNrm = normed(embs)
-    val corpus = withNrm.map { case (id, d, _) =>
+    // corpus rows do NOT go through normed(): pure PQ never divides by a
+    // corpus vector's own norm (scoring uses recon_nrm), so the engine
+    // tolerates a zero-norm non-query row — a require here would abort
+    // the twin where the engine succeeds. Only QUERY vectors divide by
+    // their norm, and only they mirror the ANSI fail-fast below.
+    val raw = embs.map { case (id, e) => (id, e.map(_.toDouble)) }
+    val corpus = raw.map { case (id, d) =>
       val codes = (0 until m).map { i =>
         val x = subv(d, i)
         cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
@@ -312,7 +329,12 @@ object Expected {
       val recon = math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
       (id, codes, recon)
     }
-    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+    raw.filter(_._1 % 100 == 0).map { case (qid, qd) =>
+      val qn = math.sqrt(Similarity.ddot(qd, qd))
+      require(qn != 0.0,
+        s"vec_id=$qid has zero norm: the engine's ANSI division fails fast; the twin mirrors it")
+      (qid, qd, qn)
+    }.flatMap { case (qid, qd, qn) =>
       val lut = (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
       corpus.iterator
         .filter(_._1 != qid)
