@@ -106,10 +106,12 @@ object Expected {
   // ---- q_dedup_simhash ---------------------------------------------------
   /** Expected (doc_a, doc_b, hamming) rows: simhash fingerprints via the
     * Seq twin, 4×16-bit bands, pairs sharing any band with Hamming ≤ 3. */
-  def simhashRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Int)] = {
-    val fps = docs.map { case (id, text) =>
-      id -> DocHashes.simhashSeq(splitWords(normText(text)).toSeq, 1)
-    }
+  /** THE 4×16-bit banded Hamming pair sweep — ONE definition for every
+    * 64-bit-fingerprint twin (simhash text, dHash media): bucket by each
+    * 16-bit band, pair within buckets, keep Hamming ≤ 3. Two drifting
+    * copies of the band arithmetic would let one twin silently check old
+    * semantics after a band-width change. */
+  private def bandedHammingPairs(fps: Seq[(Long, Long)]): Seq[(Long, Long, Int)] = {
     val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
     fps.foreach { case (id, fp) =>
       (0 until 4).foreach { b =>
@@ -128,6 +130,11 @@ object Expected {
     }
     pairs.toSeq.sorted
   }
+
+  def simhashRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Int)] =
+    bandedHammingPairs(docs.map { case (id, text) =>
+      id -> DocHashes.simhashSeq(splitWords(normText(text)).toSeq, 1)
+    })
 
   // ---- q_image_neardup ---------------------------------------------------
   /** Expected (media_a, media_b, hamming) rows: per-record perceptual
@@ -149,23 +156,7 @@ object Expected {
             Multimodal.reencodeVariant(payload), kind)))
       else base
     }
-    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Long)]]
-    fps.foreach { case (id, fp) =>
-      (0 until 4).foreach { b =>
-        val key = (fp >> (b * 16)) & 0xFFFFL
-        buckets.getOrElseUpdate((b, key), mutable.ArrayBuffer.empty) += ((id, fp))
-      }
-    }
-    val pairs = mutable.Set.empty[(Long, Long, Int)]
-    buckets.values.foreach { members =>
-      val sorted = members.sortBy(_._1)
-      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
-        val ((a, fa), (b, fb)) = (sorted(i), sorted(j))
-        val h = java.lang.Long.bitCount(fa ^ fb)
-        if (h <= 3) pairs += ((a, b, h))
-      }
-    }
-    pairs.toSeq.sorted
+    bandedHammingPairs(fps)
   }
 
   // ---- q_token_bpe -------------------------------------------------------
@@ -303,16 +294,39 @@ object Expected {
     * code), reconstruction norms, the ADC lookup-table sum in subspace
     * order, and the top-5 ranking are re-derived sequentially here, so
     * any distributed-stage drift in the PQ scan is a hash mismatch. */
-  def pqRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
-    val sample = embs
+  /** The trained PQ model + its per-vector kernels — ONE definition for
+    * the pure-PQ and IVF-PQ twins (shared sample selection, encode
+    * argmax with ties to the larger code, recon norm, ADC LUT): two
+    * drifting copies of the encode chain would let one twin silently
+    * check an old formula. */
+  private final class PqTwinModel(embs: Seq[(Long, Array[Float])]) {
+    private val sample = embs
       .sortBy { case (id, _) => (XXH64.hashLong(id, 42L), id) }
       .take(Similarity.IvfSeedSample)
       .map(_._2.map(_.toDouble)).toArray
-    val cb = Similarity.trainPqOnSample(sample)
-    val cn2 = Similarity.pqCn2(cb)
-    val m = Similarity.PqSubspaces
-    val sd = Similarity.PqSubDim
-    def subv(v: Array[Double], i: Int): Array[Double] = v.slice(i * sd, (i + 1) * sd)
+    private val cb = Similarity.trainPqOnSample(sample)
+    private val cn2 = Similarity.pqCn2(cb)
+    private val m = Similarity.PqSubspaces
+    private val sd = Similarity.PqSubDim
+    private def subv(v: Array[Double], i: Int): Array[Double] =
+      v.slice(i * sd, (i + 1) * sd)
+    def codes(d: Array[Double]): IndexedSeq[Int] =
+      (0 until m).map { i =>
+        val x = subv(d, i)
+        cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
+          .max(byScore)._2
+      }
+    // left fold in subspace order — the engine's reduce(_ + _)
+    def recon(codes: IndexedSeq[Int]): Double =
+      math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
+    def lut(qd: Array[Double]): IndexedSeq[Array[Double]] =
+      (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
+    def adc(lut: IndexedSeq[Array[Double]], codes: IndexedSeq[Int]): Double =
+      (0 until m).map(i => lut(i)(codes(i))).sum
+  }
+
+  def pqRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val pq = new PqTwinModel(embs)
     // corpus rows do NOT go through normed(): pure PQ never divides by a
     // corpus vector's own norm (scoring uses recon_nrm), so the engine
     // tolerates a zero-norm non-query row — a require here would abort
@@ -320,14 +334,8 @@ object Expected {
     // their norm, and only they mirror the ANSI fail-fast below.
     val raw = embs.map { case (id, e) => (id, e.map(_.toDouble)) }
     val corpus = raw.map { case (id, d) =>
-      val codes = (0 until m).map { i =>
-        val x = subv(d, i)
-        cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
-          .max(byScore)._2
-      }
-      // left fold in subspace order — the engine's reduce(_ + _)
-      val recon = math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
-      (id, codes, recon)
+      val codes = pq.codes(d)
+      (id, codes, pq.recon(codes))
     }
     raw.filter(_._1 % 100 == 0).map { case (qid, qd) =>
       val qn = math.sqrt(Similarity.ddot(qd, qd))
@@ -335,12 +343,11 @@ object Expected {
         s"vec_id=$qid has zero norm: the engine's ANSI division fails fast; the twin mirrors it")
       (qid, qd, qn)
     }.flatMap { case (qid, qd, qn) =>
-      val lut = (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
+      val lut = pq.lut(qd)
       corpus.iterator
         .filter(_._1 != qid)
         .map { case (nid, codes, recon) =>
-          val adc = (0 until m).map(i => lut(i)(codes(i))).sum
-          (round6(adc / (qn * recon)), nid)
+          (round6(pq.adc(lut, codes) / (qn * recon)), nid)
         }
         .toSeq
         .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
@@ -357,37 +364,26 @@ object Expected {
     * end-to-end, so drift in EITHER stage of the composed scan is a hash
     * mismatch. */
   def ivfPqRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    // IVF assignment divides every corpus vector by its own norm (the
+    // engine's ivfListId), so HERE the all-rows normed() fail-fast is
+    // the correct mirror — unlike pure [[pqRows]]
     val withNrm = normed(embs)
     val cents = quantizerFor(withNrm)
     def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
       cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
-    val sample = embs
-      .sortBy { case (id, _) => (XXH64.hashLong(id, 42L), id) }
-      .take(Similarity.IvfSeedSample)
-      .map(_._2.map(_.toDouble)).toArray
-    val cb = Similarity.trainPqOnSample(sample)
-    val cn2 = Similarity.pqCn2(cb)
-    val m = Similarity.PqSubspaces
-    val sd = Similarity.PqSubDim
-    def subv(v: Array[Double], i: Int): Array[Double] = v.slice(i * sd, (i + 1) * sd)
+    val pq = new PqTwinModel(embs)
     val corpus = withNrm.map { case (id, d, n) =>
-      val codes = (0 until m).map { i =>
-        val x = subv(d, i)
-        cb(i).indices.map(k => (Similarity.ddot(x, cb(i)(k)) - cn2(i)(k) / 2, k))
-          .max(byScore)._2
-      }
-      val recon = math.sqrt((0 until m).map(i => cn2(i)(codes(i))).sum)
-      (id, codes, recon, scores(d, n).max(byScore)._2)
+      val codes = pq.codes(d)
+      (id, codes, pq.recon(codes), scores(d, n).max(byScore)._2)
     }
     withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
       val probed = scores(qd, qn).sorted(byScore).reverse
         .take(Similarity.IvfProbes).map(_._2).toSet
-      val lut = (0 until m).map(i => cb(i).map(c => Similarity.ddot(subv(qd, i), c)))
+      val lut = pq.lut(qd)
       corpus.iterator
         .filter { case (nid, _, _, list) => probed(list) && nid != qid }
         .map { case (nid, codes, recon, _) =>
-          val adc = (0 until m).map(i => lut(i)(codes(i))).sum
-          (round6(adc / (qn * recon)), nid)
+          (round6(pq.adc(lut, codes) / (qn * recon)), nid)
         }
         .toSeq
         .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
