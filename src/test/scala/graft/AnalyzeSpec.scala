@@ -81,7 +81,7 @@ class AnalyzeSpec extends AnyFunSuite {
     val got = Analyze.corrMatrix(df, Seq("x", "y", "z")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     // covar_samp(x,y) over {1,2,3}×{2,4,6} = 2; covar_samp(x,z) over 4 rows
-    // = -var_samp(x) = -(10/3); covar_samp(y,z) over 3 rows = -2
+    // = -var_samp(x) = -(5/3) ≈ -1.666667; covar_samp(y,z) over 3 rows = -2
     assert(got.toSeq === Seq(
       ("x", "y", 3L, 1.0, 2.0),
       ("x", "z", 4L, -1.0, -1.666667),

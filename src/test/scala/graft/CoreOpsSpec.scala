@@ -124,14 +124,7 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(without + withOrders == cust)
   }
 
-  test("broadcast join is planned for the dimension lookup (J1)") {
-    val plan = CoreOps.qJoinLookup(spark, dir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
-  }
-
-  test("scan-level pushdown: filter and projection reach the parquet reader") {
-    val plan = CoreOps.qScanProject(spark, dir).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
-    assert(!plan.contains("l_extendedprice"), "projection should prune unused columns")
-  }
+  // plan-shape assertions for q_join_lookup / q_scan_project live in
+  // PlanSpec (the executable plan audit) — a second copy here drifted
+  // independently on every plan-format change
 }

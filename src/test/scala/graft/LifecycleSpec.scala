@@ -271,8 +271,10 @@ class LifecycleSpec extends AnyFunSuite {
     assert(s2.getEnv("BATCH_CONTROL_DATE") === Some("04-Aug-2026"),
       "the takeover writer's event must win the latest-value view")
     val seqs = s2.envvarEvents.select("event_seq").collect().map(_.getLong(0)).sorted
-    assert(seqs.toSeq === seqs.distinct.toSeq, s"duplicate seqs assigned: ${seqs.mkString(",")}")
-    assert(seqs.last === seqs.max && seqs.length === 3)
+    // exact sequence: the takeover writer must land ABOVE seq 2 (a
+    // `last === max` check on a sorted array would be a tautology)
+    assert(seqs.toSeq === Seq(1L, 2L, 3L),
+      s"takeover must continue the sequence as 1,2,3 — got ${seqs.mkString(",")}")
     s2.close()
   }
 

@@ -91,9 +91,17 @@ class ManifestSpec extends AnyFunSuite {
     // manifested interval still surface
     val got = Manifest.readPruned(s, path, "k", 5000L, 5099L).count()
     assert(got === 100L, "unmanifested files must be read unconditionally")
-    // ...and it rides along even when the range targets old files only
+    // ...and THE unmanifested file specifically rides along even when
+    // the range targets old files only (data-file paths never contain
+    // "_manifest", so an exists(!contains) check would be vacuous)
+    val manifested = s.read.parquet(path + "/_manifest")
+      .select("file").collect().map(_.getString(0)).toSet
+    val unmanifested = s.read.parquet(path).inputFiles.filterNot(manifested).toSet
+    assert(unmanifested.nonEmpty, "the crash window must leave an unmanifested file")
     val inOld = Manifest.prunedFiles(s, path, "k", 0L, 99L)
-    assert(inOld.exists(!_.contains("_manifest")) && inOld.length >= 2)
+    assert(unmanifested.subsetOf(inOld.toSet),
+      s"the unmanifested file must be read unconditionally: $inOld")
+    assert(inOld.length >= 2, "the old-range files must be selected too")
     // healing: a manifest rebuild restores tight pruning
     Manifest.buildManifest(s, path, Seq("k"))
     val healed = Manifest.prunedFiles(s, path, "k", 5000L, 5099L)

@@ -88,16 +88,7 @@ class SearchSpec extends AnyFunSuite {
     val dir = TestSpark.sfDir
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("graft-searchidx").toString + "/idx"
-    def probeAll(): Seq[(Long, Double, Long)] = {
-      val hits = Search.probeSearchIndex(spark, path, Search.QueryTerms)
-        .select("doc_id", "dl", "word", "tf")
-      val stats = spark.read.parquet(path + "/_stats")
-        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
-          (org.apache.spark.sql.functions.sum("sum_dl") /
-            org.apache.spark.sql.functions.sum("n_docs")).as("avgdl"))
-      Search.scoreBm25(hits, stats).collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    }
+    def probeAll(): Seq[(Long, Double, Long)] = SearchProbe.scores(spark, path)
     // bootstrap on one third, append the other two thirds as two batches
     Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
     Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L)
@@ -192,14 +183,7 @@ class SearchSpec extends AnyFunSuite {
     Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") % 3 === 0), path)
     Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 0L)
     Search.appendSearchIndexBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 1L)
-    def scores(): Seq[(Long, Double, Long)] = {
-      val hits = Search.probeSearchIndex(spark, path, Search.QueryTerms)
-        .select("doc_id", "dl", "word", "tf")
-      val stats = spark.read.parquet(path + "/_stats")
-        .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-      Search.scoreBm25(hits, stats).collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    }
+    def scores(): Seq[(Long, Double, Long)] = SearchProbe.scores(spark, path)
     def batchDirs(): Set[String] = graft.sources.Stores.subPartitionDirs(spark, path)
       .filter(_.startsWith("batch_id="))
     val want = scores()

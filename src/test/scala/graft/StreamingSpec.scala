@@ -17,7 +17,7 @@ final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 final case class DocText(doc_id: Long, text: String)
 
 final case class VecRow(vec_id: Long, embedding: Seq[Float])
-final case class DocRow(doc_id: Long, text: String)
+
 
 final case class PurchaseEvent(p_event_id: Long, p_user_id: Long, p_ts: Timestamp)
 final case class ClickEvent(c_event_id: Long, c_user_id: Long, c_ts: Timestamp)
@@ -436,9 +436,9 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "text")
     TextOps.writeLmModel(spark, docs.filter(col("doc_id") < 250), model)
     val rest = docs.filter(col("doc_id") >= 250)
-      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+      .as[(Long, String)].collect().toSeq.map(t => DocText(t._1, t._2))
     val (b0, b1) = rest.splitAt(rest.length / 2)
-    val input = MemoryStream[DocRow]
+    val input = MemoryStream[DocText]
     val q = EventStreams.ingestLmStream(input.toDF(), model, ckpt)
     try {
       input.addData(b0: _*); q.processAllAvailable()
@@ -479,22 +479,15 @@ class StreamingSpec extends AnyFunSuite {
     // bootstrap from the first half, stream the rest in two micro-batches
     Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
     val rest = docs.filter(col("doc_id") >= 250)
-      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+      .as[(Long, String)].collect().toSeq.map(t => DocText(t._1, t._2))
     val (b0, b1) = rest.splitAt(rest.length / 2)
-    val input = MemoryStream[DocRow]
+    val input = MemoryStream[DocText]
     val q = EventStreams.ingestPostingsStream(input.toDF(), idx, ckpt)
     try {
       input.addData(b0: _*); q.processAllAvailable()
       input.addData(b1: _*); q.processAllAvailable()
     } finally q.stop()
-    def probeScores(): Seq[(Long, Double, Long)] = {
-      val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
-        .select("doc_id", "dl", "word", "tf")
-      val stats = spark.read.parquet(idx + "/_stats")
-        .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-      Search.scoreBm25(hits, stats).collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    }
+    def probeScores(): Seq[(Long, Double, Long)] = SearchProbe.scores(spark, idx)
     val want = Search.bm25(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(probeScores() === want,
@@ -544,10 +537,10 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "text")
     Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
     val rest = docs.filter(col("doc_id") >= 250)
-      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+      .as[(Long, String)].collect().toSeq.map(t => DocText(t._1, t._2))
     val (r1, r2) = rest.splitAt(rest.length / 2)
-    val schema = Seq.empty[DocRow].toDF().schema
-    def run(batch: Seq[DocRow]): Unit = {
+    val schema = Seq.empty[DocText].toDF().schema
+    def run(batch: Seq[DocText]): Unit = {
       batch.toDF().write.mode("append").parquet(src)
       val q = EventStreams.ingestPostingsStream(
         spark.readStream.schema(schema).parquet(src), idx, ckpt)
@@ -564,12 +557,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx + "/_stats")
       .agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
     // post-restart scores equal the full-corpus in-query scorer
-    val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
-      .select("doc_id", "dl", "word", "tf")
-    val stats = spark.read.parquet(idx + "/_stats")
-      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-    val got = Search.scoreBm25(hits, stats).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val got = SearchProbe.scores(spark, idx)
     val want = Search.bm25(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(got === want)
@@ -584,9 +572,9 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "text")
     Search.writeSearchIndexFrom(spark, docs.filter(col("doc_id") < 250), idx)
     val rest = docs.filter(col("doc_id") >= 250)
-      .as[(Long, String)].collect().toSeq.map(t => DocRow(t._1, t._2))
+      .as[(Long, String)].collect().toSeq.map(t => DocText(t._1, t._2))
     val (r1, r2) = rest.splitAt(rest.length / 2)
-    val schema = Seq.empty[DocRow].toDF().schema
+    val schema = Seq.empty[DocText].toDF().schema
     def run(): Unit = {
       val q = EventStreams.ingestPostingsStream(
         spark.readStream.schema(schema).parquet(src), idx, ckpt)
@@ -618,12 +606,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0L)
     assert(spark.read.parquet(idx + "/_stats")
       .agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
-    val hits = Search.probeSearchIndex(spark, idx, Search.QueryTerms)
-      .select("doc_id", "dl", "word", "tf")
-    val stats = spark.read.parquet(idx + "/_stats")
-      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-    val got = Search.scoreBm25(hits, stats).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val got = SearchProbe.scores(spark, idx)
     val want = Search.bm25(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(got === want)

@@ -19,3 +19,20 @@ object TestSpark {
   }
   val sfDir = "/root/testdata/sf0.001"
 }
+
+/** THE stored-search-index probe pipeline (hits + additive `_stats`
+  * roll-up + scorer), shared by every spec that compares a stored index
+  * against the in-query BM25 — five drifting copies of the avgdl
+  * derivation would let one spec silently check an old stats contract. */
+object SearchProbe {
+  def scores(spark: SparkSession, path: String): Seq[(Long, Double, Long)] = {
+    import org.apache.spark.sql.functions.sum
+    val hits = graft.operators.Search.probeSearchIndex(spark, path,
+        graft.operators.Search.QueryTerms)
+      .select("doc_id", "dl", "word", "tf")
+    val stats = spark.read.parquet(path + "/_stats")
+      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
+    graft.operators.Search.scoreBm25(hits, stats).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+  }
+}

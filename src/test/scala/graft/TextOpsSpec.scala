@@ -34,12 +34,15 @@ class TextOpsSpec extends AnyFunSuite {
       val (_, _, lastStart, lastLen) = sorted.last
       assert(lastStart + lastLen - 1 == nWords(docId),
         s"doc $docId: chunks end at ${lastStart + lastLen - 1} of ${nWords(docId)} words")
-      // every non-first chunk overlaps its predecessor by 20 words
+      // every non-final chunk is FULL (100 words), which with the
+      // 80-word stride is exactly the 20-word overlap — `overlap >= 0`
+      // alone would pass a regression that strode without overlapping
       sorted.toSeq.sliding(2).foreach { pair =>
         if (pair.size == 2) {
           val (_, _, s1, l1) = pair(0)
           val (_, _, s2, _) = pair(1)
-          assert(s2 == s1 + 80 && s1 + l1 - s2 >= 0)
+          assert(s2 == s1 + 80, s"doc $docId stride: $s1 -> $s2")
+          assert(l1 == 100, s"doc $docId non-final chunk len $l1 (overlap lost)")
         }
       }
     }
