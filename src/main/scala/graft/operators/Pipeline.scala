@@ -26,7 +26,11 @@ object Pipeline {
   def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     val nWords = size(split(trim(t), " +")).cast(LongType)
-    val punctRatio = length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double")
+    // empty-text guard mirrors qTextQuality's: the funnel FILTER
+    // evaluates the ratio before n_words can exclude the doc, so an
+    // unguarded 0/0 would abort the pipeline under ANSI
+    val punctRatio = when(length(t) > 0,
+      length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double")).otherwise(lit(0.0))
     val qualityScore = round(lit(0.001) * nWords + lit(1.0) - punctRatio, 6)
 
     // 1. quality gate (TextOps.qTextQuality's signals)
@@ -96,7 +100,7 @@ object Pipeline {
         |q AS (
         |  SELECT doc_id, lang, text,
         |    length(regexp_split_to_array(trim(text), ' +')) AS n_words,
-        |    length(regexp_replace(text, '[a-z ]', '', 'g')) / cast(length(text) AS double) AS punct_ratio
+        |    CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-z ]', '', 'g')) / cast(length(text) AS double) ELSE cast(0 AS double) END AS punct_ratio
         |  FROM documents),
         |qf AS (SELECT * FROM q WHERE n_words >= 20 AND punct_ratio < 0.2),
         |ek AS (

@@ -984,8 +984,18 @@ object Similarity {
 
   private[graft] def qIvfPqFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
     val e = withNorm(s, vectors)
-    val cents = trainQuantizer(e)
-    val cb = trainPqOnSample(pqSample(vectors))
+    // ONE seed-sample collect serves BOTH trainers: trainQuantizer and
+    // pqSample would otherwise each run a byte-identical corpus-wide
+    // top-|sample| sort-limit job selecting the same rows — at 100 TB, a
+    // duplicated full scan per query. Same rows, same per-element
+    // arithmetic as the two single-tier paths (float widens to double;
+    // the quantizer's copy unit-normalizes), so the trained models are
+    // bit-identical to theirs.
+    val raw = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
+      .select("embedding", "nrm").collect()
+      .map(r => (r.getSeq[Float](0), r.getDouble(1)))
+    val cents = trainQuantizerOnSample(raw.map { case (v, n) => v.map(_ / n).toArray })
+    val cb = trainPqOnSample(raw.map { case (v, _) => v.map(_.toDouble).toArray })
     // one scan: coarse list assignment + PQ encoding side by side
     val corpus = e.select(col("vec_id").as("n_id"),
         ivfListId(s, cents)(col("embedding"), col("nrm")).as("bucket"),

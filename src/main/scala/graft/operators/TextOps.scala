@@ -47,7 +47,10 @@ object TextOps {
       .otherwise("und")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
-      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      // when/otherwise, not a bare cast: a NULL lang must score 0 like
+      // the oracle's CASE (the bare equality would yield NULL and
+      // hash-diverge on a corpus with unlabeled docs)
+      .withColumn("is_match", when(col("pred_lang") === col("lang"), 1).otherwise(0))
       .orderBy("doc_id")
   }
 
@@ -61,7 +64,11 @@ object TextOps {
     // the non-letter content; subtracting it from the length would count
     // the clean characters instead)
     val punct = length(regexp_replace(t, "[a-z ]", ""))
-    val punctRatio = punct / length(t).cast("double")
+    // empty-text guard (compressRatioOf's n_bytes discipline): 0/0 under
+    // the ANSI default would abort the whole scan on one junk document;
+    // an empty doc has no punctuation, so its ratio is 0
+    val punctRatio =
+      when(length(t) > 0, punct / length(t).cast("double")).otherwise(lit(0.0))
     val stopCnt = occ(t, "the")
     Tables.documents(s, dir)
       .select(col("doc_id"), nWords.as("n_words"),
@@ -175,8 +182,11 @@ object TextOps {
     * (TextOpsSpec asserts encode-equality end to end). */
   def loadBpeModel(s: SparkSession, path: String): IndexedSeq[(String, String)] = {
     graft.sources.Stores.recover(s, path)
+    // by NAME, not ordinal (qualityClassifierStored's rule): left and
+    // right are same-typed, so a writer column reorder would otherwise
+    // swap merge sides silently — a wrong tokenizer with no error
     s.read.parquet(path).orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toIndexedSeq
   }
 
   /** [[tokenBpeOf]] served from a STORED model instead of retraining —
@@ -494,8 +504,7 @@ object TextOps {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("top_cnt"), sum("c").as("n_words"))
-    val bigrams =
-      expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")
+    val bigrams = bigramsOfWords
     val lines = split(col("text"), "\n")
     val rowStats = base.select(col("doc_id"),
       (size(col("words")) - 1).cast(LongType).as("n_bigrams"),
@@ -559,12 +568,17 @@ object TextOps {
   /** The gram stream of a corpus — (doc_id, bg, w1), ONE definition for
     * the in-query LM, the model writer, and the stored scorer, so the
     * three can never tokenize differently. */
+  /** THE bigram projection over a `words` array column — one definition
+    * for the Gopher repetition stats and the bigram LM (the lmGrams
+    * "can never tokenize differently" contract applied to the gram
+    * construction itself). */
+  private def bigramsOfWords: Column =
+    expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")
+
   private def lmGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
-        .as("bg"))
+      .select(col("doc_id"), explode(bigramsOfWords).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
 
   /** The 1-row vocabulary-size frame of a corpus (add-one smoothing's
@@ -681,7 +695,10 @@ object TextOps {
         .filter(_.startsWith("batch_id="))
         .map(_.stripPrefix("batch_id=").toLong).toSet
     }
-    if (batchDirs(path).isEmpty) return // no store (or no partitions): no-op
+    // BOTH stores gate the no-op: a corpus whose batches held only
+    // vocab rows (every doc < 2 words) has no counts partitions but
+    // real _vocab partitions that must still fold
+    if (batchDirs(path).isEmpty && batchDirs(path + "/_vocab").isEmpty) return
     val ids = (batchDirs(path) ++ batchDirs(path + "/_vocab"))
       .filter(b => b >= 0 && b < foldBelow)
     if (ids.isEmpty) return
@@ -1210,13 +1227,13 @@ object TextOps {
         |  length(regexp_split_to_array(trim(text), ' +')) AS n_words,
         |  round(length(replace(text, ' ', '')) /
         |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS avg_word_len,
-        |  round(length(regexp_replace(text, '[a-z ]', '', 'g')) /
-        |        cast(length(text) AS double), 6) AS punct_ratio,
+        |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-z ]', '', 'g')) /
+        |        cast(length(text) AS double) ELSE cast(0 AS double) END, 6) AS punct_ratio,
         |  round(((length(text) - length(replace(text, 'the', ''))) / 3) /
         |        cast(length(regexp_split_to_array(trim(text), ' +')) AS double), 6) AS stop_ratio,
         |  round(cast(0.001 AS double) * length(regexp_split_to_array(trim(text), ' +')) + cast(1.0 AS double) -
-        |        length(regexp_replace(text, '[a-z ]', '', 'g')) /
-        |        cast(length(text) AS double), 6) AS quality_score
+        |        CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-z ]', '', 'g')) /
+        |        cast(length(text) AS double) ELSE cast(0 AS double) END, 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
