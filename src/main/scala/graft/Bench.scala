@@ -81,7 +81,11 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = graft.lifecycle.Observability.withJobGroup(spark, name, label) {
-        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        // NonFatal only: after an OutOfMemoryError or other fatal JVM
+        // error every later measurement runs on a half-dead JVM and
+        // reports garbage timings — let those abort the sweep.
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       }

@@ -26,9 +26,12 @@ object Verify {
       // X5 observability (body:486-487, 1253-1266): tag every job with the
       // query it belongs to, so the Spark UI / event log attributes stages.
       graft.lifecycle.Observability.withJobGroup(spark, name, s"graft verify: $name") {
+        // NonFatal only (same rationale as Bench/Lifecycle): a fatal JVM
+        // error would leave every later query running on a broken JVM —
+        // better to abort the dump than record garbage for the round.
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -61,7 +64,7 @@ object Verify {
       if (!needsExpected) SparkEntry.oracleSql
       else try SparkEntry.oracleSqlFor(spark, sfDir,
         new java.io.File(outDir, "_expected").getAbsolutePath)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] expected-oracle generation failed: $e")
         SparkEntry.oracleSql
       }

@@ -85,15 +85,7 @@ object IvfScoresKernel {
       val divisor = nrm * cns(i)
       val score: Any =
         if (divisor == 0.0) {
-          if (failOnError)
-            // SparkArithmeticException / QueryExecutionErrors are
-            // private[spark]; raise the same error class + SQLSTATE text
-            // through the public supertype builtin Divide throws
-            throw new ArithmeticException(
-              "[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate " +
-                "divisor being 0 and return NULL instead. If necessary set " +
-                "\"spark.sql.ansi.enabled\" to \"false\" to bypass this error. " +
-                "SQLSTATE: 22012")
+          if (failOnError) throw divideByZero()
           else null
         } else acc / divisor
       out(i) = new GenericInternalRow(Array[Any](score, ids(i)))
@@ -101,6 +93,21 @@ object IvfScoresKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** The genuine ANSI divide-by-zero error — a SparkArithmeticException
+    * carrying the DIVIDE_BY_ZERO error class and 22012 SQLSTATE, so
+    * harnesses matching on SparkThrowable (or any future Spark changing
+    * the message wording) see the kernel and the tree fallback behave
+    * identically. QueryExecutionErrors is private[spark]; evaluating a
+    * literal ANSI `Divide` is the public surface that throws it. */
+  private[functions] def divideByZero(): ArithmeticException =
+    try {
+      org.apache.spark.sql.catalyst.expressions.Divide(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0d),
+        org.apache.spark.sql.catalyst.expressions.Literal(0.0d),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI).eval(null)
+      new ArithmeticException("ANSI 1.0/0.0 did not throw") // unreachable
+    } catch { case e: ArithmeticException => e }
 }
 
 case class IvfScores(first: Expression, second: Expression, third: Expression)

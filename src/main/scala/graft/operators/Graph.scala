@@ -69,19 +69,23 @@ object Graph {
     * outside the edge list don't exist; a node with edges always has
     * in-edges under an undirected edge set, so no rank mass silently
     * vanishes into dangling nodes. */
-  private[graft] def pagerank(edges: DataFrame): DataFrame = {
+  private[graft] def pagerank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
     val cp = Checkpointer.fromConf(edges.sparkSession)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // The degreed edge list appears in EVERY round's join; left lazy it
-    // rides the final DAG PrIters times and is recomputed per round
+    // rides the final DAG `iters` times and is recomputed per round
     // (lineage × iterations — the iterative-algorithm scale-killer).
     // persist(), not checkpoint: the first round's own tasks populate
     // the cache in-job (no separate materialization job), rounds 2..N
     // read blocks, and lineage stays intact so an executor loss
     // recomputes instead of failing — the right trade for a REUSED
     // frame, vs the rank chain below where the problem is lineage DEPTH
-    // and truncation (the Checkpointer seam) is the point. Blocks
-    // release via the context cleaner once the result frame is garbage.
+    // and truncation (the Checkpointer seam) is the point. persist()
+    // registers the plan in the session CacheManager, which holds a
+    // strong reference until an explicit unpersist — so the final round
+    // below materializes the result and unpersists this frame before
+    // returning (a leaked entry would pin MEMORY_AND_DISK blocks for
+    // the session's lifetime on every call).
     val edgesDeg = edges.join(deg, "src").persist()
     // seed from the CACHED frame, not deg's own lineage — deg re-derives
     // the full edge list (at 100 TB, a second corpus-scale derivation
@@ -89,7 +93,7 @@ object Graph {
     var rank = edgesDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(PrInit).as("r"))
     var lastCk: Option[DataFrame] = None
-    (1 to PrIters).foreach { i =>
+    (1 to iters).foreach { i =>
       rank = edgesDeg.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node")
@@ -98,14 +102,22 @@ object Graph {
       // need the RANK lineage truncated periodically, or round N's plan
       // nests N joins deep; a no-op at PrIters=3. Integer arithmetic
       // makes the truncation value-invariant.
-      if (i % RankCheckpointEvery == 0 && i < PrIters) {
+      if (i % RankCheckpointEvery == 0 && i < iters) {
         val ck = cp(rank)
         lastCk.foreach(cp.release)
         lastCk = Some(ck)
         rank = ck
       }
     }
-    rank
+    // Materialize the final round through the checkpoint seam, THEN drop
+    // every intermediate store: the returned frame reads its own
+    // checkpoint (Local: block storage released by the context cleaner
+    // once the frame is garbage — NOT a CacheManager entry), so nothing
+    // re-reads edgesDeg or the mid-chain checkpoint after this point.
+    val out = cp(rank)
+    lastCk.foreach(cp.release)
+    edgesDeg.unpersist(blocking = false)
+    out
   }
 
   /** Truncate the rank lineage every this many rounds (see above). */

@@ -136,18 +136,42 @@ object TemporalJoins {
     * against candidate precision (wide bands pair distant intervals);
     * at 100 TB, size it near the median interval length. Extra columns
     * on either input ride through untouched (names must not collide).
+    *
+    * `maxBandsPerRow` bounds the per-row explosion: ONE corrupt record
+    * (a garbage timestamp, an open-ended interval encoded as
+    * Long.MaxValue) would otherwise make `sequence()` throw its opaque
+    * max-array-length error — or allocate gigabytes — and abort the
+    * whole job. The guard fails with the offending interval named
+    * instead. The default (2^20 bands) is far above any sanely-sized
+    * band width yet small enough that a single row can't OOM a task.
     */
   def intervalOverlapJoin(left: DataFrame, lStart: Column, lEnd: Column,
-      right: DataFrame, rStart: Column, rEnd: Column, bandMicros: Long): DataFrame = {
+      right: DataFrame, rStart: Column, rEnd: Column, bandMicros: Long,
+      maxBandsPerRow: Long = DefaultMaxBandsPerRow): DataFrame = {
     require(bandMicros > 0, s"bandMicros must be positive, got $bandMicros")
+    require(maxBandsPerRow > 0, s"maxBandsPerRow must be positive, got $maxBandsPerRow")
     // exact long floor-div: subtract the remainder FIRST so the double
     // division divides two exactly-representable values (epoch micros
     // ≪ 2^53) whose quotient is an integer — a raw c/band could truncate
     // one band off at exact multiples
     def floorDiv(c: Column): Column =
       ((c - pmod(c, lit(bandMicros))) / lit(bandMicros)).cast("long")
-    def bands(s: Column, e: Column): Column =
-      explode(sequence(floorDiv(s), floorDiv(e - lit(1L))))
+    def bands(s: Column, e: Column): Column = {
+      val lo = floorDiv(s)
+      val hi = floorDiv(e - lit(1L))
+      // assert_true yields NULL on pass, so coalesce routes `lo` through
+      // the guard without the optimizer being able to prune it; on a
+      // pathological row it raises with the interval's values instead of
+      // sequence()'s opaque array-length error
+      val guarded = coalesce(
+        assert_true(hi - lo < lit(maxBandsPerRow), format_string(
+          s"intervalOverlapJoin: interval [%d, %d) spans more than " +
+            s"$maxBandsPerRow bands of $bandMicros micros — corrupt or " +
+            "open-ended timestamp?",
+          s.cast("long"), e.cast("long"))).cast("long"),
+        lo)
+      explode(sequence(guarded, hi))
+    }
     // empty intervals ([s, e) with e <= s) overlap nothing and would
     // band backwards through sequence's descending step — drop them here
     val l = left.filter(lEnd > lStart)
@@ -169,6 +193,11 @@ object TemporalJoins {
     * band join broadcasts at any corpus scale; the activity side never
     * shuffles for the join itself. */
   private[graft] val BusyHourMin = 20
+
+  /** Per-row band-explosion cap for [[intervalOverlapJoin]] (see its
+    * scaladoc): 2^20 — generous for any sane band sizing, small enough
+    * that one corrupt interval can't allocate its way to an OOM. */
+  val DefaultMaxBandsPerRow: Long = 1L << 20
 
   def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val HourUs = 3600L * 1000000

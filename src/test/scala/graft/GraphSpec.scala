@@ -48,6 +48,38 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 150000L))
   }
 
+  test("deep iteration drives the rank-lineage checkpoint path") {
+    // 12 > RankCheckpointEvery (10): round 10 truncates the rank chain
+    // through the Checkpointer and round 12's final materialization must
+    // release the mid-chain checkpoint — the code path a 20+-round
+    // production run lives on, a no-op at the registered PrIters
+    assert(Graph.RankCheckpointEvery <= 10,
+      "test assumes the checkpoint seam fires within 12 rounds")
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (2L, 4L), (4L, 2L),
+      (3L, 4L), (4L, 3L))
+    val got = Graph.pagerank(und.toDF("src", "dst"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === seqPagerank(und, 12))
+  }
+
+  test("pagerank leaves no cache entry behind (CacheManager hygiene)") {
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    s.catalog.clearCache()
+    val out = Graph.pagerank(und.toDF("src", "dst"))
+    out.count()
+    // the internal edgesDeg persist() must be unpersisted before return:
+    // a leaked CacheManager entry would pin blocks for the session's
+    // lifetime on every call. cacheManager is private[sql] (public at
+    // bytecode level) — reflection, same pattern Bench uses for the
+    // listener bus.
+    val ss = s.sharedState
+    val cm = ss.getClass.getMethods.find(_.getName == "cacheManager")
+      .map(_.invoke(ss)).get
+    val empty = cm.getClass.getMethods.find(_.getName == "isEmpty")
+      .map(_.invoke(cm).asInstanceOf[Boolean]).get
+    assert(empty, "pagerank must unpersist its internal edge cache before returning")
+  }
+
   test("pagerank is invariant to edge-list partitioning") {
     val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
     val one = Graph.pagerank(und.toDF("src", "dst").repartition(1))

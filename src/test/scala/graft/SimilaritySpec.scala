@@ -302,9 +302,16 @@ class SimilaritySpec extends AnyFunSuite {
       zero.select(Similarity.ivfScoresTree(spark, cents)(col("embedding"), col("nrm")))
     ).foreach { df =>
       val e = intercept[Throwable](df.collect())
-      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).toSeq
+      assert(chain
         .exists(t => String.valueOf(t.getMessage).contains("DIVIDE_BY_ZERO")),
         s"ANSI zero-divisor must fail fast on both forms, got: $e")
+      // not just the message TEXT: the kernel must raise the genuine
+      // SparkThrowable (error class + SQLSTATE) builtin Divide throws,
+      // so harnesses matching on the error class see identical behavior
+      assert(chain.exists(t => t.isInstanceOf[org.apache.spark.SparkThrowable] &&
+        t.asInstanceOf[org.apache.spark.SparkThrowable].getCondition == "DIVIDE_BY_ZERO"),
+        s"zero-divisor error must be a SparkThrowable with class DIVIDE_BY_ZERO, got: $e")
     }
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.ansi.enabled", "false")

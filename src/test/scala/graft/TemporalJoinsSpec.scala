@@ -300,6 +300,35 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(res.passed, s"interval overlap property failed: ${res.status}")
   }
 
+  test("interval overlap: one pathological interval fails with the interval named") {
+    import org.apache.spark.sql.functions.col
+    // an open-ended interval encoded as Long.MaxValue would explode into
+    // ~9e12 bands — sequence() would throw its opaque max-array-length
+    // error (or allocate gigabytes); the guard must name the row instead
+    val l = Seq((1L, 0L, 2000L), (2L, 500L, Long.MaxValue)).toDF("lid", "ls", "le")
+    val r = Seq((100L, 0L, 1000L)).toDF("rid", "rs", "re")
+    val e = intercept[Throwable] {
+      TemporalJoins.intervalOverlapJoin(
+        l, col("ls"), col("le"), r, col("rs"), col("re"), 1000L).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msgs.contains("intervalOverlapJoin") && msgs.contains("[500, 9223372036854775807)"),
+      s"guard must fail with the offending interval named, got: $msgs")
+
+    // sane rows are untouched by the guard, and a caller may widen the cap
+    val ok = TemporalJoins.intervalOverlapJoin(
+        l.filter(col("lid") === 1L), col("ls"), col("le"),
+        r, col("rs"), col("re"), 1000L)
+      .select("lid", "rid").collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    assert(ok.toSeq === Seq((1L, 100L)))
+    val widened = TemporalJoins.intervalOverlapJoin(
+        Seq((3L, 0L, 5000L)).toDF("lid", "ls", "le"), col("ls"), col("le"),
+        r, col("rs"), col("re"), bandMicros = 1L, maxBandsPerRow = 10000L)
+      .select("lid", "rid").collect()
+    assert(widened.length === 1, "a widened cap must admit the long interval")
+  }
+
   test("as-of join: NULL value in the matched right row is preserved, not skipped") {
     val left = Seq((1L, ts("2026-01-01T15:00:00Z"))).toDF("k", "t")
     val right = Seq(
