@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * (one event per run transition), so single-file appends are fine; a
   * long-lived deployment would periodically compact the event dir — the
   * read path (plain `spark.read.parquet`) is unchanged by compaction.
-  * Concurrent drivers would put the event log on a transactional table
-  * format; the store API is the seam where that swap happens.
+  * Concurrent drivers use [[MwStateStore]] — the transactional
+  * implementation of this store's seq-sensitive surface (optimistic
+  * [[TxnLog]] commits, version-as-seq) that replaces the `_writer.lock`
+  * exclusion below with real multi-writer serialization.
   */
 class StateStore(val spark: SparkSession, val dir: String) {
 

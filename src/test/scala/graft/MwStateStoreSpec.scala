@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.{EnvVarEvent, MonitorEvent, MwStateStore, TxnLog}
+
+/** Multi-writer control plane (state/TxnLog + state/MwStateStore): the
+  * transactional swap the single-writer StateStore documents. The specs
+  * here are the concurrency claims themselves — dense version-as-seq
+  * under racing writers, serializable run-id assignment, crash-invisible
+  * staging, checkpoint/vacuum equivalence — run with each "driver" as
+  * its own store instance (no shared JVM locks stand in for the
+  * protocol). */
+class MwStateStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-mw").toString
+
+  private def ev(key: String, moduleId: Long = 1L, runId: Long = 0L,
+      status: String = "R", at: String = "2026-02-01T10:00:00.123456Z"): MonitorEvent =
+    MonitorEvent(
+      run_key = key, event_seq = 0L, module_id = moduleId,
+      run_date = Timestamp.from(java.time.Instant.parse(at)),
+      run_id = runId, parameters = Some("p=\"1\"\nline2\ttab"), // escaping torture
+      audit_id = None, run_status = status, sub_system = Some("s"),
+      exclusive_run_yn = Some("N"),
+      control_date = Some(Timestamp.from(java.time.Instant.parse(at))),
+      end_time = None, records_processed = Some(7L), records_in_error = None)
+
+  // ---- TxnLog protocol ----------------------------------------------------
+
+  test("txnlog: exactly one writer wins each version; losers observe the winner") {
+    val dir = tmpDir()
+    val log = new TxnLog(dir)
+    assert(log.tryCommit(1L, "a\n1"))
+    assert(!log.tryCommit(1L, "b\n1"), "second claim of a version must fail")
+    assert(log.latestVersion() === 1L)
+    assert(log.commitsAfter(0L) === Seq(1L -> "a\n1"),
+      "the losing payload must never be readable")
+  }
+
+  test("txnlog: commit retries re-derive the payload against the new snapshot") {
+    val dir = tmpDir()
+    val log = new TxnLog(dir)
+    log.commit(v => s"k\nfirst at $v")
+    var attempts = 0
+    val won = log.commit { v =>
+      attempts += 1
+      if (attempts == 1) log.tryCommit(v, s"k\nintruder at $v") // steal our version
+      s"k\nmine at $v"
+    }
+    assert(won === 3L && attempts === 2,
+      "after losing v=2 to the intruder the payload must be re-derived for v=3")
+    assert(log.commitsAfter(0L).map(_._2) ===
+      Seq("k\nfirst at 1", "k\nintruder at 2", "k\nmine at 3"))
+  }
+
+  test("txnlog: a temp file without its link is invisible and vacuum sweeps it") {
+    val dir = tmpDir()
+    val log = new TxnLog(dir)
+    log.commit(_ => "k\nreal")
+    // a writer that crashed between staging and publish
+    Files.createDirectories(Paths.get(dir, "_txn"))
+    Files.write(Paths.get(dir, "_txn", ".tmp-crashed"), "k\nghost".getBytes)
+    assert(log.latestVersion() === 1L)
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+    log.vacuum(0L) // retains all commits, sweeps orphans
+    assert(!Files.exists(Paths.get(dir, "_txn", ".tmp-crashed")))
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+  }
+
+  test("txnlog: the floor prevents version reuse after vacuum") {
+    val dir = tmpDir()
+    val log = new TxnLog(dir)
+    (1 to 3).foreach(i => log.commit(_ => s"k\n$i"))
+    log.vacuum(3L) // as if a checkpoint covered everything
+    assert(log.latestVersion() === 0L, "raw listing under-reports history")
+    assert(log.latestVersion(floor = 3L) === 3L)
+    val v = log.commit(_ => "k\n4", floor = 3L)
+    assert(v === 4L, "a post-vacuum commit must not reuse version 1")
+  }
+
+  // ---- concurrent drivers -------------------------------------------------
+
+  test("8 racing drivers, 200 appends: seqs are exactly 1..200, all events kept") {
+    val dir = tmpDir()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 8).map { d =>
+        Future {
+          val store = new MwStateStore(spark, dir) // own instance = own driver
+          (1 to 25).map(i => store.appendMonitorEvent(ev(s"run-$d-$i")))
+        }
+      }
+      val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
+      assert(seqs.sorted === (1L to 200L), "returned seqs must be dense and unique")
+      val store = new MwStateStore(spark, dir)
+      val rows = store.monitorEvents.select("event_seq", "run_key").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 200L))
+      assert(rows.map(_.getString(1)).distinct.length === 200, "no event lost")
+    } finally pool.shutdown()
+  }
+
+  test("racing updEnv: final value is the max-version commit, history complete") {
+    val dir = tmpDir()
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 6).map { d =>
+        Future { val s = new MwStateStore(spark, dir); d -> s.updEnv("FLAG", s"v$d") }
+      }
+      val byDriver = Await.result(Future.sequence(futures), Duration.Inf).toMap
+      val store = new MwStateStore(spark, dir)
+      val winner = byDriver.maxBy(_._2)._1
+      assert(store.getEnv("FLAG") === Some(s"v$winner"),
+        "latest value must follow the commit total order")
+      assert(store.envvarEvents.count() === 6L)
+      assert(store.getEnv("MISSING") === None)
+    } finally pool.shutdown()
+  }
+
+  test("racing run-id assignment is serializable: unique contiguous ids per (module, day)") {
+    val dir = tmpDir()
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 6).map { d =>
+        Future {
+          val s = new MwStateStore(spark, dir)
+          s.assignRunId(ev(s"race-$d", moduleId = 42L))
+        }
+      }
+      val assigned = Await.result(Future.sequence(futures), Duration.Inf)
+      assert(assigned.map(_._1).sorted === (1L to 6L),
+        s"run ids must be NVL(MAX)+1-contiguous under races, got $assigned")
+      // a different module/day starts its own sequence
+      val s = new MwStateStore(spark, dir)
+      assert(s.assignRunId(ev("other", moduleId = 7L))._1 === 1L)
+      assert(s.assignRunId(
+        ev("other-day", moduleId = 42L, at = "2026-02-02T00:00:00.000000Z"))._1 === 1L)
+    } finally pool.shutdown()
+  }
+
+  // ---- round-trip fidelity ------------------------------------------------
+
+  test("event payload round-trips exactly: escapes, NULLs, micro-precision timestamps") {
+    val store = new MwStateStore(spark, tmpDir())
+    val e = ev("rt", at = "2026-03-01T23:59:59.999999Z")
+    val seq = store.appendMonitorEvent(e)
+    val got = store.monitorEvents.as(
+      org.apache.spark.sql.Encoders.product[MonitorEvent]).collect()
+    assert(got.toSeq === Seq(e.copy(event_seq = seq)),
+      "decoded event must equal the appended one field-for-field")
+  }
+
+  // ---- checkpoint / vacuum ------------------------------------------------
+
+  test("checkpoint + vacuum preserve the exact event history and seq floor") {
+    val dir = tmpDir()
+    val store = new MwStateStore(spark, dir, checkpointEvery = 10)
+    (1 to 17).foreach { i =>
+      if (i % 3 == 0) store.updEnv("K", s"v$i")
+      else store.appendMonitorEvent(ev(s"run-$i"))
+    }
+    val before = store.monitorEvents.orderBy("event_seq").collect().toSeq
+    val beforeEnv = store.envvarEvents.orderBy("event_seq").collect().toSeq
+    assert(Files.isDirectory(Paths.get(dir, "_ckpt")),
+      "crossing the K boundary must have produced a checkpoint")
+    store.vacuum()
+    // tail commits ≤ the checkpoint version are gone, history unchanged
+    val reader = new MwStateStore(spark, dir, checkpointEvery = 10)
+    assert(reader.monitorEvents.orderBy("event_seq").collect().toSeq === before)
+    assert(reader.envvarEvents.orderBy("event_seq").collect().toSeq === beforeEnv)
+    // post-vacuum appends continue the seq space above everything durable
+    val s18 = reader.appendMonitorEvent(ev("run-18"))
+    assert(s18 === 18L, s"post-vacuum seq must continue at 18, got $s18")
+    assert(reader.monitorEvents.count() === before.length + 1L)
+  }
+
+  test("latest-state view matches the single-writer store's W1 semantics") {
+    val store = new MwStateStore(spark, tmpDir())
+    store.appendMonitorEvent(ev("a", status = "W"))
+    store.appendMonitorEvent(ev("b", status = "W"))
+    store.appendMonitorEvent(ev("a", status = "S"))
+    val state = store.monitorState.select("run_key", "run_status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state === Map("a" -> "S", "b" -> "W"))
+  }
+}
