@@ -133,7 +133,7 @@ object DependencyMatrix {
 
 /** The batch lifecycle layer (E1–E3, T1–T3, X1–X5): startup / endup /
   * continue / dependency wait / daily gate over the event-sourced
-  * [[StateStore]], with injectable clock + sleeper.
+  * [[StateStore]] or the multi-writer [[graft.state.MwStateStore]] (the [[graft.state.ControlStore]] seam), with injectable clock + sleeper.
   *
   * Control-flow fidelity is to `func_batch_startup` (body:472-627),
   * `proc_batch_endup` (body:671-692), `proc_batch_continue` (body:632-645),
@@ -142,7 +142,7 @@ object DependencyMatrix {
   * UPDATEs.
   */
 class Lifecycle(
-    val store: StateStore,
+    val store: graft.state.ControlStore,
     clock: Clock = SystemClock,
     sleeper: Sleeper = SystemSleeper,
     pollSeconds: Long = 120,  // body:325
@@ -229,36 +229,33 @@ class Lifecycle(
       coalesce(col("parameters"), lit(" ")) === lit(params)).isEmpty
 
   // ---- func_get_run_id (body:170-182) ------------------------------------
-  /** NVL(MAX(run_id), 0) + 1 for the module on the current day. Monotonic
-    * per (module, day) because one driver assigns (SURVEY §7.6). The day
-    * compare is epoch-based (`unix_micros div 86_400_000_000` vs the
-    * Instant's epoch day), NOT `date_trunc`: date_trunc truncates in the
-    * session time zone, so on a non-UTC session it would yield
-    * local-midnight instants that never equal the UTC-truncated literal
-    * and every run would get run_id 1. */
-  def getRunId(moduleId: Long, now: Instant): Long = {
-    val epochDay = Math.floorDiv(now.getEpochSecond, 86400L)
-    val mx = store.monitorState.filter(
-        col("module_id") === moduleId &&
-        expr("unix_micros(run_date) div 86400000000") === lit(epochDay))
-      .agg(coalesce(max("run_id"), lit(0L))).head().getLong(0)
-    mx + 1
-  }
+  /** NVL(MAX(run_id), 0) + 1 for the module on the current day —
+    * INFORMATIONAL read (the epoch-day semantics live in
+    * [[graft.state.ControlStore.maxRunId]]). Actual assignment goes
+    * through `store.transactRunId`, which makes the read-assign-append
+    * atomic under whichever concurrency discipline the store implements;
+    * a raw `getRunId` result can be stale by the time it is used. */
+  def getRunId(moduleId: Long, now: Instant): Long =
+    graft.state.ControlStore.maxRunId(store.monitorState, moduleId, now) + 1
 
   // ---- event append helpers (X1/X2) --------------------------------------
-  private def appendEvent(
+  /** Event constructor — appends go through the store's transactional
+    * seam ([[graft.state.ControlStore.appendEventAssigned]] /
+    * [[graft.state.ControlStore.transactRunId]]), which assigns the seq
+    * and re-invokes the constructor on a multi-writer commit retry. */
+  private def mkEvent(
       runKey: String, eventSeq: Long, moduleId: Long, runDate: Timestamp,
       runId: Long, params: String, status: String, subSystem: Option[String],
       exclusive: Boolean, controlDate: Timestamp,
       endTime: Option[Timestamp] = None, recsProcessed: Option[Long] = None,
-      recsInError: Option[Long] = None): Unit =
-    store.appendMonitorEvent(MonitorEvent(
+      recsInError: Option[Long] = None): MonitorEvent =
+    MonitorEvent(
       run_key = runKey, event_seq = eventSeq, module_id = moduleId,
       run_date = runDate, run_id = runId, parameters = Some(params),
       audit_id = auditId, run_status = status, sub_system = subSystem,
       exclusive_run_yn = Some(if (exclusive) "Y" else "N"),
       control_date = Some(controlDate), end_time = endTime,
-      records_processed = recsProcessed, records_in_error = recsInError))
+      records_processed = recsProcessed, records_in_error = recsInError)
 
   /** Current status of a run in the state view (X2). */
   def currentStatus(runKey: String): Option[String] =
@@ -292,9 +289,9 @@ class Lifecycle(
 
     def failureEvent(moduleId: Long, subSystem: Option[String], err: BatchError,
         paramsOut: String): Either[BatchError, BatchContext] = {
-      val s0 = store.nextSeq()
-      appendEvent(s"$moduleId-$s0", s0, moduleId, ts(clock.now()), 0, paramsOut,
-        err.status, subSystem, exclusiveRun, controlDate)
+      store.appendEventAssigned(s0 =>
+        mkEvent(s"$moduleId-$s0", s0, moduleId, ts(clock.now()), 0, paramsOut,
+          err.status, subSystem, exclusiveRun, controlDate))
       Left(err)
     }
 
@@ -314,15 +311,16 @@ class Lifecycle(
           failureEvent(master.module_id, master.sub_system, DuplicateRun, params)
         else if (exclusiveRun) {                      // body:511-530
           val start = clock.now()
-          val s0 = store.nextSeq()
+          val s0 = store.appendEventAssigned(s =>
+            mkEvent(s"${master.module_id}-$s", s, master.module_id, ts(start), 0, params,
+              RunStatus.Waiting, master.sub_system, exclusiveRun, controlDate))
           val key = s"${master.module_id}-$s0"
-          appendEvent(key, s0, master.module_id, ts(start), 0, params,
-            RunStatus.Waiting, master.sub_system, exclusiveRun, controlDate)
           val dep = dependencyCheck(master, params, controlDate)
           if (dep != 0) {                             // body:601-613
-            appendEvent(key, store.nextSeq(), master.module_id, ts(start), 0, params,
-              RunStatus.DependencyFailure, master.sub_system, exclusiveRun, controlDate,
-              endTime = Some(ts(clock.now())), recsProcessed = Some(0), recsInError = Some(0))
+            store.appendEventAssigned(s =>
+              mkEvent(key, s, master.module_id, ts(start), 0, params,
+                RunStatus.DependencyFailure, master.sub_system, exclusiveRun, controlDate,
+                endTime = Some(ts(clock.now())), recsProcessed = Some(0), recsInError = Some(0)))
             Left(DependencyFailed)
           } else {
             val now = clock.now()                     // body:527-530 (WAITING→RUNNING)
@@ -330,29 +328,25 @@ class Lifecycle(
             // glo_sysdate is captured before the WAITING insert): a
             // dependency wait crossing midnight continues the old day's
             // sequence instead of restarting at 1 on the new day.
-            // read-assign-append under the store's write monitor: two
-            // concurrent startups of one module (distinct params pass
-            // the duplicate check) must not both read max=N and claim
-            // run_id N+1
-            store.writeMonitor.synchronized {
-              val runId = getRunId(master.module_id, start)
-              appendEvent(key, store.nextSeq(), master.module_id, ts(now), runId, params,
-                RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
-              Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
-                exclusiveRun, flags, clock))
-            }
-          }
-        } else {                                      // body:532-538
-          val now = clock.now()
-          store.writeMonitor.synchronized {
-            val runId = getRunId(master.module_id, now)
-            val s0 = store.nextSeq()
-            val key = s"${master.module_id}-$s0"
-            appendEvent(key, s0, master.module_id, ts(now), runId, params,
-              RunStatus.Running, master.sub_system, exclusiveRun, controlDate)
+            // read-assign-append through the store's transaction seam:
+            // two concurrent startups of one module (distinct params
+            // pass the duplicate check) must not both read max=N and
+            // claim run_id N+1 — in-JVM monitor for the single-writer
+            // store, optimistic commit for the multi-writer one
+            val (runId, _) = store.transactRunId(master.module_id, start, (rid, s) =>
+              mkEvent(key, s, master.module_id, ts(now), rid, params,
+                RunStatus.Running, master.sub_system, exclusiveRun, controlDate))
             Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
               exclusiveRun, flags, clock))
           }
+        } else {                                      // body:532-538
+          val now = clock.now()
+          val (runId, s0) = store.transactRunId(master.module_id, now, (rid, s) =>
+            mkEvent(s"${master.module_id}-$s", s, master.module_id, ts(now), rid, params,
+              RunStatus.Running, master.sub_system, exclusiveRun, controlDate))
+          val key = s"${master.module_id}-$s0"
+          Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
+            exclusiveRun, flags, clock))
         }
     }
   }
@@ -377,10 +371,11 @@ class Lifecycle(
     if (ctx.calledByForms) false  // forms mode never touches the monitor (body:678, 653)
     else currentStatus(ctx.runKey) match {
       case Some(s) if RunStatus.active(s) =>
-        appendEvent(ctx.runKey, store.nextSeq(), ctx.master.module_id, ctx.runDate,
-          ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
-          ctx.exclusiveRun, ctx.controlDate, endTime = Some(ts(clock.now())),
-          recsProcessed = recordsProcessed, recsInError = recordsInError)
+        store.appendEventAssigned(seq =>
+          mkEvent(ctx.runKey, seq, ctx.master.module_id, ctx.runDate,
+            ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
+            ctx.exclusiveRun, ctx.controlDate, endTime = Some(ts(clock.now())),
+            recsProcessed = recordsProcessed, recsInError = recordsInError))
         true
       case other =>
         log(s"endup ignored: run ${ctx.runKey} not active (status=$other)")

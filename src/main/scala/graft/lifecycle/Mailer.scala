@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.functions._
 
-import graft.state.{MailAudit, StateStore}
+import graft.state.{ControlStore, MailAudit}
 
 /** S8 notifier interface: what the reference does over UTL_SMTP
   * (body:1080-1132). The engine ships no SMTP client (zero-egress
@@ -44,7 +44,7 @@ final class RecordingNotifier extends Notifier {
   *    body:1134-1149).
   */
 class Mailer(
-    store: StateStore,
+    store: ControlStore,
     notifier: Notifier,
     clock: Clock = SystemClock,
     user: String = "OPS$BATCH",

@@ -818,13 +818,14 @@ object Dedup {
       val next = ckpt(smallStar(largeStar(edges)))
       // Convergence stays EXACT but cheap: counts first (two scans over
       // the checkpointed frames, no shuffle) — unequal counts prove
-      // non-convergence and skip the expensive symmetric difference,
-      // which in practice is every round but the last. Equal counts do
-      // NOT prove equality (equal-size different sets exist), so the
-      // empty-symmetric-difference check still gates the exit; both
-      // frames are deduped, so set equality is exactly that emptiness.
+      // non-convergence and skip the set compare, which in practice is
+      // every round but the last. Equal counts do NOT prove equality
+      // (equal-size different sets exist); for two DEDUPED equal-size
+      // sets, equality is exactly `next ∖ edges = ∅` — one anti-join
+      // (AQE broadcasts the smaller side at scale) instead of the
+      // two-shuffle symmetric difference.
       converged = next.count() == edges.count() &&
-        next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       // round N materialized and compared — round N-1's storage is dead
       // (never the initial canon frame, which the caller may still hold)
       prev.foreach(ckpt.release)

@@ -53,7 +53,7 @@ object Graph {
     * supplier `s` somewhere in lineitem. Node ids interleave the two key
     * spaces (customer 2k, supplier 2k+1) so one BIGINT column addresses
     * both sides. DISTINCT first — multiplicity is not adjacency. */
-  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -71,6 +71,27 @@ object Graph {
     * vanishes into dangling nodes. */
   private[graft] def pagerank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
     val cp = Checkpointer.fromConf(edges.sparkSession)
+    val (rank, edgesDeg, lastCk) = pagerankLazy(edges, iters, cp)
+    // Materialize the final round through the checkpoint seam, THEN drop
+    // every intermediate store: the returned frame reads its own
+    // checkpoint (Local: block storage released by the context cleaner
+    // once the frame is garbage — NOT a CacheManager entry), so nothing
+    // re-reads edgesDeg or the mid-chain checkpoint after this point.
+    val out = cp(rank)
+    lastCk.foreach(cp.release)
+    edgesDeg.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy iteration, pre-materialization — exposed so PlanSpec can
+    * assert the per-round plan shape (every round reads the CACHED
+    * degreed edges, never their lineage), which the public entry hides
+    * behind its final checkpoint. Callers own the cleanup the public
+    * entry performs: unpersist `edgesDeg`, release the `lastCk`
+    * checkpoint. Returns (final-round rank, edgesDeg, last mid-chain
+    * checkpoint). */
+  private[graft] def pagerankLazy(edges: DataFrame, iters: Int,
+      cp: Checkpointer): (DataFrame, DataFrame, Option[DataFrame]) = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // The degreed edge list appears in EVERY round's join; left lazy it
     // rides the final DAG `iters` times and is recomputed per round
@@ -109,15 +130,7 @@ object Graph {
         rank = ck
       }
     }
-    // Materialize the final round through the checkpoint seam, THEN drop
-    // every intermediate store: the returned frame reads its own
-    // checkpoint (Local: block storage released by the context cleaner
-    // once the frame is garbage — NOT a CacheManager entry), so nothing
-    // re-reads edgesDeg or the mid-chain checkpoint after this point.
-    val out = cp(rank)
-    lastCk.foreach(cp.release)
-    edgesDeg.unpersist(blocking = false)
-    out
+    (rank, edgesDeg, lastCk)
   }
 
   /** Truncate the rank lineage every this many rounds (see above). */

@@ -4,15 +4,21 @@ import java.nio.file.{Files, Path, Paths}
 import java.time.format.DateTimeFormatter
 
 import scala.jdk.CollectionConverters._
+import scala.reflect.runtime.universe.TypeTag
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multi-writer control store: the seq-sensitive half of [[StateStore]]
-  * (monitor events, envvar config, run-id assignment) under TRUE
-  * concurrent drivers — the swap the single-writer store's scaladoc
-  * promises ("concurrent drivers would put the event log on a
-  * transactional table format; the store API is the seam").
+/** Retention marker for the multi-writer batch_log (see
+  * [[MwStateStore.purgeBatchLog]]): immutable commits can't rewrite
+  * history, so the purge is an event too — readers filter by the max
+  * horizon, checkpoints bake the filter in. */
+private[state] final case class LogPurge(horizon: java.sql.Timestamp)
+
+/** Multi-writer [[ControlStore]]: the full control plane (monitor
+  * events, envvar config, dimension tables, batch log, mail audit)
+  * under TRUE concurrent drivers — the transactional swap the
+  * single-writer [[StateStore]]'s scaladoc promises.
   *
   * Design (reference semantics: pkg_batch_util_body.sql:170-182 run-id
   * assignment, 192-214 autonomous status writes, 861-875 envvar reads):
@@ -22,16 +28,21 @@ import org.apache.spark.sql.functions._
   *    across writers, so the single-assigner AtomicLong of the
   *    single-writer store is replaced by the log's own serialization —
   *    no lock file, no writer role, no handover.
-  *  - Events ride INSIDE the commit payload (a kind tag + one JSON line
+  *  - Rows ride INSIDE the commit payload (a kind tag + one JSON line
   *    per row): control-plane rows are a few hundred bytes, so the
   *    payload-as-data design makes an append one tmp-write + one atomic
   *    link — no Spark job, no parquet task commit — while staying fully
   *    durable-on-return (the X1 autonomous-transaction property).
-  *  - Read-modify-write (run-id assignment) runs inside
+  *  - Read-modify-write ([[transactRunId]]) runs inside
   *    `TxnLog.commit(v => …)`: the payload derives `max(run_id)+1` from
   *    the snapshot `< v`, and winning `v` proves no concurrent
   *    assignment slipped in — NVL(MAX)+1 stays monotonic per
   *    (module, day) across any number of drivers.
+  *  - Retention ([[purgeBatchLog]]) is an EVENT: a horizon marker
+  *    commit. Readers filter `run_date >= max(horizon)`; the next
+  *    checkpoint materializes the filtered rows and folds markers to
+  *    their max — immutable history, same observable semantics as the
+  *    single-writer rewrite-in-place.
   *  - Every K commits the committer writes a consolidated parquet
   *    CHECKPOINT (all kinds, seqs baked in) and publishes it by atomic
   *    directory rename; readers load the newest checkpoint plus the ≤K
@@ -50,7 +61,8 @@ import org.apache.spark.sql.functions._
   * commit per run transition), O(writers) retry contention, bounded
   * listings. The data plane never goes through this store.
   */
-final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEvery: Int = 64) {
+final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEvery: Int = 64)
+    extends ControlStore {
   require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
 
   val log = new TxnLog(dir)
@@ -80,25 +92,32 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-  private def jts(t: java.sql.Timestamp): String = js(Iso.format(t.toInstant))
-  private def jopt(o: Option[String], enc: String => String = js): String =
-    o.map(enc).getOrElse("null")
 
-  private def monitorJson(e: MonitorEvent): String =
-    s"""{"run_key":${js(e.run_key)},"event_seq":${e.event_seq},""" +
-      s""""module_id":${e.module_id},"run_date":${jts(e.run_date)},""" +
-      s""""run_id":${e.run_id},"parameters":${jopt(e.parameters)},""" +
-      s""""audit_id":${jopt(e.audit_id)},"run_status":${js(e.run_status)},""" +
-      s""""sub_system":${jopt(e.sub_system)},""" +
-      s""""exclusive_run_yn":${jopt(e.exclusive_run_yn)},""" +
-      s""""control_date":${e.control_date.map(jts).getOrElse("null")},""" +
-      s""""end_time":${e.end_time.map(jts).getOrElse("null")},""" +
-      s""""records_processed":${e.records_processed.map(_.toString).getOrElse("null")},""" +
-      s""""records_in_error":${e.records_in_error.map(_.toString).getOrElse("null")}}"""
+  /** Generic flat-Product JSON encoder, schema-driven so field names
+    * come from the SAME Encoder the read side pins its schema to — a
+    * codec and its decoder cannot disagree on a name. */
+  private def rowJson[T <: Product : TypeTag](row: T): String = {
+    val fields = Encoders.product[T].schema.fields
+    fields.iterator.zip(row.productIterator).map { case (f, raw) =>
+      val v = raw match { case Some(x) => x; case None => null; case x => x }
+      val enc = v match {
+        case null => "null"
+        case s: String => js(s)
+        case t: java.sql.Timestamp => js(Iso.format(t.toInstant))
+        case n: Long => n.toString
+        case n: Int => n.toString
+        case n: Double => n.toString
+        case b: Boolean => b.toString
+        case other => throw new IllegalArgumentException(
+          s"MwStateStore codec: unsupported control-row field type " +
+            s"${other.getClass.getName} at ${f.name}")
+      }
+      s"${js(f.name)}:$enc"
+    }.mkString("{", ",", "}")
+  }
 
-  private def envvarJson(e: EnvVarEvent): String =
-    s"""{"variable_name":${js(e.variable_name)},"value":${js(e.value)},""" +
-      s""""event_seq":${e.event_seq}}"""
+  private def payload[T <: Product : TypeTag](kind: String, rows: Seq[T]): String =
+    (kind +: rows.map(rowJson[T](_))).mkString("\n")
 
   // ---- snapshot read ------------------------------------------------------
 
@@ -108,24 +127,24 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
       val s = Files.list(ckptDir)
       try {
         val vs = s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.forall(_.isDigit)).map(_.toLong).toSeq
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
         if (vs.isEmpty) 0L else vs.max
       } finally s.close()
     }
 
-  /** (kind → JSON lines from tail commits, checkpoint version). Retries
+  /** ((version, kind, JSON line) tail rows, checkpoint version). Retries
     * if a concurrent checkpoint+vacuum deletes a tail commit mid-read —
     * the re-read starts from the NEWER checkpoint, which covers it. */
-  private def snapshot(): (Map[String, Seq[String]], Long) = {
+  private def snapshot(): (Seq[(Long, String, String)], Long) = {
     var attempt = 0
     while (true) {
       val ckptV = latestCheckpointVersion()
       try {
-        val tail = log.commitsAfter(ckptV).flatMap { case (_, payload) =>
-          val lines = payload.split('\n')
-          lines.drop(1).filter(_.nonEmpty).map(lines.head -> _)
+        val tail = log.commitsAfter(ckptV).flatMap { case (v, p) =>
+          val lines = p.split('\n')
+          lines.drop(1).filter(_.nonEmpty).map(l => (v, lines.head, l))
         }
-        return (tail.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }, ckptV)
+        return (tail, ckptV)
       } catch {
         case e: java.nio.file.NoSuchFileException =>
           attempt += 1
@@ -137,20 +156,33 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     sys.error("unreachable")
   }
 
-  private def readKind[T <: Product : scala.reflect.runtime.universe.TypeTag](
-      kind: String): DataFrame = {
+  /** One kind's full frame: newest checkpoint + tail commits. `cap`
+    * (checkpointing only) pins the view to commits ≤ cap, so a commit
+    * racing past the checkpoint's chosen version can never be baked in
+    * AND replayed from the tail — the duplicate a capless dump would
+    * create for seq-free kinds. */
+  private def readKindAt[T <: Product : TypeTag](
+      kind: String, cap: Option[Long] = None): DataFrame = {
     val schema = Encoders.product[T].schema
     val (tails, ckptV) = snapshot()
     import spark.implicits._
+    val lines = tails
+      .filter(t => t._2 == kind && cap.forall(t._1 <= _))
+      .map(_._3)
     val tailDf = spark.read.schema(schema)
       .option("timestampFormat", TsPattern)
       .option("mode", "FAILFAST") // a malformed control event must abort, not null out
-      .json(spark.createDataset(tails.getOrElse(kind, Seq.empty)))
+      .json(spark.createDataset(lines))
     val ckptKindPath = ckptPath(ckptV).resolve(kind)
     if (ckptV > 0 && Files.isDirectory(ckptKindPath))
       spark.read.schema(schema).parquet(ckptKindPath.toString).union(tailDf)
     else tailDf
   }
+
+  private def readKind[T <: Product : TypeTag](kind: String): DataFrame =
+    readKindAt[T](kind)
+
+  // ---- monitor event log --------------------------------------------------
 
   def monitorEvents: DataFrame = readKind[MonitorEvent]("monitor")
   def envvarEvents: DataFrame = readKind[EnvVarEvent]("envvar")
@@ -160,49 +192,107 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
   def monitorState: DataFrame =
     StateStore.latestState(monitorEvents, Seq("run_key"), Seq(col("event_seq").desc))
 
-  // ---- mutations ----------------------------------------------------------
-
   /** Append a monitor event; the caller's `event_seq` is IGNORED — the
     * commit version is the seq (returned). Durable on return. */
   def appendMonitorEvent(ev: MonitorEvent): Long =
-    log.commit(v => s"monitor\n${monitorJson(ev.copy(event_seq = v))}",
+    appendEventAssigned(s => ev.copy(event_seq = s))
+
+  def appendEventAssigned(mk: Long => MonitorEvent): Long =
+    log.commit(v => payload("monitor", Seq(mk(v).copy(event_seq = v))),
         floor = latestCheckpointVersion())
       .tap(maybeCheckpoint)
 
-  /** Current value of a variable (latest event wins — by seq = version,
-    * so "latest" is the total commit order, not a wall clock). */
-  def getEnv(name: String): Option[String] =
-    StateStore.latestState(
-        envvarEvents.filter(col("variable_name") === name),
-        Seq("variable_name"), Seq(col("event_seq").desc))
-      .select("value").collect().headOption.map(_.getString(0))
-
-  def updEnv(name: String, value: String): Long =
-    log.commit(v => s"envvar\n${envvarJson(EnvVarEvent(name, value, v))}",
-        floor = latestCheckpointVersion())
-      .tap(maybeCheckpoint)
-
-  /** Transactional func_get_run_id + WAITING insert (body:170-182 +
-    * 192-214 fused): assigns `NVL(MAX(run_id), 0) + 1` for (module, day
-    * of `runDate`) and appends the run's first monitor event in ONE
-    * commit. The max is re-derived from the pre-`v` snapshot on every
-    * retry, so concurrent drivers get unique, contiguous run ids — the
-    * guarantee the single-writer store could only provide by forbidding
-    * the second driver. Returns (run_id, event_seq). */
-  def assignRunId(template: MonitorEvent): (Long, Long) = {
-    val epochDay = Math.floorDiv(template.run_date.toInstant.getEpochSecond, 86400L)
+  def transactRunId(moduleId: Long, at: java.time.Instant,
+      mk: (Long, Long) => MonitorEvent): (Long, Long) = {
+    // re-derived from the pre-v snapshot on EVERY retry: winning v
+    // proves no concurrent assignment interleaved, so same-day run ids
+    // stay unique and contiguous across any number of drivers
     var assigned = 0L
     val v = log.commit({ v =>
-      val mx = monitorState.filter(
-          col("module_id") === template.module_id &&
-          expr("unix_micros(run_date) div 86400000000") === lit(epochDay))
-        .agg(coalesce(max("run_id"), lit(0L))).head().getLong(0)
-      assigned = mx + 1
-      s"monitor\n${monitorJson(template.copy(event_seq = v, run_id = assigned))}"
+      assigned = ControlStore.maxRunId(monitorState, moduleId, at) + 1
+      payload("monitor", Seq(mk(assigned, v).copy(event_seq = v, run_id = assigned)))
     }, floor = latestCheckpointVersion())
     maybeCheckpoint(v)
     (assigned, v)
   }
+
+  // ---- envvar config ------------------------------------------------------
+
+  def getEnv(name: String): Option[String] = getEnvs(Seq(name)).get(name)
+
+  def getEnvs(names: Seq[String]): Map[String, String] =
+    if (names.isEmpty) Map.empty
+    else StateStore.latestState(
+        envvarEvents.filter(col("variable_name").isin(names: _*)),
+        Seq("variable_name"), Seq(col("event_seq").desc))
+      .select("variable_name", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  def updEnv(name: String, value: String): Unit = updEnvAssigned(name, value)
+
+  /** [[updEnv]] returning the assigned seq (= commit version). */
+  def updEnvAssigned(name: String, value: String): Long =
+    log.commit(v => payload("envvar", Seq(EnvVarEvent(name, value, v))),
+        floor = latestCheckpointVersion())
+      .tap(maybeCheckpoint)
+
+  // ---- dimension / manifest tables ---------------------------------------
+  // Seq-free appends: one commit per put (multi-row payload), read back
+  // through the same schema-pinned codec.
+
+  private def putKind[T <: Product : TypeTag](kind: String, rows: Seq[T]): Unit =
+    if (rows.nonEmpty) {
+      log.commit(_ => payload(kind, rows), floor = latestCheckpointVersion())
+        .tap(maybeCheckpoint)
+      ()
+    }
+
+  def batchMaster: Dataset[BatchMaster] =
+    readKind[BatchMaster]("master").as(Encoders.product[BatchMaster])
+  def putBatchMaster(rows: Seq[BatchMaster]): Unit = putKind("master", rows)
+
+  def dependencies: Dataset[BatchDependency] =
+    readKind[BatchDependency]("dependency").as(Encoders.product[BatchDependency])
+  def putDependencies(rows: Seq[BatchDependency]): Unit = putKind("dependency", rows)
+
+  def loaderFiles: Dataset[TmpRunLoader] =
+    readKind[TmpRunLoader]("loader").as(Encoders.product[TmpRunLoader])
+  def putLoaderFiles(rows: Seq[TmpRunLoader]): Unit = putKind("loader", rows)
+
+  def runCommands: Dataset[RunCommand] =
+    readKind[RunCommand]("runcmd").as(Encoders.product[RunCommand])
+  def putRunCommands(rows: Seq[RunCommand]): Unit = putKind("runcmd", rows)
+
+  def mailAddresses: Dataset[MailAddr] =
+    readKind[MailAddr]("mailaddr").as(Encoders.product[MailAddr])
+  def putMailAddresses(rows: Seq[MailAddr]): Unit = putKind("mailaddr", rows)
+
+  // ---- batch log + mail audit --------------------------------------------
+
+  def appendLog(rec: BatchLogRec): Unit = putKind("log", Seq(rec))
+
+  /** Purge-aware view: rows at or after every marker's horizon. */
+  def batchLog: DataFrame = batchLogAt(None)
+
+  private def batchLogAt(cap: Option[Long]): DataFrame = {
+    val hz = readKindAt[LogPurge]("logpurge", cap).agg(max("horizon")).collect()(0)
+    val base = readKindAt[BatchLogRec]("log", cap)
+    if (hz.isNullAt(0)) base
+    else base.filter(col("run_date") >= lit(hz.getTimestamp(0)))
+  }
+
+  /** S6 retention as an EVENT: immutable commits can't rewrite history,
+    * so the purge appends a horizon marker; reads filter, the next
+    * checkpoint materializes (same observable rows as the single-writer
+    * rewrite, no 5000-row delete loop, no backup/swap window). */
+  def purgeBatchLog(horizon: java.sql.Timestamp): Unit =
+    putKind("logpurge", Seq(LogPurge(horizon)))
+
+  def appendMailAudit(rec: MailAudit): Unit = putKind("mailaudit", Seq(rec))
+  def mailAudit: DataFrame = readKind[MailAudit]("mailaudit")
+
+  /** No writer role to release — multi-writer by construction. */
+  def close(): Unit = ()
 
   // ---- checkpoint / vacuum -----------------------------------------------
 
@@ -224,19 +314,28 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     if (Files.exists(target)) return v
     Files.createDirectories(ckptDir)
     val tmp = Files.createTempDirectory(ckptDir, ".tmp-")
-    // materialize the CURRENT view (checkpoint + tail as of now); rows
-    // with seq > v may slip in — harmless, the checkpoint then covers
-    // MORE than v and tail commits merely re-deliver rows the union
-    // de-duplicates by construction (identical (kind, seq) rows appear
-    // once per source, and sources never overlap: tail starts AFTER the
-    // checkpoint version the reader pairs it with)
-    def dump[T <: Product : scala.reflect.runtime.universe.TypeTag](kind: String): Unit = {
-      val df = readKind[T](kind).filter(col("event_seq") <= v)
+    // every dump is pinned to commits ≤ v: a commit racing past v lands
+    // in the tail the reader pairs with this checkpoint, and a capless
+    // dump would deliver it TWICE (baked in + replayed)
+    val cap = Some(v)
+    def dump(kind: String, df: DataFrame): Unit =
       if (!df.isEmpty)
         df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve(kind).toString)
-    }
-    dump[MonitorEvent]("monitor")
-    dump[EnvVarEvent]("envvar")
+    dump("monitor", readKindAt[MonitorEvent]("monitor", cap))
+    dump("envvar", readKindAt[EnvVarEvent]("envvar", cap))
+    dump("master", readKindAt[BatchMaster]("master", cap))
+    dump("dependency", readKindAt[BatchDependency]("dependency", cap))
+    dump("loader", readKindAt[TmpRunLoader]("loader", cap))
+    dump("runcmd", readKindAt[RunCommand]("runcmd", cap))
+    dump("mailaddr", readKindAt[MailAddr]("mailaddr", cap))
+    dump("mailaudit", readKindAt[MailAudit]("mailaudit", cap))
+    // the purge horizon BAKES IN: log rows are stored pre-filtered and
+    // the marker set folds to its max (still needed — a marker filters
+    // rows appended after it with pre-horizon run_date)
+    dump("log", batchLogAt(cap))
+    dump("logpurge",
+      readKindAt[LogPurge]("logpurge", cap).agg(max("horizon").as("horizon"))
+        .filter(col("horizon").isNotNull))
     try Files.move(tmp, target)
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException =>

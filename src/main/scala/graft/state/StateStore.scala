@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * [[TxnLog]] commits, version-as-seq) that replaces the `_writer.lock`
   * exclusion below with real multi-writer serialization.
   */
-class StateStore(val spark: SparkSession, val dir: String) {
+class StateStore(val spark: SparkSession, val dir: String) extends ControlStore {
 
   // The locking/recovery layer is java.nio, which resolves a remote URI
   // ("s3a://…", "hdfs://…") as a LITERAL LOCAL PATH: existence checks go
@@ -172,6 +172,26 @@ class StateStore(val spark: SparkSession, val dir: String) {
   /** X1: durable the moment this returns, independent of any job outcome. */
   def appendMonitorEvent(ev: MonitorEvent): Unit = append("batch_monitor_events", Seq(ev))
 
+  /** [[ControlStore]] seam: seq assignment + append, atomic under the
+    * write monitor (this store's in-JVM serialization point; the lock
+    * file covers cross-process). */
+  def appendEventAssigned(mk: Long => MonitorEvent): Long = writeMonitor.synchronized {
+    val s = nextSeq()
+    appendMonitorEvent(mk(s))
+    s
+  }
+
+  /** [[ControlStore]] seam: NVL(MAX)+1 run-id assignment fused with the
+    * monitor insert — the read-assign-append section two concurrent
+    * startups of one module must not interleave. */
+  def transactRunId(moduleId: Long, at: java.time.Instant,
+      mk: (Long, Long) => MonitorEvent): (Long, Long) = writeMonitor.synchronized {
+    val runId = ControlStore.maxRunId(monitorState, moduleId, at) + 1
+    val s = nextSeq()
+    appendMonitorEvent(mk(runId, s))
+    (runId, s)
+  }
+
   def monitorEvents: DataFrame = readOrEmpty[MonitorEvent]("batch_monitor_events")
 
   /** Current batch_monitor state: latest event per run (W1 over run_key). */
@@ -260,21 +280,8 @@ class StateStore(val spark: SparkSession, val dir: String) {
     readOrEmpty[RunCommand]("tmp_run_batch").as(Encoders.product[RunCommand])
   def putRunCommands(rows: Seq[RunCommand]): Unit = append("tmp_run_batch", rows)
 
-  /** func_get_run_command (body:994-1009): lookup; ANY failure → "0"
-    * (the reference's WHEN OTHERS contract, body:1006-1008). The spec's
-    * `PRAGMA restrict_references (WNDS)` purity (spec:107) is simply a
-    * read-only function here. */
-  def getRunCommand(batchName: String): String =
-    try {
-      val rows = runCommands.filter(col("batch_name") === batchName)
-        .select("run_command").collect()
-      if (rows.length == 1) rows.head.getString(0) else "0"
-    } catch {
-      // NonFatal, not Throwable: Oracle's WHEN OTHERS contract doesn't
-      // survive process-fatal conditions (OOM, interrupts) either —
-      // masking those as "0" would run the batch on a half-dead JVM
-      case scala.util.control.NonFatal(_) => "0"
-    }
+  // func_get_run_command: the shared ControlStore default (WHEN OTHERS
+  // → "0") reads this store's runCommands — nothing to add here.
 
   /** Compact an event log: rewrite the many small append files into one
     * coalesced layout (content unchanged — same events, same seqs; reads

@@ -117,7 +117,7 @@ class MwStateStoreSpec extends AnyFunSuite {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = (1 to 6).map { d =>
-        Future { val s = new MwStateStore(spark, dir); d -> s.updEnv("FLAG", s"v$d") }
+        Future { val s = new MwStateStore(spark, dir); d -> s.updEnvAssigned("FLAG", s"v$d") }
       }
       val byDriver = Await.result(Future.sequence(futures), Duration.Inf).toMap
       val store = new MwStateStore(spark, dir)
@@ -134,10 +134,15 @@ class MwStateStoreSpec extends AnyFunSuite {
     val pool = Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      def assign(s: MwStateStore, key: String, moduleId: Long,
+          at: String = "2026-02-01T10:00:00.123456Z"): (Long, Long) =
+        s.transactRunId(moduleId, java.time.Instant.parse(at),
+          (rid, seq) => ev(key, moduleId = moduleId, runId = rid, at = at)
+            .copy(event_seq = seq))
       val futures = (1 to 6).map { d =>
         Future {
           val s = new MwStateStore(spark, dir)
-          s.assignRunId(ev(s"race-$d", moduleId = 42L))
+          assign(s, s"race-$d", moduleId = 42L)
         }
       }
       val assigned = Await.result(Future.sequence(futures), Duration.Inf)
@@ -145,9 +150,9 @@ class MwStateStoreSpec extends AnyFunSuite {
         s"run ids must be NVL(MAX)+1-contiguous under races, got $assigned")
       // a different module/day starts its own sequence
       val s = new MwStateStore(spark, dir)
-      assert(s.assignRunId(ev("other", moduleId = 7L))._1 === 1L)
-      assert(s.assignRunId(
-        ev("other-day", moduleId = 42L, at = "2026-02-02T00:00:00.000000Z"))._1 === 1L)
+      assert(assign(s, "other", moduleId = 7L)._1 === 1L)
+      assert(assign(s, "other-day", moduleId = 42L,
+        at = "2026-02-02T00:00:00.000000Z")._1 === 1L)
     } finally pool.shutdown()
   }
 

@@ -531,17 +531,37 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_pagerank: iteration rounds read the persisted edge list, not its lineage") {
-    val df = SparkEntry.queries("q_pagerank")(spark, TestSpark.sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"each round must scan the cached edges:\n$p")
-    // rounds AND the rank seed read the cache: the lineitem⋈orders edge
-    // derivation must not appear in the DAG outside the cached plan
-    val direct = allScans(df.queryExecution.executedPlan)
-      .count(_.relation.location.rootPaths.exists(_.toString.contains("lineitem")))
-    assert(direct === 0,
-      s"edge derivation must be cached, found $direct direct lineitem scans:\n$p")
+    // the PUBLIC entry materializes through the checkpoint seam, so its
+    // returned plan is one ExistingRDD scan (asserted below); the
+    // per-round shape lives in the pre-checkpoint lazy frame
+    import graft.operators.{Checkpointer, Graph}
+    import org.apache.spark.sql.functions.col
+    val e0 = Graph.custSuppEdges(spark, TestSpark.sfDir)
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val (rank, edgesDeg, lastCk) =
+      Graph.pagerankLazy(und, Graph.PrIters, Checkpointer.Local)
+    try {
+      rank.collect()
+      val p = rank.queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+        s"each round must scan the cached edges:\n$p")
+      // rounds AND the rank seed read the cache: the lineitem⋈orders edge
+      // derivation must not appear in the DAG outside the cached plan
+      val direct = allScans(rank.queryExecution.executedPlan)
+        .count(_.relation.location.rootPaths.exists(_.toString.contains("lineitem")))
+      assert(direct === 0,
+        s"edge derivation must be cached, found $direct direct lineitem scans:\n$p")
+    } finally {
+      edgesDeg.unpersist(blocking = false)
+      lastCk.foreach(Checkpointer.Local.release)
+    }
+    // and the public entry returns the MATERIALIZED frame: a checkpoint
+    // scan, no residual cache entry (GraphSpec pins the CacheManager)
+    val pub = SparkEntry.queries("q_pagerank")(spark, TestSpark.sfDir)
+    pub.collect()
+    val pubPlan = pub.queryExecution.executedPlan.toString
+    assert(pubPlan.contains("ExistingRDD"),
+      s"public pagerank must read its own checkpoint, not recompute:\n$pubPlan")
   }
 
   test("q_tpch_q1: pushed date filter, pruned scan, two-phase aggregation") {
