@@ -308,7 +308,8 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     if (v % checkpointEvery == 0) checkpoint()
 
   def checkpoint(): Long = {
-    val v = log.latestVersion(latestCheckpointVersion())
+    val ckptV0 = latestCheckpointVersion()
+    val v = log.latestVersion(ckptV0)
     if (v == 0L) return 0L
     val target = ckptPath(v)
     if (Files.exists(target)) return v
@@ -336,6 +337,13 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     dump("logpurge",
       readKindAt[LogPurge]("logpurge", cap).agg(max("horizon").as("horizon"))
         .filter(col("horizon").isNotNull))
+    // a checkpoint that RACED PAST ours mid-dump is the one hazard: the
+    // dumps above read "newest checkpoint + tail ≤ cap", so a newer
+    // checkpoint appearing mid-dump would have fed them rows ABOVE our
+    // cap for the seq-free kinds. Readers always take the max version,
+    // so such a stale-labeled dump would never be READ — but don't even
+    // publish it: discard and defer to the winner.
+    if (latestCheckpointVersion() != ckptV0) { deleteRecursively(tmp); return v }
     try Files.move(tmp, target)
     catch { case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException =>

@@ -94,7 +94,14 @@ final class TxnLog(val dir: String) {
     try {
       Files.write(tmp, payload.getBytes("UTF-8"))
       try { Files.createLink(commitPath(v), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // our staging vanished before the link (a concurrent vacuum
+        // raced the age guard, an operator rm'd it): nothing was
+        // published, so "lost this attempt" is the honest answer — the
+        // commit loop re-stages and retries
+        case _: java.nio.file.NoSuchFileException => false
+      }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -125,15 +132,24 @@ final class TxnLog(val dir: String) {
 
   /** Drop commits at or below `throughVersion` — call only with versions
     * a durable checkpoint fully covers (MwStateStore does). Also sweeps
-    * temp-file orphans from crashed writers. Idempotent; safe under
-    * concurrent vacuums (losers' deletes no-op). */
-  def vacuum(throughVersion: Long): Unit = {
+    * temp-file orphans from crashed writers — but ONLY stale ones
+    * (`staleMs` old): a LIVE writer's staging exists for milliseconds
+    * between its write and its link, and an age-blind sweep would
+    * delete in-flight commits out from under concurrent drivers (found
+    * by the churn spec). Idempotent; safe under concurrent vacuums
+    * (losers' deletes no-op). */
+  def vacuum(throughVersion: Long, staleMs: Long = 10 * 60 * 1000L): Unit = {
     listVersions().filter(_ <= throughVersion)
       .foreach(v => Files.deleteIfExists(commitPath(v)))
     if (Files.isDirectory(txnDir)) {
+      val cutoff = System.currentTimeMillis() - staleMs
       val s = Files.list(txnDir)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false } // already gone
+        }
         .foreach(p => Files.deleteIfExists(p))
       finally s.close()
     }

@@ -73,7 +73,10 @@ class MwStateStoreSpec extends AnyFunSuite {
     Files.write(Paths.get(dir, "_txn", ".tmp-crashed"), "k\nghost".getBytes)
     assert(log.latestVersion() === 1L)
     assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
-    log.vacuum(0L) // retains all commits, sweeps orphans
+    log.vacuum(0L) // default staleness: a FRESH tmp could be in-flight
+    assert(Files.exists(Paths.get(dir, "_txn", ".tmp-crashed")),
+      "an age-blind sweep would delete live writers' in-flight staging")
+    log.vacuum(0L, staleMs = -1000L) // declared stale → swept
     assert(!Files.exists(Paths.get(dir, "_txn", ".tmp-crashed")))
     assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
   }
@@ -190,6 +193,35 @@ class MwStateStoreSpec extends AnyFunSuite {
     val s18 = reader.appendMonitorEvent(ev("run-18"))
     assert(s18 === 18L, s"post-vacuum seq must continue at 18, got $s18")
     assert(reader.monitorEvents.count() === before.length + 1L)
+  }
+
+  test("checkpoint/vacuum churn under racing writers loses nothing") {
+    // aggressive K=4 so checkpoints and vacuums interleave CONSTANTLY
+    // with appends from 4 drivers — the torture case for the
+    // dump-cap/publish-guard/floor protocol. Every event must survive
+    // with its exact seq; the final view must be complete.
+    val dir = tmpDir()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 4).map { d =>
+        Future {
+          val s = new MwStateStore(spark, dir, checkpointEvery = 4)
+          (1 to 15).map { i =>
+            val seq = s.appendMonitorEvent(ev(s"churn-$d-$i"))
+            if (i % 5 == 0) s.vacuum()
+            seq
+          }
+        }
+      }
+      val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
+      assert(seqs.sorted === (1L to 60L))
+      val reader = new MwStateStore(spark, dir, checkpointEvery = 4)
+      val rows = reader.monitorEvents.select("event_seq", "run_key").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 60L),
+        "every event must survive checkpoint/vacuum churn exactly once")
+      assert(rows.map(_.getString(1)).distinct.length === 60)
+    } finally pool.shutdown()
   }
 
   test("latest-state view matches the single-writer store's W1 semantics") {
