@@ -289,8 +289,11 @@ class Lifecycle(
 
     def failureEvent(moduleId: Long, subSystem: Option[String], err: BatchError,
         paramsOut: String): Either[BatchError, BatchContext] = {
+      // captured outside the constructor: `mk` must be pure — the
+      // multi-writer store re-invokes it on every commit retry
+      val at = ts(clock.now())
       store.appendEventAssigned(s0 =>
-        mkEvent(s"$moduleId-$s0", s0, moduleId, ts(clock.now()), 0, paramsOut,
+        mkEvent(s"$moduleId-$s0", s0, moduleId, at, 0, paramsOut,
           err.status, subSystem, exclusiveRun, controlDate))
       Left(err)
     }
@@ -317,10 +320,14 @@ class Lifecycle(
           val key = s"${master.module_id}-$s0"
           val dep = dependencyCheck(master, params, controlDate)
           if (dep != 0) {                             // body:601-613
+            // end time captured OUTSIDE the constructor: the multi-writer
+            // store re-invokes `mk` per commit retry, and the recorded
+            // timestamp must not depend on how many retries it took
+            val end = ts(clock.now())
             store.appendEventAssigned(s =>
               mkEvent(key, s, master.module_id, ts(start), 0, params,
                 RunStatus.DependencyFailure, master.sub_system, exclusiveRun, controlDate,
-                endTime = Some(ts(clock.now())), recsProcessed = Some(0), recsInError = Some(0)))
+                endTime = Some(end), recsProcessed = Some(0), recsInError = Some(0)))
             Left(DependencyFailed)
           } else {
             val now = clock.now()                     // body:527-530 (WAITING→RUNNING)
@@ -332,21 +339,40 @@ class Lifecycle(
             // two concurrent startups of one module (distinct params
             // pass the duplicate check) must not both read max=N and
             // claim run_id N+1 — in-JVM monitor for the single-writer
-            // store, optimistic commit for the multi-writer one
-            val (runId, _) = store.transactRunId(master.module_id, start, (rid, s) =>
+            // store, optimistic commit for the multi-writer one. The
+            // duplicate gate rides INSIDE the same transaction: the
+            // pre-check above is only the cheap fast path, and a racing
+            // same-params startup that went RUNNING during our
+            // dependency wait must abort this transition (our own
+            // WAITING event never trips the gate — it matches RUNNING
+            // only).
+            store.transactRunIdGuarded(master.module_id, start, (rid, s) =>
               mkEvent(key, s, master.module_id, ts(now), rid, params,
-                RunStatus.Running, master.sub_system, exclusiveRun, controlDate))
-            Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
-              exclusiveRun, flags, clock))
+                RunStatus.Running, master.sub_system, exclusiveRun, controlDate),
+              admit = () => !duplicateRunCheck(master.module_id, params)) match {
+              case Some((runId, _)) =>
+                Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
+                  exclusiveRun, flags, clock))
+              case None =>
+                failureEvent(master.module_id, master.sub_system, DuplicateRun, params)
+            }
           }
         } else {                                      // body:532-538
           val now = clock.now()
-          val (runId, s0) = store.transactRunId(master.module_id, now, (rid, s) =>
+          // same transactional duplicate gate as above: two drivers
+          // racing identical (module, params) startups serialize here,
+          // and exactly one goes RUNNING
+          store.transactRunIdGuarded(master.module_id, now, (rid, s) =>
             mkEvent(s"${master.module_id}-$s", s, master.module_id, ts(now), rid, params,
-              RunStatus.Running, master.sub_system, exclusiveRun, controlDate))
-          val key = s"${master.module_id}-$s0"
-          Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
-            exclusiveRun, flags, clock))
+              RunStatus.Running, master.sub_system, exclusiveRun, controlDate),
+            admit = () => !duplicateRunCheck(master.module_id, params)) match {
+            case Some((runId, s0)) =>
+              val key = s"${master.module_id}-$s0"
+              Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
+                exclusiveRun, flags, clock))
+            case None =>
+              failureEvent(master.module_id, master.sub_system, DuplicateRun, params)
+          }
         }
     }
   }
@@ -369,17 +395,26 @@ class Lifecycle(
       recordsProcessed: Option[Long] = None,
       recordsInError: Option[Long] = None): Boolean =
     if (ctx.calledByForms) false  // forms mode never touches the monitor (body:678, 653)
-    else currentStatus(ctx.runKey) match {
-      case Some(s) if RunStatus.active(s) =>
-        store.appendEventAssigned(seq =>
-          mkEvent(ctx.runKey, seq, ctx.master.module_id, ctx.runDate,
-            ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
-            ctx.exclusiveRun, ctx.controlDate, endTime = Some(ts(clock.now())),
-            recsProcessed = recordsProcessed, recsInError = recordsInError))
-        true
-      case other =>
-        log(s"endup ignored: run ${ctx.runKey} not active (status=$other)")
-        false
+    else {
+      val end = ts(clock.now()) // outside `mk`: pure under commit retries
+      // active-status check INSIDE the store transaction — the atomic
+      // equivalent of the reference's `UPDATE … WHERE run_status IN
+      // ('RUNNING','WAITING')`: two drivers racing terminal transitions
+      // for one run serialize, exactly one lands, the other is the
+      // reference's silent (here: logged) no-op. A pre-checked variant
+      // would let a racing Success mask a Failure.
+      store.appendEventGuarded(
+        seq => mkEvent(ctx.runKey, seq, ctx.master.module_id, ctx.runDate,
+          ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
+          ctx.exclusiveRun, ctx.controlDate, endTime = Some(end),
+          recsProcessed = recordsProcessed, recsInError = recordsInError),
+        admit = () => currentStatus(ctx.runKey).exists(RunStatus.active)) match {
+        case Some(_) => true
+        case None =>
+          log(s"endup ignored: run ${ctx.runKey} not active " +
+            s"(status=${currentStatus(ctx.runKey)})")
+          false
+      }
     }
 
   /** Third proc_batch_endup overload (spec:55-60, body:697-722): record

@@ -47,15 +47,34 @@ trait ControlStore extends AutoCloseable {
     * the reference builds `run_key` from the seq) the STORE assigns:
     * `mk(seq)` constructs the event for the assigned number. Returns the
     * seq. Durable on return (the X1 autonomous-transaction property). */
-  def appendEventAssigned(mk: Long => MonitorEvent): Long
+  final def appendEventAssigned(mk: Long => MonitorEvent): Long =
+    appendEventGuarded(mk, () => true).get
+
+  /** Guarded [[appendEventAssigned]]: the append lands only if `admit()`
+    * holds INSIDE the store's atomic section — the check-then-act gates
+    * the reference got from row locks (endup's `UPDATE … WHERE
+    * run_status IN ('RUNNING','WAITING')`) expressed as a transaction.
+    * `admit` re-evaluates against the current state on every
+    * multi-writer retry, so two racing terminal transitions can never
+    * both land. None = rejected. Like `mk`, `admit` must be pure. */
+  def appendEventGuarded(mk: Long => MonitorEvent,
+      admit: () => Boolean): Option[Long]
 
   /** Atomic func_get_run_id + monitor insert (body:170-182 + 192-214):
     * assigns `NVL(MAX(run_id), 0) + 1` for (module, UTC day of `at`) and
     * appends `mk(runId, seq)` such that no concurrent assignment can
     * interleave — same-day ids stay unique and contiguous. Returns
     * (runId, seq). */
-  def transactRunId(moduleId: Long, at: Instant,
-      mk: (Long, Long) => MonitorEvent): (Long, Long)
+  final def transactRunId(moduleId: Long, at: Instant,
+      mk: (Long, Long) => MonitorEvent): (Long, Long) =
+    transactRunIdGuarded(moduleId, at, mk, () => true).get
+
+  /** Guarded [[transactRunId]]: assignment + insert land only if
+    * `admit()` holds in the same atomic section (the duplicate-run gate
+    * — two drivers racing the same (module, params) must not both go
+    * RUNNING). None = rejected. */
+  def transactRunIdGuarded(moduleId: Long, at: Instant,
+      mk: (Long, Long) => MonitorEvent, admit: () => Boolean): Option[(Long, Long)]
 
   // ---- batch log + mail audit --------------------------------------------
   def appendLog(rec: BatchLogRec): Unit

@@ -95,9 +95,13 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
 
   /** Generic flat-Product JSON encoder, schema-driven so field names
     * come from the SAME Encoder the read side pins its schema to — a
-    * codec and its decoder cannot disagree on a name. */
-  private def rowJson[T <: Product : TypeTag](row: T): String = {
-    val fields = Encoders.product[T].schema.fields
+    * codec and its decoder cannot disagree on a name. `fields` is hoisted
+    * by [[payload]]: TypeTag-driven schema derivation goes through
+    * scala-reflect's global-locked runtime mirror, so paying it per ROW
+    * (worse, per commit RETRY × row) would serialize all writers on the
+    * reflection lock for no reason. */
+  private def rowJson(fields: Array[org.apache.spark.sql.types.StructField],
+      row: Product): String =
     fields.iterator.zip(row.productIterator).map { case (f, raw) =>
       val v = raw match { case Some(x) => x; case None => null; case x => x }
       val enc = v match {
@@ -114,10 +118,11 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
       }
       s"${js(f.name)}:$enc"
     }.mkString("{", ",", "}")
-  }
 
-  private def payload[T <: Product : TypeTag](kind: String, rows: Seq[T]): String =
-    (kind +: rows.map(rowJson[T](_))).mkString("\n")
+  private def payload[T <: Product : TypeTag](kind: String, rows: Seq[T]): String = {
+    val fields = Encoders.product[T].schema.fields
+    (kind +: rows.map(rowJson(fields, _))).mkString("\n")
+  }
 
   // ---- snapshot read ------------------------------------------------------
 
@@ -133,27 +138,37 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     }
 
   /** ((version, kind, JSON line) tail rows, checkpoint version). Retries
-    * if a concurrent checkpoint+vacuum deletes a tail commit mid-read —
-    * the re-read starts from the NEWER checkpoint, which covers it. */
+    * until the view is CONSISTENT: a concurrent checkpoint+vacuum can
+    * (a) delete a tail commit mid-read (NoSuchFileException), or —
+    * subtler — (b) land entirely between our checkpoint listing and our
+    * commit listing, so the vacuumed versions are simply ABSENT with no
+    * exception and events ckptV+1..ckptV' would silently vanish from the
+    * view. Versions are dense by construction and vacuum only deletes
+    * prefixes a published checkpoint covers, so consistency is checkable:
+    * the checkpoint version must not have moved, and a non-empty tail
+    * must start exactly at ckptV+1. */
   private def snapshot(): (Seq[(Long, String, String)], Long) = {
     var attempt = 0
-    while (true) {
+    while (attempt <= 10) {
       val ckptV = latestCheckpointVersion()
       try {
-        val tail = log.commitsAfter(ckptV).flatMap { case (v, p) =>
-          val lines = p.split('\n')
-          lines.drop(1).filter(_.nonEmpty).map(l => (v, lines.head, l))
+        val commits = log.commitsAfter(ckptV)
+        val dense = commits.isEmpty || commits.head._1 == ckptV + 1
+        if (dense && latestCheckpointVersion() == ckptV) {
+          val tail = commits.flatMap { case (v, p) =>
+            val lines = p.split('\n')
+            lines.drop(1).filter(_.nonEmpty).map(l => (v, lines.head, l))
+          }
+          return (tail, ckptV)
         }
-        return (tail, ckptV)
+        attempt += 1 // checkpoint moved or a prefix was vacuumed away — re-read
       } catch {
-        case e: java.nio.file.NoSuchFileException =>
-          attempt += 1
-          if (attempt > 10) throw new IllegalStateException(
-            s"MwStateStore $dir: tail commits kept vanishing under reads " +
-              "(vacuum storm?)", e)
+        case _: java.nio.file.NoSuchFileException => attempt += 1
       }
     }
-    sys.error("unreachable")
+    throw new IllegalStateException(
+      s"MwStateStore $dir: could not obtain a consistent snapshot in 10 " +
+        "attempts (checkpoint/vacuum storm?)")
   }
 
   /** One kind's full frame: newest checkpoint + tail commits. `cap`
@@ -197,23 +212,34 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
   def appendMonitorEvent(ev: MonitorEvent): Long =
     appendEventAssigned(s => ev.copy(event_seq = s))
 
-  def appendEventAssigned(mk: Long => MonitorEvent): Long =
-    log.commit(v => payload("monitor", Seq(mk(v).copy(event_seq = v))),
+  /** Guard + append in one optimistic transaction: `admit` re-evaluates
+    * against the pre-`v` snapshot on every retry, so winning the version
+    * proves the guard held with nothing interleaved. */
+  def appendEventGuarded(mk: Long => MonitorEvent,
+      admit: () => Boolean): Option[Long] =
+    log.commitOpt(v =>
+        if (!admit()) None
+        else Some(payload("monitor", Seq(mk(v).copy(event_seq = v)))),
         floor = latestCheckpointVersion())
-      .tap(maybeCheckpoint)
+      .map(_.tap(maybeCheckpoint))
 
-  def transactRunId(moduleId: Long, at: java.time.Instant,
-      mk: (Long, Long) => MonitorEvent): (Long, Long) = {
-    // re-derived from the pre-v snapshot on EVERY retry: winning v
-    // proves no concurrent assignment interleaved, so same-day run ids
-    // stay unique and contiguous across any number of drivers
+  def transactRunIdGuarded(moduleId: Long, at: java.time.Instant,
+      mk: (Long, Long) => MonitorEvent,
+      admit: () => Boolean): Option[(Long, Long)] = {
+    // guard and max re-derived from the pre-v snapshot on EVERY retry:
+    // winning v proves neither a concurrent assignment nor a
+    // guard-relevant event interleaved, so same-day run ids stay unique
+    // and contiguous across any number of drivers
     var assigned = 0L
-    val v = log.commit({ v =>
-      assigned = ControlStore.maxRunId(monitorState, moduleId, at) + 1
-      payload("monitor", Seq(mk(assigned, v).copy(event_seq = v, run_id = assigned)))
+    log.commitOpt({ v =>
+      if (!admit()) None
+      else {
+        assigned = ControlStore.maxRunId(monitorState, moduleId, at) + 1
+        Some(payload("monitor",
+          Seq(mk(assigned, v).copy(event_seq = v, run_id = assigned))))
+      }
     }, floor = latestCheckpointVersion())
-    maybeCheckpoint(v)
-    (assigned, v)
+      .map { v => maybeCheckpoint(v); (assigned, v) }
   }
 
   // ---- envvar config ------------------------------------------------------
@@ -352,10 +378,29 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     v
   }
 
-  /** Drop commits the newest checkpoint covers (and temp orphans). The
-    * checkpoint version is the floor [[TxnLog.commit]] consults, so
-    * vacuuming can never cause version/seq reuse. */
-  def vacuum(): Unit = log.vacuum(latestCheckpointVersion())
+  /** Drop commits the newest checkpoint covers (and temp orphans), and
+    * garbage-collect superseded checkpoints — each checkpoint is a FULL
+    * history snapshot, so keeping every one would accumulate O(N²)
+    * cumulative bytes over a deployment's life. The newest
+    * `retainCheckpoints` survive: readers always take the max, but a
+    * reader that listed the previous max just before this vacuum may
+    * still be lazily reading its parquet — retaining one predecessor
+    * gives those in-flight frames their grace window (same reasoning as
+    * the tail-commit retry, which covers the JSON side). The checkpoint
+    * version remains the floor [[TxnLog.commit]] consults, so vacuuming
+    * can never cause version/seq reuse. */
+  def vacuum(retainCheckpoints: Int = 2): Unit = {
+    log.vacuum(latestCheckpointVersion())
+    if (Files.isDirectory(ckptDir)) {
+      val s = Files.list(ckptDir)
+      val published =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+        finally s.close()
+      published.dropRight(math.max(retainCheckpoints, 1))
+        .foreach(v => deleteRecursively(ckptPath(v)))
+    }
+  }
 
   private def deleteRecursively(path: Path): Unit = {
     if (Files.isDirectory(path)) {

@@ -172,24 +172,33 @@ class StateStore(val spark: SparkSession, val dir: String) extends ControlStore 
   /** X1: durable the moment this returns, independent of any job outcome. */
   def appendMonitorEvent(ev: MonitorEvent): Unit = append("batch_monitor_events", Seq(ev))
 
-  /** [[ControlStore]] seam: seq assignment + append, atomic under the
-    * write monitor (this store's in-JVM serialization point; the lock
-    * file covers cross-process). */
-  def appendEventAssigned(mk: Long => MonitorEvent): Long = writeMonitor.synchronized {
-    val s = nextSeq()
-    appendMonitorEvent(mk(s))
-    s
+  /** [[ControlStore]] seam: guard + seq assignment + append, atomic
+    * under the write monitor (this store's in-JVM serialization point;
+    * the lock file covers cross-process, so an in-JVM admit check reads
+    * state only this process writes). */
+  def appendEventGuarded(mk: Long => MonitorEvent,
+      admit: () => Boolean): Option[Long] = writeMonitor.synchronized {
+    if (!admit()) None
+    else {
+      val s = nextSeq()
+      appendMonitorEvent(mk(s))
+      Some(s)
+    }
   }
 
-  /** [[ControlStore]] seam: NVL(MAX)+1 run-id assignment fused with the
-    * monitor insert — the read-assign-append section two concurrent
-    * startups of one module must not interleave. */
-  def transactRunId(moduleId: Long, at: java.time.Instant,
-      mk: (Long, Long) => MonitorEvent): (Long, Long) = writeMonitor.synchronized {
-    val runId = ControlStore.maxRunId(monitorState, moduleId, at) + 1
-    val s = nextSeq()
-    appendMonitorEvent(mk(runId, s))
-    (runId, s)
+  /** [[ControlStore]] seam: guard + NVL(MAX)+1 run-id assignment fused
+    * with the monitor insert — the read-assign-append section two
+    * concurrent startups of one module must not interleave. */
+  def transactRunIdGuarded(moduleId: Long, at: java.time.Instant,
+      mk: (Long, Long) => MonitorEvent,
+      admit: () => Boolean): Option[(Long, Long)] = writeMonitor.synchronized {
+    if (!admit()) None
+    else {
+      val runId = ControlStore.maxRunId(monitorState, moduleId, at) + 1
+      val s = nextSeq()
+      appendMonitorEvent(mk(runId, s))
+      Some((runId, s))
+    }
   }
 
   def monitorEvents: DataFrame = readOrEmpty[MonitorEvent]("batch_monitor_events")

@@ -118,11 +118,33 @@ final class TxnLog(val dir: String) {
     * beats spinning.
     */
   def commit(payload: Long => String, maxRetries: Int = 1000,
-      floor: => Long = 0L): Long = {
+      floor: => Long = 0L): Long =
+    commitOpt(v => Some(payload(v)), maxRetries, floor).get
+
+  /** [[commit]] with an abort path: `payload(v)` returning None abandons
+    * the transaction without committing anything (the guarded-append /
+    * gated-transition shape — the guard re-evaluates against the pre-`v`
+    * snapshot on every retry, exactly like the payload). Returns the won
+    * version, or None on abort.
+    *
+    * Ordering matters for the version floor: the `_txn` listing runs
+    * FIRST, the by-name `floor` evaluates AFTER it. Vacuum only deletes
+    * commits a PUBLISHED checkpoint covers, so any version missing from
+    * our listing is ≤ some checkpoint that already existed when we then
+    * read the floor — evaluating the floor first would open a window
+    * (checkpoint+vacuum between floor and listing) where both
+    * under-report and a vacuumed version gets REUSED, forking a
+    * duplicate seq below the checkpoint that every reader would miss. */
+  def commitOpt(payload: Long => Option[String], maxRetries: Int = 1000,
+      floor: => Long = 0L): Option[Long] = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val v = latestVersion(floor) + 1
-      if (tryCommit(v, payload(v))) return v
+      val listed = latestVersion()
+      val v = math.max(listed, floor) + 1
+      payload(v) match {
+        case None => return None
+        case Some(p) => if (tryCommit(v, p)) return Some(v)
+      }
       attempt += 1
     }
     throw new IllegalStateException(

@@ -72,6 +72,49 @@ class MwLifecycleSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("RACING same-params startups: exactly one goes RUNNING, the rest get DuplicateRun") {
+    // the gate must hold INSIDE the transaction, not as check-then-act:
+    // all drivers pass the pre-check simultaneously (no RUNNING run
+    // exists yet), so only the transactional admit can serialize them
+    val (dir, store, at) = fixture()
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val results = Await.result(Future.sequence((1 to 6).map { _ =>
+        Future(driver(dir, at).startup("etl_load", parameters = Some("day=1")))
+      }), Duration.Inf)
+      val winners = results.collect { case Right(ctx) => ctx }
+      val losers = results.collect { case Left(e) => e }
+      assert(winners.length === 1,
+        s"exactly one same-params startup may go RUNNING, got ${winners.length}")
+      assert(losers.forall(_ == DuplicateRun), s"losers must see DuplicateRun: $losers")
+      val running = store.monitorState.filter(
+        org.apache.spark.sql.functions.col("run_status") === RunStatus.Running)
+      assert(running.count() === 1L, "state view must show ONE RUNNING run")
+    } finally pool.shutdown()
+  }
+
+  test("RACING endups: exactly one terminal transition lands, later one is a no-op") {
+    val (dir, store, at) = fixture()
+    val ctx = driver(dir, at).startup("etl_load").toOption.get
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val results = Await.result(Future.sequence(Seq(
+        Future(driver(dir, at).endup(ctx, RunStatus.Success, Some(10L), Some(0L))),
+        Future(driver(dir, at).endup(ctx, RunStatus.Failure, Some(0L), Some(5L))))),
+        Duration.Inf)
+      assert(results.count(identity) === 1,
+        s"exactly one racing endup may land, got $results")
+      // the landed status is whichever won — but there is only ONE
+      // terminal event, so a racing Success can never MASK a Failure
+      val terminal = store.monitorEvents.filter(
+        !org.apache.spark.sql.functions.col("run_status")
+          .isin(RunStatus.Waiting, RunStatus.Running)).collect()
+      assert(terminal.length === 1, "one terminal event exactly")
+    } finally pool.shutdown()
+  }
+
   test("duplicate-run gate holds across drivers: same params rejected, run resumable") {
     val (dir, _, at) = fixture()
     val lc1 = driver(dir, at)
