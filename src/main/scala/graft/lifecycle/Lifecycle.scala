@@ -310,7 +310,14 @@ class Lifecycle(
       case Right(master) =>
         if (master.disabled_date.isDefined)           // body:499-502
           failureEvent(master.module_id, master.sub_system, BatchDisabled, params)
-        else if (duplicateRunCheck(master.module_id, params)) // body:504-509
+        // body:504-509 — the duplicate pre-check runs only where it buys
+        // something: the exclusive branch, where catching a duplicate
+        // BEFORE the WAITING insert avoids appending (and then having to
+        // close) a doomed run. The non-exclusive branch gets the same
+        // rejection from the transactional admit below, so a pre-check
+        // there would just be a second identical latest-state window job
+        // on every startup.
+        else if (exclusiveRun && duplicateRunCheck(master.module_id, params))
           failureEvent(master.module_id, master.sub_system, DuplicateRun, params)
         else if (exclusiveRun) {                      // body:511-530
           val start = clock.now()
@@ -354,7 +361,16 @@ class Lifecycle(
                 Right(new BatchContext(master, key, runId, params, ts(now), controlDate,
                   exclusiveRun, flags, clock))
               case None =>
-                failureEvent(master.module_id, master.sub_system, DuplicateRun, params)
+                // the WAITING event under `key` must CLOSE (the
+                // DependencyFailure path's discipline): recording the
+                // rejection under a fresh key would leave a phantom
+                // active run in the state view that no endup can reach
+                val end = ts(clock.now())
+                store.appendEventAssigned(s =>
+                  mkEvent(key, s, master.module_id, ts(start), 0, params,
+                    RunStatus.ReRunFailure, master.sub_system, exclusiveRun, controlDate,
+                    endTime = Some(end), recsProcessed = Some(0), recsInError = Some(0)))
+                Left(DuplicateRun)
             }
           }
         } else {                                      // body:532-538
@@ -403,16 +419,22 @@ class Lifecycle(
       // for one run serialize, exactly one lands, the other is the
       // reference's silent (here: logged) no-op. A pre-checked variant
       // would let a racing Success mask a Failure.
+      // the admit's LAST observation feeds the rejection message — a
+      // fresh currentStatus there would be a second full window job
+      // whose only consumer is a log line
+      var observed: Option[String] = None
       store.appendEventGuarded(
         seq => mkEvent(ctx.runKey, seq, ctx.master.module_id, ctx.runDate,
           ctx.runId, ctx.parameterString, status, ctx.master.sub_system,
           ctx.exclusiveRun, ctx.controlDate, endTime = Some(end),
           recsProcessed = recordsProcessed, recsInError = recordsInError),
-        admit = () => currentStatus(ctx.runKey).exists(RunStatus.active)) match {
+        admit = () => {
+          observed = currentStatus(ctx.runKey)
+          observed.exists(RunStatus.active)
+        }) match {
         case Some(_) => true
         case None =>
-          log(s"endup ignored: run ${ctx.runKey} not active " +
-            s"(status=${currentStatus(ctx.runKey)})")
+          log(s"endup ignored: run ${ctx.runKey} not active (status=$observed)")
           false
       }
     }

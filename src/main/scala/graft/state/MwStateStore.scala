@@ -126,16 +126,19 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
 
   // ---- snapshot read ------------------------------------------------------
 
-  private def latestCheckpointVersion(): Long =
-    if (!Files.isDirectory(ckptDir)) 0L
+  private def listCheckpointVersions(): Seq[Long] =
+    if (!Files.isDirectory(ckptDir)) Seq.empty
     else {
       val s = Files.list(ckptDir)
-      try {
-        val vs = s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
-        if (vs.isEmpty) 0L else vs.max
-      } finally s.close()
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq
+      finally s.close()
     }
+
+  private def latestCheckpointVersion(): Long = {
+    val vs = listCheckpointVersions()
+    if (vs.isEmpty) 0L else vs.max
+  }
 
   /** ((version, kind, JSON line) tail rows, checkpoint version). Retries
     * until the view is CONSISTENT: a concurrent checkpoint+vacuum can
@@ -148,12 +151,19 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     * the checkpoint version must not have moved, and a non-empty tail
     * must start exactly at ckptV+1. */
   private def snapshot(): (Seq[(Long, String, String)], Long) = {
+    val MaxAttempts = 10
     var attempt = 0
-    while (attempt <= 10) {
+    var lastError: Throwable = null
+    while (attempt < MaxAttempts) {
       val ckptV = latestCheckpointVersion()
       try {
         val commits = log.commitsAfter(ckptV)
-        val dense = commits.isEmpty || commits.head._1 == ckptV + 1
+        // FULL contiguity, not just the head: directory iteration during
+        // concurrent link creation can miss a MID-tail entry (hash-order
+        // readdir passes the slot before the entry lands), and a
+        // head-only check would bless that listing with an event silently
+        // absent from the middle
+        val dense = commits.map(_._1) == ((ckptV + 1) to (ckptV + commits.length))
         if (dense && latestCheckpointVersion() == ckptV) {
           val tail = commits.flatMap { case (v, p) =>
             val lines = p.split('\n')
@@ -161,14 +171,14 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
           }
           return (tail, ckptV)
         }
-        attempt += 1 // checkpoint moved or a prefix was vacuumed away — re-read
+        attempt += 1 // gap in the tail or the checkpoint moved — re-read
       } catch {
-        case _: java.nio.file.NoSuchFileException => attempt += 1
+        case e: java.nio.file.NoSuchFileException => lastError = e; attempt += 1
       }
     }
     throw new IllegalStateException(
-      s"MwStateStore $dir: could not obtain a consistent snapshot in 10 " +
-        "attempts (checkpoint/vacuum storm?)")
+      s"MwStateStore $dir: could not obtain a consistent snapshot in " +
+        s"$MaxAttempts attempts (checkpoint/vacuum storm?)", lastError)
   }
 
   /** One kind's full frame: newest checkpoint + tail commits. `cap`
@@ -179,19 +189,35 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
   private def readKindAt[T <: Product : TypeTag](
       kind: String, cap: Option[Long] = None): DataFrame = {
     val schema = Encoders.product[T].schema
-    val (tails, ckptV) = snapshot()
-    import spark.implicits._
-    val lines = tails
-      .filter(t => t._2 == kind && cap.forall(t._1 <= _))
-      .map(_._3)
-    val tailDf = spark.read.schema(schema)
-      .option("timestampFormat", TsPattern)
-      .option("mode", "FAILFAST") // a malformed control event must abort, not null out
-      .json(spark.createDataset(lines))
-    val ckptKindPath = ckptPath(ckptV).resolve(kind)
-    if (ckptV > 0 && Files.isDirectory(ckptKindPath))
-      spark.read.schema(schema).parquet(ckptKindPath.toString).union(tailDf)
-    else tailDf
+    var attempt = 0
+    while (true) {
+      val (tails, ckptV) = snapshot()
+      import spark.implicits._
+      val lines = tails
+        .filter(t => t._2 == kind && cap.forall(t._1 <= _))
+        .map(_._3)
+      val tailDf = spark.read.schema(schema)
+        .option("timestampFormat", TsPattern)
+        .option("mode", "FAILFAST") // a malformed control event must abort, not null out
+        .json(spark.createDataset(lines))
+      // a missing KIND subdir means the kind was empty at checkpoint
+      // time; a missing checkpoint DIR means the GC deleted our listed
+      // version out from under us (two newer checkpoints + a vacuum
+      // since the snapshot) — the two must not be conflated, or the
+      // reader would silently serve the ≤K tail as the entire table
+      if (ckptV == 0) return tailDf
+      else if (Files.isDirectory(ckptPath(ckptV))) {
+        val ckptKindPath = ckptPath(ckptV).resolve(kind)
+        return if (Files.isDirectory(ckptKindPath))
+          spark.read.schema(schema).parquet(ckptKindPath.toString).union(tailDf)
+        else tailDf
+      }
+      attempt += 1
+      if (attempt >= 10) throw new IllegalStateException(
+        s"MwStateStore $dir: checkpoint $ckptV vanished under $attempt " +
+          "consecutive reads (GC storm?)")
+    }
+    sys.error("unreachable")
   }
 
   private def readKind[T <: Product : TypeTag](kind: String): DataFrame =
@@ -391,15 +417,15 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     * can never cause version/seq reuse. */
   def vacuum(retainCheckpoints: Int = 2): Unit = {
     log.vacuum(latestCheckpointVersion())
-    if (Files.isDirectory(ckptDir)) {
-      val s = Files.list(ckptDir)
-      val published =
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSeq.sorted
-        finally s.close()
-      published.dropRight(math.max(retainCheckpoints, 1))
-        .foreach(v => deleteRecursively(ckptPath(v)))
-    }
+    listCheckpointVersions().sorted
+      .dropRight(math.max(retainCheckpoints, 1))
+      // two drivers vacuuming concurrently race each other's deletes —
+      // a dir vanishing mid-recursion must no-op, not throw (the same
+      // idempotence TxnLog.vacuum documents)
+      .foreach { v =>
+        try deleteRecursively(ckptPath(v))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
   }
 
   private def deleteRecursively(path: Path): Unit = {

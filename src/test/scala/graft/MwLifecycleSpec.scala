@@ -134,6 +134,47 @@ class MwLifecycleSpec extends AnyFunSuite {
     assert(again.isRight && again.toOption.get.runId === 2L)
   }
 
+  test("exclusive loser closes its WAITING run — no phantom active run survives") {
+    // Deterministic interleaving: A starts module 2 exclusively behind a
+    // MANDATORY parent with no run yet, so A enters the dependency wait;
+    // the sleeper hook then plays driver B — completes the parent AND
+    // starts a same-params run of module 2 (non-exclusive → RUNNING).
+    // A's WAITING→RUNNING transition must be rejected by the
+    // transactional gate AND must close A's WAITING run, or the state
+    // view keeps a phantom active run no endup can ever reach.
+    val (dir, store, at) = fixture()
+    store.putDependencies(Seq(BatchDependency(1L, 2L, "MANDATORY")))
+    val clock = new FakeClock(at)
+    object HookSleeper extends Sleeper {
+      var fired = false
+      def sleep(seconds: Long): Unit = if (!fired) {
+        fired = true
+        val b = driver(dir, at.plusSeconds(1))
+        val parent = b.startup("etl_load").toOption.get
+        b.endup(parent, RunStatus.Success, Some(1L), Some(0L))
+        b.startup("etl_report").toOption.get // B's RUNNING duplicate
+      }
+    }
+    val lcA = new Lifecycle(new MwStateStore(spark, dir), clock, HookSleeper)
+    val result = lcA.startup("etl_report", exclusiveRun = true)
+    assert(result === Left(DuplicateRun),
+      s"A must lose to B's racing RUNNING run, got $result")
+    // exactly one active run for module 2 (B's) — A's WAITING is closed
+    val active = store.monitorState.filter(
+      org.apache.spark.sql.functions.col("module_id") === 2L &&
+      org.apache.spark.sql.functions.col("run_status")
+        .isin(RunStatus.Waiting, RunStatus.Running)).collect()
+    assert(active.length === 1 && active(0).getAs[String]("run_status") === RunStatus.Running,
+      s"exactly B's RUNNING run may stay active, got ${active.toSeq}")
+    // A's run closed with the RE-RUN FAILURE terminal status + end time
+    val aTerminal = store.monitorState.filter(
+      org.apache.spark.sql.functions.col("module_id") === 2L &&
+      org.apache.spark.sql.functions.col("run_status") === RunStatus.ReRunFailure).collect()
+    assert(aTerminal.length === 1 && !aTerminal(0).isNullAt(
+      aTerminal(0).fieldIndex("end_time")),
+      "A's WAITING run must terminate as RE-RUN FAILURE with an end time")
+  }
+
   test("dependency wait sees a parent completed by ANOTHER driver") {
     val (dir, store, at) = fixture()
     store.putDependencies(Seq(BatchDependency(1L, 2L, "MANDATORY")))
