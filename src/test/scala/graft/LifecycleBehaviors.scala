@@ -1,0 +1,344 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lifecycle._
+import graft.state._
+
+/** Store-GENERIC lifecycle semantics (SURVEY §5.3): every behavior here
+  * runs against BOTH control stores — [[LifecycleSpec]] binds the
+  * single-writer StateStore, [[MwLifecycleFullSpec]] the multi-writer
+  * MwStateStore (with a small checkpoint interval, so checkpoints fire
+  * MID-scenario and the read paths cross checkpoint boundaries). A
+  * behavior that passes on one store and fails on the other is a
+  * ControlStore seam violation by definition. Store-SPECIFIC semantics
+  * (writer locks, takeover, compaction) live in the concrete suites. */
+trait LifecycleBehaviors extends AnyFunSuite {
+
+  protected lazy val spark = TestSpark.spark
+
+  /** The store under test. */
+  def makeStore(dir: String): ControlStore
+
+  class FakeClock(var t: Instant) extends Clock {
+    def now(): Instant = t
+    def advance(secs: Long): Unit = t = t.plusSeconds(secs)
+  }
+
+  /** Sleeper that advances the fake clock and records every sleep. */
+  class AdvancingSleeper(clock: FakeClock) extends Sleeper {
+    val slept = ArrayBuffer.empty[Long]
+    var onSleep: Long => Unit = _ => ()
+    def sleep(seconds: Long): Unit = { slept += seconds; clock.advance(seconds); onSleep(seconds) }
+  }
+
+  protected def fixture(start: String = "2026-08-12T10:00:00Z") = {
+    val dir = Files.createTempDirectory("graft-lifecycle").toString
+    val store = makeStore(dir)
+    val clock = new FakeClock(Instant.parse(start))
+    val sleeper = new AdvancingSleeper(clock)
+    val lc = new Lifecycle(store, clock, sleeper)
+    (store, clock, sleeper, lc)
+  }
+
+  protected def master(id: Long, name: String, level: Long = 1,
+      disabled: Option[Timestamp] = None) =
+    BatchMaster(id, name, level, Some("TEST"), disabled)
+
+  // ---- T2 DECODE matrix (body:271-279) -----------------------------------
+  test("dependency DECODE matrix matches the reference truth table") {
+    import DependencyMatrix.decode
+    val types = Seq("MANDATORY", "OPTIONAL", "WAIT", "BOGUS")
+    for (t <- types) {
+      assert(decode(None, t) === 1, s"no parent run yet ($t) keeps waiting")
+      assert(decode(Some("SUCCESS"), t) === 0)
+      assert(decode(Some("RUNNING"), t) === 1)
+      assert(decode(Some("WAITING"), t) === 1)
+    }
+    assert(decode(Some("FAILURE"), "MANDATORY") === 2)
+    assert(decode(Some("FAILURE"), "OPTIONAL") === 0)
+    assert(decode(Some("FAILURE"), "WAIT") === 1)
+    assert(decode(Some("FAILURE"), "BOGUS") === 3)
+  }
+
+  // ---- E1 happy path + X2 transitions ------------------------------------
+  test("startup/endup: RUNNING then SUCCESS with end_time; re-endup is a no-op") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(10, "LOAD_A")))
+    val ctx = lc.startup("load_a", Some(1), parameters = Some("p1")).toOption.get
+    assert(ctx.runId === 1)
+    assert(ctx.parameterString === "p1 Run_level=<1>")
+    assert(lc.currentStatus(ctx.runKey) === Some(RunStatus.Running))
+
+    assert(lc.endup(ctx, RunStatus.Success, Some(42), Some(0)))
+    val row = store.monitorState.filter(org.apache.spark.sql.functions.col("run_key") === ctx.runKey).head()
+    assert(row.getAs[String]("run_status") === RunStatus.Success)
+    assert(row.getAs[Timestamp]("end_time") != null)
+    assert(row.getAs[Long]("records_processed") === 42L)
+    // a finished run cannot move again (reference UPDATE matches only
+    // RUNNING/WAITING, body:465)
+    assert(!lc.endup(ctx, RunStatus.Failure))
+    assert(lc.currentStatus(ctx.runKey) === Some(RunStatus.Success))
+  }
+
+  test("run ids are monotonic per module per day and reset across days") {
+    val (store, clock, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(11, "LOAD_B")))
+    val r1 = lc.startup("LOAD_B", Some(1)).toOption.get
+    lc.endup(r1)
+    val r2 = lc.startup("LOAD_B", Some(1)).toOption.get
+    lc.endup(r2)
+    assert((r1.runId, r2.runId) === (1, 2))
+    clock.advance(24 * 3600)
+    val r3 = lc.startup("LOAD_B", Some(1)).toOption.get
+    assert(r3.runId === 1, "new day restarts run-id numbering (body:179)")
+  }
+
+  test("duplicate run with same parameters is rejected as RE-RUN FAILURE") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(12, "LOAD_C")))
+    val running = lc.startup("LOAD_C", Some(1), parameters = Some("day=1")).toOption.get
+    assert(lc.startup("LOAD_C", Some(1), parameters = Some("day=1")) === Left(DuplicateRun))
+    // failure status is recorded as its own event (body:588-593)
+    import org.apache.spark.sql.functions.col
+    assert(store.monitorState.filter(col("run_status") === RunStatus.ReRunFailure).count() === 1)
+    // different parameters may run concurrently (body:228-235 predicate)
+    assert(lc.startup("LOAD_C", Some(1), parameters = Some("day=2")).isRight)
+    // X3 shell-mode surface: error → 0 (body:595-600)
+    assert(lc.startupShell("LOAD_C", Some(1), parameters = Some("day=1")) === 0L)
+    lc.endup(running)
+    assert(lc.startup("LOAD_C", Some(1), parameters = Some("day=1")).isRight,
+      "after endup the same parameters start cleanly")
+  }
+
+  test("disabled batch and unknown batch produce typed failures + status events") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(
+      master(13, "LOAD_D", disabled = Some(Timestamp.from(Instant.parse("2026-01-01T00:00:00Z")))),
+      master(14, "DUP", 1), master(15, "DUP", 1)))
+    assert(lc.startup("LOAD_D", Some(1)) === Left(BatchDisabled))
+    assert(lc.startup("NOPE", Some(1)) === Left(NoRecordBatchMaster))
+    assert(lc.startup("DUP", Some(1)) === Left(TooManyRecordsBatchMaster))
+    import org.apache.spark.sql.functions.col
+    val statuses = store.monitorState.select("run_status").collect().map(_.getString(0)).toSet
+    assert(statuses === Set(RunStatus.BatchDisabled, RunStatus.NoRecordBatchMaster,
+      RunStatus.TooManyRecordsBatchMaster))
+    // NO_RECORD event records the batch name in parameters (body:561-567)
+    val p = store.monitorState.filter(col("run_status") === RunStatus.NoRecordBatchMaster)
+      .head().getAs[String]("parameters")
+    assert(p.startsWith("BatchName=<NOPE>"))
+  }
+
+  test("run_level omitted selects the MIN run_level for the name (body:140-143)") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(16, "ML", 5), master(17, "ML", 2)))
+    val ctx = lc.startup("ml").toOption.get
+    assert(ctx.master.module_id === 17)
+    assert(ctx.parameterString === " Run_level=<>")
+  }
+
+  // ---- T2 dependency wait -------------------------------------------------
+  test("exclusive startup polls a MANDATORY parent until SUCCESS") {
+    val (store, clock, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(20, "PARENT"), master(21, "CHILD")))
+    store.putDependencies(Seq(BatchDependency(20, 21, "MANDATORY")))
+    // parent is RUNNING at child startup; flips to SUCCESS after 2 polls
+    val parent = lc.startup("PARENT", Some(1)).toOption.get
+    var polls = 0
+    sleeper.onSleep = _ => { polls += 1; if (polls == 2) lc.endup(parent, RunStatus.Success) }
+    val child = lc.startup("CHILD", Some(1), exclusiveRun = true).toOption.get
+    assert(sleeper.slept.take(2) === Seq(120, 120), "poll interval is 120 s (body:325)")
+    assert(lc.currentStatus(child.runKey) === Some(RunStatus.Running))
+    // the WAITING event is retained in the log (event sourcing), while the
+    // state view shows only RUNNING
+    import org.apache.spark.sql.functions.col
+    val evs = store.monitorEvents.filter(col("run_key") === child.runKey)
+      .orderBy("event_seq").select("run_status").collect().map(_.getString(0)).toSeq
+    assert(evs === Seq(RunStatus.Waiting, RunStatus.Running))
+  }
+
+  test("MANDATORY parent failure aborts; OPTIONAL proceeds; no-parent-run waits") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(30, "P1"), master(31, "C1"), master(32, "C2")))
+    val p = lc.startup("P1", Some(1)).toOption.get
+    lc.endup(p, RunStatus.Failure)
+    store.putDependencies(Seq(BatchDependency(30, 31, "MANDATORY")))
+    assert(lc.startup("C1", Some(1), exclusiveRun = true) === Left(DependencyFailed))
+    import org.apache.spark.sql.functions.col
+    val fail = store.monitorState.filter(col("run_status") === RunStatus.DependencyFailure).head()
+    assert(fail.getAs[Long]("records_processed") === 0L, "DEP FAILURE writes 0/0 counts (body:603-605)")
+
+    store.putDependencies(Seq(BatchDependency(30, 32, "OPTIONAL")))
+    assert(lc.startup("C2", Some(1), exclusiveRun = true).isRight,
+      "OPTIONAL dependency ignores parent failure (DECODE body:277)")
+  }
+
+  test("dependencyCheck honors maxPolls when the parent never finishes") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(40, "P"), master(41, "C")))
+    store.putDependencies(Seq(BatchDependency(40, 41, "WAIT")))
+    val m = master(41, "C")
+    val code = lc.dependencyCheck(m, "x Run_level=<1>", Timestamp.from(Instant.parse("2026-08-12T00:00:00Z")),
+      maxPolls = 3)
+    assert(code === 1, "still waiting after poll budget")
+    assert(sleeper.slept.size === 3)
+  }
+
+  // ---- T3 resumption ------------------------------------------------------
+  test("continueRun rehydrates parameters and run_date from the state view") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(50, "RESUME")))
+    val ctx = lc.startup("RESUME", Some(1), parameters = Some("f=9")).toOption.get
+    val resumed = lc.continueRun("resume", Some(1), ctx.runId).toOption.get
+    assert(resumed.runKey === ctx.runKey)
+    assert(resumed.parameterString === ctx.parameterString)
+    assert(resumed.runDate === ctx.runDate)
+    assert(lc.endup(resumed, RunStatus.Success))
+    assert(lc.continueRun("RESUME", Some(1), ctx.runId) === Left(NoActiveRun("RESUME", ctx.runId)),
+      "an ended run cannot be continued")
+  }
+
+  // ---- U7 timers ----------------------------------------------------------
+  test("timer capture/showElapsed: case-insensitive, last match wins") {
+    val (store, clock, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(60, "TIMED")))
+    val ctx = lc.startup("TIMED", Some(1)).toOption.get
+    ctx.capture(Some("phase1"))
+    clock.advance(3661)
+    ctx.capture(Some("PHASE1"))          // later capture of the same context
+    clock.advance(62)
+    assert(ctx.showElapsed(context = Some("Phase1")) === Some("Total Time Taken 0:1:2"),
+      "last matching capture wins (body:60-67)")
+    assert(ctx.showElapsed(Some("Elapsed: "), Some("phase1")) === Some("Elapsed: 0:1:2"))
+    assert(ctx.showElapsed(context = Some("nope")) === None)
+    assert(ctx.showElapsed() === None, "NULL context never matches (UPPER(NULL))")
+  }
+
+  // ---- S9 envvar + U8 run command -----------------------------------------
+  test("envvar store is event-sourced; run-command lookup errors to '0'") {
+    val (store, _, _, _) = fixture()
+    assert(store.getEnv("MISSING") === None)
+    store.updEnv("BATCH_FLG_DBG", "Y")
+    store.updEnv("BATCH_FLG_DBG", "N")
+    assert(store.getEnv("BATCH_FLG_DBG") === Some("N"), "latest event wins")
+    assert(store.getRunCommand("nope") === "0")
+    store.putRunCommands(Seq(RunCommand("b1", "run.sh -x")))
+    assert(store.getRunCommand("b1") === "run.sh -x")
+    store.putRunCommands(Seq(RunCommand("b1", "dup.sh")))
+    assert(store.getRunCommand("b1") === "0", "ambiguous lookup → '0' (WHEN OTHERS, body:1006-1008)")
+  }
+
+  test("session flags and control date come from the envvar store") {
+    val (store, clock, _, lc) = fixture()
+    assert(lc.sessionFlags() === SessionFlags(false, false, false))
+    store.updEnv("BATCH_FLG_DBG", "Y")
+    assert(lc.sessionFlags().debug)
+    assert(lc.sessionControlDate() === Timestamp.from(Instant.parse("2026-08-12T00:00:00Z")),
+      "no env → TRUNC(SYSDATE) fallback (body:414-418)")
+    store.updEnv("BATCH_CONTROL_DATE", "05-Aug-2026")
+    assert(lc.sessionControlDate() === Timestamp.from(Instant.parse("2026-08-05T00:00:00Z")))
+  }
+
+  // ---- T1 daily gate ------------------------------------------------------
+  test("daily gate: env publish, 7-day purge, quantized sleep to 23:59:59+60") {
+    val (store, clock, sleeper, lc) = fixture("2026-08-12T23:30:00Z")
+    store.putBatchMaster(Seq(master(70, "DAILY000")))
+    val now = Timestamp.from(Instant.parse("2026-08-12T23:30:00Z"))
+    val old = Timestamp.from(Instant.parse("2026-08-01T00:00:00Z"))
+    store.appendLog(BatchLogRec(old, "p", 1, "pkg", Some("B"), Some("stale")))
+    store.appendLog(BatchLogRec(now, "p", 2, "pkg", Some("B"), Some("fresh")))
+
+    assert(lc.dailyGate("12-Aug-2026", "DAILY") === 0)
+    assert(store.getEnv("BATCH_CONTROL_DATE") === Some("12-Aug-2026"))
+    assert(store.batchLog.count() === 1, "rows older than 7 days purged (body:926-939)")
+    // 23:30:00 → 23:59:59 is 1799 s, +60 = 1859: the reference's loop
+    // (body:952-959) takes a 600 s quantum whenever remaining > 600, so
+    // three quanta then the 59 s tail.
+    assert(sleeper.slept.toSeq === Seq(600, 600, 600, 59))
+    import org.apache.spark.sql.functions.col
+    val st = store.monitorState.filter(col("module_id") === 70).head()
+    assert(st.getAs[String]("run_status") === RunStatus.Success)
+  }
+
+  test("daily gate rejects a malformed run date and records FAILURE") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(71, "DAILY000")))
+    assert(lc.dailyGate("2026-08-12", "DAILY") === 1, "wrong format (body:906-913)")
+    import org.apache.spark.sql.functions.col
+    assert(store.monitorState.filter(col("module_id") === 71).head()
+      .getAs[String]("run_status") === RunStatus.Failure)
+    assert(sleeper.slept.isEmpty, "no sleeping on the failure path")
+  }
+
+  test("daily gate with par_flag skips publish/purge and sleeps the extra minutes") {
+    val (store, clock, sleeper, lc) = fixture("2026-08-12T23:59:30Z")
+    store.putBatchMaster(Seq(master(72, "DAILY000")))
+    assert(lc.dailyGate("12-Aug-2026", "DAILY", flagMinutes = Some(2)) === 0)
+    assert(store.getEnv("BATCH_CONTROL_DATE") === None, "flagged run skips env publish (body:917)")
+    // 23:59:30 → +29 s to target +60 = 89 s, then 2 extra minutes
+    assert(sleeper.slept.toSeq === Seq(89, 120))
+  }
+
+  test("forms mode bypasses all control-table work; endup-with-log records pairs") {
+    val (store, _, _, lc) = fixture()
+    store.putBatchMaster(Seq(master(90, "FORMS_B")))
+    // called_by_forms='Y': no monitor events, run id 0 (body:490-542)
+    val formsCtx = lc.startup("FORMS_B", Some(1), calledByForms = true).toOption.get
+    assert(formsCtx.runId === 0L)
+    assert(store.monitorEvents.count() === 0, "forms mode writes nothing")
+    assert(!lc.endup(formsCtx), "forms endup is a no-op (body:653, 678)")
+    assert(store.monitorEvents.count() === 0)
+    // forms endup-with-log writes neither monitor events nor log rows
+    assert(!lc.endupWithLog(formsCtx, RunStatus.Success, None, None, Seq("x" -> 1L)))
+    assert(store.batchLog.count() === 0)
+    // third endup overload (spec:55-60): desc/value pairs land in batch_log
+    val ctx = lc.startup("FORMS_B", Some(1)).toOption.get
+    assert(lc.endupWithLog(ctx, RunStatus.Success, Some(10), Some(0),
+      Seq("rows read" -> 10L, "rows skipped" -> 2L)))
+    val logs = store.batchLog.orderBy("statement_num").collect()
+    assert(logs.map(_.getAs[String]("message")).toSeq ===
+      Seq(Some("rows read:    10"), Some("rows skipped:    2")).map(_.get))
+  }
+
+  // ---- end-to-end: lifecycle orchestrating a real query -------------------
+  test("integration: dependency-chained batches run real queries and record counts") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(80, "EXTRACT"), master(81, "AGGREGATE")))
+    store.putDependencies(Seq(BatchDependency(80, 81, "MANDATORY")))
+
+    // parent batch: runs the scan-project workload, records its count
+    val parent = lc.startup("EXTRACT", Some(1), parameters = Some("sf=0.001")).toOption.get
+    parent.capture(Some("main"))
+    val extracted = graft.operators.CoreOps.qScanProject(spark, TestSpark.sfDir).count()
+    assert(lc.endup(parent, RunStatus.Success, Some(extracted), Some(0)))
+    assert(parent.showElapsed(Some("EXTRACT took "), Some("main")).isDefined)
+
+    // child waits on the parent (already SUCCESS → no polling), runs its own query
+    val child = lc.startup("AGGREGATE", Some(1), exclusiveRun = true).toOption.get
+    assert(sleeper.slept.isEmpty, "satisfied dependency must not poll")
+    val aggregated = graft.operators.CoreOps.qCount(spark, TestSpark.sfDir).count()
+    assert(lc.endup(child, RunStatus.Success, Some(aggregated), Some(0)))
+
+    // the state view shows both runs finished with their record counts
+    import org.apache.spark.sql.functions.col
+    val state = store.monitorState.orderBy("module_id").collect()
+    assert(state.map(_.getAs[String]("run_status")).toSeq ===
+      Seq(RunStatus.Success, RunStatus.Success))
+    assert(state.map(_.getAs[Long]("records_processed")).toSeq ===
+      Seq(extracted, aggregated))
+  }
+
+  // ---- parameter prefix (body:290-301) ------------------------------------
+  test("paramPrefix mirrors the SUBSTR/INSTR semantics incl. NULL edges") {
+    val (_, _, _, lc) = fixture()
+    assert(lc.paramPrefix("abc Run_level=<3>") === Some("ABC"))
+    assert(lc.paramPrefix("Run_level=<3>") === None, "INSTR=1 → negative SUBSTR length → NULL")
+    assert(lc.paramPrefix("no marker") === None, "INSTR=0 → NULL")
+  }
+}

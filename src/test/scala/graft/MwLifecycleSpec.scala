@@ -20,6 +20,15 @@ import graft.state._
   * proves a second writer FAILS; this spec proves a second writer
   * WORKS, with run ids, seqs, duplicate gates, and status transitions
   * staying correct under the race. */
+/** The full [[LifecycleBehaviors]] matrix on the MULTI-writer store —
+  * every store-generic lifecycle semantic re-proven over optimistic
+  * commits, with `checkpointEvery = 7` so checkpoints fire mid-scenario
+  * and reads constantly cross checkpoint/tail boundaries. */
+class MwLifecycleFullSpec extends LifecycleBehaviors {
+  def makeStore(dir: String): graft.state.ControlStore =
+    new MwStateStore(spark, dir, checkpointEvery = 7)
+}
+
 class MwLifecycleSpec extends AnyFunSuite {
 
   private val spark = TestSpark.spark
