@@ -8,16 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.lifecycle._
 import graft.state._
 
-/** S7 loader-file manifest + S8 notifier/mail-audit semantics. */
-class MailerLoaderSpec extends AnyFunSuite {
-  private val spark = TestSpark.spark
+/** S7 loader-file manifest + S8 notifier/mail-audit semantics —
+  * store-generic (the Mailer and loader lookups run against the
+  * ControlStore seam), so the matrix binds to BOTH stores below. */
+trait MailerLoaderBehaviors extends AnyFunSuite {
+  protected lazy val spark = TestSpark.spark
+
+  /** The store under test. */
+  def makeStore(dir: String): ControlStore
 
   private class FixedClock(t: Instant) extends Clock { def now(): Instant = t }
 
   private def newStore() =
-    new StateStore(spark, Files.createTempDirectory("graft-mail").toString)
+    makeStore(Files.createTempDirectory("graft-mail").toString)
 
-  private def lifecycle(store: StateStore) =
+  private def lifecycle(store: ControlStore) =
     new Lifecycle(store, new FixedClock(Instant.parse("2026-08-12T12:00:00Z")), SystemSleeper)
 
   // ---- S7: func_get_loader_file_name -------------------------------------
@@ -95,4 +100,14 @@ class MailerLoaderSpec extends AnyFunSuite {
     assert(rec.sent.last.recipients === Seq("test.override@example.com"),
       "test override reroutes (body:1069-1074)")
   }
+}
+
+class MailerLoaderSpec extends MailerLoaderBehaviors {
+  def makeStore(dir: String): ControlStore = new StateStore(spark, dir)
+}
+
+/** Same matrix over the multi-writer store (small K → checkpoints fire
+  * mid-test). */
+class MwMailerLoaderSpec extends MailerLoaderBehaviors {
+  def makeStore(dir: String): ControlStore = new MwStateStore(spark, dir, checkpointEvery = 3)
 }
