@@ -224,6 +224,50 @@ class MwStateStoreSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("kill -9 torture: racing writer PROCESSES die mid-protocol, log stays dense") {
+    // Real OS kill, not simulation: three plain-JVM writers (TxnLog is
+    // Spark-free, so they boot in well under a second) hammer one log
+    // and are destroyed forcibly mid-commit. Whatever instant the kill
+    // lands — half-written temp, temp without link, between link and
+    // temp-unlink — the surviving log must hold a dense 1..max version
+    // sequence of fully-formed payloads, and a fresh writer must
+    // continue at max+1.
+    val dir = tmpDir()
+    val cp = System.getProperty("java.class.path")
+    val java = System.getProperty("java.home") + "/bin/java"
+    val procs = (1 to 3).map { _ =>
+      new ProcessBuilder(java, "-cp", cp, "graft.state.TxnTortureMain", dir)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start()
+    }
+    try {
+      // let them boot and commit for a while, then kill mid-flight
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (new TxnLog(dir).latestVersion() < 30 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      procs.foreach(_.waitFor())
+    }
+    val log = new TxnLog(dir)
+    val commits = log.commitsAfter(0L)
+    assert(commits.length >= 30, s"writers must have committed, got ${commits.length}")
+    assert(commits.map(_._1) === (1L to commits.length.toLong),
+      "versions must be dense with no gaps despite kill -9")
+    commits.foreach { case (v, p) =>
+      val lines = p.split('\n')
+      assert(lines.length == 2 && lines(0) == "torture" &&
+        lines(1).startsWith("{\"pid\":") && lines(1).endsWith(s",\"v\":$v}"),
+        s"commit $v must be fully formed, got: $p")
+    }
+    // no writer's (pid, i) pair may appear twice (no double-commit)
+    val pids = commits.map(_._2.split('\n')(1).replaceAll(",\"v\":\\d+\\}$", ""))
+    assert(pids.distinct.length === pids.length, "no (pid, i) double-commits")
+    // a fresh writer continues above everything the dead ones durably won
+    assert(log.commit(v => s"torture\npost-crash at $v") === commits.length + 1L)
+  }
+
   test("latest-state view matches the single-writer store's W1 semantics") {
     val store = new MwStateStore(spark, tmpDir())
     store.appendMonitorEvent(ev("a", status = "W"))
