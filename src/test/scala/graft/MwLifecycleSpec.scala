@@ -13,13 +13,6 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.lifecycle._
 import graft.state._
 
-/** The batch lifecycle over the MULTI-WRITER store: the same E1/E2/X1-X3
-  * semantics LifecycleSpec proves on the single-writer store, running as
-  * genuinely concurrent drivers — each its own Lifecycle over its own
-  * MwStateStore instance on one shared directory. The single-writer spec
-  * proves a second writer FAILS; this spec proves a second writer
-  * WORKS, with run ids, seqs, duplicate gates, and status transitions
-  * staying correct under the race. */
 /** The full [[LifecycleBehaviors]] matrix on the MULTI-writer store —
   * every store-generic lifecycle semantic re-proven over optimistic
   * commits, with `checkpointEvery = 7` so checkpoints fire mid-scenario
@@ -29,6 +22,13 @@ class MwLifecycleFullSpec extends LifecycleBehaviors {
     new MwStateStore(spark, dir, checkpointEvery = 7)
 }
 
+/** The batch lifecycle over the MULTI-WRITER store: the same E1/E2/X1-X3
+  * semantics LifecycleSpec proves on the single-writer store, running as
+  * genuinely concurrent drivers — each its own Lifecycle over its own
+  * MwStateStore instance on one shared directory. The single-writer spec
+  * proves a second writer FAILS; this spec proves a second writer
+  * WORKS, with run ids, seqs, duplicate gates, and status transitions
+  * staying correct under the race. */
 class MwLifecycleSpec extends AnyFunSuite {
 
   private val spark = TestSpark.spark

@@ -235,13 +235,18 @@ class MwStateStoreSpec extends AnyFunSuite {
     val dir = tmpDir()
     val cp = System.getProperty("java.class.path")
     val java = System.getProperty("java.home") + "/bin/java"
-    val procs = (1 to 3).map { _ =>
-      new ProcessBuilder(java, "-cp", cp, "graft.state.TxnTortureMain", dir)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectError(ProcessBuilder.Redirect.DISCARD)
-        .start()
-    }
+    // spawns INSIDE the try (a failed third start must still kill the
+    // first two) and bounded by maxCommits — an orphan that outlives a
+    // crashed test JVM self-terminates instead of filling the disk
+    val procs = scala.collection.mutable.ArrayBuffer.empty[Process]
     try {
+      (1 to 3).foreach { _ =>
+        procs += new ProcessBuilder(
+            java, "-cp", cp, "graft.TxnTortureMain", dir, "100000")
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+      }
       // let them boot and commit for a while, then kill mid-flight
       val deadline = System.nanoTime() + 15_000_000_000L
       while (new TxnLog(dir).latestVersion() < 30 && System.nanoTime() < deadline)

@@ -1,4 +1,6 @@
-package graft.state
+package graft
+
+import graft.state.TxnLog
 
 /** Crash-torture driver for [[TxnLog]]: commits as fast as possible
   * until killed. Deliberately Spark-free (the log is plain java.nio), so
