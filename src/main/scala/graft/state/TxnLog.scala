@@ -33,9 +33,17 @@ import scala.jdk.CollectionConverters._
   * default provider (racy), and `ATOMIC_MOVE` maps to rename(2), which
   * silently REPLACES an existing target — either would let two writers
   * both believe they own a version. `createLink` is the one primitive
-  * that is both atomic and fail-if-exists. (On a DFS control plane,
-  * HDFS-style atomic no-overwrite rename plays this role; the protocol
-  * is unchanged.)
+  * that is both atomic and fail-if-exists.
+  *
+  * Deployment scope: writers must share a filesystem where link(2) is
+  * atomic-fail-if-exists — same-machine drivers trivially, cross-machine
+  * drivers via a POSIX shared mount (NFS servers implement LINK
+  * atomically server-side; link-after-full-write keeps torn reads
+  * impossible even under client caching). A DFS control plane (HDFS,
+  * where hard links don't exist but rename is atomic no-overwrite)
+  * swaps the publish primitive behind this class — the seam is
+  * [[tryCommit]] alone; versioning, retry, checkpointing and vacuum
+  * semantics carry over unchanged.
   *
   * Scale: this is a CONTROL-plane log — one commit per run transition /
   * config change, payloads of a few hundred bytes. Directory listings
