@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Stale-report hygiene: sbt writes one JUnit XML per suite into
+// target/test-reports and never removes files for suites that were
+// renamed or deleted — a rename leaves the old suite's last green XML
+// behind forever, which reads as a passing suite to any harness that
+// trusts the directory (it bit round 11: SkewSpec.xml survived the
+// rename to SkewJoinSpec). Wipe the directory before `sbt test` so the
+// reports always reflect exactly the suites that just ran.
+lazy val cleanStaleTestReports = taskKey[Unit](
+  "Delete target/test-reports before a test run")
+cleanStaleTestReports := sbt.IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(cleanStaleTestReports).value

@@ -160,6 +160,36 @@ object Bench {
         name -> (if (ok) math.min(sec, again) else sec)
       }
     }
+    // Per-query regression gate (round-12): BASELINE.md's per-query floor
+    // table (src/main/resources/bench_floors.json, the honest post-cache-fix
+    // numbers) turns silent per-query noise into a red signal — round 10's
+    // phantom cluster was only caught by judge-side archaeology. A query
+    // regresses when it exceeds 2× its recorded floor AND by more than an
+    // absolute 0.5 s: sub-second queries show 2-4× position-dependent
+    // scheduling jitter even under min-of-4 (r7→r8 evidence), so a pure
+    // ratio gate on a 90 ms floor would cry wolf every round. Loud on
+    // stderr + a "regressions" field in the JSON line; exit stays 0 (the
+    // driver records rc — the signal is for the judge/next round, not a
+    // build failure).
+    val floors: Map[String, Double] =
+      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse {
+        System.err.println("[bench] no bench_floors.json resource; regression gate skipped")
+        Map.empty
+      }
+    val regressions = results.filter { case (n, sec) =>
+      floors.get(n).exists(f => sec > 2 * f && sec - f > 0.5)
+    }
+    regressions.foreach { case (n, sec) =>
+      System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s")
+    }
+    val newQueries = results.collect { case (n, _) if floors.nonEmpty && !floors.contains(n) => n }
+    if (newQueries.nonEmpty)
+      System.err.println(s"[bench] ${newQueries.size} queries have no recorded floor (new since " +
+        s"BASELINE): ${newQueries.mkString(", ")} — re-record bench_floors.json")
     // Per-query times at millisecond precision: full double precision
     // tripled the JSON line's length and got its head truncated off in a
     // bounded log capture (losing the total + the first sorted query);
@@ -177,8 +207,10 @@ object Bench {
       s"""[bench] TOTAL {"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     // the driver contract: ONE stdout JSON line; `total_sec` duplicates the
     // total at the tail so head-truncation of the line cannot lose it
+    val regr = regressions.map { case (n, v) => s"\"" + n + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","regressions":$regr,"queries":$qs,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     // durability: bounded log captures have twice truncated the stdout
     // line's head (r8/r9 BENCH artifacts parsed as null) — a file copy,
     // written BEFORE the print, survives any log-capture policy

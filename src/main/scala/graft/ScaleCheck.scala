@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf1 scale spot-check (not part of the driver contract).
+  *
+  * Every scale claim in SURVEY §9 is a plan-shape claim verified at
+  * sf0.1; this main is the cheapest off-paper evidence that those claims
+  * hold under a real 10× scale-up: it materializes an sf1 dataset
+  * (10× sf0.1, ~6M lineitem rows), runs the most expensive bench queries
+  * at both scales, and reports the per-query time ratio plus whether the
+  * physical plan flipped shape (join strategy / exchange count) between
+  * scales. Near-linear ratios (~10× work on 32 cores ⇒ wall ratio well
+  * under 10 for scan-bound queries, around data-ratio for shuffle-bound
+  * ones) and no plan flips are the pass condition; results are recorded
+  * in BASELINE.md.
+  *
+  * sf1 construction: the driver's testdata is read-only and capped at
+  * sf0.1, so sf1 is DERIVED from sf0.1 by unioning 10 key-shifted copies
+  * — every key/foreign-key column is offset by a per-copy constant, so
+  * referential integrity holds within each copy and the join/graph
+  * structure is exactly 10 disjoint replicas (the honest analogue of a
+  * date-partitioned corpus growing 10×). Content columns are left as-is:
+  * for the self-join operators (near-dup, banded Hamming) the replicas
+  * form constant-size duplicate groups, so candidate-pair volume stays
+  * LINEAR in corpus size — a legitimately duplicated corpus, which is
+  * itself the realistic 100-TB shape these operators must survive.
+  *
+  * Run: `sbt "runMain graft.ScaleCheck"`; env knobs:
+  *   SPARK_GRAFT_SF_DIR    base dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SF1_DIR   derived dir (default /root/repo/tmp/sf1)
+  *   SPARK_GRAFT_SCALE_ONLY comma list to restrict the query sweep
+  */
+object ScaleCheck {
+  /** Key columns to shift per replica: (column, perCopyOffset). Long keys
+    * get a 1e12 stride (far above any sf0.1 key, far below 2^63/10);
+    * int32 dim keys get 1e6.
+    */
+  private val keyShifts: Map[String, Seq[(String, Long)]] = Map(
+    "region"     -> Seq("r_regionkey" -> 1000000L),
+    "nation"     -> Seq("n_nationkey" -> 1000000L, "n_regionkey" -> 1000000L),
+    "customer"   -> Seq("c_custkey" -> 1000000000000L, "c_nationkey" -> 1000000L),
+    "supplier"   -> Seq("s_suppkey" -> 1000000000000L, "s_nationkey" -> 1000000L),
+    "part"       -> Seq("p_partkey" -> 1000000000000L),
+    "orders"     -> Seq("o_orderkey" -> 1000000000000L, "o_custkey" -> 1000000000000L),
+    "lineitem"   -> Seq("l_orderkey" -> 1000000000000L, "l_partkey" -> 1000000000000L,
+                        "l_suppkey" -> 1000000000000L),
+    "events"     -> Seq("event_id" -> 1000000000000L, "user_id" -> 1000000000000L),
+    "documents"  -> Seq("doc_id" -> 1000000000000L),
+    "embeddings" -> Seq("vec_id" -> 1000000000000L),
+  )
+
+  /** The r11/r12 bench's most expensive queries — the ones whose 100-TB
+    * story most needs off-paper evidence. q_dedup_clusters is excluded
+    * (its converged stage memoizes per (session, dir) — a two-dir sweep
+    * in one session would half-measure the cache) and covered by
+    * q_embed_pipeline, which runs the same CC machinery un-memoized.
+    */
+  private val defaultQueries = Seq(
+    "q_pagerank", "q_quality_classifier", "q_tpch_q18", "q_embed_pipeline",
+    "q_repetition", "q_hybrid_search", "q_lm_score", "q_vocab_coverage",
+    "q_fuzzy_join", "q_ivf_pq", "q_tpch_q10", "q_image_neardup")
+
+  def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
+    val done = new java.io.File(outDir, "_SCALE_OK")
+    if (done.isFile) { System.err.println(s"[scale] reusing $outDir"); return }
+    graft.sources.Tables.all.foreach { t =>
+      val base = spark.read.parquet(s"$baseDir/$t.parquet")
+      val shifts = keyShifts(t)
+      val replicas = (0 until copies).map { i =>
+        shifts.foldLeft(base) { case (df, (c, stride)) =>
+          // cast back to the source column type so the sf1 schema is
+          // byte-identical to sf0.1's (int32 dims stay int32)
+          df.withColumn(c, (col(c) + lit(stride * i)).cast(base.schema(c).dataType))
+        }
+      }
+      replicas.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      System.err.println(s"[scale] wrote $outDir/$t.parquet (${copies}x)")
+    }
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+  }
+
+  /** Plan-shape signature: counts of the strategy-bearing physical nodes.
+    * A flip (broadcast→sort-merge, extra exchanges beyond the expected
+    * AQE coalesce wobble) shows up as a differing signature.
+    */
+  def planShape(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct", "Exchange")
+      .map(k => k -> k.r.findAllIn(plan).length).filter(_._2 > 0).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, baseDir, sf1Dir, copies = 10)
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = defaultQueries.filter(n => only.forall(_.contains(n)))
+
+    def measure(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JIT/alloc warmup on the small side so sf0.1 numbers aren't charged
+    // with first-touch compilation the sf1 run then gets for free
+    names.take(3).foreach(n => try measure(n, baseDir) catch { case scala.util.control.NonFatal(_) => () })
+
+    val rows = names.map { n =>
+      val shapeSmall = planShape(SparkEntry.queries(n)(spark, baseDir))
+      val shapeBig = planShape(SparkEntry.queries(n)(spark, sf1Dir))
+      val tSmall = Seq(measure(n, baseDir), measure(n, baseDir)).min
+      val tBig = Seq(measure(n, sf1Dir), measure(n, sf1Dir)).min
+      val flip = shapeSmall != shapeBig
+      System.err.println(f"[scale] $n%-22s sf0.1 $tSmall%7.2f s   sf1 $tBig%7.2f s   ratio ${tBig / tSmall}%5.2f"
+        + (if (flip) s"   PLAN FLIP $shapeSmall -> $shapeBig" else ""))
+      (n, tSmall, tBig, flip)
+    }
+    def ms3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = rows.map { case (n, a, b, f) =>
+      s""""$n":{"sf01":${ms3(a)},"sf1":${ms3(b)},"ratio":${ms3(b / a)},"plan_flip":$f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"flips":${rows.count(_._4)}}""")
+    spark.stop()
+  }
+}

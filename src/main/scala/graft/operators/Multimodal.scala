@@ -101,6 +101,86 @@ object Multimodal {
       (img.getWidth, img.getHeight, frames)
     }
 
+  // ---- real audio decode (javax.sound.sampled — JDK-only) -----------------
+
+  /** Container sniff for the audio formats the JDK ships parsers for:
+    * RIFF/WAVE, AIFF, AU. Same doctrine as [[sniffFormat]] — arbitrary
+    * bytes never reach the codec registry. */
+  private def sniffAudioFormat(p: Array[Byte]): Option[String] =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') Some("wav")
+    else if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+      p(8) == 'A' && p(9) == 'I' && p(10) == 'F') Some("aiff") // AIFF or AIFC
+    else if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd') Some("au")
+    else None
+
+  /** Run `f` over the JDK audio stream for a payload — the audio twin of
+    * [[withReader]]. ByteArrayInputStream supports mark/reset, which
+    * `AudioSystem.getAudioInputStream` requires for its format probe.
+    * None when no parser claims the bytes or the decode throws. */
+  private def withAudio[A](payload: Array[Byte])(
+      f: javax.sound.sampled.AudioInputStream => A): Option[A] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try Some(f(in)) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio header decode: (sample_rate_hz, channels, sample_frames).
+    * Mapped into [[MediaFeatures]] as width/height/frames — documented at
+    * the one decode seam rather than forked into a second schema, so the
+    * downstream plumbing (fan-out, metadata joins) is shared with images.
+    * None on any parse failure. */
+  private def readAudioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    withAudio(payload) { in =>
+      val fmt = in.getFormat
+      val frames = in.getFrameLength // WAV/AIFF/AU headers carry it; -1 never (non-stream source)
+      (fmt.getSampleRate.toInt, fmt.getChannels,
+        math.min(frames, Int.MaxValue.toLong).toInt.max(0))
+    }
+
+  /** Decode the PCM payload to a mono sample stream in [-1, 1]. Handles
+    * the encodings the JDK parsers emit for real files — 16-bit signed
+    * (either endianness) and 8-bit signed/unsigned; anything else (float
+    * PCM, ULAW without conversion) returns None and the caller falls back
+    * to the byte-raster stub. Channels are averaged to mono — the
+    * fingerprint should pair a stereo file with its mono downmix. */
+  private[graft] def decodePcmMono(payload: Array[Byte]): Option[Array[Double]] =
+    withAudio(payload) { in =>
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      import javax.sound.sampled.AudioFormat.Encoding._
+      val ok = (enc == PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (enc == PCM_UNSIGNED && bits == 8)
+      if (!ok) null
+      else {
+        val raw = in.readAllBytes()
+        val bytesPerSample = bits / 8
+        val nFrames = raw.length / (bytesPerSample * ch)
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (f * ch + c) * bytesPerSample
+            s += (if (bits == 16) {
+              val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xFF
+              val hi = raw(off + (if (fmt.isBigEndian) 0 else 1)).toInt
+              ((hi << 8) | lo).toShort / 32768.0
+            } else if (enc == PCM_SIGNED) raw(off) / 128.0
+            else ((raw(off) & 0xFF) - 128) / 128.0)
+            c += 1
+          }
+          out(f) = s / ch
+          f += 1
+        }
+        out
+      }
+    }.flatMap(Option(_))
+
   /** STUB decode (???-equivalent) for formats the JDK has no codec for:
     * dimensions/frames are deterministic arithmetic over the byte length.
     */
@@ -115,10 +195,12 @@ object Multimodal {
       checksum = byteChecksum(r.payload))
 
   /** Real decode where the JDK has a codec (PNG/JPEG/GIF/BMP via
-    * `javax.imageio`), stub fallback everywhere else. The declared kind
-    * is the contract: only "image" and "video" records reach the codec
-    * ("video" because an animated GIF is the JDK's one multi-frame
-    * container — its true frame count feeds [[sampleFrames]]). A corrupt
+    * `javax.imageio`; WAV/AIFF/AU via `javax.sound.sampled`), stub
+    * fallback everywhere else. The declared kind is the contract:
+    * "image"/"video" records reach the image codec ("video" because an
+    * animated GIF is the JDK's one multi-frame container — its true
+    * frame count feeds [[sampleFrames]]), "audio" records reach the
+    * audio parser. A corrupt
     * payload (magic matches, decode fails) falls back rather than
     * failing the partition — a 100 TB corpus always contains malformed
     * payloads, and a pipeline that dies on record 73 billion is not a
@@ -129,6 +211,12 @@ object Multimodal {
   def decode(r: MediaRecord): MediaFeatures = {
     val viaCodec =
       if (r.kind == "image" || r.kind == "video") sniffFormat(r.payload).flatMap(_ => readImageMeta(r.payload))
+      // audio: real WAV/AIFF/AU header decode — (sample_rate, channels,
+      // sample_frames) ride the width/height/frames slots (see
+      // readAudioMeta). The synthetic corpus' text-byte "audio" payloads
+      // never sniff as RIFF/FORM/.snd, so the oracle arithmetic for the
+      // differential faces is untouched; MultimodalSpec plants real WAVs.
+      else if (r.kind == "audio") sniffAudioFormat(r.payload).flatMap(_ => readAudioMeta(r.payload))
       else None
     viaCodec match {
       case Some((w, h, frames)) =>
@@ -302,13 +390,39 @@ object Multimodal {
       }
     }
 
+  /** REAL-samples raster for audio: the mono |amplitude| envelope pooled
+    * row-major into the dHash grid — 72 time buckets of mean loudness.
+    * Feeding it through [[dhashOfGray]] gives an envelope difference
+    * hash whose bits compare ADJACENT time buckets, so it is invariant
+    * to uniform volume scaling (k·x preserves every cell>neighbor
+    * comparison) — the audio analogue of dHash's resize/re-encode
+    * invariance, and exactly what a remastered-louder copy of a track
+    * needs to still pair with its original. */
+  private[graft] def envelopeRaster(samples: Array[Double]): Array[Array[Double]] = {
+    val n = samples.length
+    Array.tabulate(DhashRows, DhashCols) { (r, c) =>
+      if (n == 0) 0.0
+      else {
+        val cells = DhashRows * DhashCols
+        val i0 = ((r * DhashCols + c).toLong * n / cells).toInt
+        val i1 = math.max(i0 + 1, ((r * DhashCols + c + 1).toLong * n / cells).toInt)
+        var s = 0.0; var i = i0
+        while (i < i1) { s += math.abs(samples(math.min(i, n - 1))); i += 1 }
+        s / (i1 - i0)
+      }
+    }
+  }
+
   /** Perceptual fingerprint of one record: dHash over REAL decoded
-    * pixels where a JDK codec claims the payload (the [[decode]]
-    * routing), over the byte-raster stub otherwise. */
+    * pixels where a JDK image codec claims the payload, over the REAL
+    * decoded PCM envelope where the JDK audio parser does (the
+    * [[decode]] routing), over the byte-raster stub otherwise. */
   def perceptualHash(r: MediaRecord): Long = {
     val pixels =
       if (r.kind == "image" || r.kind == "video")
         sniffFormat(r.payload).flatMap(_ => withReader(r.payload)(rd => grayOf(rd.read(0))))
+      else if (r.kind == "audio")
+        sniffAudioFormat(r.payload).flatMap(_ => decodePcmMono(r.payload)).map(envelopeRaster)
       else None
     dhashOfGray(pixels.getOrElse(byteRaster(r.payload)))
   }

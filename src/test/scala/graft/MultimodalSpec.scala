@@ -198,4 +198,102 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.getAs[Long]("checksum") == expected.checksum)
     assert(got.getAs[Long]("n_bytes") == expected.n_bytes)
   }
+
+  // ---- real audio decode (javax.sound.sampled) ----------------------------
+
+  /** Encode mono samples in [-1,1] as a real container via the JDK audio
+    * writer: 16-bit PCM, little-endian for WAVE, big-endian for AIFF
+    * (the format each container mandates), optionally duplicated across
+    * `channels`. */
+  private def audioBytes(samples: Array[Double], sampleRate: Float,
+      channels: Int, fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val big = fileType == javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, big)
+    val raw = new Array[Byte](samples.length * 2 * channels)
+    var i = 0
+    samples.foreach { v0 =>
+      val s = (math.max(-1.0, math.min(1.0, v0)) * 32767).toInt
+      (0 until channels).foreach { _ =>
+        raw(i) = (if (big) (s >> 8) & 0xFF else s & 0xFF).toByte
+        raw(i + 1) = (if (big) s & 0xFF else (s >> 8) & 0xFF).toByte
+        i += 2
+      }
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  private val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+  private val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+
+  /** A 440 Hz tone under a slow |sin| envelope — decisive inter-cell
+    * loudness differences, so 16-bit quantization noise can never flip
+    * an envelope-hash comparison. */
+  private def tone(n: Int, amp: Double, reversed: Boolean = false): Array[Double] =
+    Array.tabulate(n) { j =>
+      val i = if (reversed) n - 1 - j else j
+      amp * (0.2 + 0.8 * math.abs(math.sin(math.Pi * 3.7 * i / n))) *
+        math.sin(2 * math.Pi * 440 * j / 8000.0)
+    }
+
+  test("real WAV/AIFF payloads decode rate, channels and frames via javax.sound.sampled") {
+    import spark.implicits._
+    val mono = audioBytes(tone(4000, 0.8), 8000f, 1, Wave)
+    val stereo = audioBytes(tone(2000, 0.8), 44100f, 2, Wave)
+    val aiff = audioBytes(tone(4000, 0.8), 8000f, 1, Aiff)
+    val records = Seq(
+      Multimodal.MediaRecord(1L, mono, "audio"),
+      Multimodal.MediaRecord(2L, stereo, "audio"),
+      Multimodal.MediaRecord(3L, aiff, "audio"),
+      // header magic survives but the data chunk is truncated mid-frame →
+      // the parser still reports the header's frame count; a payload cut
+      // INTO the header must fall back to the stub, not crash
+      Multimodal.MediaRecord(4L, mono.take(10), "audio"),
+      // real WAV bytes declared image → stub path (kind is the contract)
+      Multimodal.MediaRecord(5L, mono, "image"))
+    val out = Multimodal.decodeAll(spark.createDataset(records))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).width === 8000 && out(1L).height === 1 && out(1L).frames === 4000)
+    assert(out(2L).width === 44100 && out(2L).height === 2 && out(2L).frames === 2000)
+    assert(out(3L).width === 8000 && out(3L).height === 1 && out(3L).frames === 4000)
+    assert(out(4L) === Multimodal.fakeDecode(records(3)), "truncated header falls back to stub")
+    assert(out(5L) === Multimodal.fakeDecode(records(4)), "non-audio kind never hits the parser")
+  }
+
+  test("AIFF (big-endian) PCM decodes to the same mono samples as its WAV twin") {
+    val samples = tone(1000, 0.7)
+    val wav = Multimodal.decodePcmMono(audioBytes(samples, 8000f, 1, Wave)).get
+    val aiff = Multimodal.decodePcmMono(audioBytes(samples, 8000f, 1, Aiff)).get
+    assert(wav.length === 1000 && aiff.length === 1000)
+    wav.indices.foreach { i =>
+      assert(math.abs(wav(i) - aiff(i)) < 1e-9, s"endianness mismatch at frame $i")
+      assert(math.abs(wav(i) - samples(i)) < 1e-3, s"quantization error too large at $i")
+    }
+    // stereo downmix: both channels carry the same signal → mono equals it
+    val st = Multimodal.decodePcmMono(audioBytes(samples, 8000f, 2, Wave)).get
+    st.indices.foreach(i => assert(math.abs(st(i) - wav(i)) < 1e-3))
+  }
+
+  test("audio envelope hash: volume-invariant, envelope-shape-sensitive, pairs in the banded join") {
+    import spark.implicits._
+    def hash(b: Array[Byte]) = Multimodal.perceptualHash(Multimodal.MediaRecord(0L, b, "audio"))
+    val orig = audioBytes(tone(4000, 0.8), 8000f, 1, Wave)
+    val quiet = audioBytes(tone(4000, 0.4), 8000f, 1, Wave)
+    val far = audioBytes(tone(4000, 0.8, reversed = true), 8000f, 1, Wave)
+    val hO = hash(orig); val hQ = hash(quiet); val hF = hash(far)
+    // envelope dHash compares ADJACENT time buckets, so uniform volume
+    // scaling preserves every comparison — the remaster-louder invariance
+    assert(java.lang.Long.bitCount(hO ^ hQ) <= 3, "half-volume copy must stay in the band")
+    assert(java.lang.Long.bitCount(hO ^ hF) > 3, "a reversed envelope must land far")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, orig, "audio"),
+      Multimodal.MediaRecord(2L, quiet, "audio"),
+      Multimodal.MediaRecord(3L, far, "audio"))
+    val pairs = Multimodal.imageNeardupOf(spark, spark.createDataset(media)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L)), "banded join must report exactly the volume-scaled pair")
+  }
 }
