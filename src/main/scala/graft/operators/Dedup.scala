@@ -97,6 +97,91 @@ object Dedup {
   def qSpanDedup(s: SparkSession, dir: String): DataFrame =
     spanDedup(Tables.documents(s, dir))
 
+  // ---- exact duplicated substrings (seed-and-extend) ----------------------
+
+  /** Seed width = the minimum duplicated-substring length reported, in
+    * tokens (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", use 50 BPE tokens at web scale; 10 words
+    * fits the test corpus' ~54-word documents). */
+  private val SubstrSeedK = 10
+
+  /** Boilerplate guard: a seed gram occurring more than this many times
+    * corpus-wide is dropped entirely — its pair count would grow n², and
+    * a gram shared by thousands of documents is boilerplate (license
+    * headers, navigation chrome), not a duplication signal. Never binds
+    * at test SF (max observed gram frequency: 3); at 100 TB it is the
+    * bound that keeps the self-join linear in corpus size. */
+  private val SubstrSeedCap = 64
+
+  /** EXACT maximal duplicated substrings of ≥ [[SubstrSeedK]] tokens
+    * across the corpus — the suffix-array dedup of Lee et al. 2022
+    * re-expressed relationally as seed-and-extend, with no suffix array:
+    *
+    *  1. every SLIDING [[SubstrSeedK]]-word window (contrast
+    *     [[spanDedup]]'s strided windows) becomes a seed row
+    *     (doc_id, pos, md5(gram)) — narrow rows, gram text never
+    *     shuffles;
+    *  2. grams occurring 2..[[SubstrSeedCap]] times survive (one
+    *     count-window shuffle on the high-cardinality hash);
+    *  3. the seed self-join on the hash yields occurrence pairs; a
+    *     duplicated substring of length L contributes its L−K+1
+    *     consecutive seeds to the SAME (doc_a, doc_b, diagonal =
+    *     pos_b − pos_a) group, so
+    *  4. gaps-and-islands inside each diagonal (island = pos_a −
+    *     row_number) merges consecutive seeds into maximal runs:
+    *     span_tokens = run + K − 1 is EXACTLY the maximal common
+    *     substring length at token granularity, with no per-pair text
+    *     comparison ever executed.
+    *
+    * Same-document internal repeats are reported too (doc_a = doc_b,
+    * pos_a < pos_b) — self-repetition is a quality signal in its own
+    * right (the Gopher repetition rules measure it fuzzily; this is the
+    * exact version).
+    *
+    * Scale: both shuffles key on high-cardinality uniform values (gram
+    * hash; (doc_a, doc_b, diagonal)); seed fan-out is one row per token
+    * position — linear in corpus tokens, the same cardinality every
+    * tokenizing operator here already shuffles; pair volume is bounded
+    * by Σ min(freq, cap)² per gram. The window functions partition by
+    * those same high-cardinality keys, so no partition ever exceeds
+    * cap (frequency window) or document length (island window). */
+  def exactSubstrings(docs: DataFrame): DataFrame = {
+    val seeds = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .filter(col("n") >= SubstrSeedK)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, n - ${SubstrSeedK - 1})")).as("pos"), col("words"))
+      // hash in its own projection: a same-select `cast(pos) AS pos`
+      // would lateral-alias `pos` inside the slice() to the LONG copy
+      // and fail Slice's int-start type check (the q_embed_quant class)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", expr(s"slice(words, pos, $SubstrSeedK)")).cast("binary")).as("h"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("h"))
+    val dup = seeds
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2 && col("cnt") <= SubstrSeedCap)
+      .drop("cnt")
+    val a = dup.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
+    val b = dup.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
+    val pairs = a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+      .withColumn("d", col("pos_b") - col("pos_a"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "d", "island")
+      .agg(min("pos_a").as("start_a"),
+        (count(lit(1)) + lit(SubstrSeedK - 1).cast(LongType)).as("span_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") + col("d")).as("start_b"), col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    exactSubstrings(Tables.documents(s, dir))
+
   // ---- n-gram Jaccard near-dup -------------------------------------------
   /** Distinct word-3-gram set of the normalized text (requires >= 3 words). */
   private def gramSet: Column = expr(
@@ -897,6 +982,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"    -> qDedupExact _,
     "q_span_dedup"     -> qSpanDedup _,
+    "q_substr_dedup"   -> qSubstrDedup _,
     "q_dedup_ngram"    -> qDedupNgram _,
     "q_dedup_minhash"  -> qDedupMinhash _,
     "q_dedup_simhash"  -> qDedupSimhash _,
@@ -1010,6 +1096,35 @@ object Dedup {
          |  cast(sum(CASE WHEN rn = 1 THEN n_span_tokens ELSE 0 END) AS bigint) AS n_kept_tokens,
          |  md5(coalesce(string_agg(span_hash, '' ORDER BY span_idx) FILTER (WHERE rn = 1), '')) AS kept_hash
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the seed-and-extend replay: sliding K-gram seeds, 2..cap frequency
+    // band, diagonal gaps-and-islands — span_tokens = run + K - 1
+    "q_substr_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, words,
+         |    unnest(range(1, length(words) - ${SubstrSeedK - 1} + 1)) AS pos
+         |  FROM w WHERE length(words) >= $SubstrSeedK),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(words[pos : pos + ${SubstrSeedK - 1}], ' ')) AS h
+         |  FROM p),
+         |c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND $SubstrSeedCap),
+         |s AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN c USING (h)),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+         |  FROM s a JOIN s b ON a.h = b.h
+         |  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+         |i AS (
+         |  SELECT doc_a, doc_b, pos_b - pos_a AS d, pos_a,
+         |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a ORDER BY pos_a) AS island
+         |  FROM pr)
+         |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_a) + d AS start_b,
+         |  cast(count(*) + ${SubstrSeedK - 1} AS bigint) AS span_tokens
+         |FROM i GROUP BY doc_a, doc_b, d, island
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $duckGramCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

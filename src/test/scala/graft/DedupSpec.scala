@@ -638,4 +638,33 @@ class DedupSpec extends AnyFunSuite {
     // doc 1 and doc 2 diverge (different survivor sets)
     assert(hashOf(1L) !== hashOf(2L))
   }
+
+  test("exactSubstrings: maximal-by-construction spans, K threshold, internal repeats") {
+    import spark.implicits._
+    // alphabetic-only words (normText strips digits) — wd("q", i) is
+    // unique per (tag, i) so only the planted runs can match
+    def wd(tag: String, i: Int): String =
+      tag + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    def words(tag: String, n: Int): Seq[String] = (0 until n).map(wd(tag, _))
+    val shared15 = words("s", 15)   // 15-token run shared by docs 1,2
+    val shared10 = words("t", 10)   // exactly K = 10 → must be found
+    val shared9 = words("u", 9)     // K - 1 → must NOT be found
+    val rep12 = words("r", 12)      // internal repeat inside doc 3
+    val docs = Seq(
+      (1L, (words("a", 5) ++ shared15 ++ words("b", 10)).mkString(" ")),
+      (2L, (words("c", 2) ++ shared15 ++ words("d", 13)).mkString(" ")),
+      (3L, (rep12 ++ words("e", 4) ++ rep12 ++ words("f", 4)).mkString(" ")),
+      (4L, (shared10 ++ words("g", 10) ++ shared9).mkString(" ")),
+      (5L, (words("h", 10) ++ shared10 ++ words("i", 3) ++ shared9).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrings(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // maximality: ONE row per planted run — the islands merge, so no
+    // sub-span of a longer match is ever reported separately
+    assert(got === Seq(
+      (1L, 2L, 6L, 3L, 15L),   // the 15-token run (1-based starts)
+      (3L, 3L, 1L, 17L, 12L),  // same-doc internal repeat
+      (4L, 5L, 1L, 11L, 10L)), // exactly-K run found; the 9-token run absent
+      s"got $got")
+  }
 }

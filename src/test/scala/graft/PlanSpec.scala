@@ -631,4 +631,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "span dedup must read only (doc_id, text)")
   }
+
+  test("q_substr_dedup: every window partitions on high-cardinality keys; equi-join only") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q_substr_dedup")(spark, TestSpark.sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "seed-and-extend counts frequencies and ranks diagonals via windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "every window must partition (frequency window on the gram hash, " +
+        "island window on (doc_a, doc_b, diagonal)) — a global window " +
+        "would serialize the token-cardinality seed set through one task")
+    assert(wins.exists(_.partitionSpec.exists(_.toString.contains("h"))),
+      "the seed-frequency cap must key on the gram hash")
+    val p = plan("q_substr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"the seed self-join must stay a hash equi-join on the gram hash:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "substring dedup must read only (doc_id, text)")
+  }
 }
