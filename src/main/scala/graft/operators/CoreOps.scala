@@ -558,6 +558,58 @@ object CoreOps {
       .limit(100)
   }
 
+  /** Q5 analogue — local-supplier volume: the deepest join TREE in the
+    * suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region),
+    * with the classic "local" constraint c_nationkey = s_nationkey
+    * riding the supplier join. Plan shape at any scale: the two big
+    * facts (lineitem, date-filtered orders) shuffle once on orderkey;
+    * customer joins on custkey; supplier (100 rows) and the
+    * region-filtered nation list are EXPLICIT broadcasts — at 100 TB
+    * the dimension sides of a star never justify an exchange, and the
+    * region filter prunes nations before the broadcast ships. */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q12-shape — late-shipment priority accounting. The testdata carries
+    * no l_shipmode/l_receiptdate, so the adaptation keeps Q12's plan
+    * shape and semantics family exactly (one fact-fact equi-join, a
+    * computed lateness predicate comparing columns of BOTH sides — so it
+    * can only be applied post-join, never pushed to either scan — and
+    * conditional-sum pivoting on order priority) with l_returnflag as
+    * the reporting mode and shipped-&gt;90-days-after-order as lateness. */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPri, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -854,6 +906,8 @@ object CoreOps {
     "q_tpch_q1"         -> qTpchQ1 _,
     "q_tpch_q6"         -> qTpchQ6 _,
     "q_tpch_q3"         -> qTpchQ3 _,
+    "q_tpch_q5"         -> qTpchQ5 _,
+    "q_tpch_q12"        -> qTpchQ12 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_setops"          -> qSetOps _,
@@ -1209,6 +1263,29 @@ object CoreOps {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS bigint) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue

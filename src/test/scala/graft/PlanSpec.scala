@@ -357,6 +357,28 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p18.contains("partial_sum"),
       s"Q18's quantity aggregate must combine map-side:\n$p18")
+    // Q5 (the 6-table tree): every join keyed, dimension sides broadcast,
+    // the order-date range pushed to the orders scan
+    val dfQ5 = SparkEntry.queries("q_tpch_q5")(spark, TestSpark.sfDir)
+    dfQ5.collect()
+    val p5 = dfQ5.queryExecution.executedPlan.toString
+    assert(!p5.contains("CartesianProduct") && !p5.contains("NestedLoop"),
+      s"Q5 must keep every join of the 6-table tree keyed:\n$p5")
+    assert("BroadcastHashJoin".r.findAllIn(p5).length >= 2,
+      s"Q5 must broadcast both bounded dimension sides (supplier, region-pruned nations):\n$p5")
+    assert(allScans(dfQ5.queryExecution.executedPlan)
+        .exists(_.metadata.getOrElse("PushedFilters", "").contains("o_orderdate")),
+      "Q5's order-date range must reach the orders scan")
+    // Q12: the lateness predicate compares columns of BOTH join sides, so
+    // it must sit post-join as a Filter — and must NOT degrade the join
+    // itself to a nested loop
+    val dfQ12 = SparkEntry.queries("q_tpch_q12")(spark, TestSpark.sfDir)
+    dfQ12.collect()
+    val p12 = dfQ12.queryExecution.executedPlan.toString
+    assert(!p12.contains("CartesianProduct") && !p12.contains("NestedLoop"),
+      s"Q12's orderkey equi-join must carry the lateness filter as residual:\n$p12")
+    assert(p12.contains("partial_sum"),
+      s"Q12's conditional counts must combine map-side:\n$p12")
   }
 
   test("q_ivf_probe: probe assignment is a plan node (Generate under the broadcast), not a driver loop") {
