@@ -79,6 +79,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- source (domain) reputation filter ----------------------------------
+
+  /** Deterministic blocklist stand-in (a real pipeline loads its domain
+    * blocklist as a table; two of the synthetic corpus' 20 sources keep
+    * the verdict class non-empty at every SF). */
+  private val SourceBlocklist = Seq("src3", "src7")
+  private val SourceMinQuality = 1.051
+  private val SourceMaxDupShare = 0.1
+
+  /** RefinedWeb/C4-style SOURCE-level filtering (Penedo et al. 2023 drop
+    * whole domains by URL blocklist and per-domain quality statistics
+    * before any per-document work): aggregates the corpus to one row per
+    * source carrying doc count, mean quality score (the q_text_quality
+    * linear score) and exact-duplicate share, then assigns a verdict —
+    * blocked (listed) > high_dup (dup share over threshold) >
+    * low_quality (mean under threshold) > ok.
+    *
+    * Determinism discipline: the per-doc score is rounded to 6 decimals
+    * FIRST and summed as decimal(18,6) — summing raw doubles would make
+    * the mean partition-order-dependent and flake the differential gate.
+    * Scale: per-doc rows reduce map-side into ~|sources| rows; the dup
+    * rank is a window on the 128-bit content hash (uniform keys, the
+    * qDedupExact shape). At 100 TB the reputation table is millions of
+    * domains × ~40 bytes — broadcastable to the per-doc filter join
+    * ([[qSourceFilter]]), which is the point of aggregating at source
+    * granularity before touching documents again. */
+  def sourceReputation(docs: DataFrame, blocklist: Seq[String] = SourceBlocklist): DataFrame = {
+    val t = col("text")
+    val punctRatio =
+      when(length(t) > 0,
+        length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double"))
+        .otherwise(lit(0.0))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      round(lit(0.001) * wordCount(t) + lit(1.0) - punctRatio, 6)
+        .cast("decimal(18,6)").as("qs"),
+      row_number().over(
+        Window.partitionBy(md5(t.cast("binary"))).orderBy("doc_id")).as("rn"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round((sum(col("qs")) / count(lit(1))).cast("double"), 6).as("mean_quality"),
+        round(sum(when(col("rn") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("dup_share"))
+      .withColumn("verdict",
+        when(col("source").isin(blocklist: _*), "blocked")
+          .when(col("dup_share") > SourceMaxDupShare, "high_dup")
+          .when(col("mean_quality") < SourceMinQuality, "low_quality")
+          .otherwise("ok"))
+      .orderBy("source")
+  }
+
+  def qSourceReputation(s: SparkSession, dir: String): DataFrame =
+    sourceReputation(Tables.documents(s, dir))
+
+  /** The per-document face: every doc joined to its source's verdict via
+    * an explicit broadcast of the reputation table (see
+    * [[sourceReputation]]'s scale note) — the corpus never shuffles for
+    * this filter. */
+  def qSourceFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(broadcast(sourceReputation(Tables.documents(s, dir))
+        .select("source", "verdict")), Seq("source"))
+      .select(col("doc_id"), col("source"), col("verdict"),
+        when(col("verdict") === "ok", 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+
   // Token counting, three tiers: whitespace tokens; the chars/4 estimate
   // (the standard subword-per-char rule of thumb); and a GPT-2-style
   // pretokenizer regex — optional-space-prefixed runs of letters, digits,
@@ -1051,6 +1116,8 @@ object TextOps {
     "q_sample_pergroup" -> qSamplePerGroup _,
     "q_compress_ratio" -> qCompressRatio _,
     "q_text_quality" -> qTextQuality _,
+    "q_source_reputation" -> qSourceReputation _,
+    "q_source_filter" -> qSourceFilter _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,
     "q_fingerprint" -> qFingerprint _,
@@ -1161,6 +1228,31 @@ object TextOps {
         |FROM sc CROSS JOIN pr
         |GROUP BY doc_id, prior_fp ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of [[sourceReputation]]: per-doc 6-decimal score
+    * summed as decimal (the determinism discipline), exact-dup rank on
+    * the content hash, then the verdict CASE in the same precedence. A
+    * complete SELECT with no trailing ORDER BY so it can be inlined as a
+    * CTE by the per-doc face. */
+  private val duckSourceReputationSql: String =
+    s"""WITH sq AS (
+       |  SELECT doc_id, source,
+       |    cast(round(0.001 * length(regexp_split_to_array(trim(text), ' +')) + 1.0 -
+       |      CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-z ]', '', 'g')) /
+       |        cast(length(text) AS double) ELSE cast(0 AS double) END, 6) AS decimal(18,6)) AS qs,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |sr AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    round(cast(sum(qs) / count(*) AS double), 6) AS mean_quality,
+       |    round(sum(CASE WHEN rn > 1 THEN 1.0 ELSE 0 END) / count(*), 6) AS dup_share
+       |  FROM sq GROUP BY source)
+       |SELECT source, n_docs, mean_quality, dup_share,
+       |  CASE WHEN source IN (${SourceBlocklist.map("'" + _ + "'").mkString(", ")}) THEN 'blocked'
+       |       WHEN dup_share > $SourceMaxDupShare THEN 'high_dup'
+       |       WHEN mean_quality < $SourceMinQuality THEN 'low_quality'
+       |       ELSE 'ok' END AS verdict
+       |FROM sr""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_data_split" ->
       s"""WITH h AS (
@@ -1222,6 +1314,15 @@ object TextOps {
         |       WHEN (length(t) - length(replace(t, ' el ', ''))) / 4 >= 1 THEN 'es'
         |       ELSE 'und' END) = lang THEN 1 ELSE 0 END AS is_match
         |FROM n ORDER BY doc_id""".stripMargin,
+    // the reputation chain is one definition used by BOTH source-filter
+    // oracles (aggregate face + per-doc face) so thresholds cannot drift
+    "q_source_reputation" -> (duckSourceReputationSql + "\nORDER BY source"),
+    "q_source_filter" ->
+      s"""WITH rep AS (${duckSourceReputationSql})
+         |SELECT doc_id, d.source, verdict,
+         |  CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END AS kept
+         |FROM documents d JOIN rep ON d.source = rep.source
+         |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  length(regexp_split_to_array(trim(text), ' +')) AS n_words,

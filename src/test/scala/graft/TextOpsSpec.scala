@@ -623,4 +623,35 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("source reputation: verdict precedence and the high_dup class on a planted corpus") {
+    import spark.implicits._
+    // the linear score is 0.001*words + 1 - punct_ratio, so clearing the
+    // 1.051 threshold needs > 51 clean words (the synthetic corpus
+    // averages ~54); junk text's punctuation ratio drags its mean under
+    val clean = "plain words of ordinary quality text repeated for scoring " * 7
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val docs = (
+      // srcdup: 4 identical copies of the clean doc → dup_share 0.75
+      (1 to 4).map(i => (i.toLong, clean, "srcdup")) ++
+      // srclow: junk → low_quality
+      (5 to 8).map(i => (i.toLong, junk + s" uniq$i", "srclow")) ++
+      // srcok: distinct clean docs → ok
+      (9 to 12).map(i => (i.toLong, clean + s" uniq$i", "srcok")) ++
+      // src3 is blocklisted AND duplicate-heavy: blocked must win
+      (13 to 16).map(i => (i.toLong, clean, "src3"))
+    ).toDF("doc_id", "text", "source")
+    val rep = TextOps.sourceReputation(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getString(4))).toMap
+    assert(rep("srcdup")._2 === "high_dup", s"got $rep")
+    assert(rep("srcdup")._1 === 0.75)
+    assert(rep("srclow")._2 === "low_quality")
+    assert(rep("srcok")._2 === "ok")
+    // precedence: blocklist beats the (also-true) dup-share rule
+    assert(rep("src3")._2 === "blocked")
+    // the per-doc face keeps exactly the ok-source docs
+    val kept = TextOps.sourceReputation(docs).filter(col("verdict") === "ok")
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(kept === Set("srcok"))
+  }
 }
