@@ -182,6 +182,41 @@ object Dedup {
   def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
     exactSubstrings(Tables.documents(s, dir))
 
+  /** The REMOVAL face of [[exactSubstrings]] — Lee et al.'s actual dedup
+    * step: for every document, how many tokens sit inside SOME
+    * duplicated span whose other occurrence is earlier in the corpus
+    * (the later occurrence is the one a dedup pass deletes; "earlier" =
+    * the pair orientation exactSubstrings already emits — doc_b is
+    * always the later side, and a same-doc internal repeat's second
+    * occurrence counts too). Spans of one document arriving from
+    * DIFFERENT partners/diagonals overlap freely, so the token count is
+    * the measure of their interval UNION, not the sum of their lengths:
+    * classic gaps-and-islands — per doc, order spans by start, a new
+    * island begins where a span starts past the running max end, and
+    * each island contributes (max end − min start). Window partitions on
+    * doc_id and each partition holds at most that document's span count
+    * — bounded by doc length, never corpus-sized. */
+  def substrRemovalSummary(docs: DataFrame): DataFrame = {
+    val spans = exactSubstrings(docs)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens")).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    // running max end over STRICTLY PRECEDING spans (null for the first)
+    val prevMaxE = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("new_island",
+        when(prevMaxE.isNull || col("s") > prevMaxE, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg((max(col("e")) - min(col("s"))).as("covered"))
+    islands.groupBy("doc_id")
+      .agg(sum(col("covered")).as("dup_tokens"), count(lit(1)).as("n_regions"))
+      .orderBy("doc_id")
+  }
+
+  def qSubstrRemoval(s: SparkSession, dir: String): DataFrame =
+    substrRemovalSummary(Tables.documents(s, dir))
+
   // ---- n-gram Jaccard near-dup -------------------------------------------
   /** Distinct word-3-gram set of the normalized text (requires >= 3 words). */
   private def gramSet: Column = expr(
@@ -983,6 +1018,7 @@ object Dedup {
     "q_dedup_exact"    -> qDedupExact _,
     "q_span_dedup"     -> qSpanDedup _,
     "q_substr_dedup"   -> qSubstrDedup _,
+    "q_substr_removal" -> qSubstrRemoval _,
     "q_dedup_ngram"    -> qDedupNgram _,
     "q_dedup_minhash"  -> qDedupMinhash _,
     "q_dedup_simhash"  -> qDedupSimhash _,
@@ -1068,6 +1104,36 @@ object Dedup {
     * against the engine in ExpectedSpec); DedupSpec additionally checks
     * them against exact-Jaccard ground truth.
     */
+  /** DuckDB replay of [[exactSubstrings]] (see that scaladoc for the
+    * stage-by-stage rationale). A complete SELECT with no trailing ORDER
+    * BY so the removal-face oracle can inline it as a CTE. */
+  private val duckSubstrSpansSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, words,
+       |    unnest(range(1, length(words) - ${SubstrSeedK - 1} + 1)) AS pos
+       |  FROM w WHERE length(words) >= $SubstrSeedK),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(words[pos : pos + ${SubstrSeedK - 1}], ' ')) AS h
+       |  FROM p),
+       |c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND $SubstrSeedCap),
+       |s AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN c USING (h)),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+       |  FROM s a JOIN s b ON a.h = b.h
+       |  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+       |i AS (
+       |  SELECT doc_a, doc_b, pos_b - pos_a AS d, pos_a,
+       |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a ORDER BY pos_a) AS island
+       |  FROM pr)
+       |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_a) + d AS start_b,
+       |  cast(count(*) + ${SubstrSeedK - 1} AS bigint) AS span_tokens
+       |FROM i GROUP BY doc_a, doc_b, d, island""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1099,32 +1165,34 @@ object Dedup {
     // the seed-and-extend replay: sliding K-gram seeds, 2..cap frequency
     // band, diagonal gaps-and-islands — span_tokens = run + K - 1
     "q_substr_dedup" ->
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS words
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, words,
-         |    unnest(range(1, length(words) - ${SubstrSeedK - 1} + 1)) AS pos
-         |  FROM w WHERE length(words) >= $SubstrSeedK),
-         |g AS (
-         |  SELECT doc_id, pos,
-         |    md5(array_to_string(words[pos : pos + ${SubstrSeedK - 1}], ' ')) AS h
-         |  FROM p),
-         |c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND $SubstrSeedCap),
-         |s AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN c USING (h)),
-         |pr AS (
-         |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
-         |  FROM s a JOIN s b ON a.h = b.h
-         |  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
-         |i AS (
-         |  SELECT doc_a, doc_b, pos_b - pos_a AS d, pos_a,
-         |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a ORDER BY pos_a) AS island
-         |  FROM pr)
-         |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_a) + d AS start_b,
-         |  cast(count(*) + ${SubstrSeedK - 1} AS bigint) AS span_tokens
-         |FROM i GROUP BY doc_a, doc_b, d, island
-         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+      (duckSubstrSpansSql + "\nORDER BY doc_a, doc_b, start_a, start_b"),
+    // the removal face: interval UNION of each doc_b's spans (second
+    // gaps-and-islands, on token ranges) — one shared span definition
+    // with q_substr_dedup so the two oracles cannot drift
+    "q_substr_removal" ->
+      s"""WITH spans AS (${duckSubstrSpansSql}),
+         |sp AS (
+         |  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens AS e
+         |  FROM spans),
+         |fl AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS new_island
+         |  FROM sp),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM fl),
+         |cov AS (
+         |  SELECT doc_id, island, max(e) - min(s) AS covered
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT doc_id, cast(sum(covered) AS bigint) AS dup_tokens,
+         |  count(*) AS n_regions
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $duckGramCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -667,4 +667,27 @@ class DedupSpec extends AnyFunSuite {
       (4L, 5L, 1L, 11L, 10L)), // exactly-K run found; the 9-token run absent
       s"got $got")
   }
+
+  test("substrRemovalSummary: overlapping spans from different partners union, not sum") {
+    import spark.implicits._
+    def wd(i: Int): String = "z" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val run = (0 until 30).map(wd)
+    // doc 1 carries the full 30-token run (earliest → never a removal
+    // target); docs 2 and 3 carry overlapping 20-token windows of it, so
+    // doc 3 receives TWO spans — [1,21) from doc 1 and the contained
+    // [1,11) from its overlap with doc 2 — whose union is 20 tokens in
+    // ONE region (a sum would double-count the contained span)
+    val docs = Seq(
+      (1L, run.mkString(" ")),
+      (2L, run.take(20).mkString(" ")),
+      (3L, run.drop(10).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrings(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(spans.contains((1L, 3L, 1L, 20L)) && spans.contains((2L, 3L, 1L, 10L)),
+      s"doc 3 must receive both the full and the contained span: $spans")
+    val got = Dedup.substrRemovalSummary(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(2L -> ((20L, 1L)), 3L -> ((20L, 1L))), s"got $got")
+  }
 }
