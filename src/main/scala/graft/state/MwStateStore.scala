@@ -223,6 +223,100 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
   private def readKind[T <: Product : TypeTag](kind: String): DataFrame =
     readKindAt[T](kind)
 
+  // ---- time travel --------------------------------------------------------
+
+  /** One kind's frame AS OF commit version `asOf` — exactly the table a
+    * reader saw when `asOf` was the newest commit (Delta-style time
+    * travel; the commit version is the store's only clock, so "as of"
+    * is exact, not approximate). Reconstruction = the newest SURVIVING
+    * checkpoint ≤ asOf plus the dense commit run (ckpt, asOf]. Like
+    * Delta, the horizon is bounded by retention: once vacuum has
+    * dropped a needed commit and checkpoint GC the ≤-asOf checkpoints,
+    * the version is gone — the read then fails LOUDLY naming the oldest
+    * still-reconstructable version rather than silently serving a
+    * partial table (the same no-silent-partial-view doctrine as
+    * [[snapshot]]'s density check). */
+  private def readKindAsOf[T <: Product : TypeTag](kind: String, asOf: Long): DataFrame = {
+    require(asOf >= 1, s"asOf must be >= 1, got $asOf")
+    val latest = log.latestVersion()
+    require(asOf <= latest,
+      s"MwStateStore $dir: asOf $asOf is in the future (latest commit is $latest)")
+    val schema = Encoders.product[T].schema
+    var attempt = 0
+    var lastProblem = ""
+    while (attempt < 10) {
+      val ckpts = listCheckpointVersions().filter(_ <= asOf)
+      val ckptV = if (ckpts.isEmpty) 0L else ckpts.max
+      try {
+        val commits = log.commitsAfter(ckptV).filter(_._1 <= asOf)
+        if (commits.map(_._1) != ((ckptV + 1) to asOf)) {
+          // permanent (vacuumed prefix) and transient (listing race)
+          // gaps are indistinguishable from one listing — retry the few
+          // cheap attempts, then report as unreconstructable
+          lastProblem = s"commits ${ckptV + 1}..$asOf incomplete over checkpoint $ckptV"
+          attempt += 1
+        } else {
+          import spark.implicits._
+          val lines = commits.flatMap { case (_, p) =>
+            val ls = p.split('\n')
+            if (ls.head == kind) ls.drop(1).filter(_.nonEmpty).toSeq else Seq.empty
+          }
+          val tailDf = spark.read.schema(schema)
+            .option("timestampFormat", TsPattern)
+            .option("mode", "FAILFAST")
+            .json(spark.createDataset(lines))
+          if (ckptV == 0) return tailDf
+          else if (Files.isDirectory(ckptPath(ckptV))) {
+            val kindPath = ckptPath(ckptV).resolve(kind)
+            return if (Files.isDirectory(kindPath))
+              spark.read.schema(schema).parquet(kindPath.toString).union(tailDf)
+            else tailDf
+          }
+          lastProblem = s"checkpoint $ckptV vanished (GC race)"
+          attempt += 1
+        }
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          lastProblem = e.toString; attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"MwStateStore $dir: version $asOf is not reconstructable ($lastProblem); " +
+        s"oldest reconstructable version is ${oldestReconstructableVersion()} — " +
+        "time travel is bounded by vacuum + checkpoint-GC retention")
+  }
+
+  /** The newest commit version — the value [[monitorEventsAsOf]] of
+    * which equals [[monitorEvents]]. */
+  def version: Long = log.latestVersion()
+
+  /** Smallest `asOf` a time-travel read can still reconstruct: 1 while
+    * no commit has been vacuumed; after vacuum, the smallest surviving
+    * checkpoint that still has its full commit tail. */
+  def oldestReconstructableVersion(): Long = {
+    val surviving = log.commitsAfter(0L).map(_._1)
+    val m = if (surviving.isEmpty) log.latestVersion() + 1 else surviving.min
+    if (m <= 1) 1L
+    else {
+      val usable = listCheckpointVersions().filter(_ >= m - 1)
+      // vacuum only deletes prefixes a published checkpoint covers and
+      // GC keeps the newest checkpoints, so `usable` is non-empty in any
+      // uncorrupted store; the fallback keeps the DIAGNOSTIC total even
+      // if a foreign actor deleted checkpoint dirs by hand
+      if (usable.isEmpty) log.latestVersion() else usable.min
+    }
+  }
+
+  def monitorEventsAsOf(asOf: Long): DataFrame =
+    readKindAsOf[MonitorEvent]("monitor", asOf)
+  def envvarEventsAsOf(asOf: Long): DataFrame =
+    readKindAsOf[EnvVarEvent]("envvar", asOf)
+
+  /** [[monitorState]] as of a commit version — "what did the control
+    * plane believe when run 123 started" as a first-class query. */
+  def monitorStateAsOf(asOf: Long): DataFrame =
+    StateStore.latestState(monitorEventsAsOf(asOf), Seq("run_key"), Seq(col("event_seq").desc))
+
   // ---- monitor event log --------------------------------------------------
 
   def monitorEvents: DataFrame = readKind[MonitorEvent]("monitor")

@@ -282,4 +282,54 @@ class MwStateStoreSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state === Map("a" -> "S", "b" -> "W"))
   }
+
+  test("time travel: as-of reads replay exact prefixes across checkpoint boundaries") {
+    val store = new MwStateStore(spark, tmpDir(), checkpointEvery = 4)
+    val vs = (1 to 10).map(i => store.updEnvAssigned("FLAG", s"v$i"))
+    assert(vs === (1L to 10L))
+    assert(store.version === 10L)
+    // as of version k the envvar log holds exactly commits 1..k and the
+    // latest value is v_k — spanning pre-checkpoint (k<4), exactly-at
+    // (k=4,8) and tail-over-checkpoint (k=5,9,10) reconstructions
+    Seq(1L, 3L, 4L, 5L, 8L, 9L, 10L).foreach { k =>
+      val df = store.envvarEventsAsOf(k)
+      assert(df.count() === k, s"asOf $k")
+      val latest = df.orderBy(org.apache.spark.sql.functions.col("event_seq").desc)
+        .limit(1).collect()(0).getAs[String]("value")
+      assert(latest === s"v$k", s"asOf $k")
+    }
+    // asOf(latest) is the current view, row for row
+    assert(store.envvarEventsAsOf(10L).collect().toSet === store.envvarEvents.collect().toSet)
+    intercept[IllegalArgumentException](store.envvarEventsAsOf(11L))
+    intercept[IllegalArgumentException](store.envvarEventsAsOf(0L))
+  }
+
+  test("time travel: monitor state as of a version shows that instant's beliefs") {
+    val store = new MwStateStore(spark, tmpDir(), checkpointEvery = 100)
+    val v1 = store.appendMonitorEvent(ev("run-a", status = "R"))
+    store.appendMonitorEvent(ev("run-b", status = "R"))
+    val v3 = store.appendMonitorEvent(ev("run-a", status = "S"))
+    def stateAt(v: Long): Map[String, String] =
+      store.monitorStateAsOf(v).collect()
+        .map(r => r.getAs[String]("run_key") -> r.getAs[String]("run_status")).toMap
+    assert(stateAt(v1) === Map("run-a" -> "R"))
+    assert(stateAt(v3 - 1) === Map("run-a" -> "R", "run-b" -> "R"))
+    assert(stateAt(v3) === Map("run-a" -> "S", "run-b" -> "R"))
+  }
+
+  test("time travel: vacuum bounds the horizon and the refusal names it") {
+    val store = new MwStateStore(spark, tmpDir(), checkpointEvery = 4)
+    (1 to 10).foreach(i => store.updEnvAssigned("FLAG", s"v$i"))
+    // checkpoints exist at 4 and 8; retain only the newest → checkpoint 4
+    // is GC'd and every commit ≤ 8 is vacuumed
+    store.vacuum(retainCheckpoints = 1)
+    assert(store.oldestReconstructableVersion() === 8L)
+    // at and after the horizon: full replay via checkpoint 8 + tail
+    assert(store.envvarEventsAsOf(8L).count() === 8)
+    assert(store.envvarEventsAsOf(9L).count() === 9)
+    // before it: loud refusal carrying the horizon, never a partial table
+    val e = intercept[IllegalStateException](store.envvarEventsAsOf(3L))
+    assert(e.getMessage.contains("not reconstructable"))
+    assert(e.getMessage.contains("oldest reconstructable version is 8"))
+  }
 }
