@@ -670,5 +670,26 @@ class PlanSpec extends AnyFunSuite {
       s"the seed self-join must stay a hash equi-join on the gram hash:\n$p")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "substring dedup must read only (doc_id, text)")
+    // the removal face adds the interval-union windows: still every
+    // window partitioned (per-doc partitions bounded by doc length)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val rw = SparkEntry.queries("q_substr_removal")(spark, TestSpark.sfDir)
+      .queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+    assert(rw.nonEmpty && rw.forall(_.partitionSpec.nonEmpty),
+      "every interval-union window must partition (running-max and island id per doc)")
+  }
+
+  test("q_source_filter: the per-doc join rides a broadcast of the reputation table") {
+    val df = SparkEntry.queries("q_source_filter")(spark, TestSpark.sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the source-verdict join must broadcast the source-granularity table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the reputation filter:\n$p")
+    // the reputation aggregation itself reads only what it needs
+    val ps = plan("q_source_reputation")
+    assert(ps.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"reputation must read only (doc_id, text, source):\n$ps")
   }
 }
