@@ -82,14 +82,22 @@ object ScaleCheck {
     java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
   }
 
-  /** Plan-shape signature: counts of the strategy-bearing physical nodes.
-    * A flip (broadcast→sort-merge, extra exchanges beyond the expected
-    * AQE coalesce wobble) shows up as a differing signature.
+  /** Plan-shape signature: counts of the strategy-bearing physical nodes
+    * in the FINAL adaptive plan — the query is executed first
+    * (`foreach(_ => ())`, no driver materialization) because with AQE on
+    * the static executedPlan is only the initial guess: a sort-merge
+    * join AQE converts to a broadcast at runtime (or vice versa between
+    * scales) is exactly the flip this tool exists to catch, and reading
+    * the plan pre-execution would miss it (PlanSpec's own
+    * collect-then-assert convention). Exchange counts are deliberately
+    * NOT in the signature: AQE coalesce/reuse wobble would report noise
+    * as flips.
     */
   def planShape(df: DataFrame): Map[String, Int] = {
+    df.foreach(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-        "BroadcastNestedLoopJoin", "CartesianProduct", "Exchange")
+        "BroadcastNestedLoopJoin", "CartesianProduct")
       .map(k => k -> k.r.findAllIn(plan).length).filter(_._2 > 0).toMap
   }
 

@@ -372,23 +372,28 @@ object Multimodal {
     * exercised for real even on the testdata's text-byte stand-ins
     * (byte-identical payloads hash identically; near-identical payloads
     * land within a few bits). */
-  private[graft] def byteRaster(payload: Array[Byte]): Array[Array[Double]] =
+  /** THE cell-pooling arithmetic behind both stub and audio rasters: a
+    * length-n sequence average-pooled row-major into the dHash grid.
+    * Long offset math: (cell index) × n overflows Int for sequences past
+    * ~2^31/cells ≈ 30 M elements, which would send a NEGATIVE index into
+    * the accessor and kill the task — on exactly the oversized records a
+    * 100 TB corpus is guaranteed to contain. One definition so the
+    * bucket boundaries can never diverge between the two rasters. */
+  private def pooledGrid(n: Int, at: Int => Double): Array[Array[Double]] =
     Array.tabulate(DhashRows, DhashCols) { (r, c) =>
-      if (payload.isEmpty) 0.0
+      if (n == 0) 0.0
       else {
         val cells = DhashRows * DhashCols
-        // Long offset math: (cell index) × (payload length) overflows Int
-        // for payloads past ~2^31/cells ≈ 30 MB, which would send a
-        // NEGATIVE index into payload() and kill the task — on exactly
-        // the oversized records a 100 TB corpus is guaranteed to contain
-        val i0 = ((r * DhashCols + c).toLong * payload.length / cells).toInt
-        val i1 = math.max(i0 + 1,
-          ((r * DhashCols + c + 1).toLong * payload.length / cells).toInt)
+        val i0 = ((r * DhashCols + c).toLong * n / cells).toInt
+        val i1 = math.max(i0 + 1, ((r * DhashCols + c + 1).toLong * n / cells).toInt)
         var s = 0.0; var i = i0
-        while (i < i1) { s += (payload(math.min(i, payload.length - 1)) & 0xFF); i += 1 }
+        while (i < i1) { s += at(math.min(i, n - 1)); i += 1 }
         s / (i1 - i0)
       }
     }
+
+  private[graft] def byteRaster(payload: Array[Byte]): Array[Array[Double]] =
+    pooledGrid(payload.length, i => (payload(i) & 0xFF).toDouble)
 
   /** REAL-samples raster for audio: the mono |amplitude| envelope pooled
     * row-major into the dHash grid — 72 time buckets of mean loudness.
@@ -398,20 +403,8 @@ object Multimodal {
     * comparison) — the audio analogue of dHash's resize/re-encode
     * invariance, and exactly what a remastered-louder copy of a track
     * needs to still pair with its original. */
-  private[graft] def envelopeRaster(samples: Array[Double]): Array[Array[Double]] = {
-    val n = samples.length
-    Array.tabulate(DhashRows, DhashCols) { (r, c) =>
-      if (n == 0) 0.0
-      else {
-        val cells = DhashRows * DhashCols
-        val i0 = ((r * DhashCols + c).toLong * n / cells).toInt
-        val i1 = math.max(i0 + 1, ((r * DhashCols + c + 1).toLong * n / cells).toInt)
-        var s = 0.0; var i = i0
-        while (i < i1) { s += math.abs(samples(math.min(i, n - 1))); i += 1 }
-        s / (i1 - i0)
-      }
-    }
-  }
+  private[graft] def envelopeRaster(samples: Array[Double]): Array[Array[Double]] =
+    pooledGrid(samples.length, i => math.abs(samples(i)))
 
   /** Perceptual fingerprint of one record: dHash over REAL decoded
     * pixels where a JDK image codec claims the payload, over the REAL

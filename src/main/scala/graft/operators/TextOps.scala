@@ -136,13 +136,16 @@ object TextOps {
     * an explicit broadcast of the reputation table (see
     * [[sourceReputation]]'s scale note) — the corpus never shuffles for
     * this filter. */
-  def qSourceFilter(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select("doc_id", "source")
-      .join(broadcast(sourceReputation(Tables.documents(s, dir))
+  def sourceFilter(docs: DataFrame, blocklist: Seq[String] = SourceBlocklist): DataFrame =
+    docs.select("doc_id", "source")
+      .join(broadcast(sourceReputation(docs, blocklist)
         .select("source", "verdict")), Seq("source"))
       .select(col("doc_id"), col("source"), col("verdict"),
         when(col("verdict") === "ok", 1).otherwise(0).as("kept"))
       .orderBy("doc_id")
+
+  def qSourceFilter(s: SparkSession, dir: String): DataFrame =
+    sourceFilter(Tables.documents(s, dir))
 
   // Token counting, three tiers: whitespace tokens; the chars/4 estimate
   // (the standard subword-per-char rule of thumb); and a GPT-2-style

@@ -186,36 +186,51 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     * racing past the checkpoint's chosen version can never be baked in
     * AND replayed from the tail — the duplicate a capless dump would
     * create for seq-free kinds. */
+  /** Schema-pinned FAILFAST json frame over tail rows — a malformed
+    * control event must abort, not null out. Shared by the latest-view
+    * and time-travel readers so the codec cannot drift between them. */
+  private def tailFrame(schema: org.apache.spark.sql.types.StructType,
+      lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema)
+      .option("timestampFormat", TsPattern)
+      .option("mode", "FAILFAST")
+      .json(spark.createDataset(lines))
+  }
+
+  /** checkpoint parquet ∪ tail. None when the checkpoint DIR vanished
+    * (GC deleted our listed version out from under us — two newer
+    * checkpoints + a vacuum since the listing); a missing KIND subdir
+    * inside a present checkpoint just means the kind was empty at
+    * checkpoint time. The two must not be conflated, or the reader
+    * would silently serve the ≤K tail as the entire table. */
+  private def ckptUnion(schema: org.apache.spark.sql.types.StructType,
+      ckptV: Long, kind: String, tailDf: DataFrame): Option[DataFrame] =
+    if (ckptV == 0) Some(tailDf)
+    else if (Files.isDirectory(ckptPath(ckptV))) {
+      val kindPath = ckptPath(ckptV).resolve(kind)
+      Some(if (Files.isDirectory(kindPath))
+        spark.read.schema(schema).parquet(kindPath.toString).union(tailDf)
+      else tailDf)
+    } else None
+
   private def readKindAt[T <: Product : TypeTag](
       kind: String, cap: Option[Long] = None): DataFrame = {
     val schema = Encoders.product[T].schema
     var attempt = 0
     while (true) {
       val (tails, ckptV) = snapshot()
-      import spark.implicits._
       val lines = tails
         .filter(t => t._2 == kind && cap.forall(t._1 <= _))
         .map(_._3)
-      val tailDf = spark.read.schema(schema)
-        .option("timestampFormat", TsPattern)
-        .option("mode", "FAILFAST") // a malformed control event must abort, not null out
-        .json(spark.createDataset(lines))
-      // a missing KIND subdir means the kind was empty at checkpoint
-      // time; a missing checkpoint DIR means the GC deleted our listed
-      // version out from under us (two newer checkpoints + a vacuum
-      // since the snapshot) — the two must not be conflated, or the
-      // reader would silently serve the ≤K tail as the entire table
-      if (ckptV == 0) return tailDf
-      else if (Files.isDirectory(ckptPath(ckptV))) {
-        val ckptKindPath = ckptPath(ckptV).resolve(kind)
-        return if (Files.isDirectory(ckptKindPath))
-          spark.read.schema(schema).parquet(ckptKindPath.toString).union(tailDf)
-        else tailDf
+      ckptUnion(schema, ckptV, kind, tailFrame(schema, lines)) match {
+        case Some(df) => return df
+        case None =>
+          attempt += 1
+          if (attempt >= 10) throw new IllegalStateException(
+            s"MwStateStore $dir: checkpoint $ckptV vanished under $attempt " +
+              "consecutive reads (GC storm?)")
       }
-      attempt += 1
-      if (attempt >= 10) throw new IllegalStateException(
-        s"MwStateStore $dir: checkpoint $ckptV vanished under $attempt " +
-          "consecutive reads (GC storm?)")
     }
     sys.error("unreachable")
   }
@@ -238,7 +253,11 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
     * [[snapshot]]'s density check). */
   private def readKindAsOf[T <: Product : TypeTag](kind: String, asOf: Long): DataFrame = {
     require(asOf >= 1, s"asOf must be >= 1, got $asOf")
-    val latest = log.latestVersion()
+    // checkpoint floor, NOT a raw listing: after a vacuum that empties
+    // the commit dir, latestVersion() without the floor reports 0 and
+    // would reject asOf = the checkpoint version itself — which is
+    // exactly reconstructable (checkpoint + empty tail)
+    val latest = version
     require(asOf <= latest,
       s"MwStateStore $dir: asOf $asOf is in the future (latest commit is $latest)")
     val schema = Encoders.product[T].schema
@@ -256,24 +275,16 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
           lastProblem = s"commits ${ckptV + 1}..$asOf incomplete over checkpoint $ckptV"
           attempt += 1
         } else {
-          import spark.implicits._
           val lines = commits.flatMap { case (_, p) =>
             val ls = p.split('\n')
             if (ls.head == kind) ls.drop(1).filter(_.nonEmpty).toSeq else Seq.empty
           }
-          val tailDf = spark.read.schema(schema)
-            .option("timestampFormat", TsPattern)
-            .option("mode", "FAILFAST")
-            .json(spark.createDataset(lines))
-          if (ckptV == 0) return tailDf
-          else if (Files.isDirectory(ckptPath(ckptV))) {
-            val kindPath = ckptPath(ckptV).resolve(kind)
-            return if (Files.isDirectory(kindPath))
-              spark.read.schema(schema).parquet(kindPath.toString).union(tailDf)
-            else tailDf
+          ckptUnion(schema, ckptV, kind, tailFrame(schema, lines)) match {
+            case Some(df) => return df
+            case None =>
+              lastProblem = s"checkpoint $ckptV vanished (GC race)"
+              attempt += 1
           }
-          lastProblem = s"checkpoint $ckptV vanished (GC race)"
-          attempt += 1
         }
       } catch {
         case e: java.nio.file.NoSuchFileException =>
@@ -287,24 +298,31 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
   }
 
   /** The newest commit version — the value [[monitorEventsAsOf]] of
-    * which equals [[monitorEvents]]. */
-  def version: Long = log.latestVersion()
+    * which equals [[monitorEvents]]. Floored at the newest checkpoint:
+    * TxnLog.latestVersion's raw listing under-reports after a vacuum
+    * that emptied the commit dir (its own scaladoc's warning — every
+    * commit path here already passes the same floor). */
+  def version: Long = log.latestVersion(latestCheckpointVersion())
 
-  /** Smallest `asOf` a time-travel read can still reconstruct: 1 while
-    * no commit has been vacuumed; after vacuum, the smallest surviving
-    * checkpoint that still has its full commit tail. */
+  /** EARLIEST `asOf` a time-travel read can still reconstruct: 1 while
+    * no commit has been vacuumed; after vacuum, the oldest surviving
+    * checkpoint (a checkpoint version is always reconstructable by
+    * itself — checkpoint + empty tail). NOTE the reconstructable set is
+    * not necessarily contiguous: a version BETWEEN two surviving
+    * checkpoints whose tail commits were vacuumed (e.g. 5 when
+    * checkpoints {4, 8} survive but commits 1..8 are gone) is still
+    * unreconstructable; this is the lower bound, and the per-read
+    * failure is authoritative for any specific version. */
   def oldestReconstructableVersion(): Long = {
+    val ckpts = listCheckpointVersions()
     val surviving = log.commitsAfter(0L).map(_._1)
-    val m = if (surviving.isEmpty) log.latestVersion() + 1 else surviving.min
-    if (m <= 1) 1L
-    else {
-      val usable = listCheckpointVersions().filter(_ >= m - 1)
-      // vacuum only deletes prefixes a published checkpoint covers and
-      // GC keeps the newest checkpoints, so `usable` is non-empty in any
-      // uncorrupted store; the fallback keeps the DIAGNOSTIC total even
-      // if a foreign actor deleted checkpoint dirs by hand
-      if (usable.isEmpty) log.latestVersion() else usable.min
-    }
+    if (surviving.nonEmpty && surviving.min <= 1) 1L
+    else if (ckpts.nonEmpty) ckpts.min
+    // no checkpoint: vacuum can't have run (it only deletes what a
+    // published checkpoint covers), so either the store is empty (0 =
+    // nothing to reconstruct) or commits survive from 1 in full
+    else if (surviving.isEmpty) 0L
+    else surviving.min
   }
 
   def monitorEventsAsOf(asOf: Long): DataFrame =

@@ -248,19 +248,29 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaRecord(1L, mono, "audio"),
       Multimodal.MediaRecord(2L, stereo, "audio"),
       Multimodal.MediaRecord(3L, aiff, "audio"),
-      // header magic survives but the data chunk is truncated mid-frame →
-      // the parser still reports the header's frame count; a payload cut
-      // INTO the header must fall back to the stub, not crash
+      // a payload cut INTO the 12-byte RIFF magic never reaches the
+      // parser (sniff rejects it) → stub, not a crash
       Multimodal.MediaRecord(4L, mono.take(10), "audio"),
       // real WAV bytes declared image → stub path (kind is the contract)
-      Multimodal.MediaRecord(5L, mono, "image"))
+      Multimodal.MediaRecord(5L, mono, "image"),
+      // header INTACT but the data chunk truncated mid-stream — the
+      // 100-TB partial-upload class: metadata decode still works (rate/
+      // channels/frames come from the header), it must not crash or
+      // silently fall back
+      Multimodal.MediaRecord(6L, mono.take(50), "audio"))
     val out = Multimodal.decodeAll(spark.createDataset(records))
       .collect().map(f => f.media_id -> f).toMap
     assert(out(1L).width === 8000 && out(1L).height === 1 && out(1L).frames === 4000)
     assert(out(2L).width === 44100 && out(2L).height === 2 && out(2L).frames === 2000)
     assert(out(3L).width === 8000 && out(3L).height === 1 && out(3L).frames === 4000)
-    assert(out(4L) === Multimodal.fakeDecode(records(3)), "truncated header falls back to stub")
+    assert(out(4L) === Multimodal.fakeDecode(records(3)), "cut-into-magic falls back to stub")
     assert(out(5L) === Multimodal.fakeDecode(records(4)), "non-audio kind never hits the parser")
+    assert(out(6L).width === 8000 && out(6L).height === 1,
+      "header-intact truncation still decodes header metadata")
+    // ...and the PCM face of the same truncated payload yields only the
+    // samples actually present, without throwing
+    val partial = Multimodal.decodePcmMono(mono.take(50))
+    assert(partial.forall(_.length < 4000), s"got ${partial.map(_.length)}")
   }
 
   test("AIFF (big-endian) PCM decodes to the same mono samples as its WAV twin") {

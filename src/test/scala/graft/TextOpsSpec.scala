@@ -649,9 +649,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rep("srcok")._2 === "ok")
     // precedence: blocklist beats the (also-true) dup-share rule
     assert(rep("src3")._2 === "blocked")
-    // the per-doc face keeps exactly the ok-source docs
-    val kept = TextOps.sourceReputation(docs).filter(col("verdict") === "ok")
-      .select("source").collect().map(_.getString(0)).toSet
-    assert(kept === Set("srcok"))
+    // the per-doc face (the actual qSourceFilter seam): exactly the
+    // ok-source DOCS carry kept=1, everyone else kept=0 with the
+    // source's verdict attached
+    val perDoc = TextOps.sourceFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(perDoc.size === 16, "one row per document")
+    (9L to 12L).foreach(id => assert(perDoc(id) === (("ok", 1)), s"doc $id"))
+    (1L to 4L).foreach(id => assert(perDoc(id) === (("high_dup", 0)), s"doc $id"))
+    (5L to 8L).foreach(id => assert(perDoc(id) === (("low_quality", 0)), s"doc $id"))
+    (13L to 16L).foreach(id => assert(perDoc(id) === (("blocked", 0)), s"doc $id"))
   }
 }
