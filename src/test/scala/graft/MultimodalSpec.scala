@@ -202,12 +202,12 @@ class MultimodalSpec extends AnyFunSuite {
   // ---- real audio decode (javax.sound.sampled) ----------------------------
 
   /** Encode mono samples in [-1,1] as a real container via the JDK audio
-    * writer: 16-bit PCM, little-endian for WAVE, big-endian for AIFF
+    * writer: 16-bit PCM, little-endian for WAVE, big-endian for AIFF/AU
     * (the format each container mandates), optionally duplicated across
     * `channels`. */
   private def audioBytes(samples: Array[Double], sampleRate: Float,
       channels: Int, fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
-    val big = fileType == javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val big = fileType != javax.sound.sampled.AudioFileFormat.Type.WAVE
     val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, big)
     val raw = new Array[Byte](samples.length * 2 * channels)
     var i = 0
@@ -228,6 +228,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
   private val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+  private val Au = javax.sound.sampled.AudioFileFormat.Type.AU
 
   /** A 440 Hz tone under a slow |sin| envelope — decisive inter-cell
     * loudness differences, so 16-bit quantization noise can never flip
@@ -285,6 +286,10 @@ class MultimodalSpec extends AnyFunSuite {
     // stereo downmix: both channels carry the same signal → mono equals it
     val st = Multimodal.decodePcmMono(audioBytes(samples, 8000f, 2, Wave)).get
     st.indices.foreach(i => assert(math.abs(st(i) - wav(i)) < 1e-3))
+    // AU (the third sniffed container, .snd magic, big-endian): same samples
+    val au = Multimodal.decodePcmMono(audioBytes(samples, 8000f, 1, Au)).get
+    assert(au.length === 1000)
+    au.indices.foreach(i => assert(math.abs(au(i) - wav(i)) < 1e-9, s"AU mismatch at $i"))
   }
 
   test("audio envelope hash: volume-invariant, envelope-shape-sensitive, pairs in the banded join") {
