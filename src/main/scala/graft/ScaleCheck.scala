@@ -60,7 +60,8 @@ object ScaleCheck {
   private val defaultQueries = Seq(
     "q_pagerank", "q_quality_classifier", "q_tpch_q18", "q_embed_pipeline",
     "q_repetition", "q_hybrid_search", "q_lm_score", "q_vocab_coverage",
-    "q_fuzzy_join", "q_ivf_pq", "q_tpch_q10", "q_image_neardup")
+    "q_fuzzy_join", "q_ivf_pq", "q_tpch_q10", "q_image_neardup",
+    "q_substr_dedup", "q_substr_removal")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
