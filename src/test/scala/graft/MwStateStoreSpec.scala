@@ -201,7 +201,7 @@ class MwStateStoreSpec extends AnyFunSuite {
     // dump-cap/publish-guard/floor protocol. Every event must survive
     // with its exact seq; the final view must be complete.
     val dir = tmpDir()
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = Executors.newFixedThreadPool(5) // 4 writers + the time traveler
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = (1 to 4).map { d =>
@@ -214,8 +214,35 @@ class MwStateStoreSpec extends AnyFunSuite {
           }
         }
       }
+      // a 5th worker races TIME-TRAVEL reads against the churn: an as-of
+      // read may legitimately refuse once vacuum drops its history, but
+      // it must refuse LOUDLY — any row set it does return must be the
+      // exact dense prefix, never a partial table (the reconstruction
+      // retry loop's contract under concurrent checkpoint-GC/vacuum)
+      val traveler = Future {
+        val s = new MwStateStore(spark, dir, checkpointEvery = 4)
+        var checked = 0
+        (1 to 20).foreach { _ =>
+          val v = s.version
+          if (v >= 1) {
+            val asOf = math.max(1L, v / 2)
+            try {
+              val seqs = s.monitorEventsAsOf(asOf).select("event_seq")
+                .collect().map(_.getLong(0)).sorted.toSeq
+              assert(seqs === (1L to asOf),
+                s"as-of $asOf under churn returned a partial table: $seqs")
+              checked += 1
+            } catch {
+              case _: IllegalStateException => () // vacuumed horizon — the loud path
+              case _: IllegalArgumentException => () // raced past a fresh floor
+            }
+          }
+        }
+        checked
+      }
       val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
       assert(seqs.sorted === (1L to 60L))
+      Await.result(traveler, Duration.Inf)
       val reader = new MwStateStore(spark, dir, checkpointEvery = 4)
       val rows = reader.monitorEvents.select("event_seq", "run_key").collect()
       assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 60L),
