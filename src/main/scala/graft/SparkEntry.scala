@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{CoreOps, Dedup, EventOps, Graph, Multimodal, Pipeline, Search, Similarity, SkewJoin, TemporalJoins, TextOps}
+import graft.operators.{BloomJoin, CoreOps, Dedup, EventOps, Graph, Multimodal, Pipeline, Search, Similarity, SkewJoin, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
     CoreOps.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ EventOps.queries ++ Multimodal.queries ++
       TemporalJoins.queries ++ Pipeline.queries ++ Search.queries ++
-      Graph.queries ++ SkewJoin.queries
+      Graph.queries ++ SkewJoin.queries ++ BloomJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Keys omitted HERE are covered by the
@@ -36,7 +36,7 @@ object SparkEntry {
     CoreOps.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventOps.oracles ++ Multimodal.oracles ++
       TemporalJoins.oracles ++ Pipeline.oracles ++ Search.oracles ++
-      Graph.oracles ++ SkewJoin.oracles
+      Graph.oracles ++ SkewJoin.oracles ++ BloomJoin.oracles
 
   /** The COMPLETE oracle map for a dataset: the static SQL-replay oracles
     * plus the differential expected-parquet oracles (one per Expected.writeAll key)

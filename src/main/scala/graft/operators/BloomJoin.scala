@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Runtime-filtered (Bloom) semi join — the classic shuffle-reduction
+  * technique for "big fact ⋈ selective dim" at 100 TB: build a Bloom
+  * filter over the dim keys (one partial aggregate; map tasks carry bit
+  * arrays, never the key stream — `graft_bloom`, Dedup's kernel), ship
+  * the single filter as a literal into a map-side predicate on the fact,
+  * and only the candidate fraction of fact rows ever reaches the join
+  * exchange. False positives pass the pre-filter and are eliminated by
+  * the exact semi join that follows; false negatives cannot exist
+  * (SketchSpec pins GBloom's no-false-negative property), so the result
+  * is EXACTLY the plain semi join with the shuffle shrunk by the dim's
+  * selectivity.
+  *
+  * Spark's optimizer has a built-in version of this
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`, injected during AQE for
+  * equi-joins whose creation-side stats qualify); this face makes the
+  * technique explicit and deterministic — it applies regardless of stats
+  * thresholds, works from any precomputed key frame (e.g. a stored
+  * index's key set), and degrades to the same driver-folded filter
+  * without GraftExtensions (Dedup.bloomOfBuckets's fallback, identical
+  * bits).
+  */
+object BloomJoin {
+
+  /** Exact left-semi join of `fact` against `dim`'s keys with a Bloom
+    * pre-filter on the fact side. Keys are compared as their string
+    * forms inside the filter (the GBloom codec's domain) but the exact
+    * join runs on the native column types, so type semantics are the
+    * plain join's. */
+  def bloomSemiJoin(s: SparkSession, fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame = {
+    val bytes = Dedup.bloomOfBuckets(s,
+      dim.select(col(dimKey).cast("string").as("bucket")))
+    fact
+      .filter(Dedup.bloomContainsCol(s, col(factKey).cast("string"), bytes))
+      .join(dim.select(dimKey), col(factKey) === col(dimKey), "left_semi")
+  }
+
+  /** Orders of premium customers (acctbal-selective dim subset), rolled
+    * up per status — the oracle replays the PLAIN semi join, so the
+    * query is green only if the Bloom pre-filter is answer-invisible. */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val premium = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    bloomSemiJoin(s, Tables.orders(s, dir), premium, "o_custkey", "c_custkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> qBloomJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+}

@@ -580,7 +580,7 @@ object Dedup {
   /** The membership probe as a Column — native expression with the
     * filter riding as a literal when the extension is registered, else
     * a UDF over the same [[graft.functions.GBloom]] bits. */
-  private def bloomContainsCol(s: SparkSession, bucket: Column, bytes: Array[Byte]): Column =
+  private[graft] def bloomContainsCol(s: SparkSession, bucket: Column, bytes: Array[Byte]): Column =
     if (s.catalog.functionExists("graft_bloom_contains"))
       call_function("graft_bloom_contains", bucket, lit(bytes))
     else {

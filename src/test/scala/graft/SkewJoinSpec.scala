@@ -135,4 +135,32 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom semi join: answer equals the plain semi join; pre-filter drops rows map-side") {
+    import graft.operators.BloomJoin
+    val s = TestSpark.spark
+    val orders = Tables.orders(s, TestSpark.sfDir)
+    val premium = Tables.customer(s, TestSpark.sfDir)
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val plain = orders.join(premium, col("o_custkey") === col("c_custkey"), "left_semi")
+    val viaBloom = BloomJoin.bloomSemiJoin(s, orders, premium, "o_custkey", "c_custkey")
+    // exactness: the Bloom pre-filter must be answer-invisible
+    assert(viaBloom.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(viaBloom).count() === 0)
+    // the pre-filter predicate sits on the fact side BEFORE the join (the
+    // whole point: only candidates reach the exchange) — with the
+    // extension registered it shows as the native expression
+    val p = viaBloom.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_contains") || p.contains("UDF"),
+      s"the bloom predicate must appear in the physical plan:\n$p")
+    // ...and it genuinely shrinks the fact stream: the premium-customer
+    // selectivity is far below 1, so candidates << orders
+    val candidates = orders.filter(graft.operators.Dedup.bloomContainsCol(s,
+      col("o_custkey").cast("string"),
+      graft.operators.Dedup.bloomOfBuckets(s,
+        premium.select(col("c_custkey").cast("string").as("bucket"))))).count()
+    assert(candidates < orders.count() / 2,
+      s"pre-filter kept $candidates of ${orders.count()} fact rows — no shuffle reduction")
+    // no false negatives: every true match survives the pre-filter
+    assert(candidates >= plain.count())
+  }
 }
