@@ -610,6 +610,54 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** Q14 analogue — promotion revenue share: one month of lineitem
+    * joined to part, the share computed as a conditional sum over the
+    * SAME join pass (no second scan). Decimal sums keep the ratio
+    * partition-order-deterministic; part joins on partkey and the
+    * optimizer picks broadcast vs shuffle by size — at 100 TB part is a
+    * real fact-sized table and the equi-join shuffles on the key, which
+    * is the classic Q14 plan. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01") && col("l_shipdate") < lit("1997-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        (sum(when(col("p_type") === "PROMO", revenueExpr)
+          .otherwise(lit(0).cast("decimal(18,2)"))) * 100 / sum(revenueExpr))
+          .cast("double"), 6).as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q22 analogue — global-sales-opportunity: customers from a fixed
+    * nation subset with above-average balance and NO orders. The shape
+    * is the interesting part: a GLOBAL scalar aggregate (the average)
+    * broadcast into a filter, then an anti join against the fact. The
+    * classic "no orders at all" predicate is vacuous on this synthetic
+    * corpus (every customer orders), so the anti side is the URGENT
+    * subset — same shape, and the result class is non-empty so the
+    * oracle gate actually discriminates. The
+    * average is computed as decimal-sum / count and rounded once, so
+    * both engines compare against bit-identical thresholds. */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(1, 3, 5, 7, 9)
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(nations: _*))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(round((sum(col("c_acctbal").cast("decimal(18,2)")) / count(lit(1)))
+        .cast("double"), 6).as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -908,6 +956,8 @@ object CoreOps {
     "q_tpch_q3"         -> qTpchQ3 _,
     "q_tpch_q5"         -> qTpchQ5 _,
     "q_tpch_q12"        -> qTpchQ12 _,
+    "q_tpch_q14"        -> qTpchQ14 _,
+    "q_tpch_q22"        -> qTpchQ22 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
     "q_setops"          -> qSetOps _,
@@ -1286,6 +1336,31 @@ object CoreOps {
         |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(cast(
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))
+        |        ELSE cast(0 AS decimal(18,2)) END) * 100 /
+        |    sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2))))
+        |  AS double), 6) AS promo_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |ab AS (
+        |  SELECT round(cast(sum(cast(c_acctbal AS decimal(18,2))) / count(*) AS double), 6) AS ab
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS totacctbal
+        |FROM c
+        |WHERE c_acctbal > (SELECT ab FROM ab)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
