@@ -29,17 +29,30 @@ import graft.sources.Tables
 object BloomJoin {
 
   /** Exact left-semi join of `fact` against `dim`'s keys with a Bloom
-    * pre-filter on the fact side. Keys are compared as their string
-    * forms inside the filter (the GBloom codec's domain) but the exact
-    * join runs on the native column types, so type semantics are the
-    * plain join's. */
+    * pre-filter on the fact side. Keys probe the filter as their string
+    * forms (the GBloom codec's domain), which is only no-false-negative
+    * when both sides render identically — so the key types must MATCH
+    * exactly (enforced; a LongType fact key against a DoubleType dim key
+    * would join under numeric coercion in the plain join but render "5"
+    * vs "5.0" in the filter and silently drop rows). Null dim keys are
+    * dropped before the build: they never match a semi join, and the
+    * extension-less driver fold would NPE on them. The join condition
+    * uses frame-qualified references so factKey == dimKey (the common
+    * stored-index round-trip) resolves unambiguously. */
   def bloomSemiJoin(s: SparkSession, fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String): DataFrame = {
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"bloomSemiJoin keys must have identical types (the string-form Bloom probe " +
+        s"cannot see numeric coercion): $factKey is ${ft.sql}, $dimKey is ${dt.sql}")
+    val dimKeys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
     val bytes = Dedup.bloomOfBuckets(s,
-      dim.select(col(dimKey).cast("string").as("bucket")))
-    fact
+      dimKeys.select(col(dimKey).cast("string").as("bucket")))
+    val candidates = fact
       .filter(Dedup.bloomContainsCol(s, col(factKey).cast("string"), bytes))
-      .join(dim.select(dimKey), col(factKey) === col(dimKey), "left_semi")
+    candidates.join(dimKeys,
+      candidates(factKey) === dimKeys(dimKey), "left_semi")
   }
 
   /** Orders of premium customers (acctbal-selective dim subset), rolled

@@ -226,15 +226,21 @@ class MwStateStoreSpec extends AnyFunSuite {
           val v = s.version
           if (v >= 1) {
             val asOf = math.max(1L, v / 2)
-            try {
-              val seqs = s.monitorEventsAsOf(asOf).select("event_seq")
-                .collect().map(_.getLong(0)).sorted.toSeq
+            // the read either refuses/errors LOUDLY (a racing vacuum can
+            // surface as the store's IllegalState, Spark's path-not-found
+            // AnalysisException, or a task FileNotFound — all acceptable
+            // under the documented 1-predecessor grace window) or it
+            // returns rows — and then they must be the EXACT prefix. The
+            // assert sits OUTSIDE the catch so a partial table can never
+            // be swallowed as "just a race".
+            val got =
+              try Some(s.monitorEventsAsOf(asOf).select("event_seq")
+                .collect().map(_.getLong(0)).sorted.toSeq)
+              catch { case scala.util.control.NonFatal(_) => None }
+            got.foreach { seqs =>
               assert(seqs === (1L to asOf),
                 s"as-of $asOf under churn returned a partial table: $seqs")
               checked += 1
-            } catch {
-              case _: IllegalStateException => () // vacuumed horizon — the loud path
-              case _: IllegalArgumentException => () // raced past a fresh floor
             }
           }
         }
@@ -243,6 +249,17 @@ class MwStateStoreSpec extends AnyFunSuite {
       val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
       assert(seqs.sorted === (1L to 60L))
       Await.result(traveler, Duration.Inf)
+      // deterministic success, independent of race luck: after the churn
+      // settles, the latest version and the reported horizon must BOTH
+      // replay their exact dense prefixes
+      locally {
+        val s = new MwStateStore(spark, dir, checkpointEvery = 4)
+        Seq(s.version, math.max(1L, s.oldestReconstructableVersion())).foreach { asOf =>
+          val got = s.monitorEventsAsOf(asOf).select("event_seq")
+            .collect().map(_.getLong(0)).sorted.toSeq
+          assert(got === (1L to asOf), s"post-churn as-of $asOf: $got")
+        }
+      }
       val reader = new MwStateStore(spark, dir, checkpointEvery = 4)
       val rows = reader.monitorEvents.select("event_seq", "run_key").collect()
       assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 60L),

@@ -163,4 +163,24 @@ class SkewJoinSpec extends AnyFunSuite {
     // no false negatives: every true match survives the pre-filter
     assert(candidates >= plain.count())
   }
+
+  test("bloom semi join API guards: type mismatch refused; same-name and null dim keys handled") {
+    import graft.operators.BloomJoin
+    val s = TestSpark.spark
+    import s.implicits._
+    val fact = Seq((1L, "x"), (2L, "y"), (5L, "z")).toDF("k", "payload")
+    // same key name on both sides (the stored-index round-trip case) plus
+    // a null dim key: must resolve unambiguously, drop the null, and
+    // match the plain join — on BOTH the native and fallback bloom paths
+    val dimSame = Seq(Option(1L), Option(5L), Option.empty[Long]).toDF("k")
+    val got = BloomJoin.bloomSemiJoin(s, fact, dimSame, "k", "k")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 5L))
+    // a coercible-but-different key type would false-negative in the
+    // string-form filter (5 vs 5.0) — refused loudly instead
+    val dimDouble = Seq(1.0, 5.0).toDF("kd")
+    val e = intercept[IllegalArgumentException](
+      BloomJoin.bloomSemiJoin(s, fact, dimDouble, "k", "kd"))
+    assert(e.getMessage.contains("identical types"))
+  }
 }
