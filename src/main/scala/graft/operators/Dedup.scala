@@ -502,6 +502,56 @@ object Dedup {
   private def storeBatchDirs(s: SparkSession, path: String): Set[String] =
     graft.sources.Stores.subPartitionDirs(s, path).filter(_.startsWith("batch_id="))
 
+  // ---- retraction (tombstone deletes) -------------------------------------
+
+  private def tombstonePath(path: String) = path + "/_tombstones"
+
+  private def storeFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  private def hasTombstones(s: SparkSession, path: String): Boolean =
+    storeFs(s, path).exists(new org.apache.hadoop.fs.Path(tombstonePath(path)))
+
+  /** Anti-join the store's tombstone set out of a signature frame; the
+    * tombstone cardinality is the retraction volume (tiny next to the
+    * corpus), so it rides a broadcast — the corpus never shuffles to be
+    * filtered. */
+  private def minusTombstones(s: SparkSession, path: String, df: DataFrame): DataFrame =
+    if (!hasTombstones(s, path)) df
+    else df.join(
+      broadcast(s.read.parquet(tombstonePath(path)).select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+
+  /** Retract documents from the signature store — the GDPR-class delete
+    * a 100 TB dedup corpus needs: appends the doc ids as tombstones
+    * under the store's `_tombstones/` sidecar (underscore prefix =
+    * invisible to the store's own parquet reads, like `_bloom.bin`).
+    * Every gate read anti-joins the tombstones out BEFORE the
+    * per-bucket cap, so retraction takes effect immediately AND
+    * restores cap capacity; the retracted docs' text was never stored
+    * (signatures are hashes + gram sets), so the logical delete is the
+    * visible one. Physical purge happens at the next
+    * [[compactSignatures]]: the compaction transform applies the same
+    * anti join and the rewritten store swaps in WITHOUT the sidecar —
+    * row purge and tombstone clear are ONE atomic directory swap (crash
+    * before: rows + tombstones both present, reads still filtered;
+    * crash after: both gone). The delete-then-vacuum shape of the
+    * transactional table formats, on the store's own machinery.
+    *
+    * The Bloom sidecar keeps the retracted buckets' bits until that
+    * compaction (a Bloom filter cannot unlearn): still sound — a
+    * SUPERSET filter has no false negatives, the pre-gate's invariant —
+    * just extra maybe-rows that the exact join then finds matchless.
+    * Same single-writer protocol as every other store mutation. */
+  def retractSignatures(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "retractSignatures: empty doc-id set")
+    graft.sources.Stores.recover(s, path)
+    import s.implicits._
+    docIds.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(tombstonePath(path))
+  }
+
   // ---- Bloom pre-gate sidecar ---------------------------------------------
   /** Sidecar sizing for the verify SF (128 KiB). A deployment sizes
     * m ≈ 1.44 · n · log2(1/p) bits for its stored-bucket cardinality n
@@ -616,8 +666,10 @@ object Dedup {
       useBloom: Boolean = false): DataFrame = {
     graft.sources.Stores.recover(s, path)
     val shards = incoming.select("shard").distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = s.read.parquet(path)
-      .filter(col("shard").isin(shards: _*) && corpusFilter)
+    // tombstones subtract FIRST — before the cap — so a retracted doc
+    // both disappears from verdicts and releases its cap slot
+    val pruned = minusTombstones(s, path, s.read.parquet(path)
+      .filter(col("shard").isin(shards: _*) && corpusFilter))
     // A pristine bootstrap store (one write, capped, no duplicate rows)
     // skips both maintenance steps; a grown store pays them: drop exact
     // retried-append copies — keyed on the full signature row, so two
@@ -681,8 +733,14 @@ object Dedup {
     // that a later live-dir loss would "recover" pre-compaction content
     // from.
     graft.sources.Stores.clearResidue(s, path)
-    if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))) return
-    graft.sources.Stores.compactInPlace(s, path) { df =>
+    // pending tombstones force the rewrite even on a pristine layout —
+    // this compaction is their physical-purge step (see
+    // retractSignatures: the swapped-in store has no _tombstones dir, so
+    // purge and tombstone clear are one atomic swap)
+    if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))
+        && !hasTombstones(s, path)) return
+    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+      val df = minusTombstones(s, path, df0)
       // UNSCOPED batches (ids < 0) fold into the bootstrap partition
       // with the same dedup key + cap order the gate's grown-store path
       // uses, so compaction bakes in exactly what the gate would
@@ -743,6 +801,30 @@ object Dedup {
     val path = sigStorePath(dir)
     graft.sources.TmpStores.buildOnce(path)(
       writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path))
+    gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0),
+      useBloom = true)
+  }
+
+  /** The gate after a RETRACTION (its own store path — q_dedup_gate's
+    * shared store must never carry these tombstones): bootstrap the
+    * corpus slice, retract every stored doc with doc_id % 7 = 0, and
+    * gate the same incoming batch. The oracle replays the gate with the
+    * retracted docs simply absent from the corpus — tombstoned and
+    * never-stored must be indistinguishable to a reader, which is
+    * exactly the retraction contract. Runs through the Bloom pre-gate
+    * deliberately: the sidecar still carries the retracted buckets'
+    * bits (a filter cannot unlearn), so this query green proves the
+    * superset-filter soundness argument, not just the anti join. */
+  def qDedupRetract(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val path = graft.sources.TmpStores.scopedPath("graft-sigretract", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0), path)
+      val retract = sig.filter(
+          pmod(col("doc_id"), lit(10L)) =!= 0 && pmod(col("doc_id"), lit(7L)) === 0)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq.sorted
+      retractSignatures(s, path, retract)
+    }
     gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0),
       useBloom = true)
   }
@@ -1026,6 +1108,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_gate" -> qDedupGate _,
     "q_dedup_bloom" -> qDedupBloom _,
+    "q_dedup_retract" -> qDedupRetract _,
     "q_decontaminate" -> qDecontaminate _,
   )
 
@@ -1082,10 +1165,13 @@ object Dedup {
   /** The incremental-gate oracle, shared verbatim by q_dedup_incremental
     * (in-query corpus) and q_dedup_gate (stored signature table): the two
     * flows are defined to agree, so they share one oracle definition. */
-  private val duckGateSql: String =
+  /** The gate oracle with a parameterized corpus predicate — one chain
+    * for the plain, stored, Bloom and retraction variants, so a gate
+    * semantics change can never leave one oracle behind. */
+  private def duckGateSqlWith(corpWhere: String): String =
     s"""WITH $duckGramCtes,
        |inc AS (SELECT doc_id, bucket, grams FROM g WHERE doc_id % 10 = 0),
-       |corp AS (SELECT bucket, grams AS grams_b FROM g WHERE doc_id % 10 <> 0),
+       |corp AS (SELECT bucket, grams AS grams_b FROM g WHERE $corpWhere),
        |m AS (
        |  SELECT i.doc_id,
        |    CASE WHEN c.grams_b IS NOT NULL
@@ -1096,6 +1182,8 @@ object Dedup {
        |  count(CASE WHEN j >= 0.5 THEN 1 END) AS n_dup_matches,
        |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val duckGateSql: String = duckGateSqlWith("doc_id % 10 <> 0")
 
   /** q_dedup_minhash / q_dedup_simhash have no SQL-replay oracle
     * (xxhash64 has no DuckDB equivalent) — their oracle is the
@@ -1206,6 +1294,9 @@ object Dedup {
     "q_dedup_gate" -> duckGateSql,
     // the Bloom pre-gate must be answer-invisible: same oracle, verbatim
     "q_dedup_bloom" -> duckGateSql,
+    // retraction: tombstoned ≡ never stored — the corpus predicate just
+    // excludes the retracted ids
+    "q_dedup_retract" -> duckGateSqlWith("doc_id % 10 <> 0 AND doc_id % 7 <> 0"),
     "q_decontaminate" ->
       s"""WITH norm AS (
          |  SELECT doc_id,

@@ -288,6 +288,47 @@ class DedupSpec extends AnyFunSuite {
     assert(gate(batch2) === Map(20L -> 1))
   }
 
+  test("retraction: gate forgets tombstoned docs immediately; compaction purges atomically") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-retract").toString + "/store"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and scala")).toDF("doc_id", "text")
+    Dedup.writeSignatures(Dedup.signaturesOf(corpus), store)
+    def gate(useBloom: Boolean): Map[Long, Int] = {
+      val incoming = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "completely different text about spark engines and scala")).toDF("doc_id", "text")
+      Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(incoming), useBloom = useBloom)
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    }
+    assert(gate(useBloom = false) === Map(10L -> 1, 11L -> 1))
+    // logical phase: tombstone doc 1 — its matches vanish immediately,
+    // on BOTH the plain path and the Bloom path (whose sidecar still
+    // carries doc 1's bucket bits: superset filters have no false
+    // negatives, and the anti-joined exact check finds nothing)
+    Dedup.retractSignatures(spark, store, Seq(1L))
+    assert(gate(useBloom = false) === Map(10L -> 0, 11L -> 1))
+    assert(gate(useBloom = true) === Map(10L -> 0, 11L -> 1))
+    // physical phase: compaction rewrites WITHOUT the retracted rows and
+    // the swapped-in store has no tombstone sidecar — purge + clear are
+    // one atomic directory swap
+    Dedup.compactSignatures(spark, store)
+    assert(!new java.io.File(store + "/_tombstones").exists,
+      "compaction must clear the tombstone sidecar")
+    val survivors = spark.read.parquet(store).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(2L), "retracted rows must be physically gone")
+    // verdicts identical post-purge, Bloom sidecar rebuilt from survivors
+    assert(gate(useBloom = false) === Map(10L -> 0, 11L -> 1))
+    assert(gate(useBloom = true) === Map(10L -> 0, 11L -> 1))
+    // retracting and re-admitting the same content must work (tombstones
+    // are gone, so a re-ingested copy is a fresh row, not auto-hidden)
+    Dedup.appendSignatures(Dedup.signaturesOf(
+      Seq((30L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")), store)
+    assert(gate(useBloom = false) === Map(10L -> 1, 11L -> 1))
+  }
+
   test("stored gate matches a driver-side brute force over a random corpus (property)") {
     // Independent ground truth: plain Scala sets re-deriving the spec'd
     // semantics (normalize → 40-char-prefix bucket → 3-gram Jaccard ≥
