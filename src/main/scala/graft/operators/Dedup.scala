@@ -504,24 +504,11 @@ object Dedup {
 
   // ---- retraction (tombstone deletes) -------------------------------------
 
-  private def tombstonePath(path: String) = path + "/_tombstones"
-
-  private def storeFs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-
   private def hasTombstones(s: SparkSession, path: String): Boolean =
-    storeFs(s, path).exists(new org.apache.hadoop.fs.Path(tombstonePath(path)))
+    graft.sources.Stores.hasTombstones(s, path)
 
-  /** Anti-join the store's tombstone set out of a signature frame; the
-    * tombstone cardinality is the retraction volume (tiny next to the
-    * corpus), so it rides a broadcast — the corpus never shuffles to be
-    * filtered. */
   private def minusTombstones(s: SparkSession, path: String, df: DataFrame): DataFrame =
-    if (!hasTombstones(s, path)) df
-    else df.join(
-      broadcast(s.read.parquet(tombstonePath(path)).select("doc_id").distinct()),
-      Seq("doc_id"), "left_anti")
+    graft.sources.Stores.minusTombstones(s, path, "doc_id", df)
 
   /** Retract documents from the signature store — the GDPR-class delete
     * a 100 TB dedup corpus needs: appends the doc ids as tombstones
@@ -544,13 +531,8 @@ object Dedup {
     * SUPERSET filter has no false negatives, the pre-gate's invariant —
     * just extra maybe-rows that the exact join then finds matchless.
     * Same single-writer protocol as every other store mutation. */
-  def retractSignatures(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
-    require(docIds.nonEmpty, "retractSignatures: empty doc-id set")
-    graft.sources.Stores.recover(s, path)
-    import s.implicits._
-    docIds.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(tombstonePath(path))
-  }
+  def retractSignatures(s: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    graft.sources.Stores.retractIds(s, path, "doc_id", docIds)
 
   // ---- Bloom pre-gate sidecar ---------------------------------------------
   /** Sidecar sizing for the verify SF (128 KiB). A deployment sizes

@@ -278,7 +278,7 @@ object Similarity {
   def qAnnProbe(s: SparkSession, dir: String): DataFrame = {
     val path = annStorePath(dir)
     graft.sources.TmpStores.buildOnce(path)(writeAnnIndex(s, dir, path))
-    val idx = s.read.parquet(path)
+    val idx = graft.sources.Stores.minusTombstones(s, path, "vec_id", s.read.parquet(path))
     // probed bucket set = the queries' OWN buckets expanded Hamming-1
     // driver-side (probeBuckets) — a narrow distinct over the query
     // slice's bucket column, not a probe-explode job over the index
@@ -705,10 +705,15 @@ object Similarity {
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
+    // pending retractions force the rewrite even on a pristine layout —
+    // compaction is their physical-purge step (the swapped-in dir never
+    // contained the _tombstones sidecar)
     if (graft.sources.Stores.subPartitionDirs(s, path)
-          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))) return
+          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))
+        && !graft.sources.Stores.hasTombstones(s, path)) return
     val cents = readCentroids(s, path) // before the swap: read off the live dir
-    graft.sources.Stores.compactInPlace(s, path)( df => {
+    graft.sources.Stores.compactInPlace(s, path)( df0 => {
+      val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
       val folded = df.filter(col("batch_id") < 0)
         .withColumn("batch_id", lit(-1L)).dropDuplicates()
       folded.unionByName(df.filter(col("batch_id") >= 0)
@@ -721,12 +726,29 @@ object Similarity {
       })
   }
 
+  /** Retract vectors from a stored index (IVF or LSH) — the
+    * embedding-store half of the deletion story, on the shared
+    * tombstone protocol ([[graft.sources.Stores.retractIds]]; the
+    * signature store's [[Dedup.retractSignatures]] documents it):
+    * tombstoned vec_ids vanish from every probe immediately, and the
+    * index's next compaction physically purges them in its atomic swap.
+    * The quantizer/centroid sidecar is untouched — centroids are
+    * trained statistics, not per-vector state; like the signature
+    * store's Bloom sidecar they may describe retracted mass until a
+    * rebuild, and like it they stay sound (a centroid is a routing
+    * hint, not an answer — the probe read simply no longer returns the
+    * retracted rows the hint pointed at). */
+  def retractVectors(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Stores.retractIds(s, path, "vec_id", vecIds)
+
   /** Probe-side scan of the inverted file: the `isin` over the list_id
     * partition column prunes to ≤ [[IvfProbes]] of [[IvfLists]]
-    * directories before any row is read. */
+    * directories before any row is read; pending retractions subtract
+    * via a broadcast anti-join. */
   def probeIvfIndex(s: SparkSession, path: String, lists: Seq[Int]): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    s.read.parquet(path).filter(col("list_id").isin(lists: _*))
+    graft.sources.Stores.minusTombstones(s, path, "vec_id",
+      s.read.parquet(path).filter(col("list_id").isin(lists: _*)))
   }
 
   /** Tmp-scoped IVF index location for [[qIvfProbe]]. */
@@ -759,7 +781,8 @@ object Similarity {
     * node (a Generate over the query scan), not a driver loop. */
   private[graft] def storedProbeQueries(s: SparkSession, path: String): DataFrame = {
     val cents = readCentroids(s, path)
-    s.read.parquet(path).filter(pmod(col("vec_id"), lit(100L)) === 0)
+    graft.sources.Stores.minusTombstones(s, path, "vec_id", s.read.parquet(path))
+      .filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
   }
@@ -1152,8 +1175,10 @@ object Similarity {
     // wrongly restore).
     graft.sources.Stores.clearResidue(s, path)
     if (graft.sources.Stores.subPartitionDirs(s, path)
-          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))) return
-    graft.sources.Stores.compactInPlace(s, path)( df => {
+          .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))
+        && !graft.sources.Stores.hasTombstones(s, path)) return
+    graft.sources.Stores.compactInPlace(s, path)( df0 => {
+      val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
       // full-row dedup over the FOLDED (unscoped) rows only, so only
       // true retried-append copies collapse — a re-ingested vector with
       // changed embedding keeps both versions deterministically.
@@ -1178,7 +1203,8 @@ object Similarity {
     * before any row is read. */
   def probeAnnIndex(s: SparkSession, path: String, buckets: Seq[Long]): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    s.read.parquet(path).filter(col("bucket").isin(buckets: _*))
+    graft.sources.Stores.minusTombstones(s, path, "vec_id",
+      s.read.parquet(path).filter(col("bucket").isin(buckets: _*)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

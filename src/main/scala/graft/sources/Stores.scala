@@ -125,4 +125,45 @@ object Stores {
     mv(fs, tmp, p)
     fs.delete(bak, true)
   }
+
+  // ---- tombstone sidecar (logical deletes) --------------------------------
+
+  /** Sidecar location for a store's pending retractions. The underscore
+    * prefix keeps it invisible to the store's own `read.parquet(path)`
+    * (Spark's FileIndex skips underscore-prefixed entries — the
+    * `_bloom.bin` trick). Protocol, shared by every tombstoning store
+    * (signature store, IVF/LSH vector indexes): [[retractIds]] appends
+    * id rows here (one writer, like every store mutation); EVERY reader
+    * subtracts them via [[minusTombstones]]; a compaction applies the
+    * subtraction in its rewrite, and because [[compactInPlace]] swaps in
+    * a fresh directory that never contained the sidecar, physical purge
+    * and tombstone clear are ONE atomic swap — crash before: rows and
+    * tombstones both present, reads still filtered; crash after: both
+    * gone. The delete-then-vacuum shape of the transactional formats on
+    * this layer's own machinery. */
+  def tombstonePath(path: String): String = path + "/_tombstones"
+
+  def hasTombstones(s: SparkSession, path: String): Boolean =
+    fsOf(s, path).exists(new org.apache.hadoop.fs.Path(tombstonePath(path)))
+
+  /** Append retraction ids — the logical delete (see [[tombstonePath]]).
+    */
+  def retractIds(s: SparkSession, path: String, idCol: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, s"retractIds($path): empty id set")
+    recover(s, path)
+    import s.implicits._
+    ids.toDF(idCol).coalesce(1).write.mode("append").parquet(tombstonePath(path))
+  }
+
+  /** Subtract pending tombstones from a store frame: broadcast anti-join
+    * on the id column — retraction volume is tiny next to the store, so
+    * the store side never shuffles to be filtered. No-op without a
+    * sidecar. */
+  def minusTombstones(s: SparkSession, path: String, idCol: String,
+      df: DataFrame): DataFrame =
+    if (!hasTombstones(s, path)) df
+    else df.join(
+      org.apache.spark.sql.functions.broadcast(
+        s.read.parquet(tombstonePath(path)).select(idCol).distinct()),
+      Seq(idCol), "left_anti")
 }

@@ -497,4 +497,31 @@ class SimilaritySpec extends AnyFunSuite {
     // embeddings recall far higher at the same probe budget).
     assert(recall >= 0.5, f"recall $recall%.3f")
   }
+
+  test("vector retraction: probes forget immediately; compaction purges; quantizer survives") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfretract").toString + "/idx"
+    Similarity.writeIvfIndexFrom(spark,
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 200), path)
+    val allLists = spark.read.parquet(path).select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def visible(): Set[Long] = Similarity.probeIvfIndex(spark, path, allLists)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val before = visible()
+    assert(before.contains(7L) && before.contains(8L))
+    // logical phase: the retracted vectors vanish from every probe
+    Similarity.retractVectors(spark, path, Seq(7L, 8L))
+    assert(visible() === before -- Set(7L, 8L))
+    // physical phase: the compaction swap purges rows AND the sidecar,
+    // and the quantizer (trained statistics, not per-vector state) must
+    // ride through so the surviving lists stay meaningful
+    Similarity.compactIvfIndex(spark, path)
+    assert(!new java.io.File(path + "/_tombstones").exists,
+      "compaction must clear the tombstone sidecar")
+    assert(spark.read.parquet(path).filter(col("vec_id").isin(7L, 8L)).count() === 0,
+      "retracted vectors must be physically gone")
+    assert(visible() === before -- Set(7L, 8L))
+    // the stored flow still answers off the purged index (centroids intact)
+    assert(Similarity.qIvfProbeStored(spark, path).count() > 0)
+  }
 }
