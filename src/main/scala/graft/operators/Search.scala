@@ -286,6 +286,59 @@ object Search {
       statsRowOf(newDocs, batchId).coalesce(1), path + "/_stats", Seq("batch_id"))
   }
 
+  /** The `_stats` partition holding the retraction correction: one
+    * (negative n_docs, negative sum_dl) row for the ENTIRE pending
+    * tombstone set, recomputed and dynamically overwritten on every
+    * [[retractSearchDocs]] call — replay-idempotent by construction (a
+    * replayed retraction recomputes the same totals), unlike appending
+    * per-call deltas, which would double-subtract on retry. */
+  private val RetractStatsBatch = -3L
+
+  /** Retract documents from the posting store — the search-index half
+    * of the deletion story, with one obligation the signature/vector
+    * stores don't have: BM25's GLOBAL stats (N, avgdl) must shrink
+    * exactly, or every surviving score skews. Protocol:
+    *
+    *  1. doc-id tombstones via the shared sidecar
+    *     ([[graft.sources.Stores.retractIds]]); every probe subtracts
+    *     them, so tf/df/dl of retracted docs vanish from scoring
+    *     immediately;
+    *  2. the stats correction: one postings pass recovers the FULL
+    *     tombstone set's (doc count, Σdl) — `dl` rides every posting
+    *     row, and the scan is the price of a rare maintenance op — and
+    *     the single [[RetractStatsBatch]] row is dynamic-overwritten
+    *     with the negated totals. The probe SUMS stats rows, so N and
+    *     avgdl come out exactly as if the docs were never indexed
+    *     (integer arithmetic end to end; SearchSpec pins stored ≡
+    *     in-query-over-surviving-corpus bit-for-bit).
+    *
+    * Crash between the two writes: tombstones landed, correction not —
+    * retracted docs are already invisible (the compliance-relevant
+    * half) while N/avgdl briefly overcount; replaying the retraction
+    * heals exactly (recompute + overwrite). The same at-least-once
+    * posture as [[appendSearchIndexBatch]]'s multi-write window.
+    *
+    * Re-ingesting a retracted doc_id under a new batch stays REJECTED
+    * (the `_docs` disjointness guard still lists it) until the next
+    * [[compactSearchIndex]] purges rows, membership, tombstones and
+    * folds the correction into the bootstrap stats — one atomic swap,
+    * after which the doc_id is genuinely new again. */
+  def retractSearchDocs(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    graft.sources.Stores.retractIds(s, path, "doc_id", docIds)
+    val all = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+      .select("doc_id").distinct()
+    val tot = s.read.parquet(path)
+      .join(broadcast(all), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+      .collect()(0)
+    import s.implicits._
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      Seq((-tot.getLong(0), -tot.getLong(1), RetractStatsBatch))
+        .toDF("n_docs", "sum_dl", "batch_id").coalesce(1),
+      path + "/_stats", Seq("batch_id"))
+  }
+
   /** Compact the posting store: fold every batch partition BELOW the
     * caller's replay watermark into the bootstrap layout (and their
     * sidecar rows into one summed stats row), leaving newer batches
@@ -310,8 +363,14 @@ object Search {
       .filter(_.startsWith("batch_id="))
       .map(_.stripPrefix("batch_id=").toLong)
       .filter(b => b >= 0 && b < foldBelow)
-    if (foldable.isEmpty) return
-    graft.sources.Stores.compactInPlace(s, path) { df =>
+    // pending retractions force the rewrite even with nothing to fold:
+    // compaction is their physical-purge step (rows, `_docs` membership
+    // and tombstones clear together; the RetractStatsBatch correction
+    // folds into the bootstrap stats row — leaving it behind after the
+    // rows vanish would double-subtract)
+    if (foldable.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
+    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+      val df = graft.sources.Stores.minusTombstones(s, path, "doc_id", df0)
       df.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
         .unionByName(df.filter(col("batch_id") >= foldBelow))
     } { (df, tmp) =>
@@ -327,8 +386,11 @@ object Search {
         tmp + "/_stats", Seq("batch_id"))
       // membership sidecar folds the same way: folded batches' rows move
       // to batch_id=-1 (distinct absorbs a retried append's duplicates —
-      // under the doc-disjointness precondition nothing else can collide)
-      val dm = s.read.parquet(path + "/_docs")
+      // under the doc-disjointness precondition nothing else can collide).
+      // Tombstoned ids drop here too: after the purge the doc_id is
+      // genuinely re-ingestable, so the disjointness guard must forget it
+      val dm = graft.sources.Stores.minusTombstones(s, path, "doc_id",
+        s.read.parquet(path + "/_docs"))
       graft.sources.Sinks.overwritePartitioned(
         dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
           .unionByName(dm.filter(col("batch_id") >= foldBelow))
@@ -349,8 +411,12 @@ object Search {
     import s.implicits._
     val shards = terms.toDF("word").select(termShard(col("word")).as("shard"))
       .distinct().as[Long].collect().toSeq
-    s.read.parquet(path)
-      .filter(col("shard").isin(shards: _*) && col("word").isin(terms: _*))
+    // pending retractions subtract here, so tf/df/dl of tombstoned docs
+    // never reach scoring (their N/avgdl contribution is cancelled by
+    // the RetractStatsBatch row the stats sum picks up)
+    graft.sources.Stores.minusTombstones(s, path, "doc_id",
+      s.read.parquet(path)
+        .filter(col("shard").isin(shards: _*) && col("word").isin(terms: _*)))
   }
 
   /** [[qBm25]] served from the STORED index instead of a corpus scan —

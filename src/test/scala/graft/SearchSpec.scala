@@ -241,4 +241,44 @@ class SearchSpec extends AnyFunSuite {
     assert(got.length === 1)
     assert(got(0).getLong(2) === lev(t1.take(40), t2.take(40)).toLong)
   }
+
+  test("doc retraction: scores equal never-indexed exactly; compaction purges and re-admits") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchretract").toString + "/idx"
+    Search.writeSearchIndexFrom(spark, docs, path)
+    val before = SearchProbe.scores(spark, path)
+    assert(before.nonEmpty)
+    // retract three scoring docs + one non-scoring doc: the stored face
+    // must now equal the in-query scorer over the SURVIVING corpus
+    // bit-for-bit — the N/avgdl correction is what this pins (dropping
+    // rows without the stats delta would leave every survivor's score
+    // skewed, not just remove rows)
+    val retracted = before.take(3).map(_._1) :+
+      docs.select("doc_id").collect().map(_.getLong(0)).max
+    Search.retractSearchDocs(spark, path, retracted)
+    val surviving = docs.filter(!col("doc_id").isin(retracted: _*))
+    def want(): Seq[(Long, Double, Long)] = Search.bm25(surviving).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(SearchProbe.scores(spark, path) === want(),
+      "retracted must be indistinguishable from never-indexed, scores included")
+    // a replayed retraction is idempotent (the correction is recomputed,
+    // not re-appended)
+    Search.retractSearchDocs(spark, path, retracted)
+    assert(SearchProbe.scores(spark, path) === want())
+    // physical purge: rows, membership and tombstones clear in one swap,
+    // the correction folds into the bootstrap stats
+    Search.compactSearchIndex(spark, path, foldBelow = 0L)
+    assert(!new java.io.File(path + "/_tombstones").exists)
+    assert(spark.read.parquet(path).filter(col("doc_id").isin(retracted: _*)).count() === 0)
+    assert(SearchProbe.scores(spark, path) === want(), "scores unchanged by the purge")
+    // ...and the purged doc_id is genuinely new again: the disjointness
+    // guard admits its re-ingest (it REJECTED while tombstoned)
+    val one = docs.filter(col("doc_id") === retracted.head)
+    Search.appendSearchIndexBatch(spark, one, path, 7L, assertNewDocs = true)
+    assert(SearchProbe.scores(spark, path) ===
+      Search.bm25(surviving.unionByName(one)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
+  }
 }
