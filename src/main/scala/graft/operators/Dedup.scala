@@ -721,6 +721,17 @@ object Dedup {
     // purge and tombstone clear are one atomic swap)
     if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))
         && !hasTombstones(s, path)) return
+    // Batch-SCOPED partitions survive this compaction (preserved
+    // verbatim below), and the store's replay contract lets a restarted
+    // stream re-insert any of them as a pure overwrite — so tombstoned
+    // rows are PURGED only from the folded branch, and the sidecar must
+    // ride through the swap whenever scoped partitions remain: a purge
+    // that also cleared the tombstones would let a replayed batch
+    // resurrect retracted rows with nothing left to hide them (the
+    // compliance failure, found in review). Once nothing replayable
+    // remains the sidecar is omitted and the swap clears it atomically.
+    val scopedRemain = storeBatchDirs(s, path).exists(d =>
+      d.stripPrefix("batch_id=").toLong >= 0)
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = minusTombstones(s, path, df0)
       // UNSCOPED batches (ids < 0) fold into the bootstrap partition
@@ -745,9 +756,16 @@ object Dedup {
         .withColumn("rn", row_number().over(byBucket))
         .filter(col("rn") <= NgramBucketCap)
         .select(cols: _*)
-      folded.unionByName(df.filter(col("batch_id") >= 0)
+      // scoped branch from the UNFILTERED frame: replay-protected
+      // partitions keep their rows verbatim (hidden by the retained
+      // tombstones, see scopedRemain above), so a replay stays a pure
+      // overwrite of identical content
+      folded.unionByName(df0.filter(col("batch_id") >= 0)
         .withColumn("batch_id", col("batch_id").cast("long")).select(cols: _*))
-    }(writeSignatures)
+    } { (df, tmp) =>
+      writeSignatures(df, tmp)
+      if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+    }
   }
 
   /** Deterministic per-(dataset, JVM) store location — see
@@ -1144,9 +1162,6 @@ object Dedup {
       |  WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5),
       |${duckReachCtes("edges", "doc_a", "doc_b")}""".stripMargin
 
-  /** The incremental-gate oracle, shared verbatim by q_dedup_incremental
-    * (in-query corpus) and q_dedup_gate (stored signature table): the two
-    * flows are defined to agree, so they share one oracle definition. */
   /** The gate oracle with a parameterized corpus predicate — one chain
     * for the plain, stored, Bloom and retraction variants, so a gate
     * semantics change can never leave one oracle behind. */
@@ -1165,6 +1180,10 @@ object Dedup {
        |  CASE WHEN count(CASE WHEN j >= 0.5 THEN 1 END) > 0 THEN 1 ELSE 0 END AS is_duplicate
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The incremental-gate oracle, shared verbatim by q_dedup_incremental
+    * (in-query corpus), q_dedup_gate (stored signature table) and
+    * q_dedup_bloom: those flows are defined to agree, so they share one
+    * oracle instance. */
   private val duckGateSql: String = duckGateSqlWith("doc_id % 10 <> 0")
 
   /** q_dedup_minhash / q_dedup_simhash have no SQL-replay oracle

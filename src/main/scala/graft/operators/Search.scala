@@ -286,57 +286,65 @@ object Search {
       statsRowOf(newDocs, batchId).coalesce(1), path + "/_stats", Seq("batch_id"))
   }
 
-  /** The `_stats` partition holding the retraction correction: one
-    * (negative n_docs, negative sum_dl) row for the ENTIRE pending
-    * tombstone set, recomputed and dynamically overwritten on every
-    * [[retractSearchDocs]] call — replay-idempotent by construction (a
-    * replayed retraction recomputes the same totals), unlike appending
-    * per-call deltas, which would double-subtract on retry. */
-  private val RetractStatsBatch = -3L
-
   /** Retract documents from the posting store — the search-index half
     * of the deletion story, with one obligation the signature/vector
     * stores don't have: BM25's GLOBAL stats (N, avgdl) must shrink
-    * exactly, or every surviving score skews. Protocol:
+    * exactly, or every surviving score skews. The tombstone rows carry
+    * each retracted doc's `dl` alongside the id (captured from its live
+    * posting rows in one scan — the price of a rare maintenance op), so
+    * the stats correction is DERIVED FROM THE SIDECAR at read time
+    * ([[searchStats]]): there is no separate correction row to keep
+    * consistent, a replayed retraction appends identical rows that the
+    * per-doc fold collapses, and the correction disappears exactly when
+    * the sidecar does (the final compaction absorbs it into the folded
+    * bootstrap stats in the same atomic swap that clears the
+    * tombstones). A retracted id that was never indexed records dl = 0
+    * and is excluded from the correction — it must not shrink N.
     *
-    *  1. doc-id tombstones via the shared sidecar
-    *     ([[graft.sources.Stores.retractIds]]); every probe subtracts
-    *     them, so tf/df/dl of retracted docs vanish from scoring
-    *     immediately;
-    *  2. the stats correction: one postings pass recovers the FULL
-    *     tombstone set's (doc count, Σdl) — `dl` rides every posting
-    *     row, and the scan is the price of a rare maintenance op — and
-    *     the single [[RetractStatsBatch]] row is dynamic-overwritten
-    *     with the negated totals. The probe SUMS stats rows, so N and
-    *     avgdl come out exactly as if the docs were never indexed
-    *     (integer arithmetic end to end; SearchSpec pins stored ≡
-    *     in-query-over-surviving-corpus bit-for-bit).
-    *
-    * Crash between the two writes: tombstones landed, correction not —
-    * retracted docs are already invisible (the compliance-relevant
-    * half) while N/avgdl briefly overcount; replaying the retraction
-    * heals exactly (recompute + overwrite). The same at-least-once
-    * posture as [[appendSearchIndexBatch]]'s multi-write window.
-    *
-    * Re-ingesting a retracted doc_id under a new batch stays REJECTED
-    * (the `_docs` disjointness guard still lists it) until the next
-    * [[compactSearchIndex]] purges rows, membership, tombstones and
-    * folds the correction into the bootstrap stats — one atomic swap,
-    * after which the doc_id is genuinely new again. */
+    * Probes subtract the tombstones, so tf/df/dl of retracted docs
+    * vanish from scoring immediately; re-ingesting a retracted doc_id
+    * under a new batch stays REJECTED (the `_docs` disjointness guard
+    * still lists it, and the retained tombstone would hide the fresh
+    * rows) until a compaction has physically purged it. */
   def retractSearchDocs(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
-    graft.sources.Stores.retractIds(s, path, "doc_id", docIds)
-    val all = s.read.parquet(graft.sources.Stores.tombstonePath(path))
-      .select("doc_id").distinct()
-    val tot = s.read.parquet(path)
-      .join(broadcast(all), Seq("doc_id"), "left_semi")
-      .select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
-      .collect()(0)
+    require(docIds.nonEmpty, s"retractSearchDocs($path): empty doc-id set")
+    graft.sources.Stores.recover(s, path)
     import s.implicits._
-    graft.sources.Sinks.overwritePartitionsDynamic(
-      Seq((-tot.getLong(0), -tot.getLong(1), RetractStatsBatch))
-        .toDF("n_docs", "sum_dl", "batch_id").coalesce(1),
-      path + "/_stats", Seq("batch_id"))
+    val ids = docIds.toDF("doc_id")
+    val dls = s.read.parquet(path)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+    graft.sources.Stores.retractRows(s, path,
+      ids.join(dls, Seq("doc_id"), "left").na.fill(0L, Seq("dl"))
+        .select("doc_id", "dl"))
+  }
+
+  /** The pending-retraction stats correction, derived from the sidecar:
+    * (indexed-doc count, Σdl) over the tombstone set. Per-doc fold by
+    * max(dl): a replayed retraction of an already-purged doc appends a
+    * dl = 0 row beside the original's true length, and the true length
+    * must win; rows that only ever saw dl = 0 (never-indexed ids) are
+    * excluded entirely. */
+  private def tombstoneStats(s: SparkSession, path: String): (Long, Long) =
+    if (!graft.sources.Stores.hasTombstones(s, path)) (0L, 0L)
+    else {
+      val t = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+        .groupBy("doc_id").agg(max("dl").as("dl"))
+        .filter(col("dl") > 0)
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+        .collect()(0)
+      (t.getLong(0), t.getLong(1))
+    }
+
+  /** The stored index's BM25 global stats: the additive `_stats` rows
+    * summed, minus the pending-retraction correction — one definition
+    * for the probe face and the specs, so the correction can never be
+    * applied in one place and forgotten in another. */
+  def searchStats(s: SparkSession, path: String): DataFrame = {
+    val (k, sdl) = tombstoneStats(s, path)
+    s.read.parquet(path + "/_stats")
+      .agg((sum("n_docs") - lit(k)).as("n_docs"),
+        ((sum("sum_dl") - lit(sdl)) / (sum("n_docs") - lit(k))).as("avgdl"))
   }
 
   /** Compact the posting store: fold every batch partition BELOW the
@@ -364,21 +372,35 @@ object Search {
       .map(_.stripPrefix("batch_id=").toLong)
       .filter(b => b >= 0 && b < foldBelow)
     // pending retractions force the rewrite even with nothing to fold:
-    // compaction is their physical-purge step (rows, `_docs` membership
-    // and tombstones clear together; the RetractStatsBatch correction
-    // folds into the bootstrap stats row — leaving it behind after the
-    // rows vanish would double-subtract)
+    // compaction is their physical-purge step
     if (foldable.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
+    // Partitions AT/ABOVE the watermark may still replay (the caller's
+    // contract protects only those below it), so — the compactSignatures
+    // rule — tombstoned rows purge from the FOLDED branch only, and while
+    // any replay-protected partition remains the tombstone sidecar rides
+    // through the swap: a replayed batch re-inserts its rows verbatim,
+    // and only a surviving tombstone keeps the retracted ones invisible.
+    // The stats correction stays sidecar-derived ([[searchStats]]) until
+    // the sidecar clears; the FINAL fold (nothing replayable left)
+    // absorbs it into the bootstrap stats row in the same swap.
+    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .exists(b => b >= 0 && b >= foldBelow)
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = graft.sources.Stores.minusTombstones(s, path, "doc_id", df0)
       df.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
-        .unionByName(df.filter(col("batch_id") >= foldBelow))
+        .unionByName(df0.filter(col("batch_id") >= foldBelow))
     } { (df, tmp) =>
       graft.sources.Sinks.overwritePartitioned(
         df.repartition(col("shard")), tmp, Seq("shard", "batch_id"))
       val st = s.read.parquet(path + "/_stats")
+      // absorbing the correction while tombstones survive would
+      // double-subtract (reads still derive it from the sidecar)
+      val (tk, tsdl) = if (scopedRemain) (0L, 0L) else tombstoneStats(s, path)
       val folded = st.filter(col("batch_id") < foldBelow)
-        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        .agg((sum("n_docs") - lit(tk)).as("n_docs"),
+          (sum("sum_dl") - lit(tsdl)).as("sum_dl"))
         .withColumn("batch_id", lit(-1L))
       graft.sources.Sinks.overwritePartitioned(
         folded.unionByName(st.filter(col("batch_id") >= foldBelow)
@@ -387,16 +409,21 @@ object Search {
       // membership sidecar folds the same way: folded batches' rows move
       // to batch_id=-1 (distinct absorbs a retried append's duplicates —
       // under the doc-disjointness precondition nothing else can collide).
-      // Tombstoned ids drop here too: after the purge the doc_id is
-      // genuinely re-ingestable, so the disjointness guard must forget it
-      val dm = graft.sources.Stores.minusTombstones(s, path, "doc_id",
-        s.read.parquet(path + "/_docs"))
+      // Tombstoned membership drops ONLY at the final fold: while the
+      // sidecar survives, a dropped membership row would let a re-ingest
+      // pass the disjointness guard and then be silently hidden by the
+      // retained tombstone — admission-then-invisibility, worse than the
+      // rejection the guard gives today.
+      val dm0 = s.read.parquet(path + "/_docs")
+      val dm = if (scopedRemain) dm0
+        else graft.sources.Stores.minusTombstones(s, path, "doc_id", dm0)
       graft.sources.Sinks.overwritePartitioned(
         dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
           .unionByName(dm.filter(col("batch_id") >= foldBelow))
           .select("doc_id", "batch_id", "dshard").distinct()
           .repartition(col("dshard")),
         tmp + "/_docs", Seq("dshard", "batch_id"))
+      if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
     }
   }
 
@@ -413,7 +440,7 @@ object Search {
       .distinct().as[Long].collect().toSeq
     // pending retractions subtract here, so tf/df/dl of tombstoned docs
     // never reach scoring (their N/avgdl contribution is cancelled by
-    // the RetractStatsBatch row the stats sum picks up)
+    // the sidecar-derived correction searchStats applies)
     graft.sources.Stores.minusTombstones(s, path, "doc_id",
       s.read.parquet(path)
         .filter(col("shard").isin(shards: _*) && col("word").isin(terms: _*)))
@@ -432,9 +459,7 @@ object Search {
     graft.sources.TmpStores.buildOnce(path)(writeSearchIndex(s, dir, path))
     val hits = probeSearchIndex(s, path, QueryTerms)
       .select("doc_id", "dl", "word", "tf")
-    val stats = s.read.parquet(path + "/_stats")
-      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-    scoreBm25(hits, stats)
+    scoreBm25(hits, searchStats(s, path))
   }
 
   // ---- hybrid retrieval (BM25 + dense, reciprocal-rank fusion) -------------

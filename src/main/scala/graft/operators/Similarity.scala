@@ -712,17 +712,26 @@ object Similarity {
           .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))
         && !graft.sources.Stores.hasTombstones(s, path)) return
     val cents = readCentroids(s, path) // before the swap: read off the live dir
+    // tombstoned rows purge from the FOLDED branch only; scoped
+    // partitions stay verbatim under the replay contract, so the
+    // sidecar rides through the swap while any remain — else a replayed
+    // appendIvfIndexBatch would resurrect retracted vectors with
+    // nothing left to hide them (compactSignatures' rule)
+    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
+      .filter(_.startsWith("batch_id="))
+      .exists(_.stripPrefix("batch_id=").toLong >= 0)
     graft.sources.Stores.compactInPlace(s, path)( df0 => {
       val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
       val folded = df.filter(col("batch_id") < 0)
         .withColumn("batch_id", lit(-1L)).dropDuplicates()
-      folded.unionByName(df.filter(col("batch_id") >= 0)
+      folded.unionByName(df0.filter(col("batch_id") >= 0)
         .withColumn("batch_id", col("batch_id").cast("long")))
     })(
       (df, tmp) => {
         graft.sources.Sinks.overwritePartitioned(
           df.repartition(col("list_id")), tmp, Seq("list_id", "batch_id"))
         writeCentroids(s, tmp, cents)
+        if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
       })
   }
 
@@ -1177,21 +1186,28 @@ object Similarity {
     if (graft.sources.Stores.subPartitionDirs(s, path)
           .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))
         && !graft.sources.Stores.hasTombstones(s, path)) return
+    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
+      .filter(_.startsWith("batch_id="))
+      .exists(_.stripPrefix("batch_id=").toLong >= 0)
     graft.sources.Stores.compactInPlace(s, path)( df0 => {
       val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
       // full-row dedup over the FOLDED (unscoped) rows only, so only
       // true retried-append copies collapse — a re-ingested vector with
       // changed embedding keeps both versions deterministically.
-      // Batch-SCOPED partitions pass through untouched (the replay
-      // contract: an appendAnnIndexBatch replay must stay a pure
-      // overwrite of its own still-identical partitions).
+      // Batch-SCOPED partitions pass through untouched AND unpurged (the
+      // replay contract: an appendAnnIndexBatch replay must stay a pure
+      // overwrite of its own still-identical partitions — tombstones are
+      // retained below to keep retracted rows hidden through replays).
       val folded = df.filter(col("batch_id") < 0)
         .withColumn("batch_id", lit(-1L)).dropDuplicates()
-      folded.unionByName(df.filter(col("batch_id") >= 0)
+      folded.unionByName(df0.filter(col("batch_id") >= 0)
         .withColumn("batch_id", col("batch_id").cast("long")))
     })(
-      (df, tmp) => graft.sources.Sinks.overwritePartitioned(
-        df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id")))
+      (df, tmp) => {
+        graft.sources.Sinks.overwritePartitioned(
+          df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id"))
+        if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+      })
   }
 
   /** Multi-probe bucket set for a query bucket: exact + all Hamming-1. */

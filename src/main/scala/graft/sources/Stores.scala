@@ -132,27 +132,66 @@ object Stores {
     * prefix keeps it invisible to the store's own `read.parquet(path)`
     * (Spark's FileIndex skips underscore-prefixed entries — the
     * `_bloom.bin` trick). Protocol, shared by every tombstoning store
-    * (signature store, IVF/LSH vector indexes): [[retractIds]] appends
-    * id rows here (one writer, like every store mutation); EVERY reader
-    * subtracts them via [[minusTombstones]]; a compaction applies the
-    * subtraction in its rewrite, and because [[compactInPlace]] swaps in
-    * a fresh directory that never contained the sidecar, physical purge
-    * and tombstone clear are ONE atomic swap — crash before: rows and
-    * tombstones both present, reads still filtered; crash after: both
-    * gone. The delete-then-vacuum shape of the transactional formats on
-    * this layer's own machinery. */
+    * (signature store, IVF/LSH vector indexes, posting store):
+    * [[retractIds]]/[[retractRows]] land id rows here atomically (one
+    * writer, like every store mutation); EVERY reader subtracts them via
+    * [[minusTombstones]]. Compaction purges tombstoned rows from the
+    * partitions it FOLDS, but while any batch-SCOPED partition the
+    * store's replay contract still protects remains, the sidecar must
+    * ride through the swap ([[carryTombstonesInto]]) — an at-least-once
+    * replay of such a batch re-inserts its rows verbatim, and only a
+    * surviving tombstone keeps a re-inserted retracted row invisible.
+    * Once a compaction leaves no replayable partitions, it omits the
+    * sidecar from the temp dir and the [[compactInPlace]] swap clears
+    * it atomically with the purge — the delete-then-vacuum shape of the
+    * transactional formats, replay-safe. */
   def tombstonePath(path: String): String = path + "/_tombstones"
 
-  def hasTombstones(s: SparkSession, path: String): Boolean =
-    fsOf(s, path).exists(new org.apache.hadoop.fs.Path(tombstonePath(path)))
+  /** True only when the sidecar holds at least one COMMITTED parquet
+    * file — a bare directory (a crashed first retraction's residue, or
+    * an fs that materializes parents eagerly) must read as "no pending
+    * retractions", not brick every store read with an unreadable-parquet
+    * error. */
+  def hasTombstones(s: SparkSession, path: String): Boolean = {
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
 
-  /** Append retraction ids — the logical delete (see [[tombstonePath]]).
-    */
+  /** Land retraction rows (an id column, plus any per-id bookkeeping a
+    * store needs — the posting store rides doc lengths along) in the
+    * sidecar ATOMICALLY: written aside as a single file and renamed in,
+    * so a crash leaves either the previous sidecar or the grown one,
+    * never a half-written file a later read would choke on (the
+    * writeBloomBytes/ensureDocsSidecar discipline). Stale temp residue
+    * from crashed attempts is cleared opportunistically. */
+  def retractRows(s: SparkSession, path: String, rows: DataFrame): Unit = {
+    recover(s, path)
+    val fs = fsOf(s, path)
+    val side = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    // clear crashed-attempt residue (same-prefix temp dirs)
+    val parent = side.getParent
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      if (st.getPath.getName.startsWith("_tombstones.tmp-")) fs.delete(st.getPath, true)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(
+      tombstonePath(path) + ".tmp-" + java.util.UUID.randomUUID)
+    rows.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"retractRows($path): no part file under $tmp"))
+    fs.mkdirs(side)
+    require(fs.rename(part, new org.apache.hadoop.fs.Path(side, part.getName)),
+      s"retractRows($path): could not move $part into $side")
+    fs.delete(tmp, true)
+  }
+
+  /** [[retractRows]] with a bare id column — the logical delete. */
   def retractIds(s: SparkSession, path: String, idCol: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, s"retractIds($path): empty id set")
-    recover(s, path)
     import s.implicits._
-    ids.toDF(idCol).coalesce(1).write.mode("append").parquet(tombstonePath(path))
+    retractRows(s, path, ids.toDF(idCol))
   }
 
   /** Subtract pending tombstones from a store frame: broadcast anti-join
@@ -166,4 +205,12 @@ object Stores {
       org.apache.spark.sql.functions.broadcast(
         s.read.parquet(tombstonePath(path)).select(idCol).distinct()),
       Seq(idCol), "left_anti")
+
+  /** Re-land the live sidecar inside a compaction's temp dir, so the
+    * swap RETAINS the pending retractions (see [[tombstonePath]]: the
+    * rule whenever replay-protected partitions survive the rewrite). */
+  def carryTombstonesInto(s: SparkSession, path: String, tmp: String): Unit =
+    if (hasTombstones(s, path))
+      s.read.parquet(tombstonePath(path)).coalesce(1)
+        .write.parquet(tombstonePath(tmp))
 }

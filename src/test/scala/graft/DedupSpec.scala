@@ -329,6 +329,34 @@ class DedupSpec extends AnyFunSuite {
     assert(gate(useBloom = false) === Map(10L -> 1, 11L -> 1))
   }
 
+  test("retraction survives a replayed scoped batch: compaction retains the sidecar") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-retractreplay").toString + "/store"
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      (1L, "completely different text about spark engines and scala")).toDF("doc_id", "text")), store)
+    // a batch-SCOPED admission (the streaming gate's layout: dynamic
+    // overwrite keyed by batch_id) — replayable by contract
+    val b3 = Dedup.signaturesOf(Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text"))
+      .withColumn("batch_id", lit(3L))
+    graft.sources.Sinks.overwritePartitionsDynamic(b3, store, Seq("shard", "batch_id"))
+    def verdict(): Int = Dedup.gateAgainstStored(spark, store, Dedup.signaturesOf(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")))
+      .collect()(0).getInt(3)
+    assert(verdict() === 1)
+    Dedup.retractSignatures(spark, store, Seq(2L))
+    assert(verdict() === 0)
+    // compaction may not clear the tombstones while batch 3 can replay
+    Dedup.compactSignatures(spark, store)
+    assert(new java.io.File(store + "/_tombstones").exists,
+      "tombstones must be retained while a scoped batch remains")
+    assert(verdict() === 0)
+    // the resurrection case: batch 3 replays verbatim — the retained
+    // tombstone must keep doc 2 invisible
+    graft.sources.Sinks.overwritePartitionsDynamic(b3, store, Seq("shard", "batch_id"))
+    assert(verdict() === 0, "a replayed batch must not resurrect a retracted doc")
+  }
+
   test("stored gate matches a driver-side brute force over a random corpus (property)") {
     // Independent ground truth: plain Scala sets re-deriving the spec'd
     // semantics (normalize → 40-char-prefix bucket → 3-gram Jaccard ≥

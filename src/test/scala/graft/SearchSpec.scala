@@ -281,4 +281,41 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25(surviving.unionByName(one)).collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
   }
+
+  test("retraction survives a replayed batch: compaction retains tombstones above the watermark") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchreplay").toString + "/idx"
+    val boot = docs.filter(col("doc_id") % 3 === 0)
+    val b7 = docs.filter(col("doc_id") % 3 === 1)
+    Search.writeSearchIndexFrom(spark, boot, path)
+    Search.appendSearchIndexBatch(spark, b7, path, 7L)
+    // retract one batch-7 doc that scores (so the hole is observable)
+    val target = SearchProbe.scores(spark, path).map(_._1)
+      .find(id => id % 3 == 1).getOrElse(b7.select("doc_id").collect()(0).getLong(0))
+    Search.retractSearchDocs(spark, path, Seq(target))
+    val surviving = boot.unionByName(b7).filter(col("doc_id") =!= target)
+    def want(): Seq[(Long, Double, Long)] = Search.bm25(surviving).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(SearchProbe.scores(spark, path) === want())
+    // compact with a watermark BELOW batch 7: batch 7 may still replay,
+    // so the sidecar must ride through the swap
+    Search.compactSearchIndex(spark, path, foldBelow = 5L)
+    assert(new java.io.File(path + "/_tombstones").exists,
+      "tombstones must be retained while a replayable batch remains")
+    assert(SearchProbe.scores(spark, path) === want(), "scores unchanged by the fold")
+    // THE resurrection case: batch 7 replays (at-least-once restart) and
+    // re-inserts the retracted doc's rows verbatim — the retained
+    // tombstone must keep it invisible and the scores exact
+    Search.appendSearchIndexBatch(spark, b7, path, 7L)
+    assert(SearchProbe.scores(spark, path) === want(),
+      "a replayed batch must not resurrect a retracted doc")
+    // once the watermark passes batch 7 nothing can replay: the final
+    // fold purges rows, absorbs the stats correction, clears the sidecar
+    Search.compactSearchIndex(spark, path, foldBelow = 8L)
+    assert(!new java.io.File(path + "/_tombstones").exists)
+    assert(spark.read.parquet(path).filter(col("doc_id") === target).count() === 0)
+    assert(SearchProbe.scores(spark, path) === want())
+  }
 }

@@ -524,4 +524,38 @@ class SimilaritySpec extends AnyFunSuite {
     // the stored flow still answers off the purged index (centroids intact)
     assert(Similarity.qIvfProbeStored(spark, path).count() > 0)
   }
+
+  test("LSH index retraction: probes forget; sidecar survives compaction while a batch can replay") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-annretract").toString + "/idx"
+    val base = Tables.embeddings(spark, dir)
+    // bootstrap on a slice by writing through the full-index writer's
+    // layout (the writer itself is dir-scoped, so build the same shape
+    // via a scoped batch on an empty bootstrap)
+    Similarity.writeAnnIndex(spark, dir, path)
+    // drop to a known bootstrap subset: keep it simple — the full index
+    // is the bootstrap; batch 2 re-ingests nothing (a disjoint id range
+    // synthesized by shifting)
+    val b2 = base.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+    Similarity.appendAnnIndexBatch(spark, b2, path, 2L)
+    val allBuckets = spark.read.parquet(path).select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    def visible(): Set[Long] = Similarity.probeAnnIndex(spark, path, allBuckets)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val before = visible()
+    val scoped = before.filter(_ >= 100000L).head
+    Similarity.retractVectors(spark, path, Seq(3L, scoped))
+    assert(visible() === before -- Set(3L, scoped))
+    // compaction retains the sidecar: batch 2 is replay-protected
+    Similarity.compactAnnIndex(spark, path)
+    assert(new java.io.File(path + "/_tombstones").exists,
+      "tombstones must survive while a scoped batch remains")
+    assert(visible() === before -- Set(3L, scoped))
+    // the resurrection case: batch 2 replays verbatim (pure overwrite of
+    // its own partitions) — the retained tombstone keeps hiding it
+    Similarity.appendAnnIndexBatch(spark, b2, path, 2L)
+    assert(visible() === before -- Set(3L, scoped),
+      "a replayed batch must not resurrect a retracted vector")
+  }
 }

@@ -26,13 +26,13 @@ object TestSpark {
   * derivation would let one spec silently check an old stats contract. */
 object SearchProbe {
   def scores(spark: SparkSession, path: String): Seq[(Long, Double, Long)] = {
-    import org.apache.spark.sql.functions.sum
     val hits = graft.operators.Search.probeSearchIndex(spark, path,
         graft.operators.Search.QueryTerms)
       .select("doc_id", "dl", "word", "tf")
-    val stats = spark.read.parquet(path + "/_stats")
-      .agg(sum("n_docs").as("n_docs"), (sum("sum_dl") / sum("n_docs")).as("avgdl"))
-    graft.operators.Search.scoreBm25(hits, stats).collect()
+    // stats come from the ONE shared definition (incl. the retraction
+    // correction) so the probe helper can never drift from the store
+    graft.operators.Search.scoreBm25(hits,
+        graft.operators.Search.searchStats(spark, path)).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
   }
 }
