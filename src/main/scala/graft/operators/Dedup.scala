@@ -518,13 +518,17 @@ object Dedup {
     * per-bucket cap, so retraction takes effect immediately AND
     * restores cap capacity; the retracted docs' text was never stored
     * (signatures are hashes + gram sets), so the logical delete is the
-    * visible one. Physical purge happens at the next
-    * [[compactSignatures]]: the compaction transform applies the same
-    * anti join and the rewritten store swaps in WITHOUT the sidecar —
-    * row purge and tombstone clear are ONE atomic directory swap (crash
-    * before: rows + tombstones both present, reads still filtered;
-    * crash after: both gone). The delete-then-vacuum shape of the
-    * transactional table formats, on the store's own machinery.
+    * visible one. Physical purge happens at the first
+    * [[compactSignatures]] whose replay watermark covers every scoped
+    * batch: the compaction applies the same anti join to the partitions
+    * it folds and — once nothing replayable remains — the rewritten
+    * store swaps in WITHOUT the sidecar, making row purge and tombstone
+    * clear ONE atomic directory swap (crash before: rows + tombstones
+    * both present, reads still filtered; crash after: both gone). While
+    * replay-protected batches remain, the sidecar rides through each
+    * swap so a replayed batch cannot resurrect retracted rows. The
+    * delete-then-vacuum shape of the transactional table formats, on
+    * the store's own machinery.
     *
     * The Bloom sidecar keeps the retracted buckets' bits until that
     * compaction (a Bloom filter cannot unlearn): still sound — a
@@ -700,7 +704,7 @@ object Dedup {
     * 100 TB the same shape runs against the object store, or the store
     * sits in a transactional table format and compaction is the
     * format's OPTIMIZE. */
-  def compactSignatures(s: SparkSession, path: String): Unit = {
+  def compactSignatures(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
     graft.sources.Stores.recover(s, path)
     // Pristine fast path: a store whose only batch partition is the
     // bootstrap `-1` (bootstrap write, or the result of a prior
@@ -721,17 +725,21 @@ object Dedup {
     // purge and tombstone clear are one atomic swap)
     if (storeBatchDirs(s, path).subsetOf(Set("batch_id=-1"))
         && !hasTombstones(s, path)) return
-    // Batch-SCOPED partitions survive this compaction (preserved
-    // verbatim below), and the store's replay contract lets a restarted
-    // stream re-insert any of them as a pure overwrite — so tombstoned
-    // rows are PURGED only from the folded branch, and the sidecar must
-    // ride through the swap whenever scoped partitions remain: a purge
-    // that also cleared the tombstones would let a replayed batch
-    // resurrect retracted rows with nothing left to hide them (the
-    // compliance failure, found in review). Once nothing replayable
-    // remains the sidecar is omitted and the swap clears it atomically.
-    val scopedRemain = storeBatchDirs(s, path).exists(d =>
-      d.stripPrefix("batch_id=").toLong >= 0)
+    // Batch-SCOPED partitions at/above `foldBelow` survive this
+    // compaction (preserved verbatim below), and the store's replay
+    // contract lets a restarted stream re-insert any of them as a pure
+    // overwrite — so tombstoned rows are PURGED only from the folded
+    // branch, and the sidecar must ride through the swap while any
+    // protected partition remains: a purge that also cleared the
+    // tombstones would let a replayed batch resurrect retracted rows
+    // with nothing left to hide them (the compliance failure, found in
+    // review). `foldBelow` is the caller's statement that no replay of
+    // batch ids under it can still arrive (compactSearchIndex's
+    // watermark contract — without it a store that ever saw a scoped
+    // admission could NEVER complete a physical delete); the default 0
+    // folds only unscoped partitions. Once nothing replayable remains
+    // the sidecar is omitted and the swap clears it atomically.
+    val scopedRemain = graft.sources.Stores.replayProtectedRemain(s, path, foldBelow)
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = minusTombstones(s, path, df0)
       // UNSCOPED batches (ids < 0) fold into the bootstrap partition
@@ -750,7 +758,7 @@ object Dedup {
       // loses nothing.
       val byBucket = Window.partitionBy("bucket").orderBy(col("doc_id"), col("grams"))
       val cols = Seq("doc_id", "bucket", "grams", "shard", "batch_id").map(col)
-      val folded = df.filter(col("batch_id") < 0)
+      val folded = df.filter(col("batch_id") < foldBelow)
         .withColumn("batch_id", lit(-1L))
         .dropDuplicates(Seq("doc_id", "bucket", "grams"))
         .withColumn("rn", row_number().over(byBucket))
@@ -760,7 +768,7 @@ object Dedup {
       // partitions keep their rows verbatim (hidden by the retained
       // tombstones, see scopedRemain above), so a replay stays a pure
       // overwrite of identical content
-      folded.unionByName(df0.filter(col("batch_id") >= 0)
+      folded.unionByName(df0.filter(col("batch_id") >= foldBelow)
         .withColumn("batch_id", col("batch_id").cast("long")).select(cols: _*))
     } { (df, tmp) =>
       writeSignatures(df, tmp)

@@ -311,12 +311,16 @@ object Search {
     graft.sources.Stores.recover(s, path)
     import s.implicits._
     val ids = docIds.toDF("doc_id")
+    // only ids with LIVE rows get tombstones: there is nothing to hide
+    // for a never-indexed id, and a retraction REPLAYED after the final
+    // compaction purged everything must be a no-op — a blind tombstone
+    // there would silently hide (while the stats still count) a doc
+    // later legitimately admitted under the same id, the
+    // admission-then-invisibility failure this store refuses everywhere
     val dls = s.read.parquet(path)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select("doc_id", "dl").distinct()
-    graft.sources.Stores.retractRows(s, path,
-      ids.join(dls, Seq("doc_id"), "left").na.fill(0L, Seq("dl"))
-        .select("doc_id", "dl"))
+    if (!dls.isEmpty) graft.sources.Stores.retractRows(s, path, dls)
   }
 
   /** The pending-retraction stats correction, derived from the sidecar:
@@ -328,7 +332,14 @@ object Search {
   private def tombstoneStats(s: SparkSession, path: String): (Long, Long) =
     if (!graft.sources.Stores.hasTombstones(s, path)) (0L, 0L)
     else {
-      val t = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+      val tomb = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+      // fail HERE, actionably, on a sidecar without the dl column (a
+      // foreign or hand-written sidecar) — summing a correction of 0
+      // for rows that hide real docs would silently skew every score
+      require(tomb.columns.contains("dl"),
+        s"$path/_tombstones lacks the dl column retractSearchDocs writes; " +
+          "this store's retraction sidecars must carry (doc_id, dl)")
+      val t = tomb
         .groupBy("doc_id").agg(max("dl").as("dl"))
         .filter(col("dl") > 0)
         .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
@@ -383,10 +394,7 @@ object Search {
     // The stats correction stays sidecar-derived ([[searchStats]]) until
     // the sidecar clears; the FINAL fold (nothing replayable left)
     // absorbs it into the bootstrap stats row in the same swap.
-    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-      .exists(b => b >= 0 && b >= foldBelow)
+    val scopedRemain = graft.sources.Stores.replayProtectedRemain(s, path, foldBelow)
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = graft.sources.Stores.minusTombstones(s, path, "doc_id", df0)
       df.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))

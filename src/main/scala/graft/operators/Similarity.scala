@@ -702,7 +702,7 @@ object Similarity {
     * crash-safe swap), with one extra obligation: the quantizer sidecar
     * must ride through the swap, because the lists are only meaningful
     * under the centroids that assigned them. */
-  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+  def compactIvfIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
     // pending retractions force the rewrite even on a pristine layout —
@@ -713,18 +713,18 @@ object Similarity {
         && !graft.sources.Stores.hasTombstones(s, path)) return
     val cents = readCentroids(s, path) // before the swap: read off the live dir
     // tombstoned rows purge from the FOLDED branch only; scoped
-    // partitions stay verbatim under the replay contract, so the
+    // partitions at/above the replay watermark stay verbatim, so the
     // sidecar rides through the swap while any remain — else a replayed
     // appendIvfIndexBatch would resurrect retracted vectors with
-    // nothing left to hide them (compactSignatures' rule)
-    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
-      .filter(_.startsWith("batch_id="))
-      .exists(_.stripPrefix("batch_id=").toLong >= 0)
+    // nothing left to hide them (compactSignatures' rule; `foldBelow`
+    // is the caller's no-more-replays watermark, without which a store
+    // that ever saw a scoped batch could never complete a delete)
+    val scopedRemain = graft.sources.Stores.replayProtectedRemain(s, path, foldBelow)
     graft.sources.Stores.compactInPlace(s, path)( df0 => {
       val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
-      val folded = df.filter(col("batch_id") < 0)
+      val folded = df.filter(col("batch_id") < foldBelow)
         .withColumn("batch_id", lit(-1L)).dropDuplicates()
-      folded.unionByName(df0.filter(col("batch_id") >= 0)
+      folded.unionByName(df0.filter(col("batch_id") >= foldBelow)
         .withColumn("batch_id", col("batch_id").cast("long")))
     })(
       (df, tmp) => {
@@ -740,7 +740,10 @@ object Similarity {
     * tombstone protocol ([[graft.sources.Stores.retractIds]]; the
     * signature store's [[Dedup.retractSignatures]] documents it):
     * tombstoned vec_ids vanish from every probe immediately, and the
-    * index's next compaction physically purges them in its atomic swap.
+    * first compaction whose replay watermark covers every scoped batch
+    * physically purges them in its atomic swap (until then the sidecar
+    * rides through each swap so a replayed batch cannot resurrect
+    * them).
     * The quantizer/centroid sidecar is untouched — centroids are
     * trained statistics, not per-vector state; like the signature
     * store's Bloom sidecar they may describe retracted mass until a
@@ -1172,7 +1175,7 @@ object Similarity {
     * post-compaction replay into an insert of rows already absorbed.
     * Crash-safe via [[graft.sources.Stores.compactInPlace]]; run while
     * no writer is active. */
-  def compactAnnIndex(s: SparkSession, path: String): Unit = {
+  def compactAnnIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
     graft.sources.Stores.recover(s, path)
     // Pristine fast path (compactSignatures' twin): an index whose only
     // batch partitions are the bootstrap `-1` was written deduped in one
@@ -1186,21 +1189,20 @@ object Similarity {
     if (graft.sources.Stores.subPartitionDirs(s, path)
           .filter(_.startsWith("batch_id=")).subsetOf(Set("batch_id=-1"))
         && !graft.sources.Stores.hasTombstones(s, path)) return
-    val scopedRemain = graft.sources.Stores.subPartitionDirs(s, path)
-      .filter(_.startsWith("batch_id="))
-      .exists(_.stripPrefix("batch_id=").toLong >= 0)
+    val scopedRemain = graft.sources.Stores.replayProtectedRemain(s, path, foldBelow)
     graft.sources.Stores.compactInPlace(s, path)( df0 => {
       val df = graft.sources.Stores.minusTombstones(s, path, "vec_id", df0)
-      // full-row dedup over the FOLDED (unscoped) rows only, so only
-      // true retried-append copies collapse — a re-ingested vector with
+      // full-row dedup over the FOLDED rows only, so only true
+      // retried-append copies collapse — a re-ingested vector with
       // changed embedding keeps both versions deterministically.
-      // Batch-SCOPED partitions pass through untouched AND unpurged (the
-      // replay contract: an appendAnnIndexBatch replay must stay a pure
-      // overwrite of its own still-identical partitions — tombstones are
-      // retained below to keep retracted rows hidden through replays).
-      val folded = df.filter(col("batch_id") < 0)
+      // Batch-SCOPED partitions at/above the watermark pass through
+      // untouched AND unpurged (the replay contract: an
+      // appendAnnIndexBatch replay must stay a pure overwrite of its own
+      // still-identical partitions — tombstones are retained below to
+      // keep retracted rows hidden through replays).
+      val folded = df.filter(col("batch_id") < foldBelow)
         .withColumn("batch_id", lit(-1L)).dropDuplicates()
-      folded.unionByName(df0.filter(col("batch_id") >= 0)
+      folded.unionByName(df0.filter(col("batch_id") >= foldBelow)
         .withColumn("batch_id", col("batch_id").cast("long")))
     })(
       (df, tmp) => {

@@ -213,4 +213,17 @@ object Stores {
     if (hasTombstones(s, path))
       s.read.parquet(tombstonePath(path)).coalesce(1)
         .write.parquet(tombstonePath(tmp))
+
+  /** THE tombstone-retention condition, one definition for every
+    * tombstoning store's compaction: true while any batch-scoped
+    * partition at/above the caller's replay watermark remains — i.e.
+    * while an at-least-once replay could still re-insert rows the
+    * sidecar must keep hidden ([[carryTombstonesInto]] is its partner;
+    * a compaction that folds EVERYTHING below its watermark passes a
+    * watermark above its highest batch and this returns false, letting
+    * the retraction finally complete). */
+  def replayProtectedRemain(s: SparkSession, path: String, watermark: Long): Boolean =
+    subPartitionDirs(s, path).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .exists(b => b >= 0 && b >= watermark)
 }

@@ -355,6 +355,14 @@ class DedupSpec extends AnyFunSuite {
     // tombstone must keep doc 2 invisible
     graft.sources.Sinks.overwritePartitionsDynamic(b3, store, Seq("shard", "batch_id"))
     assert(verdict() === 0, "a replayed batch must not resurrect a retracted doc")
+    // the watermark completes the delete: once the caller declares no
+    // replay below 4 can arrive, batch 3 folds, rows purge, sidecar clears
+    Dedup.compactSignatures(spark, store, foldBelow = 4L)
+    assert(!new java.io.File(store + "/_tombstones").exists,
+      "a watermark covering every scoped batch must clear the sidecar")
+    assert(spark.read.parquet(store).filter(col("doc_id") === 2L).count() === 0,
+      "the watermark fold must physically purge the retracted rows")
+    assert(verdict() === 0)
   }
 
   test("stored gate matches a driver-side brute force over a random corpus (property)") {

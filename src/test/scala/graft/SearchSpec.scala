@@ -317,5 +317,15 @@ class SearchSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "/_tombstones").exists)
     assert(spark.read.parquet(path).filter(col("doc_id") === target).count() === 0)
     assert(SearchProbe.scores(spark, path) === want())
+    // a retraction REPLAYED after the purge finds no live rows and must
+    // be a no-op — a blind tombstone here would silently swallow a doc
+    // later admitted under the same id
+    Search.retractSearchDocs(spark, path, Seq(target))
+    assert(!new java.io.File(path + "/_tombstones").exists,
+      "a post-purge retraction replay must not recreate the sidecar")
+    // retracting a never-indexed id is equally a no-op
+    Search.retractSearchDocs(spark, path, Seq(999999999L))
+    assert(!new java.io.File(path + "/_tombstones").exists)
+    assert(SearchProbe.scores(spark, path) === want())
   }
 }

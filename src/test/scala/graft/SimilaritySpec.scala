@@ -557,5 +557,13 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.appendAnnIndexBatch(spark, b2, path, 2L)
     assert(visible() === before -- Set(3L, scoped),
       "a replayed batch must not resurrect a retracted vector")
+    // the watermark completes the delete: batch 2 folds, rows purge,
+    // sidecar clears — the vector-store GDPR path can actually finish
+    Similarity.compactAnnIndex(spark, path, foldBelow = 3L)
+    assert(!new java.io.File(path + "/_tombstones").exists,
+      "a watermark covering every scoped batch must clear the sidecar")
+    assert(spark.read.parquet(path).filter(col("vec_id").isin(3L, scoped)).count() === 0,
+      "the watermark fold must physically purge the retracted vectors")
+    assert(visible() === before -- Set(3L, scoped))
   }
 }
