@@ -75,7 +75,14 @@ object Maintenance {
       lmModel: Option[(String, Long)] = None,       // (path, foldBelow)
       signatureStore: Option[String] = None,
       annIndex: Option[String] = None,
-      ivfIndex: Option[String] = None)
+      ivfIndex: Option[String] = None,
+      // replay watermark for the three stores above (their compactions
+      // fold scoped batches below it, which is what lets a pending
+      // RETRACTION physically complete — Dedup.retractSignatures). One
+      // value, not per-store: the protecting checkpoint is the ingest
+      // stream's, shared by whatever stores it feeds; 0 = fold nothing
+      // scoped (always safe).
+      retractionFoldBelow: Long = 0L)
 
   /** The standard sweep: every data-plane store the engine can
     * materialize, plus the control store's own upkeep (event-log
@@ -88,11 +95,14 @@ object Maintenance {
       layout.lmModel.map { case (p, w) =>
         Task("compact-lm-model", () => graft.operators.TextOps.compactLmModel(s, p, w)) },
       layout.signatureStore.map(p =>
-        Task("compact-signatures", () => graft.operators.Dedup.compactSignatures(s, p))),
+        Task("compact-signatures", () =>
+          graft.operators.Dedup.compactSignatures(s, p, layout.retractionFoldBelow))),
       layout.annIndex.map(p =>
-        Task("compact-ann-index", () => graft.operators.Similarity.compactAnnIndex(s, p))),
+        Task("compact-ann-index", () =>
+          graft.operators.Similarity.compactAnnIndex(s, p, layout.retractionFoldBelow))),
       layout.ivfIndex.map(p =>
-        Task("compact-ivf-index", () => graft.operators.Similarity.compactIvfIndex(s, p)))
+        Task("compact-ivf-index", () =>
+          graft.operators.Similarity.compactIvfIndex(s, p, layout.retractionFoldBelow)))
     ).flatten
     val control = store match {
       case sw: StateStore => Seq(
