@@ -140,17 +140,36 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.3f s  $planStages%3d stages")
       (name, fn, sec)
     }
+    // Per-query floor table, loaded BEFORE the re-measure pass so the
+    // gate's verdict can feed it (see below). Semantics documented at the
+    // gate itself.
+    val floors: Map[String, Double] =
+      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse {
+        System.err.println("[bench] no bench_floors.json resource; regression gate skipped")
+        Map.empty
+      }
+    def gateFlags(n: String, sec: Double): Boolean =
+      floors.get(n).exists(f => sec > 2 * f && sec - f > 0.5)
     // Outlier re-measure, TIME-SEPARATED from the first pass: round-10's
     // phantom regression cluster (q_rollup 0.27→5.07 s with an unchanged
     // plan, both back-to-back reps slow) was a sustained external-load
     // window on the host — back-to-back reps share the window, so min-of-k
     // cannot damp it. Queries that measured expensive get ONE more rep
     // after the whole sweep (minutes later), when any transient load has
-    // moved on; min picks the honest figure. q_dedup_clusters is excluded
-    // for the same reason it is single-shot above: a re-run would measure
-    // its memoized stage, not the operator.
+    // moved on; min picks the honest figure. ANY gate-flagged query gets
+    // the rep too, regardless of absolute time: round 12 shipped two
+    // sub-second gate flags (q_quantiles 0.736, q_quality_funnel 0.717)
+    // that sat just UNDER the 0.75 s outlier bar, so the rep designed to
+    // damp exactly that transient-load case never ran for the two queries
+    // that needed it. q_dedup_clusters is excluded for the same reason it
+    // is single-shot above: a re-run would measure its memoized stage,
+    // not the operator.
     val results = firstPass.map { case (name, fn, sec) =>
-      if (sec <= 0.75 || name == "q_dedup_clusters") name -> sec
+      if ((sec <= 0.75 && !gateFlags(name, sec)) || name == "q_dedup_clusters") name -> sec
       else {
         val (again, ok) = measureOnce(name, fn, s"graft bench re-measure: $name")
         if (ok && again < sec)
@@ -170,19 +189,10 @@ object Bench {
     // ratio gate on a 90 ms floor would cry wolf every round. Loud on
     // stderr + a "regressions" field in the JSON line; exit stays 0 (the
     // driver records rc — the signal is for the judge/next round, not a
-    // build failure).
-    val floors: Map[String, Double] =
-      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse {
-        System.err.println("[bench] no bench_floors.json resource; regression gate skipped")
-        Map.empty
-      }
-    val regressions = results.filter { case (n, sec) =>
-      floors.get(n).exists(f => sec > 2 * f && sec - f > 0.5)
-    }
+    // build failure). The floor table itself is loaded above the
+    // re-measure pass, which uses the same predicate to grant flagged
+    // queries their time-separated rep before the verdict is recorded.
+    val regressions = results.filter { case (n, sec) => gateFlags(n, sec) }
     regressions.foreach { case (n, sec) =>
       System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s")
     }

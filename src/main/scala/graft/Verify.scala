@@ -49,8 +49,12 @@ object Verify {
       case c => c.toString
     } + "\""
     // Full oracle map: static SQL replays + the differential expected
-    // parquet (written under outDir/_expected so it outlives this JVM for
-    // the driver's DuckDB pass). A failed expected-generation falls back
+    // parquet (written to a SIBLING of outDir — `<outDir>_expected` — so
+    // it outlives this JVM for the driver's DuckDB pass WITHOUT appearing
+    // inside the query dump dir: the driver treats every outDir
+    // subdirectory as a query dump, and an in-dir `_expected` produced a
+    // permanent `"err": "no_oracle"` pseudo-row in CORRECTNESS_r12).
+    // A failed expected-generation falls back
     // to the static map — the differential queries drop to rows-only
     // checks (every writeAll key), which beats a zeroed round.
     // A dev-subset run (GRAFT_VERIFY_ONLY) whose queries all have static
@@ -63,7 +67,7 @@ object Verify {
     val oracles =
       if (!needsExpected) SparkEntry.oracleSql
       else try SparkEntry.oracleSqlFor(spark, sfDir,
-        new java.io.File(outDir, "_expected").getAbsolutePath)
+        new java.io.File(new java.io.File(outDir).getAbsolutePath + "_expected").getAbsolutePath)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] expected-oracle generation failed: $e")
         SparkEntry.oracleSql

@@ -49,6 +49,27 @@ object BloomJoin {
     val dimKeys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
     val bytes = Dedup.bloomOfBuckets(s,
       dimKeys.select(col(dimKey).cast("string").as("bucket")))
+    // The filter is sized for Dedup's stored-bucket cardinality
+    // (BloomBits, ~7 bits/key at ~150k keys). A dim far above that
+    // saturates the bit array and the false-positive rate climbs toward
+    // 1 — still CORRECT (the exact semi join downstream removes every
+    // false positive) but the pre-filter silently stops shrinking the
+    // fact exchange, defeating its stated purpose. The expected FP rate
+    // is free to compute from the built filter itself (p = (set/m)^k),
+    // so warn loudly when the pre-filter has degraded to a near-no-op
+    // instead of letting the regression hide in plan timings.
+    locally {
+      val (k, bits) = graft.functions.GBloom.decode(bytes)
+      val m = bits.length * 64L
+      val set = bits.map(w => java.lang.Long.bitCount(w).toLong).sum
+      val fp = math.pow(set.toDouble / m, k.toDouble)
+      if (fp > 0.25)
+        System.err.println(
+          f"[bloomSemiJoin] WARNING: filter saturation ${set.toDouble / m}%.2f " +
+            f"=> expected false-positive rate $fp%.2f — the dim key count far " +
+            "exceeds the filter's design cardinality; the pre-filter passes " +
+            "most fact rows. Result stays exact; resize BloomBits for this dim.")
+    }
     val candidates = fact
       .filter(Dedup.bloomContainsCol(s, col(factKey).cast("string"), bytes))
     candidates.join(dimKeys,

@@ -113,9 +113,21 @@ object Dedup {
     * bound that keeps the self-join linear in corpus size. */
   private val SubstrSeedCap = 64
 
-  /** EXACT maximal duplicated substrings of ≥ [[SubstrSeedK]] tokens
-    * across the corpus — the suffix-array dedup of Lee et al. 2022
-    * re-expressed relationally as seed-and-extend, with no suffix array:
+  /** Maximal duplicated substrings of ≥ [[SubstrSeedK]] tokens across
+    * the corpus — the suffix-array dedup of Lee et al. 2022 re-expressed
+    * relationally as seed-and-extend, with no suffix array. Output is
+    * EXACT over the seeds that survive the boilerplate cap and a LOWER
+    * BOUND overall: a duplicated span containing an interior gram more
+    * corpus-frequent than `seedCap` loses that seed, so the span is
+    * reported fragmented (two shorter runs around the popular phrase) or
+    * — if every one of its seeds is capped — suppressed. That is the
+    * deliberate price of the n²-per-gram bound; Lee et al. pay the
+    * analogous price by dropping their most frequent suffixes. Callers
+    * for whom popular-phrase-bearing spans matter raise `seedCap`
+    * (pair volume grows as Σ min(freq, cap)² per gram — linear in the
+    * cap budget, so the knob is safe to turn deliberately).
+    * [[substrRemovalSummary]]'s dup_tokens inherits the same lower-bound
+    * reading. The pipeline:
     *
     *  1. every SLIDING [[SubstrSeedK]]-word window (contrast
     *     [[spanDedup]]'s strided windows) becomes a seed row
@@ -145,7 +157,8 @@ object Dedup {
     * by Σ min(freq, cap)² per gram. The window functions partition by
     * those same high-cardinality keys, so no partition ever exceeds
     * cap (frequency window) or document length (island window). */
-  def exactSubstrings(docs: DataFrame): DataFrame = {
+  def exactSubstrings(docs: DataFrame, seedCap: Int = SubstrSeedCap): DataFrame = {
+    require(seedCap >= 2, s"seedCap must allow at least one duplicate pair, got $seedCap")
     val seeds = docs
       .select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .withColumn("n", size(col("words")))
@@ -160,7 +173,7 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("h"))
     val dup = seeds
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("cnt") >= 2 && col("cnt") <= SubstrSeedCap)
+      .filter(col("cnt") >= 2 && col("cnt") <= seedCap)
       .drop("cnt")
     val a = dup.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h"))
     val b = dup.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h"))
@@ -195,9 +208,14 @@ object Dedup {
     * island begins where a span starts past the running max end, and
     * each island contributes (max end − min start). Window partitions on
     * doc_id and each partition holds at most that document's span count
-    * — bounded by doc length, never corpus-sized. */
-  def substrRemovalSummary(docs: DataFrame): DataFrame = {
-    val spans = exactSubstrings(docs)
+    * — bounded by doc length, never corpus-sized.
+    *
+    * dup_tokens is a LOWER BOUND under the seed cap — see
+    * [[exactSubstrings]]: spans fragmented or suppressed around
+    * corpus-frequent grams surrender their capped tokens; `seedCap`
+    * raises the bound at a Σ min(freq, cap)² pair-volume price. */
+  def substrRemovalSummary(docs: DataFrame, seedCap: Int = SubstrSeedCap): DataFrame = {
+    val spans = exactSubstrings(docs, seedCap)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_tokens")).as("e"))
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")

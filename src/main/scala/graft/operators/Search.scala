@@ -353,9 +353,23 @@ object Search {
     * applied in one place and forgotten in another. */
   def searchStats(s: SparkSession, path: String): DataFrame = {
     val (k, sdl) = tombstoneStats(s, path)
+    // All-retracted guard: with every indexed doc tombstoned the avgdl
+    // denominator is 0 and the old expression silently produced a null
+    // avgdl that propagated null/NaN BM25 scores downstream. An index
+    // whose whole corpus is retracted has no meaningful global stats —
+    // fail loudly at the read (the store's no-silent-partial doctrine)
+    // instead of scoring against ghosts. raise_error keeps the check
+    // inside the lazily-composed frame, so every probe face that embeds
+    // these stats inherits the guard without an extra eager read.
     s.read.parquet(path + "/_stats")
       .agg((sum("n_docs") - lit(k)).as("n_docs"),
-        ((sum("sum_dl") - lit(sdl)) / (sum("n_docs") - lit(k))).as("avgdl"))
+        when(sum("n_docs") - lit(k) > 0,
+            (sum("sum_dl") - lit(sdl)) / (sum("n_docs") - lit(k)))
+          .otherwise(raise_error(lit(
+            s"searchStats($path): every indexed document has been retracted " +
+              "(n_docs - tombstones = 0) — avgdl is undefined; compact the " +
+              "retraction through or re-index before scoring")))
+          .as("avgdl"))
   }
 
   /** Compact the posting store: fold every batch partition BELOW the

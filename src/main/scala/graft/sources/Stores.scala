@@ -147,16 +147,44 @@ object Stores {
     * transactional formats, replay-safe. */
   def tombstonePath(path: String): String = path + "/_tombstones"
 
+  /** Memo for [[hasTombstones]] keyed by store path → (sidecar-dir
+    * mtime, verdict). Every store read (gate, probe, compaction) asks
+    * "any pending retractions?" first, and for the overwhelmingly common
+    * store that never sees a retraction that question was a directory
+    * listing per read on the hot path. The sidecar dir's mtime advances
+    * whenever a retraction file is renamed in or purged (rename into a
+    * directory updates its mtime on both POSIX and HDFS), so a cached
+    * verdict is valid exactly while the mtime is unchanged; the absent
+    * case costs one getFileStatus (the same single RPC the old exists()
+    * already paid) and same-JVM writers invalidate explicitly. */
+  private val tombstoneVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+
+  private[graft] def invalidateTombstoneCache(path: String): Unit =
+    tombstoneVerdicts.remove(path)
+
   /** True only when the sidecar holds at least one COMMITTED parquet
     * file — a bare directory (a crashed first retraction's residue, or
     * an fs that materializes parents eagerly) must read as "no pending
     * retractions", not brick every store read with an unreadable-parquet
-    * error. */
+    * error. Verdict memoized per (path, sidecar mtime) — see
+    * [[tombstoneVerdicts]]. */
   def hasTombstones(s: SparkSession, path: String): Boolean = {
     val fs = fsOf(s, path)
     val p = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val stamp =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException =>
+        tombstoneVerdicts.remove(path); return false
+      }
+    val cached = tombstoneVerdicts.get(path)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val v = fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      tombstoneVerdicts.put(path, (stamp, v))
+      v
+    }
   }
 
   /** Land retraction rows (an id column, plus any per-id bookkeeping a
@@ -185,6 +213,9 @@ object Stores {
     require(fs.rename(part, new org.apache.hadoop.fs.Path(side, part.getName)),
       s"retractRows($path): could not move $part into $side")
     fs.delete(tmp, true)
+    // same-JVM readers must see the new tombstones even if the rename
+    // landed within the cached stamp's mtime granularity
+    invalidateTombstoneCache(path)
   }
 
   /** [[retractRows]] with a bare id column — the logical delete. */

@@ -240,6 +240,29 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
 
   // ---- time travel --------------------------------------------------------
 
+  /** Does this failure mean "a file that was just listed no longer
+    * exists"? Walks the cause chain: Spark wraps the underlying
+    * FileNotFound in job/analysis exceptions, and DSv2 path resolution
+    * reports a vanished root as an AnalysisException whose message (not
+    * class) carries "Path does not exist". */
+  private def fileVanished(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: java.nio.file.NoSuchFileException => return true
+        case _: java.io.FileNotFoundException => return true
+        case e if e.getMessage != null &&
+          (e.getMessage.contains("Path does not exist") ||
+            e.getMessage.contains("PATH_NOT_FOUND")) => return true
+        case _ =>
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** One kind's frame AS OF commit version `asOf` — exactly the table a
     * reader saw when `asOf` was the newest commit (Delta-style time
     * travel; the commit version is the store's only clock, so "as of"
@@ -287,7 +310,14 @@ final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEve
           }
         }
       } catch {
-        case e: java.nio.file.NoSuchFileException =>
+        // a checkpoint GC'd between the directory check and the Spark
+        // parquet read surfaces as a Spark-side FileNotFound /
+        // AnalysisException (possibly nested in a job failure), not the
+        // NIO NoSuchFileException the commit-log reads throw — and as-of
+        // reads target OLD checkpoints, the prime GC candidates, so both
+        // shapes are the same retryable race. Anything that is not a
+        // vanished-file signal anywhere in its cause chain stays fatal.
+        case scala.util.control.NonFatal(e) if fileVanished(e) =>
           lastProblem = e.toString; attempt += 1
       }
     }
