@@ -232,7 +232,18 @@ object TextOps {
     * comparable across runs). Layout: (rank, left, right) parquet rows,
     * rank = merge priority — tiny index metadata, written through the
     * crash-safe [[graft.sources.Stores.overwriteAside]] swap like every
-    * store here. */
+    * store here.
+    *
+    * NON-RETRACTABLE BY DESIGN: unlike the LM/NB count stores
+    * ([[retractLmDocs]]/[[retractNbDocs]]), a merge table is trained
+    * STATISTICS, not stored content — the greedy merge order is a
+    * global argmax sequence, so removing one doc's pair counts can
+    * reorder every later merge and there is no per-doc correction that
+    * reproduces a retrain (the IVF centroids ride through retraction on
+    * the same reasoning). A deployment's delete obligation for a
+    * tokenizer is retraining on the surviving corpus, a policy
+    * decision, not a store operation; the docs THEMSELVES retract from
+    * the content stores. */
   def writeBpeModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
     val merges = bpeMergesOf(docs)
     graft.sources.Stores.overwriteAside(s, path) { tmp =>
@@ -708,24 +719,39 @@ object TextOps {
       lmGrams(docs).groupBy("bg").agg(count(lit(1)).as("c2"))
         .withColumn("batch_id", lit(-1L))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
-      // vocabulary is NOT additive (|A ∪ B| ≠ |A| + |B|), so the store
-      // keeps the distinct word SET per batch and the loader counts the
-      // union — vocab-cardinality rows, still model-plane metadata
-      lmWords(docs).withColumn("batch_id", lit(-1L))
+      // vocabulary is NOT additive as a SET (|A ∪ B| ≠ |A| + |B|), so
+      // the store keeps per-word DOCUMENT FREQUENCY per batch: Σ df
+      // across doc-disjoint batches is the corpus df, the loader's
+      // net-df > 0 test reproduces the distinct-word count exactly, and
+      // — the reason df rather than the round-11 word set — a count can
+      // SHRINK under [[retractLmDocs]], where a set cannot (whether a
+      // word survives a doc's removal depends on how many other docs
+      // carry it, which is exactly df). Vocab-cardinality rows, still
+      // model-plane metadata.
+      lmWordDf(docs).withColumn("batch_id", lit(-1L))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
     }
 
-  /** The distinct word set of a corpus — the vocabulary's stored form. */
+  /** The distinct word set of a corpus. */
   private def lmWords(docs: DataFrame): DataFrame =
     docs.select(split(normText(col("text")), " ").as("words"))
       .select(explode(col("words")).as("w")).distinct()
 
-  /** Grow the stored LM: the batch's bigram counts and word set land as
+  /** Per-word document frequency — the vocabulary's stored form (same
+    * tokenization as [[lmWords]]; the lmGrams contract). */
+  private def lmWordDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      .distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+
+  /** Grow the stored LM: the batch's bigram counts and word dfs land as
     * dynamic overwrites of their batch_id partitions — replay-idempotent
     * (a retried batch rewrites itself) and EXACT at any append depth,
-    * because counts sum and word sets union at load. The one-shot
-    * bootstrap id -1 is reserved ([[graft.operators.Dedup.appendSignatures]]'
-    * convention). */
+    * because counts and dfs sum at load. Batches must be DOC-disjoint
+    * (the posting store's precondition): a doc ingested under two batch
+    * ids counts twice, and [[retractLmDocs]] of that doc would subtract
+    * only one copy. The one-shot bootstrap id -1 is reserved
+    * ([[graft.operators.Dedup.appendSignatures]]' convention). */
   def appendLmBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit = {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
@@ -734,17 +760,115 @@ object TextOps {
         .withColumn("batch_id", lit(batchId)).coalesce(1),
       path, Seq("batch_id"))
     graft.sources.Sinks.overwritePartitionsDynamic(
-      lmWords(docs).withColumn("batch_id", lit(batchId)).coalesce(1),
+      lmWordDf(docs).withColumn("batch_id", lit(batchId)).coalesce(1),
       path + "/_vocab", Seq("batch_id"))
   }
 
+  /** The LM store's pending-retraction corrections, derived from its
+    * tombstone sidecar: (negative bigram counts, negative word dfs),
+    * each keyed ready to left-join the stored frames. The sidecar's
+    * `distinct()` is the replay-idempotency mechanism — a replayed
+    * [[retractLmDocs]] appends rows identical to the first (same doc,
+    * same text, same counts) and the distinct collapses them, so no
+    * retraction can ever subtract twice. */
+  private def lmCorrections(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val side = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+    (side.filter(col("kind") === "bg")
+      .groupBy(col("k").as("bg")).agg(sum("c").as("cneg")),
+      side.filter(col("kind") === "w")
+        .groupBy(col("k").as("w")).agg(sum("c").as("dfneg")))
+  }
+
+  /** Retract documents from the stored LM — the trained-MODEL half of
+    * the deletion story (the signature/vector/posting stores cover the
+    * index half). A count model aggregates doc identity away at
+    * training, so the caller supplies the retracted docs VERBATIM
+    * (doc_id + text — the GDPR-delete shape: the deleting party holds
+    * the doc being deleted); their bigram counts and word dfs re-derive
+    * through the SAME [[lmGrams]]/[[lmWordDf]] definitions training
+    * used, and land as negative corrections in the store's tombstone
+    * sidecar ([[graft.sources.Stores.retractRows]] — atomic, crash-safe).
+    * Every reader subtracts the corrections ([[lmScoreStored]] via
+    * [[lmCorrections]]), so surviving scores equal a retrain on the
+    * surviving corpus IMMEDIATELY and bit-for-bit (TextOpsSpec pins the
+    * equality); [[compactLmModel]]'s final fold absorbs the correction
+    * physically in the same atomic swap that clears the sidecar.
+    *
+    * Replay-idempotent: a replayed retraction appends rows identical to
+    * the first and the reader's distinct collapses them. Retracting a
+    * doc the store never trained on fails LOUDLY here — its correction
+    * would drive some net count negative, which the subtractability
+    * check below refuses before anything is written (the posting
+    * store's never-indexed-id refusal, adapted to counts). Same-text
+    * re-retraction of an already-retracted doc is the replay case
+    * (no-op); a DIFFERENT text under a retracted doc_id is a caller
+    * error the check catches whenever the new text's counts exceed what
+    * remains. */
+  def retractLmDocs(s: SparkSession, path: String, docs: DataFrame): Unit = {
+    graft.sources.Stores.recover(s, path)
+    val bgRows = lmGrams(docs).groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), lit("bg").as("kind"), col("bg").as("k"), col("c"))
+    val wRows = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      .distinct()
+      .select(col("doc_id"), lit("w").as("kind"), col("w").as("k"), lit(1L).as("c"))
+    val rows = bgRows.unionByName(wRows)
+    require(!rows.isEmpty, s"retractLmDocs($path): empty retraction set")
+    // Subtractability check on the FUTURE correction set — distinct of
+    // (already-pending sidecar rows ∪ this call's rows), exactly what
+    // readers will subtract after the append. Checking the future set
+    // rather than "net minus new" is what makes an exact REPLAY pass
+    // vacuously (its rows are already in the set, so the future equals
+    // the present, which held by induction) while a genuinely new
+    // over-subtraction still refuses. Two jobs over model-plane
+    // (vocab²-bounded) frames — the price of a rare maintenance op
+    // failing early instead of poisoning every later score.
+    val future =
+      if (!graft.sources.Stores.hasTombstones(s, path)) rows
+      else s.read.parquet(graft.sources.Stores.tombstonePath(path)).unionByName(rows)
+    val futDistinct = future.distinct()
+    val fut2 = futDistinct.filter(col("kind") === "bg")
+      .groupBy(col("k").as("bg")).agg(sum("c").as("cfut"))
+    val futW = futDistinct.filter(col("kind") === "w")
+      .groupBy(col("k").as("w")).agg(sum("c").as("dffut"))
+    val lm2 = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
+    val vw = s.read.parquet(path + "/_vocab").groupBy("w").agg(sum("df").as("df"))
+    val badBg = fut2.join(lm2, Seq("bg"), "left")
+      .filter(coalesce(col("c2"), lit(0L)) < col("cfut"))
+      .select("bg").limit(5).collect().map(_.getString(0))
+    require(badBg.isEmpty,
+      s"retractLmDocs($path): retraction subtracts bigram counts the stored LM " +
+        s"does not hold (e.g. ${badBg.mkString("'", "', '", "'")}) — the docs were " +
+        "not trained into this store (or were already retracted with different text)")
+    val badW = futW.join(vw, Seq("w"), "left")
+      .filter(coalesce(col("df"), lit(0L)) < col("dffut"))
+      .select("w").limit(5).collect().map(_.getString(0))
+    require(badW.isEmpty,
+      s"retractLmDocs($path): retraction subtracts word dfs the stored LM does " +
+        s"not hold (e.g. ${badW.mkString("'", "', '", "'")}) — the docs were not " +
+        "trained into this store (or were already retracted with different text)")
+    graft.sources.Stores.retractRows(s, path, rows)
+  }
+
   /** Compact the stored LM: batch partitions below the caller's replay
-    * watermark fold into the bootstrap — counts SUM per bigram, word
-    * sets union distinct — score-preserving by construction (the loader
-    * computes exactly those folds on every read) and crash-safe via
+    * watermark fold into the bootstrap — counts and word dfs SUM —
+    * score-preserving by construction (the loader computes exactly
+    * those folds on every read) and crash-safe via
     * [[graft.sources.Stores.compactInPlace]]. The maintenance op that
     * bounds partition growth under continuous ingest, as for the
-    * posting store. */
+    * posting store.
+    *
+    * Retraction interplay — one deliberate divergence from the posting
+    * store: corrections here are count subtractions against CORPUS
+    * TOTALS, not per-doc rows, so they cannot be attributed to the
+    * folded branch while any replay-protected batch remains (the
+    * retracted doc's grams may live in an unfolded batch a replay would
+    * rewrite). While such batches remain the sidecar rides through the
+    * swap untouched and reads keep deriving the correction; the FINAL
+    * fold (nothing replayable left, so folded = the whole store)
+    * subtracts the corrections from the folded counts/dfs, drops
+    * net-zero rows, and omits the sidecar from the temp dir — physical
+    * purge and tombstone clearance in one atomic swap. */
   def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit = {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
@@ -769,20 +893,39 @@ object TextOps {
     if (batchDirs(path).isEmpty && batchDirs(path + "/_vocab").isEmpty) return
     val ids = (batchDirs(path) ++ batchDirs(path + "/_vocab"))
       .filter(b => b >= 0 && b < foldBelow)
-    if (ids.isEmpty) return
+    // pending retractions force the rewrite even with nothing to fold:
+    // compaction is their physical-purge step (the posting-store rule)
+    if (ids.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
+    val scopedRemain =
+      graft.sources.Stores.replayProtectedRemain(s, path, foldBelow) ||
+        graft.sources.Stores.replayProtectedRemain(s, path + "/_vocab", foldBelow)
+    val absorb = graft.sources.Stores.hasTombstones(s, path) && !scopedRemain
     graft.sources.Stores.compactInPlace(s, path) { df0 =>
       val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
-      df.filter(col("batch_id") < foldBelow)
-        .groupBy("bg").agg(sum("c2").as("c2")).withColumn("batch_id", lit(-1L))
+      val folded0 = df.filter(col("batch_id") < foldBelow)
+        .groupBy("bg").agg(sum("c2").as("c2"))
+      val folded =
+        if (!absorb) folded0
+        else folded0.join(lmCorrections(s, path)._1, Seq("bg"), "left")
+          .select(col("bg"), (col("c2") - coalesce(col("cneg"), lit(0L))).as("c2"))
+          .filter(col("c2") > 0)
+      folded.withColumn("batch_id", lit(-1L))
         .unionByName(df.filter(col("batch_id") >= foldBelow))
     } { (df, tmp) =>
       df.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
       val vw = s.read.parquet(path + "/_vocab")
         .withColumn("batch_id", col("batch_id").cast("long"))
-      vw.filter(col("batch_id") < foldBelow).select("w").distinct()
-        .withColumn("batch_id", lit(-1L))
+      val vf0 = vw.filter(col("batch_id") < foldBelow)
+        .groupBy("w").agg(sum("df").as("df"))
+      val vf =
+        if (!absorb) vf0
+        else vf0.join(lmCorrections(s, path)._2, Seq("w"), "left")
+          .select(col("w"), (col("df") - coalesce(col("dfneg"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+      vf.withColumn("batch_id", lit(-1L))
         .unionByName(vw.filter(col("batch_id") >= foldBelow))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
+      if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
     }
   }
 
@@ -795,19 +938,33 @@ object TextOps {
   private[graft] def lmScoreStored(s: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    // counts SUM across batch partitions (additive appends) and the
-    // vocabulary is the distinct union of the per-batch word sets —
-    // exactly what a single-shot training run over the union computes,
-    // so the stored LM is exact at any append depth
-    val lm2 = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
+    // counts and word dfs SUM across batch partitions (additive appends)
+    // — exactly what a single-shot training run over the union computes,
+    // so the stored LM is exact at any append depth; pending retractions
+    // subtract as negative corrections ([[lmCorrections]]), dropping
+    // net-zero grams/words, so the model a scorer sees IS the model a
+    // retrain on the surviving corpus would produce
+    val lm2all = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
+    val vwAll = s.read.parquet(path + "/_vocab").groupBy("w").agg(sum("df").as("df"))
+    val (lm2, v) =
+      if (!graft.sources.Stores.hasTombstones(s, path))
+        // the vocabulary size collects as one scalar (model-plane) so a
+        // degenerate model fails LOUDLY: v = 0 (an empty training
+        // corpus) would otherwise score every gram ln(1/0) = ∞,
+        // fixed-pointed silently to Long.MaxValue
+        (lm2all, vwAll.count())
+      else {
+        val (c2n, dfn) = lmCorrections(s, path)
+        (lm2all.join(c2n, Seq("bg"), "left")
+          .select(col("bg"), (col("c2") - coalesce(col("cneg"), lit(0L))).as("c2"))
+          .filter(col("c2") > 0),
+          vwAll.join(dfn, Seq("w"), "left")
+            .filter(col("df") - coalesce(col("dfneg"), lit(0L)) > 0).count())
+      }
     val lm1 = lmContexts(lm2)
-    // the vocabulary size collects as one scalar (model-plane) so a
-    // degenerate model fails LOUDLY: v = 0 (an empty training corpus)
-    // would otherwise score every gram ln(1/0) = ∞, fixed-pointed
-    // silently to Long.MaxValue
-    val v = s.read.parquet(path + "/_vocab")
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    require(v > 0, s"stored LM at $path has an empty vocabulary — refusing to score")
+    require(v > 0, s"stored LM at $path has an empty vocabulary — refusing to score" +
+      " (an all-retracted store has no meaningful model: compact the retraction" +
+      " through or re-train)")
     val logpFp = round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
       / (coalesce(col("c1"), lit(0L)) + lit(v))) * lit(1e6)).cast(LongType)
     lmGrams(docs).join(lm2, Seq("bg"), "left").join(lm1, Seq("w1"), "left")
@@ -826,6 +983,25 @@ object TextOps {
     graft.sources.TmpStores.buildOnce(path)(
       writeLmModel(s, Tables.documents(s, dir), path))
     lmScoreStored(s, Tables.documents(s, dir), path)
+  }
+
+  /** The stored LM after a RETRACTION (its own store path — q_lm_probe's
+    * shared store must never carry these tombstones): train on the full
+    * corpus, retract every doc_id % 7 = 3, score the SURVIVORS. The
+    * oracle replays the in-query LM trained on a corpus the retracted
+    * docs were simply never part of — retracted and never-trained must
+    * be indistinguishable to a scorer, which is exactly the model
+    * retraction contract (and needs the correction on counts, contexts,
+    * AND the vocabulary size to hold bit-for-bit). */
+  def qLmRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val retracted = pmod(col("doc_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-lmretract", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeLmModel(s, docs, path)
+      retractLmDocs(s, path, docs.filter(retracted))
+    }
+    lmScoreStored(s, docs.filter(!retracted), path)
   }
 
   // ---- Naive-Bayes quality classifier --------------------------------------
@@ -929,8 +1105,133 @@ object TextOps {
       val clsStored = s.read.parquet(tmp)
       val tot = clsStored.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
         count(lit(1)).as("v"))
-      tot.crossJoin(nbPrior(labels)).coalesce(1).write.parquet(tmp + "/_meta")
+      // label doc counts ride in _meta beside the prior they determine:
+      // prior_fp is a LOG of doc counts, not invertible, so exact prior
+      // recomputation under retraction needs the counts themselves
+      val docCounts = labels.agg(count(lit(1)).as("n_docs"),
+        sum("flagged").cast(LongType).as("n_flagged"))
+      tot.crossJoin(nbPrior(labels)).crossJoin(docCounts)
+        .coalesce(1).write.parquet(tmp + "/_meta")
     } finally labels.unpersist()
+  }
+
+  /** Retract documents from the stored NB classifier — [[retractLmDocs]]'
+    * contract transplanted (caller supplies the retracted docs verbatim;
+    * corrections re-derive through the training definitions; sidecar
+    * distinct = replay idempotency; subtractability refusal for docs the
+    * model never saw). The per-token corrections carry the doc's OWN
+    * weak label ([[nbLabels]] is a pure per-doc function of its text, so
+    * the label re-derives identically to training), routing each count
+    * to the class it was trained into; per-doc label rows shrink the
+    * doc-count prior. Docs outside the model's domain (< 2 words)
+    * produce no rows — exactly as training ignored them. */
+  def retractNbDocs(s: SparkSession, path: String, docs: DataFrame): Unit = {
+    graft.sources.Stores.recover(s, path)
+    require(s.read.parquet(path + "/_meta").columns.contains("n_docs"),
+      s"stored NB model at $path predates retraction support (its _meta lacks " +
+        "doc counts) — re-train with writeNbModel before retracting")
+    val labels = nbLabels(docs)
+    val tokRows = nbToks(docs).join(labels, "doc_id")
+      .groupBy("doc_id", "w", "flagged").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), lit("tok").as("kind"), col("w").as("k"),
+        col("c"), col("flagged").cast("int").as("flagged"))
+    val labelRows = labels
+      .select(col("doc_id"), lit("label").as("kind"), lit("").as("k"),
+        lit(1L).as("c"), col("flagged").cast("int").as("flagged"))
+    val rows = tokRows.unionByName(labelRows)
+    if (rows.isEmpty) return // out-of-domain docs: training never saw them
+    // subtractability on the FUTURE correction set (pending ∪ new,
+    // distinct) — [[retractLmDocs]]' replay-tolerant form of the guard
+    val cls = s.read.parquet(path)
+    val future =
+      if (!graft.sources.Stores.hasTombstones(s, path)) rows
+      else s.read.parquet(graft.sources.Stores.tombstonePath(path)).unionByName(rows)
+    val futCorr = future.distinct().filter(col("kind") === "tok")
+      .groupBy(col("k").as("w")).agg(
+        sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("pfut"),
+        sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("nfut"))
+    val bad = futCorr.join(cls, Seq("w"), "left")
+      .filter(coalesce(col("c_pos"), lit(0L)) < col("pfut") ||
+        coalesce(col("c_neg"), lit(0L)) < col("nfut"))
+      .select("w").limit(5).collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"retractNbDocs($path): retraction subtracts class counts the stored model " +
+        s"does not hold (e.g. ${bad.mkString("'", "', '", "'")}) — the docs were " +
+        "not trained into this store (or were already retracted with different text)")
+    graft.sources.Stores.retractRows(s, path, rows)
+  }
+
+  /** Pending per-token class-count corrections from the NB sidecar
+    * (distinct = replay-idempotent, as for the LM). */
+  private def nbTokCorrections(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+      .filter(col("kind") === "tok")
+      .groupBy(col("k").as("w")).agg(
+        sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("ppend"),
+        sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("npend"))
+
+  /** The stored NB model NET of pending retractions: the class-count
+    * frame with corrections subtracted and zeroed tokens dropped, plus
+    * the recomputed scalar totals (token totals, vocabulary size, doc
+    * counts, and the prior re-derived from the shrunk doc counts
+    * through the same Spark round/log expression training used, so the
+    * fixed-point value is bit-identical to a retrain). One definition
+    * for the scoring face and [[compactNbModel]]. */
+  private def nbNetModel(s: SparkSession, path: String)
+      : (DataFrame, Long, Long, Long, Long, Long, Long) = {
+    val cls = s.read.parquet(path)
+    val corr = nbTokCorrections(s, path)
+    val clsNet = cls.join(corr, Seq("w"), "left")
+      .select(col("w"),
+        (col("c_pos") - coalesce(col("ppend"), lit(0L))).as("c_pos"),
+        (col("c_neg") - coalesce(col("npend"), lit(0L))).as("c_neg"))
+      .filter(col("c_pos") + col("c_neg") > 0)
+    val t = clsNet.agg(coalesce(sum("c_pos"), lit(0L)), coalesce(sum("c_neg"), lit(0L)),
+      count(lit(1))).collect()(0)
+    val (nPos, nNeg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val lab = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+      .filter(col("kind") === "label")
+      .agg(count(lit(1)), coalesce(sum("flagged"), lit(0L))).collect()(0)
+    val (dRetract, fRetract) = (lab.getLong(0), lab.getLong(1))
+    val m = s.read.parquet(path + "/_meta").collect()(0)
+    require(m.schema.fieldNames.contains("n_docs"),
+      s"stored NB model at $path carries retractions but its _meta lacks doc " +
+        "counts — inconsistent store")
+    val nDocs = m.getAs[Long]("n_docs") - dRetract
+    val nFlagged = m.getAs[Long]("n_flagged") - fRetract
+    require(nDocs > 0,
+      s"stored NB model at $path : every trained document has been retracted — " +
+        "the prior is undefined; re-train or compact through")
+    // the prior through the SAME Spark expression as nbPrior — driver
+    // math.round differs from Spark's HALF_UP on negative halves, and a
+    // half-ulp prior drift would break bit-equality with retraining
+    val priorFp = s.range(1).select(
+      round(log((lit(nFlagged) + lit(1.0)) / (lit(nDocs - nFlagged) + lit(1.0)))
+        * lit(1e6)).cast(LongType).as("prior_fp")).collect()(0).getLong(0)
+    (clsNet, nPos, nNeg, v, priorFp, nDocs, nFlagged)
+  }
+
+  /** Physically absorb the NB store's pending retractions: rewrite the
+    * class counts net of corrections and the `_meta` scalars from the
+    * shrunk model, dropping the sidecar in the same crash-safe swap
+    * ([[graft.sources.Stores.overwriteAside]] — the temp dir simply
+    * never receives a sidecar copy). Unlike the LM there is no append
+    * path and hence no replay contract to wait out: absorption is
+    * immediate and unconditional. No-op without pending retractions. */
+  def compactNbModel(s: SparkSession, path: String): Unit = {
+    graft.sources.Stores.recover(s, path)
+    if (!graft.sources.Stores.hasTombstones(s, path)) return
+    val (clsNet, nPos, nNeg, v, priorFp, nDocs, nFlagged) = nbNetModel(s, path)
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      // clsNet reads the LIVE store + sidecar lazily inside the
+      // temp-write — both intact until the swap that follows the write
+      // (the compactInPlace discipline); no data-plane collect
+      clsNet.coalesce(1).write.parquet(tmp)
+      s.range(1).select(lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
+        lit(v).as("v"), lit(priorFp).as("prior_fp"),
+        lit(nDocs).as("n_docs"), lit(nFlagged).as("n_flagged"))
+        .coalesce(1).write.parquet(tmp + "/_meta")
+    }
   }
 
   /** Score a batch under a STORED classifier. Tokens the model never
@@ -943,19 +1244,29 @@ object TextOps {
   private[graft] def qualityClassifierStored(s: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    val cls = s.read.parquet(path)
-    // one meta row, collected (control-plane) so a degenerate model —
-    // v = 0, an empty training corpus — refuses loudly instead of
-    // scoring every token against a zero vocabulary
-    val m = s.read.parquet(path + "/_meta").collect()(0)
-    // by NAME, not ordinal (a writeNbModel column reorder must not swap
-    // denominators silently), and v — a count, never NULL — checks FIRST:
-    // an empty-domain model has NULL totals, and reading those before the
-    // guard would throw a bare NPE instead of this message
-    val v = m.getAs[Long]("v")
+    // pending retractions swap in the net model ([[nbNetModel]] — counts
+    // minus corrections, totals/vocab/prior recomputed from the shrunk
+    // model), so scores equal a retrain on the surviving corpus
+    val (cls, nPos, nNeg, v, priorFp) =
+      if (graft.sources.Stores.hasTombstones(s, path)) {
+        val (clsNet, p, n, vv, pf, _, _) = nbNetModel(s, path)
+        (clsNet, p, n, vv, pf)
+      } else {
+        val cls0 = s.read.parquet(path)
+        // one meta row, collected (control-plane) so a degenerate model —
+        // v = 0, an empty training corpus — refuses loudly instead of
+        // scoring every token against a zero vocabulary
+        val m = s.read.parquet(path + "/_meta").collect()(0)
+        // by NAME, not ordinal (a writeNbModel column reorder must not swap
+        // denominators silently), and v — a count, never NULL — checks FIRST:
+        // an empty-domain model has NULL totals, and reading those before the
+        // guard would throw a bare NPE instead of this message
+        val v0 = m.getAs[Long]("v")
+        require(v0 > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
+        (cls0, m.getAs[Long]("n_pos"), m.getAs[Long]("n_neg"),
+          v0, m.getAs[Long]("prior_fp"))
+      }
     require(v > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
-    val (nPos, nNeg, priorFp) =
-      (m.getAs[Long]("n_pos"), m.getAs[Long]("n_neg"), m.getAs[Long]("prior_fp"))
     val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / lit(nPos + v).cast("double"))
       - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / lit(nNeg + v).cast("double"))) * lit(1e6))
       .cast(LongType)
@@ -976,6 +1287,24 @@ object TextOps {
     graft.sources.TmpStores.buildOnce(path)(
       writeNbModel(s, Tables.documents(s, dir), path))
     qualityClassifierStored(s, Tables.documents(s, dir), path)
+  }
+
+  /** The stored classifier after a RETRACTION (own store path —
+    * [[qLmRetract]]'s discipline, same retracted slice): train on the
+    * full corpus, retract doc_id % 7 = 3, score the survivors. The
+    * oracle trains on a corpus that never held the retracted docs, so
+    * green means the correction reached every derived statistic: both
+    * class-count columns, the token totals, the vocabulary size, AND
+    * the doc-count prior. */
+  def qNbRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val retracted = pmod(col("doc_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-nbretract", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeNbModel(s, docs, path)
+      retractNbDocs(s, path, docs.filter(retracted))
+    }
+    qualityClassifierStored(s, docs.filter(!retracted), path)
   }
 
   // Deterministic train/val/test split: a hash-bucket Bernoulli over the
@@ -1133,8 +1462,10 @@ object TextOps {
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
     "q_lm_probe"    -> qLmProbe _,
+    "q_lm_retract"  -> qLmRetract _,
     "q_quality_classifier" -> qQualityClassifier _,
     "q_nb_probe"    -> qNbProbe _,
+    "q_nb_retract"  -> qNbRetract _,
     "q_bpe_probe"   -> qBpeProbe _,
   )
 
@@ -1145,11 +1476,16 @@ object TextOps {
     * [[graft.operators.Pipeline]]'s q_quality_funnel composes all three
     * in one WITH, so the funnel oracle can never drift from the
     * per-stage oracles. */
-  private[operators] val duckPartsCte: String =
-    """n AS (
+  /** [[duckPartsCte]] over a filtered documents slice — the retraction
+    * oracles replay the scoring pipeline on a corpus the retracted docs
+    * were never part of. */
+  private[operators] def duckPartsCteWith(pred: String): String =
+    s"""n AS (
       |  SELECT doc_id, text,
       |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ') AS parts
-      |  FROM documents)""".stripMargin
+      |  FROM documents WHERE $pred)""".stripMargin
+
+  private[operators] val duckPartsCte: String = duckPartsCteWith("TRUE")
 
   private[operators] val duckRepetitionCtes: String =
     s"""b AS (SELECT doc_id, text, parts FROM n WHERE len(parts) >= 2),
@@ -1206,11 +1542,24 @@ object TextOps {
       |$duckLmCtes
       |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin
 
+  /** [[lmScoreSql]] trained AND scored on a filtered corpus — the
+    * retraction oracle (the CTE chain derives the model from `n`, so
+    * filtering `n` IS retraining). */
+  private def lmScoreSqlWith(pred: String): String =
+    s"""WITH ${duckPartsCteWith(pred)},
+      |$duckLmCtes
+      |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin
+
   /** Shares the repetition CTEs verbatim (`w` is the labeled-domain
     * token stream, `rep` carries the weak label) — the engine and the
     * oracle train the same NB model or the differential fails. */
-  private[operators] val nbClassifierSql: String =
-    s"""WITH $duckPartsCte,
+  private[operators] val nbClassifierSql: String = nbClassifierSqlWith("TRUE")
+
+  /** The NB oracle trained and scored on a filtered corpus — the
+    * retraction oracle ([[lmScoreSqlWith]]'s argument: the whole model
+    * derives from `n`, so the filter is a retrain). */
+  private def nbClassifierSqlWith(pred: String): String =
+    s"""WITH ${duckPartsCteWith(pred)},
         |$duckRepetitionCtes,
         |tl AS (SELECT w.doc_id, w.w, flagged FROM w JOIN rep USING (doc_id)),
         |cls AS (SELECT w, CAST(sum(flagged) AS BIGINT) AS c_pos,
@@ -1296,9 +1645,15 @@ object TextOps {
     "q_lm_score" -> lmScoreSql,
     // stored-model face: same oracle — materializing the LM moves no score
     "q_lm_probe" -> lmScoreSql,
+    // retraction face: the oracle RETRAINS on a corpus the retracted docs
+    // were never part of — green means the stored-model correction equals
+    // a retrain bit-for-bit (counts, contexts, and vocabulary size)
+    "q_lm_retract" -> lmScoreSqlWith("doc_id % 7 <> 3"),
     "q_quality_classifier" -> nbClassifierSql,
     // stored-model face: same oracle — materializing the model moves nothing
     "q_nb_probe" -> nbClassifierSql,
+    // retraction face: retrain-on-survivors oracle (see q_lm_retract)
+    "q_nb_retract" -> nbClassifierSqlWith("doc_id % 7 <> 3"),
 
     "q_lang_id" ->
       """WITH n AS (

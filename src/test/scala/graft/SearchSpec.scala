@@ -328,4 +328,19 @@ class SearchSpec extends AnyFunSuite {
     assert(!new java.io.File(path + "/_tombstones").exists)
     assert(SearchProbe.scores(spark, path) === want())
   }
+
+  test("all-retracted index refuses stats loudly instead of null-propagating avgdl") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-searchempty").toString + "/idx"
+    val two = Seq((1L, "alpha beta gamma"), (2L, "delta alpha")).toDF("doc_id", "text")
+    Search.writeSearchIndexFrom(spark, two, path)
+    Search.retractSearchDocs(spark, path, Seq(1L, 2L))
+    // n_docs - tombstones = 0: avgdl is 0/0 — the old expression served a
+    // silent null that turned every downstream BM25 score null/NaN
+    val e = intercept[Exception] {
+      Search.searchStats(spark, path).collect()
+    }
+    assert(e.getMessage.contains("every indexed document has been retracted"),
+      s"got: ${e.getMessage}")
+  }
 }

@@ -660,4 +660,129 @@ class TextOpsSpec extends AnyFunSuite {
     (5L to 8L).foreach(id => assert(perDoc(id) === (("low_quality", 0)), s"doc $id"))
     (13L to 16L).foreach(id => assert(perDoc(id) === (("blocked", 0)), s"doc $id"))
   }
+
+  // ---- trained-model retraction (the round-13 GDPR-delete completion) ----
+
+  private def lmScoresOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+
+  test("LM retraction equals retraining on the survivors; replay no-ops; final compaction absorbs") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val gone = docs.filter(col("doc_id") % 5 === 2)
+    val kept = docs.filter(col("doc_id") % 5 =!= 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-lmretr").toString + "/model"
+    TextOps.writeLmModel(spark, docs, path)
+    TextOps.retractLmDocs(spark, path, gone)
+    val retracted = lmScoresOf(TextOps.lmScoreStored(spark, kept, path))
+    // retrain-on-survivors is the ground truth, bit-for-bit — including
+    // the vocabulary size, which only shrinks because the store keeps
+    // per-word df rather than a word set
+    assert(retracted === lmScoresOf(TextOps.lmScore(kept)),
+      "correction-applied scores must equal retraining on the surviving corpus")
+    // a REPLAYED retraction appends identical rows; distinct collapses them
+    TextOps.retractLmDocs(spark, path, gone)
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === retracted,
+      "a replayed retraction must not subtract twice")
+    // the final fold absorbs the correction physically and clears the sidecar
+    TextOps.compactLmModel(spark, path, foldBelow = 100L)
+    assert(!graft.sources.Stores.hasTombstones(spark, path),
+      "the final compaction must clear the tombstone sidecar")
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === retracted,
+      "absorbing the correction must not move a score")
+  }
+
+  test("LM retraction rides the sidecar past replay-protected batches; refuses never-trained docs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val boot = docs.filter(col("doc_id") % 3 === 0)
+    val late = docs.filter(col("doc_id") % 3 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-lmretr2").toString + "/model"
+    TextOps.writeLmModel(spark, boot, path)
+    TextOps.appendLmBatch(spark, late, path, 5L)
+    val gone = boot.filter(col("doc_id") % 5 === 0)
+    val kept = docs.filter(col("doc_id") % 3 =!= 2)
+      .filter(!(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0))
+    TextOps.retractLmDocs(spark, path, gone)
+    val want = lmScoresOf(TextOps.lmScore(kept))
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === want)
+    // batch 5 is ≥ the watermark: it may still replay, so the correction
+    // CANNOT be absorbed (the retracted grams' batch attribution is
+    // unknowable) — the sidecar must ride through the swap
+    TextOps.compactLmModel(spark, path, foldBelow = 3L)
+    assert(graft.sources.Stores.hasTombstones(spark, path),
+      "corrections must survive a compaction that leaves replayable batches")
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === want,
+      "riding the sidecar through a fold must not move a score")
+    // ...and the replay contract it protects actually holds: replay batch 5
+    TextOps.appendLmBatch(spark, late, path, 5L)
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === want,
+      "a replayed batch over a carried sidecar must leave scores unchanged")
+    // the final fold (watermark past batch 5) absorbs and clears
+    TextOps.compactLmModel(spark, path, foldBelow = 6L)
+    assert(!graft.sources.Stores.hasTombstones(spark, path))
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === want)
+    // never-trained docs refuse loudly, before anything lands
+    val e = intercept[IllegalArgumentException] {
+      TextOps.retractLmDocs(spark, path,
+        Seq((9999L, "zz qq xx yy")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("not trained into this store"))
+    assert(lmScoresOf(TextOps.lmScoreStored(spark, kept, path)) === want,
+      "a refused retraction must leave the store untouched")
+  }
+
+  test("all-retracted LM refuses to score rather than serving a ghost model") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-lmretr3").toString + "/model"
+    TextOps.writeLmModel(spark, two, path)
+    TextOps.retractLmDocs(spark, path, two)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.lmScoreStored(spark, two, path).collect()
+    }
+    assert(e.getMessage.contains("empty vocabulary"))
+  }
+
+  private def nbScoresOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
+
+  test("NB retraction equals retraining on the survivors; replay no-ops; compaction absorbs") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val gone = docs.filter(col("doc_id") % 5 === 2)
+    val kept = docs.filter(col("doc_id") % 5 =!= 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-nbretr").toString + "/model"
+    TextOps.writeNbModel(spark, docs, path)
+    TextOps.retractNbDocs(spark, path, gone)
+    val retracted = nbScoresOf(TextOps.qualityClassifierStored(spark, kept, path))
+    // ground truth: the in-query face retrained on the survivors — green
+    // only if the correction reached both class-count columns, the token
+    // totals, the vocabulary size, and the doc-count prior
+    assert(retracted === nbScoresOf(TextOps.qualityClassifier(kept)),
+      "correction-applied scores must equal retraining on the surviving corpus")
+    TextOps.retractNbDocs(spark, path, gone)
+    assert(nbScoresOf(TextOps.qualityClassifierStored(spark, kept, path)) === retracted,
+      "a replayed retraction must not subtract twice")
+    // physical absorption: sidecar cleared, _meta rewritten, scores frozen
+    TextOps.compactNbModel(spark, path)
+    assert(!graft.sources.Stores.hasTombstones(spark, path))
+    assert(nbScoresOf(TextOps.qualityClassifierStored(spark, kept, path)) === retracted,
+      "absorbing the correction must not move a score")
+    // the rewritten _meta IS the retrained model's meta
+    val m = spark.read.parquet(path + "/_meta").collect()(0)
+    val single = java.nio.file.Files.createTempDirectory("graft-nbsingle").toString + "/model"
+    TextOps.writeNbModel(spark, kept, single)
+    val ms = spark.read.parquet(single + "/_meta").collect()(0)
+    Seq("n_pos", "n_neg", "v", "prior_fp", "n_docs", "n_flagged").foreach { c =>
+      assert(m.getAs[Long](c) === ms.getAs[Long](c), s"_meta.$c after absorption")
+    }
+    // never-trained docs refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.retractNbDocs(spark, path,
+        Seq((9999L, "zz qq xx")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("not trained into this store"))
+  }
 }
