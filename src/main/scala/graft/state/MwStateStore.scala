@@ -61,11 +61,13 @@ private[state] final case class LogPurge(horizon: java.sql.Timestamp)
   * commit per run transition), O(writers) retry contention, bounded
   * listings. The data plane never goes through this store.
   */
-final class MwStateStore(val spark: SparkSession, val dir: String, checkpointEvery: Int = 64)
+final class MwStateStore(val spark: SparkSession, val dir: String,
+    checkpointEvery: Int = 64,
+    publisher: CommitPublisher = TxnLog.HardLink)
     extends ControlStore {
   require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
 
-  val log = new TxnLog(dir)
+  val log = new TxnLog(dir, publisher)
 
   private val ckptDir: Path = Paths.get(dir, "_ckpt")
   private def ckptPath(v: Long): Path = ckptDir.resolve(f"$v%020d")

@@ -28,22 +28,39 @@ import scala.jdk.CollectionConverters._
   * property [[MwStateStore]] exploits to make the commit version itself
   * the global `event_seq`.
   *
-  * Atomic-rename alternatives were rejected deliberately:
-  * `Files.move` without `REPLACE_EXISTING` is check-then-act on the
-  * default provider (racy), and `ATOMIC_MOVE` maps to rename(2), which
-  * silently REPLACES an existing target — either would let two writers
-  * both believe they own a version. `createLink` is the one primitive
-  * that is both atomic and fail-if-exists.
+  * The publish primitive — atomically claim a version name with a
+  * fully-written payload, failing if the version exists — is the ONE
+  * filesystem-specific piece, factored behind [[CommitPublisher]];
+  * versioning, retry, floor, checkpointing and vacuum semantics are
+  * publisher-independent. In-repo implementations (both torture-proven
+  * by the same suites):
   *
-  * Deployment scope: writers must share a filesystem where link(2) is
-  * atomic-fail-if-exists — same-machine drivers trivially, cross-machine
-  * drivers via a POSIX shared mount (NFS servers implement LINK
-  * atomically server-side; link-after-full-write keeps torn reads
-  * impossible even under client caching). A DFS control plane (HDFS,
-  * where hard links don't exist but rename is atomic no-overwrite)
-  * swaps the publish primitive behind this class — the seam is
-  * [[tryCommit]] alone; versioning, retry, checkpointing and vacuum
-  * semantics carry over unchanged.
+  *  - [[TxnLog.HardLink]] (default): `Files.createLink` — POSIX link(2)
+  *    is atomic and fails EEXIST. Plain-file rename alternatives were
+  *    rejected deliberately: `Files.move` without `REPLACE_EXISTING` is
+  *    check-then-act on the default provider (racy), and `ATOMIC_MOVE`
+  *    on a FILE maps to rename(2), which silently REPLACES an existing
+  *    target — either would let two writers both believe they own a
+  *    version.
+  *  - [[TxnLog.DirRename]]: the atomic NO-OVERWRITE rename that rename(2)
+  *    does provide — for DIRECTORIES: renaming a staging dir (payload
+  *    fully written inside) onto an existing non-empty directory fails
+  *    ENOTEMPTY atomically, so exactly one writer's staging becomes the
+  *    commit dir. For filesystems without link(2) (or where hard links
+  *    are administratively disabled).
+  *
+  * Deployment scope: writers must share a filesystem where the chosen
+  * publisher's primitive is atomic — POSIX mounts for both in-repo
+  * implementations (NFS implements LINK and RENAME atomically
+  * server-side; publish-after-full-write keeps torn reads impossible
+  * even under client caching). Deployments on other storage write a
+  * third [[CommitPublisher]] against the same five methods: HDFS =
+  * `FileSystem.rename` of a payload file (fail-if-exists is serialized
+  * in the NameNode — atomic there even though the raw-local-fs flavor
+  * of the same API is check-then-act, which is why it is not shipped
+  * here); S3/GCS = conditional put (`If-None-Match: *` / precondition
+  * generation 0) of the payload object. Versioning, retry, floor,
+  * checkpoint and vacuum semantics carry over unchanged.
   *
   * Scale: this is a CONTROL-plane log — one commit per run transition /
   * config change, payloads of a few hundred bytes. Directory listings
@@ -52,7 +69,37 @@ import scala.jdk.CollectionConverters._
   * Contention cost is O(writers) retries per commit, independent of any
   * data-plane size.
   */
-final class TxnLog(val dir: String) {
+/** The filesystem-specific third of the commit protocol: how a version
+  * is durably REPRESENTED under `_txn/` and atomically CLAIMED. The
+  * contract every implementation must honor (the torture suites drive
+  * it for both in-repo publishers):
+  *
+  *  - [[publish]] returns true iff THIS caller made `v` exist, and a
+  *    published version is complete — no reader may ever observe a
+  *    partial payload (stage fully, then claim atomically);
+  *  - a failed/crashed attempt leaves only staging residue that
+  *    [[commitVersion]] never recognizes as a commit and
+  *    [[sweepStaging]] can remove once stale;
+  *  - [[read]]/[[delete]] round-trip whatever [[publish]] wrote.
+  */
+trait CommitPublisher {
+  /** Atomically claim `txnDir/<canonical name of v>` with `payload`;
+    * true iff this writer won the version. */
+  def publish(txnDir: Path, v: Long, payload: Array[Byte]): Boolean
+  /** The payload of a published version, verbatim. */
+  def read(txnDir: Path, v: Long): Array[Byte]
+  /** Parse a directory-entry name: Some(version) iff it is a commit in
+    * this publisher's representation (staging and foreign names → None). */
+  def commitVersion(name: String): Option[Long]
+  /** Remove a published version (vacuum); idempotent. */
+  def delete(txnDir: Path, v: Long): Unit
+  /** Remove staging residue older than `cutoffMs` (epoch millis) — never
+    * a live writer's in-flight staging newer than it. */
+  def sweepStaging(txnDir: Path, cutoffMs: Long): Unit
+}
+
+final class TxnLog(val dir: String,
+    val publisher: CommitPublisher = TxnLog.HardLink) {
 
   // same driver-local contract (and reason) as StateStore: java.nio on a
   // remote URI silently resolves a literal local path — fail construction
@@ -61,18 +108,16 @@ final class TxnLog(val dir: String) {
 
   private val txnDir: Path = Paths.get(dir, "_txn")
 
-  private def commitPath(v: Long): Path = txnDir.resolve(f"$v%020d.commit")
-
-  /** Commit files only — temp files (`.tmp-*`) and foreign names are
-    * invisible, so a crashed writer's orphan staging can never be read
-    * as a commit. */
+  /** Commit entries only — staging and foreign names are invisible
+    * ([[CommitPublisher.commitVersion]]), so a crashed writer's orphan
+    * staging can never be read as a commit. */
   private def listVersions(): Seq[Long] =
     if (!Files.isDirectory(txnDir)) Seq.empty
     else {
       val s = Files.list(txnDir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.endsWith(".commit") => n.stripSuffix(".commit").toLong }
+        .flatMap(n => publisher.commitVersion(n))
         .toSeq
       finally s.close()
     }
@@ -91,26 +136,14 @@ final class TxnLog(val dir: String) {
     * returned verbatim. */
   def commitsAfter(afterVersion: Long): Seq[(Long, String)] =
     listVersions().filter(_ > afterVersion).sorted.map { v =>
-      v -> new String(Files.readAllBytes(commitPath(v)), "UTF-8")
+      v -> new String(publisher.read(txnDir, v), "UTF-8")
     }
 
   /** One attempt to claim `v` with `payload`; true iff this writer won
     * the version. */
   def tryCommit(v: Long, payload: String): Boolean = {
     Files.createDirectories(txnDir)
-    val tmp = Files.createTempFile(txnDir, ".tmp-", "")
-    try {
-      Files.write(tmp, payload.getBytes("UTF-8"))
-      try { Files.createLink(commitPath(v), tmp); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // our staging vanished before the link (a concurrent vacuum
-        // raced the age guard, an operator rm'd it): nothing was
-        // published, so "lost this attempt" is the honest answer — the
-        // commit loop re-stages and retries
-        case _: java.nio.file.NoSuchFileException => false
-      }
-    } finally Files.deleteIfExists(tmp)
+    publisher.publish(txnDir, v, payload.getBytes("UTF-8"))
   }
 
   /** Serializable read-modify-write: `payload(v)` composes the commit
@@ -170,18 +203,139 @@ final class TxnLog(val dir: String) {
     * (losers' deletes no-op). */
   def vacuum(throughVersion: Long, staleMs: Long = 10 * 60 * 1000L): Unit = {
     listVersions().filter(_ <= throughVersion)
-      .foreach(v => Files.deleteIfExists(commitPath(v)))
-    if (Files.isDirectory(txnDir)) {
-      val cutoff = System.currentTimeMillis() - staleMs
+      .foreach(v => publisher.delete(txnDir, v))
+    if (Files.isDirectory(txnDir))
+      publisher.sweepStaging(txnDir, System.currentTimeMillis() - staleMs)
+  }
+}
+
+object TxnLog {
+
+  private def commitName(v: Long): String = f"$v%020d.commit"
+
+  private def parseCommitName(name: String): Option[Long] =
+    if (!name.endsWith(".commit")) None
+    else name.stripSuffix(".commit").toLongOption
+
+  /** POSIX hard-link publisher (the default): stage to a hidden temp
+    * file, claim by `Files.createLink` — link(2) is atomic and fails
+    * EEXIST, and the link appears only after the payload is fully on
+    * disk, so a reader can never observe a partial commit. A commit is
+    * a plain FILE named `<v>.commit`. */
+  object HardLink extends CommitPublisher {
+    def publish(txnDir: Path, v: Long, payload: Array[Byte]): Boolean = {
+      val tmp = Files.createTempFile(txnDir, ".tmp-", "")
+      try {
+        Files.write(tmp, payload)
+        try { Files.createLink(txnDir.resolve(commitName(v)), tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // our staging vanished before the link (a concurrent vacuum
+          // raced the age guard, an operator rm'd it): nothing was
+          // published, so "lost this attempt" is the honest answer — the
+          // commit loop re-stages and retries
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      } finally Files.deleteIfExists(tmp)
+    }
+
+    def read(txnDir: Path, v: Long): Array[Byte] =
+      Files.readAllBytes(txnDir.resolve(commitName(v)))
+
+    def commitVersion(name: String): Option[Long] = parseCommitName(name)
+
+    def delete(txnDir: Path, v: Long): Unit =
+      Files.deleteIfExists(txnDir.resolve(commitName(v)))
+
+    def sweepStaging(txnDir: Path, cutoffMs: Long): Unit = {
       val s = Files.list(txnDir)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".tmp-"))
         .filter { p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoff
+          try Files.getLastModifiedTime(p).toMillis < cutoffMs
           catch { case _: java.io.IOException => false } // already gone
         }
         .foreach(p => Files.deleteIfExists(p))
       finally s.close()
     }
+  }
+
+  /** Atomic DIRECTORY-rename publisher — for filesystems without usable
+    * hard links. rename(2) silently replaces an existing FILE target
+    * (which is why a plain-file move can't claim a version) but fails
+    * ENOTEMPTY on an existing NON-EMPTY DIRECTORY target, atomically —
+    * so staging the payload INSIDE a directory and renaming the
+    * directory is an atomic fail-if-exists claim with the same
+    * no-torn-reads property as the link (the payload is fully on disk
+    * before the rename makes the directory appear; our protocol never
+    * creates an empty commit dir, so the replaced-if-empty edge cannot
+    * arise from a protocol participant). A commit is a DIRECTORY
+    * `<v>.commit/` containing one `payload` file. Same POSIX/NFS scope
+    * as the hard link; the kill -9 torture suite drives this publisher
+    * through the same density audit. */
+  object DirRename extends CommitPublisher {
+    def publish(txnDir: Path, v: Long, payload: Array[Byte]): Boolean = {
+      val tmp = Files.createTempDirectory(txnDir, ".stage-")
+      try {
+        Files.write(tmp.resolve("payload"), payload)
+        try {
+          Files.move(tmp, txnDir.resolve(commitName(v)),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.DirectoryNotEmptyException => false
+          // staging swept by a racing vacuum (the HardLink case): lost
+          // this attempt honestly; the commit loop re-stages
+          case _: java.nio.file.NoSuchFileException => false
+          case e: java.nio.file.FileSystemException
+            // ENOTEMPTY surfaces as the generic FileSystemException on
+            // some providers; only a taken version reads as a loss —
+            // anything else (EXDEV, EIO) stays loudly fatal
+            if Files.exists(txnDir.resolve(commitName(v))) => false
+        }
+      } finally {
+        // failed attempt: remove staging (payload file first, then dir)
+        if (Files.isDirectory(tmp)) {
+          Files.deleteIfExists(tmp.resolve("payload"))
+          Files.deleteIfExists(tmp)
+        }
+      }
+    }
+
+    def read(txnDir: Path, v: Long): Array[Byte] =
+      Files.readAllBytes(txnDir.resolve(commitName(v)).resolve("payload"))
+
+    def commitVersion(name: String): Option[Long] = parseCommitName(name)
+
+    def delete(txnDir: Path, v: Long): Unit = {
+      val d = txnDir.resolve(commitName(v))
+      Files.deleteIfExists(d.resolve("payload"))
+      Files.deleteIfExists(d)
+    }
+
+    def sweepStaging(txnDir: Path, cutoffMs: Long): Unit = {
+      val s = Files.list(txnDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage-"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoffMs
+          catch { case _: java.io.IOException => false } // already gone
+        }
+        .foreach { p =>
+          Files.deleteIfExists(p.resolve("payload"))
+          Files.deleteIfExists(p)
+        }
+      finally s.close()
+    }
+  }
+
+  /** Resolve a publisher by name — the process-boundary seam the
+    * torture driver uses (`TxnTortureMain <dir> <max> <publisher>`). */
+  def publisherNamed(name: String): CommitPublisher = name match {
+    case "hardlink" => HardLink
+    case "dirrename" => DirRename
+    case other => throw new IllegalArgumentException(
+      s"unknown commit publisher '$other' (hardlink | dirrename)")
   }
 }

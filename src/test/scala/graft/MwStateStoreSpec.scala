@@ -19,8 +19,15 @@ import graft.state.{EnvVarEvent, MonitorEvent, MwStateStore, TxnLog}
   * staging, checkpoint/vacuum equivalence — run with each "driver" as
   * its own store instance (no shared JVM locks stand in for the
   * protocol). */
-class MwStateStoreSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+class MwStateStoreSpec extends TxnLogBehaviors {
+  protected lazy val spark = TestSpark.spark
+
+  // the default publisher's binding of the protocol behaviors; the
+  // directory-rename publisher runs the same matrix in TxnLogDirRenameSpec
+  def publisher: graft.state.CommitPublisher = TxnLog.HardLink
+  def publisherName: String = "hardlink"
+  def plantCrashedStaging(txnDir: java.nio.file.Path): java.nio.file.Path =
+    Files.write(txnDir.resolve(".tmp-crashed"), "k\nghost".getBytes)
 
   private def tmpDir(): String =
     Files.createTempDirectory("graft-mw").toString
@@ -38,81 +45,7 @@ class MwStateStoreSpec extends AnyFunSuite {
 
   // ---- TxnLog protocol ----------------------------------------------------
 
-  test("txnlog: exactly one writer wins each version; losers observe the winner") {
-    val dir = tmpDir()
-    val log = new TxnLog(dir)
-    assert(log.tryCommit(1L, "a\n1"))
-    assert(!log.tryCommit(1L, "b\n1"), "second claim of a version must fail")
-    assert(log.latestVersion() === 1L)
-    assert(log.commitsAfter(0L) === Seq(1L -> "a\n1"),
-      "the losing payload must never be readable")
-  }
-
-  test("txnlog: commit retries re-derive the payload against the new snapshot") {
-    val dir = tmpDir()
-    val log = new TxnLog(dir)
-    log.commit(v => s"k\nfirst at $v")
-    var attempts = 0
-    val won = log.commit { v =>
-      attempts += 1
-      if (attempts == 1) log.tryCommit(v, s"k\nintruder at $v") // steal our version
-      s"k\nmine at $v"
-    }
-    assert(won === 3L && attempts === 2,
-      "after losing v=2 to the intruder the payload must be re-derived for v=3")
-    assert(log.commitsAfter(0L).map(_._2) ===
-      Seq("k\nfirst at 1", "k\nintruder at 2", "k\nmine at 3"))
-  }
-
-  test("txnlog: a temp file without its link is invisible and vacuum sweeps it") {
-    val dir = tmpDir()
-    val log = new TxnLog(dir)
-    log.commit(_ => "k\nreal")
-    // a writer that crashed between staging and publish
-    Files.createDirectories(Paths.get(dir, "_txn"))
-    Files.write(Paths.get(dir, "_txn", ".tmp-crashed"), "k\nghost".getBytes)
-    assert(log.latestVersion() === 1L)
-    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
-    log.vacuum(0L) // default staleness: a FRESH tmp could be in-flight
-    assert(Files.exists(Paths.get(dir, "_txn", ".tmp-crashed")),
-      "an age-blind sweep would delete live writers' in-flight staging")
-    log.vacuum(0L, staleMs = -1000L) // declared stale → swept
-    assert(!Files.exists(Paths.get(dir, "_txn", ".tmp-crashed")))
-    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
-  }
-
-  test("txnlog: the floor prevents version reuse after vacuum") {
-    val dir = tmpDir()
-    val log = new TxnLog(dir)
-    (1 to 3).foreach(i => log.commit(_ => s"k\n$i"))
-    log.vacuum(3L) // as if a checkpoint covered everything
-    assert(log.latestVersion() === 0L, "raw listing under-reports history")
-    assert(log.latestVersion(floor = 3L) === 3L)
-    val v = log.commit(_ => "k\n4", floor = 3L)
-    assert(v === 4L, "a post-vacuum commit must not reuse version 1")
-  }
-
   // ---- concurrent drivers -------------------------------------------------
-
-  test("8 racing drivers, 200 appends: seqs are exactly 1..200, all events kept") {
-    val dir = tmpDir()
-    val pool = Executors.newFixedThreadPool(8)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = (1 to 8).map { d =>
-        Future {
-          val store = new MwStateStore(spark, dir) // own instance = own driver
-          (1 to 25).map(i => store.appendMonitorEvent(ev(s"run-$d-$i")))
-        }
-      }
-      val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
-      assert(seqs.sorted === (1L to 200L), "returned seqs must be dense and unique")
-      val store = new MwStateStore(spark, dir)
-      val rows = store.monitorEvents.select("event_seq", "run_key").collect()
-      assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 200L))
-      assert(rows.map(_.getString(1)).distinct.length === 200, "no event lost")
-    } finally pool.shutdown()
-  }
 
   test("racing updEnv: final value is the max-version commit, history complete") {
     val dir = tmpDir()
@@ -266,55 +199,6 @@ class MwStateStoreSpec extends AnyFunSuite {
         "every event must survive checkpoint/vacuum churn exactly once")
       assert(rows.map(_.getString(1)).distinct.length === 60)
     } finally pool.shutdown()
-  }
-
-  test("kill -9 torture: racing writer PROCESSES die mid-protocol, log stays dense") {
-    // Real OS kill, not simulation: three plain-JVM writers (TxnLog is
-    // Spark-free, so they boot in well under a second) hammer one log
-    // and are destroyed forcibly mid-commit. Whatever instant the kill
-    // lands — half-written temp, temp without link, between link and
-    // temp-unlink — the surviving log must hold a dense 1..max version
-    // sequence of fully-formed payloads, and a fresh writer must
-    // continue at max+1.
-    val dir = tmpDir()
-    val cp = System.getProperty("java.class.path")
-    val java = System.getProperty("java.home") + "/bin/java"
-    // spawns INSIDE the try (a failed third start must still kill the
-    // first two) and bounded by maxCommits — an orphan that outlives a
-    // crashed test JVM self-terminates instead of filling the disk
-    val procs = scala.collection.mutable.ArrayBuffer.empty[Process]
-    try {
-      (1 to 3).foreach { _ =>
-        procs += new ProcessBuilder(
-            java, "-cp", cp, "graft.TxnTortureMain", dir, "100000")
-          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-          .redirectError(ProcessBuilder.Redirect.DISCARD)
-          .start()
-      }
-      // let them boot and commit for a while, then kill mid-flight
-      val deadline = System.nanoTime() + 15_000_000_000L
-      while (new TxnLog(dir).latestVersion() < 30 && System.nanoTime() < deadline)
-        Thread.sleep(100)
-    } finally {
-      procs.foreach(_.destroyForcibly())
-      procs.foreach(_.waitFor())
-    }
-    val log = new TxnLog(dir)
-    val commits = log.commitsAfter(0L)
-    assert(commits.length >= 30, s"writers must have committed, got ${commits.length}")
-    assert(commits.map(_._1) === (1L to commits.length.toLong),
-      "versions must be dense with no gaps despite kill -9")
-    commits.foreach { case (v, p) =>
-      val lines = p.split('\n')
-      assert(lines.length == 2 && lines(0) == "torture" &&
-        lines(1).startsWith("{\"pid\":") && lines(1).endsWith(s",\"v\":$v}"),
-        s"commit $v must be fully formed, got: $p")
-    }
-    // no writer's (pid, i) pair may appear twice (no double-commit)
-    val pids = commits.map(_._2.split('\n')(1).replaceAll(",\"v\":\\d+\\}$", ""))
-    assert(pids.distinct.length === pids.length, "no (pid, i) double-commits")
-    // a fresh writer continues above everything the dead ones durably won
-    assert(log.commit(v => s"torture\npost-crash at $v") === commits.length + 1L)
   }
 
   test("latest-state view matches the single-writer store's W1 semantics") {

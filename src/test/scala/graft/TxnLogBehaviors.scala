@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.{CommitPublisher, MonitorEvent, MwStateStore, TxnLog}
+
+/** The commit-protocol claims that must hold for EVERY
+  * [[CommitPublisher]] — one winner per version, serializable
+  * read-modify-write, crash-invisible staging, floor-guarded version
+  * reuse, dense seqs under racing driver THREADS, and a dense log under
+  * racing driver PROCESSES dying to real kill -9. Concrete suites bind
+  * a publisher ([[graft.MwStateStoreSpec]] = the POSIX hard link,
+  * [[graft.TxnLogDirRenameSpec]] = the atomic directory rename), the
+  * [[LifecycleBehaviors]] pattern: protocol semantics are written once,
+  * so a publisher cannot pass with weaker guarantees than the default. */
+trait TxnLogBehaviors extends AnyFunSuite {
+  protected def spark: org.apache.spark.sql.SparkSession
+  def publisher: CommitPublisher
+  def publisherName: String
+  /** Plant the wreckage of a writer killed between staging and publish,
+    * in THIS publisher's staging representation; returns the planted
+    * path (for the sweep assertion). */
+  def plantCrashedStaging(txnDir: Path): Path
+
+  private def tmpDir(): String =
+    Files.createTempDirectory(s"graft-txn-$publisherName").toString
+
+  private def newLog(dir: String) = new TxnLog(dir, publisher)
+
+  private def mev(key: String): MonitorEvent =
+    MonitorEvent(
+      run_key = key, event_seq = 0L, module_id = 1L,
+      run_date = java.sql.Timestamp.from(java.time.Instant.parse("2026-02-01T10:00:00Z")),
+      run_id = 0L, parameters = None, audit_id = None, run_status = "R",
+      sub_system = None, exclusive_run_yn = None, control_date = None,
+      end_time = None, records_processed = None, records_in_error = None)
+
+  test(s"[$publisherName] exactly one writer wins each version; losers observe the winner") {
+    val log = newLog(tmpDir())
+    assert(log.tryCommit(1L, "a\n1"))
+    assert(!log.tryCommit(1L, "b\n1"), "second claim of a version must fail")
+    assert(log.latestVersion() === 1L)
+    assert(log.commitsAfter(0L) === Seq(1L -> "a\n1"),
+      "the losing payload must never be readable")
+  }
+
+  test(s"[$publisherName] commit retries re-derive the payload against the new snapshot") {
+    val log = newLog(tmpDir())
+    log.commit(v => s"k\nfirst at $v")
+    var attempts = 0
+    val won = log.commit { v =>
+      attempts += 1
+      if (attempts == 1) log.tryCommit(v, s"k\nintruder at $v") // steal our version
+      s"k\nmine at $v"
+    }
+    assert(won === 3L && attempts === 2,
+      "after losing v=2 to the intruder the payload must be re-derived for v=3")
+    assert(log.commitsAfter(0L).map(_._2) ===
+      Seq("k\nfirst at 1", "k\nintruder at 2", "k\nmine at 3"))
+  }
+
+  test(s"[$publisherName] staging without its publish is invisible and vacuum sweeps it when stale") {
+    val dir = tmpDir()
+    val log = newLog(dir)
+    log.commit(_ => "k\nreal")
+    // a writer that crashed between staging and publish
+    val txnDir = Paths.get(dir, "_txn")
+    Files.createDirectories(txnDir)
+    val wreck = plantCrashedStaging(txnDir)
+    assert(log.latestVersion() === 1L)
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+    log.vacuum(0L) // default staleness: a FRESH staging could be in-flight
+    assert(Files.exists(wreck),
+      "an age-blind sweep would delete live writers' in-flight staging")
+    log.vacuum(0L, staleMs = -1000L) // declared stale → swept
+    assert(!Files.exists(wreck))
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+  }
+
+  test(s"[$publisherName] the floor prevents version reuse after vacuum") {
+    val log = newLog(tmpDir())
+    (1 to 3).foreach(i => log.commit(_ => s"k\n$i"))
+    log.vacuum(3L) // as if a checkpoint covered everything
+    assert(log.latestVersion() === 0L, "raw listing under-reports history")
+    assert(log.latestVersion(floor = 3L) === 3L)
+    val v = log.commit(_ => "k\n4", floor = 3L)
+    assert(v === 4L, "a post-vacuum commit must not reuse version 1")
+  }
+
+  test(s"[$publisherName] 8 racing drivers, 200 appends: seqs are exactly 1..200, all events kept") {
+    val dir = tmpDir()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 8).map { d =>
+        Future {
+          // own instance = own driver
+          val store = new MwStateStore(spark, dir, publisher = publisher)
+          (1 to 25).map(i => store.appendMonitorEvent(mev(s"run-$d-$i")))
+        }
+      }
+      val seqs = Await.result(Future.sequence(futures), Duration.Inf).flatten
+      assert(seqs.sorted === (1L to 200L), "returned seqs must be dense and unique")
+      val store = new MwStateStore(spark, dir, publisher = publisher)
+      val rows = store.monitorEvents.select("event_seq", "run_key").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 200L))
+      assert(rows.map(_.getString(1)).distinct.length === 200, "no event lost")
+    } finally pool.shutdown()
+  }
+
+  test(s"[$publisherName] kill -9 torture: racing writer PROCESSES die mid-protocol, log stays dense") {
+    // Real OS kill, not simulation: three plain-JVM writers (TxnLog is
+    // Spark-free, so they boot in well under a second) hammer one log
+    // and are destroyed forcibly mid-commit. Whatever instant the kill
+    // lands — half-written staging, staging without publish, mid-claim —
+    // the surviving log must hold a dense 1..max version sequence of
+    // fully-formed payloads, and a fresh writer must continue at max+1.
+    val dir = tmpDir()
+    val cp = System.getProperty("java.class.path")
+    val java = System.getProperty("java.home") + "/bin/java"
+    // spawns INSIDE the try (a failed third start must still kill the
+    // first two) and bounded by maxCommits — an orphan that outlives a
+    // crashed test JVM self-terminates instead of filling the disk
+    val procs = scala.collection.mutable.ArrayBuffer.empty[Process]
+    try {
+      (1 to 3).foreach { _ =>
+        procs += new ProcessBuilder(
+            java, "-cp", cp, "graft.TxnTortureMain", dir, "100000", publisherName)
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+      }
+      // let them boot and commit for a while, then kill mid-flight
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (newLog(dir).latestVersion() < 30 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      procs.foreach(_.waitFor())
+    }
+    val log = newLog(dir)
+    val commits = log.commitsAfter(0L)
+    assert(commits.length >= 30, s"writers must have committed, got ${commits.length}")
+    assert(commits.map(_._1) === (1L to commits.length.toLong),
+      "versions must be dense with no gaps despite kill -9")
+    commits.foreach { case (v, p) =>
+      val lines = p.split('\n')
+      assert(lines.length == 2 && lines(0) == "torture" &&
+        lines(1).startsWith("{\"pid\":") && lines(1).endsWith(s",\"v\":$v}"),
+        s"commit $v must be fully formed, got: $p")
+    }
+    // no writer's (pid, i) pair may appear twice (no double-commit)
+    val pids = commits.map(_._2.split('\n')(1).replaceAll(",\"v\":\\d+\\}$", ""))
+    assert(pids.distinct.length === pids.length, "no (pid, i) double-commits")
+    // a fresh writer continues above everything the dead ones durably won
+    assert(log.commit(v => s"torture\npost-crash at $v") === commits.length + 1L)
+  }
+}
+
+/** [[TxnLogBehaviors]] on the atomic DIRECTORY-rename publisher — the
+  * no-hard-links commit primitive, plus the full multi-writer lifecycle
+  * matrix over it ([[DirRenameMwLifecycleSpec]]). */
+class TxnLogDirRenameSpec extends TxnLogBehaviors {
+  protected lazy val spark = TestSpark.spark
+  def publisher: CommitPublisher = TxnLog.DirRename
+  def publisherName: String = "dirrename"
+  def plantCrashedStaging(txnDir: Path): Path = {
+    val d = Files.createDirectory(txnDir.resolve(".stage-crashed"))
+    Files.write(d.resolve("payload"), "k\nghost".getBytes)
+    d
+  }
+}
+
+/** The full [[LifecycleBehaviors]] matrix with the control plane's
+  * commits published by directory rename instead of hard link — the
+  * proof that the publisher seam is answer-invisible to every
+  * store-generic lifecycle semantic. */
+class DirRenameMwLifecycleSpec extends LifecycleBehaviors {
+  def makeStore(dir: String): graft.state.ControlStore =
+    new MwStateStore(spark, dir, checkpointEvery = 7,
+      publisher = TxnLog.DirRename)
+}

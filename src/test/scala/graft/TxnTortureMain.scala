@@ -11,14 +11,18 @@ import graft.state.TxnLog
   * writer's pid and its local counter so the surviving log can be
   * audited for lost or duplicated commits.
   *
-  * Usage: `TxnTortureMain <dir> [maxCommits]` — loops up to maxCommits
-  * (default unbounded) or until killed.
+  * Usage: `TxnTortureMain <dir> [maxCommits] [publisher]` — loops up to
+  * maxCommits (default unbounded) or until killed; `publisher` picks the
+  * commit primitive (`hardlink` default | `dirrename`), so the same
+  * process-level torture drives every [[graft.state.CommitPublisher]].
   */
 object TxnTortureMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val max = if (args.length > 1) args(1).toLong else Long.MaxValue
-    val log = new TxnLog(dir)
+    val pub = if (args.length > 2) TxnLog.publisherNamed(args(2))
+      else TxnLog.HardLink
+    val log = new TxnLog(dir, pub)
     val pid = ProcessHandle.current().pid()
     var i = 0L
     while (i < max) {
