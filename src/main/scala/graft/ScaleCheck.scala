@@ -61,7 +61,12 @@ object ScaleCheck {
     "q_pagerank", "q_quality_classifier", "q_tpch_q18", "q_embed_pipeline",
     "q_repetition", "q_hybrid_search", "q_lm_score", "q_vocab_coverage",
     "q_fuzzy_join", "q_ivf_pq", "q_tpch_q10", "q_image_neardup",
-    "q_substr_dedup", "q_substr_removal")
+    "q_substr_dedup", "q_substr_removal",
+    // round-13 additions: the retraction faces (store bootstrap +
+    // tombstone write + corrected read, the full maintenance cycle at
+    // 10×) and the Bloom semi join (its shuffle-shrink claim depends on
+    // dim selectivity holding under scale)
+    "q_dedup_retract", "q_bloom_join", "q_lm_retract", "q_nb_retract")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
