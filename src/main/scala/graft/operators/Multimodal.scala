@@ -194,9 +194,34 @@ object Multimodal {
       frames = if (r.kind == "video") (r.payload.length % 25) + 1 else 1,
       checksum = byteChecksum(r.payload))
 
+  /** An EXTERNAL codec plugged into the decode seam — the verified form
+    * of SURVEY §7.6's "swapping in an external codec is a one-function
+    * change" claim. Implementations wrap whatever native library a
+    * deployment ships (libmpg123 via JNI, ffmpeg via a process pool, a
+    * JavaCV binding) and are consulted for payloads the JDK codecs do
+    * not claim, BEFORE the deterministic stub. Must be Serializable —
+    * the codec object ships into the `mapPartitions` closure; heavy
+    * native state therefore belongs in a lazy/transient field
+    * initialized per executor, not in constructor state.
+    * MultimodalSpec drives a fake MP3 codec through the seam and proves
+    * the typed feature flow downstream (frame sampling, near-dup
+    * banding) is identical. */
+  trait MediaCodec extends Serializable {
+    def name: String
+    /** Cheap magic-byte sniff: does this codec claim the payload? Must
+      * not throw on arbitrary bytes. */
+    def claims(kind: String, payload: Array[Byte]): Boolean
+    /** Decode to the (width, height, frames) feature slots (audio
+      * codecs: (sample_rate, channels, sample_frames) — the
+      * [[readAudioMeta]] convention). None = corrupt payload →
+      * deterministic stub fallback, the malformed-record doctrine. */
+    def decode(kind: String, payload: Array[Byte]): Option[(Int, Int, Int)]
+  }
+
   /** Real decode where the JDK has a codec (PNG/JPEG/GIF/BMP via
-    * `javax.imageio`; WAV/AIFF/AU via `javax.sound.sampled`), stub
-    * fallback everywhere else. The declared kind is the contract:
+    * `javax.imageio`; WAV/AIFF/AU via `javax.sound.sampled`), then any
+    * EXTERNAL [[MediaCodec]] that claims the payload, stub fallback
+    * everywhere else. The declared kind is the contract:
     * "image"/"video" records reach the image codec ("video" because an
     * animated GIF is the JDK's one multi-frame container — its true
     * frame count feeds [[sampleFrames]]), "audio" records reach the
@@ -207,8 +232,9 @@ object Multimodal {
     * pipeline. The catches are NonFatal, not just IOException: the JDK
     * image readers throw unchecked exceptions (IllegalArgument/
     * IndexOutOfBounds/NegativeArraySize) on fuzzed headers, and any of
-    * those escaping would abort the task. */
-  def decode(r: MediaRecord): MediaFeatures = {
+    * those escaping would abort the task — external codecs get the same
+    * NonFatal guard for the same reason. */
+  def decode(r: MediaRecord, codecs: Seq[MediaCodec] = Nil): MediaFeatures = {
     val viaCodec =
       if (r.kind == "image" || r.kind == "video") sniffFormat(r.payload).flatMap(_ => readImageMeta(r.payload))
       // audio: real WAV/AIFF/AU header decode — (sample_rate, channels,
@@ -218,7 +244,13 @@ object Multimodal {
       // differential faces is untouched; MultimodalSpec plants real WAVs.
       else if (r.kind == "audio") sniffAudioFormat(r.payload).flatMap(_ => readAudioMeta(r.payload))
       else None
-    viaCodec match {
+    val viaExternal = viaCodec.orElse {
+      codecs.iterator.flatMap { c =>
+        try if (c.claims(r.kind, r.payload)) c.decode(r.kind, r.payload) else None
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.nextOption()
+    }
+    viaExternal match {
       case Some((w, h, frames)) =>
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
           w, h, frames, byteChecksum(r.payload))
@@ -226,8 +258,12 @@ object Multimodal {
     }
   }
 
-  /** The mapInPandas-shaped stage: batch-decode per partition. */
-  def decodeAll(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** The mapInPandas-shaped stage: batch-decode per partition; external
+    * codecs (if any) ride the closure and are consulted after the JDK
+    * ones — plugging MP3/H.264 in changes this call's argument, nothing
+    * else in the pipeline. */
+  def decodeAll(ds: Dataset[MediaRecord],
+      codecs: Seq[MediaCodec] = Nil): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition codec setup: without this, ImageIO spills EVERY
@@ -235,7 +271,7 @@ object Multimodal {
       // file create/write/delete in the hot loop (JVM-wide flag, cheap
       // to re-set per partition)
       javax.imageio.ImageIO.setUseCache(false)
-      it.map(decode)
+      it.map(r => decode(r, codecs))
     }
   }
 

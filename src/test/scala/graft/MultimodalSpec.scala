@@ -311,4 +311,62 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs === Seq((1L, 2L)), "banded join must report exactly the volume-scaled pair")
   }
+
+  test("external-codec seam: a plugged MP3 codec decodes what the JDK can't, same typed flow") {
+    import spark.implicits._
+    // a fake external MP3 codec — stands in for a libmpg123/ffmpeg
+    // binding: claims by real MP3 magic (ID3 tag or MPEG frame sync),
+    // "decodes" deterministic features. The SEAM is what this proves:
+    // records the JDK has no codec for route through a plugged
+    // MediaCodec with no change to the pipeline downstream.
+    object FakeMp3Codec extends Multimodal.MediaCodec {
+      def name = "fake-mp3"
+      def claims(kind: String, payload: Array[Byte]): Boolean =
+        kind == "audio" && payload.length >= 3 &&
+          ((payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') ||
+            ((payload(0) & 0xFF) == 0xFF && (payload(1) & 0xE0) == 0xE0))
+      def decode(kind: String, payload: Array[Byte]): Option[(Int, Int, Int)] =
+        if (payload.length < 8) None // truncated → corrupt-payload fallback
+        else Some((44100, 2, payload.length / 4))
+    }
+    val mp3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12, 1, 2, 3, 4, 5, 6)
+    val truncated = Array[Byte]('I', 'D', '3', 4) // claimed but undecodable
+    val records = Seq(
+      Multimodal.MediaRecord(1L, mp3, "audio"),
+      Multimodal.MediaRecord(2L, truncated, "audio"),
+      // not claimed by the codec → stub, exactly as without the plug
+      Multimodal.MediaRecord(3L, "plain text bytes".getBytes, "audio"))
+    // WITHOUT the codec every record stubs (the documented JDK-only scope)
+    val bare = Multimodal.decodeAll(spark.createDataset(records))
+      .collect().map(f => f.media_id -> f).toMap
+    records.foreach(r => assert(bare(r.media_id) === Multimodal.fakeDecode(r)))
+    // WITH the codec: claimed-and-decodable records carry ITS features in
+    // the same schema; corrupt and unclaimed payloads still stub
+    val plugged = Multimodal.decodeAll(spark.createDataset(records), Seq(FakeMp3Codec))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(plugged(1L).width === 44100 && plugged(1L).height === 2 &&
+      plugged(1L).frames === mp3.length / 4,
+      "a claimed payload must decode through the external codec")
+    assert(plugged(1L).checksum === bare(1L).checksum,
+      "payload-derived fields are codec-independent")
+    assert(plugged(2L) === Multimodal.fakeDecode(records(1)),
+      "a corrupt claimed payload falls back to the stub, not a crash")
+    assert(plugged(3L) === Multimodal.fakeDecode(records(2)),
+      "unclaimed payloads are untouched by the plug")
+    // ...and the downstream typed flow is identical: frame sampling fans
+    // out over the externally-decoded frame count like any other record
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.decodeAll(spark.createDataset(Seq(records.head)), Seq(FakeMp3Codec)),
+      everyN = 1).collect()
+    assert(sampled.length === mp3.length / 4,
+      "frame sampling must fan out over the external codec's frame count")
+    // a JDK-decodable payload is never shadowed by an external codec:
+    // the real WAV parse wins even with the plug installed
+    val wav = audioBytes(tone(1000, 0.5), 8000f, 1, Wave)
+    val viaBoth = Multimodal.decodeAll(
+      spark.createDataset(Seq(Multimodal.MediaRecord(9L, wav, "audio"))),
+      Seq(FakeMp3Codec)).collect()(0)
+    assert(viaBoth.width === 8000 && viaBoth.height === 1,
+      "JDK codecs take precedence over external plugs")
+  }
 }
