@@ -658,6 +658,164 @@ object CoreOps {
       .orderBy("c_nationkey")
   }
 
+  /** Q4 analogue — order-priority checking: orders in one quarter with
+    * at least one LATE line (shipped > 60 days after ordering; the
+    * testdata has no commit/receipt dates, so lateness is the
+    * shipdate-vs-orderdate form q_tpch_q12 already uses). The shape is
+    * the point: an EXISTS whose predicate compares columns of BOTH
+    * sides, so it becomes a left-semi join with a mixed equi+range
+    * condition — the date filter pushes to the orders scan, the
+    * existence test never duplicates orders however many lines are
+    * late. */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q7 analogue — volume shipping between two nations: revenue of
+    * lines where supplier and customer sit in opposite members of a
+    * nation PAIR, per direction per ship year. The disjunctive
+    * nation-pair predicate references both dimension sides, so it can
+    * only apply after the supplier and customer joins — but each
+    * dimension's membership filter (nationkey ∈ {1, 2}) pushes into its
+    * own scan first, shrinking both join inputs before the facts
+    * shuffle. Supplier is an explicit broadcast (100 rows; at 100 TB a
+    * real supplier dim still broadcasts after its nation filter). */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).filter(col("c_nationkey").isin(1, 2))
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).filter(col("s_nationkey").isin(1, 2))
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+        (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+      .groupBy(col("s_nationkey").cast(LongType).as("supp_nation"),
+        col("c_nationkey").cast(LongType).as("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q13 analogue — customer order-count distribution: LEFT OUTER join
+    * so zero-order customers survive into the c_count = 0 bucket, then
+    * a SECOND aggregation over the first's output (the distribution of
+    * a distribution — two shuffles by construction, the second over at
+    * most max-order-count distinct keys). The priority filter stands in
+    * for Q13's comment NOT LIKE, and — the outer-join subtlety the
+    * query exists to pin — it must sit IN THE JOIN CONDITION, not a
+    * WHERE clause, or filtered-out customers would vanish instead of
+    * counting zero. */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count")) // nulls don't count
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q17 analogue — small-quantity-order revenue: lines of one brand's
+    * parts whose quantity is under 20% of that PART's average quantity.
+    * The correlated scalar subquery becomes an aggregate-derived
+    * per-key threshold rejoined to the same fact — and the comparison
+    * is cleared of division entirely (l_quantity · 5 · n < Σ quantity,
+    * all decimal-exact), so both engines evaluate a bit-identical
+    * predicate instead of racing decimal-quotient scale rules. The
+    * brand filter broadcasts into both lineitem passes; only matching
+    * lines reach the per-part aggregate. */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+    li.join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("n_lines") < col("sum_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Q19 analogue — discounted revenue under a DISJUNCTION of
+    * conjunctive brackets (brand × size × quantity bands). The shape is
+    * what matters at scale: the per-side halves of the OR (p_brand/
+    * p_size on part, l_quantity bounds on lineitem) are extractable and
+    * push to their scans as range filters even though the full
+    * predicate must re-evaluate after the join — Catalyst's
+    * constraint-propagation doing the partial pushdown a hand-written
+    * engine would special-case. */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val cases =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cases)
+      .agg(sum(revenueExpr).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q21 analogue — suppliers who kept orders waiting: for FINISHED
+    * ('F') orders, the lines that shipped late (the q_tpch_q4 lateness)
+    * where ANOTHER supplier contributed a line (semi join, anti-equal
+    * supplier condition) but NO other supplier shipped late (anti join,
+    * same condition on the late subset) — the only-guilty-party chain,
+    * TPC-H's hardest EXISTS/NOT-EXISTS composition, expressed as one
+    * semi and one anti join over the same orderkey-keyed exchanges.
+    * Counting is at line granularity like the reference query. */
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -960,6 +1118,12 @@ object CoreOps {
     "q_tpch_q22"        -> qTpchQ22 _,
     "q_tpch_q10"        -> qTpchQ10 _,
     "q_tpch_q18"        -> qTpchQ18 _,
+    "q_tpch_q4"         -> qTpchQ4 _,
+    "q_tpch_q7"         -> qTpchQ7 _,
+    "q_tpch_q13"        -> qTpchQ13 _,
+    "q_tpch_q17"        -> qTpchQ17 _,
+    "q_tpch_q19"        -> qTpchQ19 _,
+    "q_tpch_q21"        -> qTpchQ21 _,
     "q_setops"          -> qSetOps _,
     "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
@@ -1384,6 +1548,74 @@ object CoreOps {
         |JOIN bo ON o_orderkey = bo.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT cast(s_nationkey AS bigint) AS supp_nation,
+        |  cast(c_nationkey AS bigint) AS cust_nation,
+        |  cast(extract(year FROM l_shipdate) AS bigint) AS l_year,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((s_nationkey = 1 AND c_nationkey = 2) OR (s_nationkey = 2 AND c_nationkey = 1))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |thr AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+        |    count(*) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM li JOIN thr ON l_partkey = t_partkey
+        |WHERE cast(l_quantity AS decimal(18,2)) * 5 * n_lines < sum_qty""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q_setops_all" ->
       """WITH u AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'),
         |h AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '2-HIGH'),
