@@ -87,6 +87,56 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Every stored artifact family a document can inhabit, for one
+    * deployment's corpus. All optional: absent stores are skipped, so
+    * one definition serves any subset a deployment actually maintains.
+    * `vectors` assumes the store's vec_id carries the document id (the
+    * embedding-per-document convention of the in-repo pipelines); a
+    * deployment with its own id mapping resolves doc→vec ids before the
+    * call. */
+  final case class DocStores(
+      signatures: Option[String] = None,
+      vectors: Seq[String] = Nil,
+      postings: Option[String] = None,
+      lmModel: Option[String] = None,
+      nbModel: Option[String] = None)
+
+  /** THE deletion entry point: forget `docs` in every store of
+    * `stores` — signature tombstones ([[Dedup.retractSignatures]]),
+    * vector-index tombstones ([[Similarity.retractVectors]], IVF and
+    * LSH), posting tombstones with the BM25 stats correction
+    * ([[Search.retractSearchDocs]]), and the trained-model negative
+    * corrections ([[TextOps.retractLmDocs]]/[[TextOps.retractNbDocs]],
+    * which need the doc TEXT — the reason this takes the docs frame,
+    * not bare ids). After it returns, every read face answers as if the
+    * docs were never ingested; the physical purge completes at each
+    * store's next compaction, per its own replay watermark.
+    *
+    * NOT one transaction, deliberately: the stores are independent
+    * artifacts with independent writers, and a cross-store commit
+    * protocol would couple every pipeline to every other's availability.
+    * The composition's crash contract is instead IDEMPOTENT RESUME —
+    * each component retraction is atomic and replay-idempotent, so a
+    * crash mid-call leaves some stores retracted and some not, and
+    * re-running the same call converges (ForgetSpec drives exactly that
+    * partial-crash-then-rerun path). Stores are processed in a fixed
+    * order so two racing forget calls for different doc sets cannot
+    * deadlock on writer locks.
+    *
+    * The id set is collected once (doc ids of a deletion request —
+    * control-plane volume by nature, the same bound every tombstone
+    * sidecar already assumes). */
+  def forgetDocs(s: SparkSession, stores: DocStores, docs: DataFrame): Unit = {
+    val ids = docs.select(col("doc_id").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(ids.nonEmpty, "forgetDocs: empty deletion request")
+    stores.signatures.foreach(p => Dedup.retractSignatures(s, p, ids))
+    stores.vectors.foreach(p => Similarity.retractVectors(s, p, ids))
+    stores.postings.foreach(p => Search.retractSearchDocs(s, p, ids))
+    stores.lmModel.foreach(p => TextOps.retractLmDocs(s, p, docs))
+    stores.nbModel.foreach(p => TextOps.retractNbDocs(s, p, docs))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_quality_funnel" -> qQualityFunnel _,

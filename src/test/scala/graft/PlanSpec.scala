@@ -692,4 +692,31 @@ class PlanSpec extends AnyFunSuite {
     assert(ps.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       s"reputation must read only (doc_id, text, source):\n$ps")
   }
+
+  test("q_tpch_q4: the EXISTS is a semi join (orders never duplicate), date filter at the scan") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      s"the existence test must plan as a semi join, not an inner join + distinct:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).nonEmpty,
+      s"the quarter filter must reach the orders scan:\n$p")
+  }
+
+  test("q_tpch_q19: the disjunction's per-side halves push into BOTH scans") {
+    val p = plan("q_tpch_q19")
+    // lineitem side: the union of the three quantity brackets
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity".r
+      .findFirstIn(p).nonEmpty,
+      s"the extractable quantity disjunction must reach the lineitem scan:\n$p")
+    // part side: the brand/size brackets
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(p_brand".r.findFirstIn(p).nonEmpty,
+      s"the extractable brand/size disjunction must reach the part scan:\n$p")
+  }
+
+  test("q_tpch_q21: one semi and one anti join, never an inner self-join pair explosion") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"the only-guilty-party chain must plan as semi + anti joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the supplier-inequality conditions must ride the orderkey equi-joins:\n$p")
+  }
 }
