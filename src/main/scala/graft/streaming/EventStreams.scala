@@ -286,6 +286,39 @@ object EventStreams {
     graft.operators.TextOps.compactLmModel(s, modelPath,
       foldBelow = committedWatermark(s, checkpointDir) + 1)
 
+  /** Streaming DELETION — the ingest loops' inverse, closing the
+    * continuous lifecycle: each micro-batch of (doc_id, text) deletion
+    * requests (the GDPR-delete queue a deployment actually operates)
+    * retracts the docs from EVERY configured store via
+    * [[graft.operators.Pipeline.forgetDocs]]. Replay safety needs no
+    * batch-id bookkeeping here, unlike the ingest loops: every
+    * component retraction is already replay-IDEMPOTENT at the store
+    * layer (sidecar `distinct` / per-doc fold), so an at-least-once
+    * re-execution of a micro-batch converges by construction — the
+    * ForgetSpec resume contract, arriving one micro-batch at a time.
+    * The model-store retractions need the document TEXT, which is why
+    * the deletion stream carries it (the deleting party holds the doc
+    * being deleted — [[graft.operators.TextOps.retractLmDocs]]'
+    * contract). */
+  def forgetDocStream(docs: DataFrame,
+      stores: graft.operators.Pipeline.DocStores,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        forgetBatch(batch.toDF(), id, stores)
+      }
+      .start()
+
+  /** One micro-batch of the deletion loop — the replay-contract seam
+    * (StreamingSpec literally re-runs a batch). Empty micro-batches
+    * no-op: a quiet deletion queue must not trip forgetDocs'
+    * empty-request guard. */
+  def forgetBatch(batch: DataFrame, id: Long,
+      stores: graft.operators.Pipeline.DocStores): Unit =
+    if (!batch.isEmpty)
+      graft.operators.Pipeline.forgetDocs(batch.sparkSession, stores, batch)
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
