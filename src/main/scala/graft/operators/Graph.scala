@@ -149,8 +149,87 @@ object Graph {
       .orderBy("node")
   }
 
+  // ---- triangle counting --------------------------------------------------
+
+  /** Minimum co-occurrence support for a co-purchase edge: parts must
+    * share ≥ this many DISTINCT orders. Support 1 on this corpus is a
+    * one-off-coincidence graph (115k edges at sf0.01); support 2 is the
+    * frequent-itemset flavor a basket analysis actually draws (3.4k
+    * edges, 61 triangles) — and on any corpus the threshold is the knob
+    * that keeps edge volume proportional to REPEATED structure, not to
+    * corpus size. */
+  private[graft] val CoSupport = 2
+
+  /** Undirected co-purchase edges (a < b): parts appearing together in
+    * ≥ [[CoSupport]] distinct orders. The per-order self-join fans out
+    * at most lines-per-order² rows per order — bounded by the schema's
+    * order size, never corpus-quadratic — and the support aggregate
+    * shuffles on the high-cardinality pair key. */
+  private[graft] def partCoEdges(s: SparkSession, dir: String): DataFrame = {
+    // distinct (order, part) FIRST: a part ordered on two lines of one
+    // order must count one co-occurrence, and deduplicating before the
+    // self-join both fixes that semantics and turns the support
+    // aggregate into a plain count (a countDistinct after the join
+    // would carry an expand + second distinct pass over the pair rows —
+    // measurably slower on the same answer)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b")),
+        col("l_orderkey") === col("ok2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= CoSupport)
+      .select(col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"))
+  }
+
+  /** Per-node triangle counts of an undirected (a < b, distinct) edge
+    * frame — the degree-ORIENTED algorithm (Suri & Vassilvitskii 2011,
+    * "Counting Triangles and the Curse of the Last Reducer"): every
+    * edge is directed from its lower-(degree, id) endpoint to the
+    * higher, making the orientation a total order, so each triangle has
+    * EXACTLY one node with two out-edges (counted once, no /3
+    * correction) and — the scale point — wedge volume is Σ out-deg(u)²
+    * with out-degrees bounded by O(√m) under this orientation, instead
+    * of the Σ deg² of the naive formulation that a single hub node
+    * drives quadratic (the "last reducer" the paper names). Three
+    * equi-joins on high-cardinality keys; no driver-side state. */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // rank = (degree, id) struct — totally ordered, comparable in-plan
+    // (struct fields named uniformly so the two CASE branches type-match)
+    val ra = struct(col("da").as("d"), col("a").as("i"))
+    val rb = struct(col("db").as("d"), col("b").as("i"))
+    val e = edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(ra < rb, col("a")).otherwise(col("b")).as("u"),
+        when(ra < rb, col("b")).otherwise(col("a")).as("v"),
+        when(ra < rb, rb).otherwise(ra).as("rv"))
+    // wedges at u, ordered by the far endpoints' ranks so the closing
+    // edge's orientation (lower rank → higher rank) is known statically
+    val tris = e.select(col("u"), col("v").as("p"), col("rv").as("rp"))
+      .join(e.select(col("u").as("u2"), col("v").as("q"), col("rv").as("rq")),
+        col("u") === col("u2") && col("rp") < col("rq"))
+      .join(e.select(col("u").as("cu"), col("v").as("cv")),
+        col("p") === col("cu") && col("q") === col("cv"), "left_semi")
+      .select(col("u"), col("p"), col("q"))
+    tris.select(explode(array(col("u"), col("p"), col("q"))).as("l_partkey"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("l_partkey"))
+  }
+
+  /** Registered face: per-part triangle participation in the
+    * co-purchase graph — the local-clustering signal basket analyses
+    * and community pre-passes start from. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(partCoEdges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,
+    "q_triangles" -> qTriangles _,
   )
 
   /** The oracle unrolls the same [[PrIters]] integer rounds as CTEs.
@@ -183,6 +262,31 @@ object Graph {
            |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
            |  r AS rank_micro
            |FROM r$PrIters ORDER BY node""".stripMargin,
+      // the oracle enumerates triangles the textbook way (a < b < c over
+      // the undirected edge set) — each triangle once, no orientation —
+      // so it discriminates against any over/under-count the
+      // degree-oriented plan could introduce
+      "q_triangles" ->
+        s"""WITH pairs AS (
+           |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, l1.l_orderkey
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+           |e AS (
+           |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+           |  FROM pairs GROUP BY 1, 2
+           |  HAVING count(DISTINCT l_orderkey) >= $CoSupport),
+           |t AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e e1
+           |  JOIN e e2 ON e1.b = e2.a
+           |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |n AS (
+           |  SELECT x AS l_partkey FROM t
+           |  UNION ALL SELECT y FROM t
+           |  UNION ALL SELECT z FROM t)
+           |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM n GROUP BY 1
+           |ORDER BY n_triangles DESC, l_partkey""".stripMargin,
     )
   }
 }

@@ -80,6 +80,25 @@ class GraphSpec extends AnyFunSuite {
     assert(empty, "pagerank must unpersist its internal edge cache before returning")
   }
 
+  test("triangle counts: planted K4, hub star contributes nothing, partitioning-invariant") {
+    // K4 on {1,2,3,4}: 4 triangles, each node on exactly 3 of them; a
+    // path 5—6—7 (wedge, no closure); a hub 100 fanning to 20 leaves —
+    // the degree orientation's raison d'être: all hub edges point INTO
+    // the hub (its rank is highest), so the hub generates ZERO wedges
+    // and the star adds nothing to the join, not deg² candidate pairs
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((5L, 6L), (6L, 7L))
+    val star = (1L to 20L).map(i => (200L + i, 1000L)) // a < b holds
+    val edges = (k4 ++ path ++ star).toDF("a", "b")
+    val want = (1L to 4L).map(n => n -> 3L).toMap
+    Seq(edges, edges.repartition(7), edges.repartition(1)).foreach { e =>
+      val got = Graph.triangleCounts(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        "exactly the K4 nodes carry triangles, 3 each (4 distinct triangles)")
+    }
+  }
+
   test("pagerank is invariant to edge-list partitioning") {
     val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
     val one = Graph.pagerank(und.toDF("src", "dst").repartition(1))
