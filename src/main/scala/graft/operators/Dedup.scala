@@ -791,7 +791,46 @@ object Dedup {
     } { (df, tmp) =>
       writeSignatures(df, tmp)
       if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+      // folding scoped batches bounds the as-of horizon (the vacuum
+      // rule) — recorded atomically with the layout it describes
+      graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
     }
+  }
+
+  /** Gate `incoming` against the store AS OF batch `asOf` — the
+    * DATA-PLANE time-travel twin of [[graft.state.MwStateStore]]'s
+    * as-of reads, nearly free here because the store is already
+    * batch-partitioned: the corpus read is the bootstrap plus every
+    * scoped batch ≤ `asOf` (a partition filter, pruned before any row
+    * is read), so the verdicts are exactly what the gate computed when
+    * batch `asOf` was the newest admission. The audit face a deployment
+    * needs when a duplicate slipped through: re-run the gate at the
+    * admission instant and see what it saw.
+    *
+    * Two deliberate semantic bounds, both the control-plane precedents:
+    *  - RETRACTIONS apply to history too — a GDPR-forgotten doc must
+    *    not reappear in an as-of read, so tombstones subtract at every
+    *    `asOf` (deleted means deleted from the past; the one divergence
+    *    from Delta-style time travel, and the compliant one).
+    *  - The HORIZON is bounded by compaction: once a fold has absorbed
+    *    scoped batches into the bootstrap their identities are gone,
+    *    and a pre-horizon read fails LOUDLY naming the oldest
+    *    reconstructable state instead of silently gating against rows
+    *    from the future ([[graft.sources.Stores.horizonOf]]).
+    *
+    * The Bloom pre-gate stays sound for any `asOf`: the sidecar covers
+    * the FULL store, a superset of every as-of slice, and a superset
+    * filter preserves no-false-negatives (the retraction argument). */
+  def gateAgainstStoredAsOf(s: SparkSession, path: String, incoming: DataFrame,
+      asOf: Long, ordered: Boolean = true, useBloom: Boolean = false): DataFrame = {
+    require(asOf >= -1, s"asOf is a batch id (-1 = the bootstrap), got $asOf")
+    val horizon = graft.sources.Stores.horizonOf(s, path)
+    require(asOf >= horizon - 1,
+      s"store $path cannot reconstruct the gate as of batch $asOf: a compaction " +
+        s"has folded batches below $horizon into the bootstrap — the oldest " +
+        s"reconstructable state is as of batch ${horizon - 1}")
+    gateAgainstStored(s, path, incoming,
+      corpusFilter = col("batch_id") <= asOf, ordered = ordered, useBloom = useBloom)
   }
 
   /** Deterministic per-(dataset, JVM) store location — see
@@ -853,6 +892,26 @@ object Dedup {
     }
     gateAgainstStored(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0),
       useBloom = true)
+  }
+
+  /** The gate AS OF an earlier admission state (its own store path):
+    * bootstrap the corpus slice, admit the %10 = 5 docs as scoped batch
+    * 5, then gate the incoming batch AS OF batch 4 — before the
+    * admission. The oracle replays the gate against the bootstrap
+    * alone, so the query is green only if the partition-filtered as-of
+    * read makes batch 5's rows genuinely invisible: the data-plane
+    * time-travel contract under the differential gate. */
+  def qDedupAsof(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val path = graft.sources.TmpStores.scopedPath("graft-sigasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeSignatures(sig.filter(
+        pmod(col("doc_id"), lit(10L)) =!= 0 && pmod(col("doc_id"), lit(10L)) =!= 5), path)
+      appendSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) === 5)
+        .withColumn("batch_id", lit(5L)), path)
+    }
+    gateAgainstStoredAsOf(s, path, sig.filter(pmod(col("doc_id"), lit(10L)) === 0),
+      asOf = 4L)
   }
 
   // ---- MinHash + LSH banding (Spark-native; no SQL oracle — verified by
@@ -1135,6 +1194,7 @@ object Dedup {
     "q_dedup_gate" -> qDedupGate _,
     "q_dedup_bloom" -> qDedupBloom _,
     "q_dedup_retract" -> qDedupRetract _,
+    "q_dedup_asof" -> qDedupAsof _,
     "q_decontaminate" -> qDecontaminate _,
   )
 
@@ -1324,6 +1384,9 @@ object Dedup {
     // retraction: tombstoned ≡ never stored — the corpus predicate just
     // excludes the retracted ids
     "q_dedup_retract" -> duckGateSqlWith("doc_id % 10 <> 0 AND doc_id % 7 <> 0"),
+    // as-of face: the oracle's corpus is the BOOTSTRAP alone — green only
+    // if the as-of partition filter hides batch 5's later admissions
+    "q_dedup_asof" -> duckGateSqlWith("doc_id % 10 <> 0 AND doc_id % 10 <> 5"),
     "q_decontaminate" ->
       s"""WITH norm AS (
          |  SELECT doc_id,

@@ -237,6 +237,42 @@ object Stores {
         s.read.parquet(tombstonePath(path)).select(idCol).distinct()),
       Seq(idCol), "left_anti")
 
+  // ---- as-of fold horizon (data-plane time travel) ------------------------
+
+  /** The store's as-of HORIZON: the highest `foldBelow` any compaction
+    * has applied — batches below it are folded into the bootstrap
+    * partition and no longer separable, so a batch-scoped as-of read
+    * ([[graft.operators.Dedup.gateAgainstStoredAsOf]]) can only
+    * reconstruct states at or after `horizon - 1` (bootstrap + every
+    * surviving scoped batch ≤ asOf). 0 when no compaction has folded a
+    * scoped batch: every state since the bootstrap is reconstructable.
+    * The marker is a tiny `_asof_horizon` text file written INSIDE a
+    * compaction's temp dir before the swap, so it can never disagree
+    * with the layout it describes — exactly the Delta/MwStateStore rule
+    * that vacuum (here: folding) bounds the time-travel horizon. */
+  def horizonOf(s: SparkSession, path: String): Long = {
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path + "/_asof_horizon")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+  }
+
+  /** Record the fold horizon inside a compaction's temp dir (see
+    * [[horizonOf]]); monotone — a smaller-watermark compaction never
+    * winds the horizon back. */
+  def writeHorizonInto(s: SparkSession, livePath: String, tmp: String,
+      foldBelow: Long): Unit = {
+    val h = math.max(horizonOf(s, livePath), foldBelow)
+    if (h > 0) {
+      val fs = fsOf(s, tmp)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp + "/_asof_horizon"), true)
+      try out.write(h.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Re-land the live sidecar inside a compaction's temp dir, so the
     * swap RETAINS the pending retractions (see [[tombstonePath]]: the
     * rule whenever replay-protected partitions survive the rewrite). */

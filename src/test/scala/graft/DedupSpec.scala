@@ -745,6 +745,49 @@ class DedupSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("as-of gate: latest equals the plain gate; compaction bounds the horizon loudly; retraction erases history") {
+    val sig = Dedup.signatures(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-sigasof").toString + "/store"
+    val boot = sig.filter(pmod(col("doc_id"), lit(10L)) =!= 0 && pmod(col("doc_id"), lit(10L)) =!= 5)
+    Dedup.writeSignatures(boot, path)
+    Dedup.appendSignatures(sig.filter(pmod(col("doc_id"), lit(10L)) === 5)
+      .withColumn("batch_id", lit(5L)), path)
+    val incoming = sig.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getLong(2))).toSeq
+    // as of the newest batch the time-travel read IS the plain read
+    assert(rows(Dedup.gateAgainstStoredAsOf(spark, path, incoming, asOf = 5L)) ===
+      rows(Dedup.gateAgainstStored(spark, path, incoming)),
+      "as-of the newest admission must equal the plain gate")
+    // as of BEFORE the admission: verdicts equal a store that never saw batch 5
+    val bootOnly = java.nio.file.Files.createTempDirectory("graft-sigboot").toString + "/store"
+    Dedup.writeSignatures(boot, bootOnly)
+    val preAdmission = rows(Dedup.gateAgainstStoredAsOf(spark, path, incoming, asOf = 4L))
+    assert(preAdmission === rows(Dedup.gateAgainstStored(spark, bootOnly, incoming)),
+      "as-of before the admission must see the bootstrap state exactly")
+    // retraction erases history too: a doc forgotten from the bootstrap
+    // must be invisible at EVERY asOf (deleted means deleted from the past)
+    val victim = boot.select("doc_id").orderBy("doc_id").limit(1)
+      .collect()(0).getLong(0)
+    Dedup.retractSignatures(spark, path, Seq(victim))
+    val bootMinus = java.nio.file.Files.createTempDirectory("graft-sigminus").toString + "/store"
+    Dedup.writeSignatures(boot.filter(col("doc_id") =!= victim), bootMinus)
+    assert(rows(Dedup.gateAgainstStoredAsOf(spark, path, incoming, asOf = 4L)) ===
+      rows(Dedup.gateAgainstStored(spark, bootMinus, incoming)),
+      "a retracted doc must not reappear in an as-of read")
+    // compaction folds batch 5 into the bootstrap: the horizon advances,
+    // pre-horizon reads refuse LOUDLY, at-horizon reads keep working
+    Dedup.compactSignatures(spark, path, foldBelow = 6L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.gateAgainstStoredAsOf(spark, path, incoming, asOf = 4L)
+    }
+    assert(e.getMessage.contains("oldest reconstructable state is as of batch 5"),
+      s"pre-horizon refusal must name the horizon, got: ${e.getMessage}")
+    assert(rows(Dedup.gateAgainstStoredAsOf(spark, path, incoming, asOf = 5L)) ===
+      rows(Dedup.gateAgainstStored(spark, path, incoming)),
+      "the at-horizon as-of must survive the fold")
+  }
+
   test("substrRemovalSummary: overlapping spans from different partners union, not sum") {
     import spark.implicits._
     def wd(i: Int): String = "z" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
