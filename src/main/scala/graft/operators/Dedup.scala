@@ -823,12 +823,7 @@ object Dedup {
     * filter preserves no-false-negatives (the retraction argument). */
   def gateAgainstStoredAsOf(s: SparkSession, path: String, incoming: DataFrame,
       asOf: Long, ordered: Boolean = true, useBloom: Boolean = false): DataFrame = {
-    require(asOf >= -1, s"asOf is a batch id (-1 = the bootstrap), got $asOf")
-    val horizon = graft.sources.Stores.horizonOf(s, path)
-    require(asOf >= horizon - 1,
-      s"store $path cannot reconstruct the gate as of batch $asOf: a compaction " +
-        s"has folded batches below $horizon into the bootstrap — the oldest " +
-        s"reconstructable state is as of batch ${horizon - 1}")
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
     gateAgainstStored(s, path, incoming,
       corpusFilter = col("batch_id") <= asOf, ordered = ordered, useBloom = useBloom)
   }

@@ -446,6 +446,10 @@ object Search {
           .repartition(col("dshard")),
         tmp + "/_docs", Seq("dshard", "batch_id"))
       if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+      // folding scoped batches bounds the as-of horizon (the vacuum
+      // rule; see probeSearchIndexAsOf) — recorded atomically with the
+      // layout it describes
+      graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
     }
   }
 
@@ -468,6 +472,50 @@ object Search {
         .filter(col("shard").isin(shards: _*) && col("word").isin(terms: _*)))
   }
 
+  /** [[probeSearchIndex]] AS OF admission batch `asOf` — the posting
+    * store's member of the data-plane time-travel family
+    * ([[graft.operators.Dedup.gateAgainstStoredAsOf]] documents the
+    * shared semantics: partition-filtered read, retractions erase
+    * history, compaction bounds the horizon with a loud refusal). */
+  def probeSearchIndexAsOf(s: SparkSession, path: String, terms: Seq[String],
+      asOf: Long): DataFrame = {
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    probeSearchIndex(s, path, terms)
+      .filter(col("batch_id").cast("long") <= asOf)
+  }
+
+  /** [[searchStats]] as of batch `asOf`. The stats rows are themselves
+    * batch-scoped (additive), so the global-stats slice is a partition
+    * filter; the retraction correction is re-derived against the AS-OF
+    * MEMBERSHIP (the `_docs` sidecar, docs-sized): the live sidecar's
+    * (doc, dl) rows carry no admission batch, and a doc retracted but
+    * only ever indexed AFTER `asOf` must not shrink the as-of stats. */
+  def searchStatsAsOf(s: SparkSession, path: String, asOf: Long): DataFrame = {
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    val (k, sdl) =
+      if (!graft.sources.Stores.hasTombstones(s, path)) (0L, 0L)
+      else {
+        ensureDocsSidecar(s, path)
+        val present = s.read.parquet(path + "/_docs")
+          .filter(col("batch_id").cast("long") <= asOf).select("doc_id")
+        val t = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+          .groupBy("doc_id").agg(max("dl").as("dl"))
+          .filter(col("dl") > 0)
+          .join(present, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("sdl"))
+          .collect()(0)
+        (t.getLong(0), t.getLong(1))
+      }
+    s.read.parquet(path + "/_stats")
+      .filter(col("batch_id").cast("long") <= asOf)
+      .agg((sum("n_docs") - lit(k)).as("n_docs"),
+        when(sum("n_docs") - lit(k) > 0,
+            (sum("sum_dl") - lit(sdl)) / (sum("n_docs") - lit(k)))
+          .otherwise(raise_error(lit(
+            s"searchStatsAsOf($path, $asOf): no indexed documents at this state")))
+          .as("avgdl"))
+  }
+
   /** [[qBm25]] served from the STORED index instead of a corpus scan —
     * the production retrieval path: the full-vocabulary posting pass is
     * paid once at write time, and a query reads only its terms' shard
@@ -482,6 +530,26 @@ object Search {
     val hits = probeSearchIndex(s, path, QueryTerms)
       .select("doc_id", "dl", "word", "tf")
     scoreBm25(hits, searchStats(s, path))
+  }
+
+  /** BM25 AS OF a pre-append state (own store path): bootstrap without
+    * the %10 = 5 docs, append them as batch 7, score as of batch 6.
+    * The oracle runs the in-query BM25 over the bootstrap corpus alone
+    * — green only if BOTH the posting slice AND the global stats
+    * (N, avgdl — batch-scoped additive rows) reconstruct the
+    * pre-append state exactly; a stats leak from batch 7 would move
+    * every surviving score. */
+  def qBm25Asof(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val path = graft.sources.TmpStores.scopedPath("graft-searchasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeSearchIndexFrom(s, docs.filter(pmod(col("doc_id"), lit(10L)) =!= 5), path)
+      appendSearchIndexBatch(s, docs.filter(pmod(col("doc_id"), lit(10L)) === 5),
+        path, 7L)
+    }
+    val hits = probeSearchIndexAsOf(s, path, QueryTerms, asOf = 6L)
+      .select("doc_id", "dl", "word", "tf")
+    scoreBm25(hits, searchStatsAsOf(s, path, asOf = 6L))
   }
 
   // ---- hybrid retrieval (BM25 + dense, reciprocal-rank fusion) -------------
@@ -588,6 +656,7 @@ object Search {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> qBm25 _,
     "q_bm25_probe" -> qBm25Probe _,
+    "q_bm25_asof" -> qBm25Asof _,
     "q_hybrid_search" -> qHybridSearch _,
     "q_fuzzy_join" -> qFuzzyJoin _,
   )
@@ -601,8 +670,12 @@ object Search {
   /** The BM25 CTE chain (shared by the q_bm25/q_bm25_probe oracle and
     * the hybrid oracle's lexical leg — one SQL body per scoring path,
     * the [[Dedup]] duckGramCtes discipline). */
-  private val bm25Ctes: String =
-      s"""n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+  private val bm25Ctes: String = bm25CtesWith("TRUE")
+
+  /** [[bm25Ctes]] over a filtered corpus — the as-of oracle replays the
+    * scorer against the documents the sliced store was built from. */
+  private def bm25CtesWith(pred: String): String =
+      s"""n AS (SELECT doc_id, $duckNorm AS t FROM documents WHERE $pred),
         |d AS (SELECT doc_id, t,
         |        CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) AS dl FROM n),
         |w AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS word FROM d),
@@ -627,6 +700,10 @@ object Search {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25OracleSql,
     "q_bm25_probe" -> bm25OracleSql,
+    // as-of face: the oracle's corpus is the BOOTSTRAP alone — green only
+    // if the as-of slice hides batch 7's postings AND stats rows
+    "q_bm25_asof" -> (s"WITH ${bm25CtesWith("doc_id % 10 <> 5")}\n" +
+      "SELECT doc_id, bm25, n_terms FROM bm ORDER BY bm25 DESC, doc_id"),
     "q_hybrid_search" ->
       s"""WITH $bm25Ctes,
         |lex AS (SELECT doc_id,

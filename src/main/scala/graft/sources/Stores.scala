@@ -260,6 +260,18 @@ object Stores {
     }
   }
 
+  /** The one as-of admission guard, shared by every batch-scoped
+    * store's time-travel face so the refusal semantics (and the message
+    * their specs pin) cannot drift between stores. */
+  def requireAsOfReconstructable(s: SparkSession, path: String, asOf: Long): Unit = {
+    require(asOf >= -1, s"asOf is a batch id (-1 = the bootstrap), got $asOf")
+    val horizon = horizonOf(s, path)
+    require(asOf >= horizon - 1,
+      s"store $path cannot reconstruct the state as of batch $asOf: a compaction " +
+        s"has folded batches below $horizon into the bootstrap — the oldest " +
+        s"reconstructable state is as of batch ${horizon - 1}")
+  }
+
   /** Record the fold horizon inside a compaction's temp dir (see
     * [[horizonOf]]); monotone — a smaller-watermark compaction never
     * winds the horizon back. */

@@ -329,6 +329,56 @@ class SearchSpec extends AnyFunSuite {
     assert(SearchProbe.scores(spark, path) === want())
   }
 
+  test("as-of probe: latest equals the plain probe; retraction erases history; fold bounds the horizon") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-searchasof").toString + "/idx"
+    val boot = docs.filter(col("doc_id") % 10 =!= 5)
+    val b7 = docs.filter(col("doc_id") % 10 === 5)
+    Search.writeSearchIndexFrom(spark, boot, path)
+    Search.appendSearchIndexBatch(spark, b7, path, 7L)
+    def asOfScores(asOf: Long): Seq[(Long, Double, Long)] = {
+      val hits = Search.probeSearchIndexAsOf(spark, path, Search.QueryTerms, asOf)
+        .select("doc_id", "dl", "word", "tf")
+      Search.scoreBm25(hits, Search.searchStatsAsOf(spark, path, asOf)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    }
+    def bm(corpus: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      Search.bm25(corpus).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // as of the newest batch = the plain probe = the full in-query scorer
+    assert(asOfScores(7L) === SearchProbe.scores(spark, path))
+    // as of before the append: scores equal the bootstrap corpus alone —
+    // including the global stats (a stats leak from batch 7 would move
+    // every score even where the postings slice is correct)
+    assert(asOfScores(6L) === bm(boot),
+      "pre-append as-of must reproduce the bootstrap scoring state exactly")
+    // retraction erases history: a retracted bootstrap doc is invisible
+    // (and its N/avgdl mass removed) at EVERY asOf
+    val victim = SearchProbe.scores(spark, path)
+      .map(_._1).find(id => id % 10 != 5).get
+    Search.retractSearchDocs(spark, path, Seq(victim))
+    assert(asOfScores(6L) === bm(boot.filter(col("doc_id") =!= victim)),
+      "a retracted doc must not reappear in an as-of read")
+    // ...while a doc retracted from batch 7 (after the asOf) must NOT
+    // shrink the as-of stats — the correction derives from the as-of
+    // membership, not the raw sidecar
+    val lateVictim = b7.select("doc_id").orderBy("doc_id").limit(1)
+      .collect()(0).getLong(0)
+    Search.retractSearchDocs(spark, path, Seq(lateVictim))
+    assert(asOfScores(6L) === bm(boot.filter(col("doc_id") =!= victim)),
+      "retracting a post-asOf doc must leave the as-of state untouched")
+    // the final fold absorbs batch 7: the horizon advances and a
+    // pre-horizon read refuses loudly naming the oldest reconstructable state
+    Search.compactSearchIndex(spark, path, foldBelow = 8L)
+    val e = intercept[IllegalArgumentException](asOfScores(6L))
+    assert(e.getMessage.contains("oldest reconstructable state is as of batch 7"),
+      s"got: ${e.getMessage}")
+    assert(asOfScores(7L) === SearchProbe.scores(spark, path),
+      "the at-horizon as-of must survive the fold")
+  }
+
   test("all-retracted index refuses stats loudly instead of null-propagating avgdl") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-searchempty").toString + "/idx"
