@@ -165,6 +165,110 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- MMR diversity re-ranking -------------------------------------------
+
+  /** λ and 1−λ as SEPARATE literals: `1 - 0.7` is 0.30000000000000004
+    * in IEEE doubles, and the DuckDB oracle writes `0.3` — the argmax
+    * comparisons must run on bit-identical scores on both engines, so
+    * the complement is pinned, not derived. */
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrMu = 0.3
+  private[graft] val MmrPool = 20
+  private[graft] val MmrK = 5
+
+  /** One selected row of the MMR output. */
+  final case class MmrRow(q_id: Long, rank: Long, neighbor_id: Long,
+    relevance: Double, mmr: Double)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — THE diversity stage of a retrieval pipeline: greedily pick from
+    * each query's candidate pool the item maximizing
+    * λ·rel(q, d) − μ·max_{s∈selected} sim(d, s), so the final k trades
+    * raw relevance against redundancy with what's already picked (a
+    * RAG context window full of five near-identical passages wastes
+    * four slots).
+    *
+    * Distribution shape: MMR is inherently sequential in k, but ONLY
+    * within a query — the candidate pool is the ANN stage's top-N
+    * (pool ≤ [[MmrPool]], query-sized by construction), so the greedy
+    * loop is O(pool²·k) arithmetic over ≤ N rows running inside one
+    * task per query via `flatMapGroups`, while queries themselves scale
+    * out across the cluster. The candidate GENERATION is the
+    * distributed part and is whatever ANN face produced the pool.
+    *
+    * Determinism: relevance arrives 6-rounded from the scorer;
+    * candidate-candidate cosines round to 6 the same way (HALF_UP, the
+    * engine round()'s rule); the score arithmetic is two multiplies and
+    * a subtract on identical doubles — bit-equal on any engine — and
+    * ties break by neighbor id, so the DuckDB oracle can replay the
+    * greedy selection as [[graft.operators.Graph]]-style unrolled
+    * stages and hash-match exactly. */
+  def mmrRerank(cands: DataFrame, k: Int = MmrK,
+      lambda: Double = MmrLambda, mu: Double = MmrMu): DataFrame = {
+    val s = cands.sparkSession
+    import s.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cands.select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("rel").cast("double"), col("emb"), col("nrm").cast("double"))
+      .as[(Long, Long, Double, Seq[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val pool = it.toArray
+        def sim(a: (Long, Long, Double, Seq[Float], Double),
+            b: (Long, Long, Double, Seq[Float], Double)): Double = {
+          // left-to-right sum — the association every scorer here uses
+          // (Spark aggregate(), DuckDB list_aggregate 'sum'), so the
+          // rounded cosine is bit-identical to the oracle's
+          var d = 0.0
+          var i = 0
+          val (ea, eb) = (a._4, b._4)
+          while (i < ea.length) { d += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          round6(d / (a._5 * b._5))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Seq[Float], Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrRow]
+        var rank = 1L
+        while (rank <= k && remaining.nonEmpty) {
+          val scored = remaining.map { c =>
+            val ms = if (selected.isEmpty) 0.0 else selected.map(sel => sim(c, sel)).max
+            (c, lambda * c._3 - mu * ms)
+          }
+          val best = scored.reduceLeft { (x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1._2 < x._1._2)) y else x
+          }
+          selected += best._1
+          remaining -= best._1
+          // the score ships UNROUNDED: both engines derive it from
+          // identical doubles with identical ops, so it is bit-equal as
+          // is — while rounding it would re-introduce the one case the
+          // two engines' round() implementations genuinely disagree on
+          // (a float half-case: BigDecimal HALF_UP sees the exact
+          // decimal expansion, DuckDB's multiply-then-round sees the
+          // scaled float's error)
+          out += MmrRow(q, rank, best._1._2, best._1._3, best._2)
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** MMR over the brute-force top-[[MmrPool]] pools — relevance and the
+    * pool cut are [[qAnnTopk]]'s own scoring, so the re-rank face can
+    * never diverge from the retrieval face it post-processes. */
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val cands = bruteScored(s, dir)
+      .filter(col("cosine").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= MmrPool)
+      .select(col("q_id"), col("n_id"), col("cosine").as("rel"),
+        col("n_emb").as("emb"), col("n_nrm").as("nrm"))
+    mmrRerank(cands).orderBy("q_id", "rank")
+  }
+
   /** Top-k per (score, id) as ONE expression: the native
     * [[graft.functions.TopKByScore]] aggregate when the session has
     * GraftExtensions, else a collect+sort fallback with the identical
@@ -1231,6 +1335,7 @@ object Similarity {
     "q_embed_pipeline" -> qEmbedPipeline _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
+    "q_mmr_rerank"    -> qMmrRerank _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
@@ -1359,7 +1464,67 @@ object Similarity {
     // total-ordering contract, so both keys carry one SQL
     "q_ann_topk" -> duckAnnTopkSql,
     "q_ann_topk_agg" -> duckAnnTopkSql,
+    "q_mmr_rerank" -> duckMmrSql,
   )
+
+  /** The MMR oracle: the greedy selection unrolled as
+    * [[graft.operators.Graph]]-style CTE stages — stage k computes
+    * every unselected candidate's λ·rel − μ·max-sim-to-selected and
+    * picks the (score desc, id asc) argmax. Candidate relevance, the
+    * pool cut, and candidate-candidate cosines replay the Spark math
+    * verbatim (same rounding, same left-to-right sums), so the argmax
+    * comparisons run on bit-identical doubles. */
+  private lazy val duckMmrSql: String = {
+    val base =
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_transform(range(1, length(embedding) + 1),
+        |      i -> cast(embedding[i] AS double) * cast(embedding[i] AS double)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % 100 = 0),
+        |sc AS (
+        |  SELECT q.q_id, e.vec_id AS n_id, e.embedding AS emb, e.nrm AS nrm,
+        |    round(list_aggregate(list_transform(range(1, length(q.q_emb) + 1),
+        |        i -> cast(q.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')
+        |      / (q.q_nrm * e.nrm), 6) AS rel
+        |  FROM q, e WHERE e.vec_id <> q.q_id),
+        |cand AS (SELECT * FROM (
+        |    SELECT sc.*, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+        |    FROM sc) t
+        |  WHERE rn <= $MmrPool),
+        |p AS (
+        |  SELECT a.q_id, a.n_id AS x, b.n_id AS y,
+        |    round(list_aggregate(list_transform(range(1, length(a.emb) + 1),
+        |        i -> cast(a.emb[i] AS double) * cast(b.emb[i] AS double)), 'sum')
+        |      / (a.nrm * b.nrm), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+        |s1 AS (SELECT q_id, n_id, rel, $MmrLambda * rel AS mmr, CAST(1 AS BIGINT) AS rk
+        |       FROM cand WHERE rn = 1),
+        |sel1 AS (SELECT q_id, n_id FROM s1)""".stripMargin
+    val stages = (2 to MmrK).map { k =>
+      s"""m$k AS (
+         |  SELECT c.q_id, c.n_id, c.rel,
+         |    $MmrLambda * c.rel - $MmrMu * max(p.sim) AS mmr
+         |  FROM cand c
+         |  JOIN p ON p.q_id = c.q_id AND p.x = c.n_id
+         |  JOIN sel${k - 1} s ON s.q_id = p.q_id AND s.n_id = p.y
+         |  LEFT JOIN sel${k - 1} me ON me.q_id = c.q_id AND me.n_id = c.n_id
+         |  WHERE me.n_id IS NULL
+         |  GROUP BY c.q_id, c.n_id, c.rel),
+         |s$k AS (SELECT q_id, n_id, rel, mmr, CAST($k AS BIGINT) AS rk FROM (
+         |    SELECT m$k.*, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id) AS rn2
+         |    FROM m$k) t
+         |  WHERE rn2 = 1),
+         |sel$k AS (SELECT q_id, n_id FROM sel${k - 1} UNION ALL SELECT q_id, n_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to MmrK).map(k =>
+      s"SELECT q_id, rk, n_id, rel, mmr FROM s$k").mkString("\nUNION ALL\n")
+    s"""$base,
+       |$stages
+       |SELECT q_id, rk AS rank, n_id AS neighbor_id, rel AS relevance, mmr
+       |FROM ($all)
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   private lazy val duckAnnTopkSql: String =
       """WITH e AS (

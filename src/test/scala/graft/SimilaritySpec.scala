@@ -525,6 +525,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.qIvfProbeStored(spark, path).count() > 0)
   }
 
+  test("MMR rerank: diversity beats raw rank on a planted redundant pool; partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query pool: A is most relevant; B is a near-copy of A with lower
+    // relevance; C is orthogonal. Plain top-2 = (A, B); MMR must pick
+    // (A, C): B's redundancy penalty 0.3·sim(B,A)≈0.3 sinks its
+    // 0.7·0.8 = 0.56 below C's 0.7·0.5 − 0.3·0 = 0.35... (0.26 < 0.35)
+    val cands = Seq(
+      (1L, 10L, 0.99, Seq(1.0f, 0.0f), 1.0),
+      (1L, 11L, 0.80, Seq(1.0f, 0.001f), math.sqrt(1.0 + 0.001 * 0.001)),
+      (1L, 12L, 0.50, Seq(0.0f, 1.0f), 1.0)
+    ).toDF("q_id", "n_id", "rel", "emb", "nrm")
+    Seq(cands, cands.repartition(5), cands.repartition(1)).foreach { c =>
+      val got = Similarity.mmrRerank(c, k = 2).orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+      assert(got.map(_._2) === Seq(10L, 12L),
+        s"MMR must pick the orthogonal candidate over the redundant one, got $got")
+      // rank-1 score is λ·rel (empty selected set); rank-2 carries C's
+      // zero-similarity score λ·0.5 (unrounded — the bit the oracle
+      // compares is the raw double)
+      assert(got(0)._3 === 0.7 * 0.99 && got(1)._3 === 0.7 * 0.5, s"scores: $got")
+    }
+    // the registered face: 5 picks per query, rank-1 = the brute-force
+    // top-1 (MMR can never demote the most relevant item)
+    val face = Similarity.qMmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val top1 = Similarity.qAnnTopk(spark, dir)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(face.groupBy(_._1).forall(_._2.length == 5), "five picks per query")
+    face.filter(_._2 == 1L).foreach { case (q, _, n) =>
+      assert(top1(q) === n, s"query $q: MMR rank 1 must equal the relevance top-1")
+    }
+  }
+
   test("LSH index retraction: probes forget; sidecar survives compaction while a batch can replay") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-annretract").toString + "/idx"
