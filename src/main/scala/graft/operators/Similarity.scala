@@ -836,7 +836,25 @@ object Similarity {
           df.repartition(col("list_id")), tmp, Seq("list_id", "batch_id"))
         writeCentroids(s, tmp, cents)
         if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+        // folding scoped batches bounds the as-of horizon (the vacuum
+        // rule; see probeIvfIndexAsOf)
+        graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
       })
+  }
+
+  /** [[probeIvfIndex]] AS OF admission batch `asOf` — the vector
+    * store's member of the data-plane time-travel family
+    * ([[graft.operators.Dedup.gateAgainstStoredAsOf]] documents the
+    * shared semantics: partition-filtered read, retractions erase
+    * history, compaction bounds the horizon with a loud refusal). The
+    * centroid sidecar needs no slicing: the quantizer is frozen at
+    * write time (see [[appendIvfIndex]]), so every historical state
+    * probed under today's centroids IS what a reader probed then. */
+  def probeIvfIndexAsOf(s: SparkSession, path: String, lists: Seq[Int],
+      asOf: Long): DataFrame = {
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    probeIvfIndex(s, path, lists)
+      .filter(col("batch_id").cast("long") <= asOf)
   }
 
   /** Retract vectors from a stored index (IVF or LSH) — the

@@ -525,6 +525,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.qIvfProbeStored(spark, path).count() > 0)
   }
 
+  test("IVF as-of: pre-append probes see the bootstrap; retraction erases history; fold bounds the horizon") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfasof").toString + "/idx"
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeIvfIndexFrom(spark, e.filter(col("vec_id") < 200), path)
+    Similarity.appendIvfIndexBatch(spark, e.filter(col("vec_id") >= 200), path, 3L)
+    val allLists = spark.read.parquet(path).select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def asOfIds(asOf: Long): Set[Long] =
+      Similarity.probeIvfIndexAsOf(spark, path, allLists, asOf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val bootIds = e.filter(col("vec_id") < 200)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // as of before batch 3: exactly the bootstrap's vectors
+    assert(asOfIds(2L) === bootIds)
+    // as of the newest batch: the full index
+    assert(asOfIds(3L) === e.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // retraction erases history: a forgotten bootstrap vector is
+    // invisible at every asOf
+    Similarity.retractVectors(spark, path, Seq(7L))
+    assert(asOfIds(2L) === bootIds - 7L)
+    // the final fold absorbs batch 3: pre-horizon reads refuse loudly
+    Similarity.compactIvfIndex(spark, path, foldBelow = 4L)
+    val err = intercept[IllegalArgumentException](asOfIds(2L))
+    assert(err.getMessage.contains("oldest reconstructable state is as of batch 3"),
+      s"got: ${err.getMessage}")
+    assert(asOfIds(3L) === e.select("vec_id").collect().map(_.getLong(0)).toSet - 7L,
+      "the at-horizon as-of must survive the fold (minus the purged vector)")
+  }
+
   test("MMR rerank: diversity beats raw rank on a planted redundant pool; partitioning-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
