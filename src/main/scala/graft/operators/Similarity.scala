@@ -1331,6 +1331,9 @@ object Similarity {
         graft.sources.Sinks.overwritePartitioned(
           df.repartition(col("bucket")), tmp, Seq("bucket", "batch_id"))
         if (scopedRemain) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+        // folding scoped batches bounds the as-of horizon (the vacuum
+        // rule; see probeAnnIndexAsOf)
+        graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
       })
   }
 
@@ -1345,6 +1348,17 @@ object Similarity {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.minusTombstones(s, path, "vec_id",
       s.read.parquet(path).filter(col("bucket").isin(buckets: _*)))
+  }
+
+  /** [[probeAnnIndex]] AS OF admission batch `asOf` — the LSH index's
+    * member of the data-plane time-travel family (see
+    * [[probeIvfIndexAsOf]]; the plane family is code, not store state,
+    * so — like the frozen IVF quantizer — no sidecar needs slicing). */
+  def probeAnnIndexAsOf(s: SparkSession, path: String, buckets: Seq[Long],
+      asOf: Long): DataFrame = {
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    probeAnnIndex(s, path, buckets)
+      .filter(col("batch_id").cast("long") <= asOf)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

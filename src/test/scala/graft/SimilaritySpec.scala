@@ -525,6 +525,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.qIvfProbeStored(spark, path).count() > 0)
   }
 
+  test("LSH index as-of: batch slices reconstruct exactly; fold bounds the horizon") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-lshasof").toString + "/idx"
+    val e = Tables.embeddings(spark, dir)
+    Similarity.appendAnnIndexBatch(spark, e.filter(col("vec_id") < 200), path, 1L)
+    Similarity.appendAnnIndexBatch(spark, e.filter(col("vec_id") >= 200), path, 2L)
+    val allBuckets = spark.read.parquet(path)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def asOfIds(asOf: Long): Set[Long] =
+      Similarity.probeAnnIndexAsOf(spark, path, allBuckets, asOf)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(asOfIds(1L) ===
+      e.filter(col("vec_id") < 200).select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(asOfIds(2L) === e.select("vec_id").collect().map(_.getLong(0)).toSet)
+    Similarity.compactAnnIndex(spark, path, foldBelow = 3L)
+    val err = intercept[IllegalArgumentException](asOfIds(1L))
+    assert(err.getMessage.contains("oldest reconstructable state is as of batch 2"))
+    assert(asOfIds(2L) === e.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "the at-horizon as-of must survive the fold")
+  }
+
   test("IVF as-of: pre-append probes see the bootstrap; retraction erases history; fold bounds the horizon") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-ivfasof").toString + "/idx"
