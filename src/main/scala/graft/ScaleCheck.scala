@@ -64,9 +64,12 @@ object ScaleCheck {
     "q_substr_dedup", "q_substr_removal",
     // round-13 additions: the retraction faces (store bootstrap +
     // tombstone write + corrected read, the full maintenance cycle at
-    // 10×) and the Bloom semi join (its shuffle-shrink claim depends on
-    // dim selectivity holding under scale)
-    "q_dedup_retract", "q_bloom_join", "q_lm_retract", "q_nb_retract")
+    // 10×), the Bloom semi join (its shuffle-shrink claim depends on
+    // dim selectivity holding under scale), triangle counting (pair
+    // volume and oriented-wedge bounds at 10×), and the Q21 semi+anti
+    // chain (three lineitem-scale exchanges)
+    "q_dedup_retract", "q_bloom_join", "q_lm_retract", "q_nb_retract",
+    "q_triangles", "q_tpch_q21")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
