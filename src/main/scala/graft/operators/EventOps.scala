@@ -283,7 +283,84 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Minimum trailing hours before an anomaly verdict fires — a
+    * baseline of 3 observations is noise, not a distribution. */
+  private val AnomalyMinBase = 12L
+  /** z² threshold (z > 3σ ⇔ z² > 9) — squared so the whole test stays
+    * in exact integer arithmetic. */
+  private val AnomalyZsq = 9L
+
+  /** Hourly event-volume anomaly detection — the operations-monitoring
+    * staple (is this hour's error volume abnormal for this event
+    * type?): per (event_type, hour) counts, a TRAILING 24-hour baseline
+    * (rows window, 24 preceding .. 1 preceding — the current hour must
+    * not contaminate its own baseline), and a 3σ verdict.
+    *
+    * The z-score test runs ENTIRELY in exact integer arithmetic — the
+    * float-determinism discipline taken to its limit: with c = baseline
+    * hours, s = Σcounts, q = Σcounts², the test z² > 9 rewrites as
+    *   (n·c − s)² > 9·(q·c − s²)   [n·c − s = c²·(n − mean); q·c − s² =
+    *                                c²·var — the c² factors cancel]
+    * so mean, variance, sqrt and division never materialize as floats
+    * and the oracle compares bit-exact longs (counts are hour-volume
+    * sized; the squares sit far inside int64). Zero-variance baselines
+    * (q·c = s²) flag any deviation (n·c ≠ s) — a constant history makes
+    * every change anomalous, which is the correct 3σ limit.
+    *
+    * Scale: one shuffle to (type, hour) counts — hours × types rows,
+    * calendar-sized, orders below the event log — then a per-type
+    * window over hour-count rows. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("base_c", count(col("n")).over(w))
+      .withColumn("base_s", sum(col("n")).over(w))
+      .withColumn("base_q", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("hour_ts"), col("n"),
+        col("base_c"), col("base_s"),
+        (col("base_c") >= AnomalyMinBase &&
+          (col("n") * col("base_c") - col("base_s")) *
+            (col("n") * col("base_c") - col("base_s")) >
+            lit(AnomalyZsq) * (col("base_q") * col("base_c") - col("base_s") * col("base_s")))
+          .cast("int").as("anomalous"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  /** Funnel latency — how long conversion takes, not just whether it
+    * happens ([[qEventFunnel]]'s missing axis): per first-view cohort
+    * day, the exact latency distribution from a user's FIRST view to
+    * their FIRST subsequent purchase. Latencies are exact micros longs;
+    * the median interpolates via the exact `percentile` aggregate
+    * (per-cohort sorted buffer — cohort-day-sized groups; the
+    * documented scale twin is approx_percentile, as for
+    * [[graft.operators.CoreOps.qApproxQuantiles]]). */
+  def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t_p"))
+    views.join(purch, Seq("user_id"))
+      .filter(col("t_p") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("t_p")).as("t_purchase"))
+      .select(date_trunc("DAY", col("t_view")).as("cohort_day"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("latency_us"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_converted"),
+        min("latency_us").as("min_us"),
+        round(expr("percentile(latency_us, 0.5)"), 6).as("p50_us"),
+        max("latency_us").as("max_us"))
+      .orderBy("cohort_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly"       -> qAnomaly _,
+    "q_funnel_latency" -> qFunnelLatency _,
     "q_hll_rollup"    -> qHllRollup _,
     "q_scd2"          -> qScd2 _,
     "q_event_funnel"  -> qEventFunnel _,
@@ -297,6 +374,44 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    cast(date_trunc('hour', cast(ts AS timestamp)) AS timestamp) AS hour_ts,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, hour_ts, n,
+        |    CAST(count(n) OVER tw AS BIGINT) AS base_c,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS base_s,
+        |    CAST(sum(n * n) OVER tw AS BIGINT) AS base_q
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ts
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_ts, n, base_c, base_s,
+        |  CASE WHEN base_c >= 12
+        |         AND (n * base_c - base_s) * (n * base_c - base_s)
+        |             > 9 * (base_q * base_c - base_s * base_s)
+        |       THEN 1 ELSE 0 END AS anomalous
+        |FROM b ORDER BY event_type, hour_ts""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(cast(ts AS timestamp)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT v.user_id, v.t_view, min(cast(e.ts AS timestamp)) AS t_purchase
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND cast(e.ts AS timestamp) > v.t_view
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT cast(date_trunc('day', t_view) AS timestamp) AS cohort_day,
+        |    CAST(epoch_us(t_purchase) - epoch_us(t_view) AS BIGINT) AS latency_us
+        |  FROM c)
+        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(latency_us) AS min_us,
+        |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
+        |  max(latency_us) AS max_us
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hll_rollup" ->
       """SELECT cast(date_trunc('day', cast(ts AS timestamp)) AS timestamp) AS day,
         |  count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
