@@ -40,19 +40,28 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("doc_id", "text"), idx, batchId = 1L)
     graft.operators.Dedup.writeSignatures(graft.operators.Dedup.signaturesOf(corpus), sig)
     val probeBefore = SearchProbe.scores(spark, idx)
+    // an NB model with a PENDING retraction: the sweep's new
+    // compact-nb-model task is its absorption path
+    val nb = Files.createTempDirectory("graft-maint-nb").toString + "/nbmodel"
+    graft.operators.TextOps.writeNbModel(spark, corpus, nb)
+    graft.operators.TextOps.retractNbDocs(spark, nb, corpus.filter(
+      org.apache.spark.sql.functions.col("doc_id") === 1L))
+    assert(graft.sources.Stores.hasTombstones(spark, nb))
 
     val tasks = Maintenance.standardTasks(spark, store, Maintenance.StoreLayout(
-      searchIndex = Some((idx, 2L)), signatureStore = Some(sig)))
-    assert(tasks.map(_.name) === Seq("compact-search-index", "compact-signatures",
-      "checkpoint-control-log", "vacuum-control-log"))
+      searchIndex = Some((idx, 2L)), nbModel = Some(nb), signatureStore = Some(sig)))
+    assert(tasks.map(_.name) === Seq("compact-search-index", "compact-nb-model",
+      "compact-signatures", "checkpoint-control-log", "vacuum-control-log"))
     val report = Maintenance.runBatch(lc, "MAINT", tasks).toOption.get
-    assert(report.healthy && report.succeeded.length === 4 && report.runId === 1L)
+    assert(report.healthy && report.succeeded.length === 5 && report.runId === 1L)
+    assert(!graft.sources.Stores.hasTombstones(spark, nb),
+      "the sweep must absorb the NB store's pending retraction")
 
     // the batch is VISIBLE in the monitor with its counts
     val st = store.monitorState.filter(
       org.apache.spark.sql.functions.col("module_id") === 100L).head()
     assert(st.getAs[String]("run_status") === RunStatus.Success)
-    assert(st.getAs[Long]("records_processed") === 4L)
+    assert(st.getAs[Long]("records_processed") === 5L)
     assert(st.getAs[Long]("records_in_error") === 0L)
     // and the compaction preserved search semantics (batch partitions folded)
     assert(SearchProbe.scores(spark, idx) === probeBefore,
