@@ -719,4 +719,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the supplier-inequality conditions must ride the orderkey equi-joins:\n$p")
   }
+
+  test("q_triangles: every join is an equi-join (the orientation must not plan a nested loop)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation and closure must ride hash-key equi-joins:\n$p")
+    // the pair generator reads only (orderkey, partkey)
+    assert("ReadSchema: struct<l_orderkey:[a-z]+,l_partkey:[a-z]+>".r.findFirstIn(p).nonEmpty,
+      s"edge derivation must read only the two key columns:\n$p")
+  }
+
+  test("q_anomaly: one aggregation feeds the baseline window; scan reads only (ts, event_type)") {
+    val p = plan("q_anomaly")
+    assert(p.contains("Window"),
+      s"the trailing baseline must be a window over hourly rows:\n$p")
+    assert("ReadSchema: struct<ts:[a-z0-9_()]+,event_type:string>".r.findFirstIn(p).nonEmpty
+      || "ReadSchema: struct<event_type:string,ts:".r.findFirstIn(p).nonEmpty,
+      s"the scan must read only the grouping columns:\n$p")
+  }
 }
