@@ -816,6 +816,59 @@ object CoreOps {
       .limit(20)
   }
 
+  /** Q8 analogue — national market share: of all revenue flowing to
+    * customers in region-0 nations, the share supplied by NATION_1, per
+    * order year. The shape: two INDEPENDENT dimension chains constrain
+    * the same fact row (customer's nation → region on one side,
+    * supplier's nation on the other), and the share is a conditional
+    * sum over the SAME aggregate pass — no second scan, no join back.
+    * Both dimension chains broadcast (region-filtered nations ∘
+    * supplier is dimension-sized at any scale). */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = broadcast(
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_regionkey") === 0),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nation")))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(regionNations, col("c_nationkey") === col("cust_nation"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(round((sum(when(col("s_nationkey") === 1, revenueExpr)
+          .otherwise(lit(0).cast("decimal(18,2)"))) / sum(revenueExpr))
+          .cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** Q15 analogue — top supplier(s): per-supplier revenue over one
+    * quarter, keeping exactly the supplier(s) achieving the GLOBAL
+    * maximum. The classic view + correlated `= (SELECT max(...))`
+    * becomes an aggregate whose 1-row maximum broadcasts back as a
+    * filter — the q_tpch_q22 global-scalar shape applied to an
+    * aggregate instead of a base table. Decimal revenue end-to-end so
+    * the max-equality test compares exact values, never float sums. */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueExpr).as("total_rev"))
+    val top = rev.agg(max("total_rev").as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast(LongType).as("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -1124,6 +1177,8 @@ object CoreOps {
     "q_tpch_q17"        -> qTpchQ17 _,
     "q_tpch_q19"        -> qTpchQ19 _,
     "q_tpch_q21"        -> qTpchQ21 _,
+    "q_tpch_q8"         -> qTpchQ8 _,
+    "q_tpch_q15"        -> qTpchQ15 _,
     "q_setops"          -> qSetOps _,
     "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
@@ -1616,6 +1671,34 @@ object CoreOps {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
+        |  round(cast(
+        |    sum(CASE WHEN s_nationkey = 1
+        |        THEN cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))
+        |        ELSE cast(0 AS decimal(18,2)) END) /
+        |    sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2))))
+        |  AS double), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_regionkey = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT cast(l_suppkey AS bigint) AS s_suppkey, s_name,
+        |  cast(total_rev AS double) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_setops_all" ->
       """WITH u AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'),
         |h AS (SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '2-HIGH'),
