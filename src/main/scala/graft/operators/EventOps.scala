@@ -302,8 +302,13 @@ object EventOps {
     *   (n·c − s)² > 9·(q·c − s²)   [n·c − s = c²·(n − mean); q·c − s² =
     *                                c²·var — the c² factors cancel]
     * so mean, variance, sqrt and division never materialize as floats
-    * and the oracle compares bit-exact longs (counts are hour-volume
-    * sized; the squares sit far inside int64). Zero-variance baselines
+    * and the oracle compares bit-exact longs. Domain bound, stated
+    * honestly: (n·c)² must fit int64, which holds for per-type hourly
+    * volumes up to ~1.2×10⁸ (n·24 ≤ 3×10⁹, squared ≈ 8.7×10¹⁸ <
+    * 2⁶³−1); a deployment whose single event type exceeds a hundred
+    * million events per hour casts the three test terms to
+    * decimal(38,0) — same exactness, wider headroom — or pre-scales
+    * counts to thousands. Zero-variance baselines
     * (q·c = s²) flag any deviation (n·c ≠ s) — a constant history makes
     * every change anomalous, which is the correct 3σ limit.
     *
