@@ -694,6 +694,50 @@ object TextOps {
     * on the synthetic corpus — see [[TopWordFracMax]]'s tuning note). */
   private[graft] val LmScoreMin = -3.43
 
+  /** Curriculum difficulty staging — the training-schedule face of the
+    * LM score: every scored document lands in one of five
+    * corpus-quantile difficulty tiers (1 = most surprising under the
+    * corpus LM = hardest; 5 = easiest), with the per-tier doc and
+    * bigram-token budgets a curriculum planner actually schedules from.
+    *
+    * Buckets come from exact-percentile THRESHOLDS broadcast back onto
+    * the scored frame — deliberately not `ntile`, whose global window
+    * is a single-task sort of the whole corpus at scale (the classic
+    * trap); four threshold comparisons are mergeable, shuffle once for
+    * the 1-row percentile frame, and assign in the scan projection. The
+    * exact percentile's documented scale twin is approx_percentile
+    * ([[graft.operators.CoreOps.qApproxQuantiles]]' argument). Docs
+    * under 2 words carry no LM score and no tier — the funnel's domain
+    * rule.
+    *
+    * The scored frame is derived twice (the threshold aggregate and the
+    * bucketing pass) — the price of staying a pure function of the
+    * input, as q_quality_classifier's in-query training. A deployment
+    * materializes the per-doc scores once (or serves them from the
+    * stored LM via [[lmScoreStored]]) and pays only the threshold
+    * aggregate plus a scan. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = lmScore(Tables.documents(s, dir), ordered = false)
+    val th = scored.agg(
+      expr("percentile(avg_logp, 0.2)").as("p20"),
+      expr("percentile(avg_logp, 0.4)").as("p40"),
+      expr("percentile(avg_logp, 0.6)").as("p60"),
+      expr("percentile(avg_logp, 0.8)").as("p80"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_logp") < col("p20"), 1L)
+          .when(col("avg_logp") < col("p40"), 2L)
+          .when(col("avg_logp") < col("p60"), 3L)
+          .when(col("avg_logp") < col("p80"), 4L)
+          .otherwise(5L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        round(min("avg_logp"), 6).as("min_logp"),
+        round(max("avg_logp"), 6).as("max_logp"))
+      .orderBy("bucket")
+  }
+
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
@@ -1461,6 +1505,7 @@ object TextOps {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
+    "q_curriculum"  -> qCurriculum _,
     "q_lm_probe"    -> qLmProbe _,
     "q_lm_retract"  -> qLmRetract _,
     "q_quality_classifier" -> qQualityClassifier _,
@@ -1643,6 +1688,25 @@ object TextOps {
         |  mean_word_len, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, flagged
         |FROM rep ORDER BY doc_id""".stripMargin,
     "q_lm_score" -> lmScoreSql,
+    "q_curriculum" ->
+      s"""WITH $duckPartsCte,
+        |$duckLmCtes,
+        |th AS (SELECT quantile_cont(avg_logp, 0.2) AS p20,
+        |         quantile_cont(avg_logp, 0.4) AS p40,
+        |         quantile_cont(avg_logp, 0.6) AS p60,
+        |         quantile_cont(avg_logp, 0.8) AS p80 FROM lmd),
+        |b AS (SELECT doc_id, n_bigrams, avg_logp,
+        |        CASE WHEN avg_logp < p20 THEN 1
+        |             WHEN avg_logp < p40 THEN 2
+        |             WHEN avg_logp < p60 THEN 3
+        |             WHEN avg_logp < p80 THEN 4
+        |             ELSE 5 END AS bucket
+        |      FROM lmd CROSS JOIN th)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  round(min(avg_logp), 6) AS min_logp,
+        |  round(max(avg_logp), 6) AS max_logp
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // stored-model face: same oracle — materializing the LM moves no score
     "q_lm_probe" -> lmScoreSql,
     // retraction face: the oracle RETRAINS on a corpus the retracted docs
