@@ -285,10 +285,10 @@ object EventOps {
 
   /** Minimum trailing hours before an anomaly verdict fires — a
     * baseline of 3 observations is noise, not a distribution. */
-  private val AnomalyMinBase = 12L
+  private[graft] val AnomalyMinBase = 12L
   /** z² threshold (z > 3σ ⇔ z² > 9) — squared so the whole test stays
     * in exact integer arithmetic. */
-  private val AnomalyZsq = 9L
+  private[graft] val AnomalyZsq = 9L
 
   /** Hourly event-volume anomaly detection — the operations-monitoring
     * staple (is this hour's error volume abnormal for this event
@@ -315,16 +315,24 @@ object EventOps {
     * Scale: one shuffle to (type, hour) counts — hours × types rows,
     * calendar-sized, orders below the event log — then a per-type
     * window over hour-count rows. */
-  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
+  def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables.events(s, dir))
+
+  /** [[qAnomaly]] over an arbitrary (event_type, ts[, …]) frame — the
+    * seam the streaming twin's spec compares against
+    * ([[graft.streaming.EventStreams.anomalyStateful]]). */
+  private[graft] def anomalyOf(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour_ts")
       .rowsBetween(-24, -1)
     hourly
       .withColumn("base_c", count(col("n")).over(w))
-      .withColumn("base_s", sum(col("n")).over(w))
-      .withColumn("base_q", sum(col("n") * col("n")).over(w))
+      // coalesced: an empty baseline sums to 0, not NULL — the value the
+      // stateful twin's integer fold naturally produces
+      .withColumn("base_s", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("base_q", coalesce(sum(col("n") * col("n")).over(w), lit(0L)))
       .select(col("event_type"), col("hour_ts"), col("n"),
         col("base_c"), col("base_s"),
         (col("base_c") >= AnomalyMinBase &&
@@ -388,8 +396,8 @@ object EventOps {
         |b AS (
         |  SELECT event_type, hour_ts, n,
         |    CAST(count(n) OVER tw AS BIGINT) AS base_c,
-        |    CAST(sum(n) OVER tw AS BIGINT) AS base_s,
-        |    CAST(sum(n * n) OVER tw AS BIGINT) AS base_q
+        |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS base_s,
+        |    CAST(coalesce(sum(n * n) OVER tw, 0) AS BIGINT) AS base_q
         |  FROM h
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ts
         |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))

@@ -390,6 +390,69 @@ object EventStreams {
       }
   }
 
+  final case class AnomalyEvent(event_type: String, ts: Timestamp)
+  final case class AnomalyState(hours: Seq[(Long, Long)], lastEmittedUs: Long)
+  final case class AnomalyVerdict(event_type: String, hour_ts: Timestamp,
+    n: Long, base_c: Long, base_s: Long, anomalous: Int)
+
+  /** Streaming hourly-volume anomaly detection — the stateful twin of
+    * [[graft.operators.EventOps.qAnomaly]], emitting each completed
+    * hour's 3σ verdict as soon as the NEXT hour's first event arrives
+    * (an hour is final once a later hour exists — the same
+    * per-key event-time-order contract the sessionizer and SCD2 twins
+    * document; the stream's LAST hour stays open in state, exactly as a
+    * windowed aggregate holds its last window until the watermark
+    * closes it). Per-type state = the trailing PRESENT hours' counts —
+    * the batch face's baseline is a rows-window over existing hour
+    * rows, not a calendar range, so gap hours must not pad the
+    * baseline — trimmed to the 25 most recent (24 baseline + the open
+    * hour), which BOUNDS state by construction: ≤ 25 (hour, count)
+    * pairs per event type, ever. The verdict arithmetic is the batch
+    * face's integer z² test verbatim (one shared set of constants), so
+    * the streamed verdicts equal the batch query on the same events
+    * row-for-row (StreamingSpec asserts it, spike included). */
+  def anomalyStateful(events: Dataset[AnomalyEvent]): Dataset[AnomalyVerdict] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[AnomalyEvent], state: GroupState[AnomalyState]) =>
+          val prev = state.getOption.getOrElse(AnomalyState(Nil, Long.MinValue))
+          val m = scala.collection.mutable.TreeMap.empty[Long, Long]
+          prev.hours.foreach { case (h, n) => m.update(h, n) }
+          it.foreach { e =>
+            val h = micros(e.ts) - java.lang.Math.floorMod(micros(e.ts), HourUs)
+            m.update(h, m.getOrElse(h, 0L) + 1L)
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val hours = m.keys.toVector
+            val maxH = hours.last
+            val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyVerdict]
+            hours.zipWithIndex.foreach { case (h, i) =>
+              if (h > prev.lastEmittedUs && h < maxH) {
+                val base = hours.slice(math.max(0, i - 24), i).map(m)
+                val c = base.size.toLong
+                val sSum = base.sum
+                val q = base.map(x => x * x).sum
+                val n = m(h)
+                val anomalous =
+                  if (c >= graft.operators.EventOps.AnomalyMinBase &&
+                    (n * c - sSum) * (n * c - sSum) >
+                      graft.operators.EventOps.AnomalyZsq * (q * c - sSum * sSum)) 1
+                  else 0
+                out += AnomalyVerdict(tpe, new Timestamp(h / 1000L), n, c, sSum, anomalous)
+              }
+            }
+            val lastEmitted = math.max(prev.lastEmittedUs,
+              hours.filter(_ < maxH).lastOption.getOrElse(Long.MinValue))
+            state.update(AnomalyState(
+              hours.takeRight(25).map(h => (h, m(h))), lastEmitted))
+            out.iterator
+          }
+      }
+  }
+
   final case class TypedEvent(user_id: Long, event_type: String, ts: Timestamp, event_id: Long)
   final case class Scd2State(currentType: String, validFrom: Timestamp, version: Long)
   final case class Scd2Closed(user_id: Long, event_type: String,

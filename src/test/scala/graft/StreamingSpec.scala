@@ -740,6 +740,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("stateful anomaly twin equals the batch 3-sigma query; state stays 25 hours; spike flags") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{AnomalyEvent, AnomalyVerdict}
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, i: Int): Timestamp =
+      Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+        .plusSeconds(hour * 3600L + i * 7L))
+    // type "x": 30 steady hours of 10 events, hour 27 spikes to 60;
+    // type "y": steady 5s (never anomalous); hour 13 is ABSENT for "x"
+    // (the baseline is a rows-window over PRESENT hours, and the gap
+    // must not pad it)
+    val events = (for {
+      h <- 0 until 30 if h != 13
+      i <- 0 until (if (h == 27) 60 else 10)
+    } yield AnomalyEvent("x", at(h, i))) ++
+      (for { h <- 0 until 30; i <- 0 until 5 } yield AnomalyEvent("y", at(h, i)))
+    val ordered = events.sortBy(e => (e.event_type, e.ts.getTime))
+    val (b1, b2) = ordered.partition(_.ts.getTime <
+      Timestamp.from(java.time.Instant.parse("2026-01-01T15:00:00Z")).getTime)
+    val input = MemoryStream[AnomalyEvent]
+    val q = graft.streaming.EventStreams.anomalyStateful(input.toDS())
+      .writeStream.format("memory").queryName("anomaly_twin")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anomaly_twin")
+      .as[AnomalyVerdict].collect()
+      .map(v => (v.event_type, v.hour_ts.getTime, v.n, v.base_c, v.base_s, v.anomalous))
+      .toSet
+    // ground truth: the batch face over the same events, minus each
+    // type's LAST hour (still open in state — no later hour arrived)
+    val batch = graft.operators.EventOps.anomalyOf(
+        events.toDF().select(col("event_type"), col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    val lastHour = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filter(v => v._2 < lastHour(v._1)).toSet
+    assert(streamed === expected,
+      "streamed verdicts must equal the batch 3-sigma query on every closed hour")
+    // the spike is actually caught, and only the spike (hour 27 =
+    // 2026-01-02T03:00Z)
+    val spikeMs = Timestamp.from(java.time.Instant.parse("2026-01-02T03:00:00Z")).getTime
+    assert(streamed.filter(_._6 == 1).map(v => (v._1, v._2)) === Set(("x", spikeMs)),
+      "exactly the planted spike hour must flag")
+  }
+
   test("streaming deletion queue forgets docs store-by-store; a replayed micro-batch converges") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Pipeline, TextOps}
