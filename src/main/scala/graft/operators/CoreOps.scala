@@ -878,6 +878,35 @@ object CoreOps {
         round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
       .orderBy("l_returnflag")
 
+  /** §2.4 extension — ROBUST dispersion: per-group median absolute
+    * deviation and the MAD-based outlier count (|x − med| > 3·1.4826·
+    * MAD, the robust z-score that a 3σ rule degenerates into when the
+    * data itself sets the scale — unlike q_anomaly's mean/variance test
+    * this one shrugs off the very outliers it hunts). Two grouped
+    * exact-percentile passes with the 1-row-per-group medians joined
+    * back (broadcast — group cardinality is dimension-sized); the
+    * documented scale twin for both percentiles is approx_percentile
+    * ([[qApproxQuantiles]]). The 1.4826 consistency constant is the
+    * same literal on both engines, so the outlier threshold compares
+    * identical doubles. */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_quantity")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    val withDev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_quantity") - col("med")))
+    val mad = withDev.groupBy("l_returnflag")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("l_returnflag"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n"), col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   // §2.4 extension — the quantile sketch (approx_percentile, Spark's
   // Greenwald-Khanna summaries with rank error ≤ n/accuracy — NOT
   // t-digest), the scale twin qQuantiles' comment promises: mergeable
@@ -1183,6 +1212,7 @@ object CoreOps {
     "q_setops_all"      -> qSetOpsAll _,
     "q_window_frames"   -> qWindowFrames _,
     "q_quantiles"       -> qQuantiles _,
+    "q_mad"             -> qMad _,
     "q_manifest_prune"  -> qManifestPrune _,
     "q_zorder_prune"    -> qZorderPrune _,
   )
@@ -1368,6 +1398,21 @@ object CoreOps {
         |FROM events, (SELECT max(cast(ts AS timestamp)) AS mx_ts FROM events) mx
         |WHERE cast(ts AS timestamp) >= mx_ts - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, med, abs(l.l_quantity - med) AS dev
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, round(med, 6) AS med, round(mad, 6) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (l_returnflag)
+        |GROUP BY 1, med, mad ORDER BY 1""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
