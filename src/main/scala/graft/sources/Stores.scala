@@ -154,11 +154,28 @@ object Stores {
     * listing per read on the hot path. The sidecar dir's mtime advances
     * whenever a retraction file is renamed in or purged (rename into a
     * directory updates its mtime on both POSIX and HDFS), so a cached
-    * verdict is valid exactly while the mtime is unchanged; the absent
+    * verdict is valid while the mtime is unchanged; the absent
     * case costs one getFileStatus (the same single RPC the old exists()
-    * already paid) and same-JVM writers invalidate explicitly. */
+    * already paid) and same-JVM writers invalidate explicitly.
+    *
+    * mtime alone is NOT sufficient for cross-process writers: with
+    * coarse filesystem timestamps another JVM can rename a tombstone in
+    * within the same mtime tick this JVM cached a `false` verdict, and
+    * nothing would ever invalidate it — retracted docs would keep
+    * surfacing in this reader's gates forever. So `false` verdicts
+    * (the correctness-bearing direction) additionally carry a short TTL
+    * and are re-listed once it lapses; `true` verdicts stay mtime-keyed
+    * indefinitely (files are only ever REMOVED by a compaction swap,
+    * which replaces the sidecar dir and therefore moves its mtime —
+    * and a transiently stale `true` merely costs one extra sidecar
+    * read, never a missed retraction). */
   private val tombstoneVerdicts =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean, Long)]()
+
+  /** How long a cached "no pending retractions" answer may outlive its
+    * listing before being re-verified (guards the same-mtime-tick
+    * cross-process insert described on [[tombstoneVerdicts]]). */
+  private val falseVerdictTtlMs = 2000L
 
   private[graft] def invalidateTombstoneCache(path: String): Unit =
     tombstoneVerdicts.remove(path)
@@ -178,11 +195,13 @@ object Stores {
         tombstoneVerdicts.remove(path); return false
       }
     val cached = tombstoneVerdicts.get(path)
-    if (cached != null && cached._1 == stamp) cached._2
+    val now = System.currentTimeMillis()
+    if (cached != null && cached._1 == stamp &&
+        (cached._2 || now - cached._3 < falseVerdictTtlMs)) cached._2
     else {
       val v = fs.listStatus(p).exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
-      tombstoneVerdicts.put(path, (stamp, v))
+      tombstoneVerdicts.put(path, (stamp, v, now))
       v
     }
   }

@@ -242,19 +242,31 @@ final class MwStateStore(val spark: SparkSession, val dir: String,
 
   // ---- time travel --------------------------------------------------------
 
-  /** Does this failure mean "a file that was just listed no longer
-    * exists"? Walks the cause chain: Spark wraps the underlying
-    * FileNotFound in job/analysis exceptions, and DSv2 path resolution
-    * reports a vanished root as an AnalysisException whose message (not
-    * class) carries "Path does not exist". */
-  private def fileVanished(t: Throwable): Boolean = {
+  /** Does this failure mean "a file WE just listed under one of
+    * `anchors` no longer exists"? Walks the cause chain: Spark wraps the
+    * underlying FileNotFound in job/analysis exceptions, and DSv2 path
+    * resolution reports a vanished root as an AnalysisException whose
+    * message (not class) carries "Path does not exist".
+    *
+    * The match is ANCHORED: a vanished-file signal only counts when the
+    * failing path (exception message, or NoSuchFileException's file
+    * field) names the checkpoint / commit-log directory this read is
+    * actually touching. An unanchored class/phrase match would classify
+    * a genuinely missing store root — or any unrelated error that
+    * happens to embed the phrase — as the retryable GC race and burn
+    * the whole retry budget before surfacing it. */
+  private def fileVanished(t: Throwable, anchors: Seq[String]): Boolean = {
+    def anchored(s: String): Boolean =
+      s != null && anchors.exists(s.contains)
     var cur = t
     var depth = 0
     while (cur != null && depth < 20) {
       cur match {
-        case _: java.nio.file.NoSuchFileException => return true
-        case _: java.io.FileNotFoundException => return true
-        case e if e.getMessage != null &&
+        case e: java.nio.file.NoSuchFileException
+          if anchored(e.getFile) || anchored(e.getMessage) => return true
+        case e: java.io.FileNotFoundException
+          if anchored(e.getMessage) => return true
+        case e if e.getMessage != null && anchored(e.getMessage) &&
           (e.getMessage.contains("Path does not exist") ||
             e.getMessage.contains("PATH_NOT_FOUND")) => return true
         case _ =>
@@ -318,8 +330,14 @@ final class MwStateStore(val spark: SparkSession, val dir: String,
         // NIO NoSuchFileException the commit-log reads throw — and as-of
         // reads target OLD checkpoints, the prime GC candidates, so both
         // shapes are the same retryable race. Anything that is not a
-        // vanished-file signal anywhere in its cause chain stays fatal.
-        case scala.util.control.NonFatal(e) if fileVanished(e) =>
+        // vanished-file signal ANCHORED to this store's checkpoint or
+        // commit-log directories stays fatal — and if the checkpoint dir
+        // is simply gone (GC finished while Spark was mid-read), that
+        // directory check alone settles it without any message parsing.
+        case scala.util.control.NonFatal(e)
+          if (ckptV > 0 && !Files.isDirectory(ckptPath(ckptV))) ||
+            fileVanished(e, Seq(ckptPath(ckptV).toString,
+              Paths.get(dir, "_txn").toString)) =>
           lastProblem = e.toString; attempt += 1
       }
     }

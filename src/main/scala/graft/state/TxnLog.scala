@@ -49,17 +49,19 @@ import scala.jdk.CollectionConverters._
   *    commit dir. For filesystems without link(2) (or where hard links
   *    are administratively disabled).
   *
-  * Deployment scope: writers must share a filesystem where the chosen
-  * publisher's primitive is atomic — POSIX mounts for both in-repo
-  * implementations (NFS implements LINK and RENAME atomically
+  * Deployment scope: writers must share storage where the chosen
+  * publisher's primitive is atomic — POSIX mounts for the two
+  * filesystem publishers (NFS implements LINK and RENAME atomically
   * server-side; publish-after-full-write keeps torn reads impossible
-  * even under client caching). Deployments on other storage write a
-  * third [[CommitPublisher]] against the same five methods: HDFS =
-  * `FileSystem.rename` of a payload file (fail-if-exists is serialized
-  * in the NameNode — atomic there even though the raw-local-fs flavor
-  * of the same API is check-then-act, which is why it is not shipped
-  * here); S3/GCS = conditional put (`If-None-Match: *` / precondition
-  * generation 0) of the payload object. Versioning, retry, floor,
+  * even under client caching), or an object store with conditional PUT
+  * for [[TxnLog.ConditionalPut]] (S3 `If-None-Match: *` / GCS
+  * `ifGenerationMatch=0`), shipped here against the injectable
+  * [[TxnLog.ObjectStore]] seam with a filesystem-backed emulation and
+  * torture-proven like the rest. The remaining storage family, HDFS,
+  * stays documentation: `FileSystem.rename` of a payload file
+  * (fail-if-exists is serialized in the NameNode — atomic there even
+  * though the raw-local-fs flavor of the same API is check-then-act,
+  * which is why it is not shipped here). Versioning, retry, floor,
   * checkpoint and vacuum semantics carry over unchanged.
   *
   * Scale: this is a CONTROL-plane log — one commit per run transition /
@@ -96,6 +98,18 @@ trait CommitPublisher {
   /** Remove staging residue older than `cutoffMs` (epoch millis) — never
     * a live writer's in-flight staging newer than it. */
   def sweepStaging(txnDir: Path, cutoffMs: Long): Unit
+  /** Directory-entry names under `txnDir` (commits and anything else —
+    * the log filters through [[commitVersion]]). Default = filesystem
+    * listing; object-store publishers override to serve it from the
+    * store's LIST call, so the log never needs a filesystem view of
+    * `_txn/` at all. */
+  def listNames(txnDir: Path): Seq[String] =
+    if (!Files.isDirectory(txnDir)) Seq.empty
+    else {
+      val s = Files.list(txnDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
 }
 
 final class TxnLog(val dir: String,
@@ -112,15 +126,7 @@ final class TxnLog(val dir: String,
     * ([[CommitPublisher.commitVersion]]), so a crashed writer's orphan
     * staging can never be read as a commit. */
   private def listVersions(): Seq[Long] =
-    if (!Files.isDirectory(txnDir)) Seq.empty
-    else {
-      val s = Files.list(txnDir)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .flatMap(n => publisher.commitVersion(n))
-        .toSeq
-      finally s.close()
-    }
+    publisher.listNames(txnDir).flatMap(n => publisher.commitVersion(n))
 
   /** `floor` guards against version REUSE after [[vacuum]]: once old
     * commit files are dropped, a raw listing under-reports history, and
@@ -308,19 +314,40 @@ object TxnLog {
 
     def commitVersion(name: String): Option[Long] = parseCommitName(name)
 
+    /** Atomic delete: rename the commit dir OUT of the commit namespace
+      * first (`.trash-` prefix — a rename is atomic), THEN remove its
+      * contents. The naive payload-first delete had a crash window that
+      * left a payload-less `<v>.commit/` directory, which
+      * [[commitVersion]] still parses as a commit (so reads throw until
+      * a re-vacuum) AND — worse — voids the publish premise, because
+      * rename(2) silently REPLACES an EMPTY directory target, letting a
+      * later writer re-claim the vacuumed version. Renaming first means
+      * at every instant `<v>.commit/` either exists complete or is gone;
+      * a crash mid-delete leaves only `.trash-` residue for
+      * [[sweepStaging]]. The trash name is uniqued so concurrent
+      * vacuums of the same version cannot collide. */
     def delete(txnDir: Path, v: Long): Unit = {
       val d = txnDir.resolve(commitName(v))
-      Files.deleteIfExists(d.resolve("payload"))
-      Files.deleteIfExists(d)
+      val trash = txnDir.resolve(
+        s".trash-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      try Files.move(d, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => return } // idempotent
+      Files.deleteIfExists(trash.resolve("payload"))
+      Files.deleteIfExists(trash)
     }
 
     def sweepStaging(txnDir: Path, cutoffMs: Long): Unit = {
       val s = Files.list(txnDir)
       try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".stage-"))
         .filter { p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoffMs
-          catch { case _: java.io.IOException => false } // already gone
+          val n = p.getFileName.toString
+          // .trash- residue is a crashed vacuum's already-logically-
+          // deleted commit — safe to remove at ANY age (the age guard
+          // protects only live writers' in-flight STAGING)
+          n.startsWith(".trash-") || (n.startsWith(".stage-") && {
+            try Files.getLastModifiedTime(p).toMillis < cutoffMs
+            catch { case _: java.io.IOException => false } // already gone
+          })
         }
         .foreach { p =>
           Files.deleteIfExists(p.resolve("payload"))
@@ -330,12 +357,134 @@ object TxnLog {
     }
   }
 
+  /** The four object-store calls an S3/GCS deployment implements with
+    * its client SDK; keys are paths under the log's `_txn/` prefix.
+    * [[ConditionalPut.publish]] maps to exactly ONE conditional PUT —
+    * no staging, no rename, no link — because the object store itself
+    * provides what POSIX needed the stage+link dance for: a PUT is
+    * visible all-or-nothing (a crashed upload never becomes an object),
+    * and the `If-None-Match: *` precondition (GCS:
+    * `ifGenerationMatch=0`) makes it an atomic claim.
+    *
+    * Visibility assumptions a real implementation must satisfy (both
+    * S3 since the 2020 consistency change and GCS do): conditional PUT
+    * is atomic with exactly one winner under concurrency; GET and LIST
+    * are read-after-write consistent (a committed object is immediately
+    * visible to both); DELETE is idempotent. There is no fsync — object
+    * durability is the store's PUT acknowledgment. */
+  trait ObjectStore {
+    /** PUT with `If-None-Match: *`: true iff the key did not exist and
+      * now durably holds `bytes` in full. */
+    def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean
+    /** GET — the full committed payload, verbatim. */
+    def get(key: Path): Array[Byte]
+    /** LIST the entry names directly under `prefix` (ListObjectsV2 with
+      * a '/' delimiter) — committed objects only. */
+    def list(prefix: Path): Seq[String]
+    /** DELETE — idempotent (deleting a missing key succeeds). */
+    def delete(key: Path): Unit
+    /** Remove emulation-side residue under `prefix` older than
+      * `cutoffMs`. A real object store has none — a crashed PUT is
+      * never visible (incomplete multipart uploads are not objects and
+      * are reaped by bucket lifecycle rules) — so this defaults to a
+      * no-op; the filesystem emulation overrides it to sweep its
+      * staging artifacts. */
+    def sweepResidue(prefix: Path, cutoffMs: Long): Unit = ()
+  }
+
+  /** Filesystem-backed [[ObjectStore]] — the in-repo stand-in that lets
+    * the conditional-put protocol run (and be kill -9 tortured) without
+    * egress. POSIX has no native all-or-nothing-visible PUT, so
+    * `putIfAbsent` reproduces the object-store guarantee with the
+    * hidden-temp + link(2) discipline: the payload is fully on disk
+    * before the link makes the key exist, the link is the atomic
+    * one-winner claim, and the `.obj-` temp is an EMULATION artifact —
+    * invisible to [[list]] and swept by [[sweepResidue]] — with no
+    * analogue in a real bucket. */
+  object FsObjectStore extends ObjectStore {
+    def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean = {
+      val parent = key.getParent
+      Files.createDirectories(parent)
+      val tmp = Files.createTempFile(parent, ".obj-", "")
+      try {
+        Files.write(tmp, bytes)
+        try { Files.createLink(key, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // temp swept by a racing vacuum: nothing became visible, so
+          // "lost this attempt" is honest — the commit loop retries
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      } finally Files.deleteIfExists(tmp)
+    }
+
+    def get(key: Path): Array[Byte] = Files.readAllBytes(key)
+
+    def list(prefix: Path): Seq[String] =
+      if (!Files.isDirectory(prefix)) Seq.empty
+      else {
+        val s = Files.list(prefix)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith(".obj-")).toSeq
+        finally s.close()
+      }
+
+    def delete(key: Path): Unit = Files.deleteIfExists(key)
+
+    override def sweepResidue(prefix: Path, cutoffMs: Long): Unit = {
+      if (!Files.isDirectory(prefix)) return
+      val s = Files.list(prefix)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".obj-"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoffMs
+          catch { case _: java.io.IOException => false } // already gone
+        }
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  /** S3/GCS-style conditional-put publisher: a commit is one OBJECT
+    * `<v>.commit` whose existence is claimed by a single put-if-absent
+    * call on the injected [[ObjectStore]]. Contrast with the POSIX
+    * publishers: there is no publisher-level staging at all — stage
+    * residue, sweep ordering and rename/link races are filesystem
+    * problems the object-store contract erases. A deployment binds the
+    * seam to its SDK (S3 `PutObject` + `If-None-Match: *`, GCS insert
+    * with `ifGenerationMatch=0`); in-repo it binds to
+    * [[FsObjectStore]], which is what the kill -9 torture and the full
+    * lifecycle matrix run against. */
+  final class ConditionalPut(store: ObjectStore) extends CommitPublisher {
+    def publish(txnDir: Path, v: Long, payload: Array[Byte]): Boolean =
+      store.putIfAbsent(txnDir.resolve(commitName(v)), payload)
+
+    def read(txnDir: Path, v: Long): Array[Byte] =
+      store.get(txnDir.resolve(commitName(v)))
+
+    def commitVersion(name: String): Option[Long] = parseCommitName(name)
+
+    def delete(txnDir: Path, v: Long): Unit =
+      store.delete(txnDir.resolve(commitName(v)))
+
+    def sweepStaging(txnDir: Path, cutoffMs: Long): Unit =
+      store.sweepResidue(txnDir, cutoffMs)
+
+    override def listNames(txnDir: Path): Seq[String] = store.list(txnDir)
+  }
+
+  /** The conditional-put publisher over the filesystem emulation — the
+    * shared instance `publisherNamed("conditionalput")` resolves, so
+    * racing torture PROCESSES bind the exact same primitive. */
+  val ConditionalPutFs: CommitPublisher = new ConditionalPut(FsObjectStore)
+
   /** Resolve a publisher by name — the process-boundary seam the
     * torture driver uses (`TxnTortureMain <dir> <max> <publisher>`). */
   def publisherNamed(name: String): CommitPublisher = name match {
     case "hardlink" => HardLink
     case "dirrename" => DirRename
+    case "conditionalput" => ConditionalPutFs
     case other => throw new IllegalArgumentException(
-      s"unknown commit publisher '$other' (hardlink | dirrename)")
+      s"unknown commit publisher '$other' (hardlink | dirrename | conditionalput)")
   }
 }

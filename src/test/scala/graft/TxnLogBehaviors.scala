@@ -175,6 +175,40 @@ class TxnLogDirRenameSpec extends TxnLogBehaviors {
     Files.write(d.resolve("payload"), "k\nghost".getBytes)
     d
   }
+
+  test("[dirrename] delete is atomic: no payload-less commit dir ever exists, trash is cleaned") {
+    val dir = Files.createTempDirectory("graft-txn-dirrename-del").toString
+    val log = new TxnLog(dir, TxnLog.DirRename)
+    (1 to 3).foreach(i => log.commit(_ => s"k\n$i"))
+    val txnDir = Paths.get(dir, "_txn")
+    TxnLog.DirRename.delete(txnDir, 1L)
+    TxnLog.DirRename.delete(txnDir, 1L) // idempotent
+    // the deleted version is gone from the commit namespace entirely —
+    // the old payload-first delete could leave an empty <v>.commit/ that
+    // commitVersion still parsed, bricking reads until a re-vacuum
+    import scala.jdk.CollectionConverters._
+    val entries = { val s = Files.list(txnDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close() }
+    assert(!entries.exists(_.contains("1.commit")), s"v1 must be fully gone, got $entries")
+    assert(!entries.exists(_.startsWith(".trash-")), s"completed delete leaves no trash, got $entries")
+    assert(log.commitsAfter(0L).map(_._1) === Seq(2L, 3L), "surviving commits readable")
+  }
+
+  test("[dirrename] crashed-vacuum trash residue is invisible and swept at any age") {
+    val dir = Files.createTempDirectory("graft-txn-dirrename-trash").toString
+    val log = new TxnLog(dir, TxnLog.DirRename)
+    log.commit(_ => "k\nreal")
+    // a vacuum killed between the trash rename and the content removal
+    val txnDir = Paths.get(dir, "_txn")
+    val wreck = Files.createDirectory(txnDir.resolve(".trash-9-dead"))
+    Files.write(wreck.resolve("payload"), "k\nghost".getBytes)
+    assert(log.latestVersion() === 1L, "trash is not a commit")
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+    log.vacuum(0L) // default staleness — trash needs NO age guard:
+    // its contents are already logically deleted, unlike live staging
+    assert(!Files.exists(wreck), "fresh trash must be swept immediately")
+    assert(log.commitsAfter(0L).map(_._2) === Seq("k\nreal"))
+  }
 }
 
 /** The full [[LifecycleBehaviors]] matrix with the control plane's
@@ -185,4 +219,96 @@ class DirRenameMwLifecycleSpec extends LifecycleBehaviors {
   def makeStore(dir: String): graft.state.ControlStore =
     new MwStateStore(spark, dir, checkpointEvery = 7,
       publisher = TxnLog.DirRename)
+}
+
+/** [[TxnLogBehaviors]] on the S3/GCS-style conditional-put publisher
+  * (over the filesystem [[TxnLog.FsObjectStore]] emulation), plus the
+  * seam-contract tests that prove the publisher is genuinely injectable:
+  * a purely in-memory [[TxnLog.ObjectStore]] — no filesystem
+  * representation of commits at all — passes the same one-winner /
+  * serializable-retry protocol, pinning that every commit-plane
+  * operation flows through the four object calls a real SDK binds. */
+class TxnLogConditionalPutSpec extends TxnLogBehaviors {
+  protected lazy val spark = TestSpark.spark
+  def publisher: CommitPublisher = TxnLog.ConditionalPutFs
+  def publisherName: String = "conditionalput"
+  def plantCrashedStaging(txnDir: Path): Path = {
+    // the emulation's only residue shape: a writer killed mid-PUT, after
+    // the temp write but before the link made the object exist
+    Files.write(txnDir.resolve(".obj-crashed"), "k\nghost".getBytes)
+  }
+
+  /** In-memory object store: the commit log's entire `_txn/` contents
+    * live in a ConcurrentHashMap keyed by path string. putIfAbsent is
+    * the map's own atomic claim — exactly the S3 semantics, with zero
+    * filesystem involvement. */
+  private final class MemObjectStore extends TxnLog.ObjectStore {
+    val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean =
+      objects.putIfAbsent(key.toString, bytes.clone()) == null
+    def get(key: Path): Array[Byte] = {
+      val b = objects.get(key.toString)
+      if (b == null) throw new java.nio.file.NoSuchFileException(key.toString)
+      b.clone()
+    }
+    def list(prefix: Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = prefix.toString + "/"
+      objects.keySet().asScala.filter(_.startsWith(p))
+        .map(k => Paths.get(k).getFileName.toString).toSeq
+    }
+    def delete(key: Path): Unit = objects.remove(key.toString)
+  }
+
+  test("[conditionalput] seam contract: a pure in-memory ObjectStore carries the full protocol") {
+    val mem = new MemObjectStore
+    val dir = Files.createTempDirectory("graft-txn-mem").toString
+    val log = new TxnLog(dir, new TxnLog.ConditionalPut(mem))
+    // one winner per version
+    assert(log.tryCommit(1L, "k\na"))
+    assert(!log.tryCommit(1L, "k\nb"))
+    assert(log.commitsAfter(0L) === Seq(1L -> "k\na"))
+    // serializable retry re-derives against the stolen snapshot
+    var attempts = 0
+    val won = log.commit { v =>
+      attempts += 1
+      if (attempts == 1) log.tryCommit(v, s"k\nintruder at $v")
+      s"k\nmine at $v"
+    }
+    assert(won === 3L && attempts === 2)
+    // vacuum via DELETE; floor prevents reuse
+    log.vacuum(2L)
+    assert(log.latestVersion(floor = 3L) === 3L)
+    assert(log.commit(_ => "k\npost", floor = 3L) === 4L)
+    // nothing about the commits ever touched the filesystem
+    assert(TxnLog.FsObjectStore.list(Paths.get(dir, "_txn")).isEmpty,
+      "commit objects must live in the injected store, not on disk")
+    assert(mem.objects.size === 2) // versions 3 and 4 survive the vacuum
+  }
+
+  test("[conditionalput] racing writers over the in-memory seam stay dense") {
+    val mem = new MemObjectStore
+    val dir = Files.createTempDirectory("graft-txn-mem-race").toString
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 8).map { d =>
+        Future {
+          val log = new TxnLog(dir, new TxnLog.ConditionalPut(mem))
+          (1 to 25).map(i => log.commit(v => s"k\nd$d-i$i at $v"))
+        }
+      }
+      val versions = Await.result(Future.sequence(futures), Duration.Inf).flatten
+      assert(versions.sorted === (1L to 200L),
+        "every writer's won versions must be unique and collectively dense")
+    } finally pool.shutdown()
+  }
+}
+
+/** The full [[LifecycleBehaviors]] matrix with commits published by
+  * object-store conditional put — the third green publisher column. */
+class ConditionalPutMwLifecycleSpec extends LifecycleBehaviors {
+  def makeStore(dir: String): graft.state.ControlStore =
+    new MwStateStore(spark, dir, checkpointEvery = 7,
+      publisher = TxnLog.ConditionalPutFs)
 }
