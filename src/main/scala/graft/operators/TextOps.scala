@@ -774,6 +774,15 @@ object TextOps {
       // model-plane metadata.
       lmWordDf(docs).withColumn("batch_id", lit(-1L))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
+      // admission membership (doc_id, batch_id) — the `_docs` sidecar
+      // of the posting store, here serving exactly one purpose: the
+      // AS-OF face must apply only those retraction corrections whose
+      // doc was a member at the queried state (a doc retracted but only
+      // ever trained AFTER `asOf` must not shrink the as-of model).
+      // The live faces never read it — their corrections were
+      // subtractability-checked against the whole store.
+      docs.select(col("doc_id")).distinct().withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
     }
 
   /** The distinct word set of a corpus. */
@@ -806,6 +815,10 @@ object TextOps {
     graft.sources.Sinks.overwritePartitionsDynamic(
       lmWordDf(docs).withColumn("batch_id", lit(batchId)).coalesce(1),
       path + "/_vocab", Seq("batch_id"))
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      docs.select(col("doc_id")).distinct()
+        .withColumn("batch_id", lit(batchId)).coalesce(1),
+      path + "/_docs", Seq("batch_id"))
   }
 
   /** The LM store's pending-retraction corrections, derived from its
@@ -969,7 +982,28 @@ object TextOps {
       vf.withColumn("batch_id", lit(-1L))
         .unionByName(vw.filter(col("batch_id") >= foldBelow))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
+      // membership folds with the counts it describes; the final fold
+      // drops retracted docs' rows in the same swap that absorbs their
+      // corrections — post-absorption, a retracted doc never existed.
+      // Tolerates a store built before the sidecar existed (no as-of
+      // face is possible there; lmScoreStoredAsOf refuses loudly).
+      val docsPath = new org.apache.hadoop.fs.Path(path + "/_docs")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      if (fs.exists(docsPath)) {
+        val dm0 = s.read.parquet(path + "/_docs")
+          .withColumn("batch_id", col("batch_id").cast("long"))
+        val dm = if (absorb)
+          graft.sources.Stores.minusTombstones(s, path, "doc_id", dm0)
+        else dm0
+        dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
+          .unionByName(dm.filter(col("batch_id") >= foldBelow))
+          .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
+      }
       if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+      // folding scoped batches bounds the as-of horizon (the posting
+      // store's vacuum rule) — recorded atomically with the layout
+      graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
     }
   }
 
@@ -1005,6 +1039,15 @@ object TextOps {
           vwAll.join(dfn, Seq("w"), "left")
             .filter(col("df") - coalesce(col("dfneg"), lit(0L)) > 0).count())
       }
+    scoreUnderLm(docs, lm2, v, path)
+  }
+
+  /** The scoring tail every stored-LM face shares (live and as-of):
+    * add-one-smoothed bigram log-probs under the GIVEN net counts and
+    * vocabulary size — one definition, so a face can only differ in
+    * WHICH model state it reconstructs, never in how it scores. */
+  private def scoreUnderLm(docs: DataFrame, lm2: DataFrame, v: Long,
+      path: String): DataFrame = {
     val lm1 = lmContexts(lm2)
     require(v > 0, s"stored LM at $path has an empty vocabulary — refusing to score" +
       " (an all-retracted store has no meaningful model: compact the retraction" +
@@ -1017,6 +1060,91 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
       .orderBy("doc_id")
+  }
+
+  /** [[lmScoreStored]] AS OF admission batch `asOf` — the trained-MODEL
+    * member of the data-plane time-travel family, answering the
+    * training-data audit's reproducibility question: "score this doc
+    * under the model as the corpus stood at batch N". Semantics are the
+    * family's ([[graft.operators.Dedup.gateAgainstStoredAsOf]]):
+    *
+    *  - the model slice is a PARTITION FILTER on the already
+    *    batch-partitioned counts and `_vocab` df rows (both additive,
+    *    so the ≤ asOf sum IS the model a training run over the as-of
+    *    corpus would produce) — pruned before a row is read;
+    *  - retraction ERASES HISTORY: corrections apply at every asOf the
+    *    retracted doc was a member of, scoped by the `_docs` admission
+    *    sidecar (a doc retracted but only trained AFTER `asOf` must not
+    *    shrink the as-of model — the [[graft.operators.Search.searchStatsAsOf]]
+    *    membership discipline);
+    *  - compaction bounds the horizon: folding batches below W makes
+    *    states before W - 1 unreconstructable, and the shared
+    *    [[graft.sources.Stores.requireAsOfReconstructable]] guard
+    *    refuses LOUDLY naming the oldest reconstructable state.
+    *
+    * The NB quality classifier deliberately has NO as-of face: its
+    * store is one-shot trained (no append path, no admission batches
+    * — [[writeNbModel]]), so there is no batch clock to travel on; its
+    * reproducibility story is versioning the model artifact itself. */
+  def lmScoreStoredAsOf(s: SparkSession, docs: DataFrame, path: String,
+      asOf: Long): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    val lm2all = s.read.parquet(path)
+      .filter(col("batch_id").cast("long") <= asOf)
+      .groupBy("bg").agg(sum("c2").as("c2"))
+    val vwAll = s.read.parquet(path + "/_vocab")
+      .filter(col("batch_id").cast("long") <= asOf)
+      .groupBy("w").agg(sum("df").as("df"))
+    val (lm2, v) =
+      if (!graft.sources.Stores.hasTombstones(s, path)) (lm2all, vwAll.count())
+      else {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+        require(fs.exists(new org.apache.hadoop.fs.Path(path + "/_docs")),
+          s"stored LM at $path carries retractions but predates the _docs " +
+            "admission sidecar — as-of reads cannot scope corrections to " +
+            "membership; re-train with writeLmModel")
+        val present = s.read.parquet(path + "/_docs")
+          .filter(col("batch_id").cast("long") <= asOf).select("doc_id")
+        // corrections restricted to docs that were members at `asOf`:
+        // sidecar rows carry doc_id precisely for this join
+        val side = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+          .distinct().join(present, Seq("doc_id"), "left_semi")
+        val c2n = side.filter(col("kind") === "bg")
+          .groupBy(col("k").as("bg")).agg(sum("c").as("cneg"))
+        val dfn = side.filter(col("kind") === "w")
+          .groupBy(col("k").as("w")).agg(sum("c").as("dfneg"))
+        (lm2all.join(c2n, Seq("bg"), "left")
+          .select(col("bg"), (col("c2") - coalesce(col("cneg"), lit(0L))).as("c2"))
+          .filter(col("c2") > 0),
+          vwAll.join(dfn, Seq("w"), "left")
+            .filter(col("df") - coalesce(col("dfneg"), lit(0L)) > 0).count())
+      }
+    scoreUnderLm(docs, lm2, v, path)
+  }
+
+  /** The stored LM scored AS OF a pre-append, post-retraction state
+    * (own store path): bootstrap without the %10 = 5 docs, append them
+    * as batch 7, retract every %7 = 3 doc (bootstrap AND batch-7
+    * members alike), score the as-of-6 survivors as of batch 6. The
+    * oracle trains the in-query LM on a corpus that is the bootstrap
+    * minus its retracted members — green only if (a) batch 7's counts,
+    * dfs, and vocabulary contributions are all sliced out, AND (b) the
+    * retraction corrections of batch-7 members are NOT applied (their
+    * docs were no members at batch 6 — the membership discipline),
+    * while those of bootstrap members ARE (retraction erases history). */
+  def qLmAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val late = pmod(col("doc_id"), lit(10L)) === 5
+    val retracted = pmod(col("doc_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-lmasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeLmModel(s, docs.filter(!late), path)
+      appendLmBatch(s, docs.filter(late), path, 7L)
+      retractLmDocs(s, path, docs.filter(retracted))
+    }
+    lmScoreStoredAsOf(s, docs.filter(!late && !retracted), path, asOf = 6L)
   }
 
   /** [[qLmScore]] served from the stored LM ([[writeLmModel]] once,
@@ -1508,6 +1636,7 @@ object TextOps {
     "q_curriculum"  -> qCurriculum _,
     "q_lm_probe"    -> qLmProbe _,
     "q_lm_retract"  -> qLmRetract _,
+    "q_lm_asof"     -> qLmAsof _,
     "q_quality_classifier" -> qQualityClassifier _,
     "q_nb_probe"    -> qNbProbe _,
     "q_nb_retract"  -> qNbRetract _,
@@ -1713,6 +1842,11 @@ object TextOps {
     // were never part of — green means the stored-model correction equals
     // a retrain bit-for-bit (counts, contexts, and vocabulary size)
     "q_lm_retract" -> lmScoreSqlWith("doc_id % 7 <> 3"),
+    // as-of face: the oracle trains on the AS-OF surviving corpus —
+    // bootstrap members (not %10=5) minus retracted members (%7=3);
+    // green means the batch slice AND the membership-scoped retraction
+    // corrections both reconstruct exactly (see qLmAsof)
+    "q_lm_asof" -> lmScoreSqlWith("doc_id % 10 <> 5 AND doc_id % 7 <> 3"),
     "q_quality_classifier" -> nbClassifierSql,
     // stored-model face: same oracle — materializing the model moves nothing
     "q_nb_probe" -> nbClassifierSql,

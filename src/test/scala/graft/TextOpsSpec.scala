@@ -744,6 +744,63 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty vocabulary"))
   }
 
+  // ---- stored-LM as-of time travel (the round-14 model-store face) ----
+
+  test("LM as-of: slices batches exactly, scopes retraction corrections to membership, erases history") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val boot = docs.filter(col("doc_id") % 3 === 0)
+    val late = docs.filter(col("doc_id") % 3 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-lmasof").toString + "/model"
+    TextOps.writeLmModel(spark, boot, path)
+    TextOps.appendLmBatch(spark, late, path, 5L)
+    // the pre-append state reconstructs exactly: as-of 4 ≡ a training
+    // run that only ever saw the bootstrap (counts, contexts, AND v)
+    assert(lmScoresOf(TextOps.lmScoreStoredAsOf(spark, boot, path, asOf = 4L)) ===
+      lmScoresOf(TextOps.lmScore(boot)),
+      "as-of before the append must equal training on the bootstrap alone")
+    // as-of the newest batch ≡ the live read
+    assert(lmScoresOf(TextOps.lmScoreStoredAsOf(spark, boot, path, asOf = 5L)) ===
+      lmScoresOf(TextOps.lmScoreStored(spark, boot, path)),
+      "as-of the latest batch must equal the live model")
+    // membership discipline: retracting a doc only ever trained in
+    // batch 5 must NOT shrink the as-of-4 model — its correction rows
+    // sit in the sidecar but its doc was no member at batch 4
+    TextOps.retractLmDocs(spark, path, late.filter(col("doc_id") % 2 === 0))
+    assert(lmScoresOf(TextOps.lmScoreStoredAsOf(spark, boot, path, asOf = 4L)) ===
+      lmScoresOf(TextOps.lmScore(boot)),
+      "a post-as-of admission's retraction must not reach the as-of model")
+    // retraction ERASES HISTORY: a bootstrap member's retraction applies
+    // at every as-of it was a member of — the as-of-4 model becomes the
+    // one trained on a corpus that never held the doc (GDPR divergence
+    // from Delta time travel, deliberately shared across the family)
+    val bootGone = boot.filter(col("doc_id") % 5 === 0)
+    val bootKept = boot.filter(col("doc_id") % 5 =!= 0)
+    TextOps.retractLmDocs(spark, path, bootGone)
+    assert(lmScoresOf(TextOps.lmScoreStoredAsOf(spark, bootKept, path, asOf = 4L)) ===
+      lmScoresOf(TextOps.lmScore(bootKept)),
+      "as-of must serve the model retrained on the surviving as-of corpus")
+  }
+
+  test("LM as-of: compaction folds bound the horizon with the shared loud refusal") {
+    import spark.implicits._
+    val boot = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+    val late = Seq((3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-lmasofh").toString + "/model"
+    TextOps.writeLmModel(spark, boot, path)
+    TextOps.appendLmBatch(spark, late, path, 5L)
+    TextOps.compactLmModel(spark, path, foldBelow = 6L)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.lmScoreStoredAsOf(spark, boot, path, asOf = 4L)
+    }
+    assert(e.getMessage.contains("oldest reconstructable state is as of batch 5"),
+      s"horizon refusal must name the oldest reconstructable state, got: ${e.getMessage}")
+    // the horizon state itself still serves — the fully folded store
+    val all = boot.unionByName(late)
+    assert(lmScoresOf(TextOps.lmScoreStoredAsOf(spark, all, path, asOf = 5L)) ===
+      lmScoresOf(TextOps.lmScore(all)),
+      "the oldest reconstructable state must still score exactly")
+  }
+
   private def nbScoresOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1),
       java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
