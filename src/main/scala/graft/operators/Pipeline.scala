@@ -137,6 +137,109 @@ object Pipeline {
     stores.nbModel.foreach(p => TextOps.retractNbDocs(s, p, docs))
   }
 
+  /** A routed store holds a PENDING retraction of an incoming doc →
+    * refuse before anything lands. The posting store's re-ingest rule
+    * generalized to every family: a retained tombstone would silently
+    * HIDE fresh index rows (the reader's anti-join cannot distinguish
+    * old from re-admitted) or MIS-SUBTRACT from fresh model counts, so
+    * re-admission of a forgotten doc becomes legal exactly when the
+    * store's compaction has physically purged it. One bounded probe
+    * job per tombstoned store (the sidecar is deletion-request-sized). */
+  private def requireNoPendingRetraction(s: SparkSession, path: String,
+      idCol: String, incoming: DataFrame, family: String): Unit =
+    if (graft.sources.Stores.hasTombstones(s, path)) {
+      val clash = incoming.select(col(idCol)).distinct()
+        .join(s.read.parquet(graft.sources.Stores.tombstonePath(path))
+          .select(idCol).distinct(), Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"ingestDocs: batch re-ingests ids with PENDING retractions in the " +
+          s"$family store $path — the retained tombstone would hide or corrupt " +
+          "the fresh rows; run the store's compaction to purge them first " +
+          "(the posting store's re-ingest rule, generalized)")
+    }
+
+  /** Does `path` hold an IVF index (centroid sidecar) rather than an
+    * LSH one? The routing test [[ingestDocs]] uses for the
+    * [[DocStores.vectors]] paths — [[forgetDocs]] never needed it
+    * because retraction is layout-independent ([[Similarity.retractVectors]]). */
+  private def isIvfStore(s: SparkSession, path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path + "/_centroids"))
+
+  /** THE ingest entry point — [[forgetDocs]]' admission twin: land one
+    * corpus batch in every store of `stores` under ONE batch id,
+    * instead of four append APIs with four batch-id conventions.
+    * Routes: batch-scoped signature admission (the streaming gate's
+    * replay-safe write shape — [[graft.streaming.EventStreams.gateBatch]]
+    * minus the gate verdict, because ingest admits what the caller
+    * already decided to admit), vector-index growth under the STORED
+    * quantizer/bucketer ([[Similarity.appendIvfIndexBatch]] /
+    * [[Similarity.appendAnnIndexBatch]], routed by the `_centroids`
+    * sidecar that defines an IVF store), posting growth with the
+    * cross-batch doc-disjointness guard ON
+    * ([[Search.appendSearchIndexBatch]] `assertNewDocs`), and exact
+    * additive LM growth ([[TextOps.appendLmBatch]]). Cross-batch
+    * doc-disjointness is every store's exactness precondition, as each
+    * append face documents.
+    *
+    * The NB model is deliberately NOT ingested into: unlike the index
+    * stores — where a non-ingested doc is INVISIBLE to every read — a
+    * classifier scores any doc whether or not it was trained on it, so
+    * admission and training are separate decisions. The LM grows here
+    * because its store is exact additive corpus statistics; the NB
+    * classifier holds until the deployment retrains it
+    * ([[TextOps.writeNbModel]]) — train/serve separation. The asymmetry
+    * with [[forgetDocs]] (which DOES reach the NB store) is principled:
+    * deletion is a compliance obligation on the trained artifact;
+    * ingestion into a model is a refresh policy.
+    *
+    * Same crash contract as [[forgetDocs]]: NOT one transaction —
+    * IDEMPOTENT RESUME. Every component write is a dynamic partition
+    * overwrite keyed by `batchId` (a replay rewrites its own
+    * partitions) and the Bloom absorb re-ORs the same bits, so a crash
+    * mid-call leaves some stores grown and some not, and re-running
+    * the same call converges (IngestSpec drives exactly that path).
+    * Stores are processed in [[forgetDocs]]' fixed order.
+    *
+    * Pending retractions refuse loudly BEFORE anything lands
+    * ([[requireNoPendingRetraction]] — the re-ingest rule); the
+    * forget → compact → re-ingest round trip is the sanctioned
+    * re-admission path, proven by IngestSpec. */
+  def ingestDocs(s: SparkSession, stores: DocStores, docs: DataFrame,
+      batchId: Long, vectors: Option[DataFrame] = None): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    require(stores.vectors.isEmpty || vectors.nonEmpty,
+      "ingestDocs: DocStores routes vector stores but no vectors frame was supplied")
+    // all admission guards run before the first mutation, so a refusal
+    // leaves every store untouched
+    stores.signatures.foreach(p =>
+      requireNoPendingRetraction(s, p, "doc_id", docs, "signature"))
+    stores.vectors.foreach(p =>
+      requireNoPendingRetraction(s, p, "vec_id", vectors.get, "vector"))
+    stores.postings.foreach(p =>
+      requireNoPendingRetraction(s, p, "doc_id", docs, "posting"))
+    stores.lmModel.foreach(p =>
+      requireNoPendingRetraction(s, p, "doc_id", docs, "LM model"))
+    stores.signatures.foreach { p =>
+      graft.sources.Stores.recover(s, p)
+      val sig = Dedup.signaturesOf(docs.select("doc_id", "text"))
+        .withColumn("batch_id", lit(batchId))
+      // superset-before-admission (the Bloom soundness ordering)
+      Dedup.absorbIntoBloom(s, p, sig.select("bucket"))
+      graft.sources.Sinks.overwritePartitionsDynamic(sig, p, Seq("shard", "batch_id"))
+    }
+    stores.vectors.foreach { p =>
+      if (isIvfStore(s, p)) Similarity.appendIvfIndexBatch(s, vectors.get, p, batchId)
+      else Similarity.appendAnnIndexBatch(s, vectors.get, p, batchId)
+    }
+    stores.postings.foreach(p =>
+      Search.appendSearchIndexBatch(s, docs.select("doc_id", "text"), p, batchId,
+        assertNewDocs = true))
+    stores.lmModel.foreach(p => TextOps.appendLmBatch(s, docs, p, batchId))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_quality_funnel" -> qQualityFunnel _,

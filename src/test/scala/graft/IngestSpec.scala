@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
+import graft.sources.{Stores, Tables}
+
+/** [[graft.operators.Pipeline.ingestDocs]] — the one-call admission
+  * twin of forgetDocs. Each store's append semantics are pinned by its
+  * own spec (DedupSpec / SimilaritySpec / SearchSpec / TextOpsSpec);
+  * what THIS spec proves is the composition's contract: one call grows
+  * every configured store under one batch id, a replay of the whole
+  * call is a no-op (idempotent-resume is the crash story — a call that
+  * died after growing only one store converges when re-run in full),
+  * and the RE-INGEST RULE holds across the families: pending
+  * retractions refuse loudly, and forget → compact → re-ingest is the
+  * sanctioned re-admission round trip. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def lmScores(d: org.apache.spark.sql.DataFrame) = d.collect()
+    .map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+
+  test("ingestDocs: one call grows every store; replay no-ops; partial-crash resume converges") {
+    val docs = Tables.documents(spark, dir)
+    val latePred = pmod(col("doc_id"), lit(3L)) === 0
+    val boot = docs.filter(!latePred)
+    val late = docs.filter(latePred)
+    val vecs = Tables.embeddings(spark, dir)
+    val latePredV = pmod(col("vec_id"), lit(3L)) === 0
+    val base = Files.createTempDirectory("graft-ingest").toString
+    val stores = Pipeline.DocStores(
+      signatures = Some(base + "/sig"),
+      vectors = Seq(base + "/ivf"),
+      postings = Some(base + "/postings"),
+      lmModel = Some(base + "/lm"))
+    // bootstrap every store family on the early corpus (vec_id ≡ doc_id,
+    // the convention DocStores documents)
+    Dedup.writeSignatures(Dedup.signaturesOf(boot.select("doc_id", "text")), base + "/sig")
+    Similarity.writeIvfIndexFrom(spark, vecs.filter(!latePredV), base + "/ivf")
+    Search.writeSearchIndexFrom(spark, boot.select("doc_id", "text"), base + "/postings")
+    TextOps.writeLmModel(spark, boot, base + "/lm")
+
+    def checkAllIngested(): Unit = {
+      // signature store ≡ a one-shot bootstrap over the whole corpus
+      // (same per-doc signature rows; only the batch scoping differs)
+      val stored = spark.read.parquet(base + "/sig").drop("batch_id")
+      val oneShot = Dedup.signaturesOf(docs.select("doc_id", "text"))
+      assert(stored.count() === oneShot.count() &&
+        stored.exceptAll(oneShot).count() === 0L,
+        "signature store must hold exactly the full corpus' signatures")
+      // vector index: every embedding present exactly once, assigned
+      // under the BOOTSTRAP's frozen quantizer (production IVF
+      // semantics — appending must not re-train the centroids)
+      val vecIds = spark.read.parquet(base + "/ivf").select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(vecIds === vecs.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+        "vector index must hold every embedding exactly once")
+      // posting store: the stored probe equals the in-query BM25 over
+      // the FULL corpus — stats rows (N, avgdl) included
+      assert(SearchProbe.scores(spark, base + "/postings") ===
+        Search.bm25(docs.select("doc_id", "text")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq,
+        "posting store must score as one-shot indexing of the full corpus")
+      // LM store: exact additive growth — stored ≡ single-shot training
+      assert(lmScores(TextOps.lmScoreStored(spark, docs, base + "/lm")) ===
+        lmScores(TextOps.lmScore(docs)),
+        "LM store must score as single-shot training on the full corpus")
+    }
+
+    // partial-crash simulation: an ingest run that died after the FIRST
+    // store's admission...
+    Pipeline.ingestDocs(spark,
+      Pipeline.DocStores(signatures = Some(base + "/sig")), late, batchId = 7L)
+    // ...resumes by re-running the whole call — per-store replay
+    // idempotency (dynamic overwrite of the batch's own partitions) is
+    // the recovery protocol, no resume bookkeeping needed
+    Pipeline.ingestDocs(spark, stores, late, batchId = 7L, vectors = Some(vecs.filter(latePredV)))
+    checkAllIngested()
+    // a full replay of the call is a no-op (bit-identical stores)
+    Pipeline.ingestDocs(spark, stores, late, batchId = 7L, vectors = Some(vecs.filter(latePredV)))
+    checkAllIngested()
+    // routing a vector store without a vectors frame is a caller error
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, stores, late, batchId = 8L)
+    }
+    assert(e.getMessage.contains("no vectors frame"))
+
+    // ---- the re-ingest rule (forget → refuse → compact → re-admit) ----
+    Pipeline.forgetDocs(spark, stores, late)
+    val refused = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, stores, late, batchId = 9L,
+        vectors = Some(vecs.filter(latePredV)))
+    }
+    assert(refused.getMessage.contains("PENDING retractions"),
+      s"pending retractions must refuse re-ingest loudly, got: ${refused.getMessage}")
+    // the refusal ran before any mutation: the stores still answer as
+    // if the forget (alone) just happened
+    assert(lmScores(TextOps.lmScoreStored(spark, boot, base + "/lm")) ===
+      lmScores(TextOps.lmScore(boot)),
+      "a refused ingest must leave every store untouched")
+    // physical purge at each store's compaction clears the path
+    Dedup.compactSignatures(spark, base + "/sig", foldBelow = 100L)
+    Similarity.compactIvfIndex(spark, base + "/ivf", foldBelow = 100L)
+    Search.compactSearchIndex(spark, base + "/postings", foldBelow = 100L)
+    TextOps.compactLmModel(spark, base + "/lm", foldBelow = 100L)
+    Seq("/sig", "/ivf", "/postings", "/lm").foreach(p =>
+      assert(!Stores.hasTombstones(spark, base + p),
+        s"compaction must clear $p tombstones"))
+    // re-admission after the purge is legal and exact
+    Pipeline.ingestDocs(spark, stores, late, batchId = 9L,
+      vectors = Some(vecs.filter(latePredV)))
+    checkAllIngested()
+  }
+}
