@@ -334,6 +334,56 @@ trait LifecycleBehaviors extends AnyFunSuite {
       Seq(extracted, aggregated))
   }
 
+  // ---- orchestration capstone: the dependency DAG drives registered queries
+  test("orchestrator: a 3-module DAG runs registered queries end-to-end; a failed module routes dependents to DEPENDENCY FAILURE") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(90, "ORCH_EXTRACT"), master(91, "ORCH_AGG"),
+      master(92, "ORCH_REPORT"), master(93, "ORCH_BAD"), master(94, "ORCH_DOWNSTREAM")))
+    store.putDependencies(Seq(
+      BatchDependency(90, 91, "MANDATORY"),
+      BatchDependency(91, 92, "MANDATORY"),
+      BatchDependency(93, 94, "MANDATORY")))
+    // the run command IS a registered query — the store's indirection
+    // (func_get_run_command) re-pointed at the engine instead of a shell
+    store.putRunCommands(Seq(
+      RunCommand("ORCH_EXTRACT", "graft.query q_scan_project"),
+      RunCommand("ORCH_AGG", "graft.query q_count"),
+      RunCommand("ORCH_REPORT", "graft.query q_agg_max"),
+      RunCommand("ORCH_BAD", "graft.query q_no_such_query")))
+    val orch = new Orchestrator(spark, lc, TestSpark.sfDir, SparkEntry.queries)
+
+    // happy chain: three modules, each gated on its parent's SUCCESS
+    val outcomes = orch.runChain(Seq("ORCH_EXTRACT", "ORCH_AGG", "ORCH_REPORT"),
+      runLevel = Some(1))
+    val completed = outcomes.collect { case (_, c: Orchestrator.Completed) => c }
+    assert(completed.map(_.query) === Seq("q_scan_project", "q_count", "q_agg_max"),
+      s"all three modules must complete their queries, got $outcomes")
+    assert(completed.forall(_.records > 0L), "registered queries return rows at this SF")
+    assert(sleeper.slept.isEmpty, "satisfied dependencies must not poll")
+
+    // failure branch: an unresolvable run command goes RUNNING and
+    // closes FAILURE (no phantom active run)...
+    val bad = orch.runModule("ORCH_BAD", runLevel = Some(1))
+    assert(bad.isInstanceOf[Orchestrator.Failed], s"got $bad")
+    // ...and its MANDATORY dependent startups into the DEPENDENCY
+    // FAILURE path — refused by the DECODE matrix, not by this driver
+    val down = orch.runModule("ORCH_DOWNSTREAM", runLevel = Some(1))
+    assert(down === Orchestrator.NotRun(DependencyFailed), s"got $down")
+
+    // the monitor store is the single pane of glass: every run closed,
+    // with the right terminal status and the real record counts
+    val state = store.monitorState.orderBy("module_id").collect()
+      .map(r => (r.getAs[Long]("module_id"), r.getAs[String]("run_status"),
+        r.getAs[Long]("records_processed")))
+    assert(state.map(t => (t._1, t._2)).toSeq === Seq(
+      90L -> RunStatus.Success, 91L -> RunStatus.Success, 92L -> RunStatus.Success,
+      93L -> RunStatus.Failure, 94L -> RunStatus.DependencyFailure))
+    assert(state.take(3).map(_._3).toSeq === completed.map(_.records),
+      "endup must record each query's count in the monitor")
+    assert(state.drop(3).map(_._3).toSeq === Seq(0L, 0L),
+      "failed and refused runs close with zero records")
+  }
+
   // ---- parameter prefix (body:290-301) ------------------------------------
   test("paramPrefix mirrors the SUBSTR/INSTR semantics incl. NULL edges") {
     val (_, _, _, lc) = fixture()
