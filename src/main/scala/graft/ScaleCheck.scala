@@ -69,7 +69,14 @@ object ScaleCheck {
     // volume and oriented-wedge bounds at 10×), and the Q21 semi+anti
     // chain (three lineitem-scale exchanges)
     "q_dedup_retract", "q_bloom_join", "q_lm_retract", "q_nb_retract",
-    "q_triangles", "q_tpch_q21")
+    "q_triangles", "q_tpch_q21",
+    // round-14 sweep of the remaining round-13 expensive queries (the
+    // r13 verdict's item 7): curriculum's threshold-broadcast vs the
+    // double-derived scored frame, MAD's broadcast median join, and the
+    // anomaly detector's trailing-window self-join — plus the new
+    // round-14 as-of face (store bootstrap + membership-scoped
+    // correction read at 10×)
+    "q_curriculum", "q_mad", "q_anomaly", "q_lm_asof")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
