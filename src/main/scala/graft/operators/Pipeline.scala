@@ -170,7 +170,7 @@ object Pipeline {
 
   /** THE ingest entry point — [[forgetDocs]]' admission twin: land one
     * corpus batch in every store of `stores` under ONE batch id,
-    * instead of four append APIs with four batch-id conventions.
+    * instead of five append APIs with five batch-id conventions.
     * Routes: batch-scoped signature admission (the streaming gate's
     * replay-safe write shape — [[graft.streaming.EventStreams.gateBatch]]
     * minus the gate verdict, because ingest admits what the caller
@@ -184,16 +184,13 @@ object Pipeline {
     * doc-disjointness is every store's exactness precondition, as each
     * append face documents.
     *
-    * The NB model is deliberately NOT ingested into: unlike the index
-    * stores — where a non-ingested doc is INVISIBLE to every read — a
-    * classifier scores any doc whether or not it was trained on it, so
-    * admission and training are separate decisions. The LM grows here
-    * because its store is exact additive corpus statistics; the NB
-    * classifier holds until the deployment retrains it
-    * ([[TextOps.writeNbModel]]) — train/serve separation. The asymmetry
-    * with [[forgetDocs]] (which DOES reach the NB store) is principled:
-    * deletion is a compliance obligation on the trained artifact;
-    * ingestion into a model is a refresh policy.
+    * Both trained models grow exactly: the LM and (since the NB store
+    * went batch-scoped additive) the classifier are corpus statistics
+    * whose batch counts sum to one-shot training on the union
+    * ([[TextOps.appendLmBatch]]/[[TextOps.appendNbBatch]]), so every
+    * scoring face immediately reflects the ingested batch — the full
+    * symmetry with [[forgetDocs]], which retracts from the same five
+    * families.
     *
     * Same crash contract as [[forgetDocs]]: NOT one transaction —
     * IDEMPOTENT RESUME. Every component write is a dynamic partition
@@ -222,6 +219,8 @@ object Pipeline {
       requireNoPendingRetraction(s, p, "doc_id", docs, "posting"))
     stores.lmModel.foreach(p =>
       requireNoPendingRetraction(s, p, "doc_id", docs, "LM model"))
+    stores.nbModel.foreach(p =>
+      requireNoPendingRetraction(s, p, "doc_id", docs, "NB model"))
     stores.signatures.foreach { p =>
       graft.sources.Stores.recover(s, p)
       val sig = Dedup.signaturesOf(docs.select("doc_id", "text"))
@@ -238,6 +237,7 @@ object Pipeline {
       Search.appendSearchIndexBatch(s, docs.select("doc_id", "text"), p, batchId,
         assertNewDocs = true))
     stores.lmModel.foreach(p => TextOps.appendLmBatch(s, docs, p, batchId))
+    stores.nbModel.foreach(p => TextOps.appendNbBatch(s, docs, p, batchId))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

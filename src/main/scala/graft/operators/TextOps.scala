@@ -1002,8 +1002,13 @@ object TextOps {
       }
       if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
       // folding scoped batches bounds the as-of horizon (the posting
-      // store's vacuum rule) — recorded atomically with the layout
-      graft.sources.Stores.writeHorizonInto(s, path, tmp, foldBelow)
+      // store's vacuum rule) — recorded atomically with the layout, and
+      // capped at (highest folded batch + 1): a watermark far above the
+      // store's batches must not invalidate as-of states the fold left
+      // perfectly reconstructable (asOf ≥ maxFolded reads the folded
+      // bootstrap, which IS that state)
+      graft.sources.Stores.writeHorizonInto(s, path, tmp,
+        math.min(foldBelow, ids.maxOption.map(_ + 1L).getOrElse(0L)))
     }
   }
 
@@ -1257,33 +1262,73 @@ object TextOps {
   def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
     qualityClassifier(Tables.documents(s, dir))
 
-  /** Materialize the trained NB quality classifier: the per-token class
-    * counts plus a `_meta` sidecar with the totals (n_pos, n_neg, v,
-    * prior_fp) — completing the stored-model trilogy (BPE merges, bigram
-    * LM, and this). Training pays the label derivation and the
-    * gram-keyed count ONCE: the labels frame is cached for its two
-    * consumers (the token join and the prior), and the totals derive
-    * from the just-written class-count parquet instead of re-running
-    * the token pipeline. Trains through the same [[nbLabels]]/
-    * [[nbToks]]/[[nbClassCounts]]/[[nbPrior]] definitions as the
-    * in-query face — the stored model cannot train differently. */
+  /** Materialize the trained NB quality classifier — completing the
+    * stored-model trilogy (BPE merges, bigram LM, and this). Layout is
+    * BATCH-SCOPED ADDITIVE since round 14, the LM store's exactness
+    * argument transplanted: [[nbLabels]] is a pure per-doc function of
+    * the text, so a batch's per-token class counts are independent of
+    * every other batch, and summing across doc-disjoint batches equals
+    * one-shot training on their union — which makes the classifier
+    * continuously ingestible ([[appendNbBatch]]) and time-travelable
+    * ([[qualityClassifierStoredAsOf]]). Three frames:
+    *
+    *  - counts: (w, c_pos, c_neg) per admission batch (bootstrap -1);
+    *  - `_meta`: per-batch LABEL doc counts (n_docs, n_flagged) — the
+    *    only totals that cannot derive from the counts (the prior is a
+    *    LOG of doc counts, not invertible; n_pos/n_neg/v are NOT stored
+    *    — they derive from the summed counts in one vocab-sized
+    *    aggregate, and v, like the LM vocabulary, is no additive SET
+    *    but is exactly the net-count support);
+    *  - `_docs`: admission membership, serving the as-of face's
+    *    correction scoping (the LM/posting discipline). Membership is
+    *    the model's DOMAIN (docs with ≥ 2 words) — out-of-domain docs
+    *    were never trained and must not scope anything.
+    *
+    * Trains through the same [[nbLabels]]/[[nbToks]]/[[nbClassCounts]]
+    * definitions as the in-query face — the stored model cannot train
+    * differently. */
   def writeNbModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
     val labels = nbLabels(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try graft.sources.Stores.overwriteAside(s, path) { tmp =>
       nbClassCounts(nbToks(docs).join(labels, "doc_id"))
-        .select("w", "c_pos", "c_neg")
-        .coalesce(1).write.parquet(tmp)
-      val clsStored = s.read.parquet(tmp)
-      val tot = clsStored.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
-        count(lit(1)).as("v"))
-      // label doc counts ride in _meta beside the prior they determine:
-      // prior_fp is a LOG of doc counts, not invertible, so exact prior
-      // recomputation under retraction needs the counts themselves
-      val docCounts = labels.agg(count(lit(1)).as("n_docs"),
-        sum("flagged").cast(LongType).as("n_flagged"))
-      tot.crossJoin(nbPrior(labels)).crossJoin(docCounts)
-        .coalesce(1).write.parquet(tmp + "/_meta")
+        .select("w", "c_pos", "c_neg").withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      labels.agg(count(lit(1)).as("n_docs"),
+          sum("flagged").cast(LongType).as("n_flagged"))
+        .withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_meta")
+      labels.select(col("doc_id")).withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
+    } finally labels.unpersist()
+  }
+
+  /** Grow the stored classifier: the batch's class counts, label doc
+    * counts, and membership land as dynamic overwrites of their
+    * batch_id partitions — replay-idempotent and EXACT at any append
+    * depth ([[appendLmBatch]]' contract: counts and doc counts sum at
+    * load). Batches must be doc-disjoint, the store family's shared
+    * precondition. */
+  def appendNbBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    graft.sources.Stores.recover(s, path)
+    val labels = nbLabels(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        nbClassCounts(nbToks(docs).join(labels, "doc_id"))
+          .select("w", "c_pos", "c_neg")
+          .withColumn("batch_id", lit(batchId)).coalesce(1),
+        path, Seq("batch_id"))
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        labels.agg(count(lit(1)).as("n_docs"),
+            sum("flagged").cast(LongType).as("n_flagged"))
+          .withColumn("batch_id", lit(batchId)).coalesce(1),
+        path + "/_meta", Seq("batch_id"))
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        labels.select(col("doc_id"))
+          .withColumn("batch_id", lit(batchId)).coalesce(1),
+        path + "/_docs", Seq("batch_id"))
     } finally labels.unpersist()
   }
 
@@ -1313,8 +1358,11 @@ object TextOps {
     val rows = tokRows.unionByName(labelRows)
     if (rows.isEmpty) return // out-of-domain docs: training never saw them
     // subtractability on the FUTURE correction set (pending ∪ new,
-    // distinct) — [[retractLmDocs]]' replay-tolerant form of the guard
-    val cls = s.read.parquet(path)
+    // distinct) — [[retractLmDocs]]' replay-tolerant form of the guard;
+    // checked against the SUMMED (cross-batch) counts, the model a
+    // reader actually sees
+    val cls = s.read.parquet(path).groupBy("w")
+      .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
     val future =
       if (!graft.sources.Stores.hasTombstones(s, path)) rows
       else s.read.parquet(graft.sources.Stores.tombstonePath(path)).unionByName(rows)
@@ -1342,35 +1390,82 @@ object TextOps {
         sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("ppend"),
         sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("npend"))
 
-  /** The stored NB model NET of pending retractions: the class-count
-    * frame with corrections subtracted and zeroed tokens dropped, plus
-    * the recomputed scalar totals (token totals, vocabulary size, doc
-    * counts, and the prior re-derived from the shrunk doc counts
-    * through the same Spark round/log expression training used, so the
-    * fixed-point value is bit-identical to a retrain). One definition
-    * for the scoring face and [[compactNbModel]]. */
-  private def nbNetModel(s: SparkSession, path: String)
+  /** The stored NB model reconstructed at a state: counts summed across
+    * the (optionally as-of-sliced) batch partitions, pending retraction
+    * corrections subtracted (scoped to as-of MEMBERSHIP when slicing —
+    * a doc retracted but only trained after `asOf` must not shrink the
+    * historical model, the [[lmScoreStoredAsOf]] discipline), zeroed
+    * tokens dropped, and the scalar totals recomputed from the net
+    * model: token totals and vocabulary size in one vocab-sized
+    * aggregate, doc counts from the summed `_meta` rows minus retracted
+    * labels, and the prior re-derived through the same Spark round/log
+    * expression training used, so the fixed-point value is bit-identical
+    * to a retrain. ONE definition for the live scoring face, the as-of
+    * face, and [[compactNbModel]] — a face can only differ in which
+    * state it reconstructs, never in how the model derives. */
+  private def nbModelAt(s: SparkSession, path: String, asOf: Option[Long])
       : (DataFrame, Long, Long, Long, Long, Long, Long) = {
-    val cls = s.read.parquet(path)
-    val corr = nbTokCorrections(s, path)
-    val clsNet = cls.join(corr, Seq("w"), "left")
-      .select(col("w"),
-        (col("c_pos") - coalesce(col("ppend"), lit(0L))).as("c_pos"),
-        (col("c_neg") - coalesce(col("npend"), lit(0L))).as("c_neg"))
-      .filter(col("c_pos") + col("c_neg") > 0)
+    def sliced(df: DataFrame): DataFrame =
+      asOf.fold(df)(a => df.filter(col("batch_id").cast("long") <= a))
+    // explicit schema: an empty-DOMAIN model (every doc < 2 words)
+    // writes zero count rows, and a schema-less read of the fileless
+    // partition layout would die on inference instead of reaching the
+    // empty-vocabulary refusal below
+    val clsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "w STRING, c_pos BIGINT, c_neg BIGINT, batch_id BIGINT")
+    val cls = sliced(s.read.schema(clsSchema).parquet(path)).groupBy("w")
+      .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+    val side: Option[DataFrame] =
+      if (!graft.sources.Stores.hasTombstones(s, path)) None
+      else Some {
+        val all = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+        asOf match {
+          case None => all
+          case Some(_) =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+            require(fs.exists(new org.apache.hadoop.fs.Path(path + "/_docs")),
+              s"stored NB model at $path carries retractions but predates the " +
+                "_docs admission sidecar — as-of reads cannot scope corrections " +
+                "to membership; re-train with writeNbModel")
+            all.join(sliced(s.read.parquet(path + "/_docs")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+        }
+      }
+    val clsNet = side match {
+      case None => cls
+      case Some(sd) =>
+        val corr = sd.filter(col("kind") === "tok")
+          .groupBy(col("k").as("w")).agg(
+            sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("ppend"),
+            sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("npend"))
+        cls.join(corr, Seq("w"), "left")
+          .select(col("w"),
+            (col("c_pos") - coalesce(col("ppend"), lit(0L))).as("c_pos"),
+            (col("c_neg") - coalesce(col("npend"), lit(0L))).as("c_neg"))
+          .filter(col("c_pos") + col("c_neg") > 0)
+    }
     val t = clsNet.agg(coalesce(sum("c_pos"), lit(0L)), coalesce(sum("c_neg"), lit(0L)),
       count(lit(1))).collect()(0)
     val (nPos, nNeg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    val lab = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
-      .filter(col("kind") === "label")
-      .agg(count(lit(1)), coalesce(sum("flagged"), lit(0L))).collect()(0)
-    val (dRetract, fRetract) = (lab.getLong(0), lab.getLong(1))
-    val m = s.read.parquet(path + "/_meta").collect()(0)
-    require(m.schema.fieldNames.contains("n_docs"),
-      s"stored NB model at $path carries retractions but its _meta lacks doc " +
-        "counts — inconsistent store")
-    val nDocs = m.getAs[Long]("n_docs") - dRetract
-    val nFlagged = m.getAs[Long]("n_flagged") - fRetract
+    // vocabulary check BEFORE the doc-count one: a never-trained empty
+    // domain must report "empty vocabulary", not "every doc retracted"
+    require(v > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
+    val (dRetract, fRetract) = side match {
+      case None => (0L, 0L)
+      case Some(sd) =>
+        val lab = sd.filter(col("kind") === "label")
+          .agg(count(lit(1)), coalesce(sum("flagged"), lit(0L))).collect()(0)
+        (lab.getLong(0), lab.getLong(1))
+    }
+    val meta = sliced(s.read.parquet(path + "/_meta"))
+    require(meta.columns.contains("n_docs"),
+      s"stored NB model at $path predates additive doc counts (its _meta lacks " +
+        "n_docs) — re-train with writeNbModel")
+    val mr = meta.agg(coalesce(sum("n_docs"), lit(0L)),
+      coalesce(sum("n_flagged"), lit(0L))).collect()(0)
+    val nDocs = mr.getLong(0) - dRetract
+    val nFlagged = mr.getLong(1) - fRetract
     require(nDocs > 0,
       s"stored NB model at $path : every trained document has been retracted — " +
         "the prior is undefined; re-train or compact through")
@@ -1383,26 +1478,94 @@ object TextOps {
     (clsNet, nPos, nNeg, v, priorFp, nDocs, nFlagged)
   }
 
-  /** Physically absorb the NB store's pending retractions: rewrite the
-    * class counts net of corrections and the `_meta` scalars from the
-    * shrunk model, dropping the sidecar in the same crash-safe swap
-    * ([[graft.sources.Stores.overwriteAside]] — the temp dir simply
-    * never receives a sidecar copy). Unlike the LM there is no append
-    * path and hence no replay contract to wait out: absorption is
-    * immediate and unconditional. No-op without pending retractions. */
-  def compactNbModel(s: SparkSession, path: String): Unit = {
+  /** Compact the stored classifier — [[compactLmModel]]'s contract on
+    * the batch-scoped layout: batch partitions below the caller's
+    * replay watermark fold into the bootstrap (counts and doc counts
+    * SUM — score-preserving by construction, the loader computes
+    * exactly those folds on every read), `_docs` membership folds with
+    * the counts it describes, and the fold horizon is recorded for the
+    * as-of face. Retraction corrections absorb physically ONLY at the
+    * final fold (the LM's rule: count corrections apply to corpus
+    * totals and cannot be attributed to the folded branch while any
+    * replay-protected batch remains); the same swap drops retracted
+    * docs' membership and omits the sidecar — purge and tombstone
+    * clearance in one atomic rename. The no-argument default folds
+    * everything, preserving the historical "absorb now" call shape the
+    * maintenance sweep uses. */
+  def compactNbModel(s: SparkSession, path: String, foldBelow: Long = Long.MaxValue): Unit = {
     graft.sources.Stores.recover(s, path)
-    if (!graft.sources.Stores.hasTombstones(s, path)) return
-    val (clsNet, nPos, nNeg, v, priorFp, nDocs, nFlagged) = nbNetModel(s, path)
-    graft.sources.Stores.overwriteAside(s, path) { tmp =>
-      // clsNet reads the LIVE store + sidecar lazily inside the
-      // temp-write — both intact until the swap that follows the write
-      // (the compactInPlace discipline); no data-plane collect
-      clsNet.coalesce(1).write.parquet(tmp)
-      s.range(1).select(lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
-        lit(v).as("v"), lit(priorFp).as("prior_fp"),
-        lit(nDocs).as("n_docs"), lit(nFlagged).as("n_flagged"))
-        .coalesce(1).write.parquet(tmp + "/_meta")
+    graft.sources.Stores.clearResidue(s, path)
+    def batchDirs(p: String): Set[Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), s.sparkContext.hadoopConfiguration)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Set.empty
+      else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSet
+    }
+    if (batchDirs(path).isEmpty && batchDirs(path + "/_meta").isEmpty) return
+    val ids = (batchDirs(path) ++ batchDirs(path + "/_meta"))
+      .filter(b => b >= 0 && b < foldBelow)
+    if (ids.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
+    val scopedRemain =
+      graft.sources.Stores.replayProtectedRemain(s, path, foldBelow) ||
+        graft.sources.Stores.replayProtectedRemain(s, path + "/_meta", foldBelow)
+    val absorb = graft.sources.Stores.hasTombstones(s, path) && !scopedRemain
+    // corrections derived ONCE, against the live sidecar (lazy — the
+    // store and sidecar stay intact until the swap)
+    def tokCorr = nbTokCorrections(s, path)
+    def labCorr = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+      .filter(col("kind") === "label")
+      .agg(count(lit(1)).as("d"), coalesce(sum("flagged"), lit(0L)).as("f"))
+    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+      val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
+      val folded0 = df.filter(col("batch_id") < foldBelow).groupBy("w")
+        .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
+      val folded =
+        if (!absorb) folded0
+        else folded0.join(tokCorr, Seq("w"), "left")
+          .select(col("w"),
+            (col("c_pos") - coalesce(col("ppend"), lit(0L))).as("c_pos"),
+            (col("c_neg") - coalesce(col("npend"), lit(0L))).as("c_neg"))
+          .filter(col("c_pos") + col("c_neg") > 0)
+      folded.withColumn("batch_id", lit(-1L))
+        .unionByName(df.filter(col("batch_id") >= foldBelow))
+    } { (df, tmp) =>
+      df.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      val meta = s.read.parquet(path + "/_meta")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val mf0 = meta.filter(col("batch_id") < foldBelow)
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("n_flagged"), lit(0L)).as("n_flagged"))
+      val mf =
+        if (!absorb) mf0
+        else mf0.crossJoin(broadcast(labCorr))
+          .select((col("n_docs") - col("d")).as("n_docs"),
+            (col("n_flagged") - col("f")).as("n_flagged"))
+      mf.withColumn("batch_id", lit(-1L))
+        .unionByName(meta.filter(col("batch_id") >= foldBelow))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_meta")
+      val docsPath = new org.apache.hadoop.fs.Path(path + "/_docs")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      if (fs.exists(docsPath)) {
+        val dm0 = s.read.parquet(path + "/_docs")
+          .withColumn("batch_id", col("batch_id").cast("long"))
+        val dm = if (absorb)
+          graft.sources.Stores.minusTombstones(s, path, "doc_id", dm0)
+        else dm0
+        dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
+          .unionByName(dm.filter(col("batch_id") >= foldBelow))
+          .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
+      }
+      if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
+      // horizon capped at (highest folded batch + 1): folding below a
+      // watermark far above the store's batches must not invalidate
+      // as-of states the fold left perfectly reconstructable (asOf ≥
+      // maxFolded reads the folded bootstrap, which IS that state)
+      graft.sources.Stores.writeHorizonInto(s, path, tmp,
+        math.min(foldBelow, ids.maxOption.map(_ + 1L).getOrElse(0L)))
     }
   }
 
@@ -1416,29 +1579,33 @@ object TextOps {
   private[graft] def qualityClassifierStored(s: SparkSession, docs: DataFrame,
       path: String): DataFrame = {
     graft.sources.Stores.recover(s, path)
-    // pending retractions swap in the net model ([[nbNetModel]] — counts
-    // minus corrections, totals/vocab/prior recomputed from the shrunk
-    // model), so scores equal a retrain on the surviving corpus
-    val (cls, nPos, nNeg, v, priorFp) =
-      if (graft.sources.Stores.hasTombstones(s, path)) {
-        val (clsNet, p, n, vv, pf, _, _) = nbNetModel(s, path)
-        (clsNet, p, n, vv, pf)
-      } else {
-        val cls0 = s.read.parquet(path)
-        // one meta row, collected (control-plane) so a degenerate model —
-        // v = 0, an empty training corpus — refuses loudly instead of
-        // scoring every token against a zero vocabulary
-        val m = s.read.parquet(path + "/_meta").collect()(0)
-        // by NAME, not ordinal (a writeNbModel column reorder must not swap
-        // denominators silently), and v — a count, never NULL — checks FIRST:
-        // an empty-domain model has NULL totals, and reading those before the
-        // guard would throw a bare NPE instead of this message
-        val v0 = m.getAs[Long]("v")
-        require(v0 > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
-        (cls0, m.getAs[Long]("n_pos"), m.getAs[Long]("n_neg"),
-          v0, m.getAs[Long]("prior_fp"))
-      }
-    require(v > 0, s"stored NB model at $path has an empty vocabulary — refusing to score")
+    // [[nbModelAt]] with no slice: counts summed across batches,
+    // pending retractions subtracted, totals/vocab/prior recomputed —
+    // so scores equal one-shot training on the net ingested corpus
+    val (cls, nPos, nNeg, v, priorFp, _, _) = nbModelAt(s, path, asOf = None)
+    scoreUnderNb(docs, cls, nPos, nNeg, v, priorFp)
+  }
+
+  /** [[qualityClassifierStored]] AS OF admission batch `asOf` — the NB
+    * member of the model-plane time-travel family, possible since the
+    * store went batch-scoped additive: the count and `_meta` slices are
+    * partition filters, retraction corrections apply scoped to the
+    * `_docs` admission membership, and compaction folds bound the
+    * horizon with the family's shared loud refusal
+    * ([[lmScoreStoredAsOf]] documents the semantics). */
+  def qualityClassifierStoredAsOf(s: SparkSession, docs: DataFrame,
+      path: String, asOf: Long): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    val (cls, nPos, nNeg, v, priorFp, _, _) = nbModelAt(s, path, Some(asOf))
+    scoreUnderNb(docs, cls, nPos, nNeg, v, priorFp)
+  }
+
+  /** The scoring tail every stored-classifier face shares (live and
+    * as-of) — [[scoreUnderLm]]'s discipline: one definition, so a face
+    * can only differ in which model state it reconstructs. */
+  private def scoreUnderNb(docs: DataFrame, cls: DataFrame,
+      nPos: Long, nNeg: Long, v: Long, priorFp: Long): DataFrame = {
     val llrFp = round((log((coalesce(col("c_pos"), lit(0L)) + lit(1.0)) / lit(nPos + v).cast("double"))
       - log((coalesce(col("c_neg"), lit(0L)) + lit(1.0)) / lit(nNeg + v).cast("double"))) * lit(1e6))
       .cast(LongType)
@@ -1477,6 +1644,27 @@ object TextOps {
       retractNbDocs(s, path, docs.filter(retracted))
     }
     qualityClassifierStored(s, docs.filter(!retracted), path)
+  }
+
+  /** The stored classifier scored AS OF a pre-append, post-retraction
+    * state — [[qLmAsof]]'s scenario on the NB store (bootstrap without
+    * the %10 = 5 docs, append them as batch 7, retract every %7 = 3
+    * doc, score the as-of-6 survivors as of batch 6). The oracle
+    * retrains on the as-of surviving corpus; green means the batch
+    * slice reached counts, doc counts, vocabulary AND prior, and the
+    * retraction corrections applied membership-scoped (batch-7 members'
+    * corrections must not touch the historical model). */
+  def qNbAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val late = pmod(col("doc_id"), lit(10L)) === 5
+    val retracted = pmod(col("doc_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-nbasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeNbModel(s, docs.filter(!late), path)
+      appendNbBatch(s, docs.filter(late), path, 7L)
+      retractNbDocs(s, path, docs.filter(retracted))
+    }
+    qualityClassifierStoredAsOf(s, docs.filter(!late && !retracted), path, asOf = 6L)
   }
 
   // Deterministic train/val/test split: a hash-bucket Bernoulli over the
@@ -1640,6 +1828,7 @@ object TextOps {
     "q_quality_classifier" -> qQualityClassifier _,
     "q_nb_probe"    -> qNbProbe _,
     "q_nb_retract"  -> qNbRetract _,
+    "q_nb_asof"     -> qNbAsof _,
     "q_bpe_probe"   -> qBpeProbe _,
   )
 
@@ -1852,6 +2041,8 @@ object TextOps {
     "q_nb_probe" -> nbClassifierSql,
     // retraction face: retrain-on-survivors oracle (see q_lm_retract)
     "q_nb_retract" -> nbClassifierSqlWith("doc_id % 7 <> 3"),
+    // as-of face: retrain-on-the-as-of-survivors oracle (see q_lm_asof)
+    "q_nb_asof" -> nbClassifierSqlWith("doc_id % 10 <> 5 AND doc_id % 7 <> 3"),
 
     "q_lang_id" ->
       """WITH n AS (

@@ -38,13 +38,15 @@ class IngestSpec extends AnyFunSuite {
       signatures = Some(base + "/sig"),
       vectors = Seq(base + "/ivf"),
       postings = Some(base + "/postings"),
-      lmModel = Some(base + "/lm"))
+      lmModel = Some(base + "/lm"),
+      nbModel = Some(base + "/nb"))
     // bootstrap every store family on the early corpus (vec_id ≡ doc_id,
     // the convention DocStores documents)
     Dedup.writeSignatures(Dedup.signaturesOf(boot.select("doc_id", "text")), base + "/sig")
     Similarity.writeIvfIndexFrom(spark, vecs.filter(!latePredV), base + "/ivf")
     Search.writeSearchIndexFrom(spark, boot.select("doc_id", "text"), base + "/postings")
     TextOps.writeLmModel(spark, boot, base + "/lm")
+    TextOps.writeNbModel(spark, boot, base + "/nb")
 
     def checkAllIngested(): Unit = {
       // signature store ≡ a one-shot bootstrap over the whole corpus
@@ -71,6 +73,14 @@ class IngestSpec extends AnyFunSuite {
       assert(lmScores(TextOps.lmScoreStored(spark, docs, base + "/lm")) ===
         lmScores(TextOps.lmScore(docs)),
         "LM store must score as single-shot training on the full corpus")
+      // NB store: the batch-scoped additive classifier grows the same way
+      assert(TextOps.qualityClassifierStored(spark, docs, base + "/nb").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq ===
+        TextOps.qualityClassifier(docs).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq,
+        "NB store must score as single-shot training on the full corpus")
     }
 
     // partial-crash simulation: an ingest run that died after the FIRST
@@ -109,7 +119,8 @@ class IngestSpec extends AnyFunSuite {
     Similarity.compactIvfIndex(spark, base + "/ivf", foldBelow = 100L)
     Search.compactSearchIndex(spark, base + "/postings", foldBelow = 100L)
     TextOps.compactLmModel(spark, base + "/lm", foldBelow = 100L)
-    Seq("/sig", "/ivf", "/postings", "/lm").foreach(p =>
+    TextOps.compactNbModel(spark, base + "/nb", foldBelow = 100L)
+    Seq("/sig", "/ivf", "/postings", "/lm", "/nb").foreach(p =>
       assert(!Stores.hasTombstones(spark, base + p),
         s"compaction must clear $p tombstones"))
     // re-admission after the purge is legal and exact

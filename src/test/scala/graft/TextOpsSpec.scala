@@ -222,9 +222,17 @@ class TextOpsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
     assert(stored === inQuery,
       "on its training corpus the stored classifier must score bit-identically")
-    // a fully-OOV doc: every token's llr is ln((1)/(n_pos+v)) − ln((1)/(n_neg+v))
-    val m = spark.read.parquet(path + "/_meta").collect()(0)
-    val (nPos, nNeg, v, priorFp) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    // a fully-OOV doc: every token's llr is ln((1)/(n_pos+v)) − ln((1)/(n_neg+v));
+    // totals derive from the summed batch counts (the batch-scoped
+    // layout stores only doc counts in _meta), the prior from _meta
+    val t = spark.read.parquet(path)
+      .groupBy("w").agg(sum("c_pos").as("p"), sum("c_neg").as("n"))
+      .agg(sum("p"), sum("n"), count(lit(1))).collect()(0)
+    val (nPos, nNeg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val m = spark.read.parquet(path + "/_meta").select("n_docs", "n_flagged").collect()(0)
+    val priorFp = BigDecimal(math.log((m.getLong(1) + 1.0) /
+        (m.getLong(0) - m.getLong(1) + 1.0)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val novel = Seq((999L, "zz qq")).toDF("doc_id", "text")
     val got = TextOps.qualityClassifierStored(spark, novel, path).collect()(0)
     val fp = BigDecimal((math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))) * 1e6)
@@ -827,12 +835,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!graft.sources.Stores.hasTombstones(spark, path))
     assert(nbScoresOf(TextOps.qualityClassifierStored(spark, kept, path)) === retracted,
       "absorbing the correction must not move a score")
-    // the rewritten _meta IS the retrained model's meta
+    // the rewritten _meta IS the retrained model's meta (doc counts are
+    // the only stored scalars since the batch-scoped layout — the rest
+    // derive from the counts at load)
     val m = spark.read.parquet(path + "/_meta").collect()(0)
     val single = java.nio.file.Files.createTempDirectory("graft-nbsingle").toString + "/model"
     TextOps.writeNbModel(spark, kept, single)
     val ms = spark.read.parquet(single + "/_meta").collect()(0)
-    Seq("n_pos", "n_neg", "v", "prior_fp", "n_docs", "n_flagged").foreach { c =>
+    Seq("n_docs", "n_flagged").foreach { c =>
       assert(m.getAs[Long](c) === ms.getAs[Long](c), s"_meta.$c after absorption")
     }
     // never-trained docs refuse loudly
@@ -841,5 +851,57 @@ class TextOpsSpec extends AnyFunSuite {
         Seq((9999L, "zz qq xx")).toDF("doc_id", "text"))
     }
     assert(e.getMessage.contains("not trained into this store"))
+  }
+
+  test("NB store grows exactly: bootstrap+appends ≡ single-shot training; replay preserves scores") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-nbgrow").toString + "/model"
+    TextOps.writeNbModel(spark, docs.filter(col("doc_id") % 3 === 0), path)
+    TextOps.appendNbBatch(spark, docs.filter(col("doc_id") % 3 === 1), path, 1L)
+    TextOps.appendNbBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    val grown = nbScoresOf(TextOps.qualityClassifierStored(spark, docs, path))
+    // additive exactness: counts and doc counts sum to one-shot training
+    assert(grown === nbScoresOf(TextOps.qualityClassifier(docs)),
+      "bootstrap + appends must equal single-shot training bit-for-bit")
+    // a replayed append rewrites its own partitions (dynamic overwrite)
+    TextOps.appendNbBatch(spark, docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    assert(nbScoresOf(TextOps.qualityClassifierStored(spark, docs, path)) === grown,
+      "a replayed append must not double-count")
+    // compaction folds scoped batches score-preservingly
+    TextOps.compactNbModel(spark, path, foldBelow = 2L)
+    assert(nbScoresOf(TextOps.qualityClassifierStored(spark, docs, path)) === grown,
+      "folding batches must not move a score")
+  }
+
+  test("NB as-of: slices batches exactly, scopes corrections to membership, bounds the horizon") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val boot = docs.filter(col("doc_id") % 3 === 0)
+    val late = docs.filter(col("doc_id") % 3 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-nbasof").toString + "/model"
+    TextOps.writeNbModel(spark, boot, path)
+    TextOps.appendNbBatch(spark, late, path, 5L)
+    // pre-append ≡ training on the bootstrap alone (counts, doc counts,
+    // vocabulary AND prior all sliced)
+    assert(nbScoresOf(TextOps.qualityClassifierStoredAsOf(spark, boot, path, asOf = 4L)) ===
+      nbScoresOf(TextOps.qualityClassifier(boot)))
+    // retracting a batch-5-only doc must not reach the as-of-4 model
+    TextOps.retractNbDocs(spark, path, late.filter(col("doc_id") % 2 === 0))
+    assert(nbScoresOf(TextOps.qualityClassifierStoredAsOf(spark, boot, path, asOf = 4L)) ===
+      nbScoresOf(TextOps.qualityClassifier(boot)),
+      "a post-as-of admission's retraction must not reach the as-of model")
+    // a bootstrap member's retraction erases history at every as-of
+    val bootGone = boot.filter(col("doc_id") % 5 === 0)
+    val bootKept = boot.filter(col("doc_id") % 5 =!= 0)
+    TextOps.retractNbDocs(spark, path, bootGone)
+    assert(nbScoresOf(TextOps.qualityClassifierStoredAsOf(spark, bootKept, path, asOf = 4L)) ===
+      nbScoresOf(TextOps.qualityClassifier(bootKept)),
+      "as-of must serve the model retrained on the surviving as-of corpus")
+    // compaction folds bound the horizon with the family's loud refusal
+    TextOps.compactNbModel(spark, path, foldBelow = 6L)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.qualityClassifierStoredAsOf(spark, bootKept, path, asOf = 4L)
+    }
+    assert(e.getMessage.contains("oldest reconstructable state is as of batch 5"),
+      s"horizon refusal must name the oldest reconstructable state, got: ${e.getMessage}")
   }
 }
