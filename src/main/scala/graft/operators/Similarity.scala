@@ -857,6 +857,41 @@ object Similarity {
       .filter(col("batch_id").cast("long") <= asOf)
   }
 
+  /** The stored IVF index answered AS OF a pre-append, post-retraction
+    * state ([[qAnnAsof]]'s scenario on the inverted file): bootstrap
+    * without the %10 = 5 vectors — which is also the quantizer's
+    * training corpus, frozen thereafter — append the rest as batch 7,
+    * retract every %7 = 3 vector, answer top-5 as of batch 6. The
+    * differential twin ([[graft.verify.Expected.ivfAsofRows]]) trains
+    * on the bootstrap but serves the survivors — the train/serve split
+    * that distinguishes a frozen-quantizer store from a rebuild, which
+    * is exactly what this query pins. */
+  def qIvfAsof(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val late = pmod(col("vec_id"), lit(10L)) === 5
+    val retr = pmod(col("vec_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-ivfasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeIvfIndexFrom(s, vecs.filter(!late), path)
+      appendIvfIndexBatch(s, vecs.filter(late), path, 7L)
+      retractVectors(s, path,
+        vecs.filter(retr).select("vec_id").collect().map(_.getLong(0)).toSeq)
+    }
+    val cents = readCentroids(s, path)
+    val idxAsOf = graft.sources.Stores.minusTombstones(s, path, "vec_id",
+        s.read.parquet(path))
+      .filter(col("batch_id").cast("long") <= 6L)
+    val queries = idxAsOf.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
+    annTopkFromBuckets(s,
+      probeIvfIndexAsOf(s, path, storedProbedLists(queries), asOf = 6L)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("list_id").as("bucket")),
+      queries)
+  }
+
   /** Retract vectors from a stored index (IVF or LSH) — the
     * embedding-store half of the deletion story, on the shared
     * tombstone protocol ([[graft.sources.Stores.retractIds]]; the
@@ -1238,12 +1273,18 @@ object Similarity {
     * filters actually reach the scan; the claim is mechanical, not
     * prose). */
   def writeAnnIndex(s: SparkSession, dir: String, path: String): Unit =
+    writeAnnIndexFrom(s, Tables.embeddings(s, dir), path)
+
+  /** [[writeAnnIndex]] over a caller-supplied vector frame (the
+    * [[writeIvfIndexFrom]] shape) — the bootstrap face store-building
+    * specs and the as-of scenario construct corpora with. */
+  def writeAnnIndexFrom(s: SparkSession, vectors: DataFrame, path: String): Unit =
     // one task per bucket (writeSignatures' discipline): without the
     // repartition every shuffle partition emits a sliver file into every
     // bucket directory — buckets × partitions small files, the
     // object-store listing killer compaction exists to fix
     graft.sources.Sinks.overwritePartitioned(
-      bucketed(s, Tables.embeddings(s, dir)).withColumn("batch_id", lit(-1L))
+      bucketed(s, vectors).withColumn("batch_id", lit(-1L))
         .repartition(col("bucket")),
       path, Seq("bucket", "batch_id"))
 
@@ -1361,6 +1402,45 @@ object Similarity {
       .filter(col("batch_id").cast("long") <= asOf)
   }
 
+  /** The stored LSH index answered AS OF a pre-append, post-retraction
+    * state, under the FULL DuckDB oracle — the q_bm25_asof discipline
+    * brought to the vector store, whose as-of face was previously only
+    * spec-pinned: bootstrap without the %10 = 5 vectors, append them as
+    * batch 7, retract every %7 = 3 vector, answer top-5 neighbors as of
+    * batch 6. The oracle replays the in-query LSH over a corpus that is
+    * exactly the as-of survivors — green only if the batch slice prunes
+    * the late admissions everywhere (queries, probed buckets, AND
+    * neighbors) and the tombstones erase retracted vectors from
+    * history. Per-vector rows mean the anti-join + slice IS the exact
+    * reconstruction — no global statistic needs membership scoping,
+    * which is precisely why the posting/model stores needed `_docs` and
+    * this store does not. */
+  def qAnnAsof(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+    val late = pmod(col("vec_id"), lit(10L)) === 5
+    val retr = pmod(col("vec_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-annasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeAnnIndexFrom(s, vecs.filter(!late), path)
+      appendAnnIndexBatch(s, vecs.filter(late), path, 7L)
+      retractVectors(s, path,
+        vecs.filter(retr).select("vec_id").collect().map(_.getLong(0)).toSeq)
+    }
+    // the as-of index view drives the query slice and the probed-bucket
+    // collect, so every stage sees one reconstruction
+    val idxAsOf = graft.sources.Stores.minusTombstones(s, path, "vec_id",
+        s.read.parquet(path))
+      .filter(col("batch_id").cast("long") <= 6L)
+    val probed = idxAsOf.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select("bucket").distinct().collect()
+      .flatMap(r => probeBuckets(r.getAs[Number](0).longValue)).distinct.toSeq
+    annTopkFromBuckets(s,
+      probeAnnIndexAsOf(s, path, probed, asOf = 6L)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("bucket")),
+      probeQueries(idxAsOf))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> qEmbedNeardup _,
     "q_embed_quant"   -> qEmbedQuant _,
@@ -1369,6 +1449,8 @@ object Similarity {
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
     "q_mmr_rerank"    -> qMmrRerank _,
     "q_ann_lsh"       -> qAnnLsh _,
+    "q_ann_asof"      -> qAnnAsof _,
+    "q_ivf_asof"      -> qIvfAsof _,
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_ann_pq"        -> qAnnPq _,
@@ -1433,15 +1515,19 @@ object Similarity {
   }
 
   /** The multi-probe LSH oracle (plane constants generated into the
-    * SQL), shared verbatim by q_ann_lsh and the stored-index q_ann_probe. */
-  private val duckAnnLshSql: String = {
+    * SQL), shared verbatim by q_ann_lsh and the stored-index
+    * q_ann_probe; the predicate variant serves the as-of face (the
+    * oracle retrains — here: re-buckets — on the filtered corpus). */
+  private val duckAnnLshSql: String = duckAnnLshSqlWith("TRUE")
+
+  private def duckAnnLshSqlWith(pred: String): String = {
     val masks = (Seq(0L) ++ (0 until AnnPlanes).map(p => 1L << p)).mkString("[", ", ", "]")
     val qDot = s"list_aggregate(list_transform(range(1, ${Dim + 1}), i -> cast(p.q_emb[i] AS double) * cast(e.embedding[i] AS double)), 'sum')"
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    $duckNorm AS nrm,
        |    ${duckBucket("embedding", 0 until AnnPlanes)} AS bucket
-       |  FROM embeddings),
+       |  FROM embeddings WHERE ($pred)),
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
        |  FROM e WHERE vec_id % 100 = 0),
@@ -1492,6 +1578,9 @@ object Similarity {
     // the two share one oracle
     "q_ann_probe" -> duckAnnLshSql,
     "q_ann_lsh" -> duckAnnLshSql,
+    // as-of face: the oracle re-buckets and ranks over the as-of
+    // surviving corpus only (see qAnnAsof)
+    "q_ann_asof" -> duckAnnLshSqlWith("vec_id % 10 <> 5 AND vec_id % 7 <> 3"),
     // the aggregate face is output-identical to the window face by the
     // total-ordering contract, so both keys carry one SQL
     "q_ann_topk" -> duckAnnTopkSql,

@@ -266,13 +266,33 @@ object Expected {
 
   def ivfRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
     val withNrm = normed(embs)
-    val cents = quantizerFor(withNrm)
+    ivfRowsOver(withNrm, withNrm)
+  }
+
+  /** [[ivfRows]] for the AS-OF scenario (q_ivf_asof): the quantizer
+    * trains on the BOOTSTRAP corpus (vec_id % 10 ≠ 5 — including the
+    * vectors later retracted, because retraction never retrains the
+    * frozen quantizer; see `Similarity.probeIvfIndexAsOf`), while the
+    * served corpus and query slice are the as-of SURVIVORS (bootstrap
+    * minus % 7 = 3). The train/serve split is the twin's whole point —
+    * a generator that retrained on the survivors would assert centroids
+    * the store never held. */
+  def ivfAsofRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val boot = normed(embs.filter(_._1 % 10 != 5))
+    ivfRowsOver(boot, boot.filter(_._1 % 7 != 3))
+  }
+
+  /** The shared IVF ranking body: quantizer from `train`, assignment /
+    * probing / top-5 over `serve`. */
+  private def ivfRowsOver(train: Seq[(Long, Array[Double], Double)],
+      serve: Seq[(Long, Array[Double], Double)]): Seq[(Long, Long, Long, Double)] = {
+    val cents = quantizerFor(train)
     def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
       cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
-    val corpus = withNrm.map { case (id, d, n) =>
+    val corpus = serve.map { case (id, d, n) =>
       (id, d, n, scores(d, n).max(byScore)._2)
     }
-    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+    serve.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
       val probed = scores(qd, qn).sorted(byScore).reverse
         .take(Similarity.IvfProbes).map(_._2).toSet
       corpus.iterator
@@ -518,6 +538,8 @@ object Expected {
     val sh = write("q_dedup_simhash", simhashRows(docs).toDF("doc_a", "doc_b", "hamming"))
     // one expected artifact for both IVF faces (stored probe ≡ in-query)
     val ivf = write("q_ivf", ivfRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val ivfAsof = write("q_ivf_asof",
+      ivfAsofRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val pq = write("q_ann_pq", pqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val ivfpq = write("q_ivf_pq", ivfPqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
@@ -541,6 +563,7 @@ object Expected {
       "q_ann_pq"        -> sql(pq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_pq"        -> sql(ivfpq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_ivf_asof"      -> sql(ivfAsof, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),
       "q_token_bpe"     -> sql(bpe,
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
