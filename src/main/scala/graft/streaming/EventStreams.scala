@@ -319,6 +319,49 @@ object EventStreams {
     if (!batch.isEmpty)
       graft.operators.Pipeline.forgetDocs(batch.sparkSession, stores, batch)
 
+  /** Streaming corpus ingest into every configured store — the stream
+    * twin of [[graft.operators.Pipeline.ingestDocs]] and the admission
+    * counterpart of [[forgetDocStream]]: each micro-batch of documents
+    * lands in all five store families under the MICRO-BATCH ID as its
+    * admission batch id, so the at-least-once replay contract and the
+    * store-side batch-scoping convention are one and the same (the
+    * gateDocStream argument, composed across the families — every
+    * component write is a dynamic overwrite of the batch's own
+    * partitions). `vectorsFor` derives a batch's embedding frame when
+    * vector stores are routed (compute-or-join is the caller's
+    * pipeline; the engine only demands vec_id ≡ doc_id).
+    *
+    * One checkpointed stream per store lineage: a FRESH checkpoint
+    * restarts micro-batch ids at 0, and re-using a batch-id space
+    * against grown stores is exactly the cross-batch-disjointness
+    * violation the posting store's guard then refuses loudly. The
+    * re-ingest rule applies per batch too — a batch carrying ids with
+    * pending retractions fails the stream rather than silently
+    * re-admitting half-forgotten docs; sequencing deletion queues and
+    * ingest feeds around compaction is pipeline policy the engine must
+    * not reorder. */
+  def ingestDocStream(docs: DataFrame,
+      stores: graft.operators.Pipeline.DocStores,
+      checkpointDir: String,
+      vectorsFor: DataFrame => Option[DataFrame] = _ => None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(batch.toDF(), id, stores, vectorsFor)
+      }
+      .start()
+
+  /** One micro-batch of the ingest loop — the replay-contract seam
+    * ([[forgetBatch]]'s discipline; StreamingSpec re-runs a batch
+    * verbatim). Empty micro-batches no-op. */
+  def ingestBatch(batch: DataFrame, id: Long,
+      stores: graft.operators.Pipeline.DocStores,
+      vectorsFor: DataFrame => Option[DataFrame] = _ => None): Unit =
+    if (!batch.isEmpty)
+      graft.operators.Pipeline.ingestDocs(batch.sparkSession, stores, batch,
+        batchId = id, vectors = vectorsFor(batch))
+
   // ---- custom state: flatMapGroupsWithState ------------------------------
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
