@@ -73,9 +73,10 @@ object Maintenance {
   final case class StoreLayout(
       searchIndex: Option[(String, Long)] = None,   // (path, foldBelow)
       lmModel: Option[(String, Long)] = None,       // (path, foldBelow)
-      // the NB model store has no append path and hence no watermark:
-      // its compaction absorbs pending retractions unconditionally
-      nbModel: Option[String] = None,
+      // batch-scoped since round 14 (appendNbBatch): same watermark
+      // contract as the LM — retraction absorption waits for the fold
+      // that covers every replay-protected batch
+      nbModel: Option[(String, Long)] = None,       // (path, foldBelow)
       signatureStore: Option[String] = None,
       annIndex: Option[String] = None,
       ivfIndex: Option[String] = None,
@@ -97,8 +98,8 @@ object Maintenance {
         Task("compact-search-index", () => graft.operators.Search.compactSearchIndex(s, p, w)) },
       layout.lmModel.map { case (p, w) =>
         Task("compact-lm-model", () => graft.operators.TextOps.compactLmModel(s, p, w)) },
-      layout.nbModel.map(p =>
-        Task("compact-nb-model", () => graft.operators.TextOps.compactNbModel(s, p))),
+      layout.nbModel.map { case (p, w) =>
+        Task("compact-nb-model", () => graft.operators.TextOps.compactNbModel(s, p, w)) },
       layout.signatureStore.map(p =>
         Task("compact-signatures", () =>
           graft.operators.Dedup.compactSignatures(s, p, layout.retractionFoldBelow))),

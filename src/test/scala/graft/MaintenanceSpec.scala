@@ -49,7 +49,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(graft.sources.Stores.hasTombstones(spark, nb))
 
     val tasks = Maintenance.standardTasks(spark, store, Maintenance.StoreLayout(
-      searchIndex = Some((idx, 2L)), nbModel = Some(nb), signatureStore = Some(sig)))
+      searchIndex = Some((idx, 2L)), nbModel = Some((nb, 100L)), signatureStore = Some(sig)))
     assert(tasks.map(_.name) === Seq("compact-search-index", "compact-nb-model",
       "compact-signatures", "checkpoint-control-log", "vacuum-control-log"))
     val report = Maintenance.runBatch(lc, "MAINT", tasks).toOption.get
