@@ -240,9 +240,113 @@ object Pipeline {
     stores.nbModel.foreach(p => TextOps.appendNbBatch(s, docs, p, batchId))
   }
 
+  /** Per-document storage PROVENANCE across a deployment's store
+    * families — the audit face of the [[ingestDocs]]/[[forgetDocs]]
+    * pair, answering the question a data-governance review actually
+    * asks: for each of these docs, which stores hold it, under which
+    * admission batch, and is a deletion still pending physical purge?
+    * One row per (family, doc) with:
+    *
+    *  - `in_store`: rows physically present (PRE-tombstone — this is
+    *    the audit view; every read face already subtracts tombstones,
+    *    so "visible" = in_store ∧ ¬pending);
+    *  - `batch_id`: the admission batch (-1 = bootstrap; null when
+    *    absent) — batches are doc-disjoint, so it is unique per doc;
+    *  - `pending_retraction`: a tombstone names the doc and the purge
+    *    compaction has not yet run.
+    *
+    * Membership sources per family: the index stores' own rows
+    * (signatures / vectors / postings via the `_docs` sidecar with a
+    * postings-scan fallback for pre-sidecar stores), the model stores'
+    * `_docs` admission sidecars. Scale: one membership read per routed
+    * store joined to the request ids — provenance requests are
+    * deletion-request-sized, the tombstone sidecars' own bound. */
+  def docProvenance(s: SparkSession, stores: DocStores, docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").cast(LongType).as("doc_id")).distinct()
+    def exists(p: String): Boolean =
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+          s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p))
+    def face(family: String, path: String, idCol: String,
+        membership: DataFrame): DataFrame = {
+      val present = membership
+        .select(col(idCol).cast(LongType).as("doc_id"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .groupBy("doc_id").agg(max("batch_id").as("batch_id"))
+      val pend =
+        if (!graft.sources.Stores.hasTombstones(s, path))
+          s.range(0).select(col("id").as("doc_id"), lit(1).as("__p"))
+        else s.read.parquet(graft.sources.Stores.tombstonePath(path))
+          .select(col(idCol).cast(LongType).as("doc_id")).distinct()
+          .withColumn("__p", lit(1))
+      ids.join(present, Seq("doc_id"), "left")
+        .join(pend, Seq("doc_id"), "left")
+        .select(lit(family).as("family"), col("doc_id"),
+          col("batch_id").isNotNull.cast("int").as("in_store"),
+          col("batch_id"),
+          coalesce(col("__p"), lit(0)).as("pending_retraction"))
+    }
+    val faces =
+      stores.signatures.toSeq.map(p =>
+        face("signature", p, "doc_id", s.read.parquet(p))) ++
+      stores.vectors.map(p =>
+        face("vector", p, "vec_id", s.read.parquet(p))) ++
+      stores.postings.toSeq.map { p =>
+        val membership =
+          if (exists(p + "/_docs")) s.read.parquet(p + "/_docs")
+          else s.read.parquet(p).select("doc_id", "batch_id")
+        face("posting", p, "doc_id", membership)
+      } ++
+      stores.lmModel.toSeq.map { p =>
+        require(exists(p + "/_docs"),
+          s"LM store $p predates the _docs admission sidecar — provenance " +
+            "needs membership; re-train with writeLmModel")
+        face("lm_model", p, "doc_id", s.read.parquet(p + "/_docs"))
+      } ++
+      stores.nbModel.toSeq.map { p =>
+        require(exists(p + "/_docs"),
+          s"NB store $p predates the _docs admission sidecar — provenance " +
+            "needs membership; re-train with writeNbModel")
+        face("nb_model", p, "doc_id", s.read.parquet(p + "/_docs"))
+      }
+    require(faces.nonEmpty, "docProvenance: no stores routed")
+    faces.reduce(_ unionByName _).orderBy("family", "doc_id")
+  }
+
+  /** [[docProvenance]] over a store set built THROUGH the composition
+    * entry points themselves — the one oracle-gated query that drives
+    * [[ingestDocs]] and [[forgetDocs]] end-to-end: bootstrap three
+    * families without the %10 = 5 docs, admit those via ingestDocs as
+    * batch 7, forget every %7 = 3 doc via forgetDocs, then report
+    * provenance for the whole corpus. The oracle derives the expected
+    * rows from the predicates alone — per-family membership (signatures
+    * need ≥ 3 normalized words; posting/LM admission is unconditional),
+    * admission batch by the %10 split, pending retraction by the %7
+    * split — so green pins the entry-point composition, the membership
+    * sidecars, and the tombstone state in one differential. */
+  def qProvenance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val late = pmod(col("doc_id"), lit(10L)) === 5
+    val retr = pmod(col("doc_id"), lit(7L)) === 3
+    val base = graft.sources.TmpStores.scopedPath("graft-prov", dir)
+    val stores = DocStores(
+      signatures = Some(base + "/sig"),
+      postings = Some(base + "/postings"),
+      lmModel = Some(base + "/lm"))
+    graft.sources.TmpStores.buildOnce(base) {
+      Dedup.writeSignatures(Dedup.signaturesOf(docs.filter(!late)), base + "/sig")
+      Search.writeSearchIndexFrom(s, docs.filter(!late), base + "/postings")
+      TextOps.writeLmModel(s, docs.filter(!late), base + "/lm")
+      ingestDocs(s, stores, docs.filter(late), batchId = 7L)
+      forgetDocs(s, stores, docs.filter(retr))
+    }
+    docProvenance(s, stores, docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_quality_funnel" -> qQualityFunnel _,
+    "q_provenance" -> qProvenance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +370,23 @@ object Pipeline {
         |  cast(sum(n_words) AS bigint) AS total_ws_tokens,
         |  cast(sum(cast(round(cast(0.001 AS double) * n_words + cast(1.0 AS double) - punct_ratio, 6) AS decimal(18,6))) AS double) AS sum_quality
         |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
+    // provenance: expected rows derive from the predicates alone —
+    // per-family membership (signatures need >= 3 normalized words;
+    // posting/LM admission records every doc), the %10 admission split,
+    // the %7 deletion split (see qProvenance)
+    "q_provenance" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    length(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS nw
+        |  FROM documents),
+        |f AS (
+        |  SELECT 'lm_model' AS family, doc_id, 1 AS member FROM n
+        |  UNION ALL SELECT 'posting', doc_id, 1 FROM n
+        |  UNION ALL SELECT 'signature', doc_id, CASE WHEN nw >= 3 THEN 1 ELSE 0 END FROM n)
+        |SELECT family, doc_id, member AS in_store,
+        |  CASE WHEN member = 1 THEN CAST(CASE WHEN doc_id % 10 = 5 THEN 7 ELSE -1 END AS BIGINT) END AS batch_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS pending_retraction
+        |FROM f ORDER BY family, doc_id""".stripMargin,
     "q_quality_funnel" ->
       s"""WITH ${TextOps.duckPartsCte},
         |${TextOps.duckRepetitionCtes},
