@@ -76,7 +76,12 @@ object ScaleCheck {
     // anomaly detector's trailing-window self-join — plus the new
     // round-14 as-of face (store bootstrap + membership-scoped
     // correction read at 10×)
-    "q_curriculum", "q_mad", "q_anomaly", "q_lm_asof")
+    "q_curriculum", "q_mad", "q_anomaly", "q_lm_asof",
+    // the rest of the round-14 wave: the NB as-of face (batch-sliced
+    // counts + membership-scoped corrections), both vector-store as-of
+    // probes (store bootstrap + append + retract + pruned probe), and
+    // the ingest/forget provenance audit (five membership joins)
+    "q_nb_asof", "q_ann_asof", "q_ivf_asof", "q_provenance")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
