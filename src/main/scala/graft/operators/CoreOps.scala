@@ -1145,8 +1145,56 @@ object CoreOps {
       .orderBy("l_returnflag")
   }
 
+  /** SQL*Loader-shape CSV ingest under the differential gate: derive a
+    * pipe-separated file from the documents table with a DETERMINISTIC
+    * corruption planted (every doc_id % 31 = 4 line carries a
+    * non-numeric third field), load it through
+    * [[graft.sources.Sinks.readCsvWithRejects]], and report per-lang
+    * row/char totals over the GOOD rows plus one `__rejected` row
+    * counting the BAD-file side. The oracle derives both halves from
+    * the predicates alone, so green pins the PERMISSIVE parse, the
+    * corrupt-record split, and that rejects are neither dropped nor
+    * double-counted — the reference loader's .bad contract
+    * (`pkg_batch_util_body.sql` sqlldr flow) on Spark's native CSV
+    * reader. Null-lang docs are excluded up front (a null key cannot
+    * round-trip a CSV field unambiguously — boundary-format rule). */
+  def qCsvLoad(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
+    val path = graft.sources.TmpStores.scopedPath("graft-csvload", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      docs.select(concat(
+          col("doc_id").cast("string"), lit("|"), col("lang"), lit("|"),
+          when(pmod(col("doc_id"), lit(31L)) === 4, lit("notanumber"))
+            .otherwise(length(col("text")).cast("string"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    val (good, bad) = graft.sources.Sinks.readCsvWithRejects(s, path, schema, sep = "|")
+    // both aggregates reference EVERY schema column (doc_id via the
+    // counts, lang, n_chars via the sums): Spark's csv column pruning
+    // only parses referenced columns, so an aggregate that skipped
+    // n_chars would never detect the corruption planted there and the
+    // reject side would silently read 0 — the readCsvWithRejects
+    // pruning caveat, exercised deliberately
+    good.groupBy("lang")
+      .agg(count(col("doc_id")).as("n_rows"), sum("n_chars").as("sum_chars"))
+      .unionByName(
+        bad.agg(count(col("doc_id")).as("n_rows"),
+            sum(col("n_chars")).as("sum_chars")) // all NULL on rejects → NULL
+          .select(lit("__rejected").as("lang"), col("n_rows"), col("sum_chars")))
+      // tautological guard with a REQUIRED column: under a bare count()
+      // (the bench contract) Catalyst would prune a global aggregate's
+      // every expression — it always yields one row — leaving the bad
+      // branch a corrupt-record-only scan, which Spark's raw-file rule
+      // refuses outright; forcing n_rows keeps doc_id in the scan
+      .filter(col("n_rows") >= 0)
+      .orderBy("lang")
+  }
+
   /** Query registry (name → builder). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_load"        -> qCsvLoad _,
     "q_scan_project"    -> qScanProject _,
     "q_filter_ci"       -> qFilterCi _,
     "q_nullsafe_eq"     -> qNullsafeEq _,
@@ -1219,6 +1267,19 @@ object CoreOps {
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
   val oracles: Map[String, String] = Map(
+    // CSV loader: both halves derive from the planted-corruption
+    // predicate alone (see qCsvLoad)
+    "q_csv_load" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d WHERE doc_id % 31 <> 4 GROUP BY lang
+        |UNION ALL
+        |SELECT '__rejected', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM d WHERE doc_id % 31 = 4
+        |ORDER BY lang""".stripMargin,
     // data skipping is answer-invisible: both oracles are plain filtered
     // scans of the source table (no manifest, no layout)
     "q_manifest_prune" ->

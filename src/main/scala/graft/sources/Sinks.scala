@@ -80,4 +80,39 @@ object Sinks {
 
   def readOrc(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     s.read.orc(path)
+
+  /** CSV ingest with SQL*Loader reject semantics (the reference's
+    * loader writes rejected rows to a BAD file rather than failing the
+    * load, `pkg_batch_util` body's sqlldr contract): the file parses
+    * under an EXPLICIT schema (the [[readJsonl]] no-inference rule) in
+    * PERMISSIVE mode, and each malformed line rides along in a corrupt-
+    * record column instead of poisoning the load or being silently
+    * dropped. Returns (good rows, rejected rows) — the rejected frame
+    * carries whatever prefix fields did parse plus the verbatim line,
+    * which is the BAD file's whole point: operators re-feed it after
+    * fixing the producer. One pass, fully distributed; the split is a
+    * filter on the corrupt column, not a second parse.
+    *
+    * PRUNING CAVEAT (Spark csv semantics, not a choice here): the CSV
+    * parser only parses the columns a plan actually reads
+    * (`spark.sql.csv.parser.columnPruning.enabled`, default on), so
+    * corruption living in a column the plan never references goes
+    * UNDETECTED and the row lands on the good side. A consumer whose
+    * reject split must be exact therefore references every schema
+    * column in its aggregates (the qCsvLoad shape) — or counts rejects
+    * in the same pass that reads the full row. */
+  def readCsvWithRejects(s: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sep: String = ","): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val loaded = s.read.schema(full)
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(path)
+    (loaded.filter(org.apache.spark.sql.functions.col(corrupt).isNull)
+      .drop(corrupt),
+      loaded.filter(org.apache.spark.sql.functions.col(corrupt).isNotNull))
+  }
 }
