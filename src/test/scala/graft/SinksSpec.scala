@@ -95,4 +95,34 @@ class SinksSpec extends AnyFunSuite {
         |       func_field_counter('a,b', '') AS c""".stripMargin).collect()(0)
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
+
+  test("CSV reject split: malformed lines land on the bad side verbatim; pruning caveat holds") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvrej").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      ("1|en|10\n" +          // good
+        "4|de|notanumber\n" + // type failure in field 3
+        "5|fr\n" +            // missing field
+        "7|fr|22\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    val (good, bad) = graft.sources.Sinks.readCsvWithRejects(spark, dir, schema, sep = "|")
+    assert(good.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "en", 10L), (7L, "fr", 22L)))
+    // the BAD side keeps the parsed prefix AND the verbatim line — the
+    // .bad-file contract: operators re-feed it after fixing the producer
+    val badRows = bad.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_corrupt_record"))).toSeq
+    assert(badRows === Seq((4L, "4|de|notanumber"), (5L, "5|fr")))
+    // the documented pruning caveat, pinned as BEHAVIOR: a plan that
+    // never references n_chars never parses past field 2, so BOTH
+    // corruption classes — the field-3 type failure AND the missing
+    // third field — go undetected and every line drifts to the good
+    // side. This is why qCsvLoad references every schema column.
+    val prunedGood = good.select("doc_id", "lang").orderBy("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(prunedGood === Seq(1L, 4L, 5L, 7L),
+      "column pruning must leave field-3 corruption undetected — the caveat readCsvWithRejects documents")
+  }
 }
