@@ -146,7 +146,12 @@ object Pipeline {
     * store's compaction has physically purged it. One bounded probe
     * job per tombstoned store (the sidecar is deletion-request-sized). */
   private def requireNoPendingRetraction(s: SparkSession, path: String,
-      idCol: String, incoming: DataFrame, family: String): Unit =
+      idCol: String, incoming: DataFrame, family: String): Unit = {
+    // recover BEFORE the tombstone probe: a store left mid-compaction-
+    // swap (live dir at .bak) would otherwise read as tombstone-free
+    // and the re-ingest rule would be silently bypassed — the append
+    // faces recover too, but only AFTER this guard has already decided
+    graft.sources.Stores.recover(s, path)
     if (graft.sources.Stores.hasTombstones(s, path)) {
       val clash = incoming.select(col(idCol)).distinct()
         .join(s.read.parquet(graft.sources.Stores.tombstonePath(path))
@@ -158,6 +163,7 @@ object Pipeline {
           "the fresh rows; run the store's compaction to purge them first " +
           "(the posting store's re-ingest rule, generalized)")
     }
+  }
 
   /** Does `path` hold an IVF index (centroid sidecar) rather than an
     * LSH one? The routing test [[ingestDocs]] uses for the

@@ -927,26 +927,19 @@ object TextOps {
     * net-zero rows, and omits the sidecar from the temp dir — physical
     * purge and tombstone clearance in one atomic swap. */
   def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit = {
+    // negative watermarks would make the folded branch EMPTY while the
+    // absorption path still subtracted corrections from _vocab and
+    // dropped membership — a silently corrupted model; 0 = "fold
+    // nothing scoped" is the smallest meaningful value
+    require(foldBelow >= 0, s"compactLmModel($path): foldBelow must be >= 0, got $foldBelow")
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
-    // foldable ids from DIRECTORY LISTINGS (the compactSearchIndex
-    // discipline — no file footer is touched to learn partition names;
-    // a missing store no-ops like the sibling). Counts partition one
-    // level deep, so this is the first-level children. BOTH stores are
-    // consulted: a batch of only short docs writes a _vocab partition
-    // but no counts partition, and its vocab rows must still fold.
-    def batchDirs(p: String): Set[Long] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(p), s.sparkContext.hadoopConfiguration)
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (!fs.exists(hp)) Set.empty
-      else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong).toSet
-    }
-    // BOTH stores gate the no-op: a corpus whose batches held only
-    // vocab rows (every doc < 2 words) has no counts partitions but
-    // real _vocab partitions that must still fold
+    // foldable ids from DIRECTORY LISTINGS (Stores.batchIdDirs — the
+    // compactSearchIndex discipline; a missing store no-ops). BOTH
+    // stores gate the no-op: a corpus whose batches held only vocab
+    // rows (every doc < 2 words) has no counts partitions but real
+    // _vocab partitions that must still fold.
+    def batchDirs(p: String): Set[Long] = graft.sources.Stores.batchIdDirs(s, p)
     if (batchDirs(path).isEmpty && batchDirs(path + "/_vocab").isEmpty) return
     val ids = (batchDirs(path) ++ batchDirs(path + "/_vocab"))
       .filter(b => b >= 0 && b < foldBelow)
@@ -984,22 +977,9 @@ object TextOps {
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_vocab")
       // membership folds with the counts it describes; the final fold
       // drops retracted docs' rows in the same swap that absorbs their
-      // corrections — post-absorption, a retracted doc never existed.
-      // Tolerates a store built before the sidecar existed (no as-of
-      // face is possible there; lmScoreStoredAsOf refuses loudly).
-      val docsPath = new org.apache.hadoop.fs.Path(path + "/_docs")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-      if (fs.exists(docsPath)) {
-        val dm0 = s.read.parquet(path + "/_docs")
-          .withColumn("batch_id", col("batch_id").cast("long"))
-        val dm = if (absorb)
-          graft.sources.Stores.minusTombstones(s, path, "doc_id", dm0)
-        else dm0
-        dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
-          .unionByName(dm.filter(col("batch_id") >= foldBelow))
-          .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
-      }
+      // corrections — post-absorption, a retracted doc never existed
+      graft.sources.Stores.foldDocsSidecarInto(s, path, tmp, foldBelow,
+        dropTombstoned = absorb)
       if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
       // folding scoped batches bounds the as-of horizon (the posting
       // store's vacuum rule) — recorded atomically with the layout, and
@@ -1087,10 +1067,8 @@ object TextOps {
     *    [[graft.sources.Stores.requireAsOfReconstructable]] guard
     *    refuses LOUDLY naming the oldest reconstructable state.
     *
-    * The NB quality classifier deliberately has NO as-of face: its
-    * store is one-shot trained (no append path, no admission batches
-    * — [[writeNbModel]]), so there is no batch clock to travel on; its
-    * reproducibility story is versioning the model artifact itself. */
+    * [[qualityClassifierStoredAsOf]] is the NB twin, with identical
+    * semantics over its batch-scoped counts and `_docs` membership. */
   def lmScoreStoredAsOf(s: SparkSession, docs: DataFrame, path: String,
       asOf: Long): DataFrame = {
     graft.sources.Stores.recover(s, path)
@@ -1381,14 +1359,21 @@ object TextOps {
     graft.sources.Stores.retractRows(s, path, rows)
   }
 
-  /** Pending per-token class-count corrections from the NB sidecar
-    * (distinct = replay-idempotent, as for the LM). */
-  private def nbTokCorrections(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
-      .filter(col("kind") === "tok")
+  /** Per-token class-count corrections over a (possibly membership-
+    * scoped) sidecar frame — ONE aggregation shape for the live face,
+    * the as-of face, and the compactor, so a correction-schema change
+    * cannot make them silently compute different corrections. Callers
+    * pass an already-`distinct()` frame (replay idempotency). */
+  private def nbTokCorrectionsOf(side: DataFrame): DataFrame =
+    side.filter(col("kind") === "tok")
       .groupBy(col("k").as("w")).agg(
         sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("ppend"),
         sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("npend"))
+
+  /** Pending corrections from the LIVE sidecar (the compactor's view). */
+  private def nbTokCorrections(s: SparkSession, path: String): DataFrame =
+    nbTokCorrectionsOf(
+      s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct())
 
   /** The stored NB model reconstructed at a state: counts summed across
     * the (optionally as-of-sliced) batch partitions, pending retraction
@@ -1435,10 +1420,7 @@ object TextOps {
     val clsNet = side match {
       case None => cls
       case Some(sd) =>
-        val corr = sd.filter(col("kind") === "tok")
-          .groupBy(col("k").as("w")).agg(
-            sum(when(col("flagged") === 1, col("c")).otherwise(0L)).as("ppend"),
-            sum(when(col("flagged") === 0, col("c")).otherwise(0L)).as("npend"))
+        val corr = nbTokCorrectionsOf(sd)
         cls.join(corr, Seq("w"), "left")
           .select(col("w"),
             (col("c_pos") - coalesce(col("ppend"), lit(0L))).as("c_pos"),
@@ -1493,18 +1475,24 @@ object TextOps {
     * everything, preserving the historical "absorb now" call shape the
     * maintenance sweep uses. */
   def compactNbModel(s: SparkSession, path: String, foldBelow: Long = Long.MaxValue): Unit = {
+    // same guard and reason as compactLmModel: a negative watermark
+    // empties the folded branch while absorption still mutates
+    // _meta/_docs — refuse rather than corrupt
+    require(foldBelow >= 0, s"compactNbModel($path): foldBelow must be >= 0, got $foldBelow")
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
-    def batchDirs(p: String): Set[Long] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(p), s.sparkContext.hadoopConfiguration)
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (!fs.exists(hp)) Set.empty
-      else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong).toSet
+    def batchDirs(p: String): Set[Long] = graft.sources.Stores.batchIdDirs(s, p)
+    if (batchDirs(path).isEmpty && batchDirs(path + "/_meta").isEmpty) {
+      // a PRE-batch-scoped store (flat files, no batch_id= dirs) lands
+      // here too — and silently returning would strand its pending
+      // retractions forever (the old compactor absorbed them in place;
+      // this one cannot rewrite a layout it no longer writes)
+      require(!graft.sources.Stores.hasTombstones(s, path),
+        s"stored NB model at $path predates the batch-scoped layout but carries " +
+          "pending retractions — re-train with writeNbModel (which absorbs them " +
+          "by construction) before compacting")
+      return
     }
-    if (batchDirs(path).isEmpty && batchDirs(path + "/_meta").isEmpty) return
     val ids = (batchDirs(path) ++ batchDirs(path + "/_meta"))
       .filter(b => b >= 0 && b < foldBelow)
     if (ids.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
@@ -1546,19 +1534,8 @@ object TextOps {
       mf.withColumn("batch_id", lit(-1L))
         .unionByName(meta.filter(col("batch_id") >= foldBelow))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_meta")
-      val docsPath = new org.apache.hadoop.fs.Path(path + "/_docs")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-      if (fs.exists(docsPath)) {
-        val dm0 = s.read.parquet(path + "/_docs")
-          .withColumn("batch_id", col("batch_id").cast("long"))
-        val dm = if (absorb)
-          graft.sources.Stores.minusTombstones(s, path, "doc_id", dm0)
-        else dm0
-        dm.filter(col("batch_id") < foldBelow).withColumn("batch_id", lit(-1L))
-          .unionByName(dm.filter(col("batch_id") >= foldBelow))
-          .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
-      }
+      graft.sources.Stores.foldDocsSidecarInto(s, path, tmp, foldBelow,
+        dropTombstoned = absorb)
       if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
       // horizon capped at (highest folded batch + 1): folding below a
       // watermark far above the store's batches must not invalidate
