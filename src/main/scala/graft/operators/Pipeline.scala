@@ -165,6 +165,29 @@ object Pipeline {
     }
   }
 
+  /** Cross-batch doc-disjointness guard for a model store: an incoming
+    * doc already trained under ANOTHER batch id would double-count its
+    * contributions silently (the [[Search.appendSearchIndexBatch]]
+    * `assertNewDocs` rule, wired here for the model stores through
+    * their `_docs` admission sidecars — same-batch replays pass, which
+    * is the idempotent-resume contract). A pre-sidecar store has no
+    * membership to consult and keeps the caller-obligation contract. */
+  private def requireNewDocsInModel(s: SparkSession, path: String,
+      docs: DataFrame, batchId: Long, family: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path + "/_docs"))) return
+    val clash = s.read.parquet(path + "/_docs")
+      .filter(col("batch_id").cast(LongType) =!= batchId)
+      .join(docs.select(col("doc_id").cast(LongType).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      s"ingestDocs: batch $batchId re-ingests doc_ids already trained into the " +
+        s"$family store $path under another batch id — cross-batch " +
+        "doc-disjointness is the store's exactness precondition")
+  }
+
   /** Does `path` hold an IVF index (centroid sidecar) rather than an
     * LSH one? The routing test [[ingestDocs]] uses for the
     * [[DocStores.vectors]] paths — [[forgetDocs]] never needed it
@@ -209,12 +232,22 @@ object Pipeline {
     * Pending retractions refuse loudly BEFORE anything lands
     * ([[requireNoPendingRetraction]] — the re-ingest rule); the
     * forget → compact → re-ingest round trip is the sanctioned
-    * re-admission path, proven by IngestSpec. */
+    * re-admission path, proven by IngestSpec. The guard-to-append
+    * window is NOT locked against a concurrently racing forgetDocs on
+    * the same store — every store family already documents a
+    * single-writer mutation protocol, and ingest/forget are both
+    * mutations: callers serialize them per store, exactly as they
+    * serialize two appends. */
   def ingestDocs(s: SparkSession, stores: DocStores, docs: DataFrame,
       batchId: Long, vectors: Option[DataFrame] = None): Unit = {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     require(stores.vectors.isEmpty || vectors.nonEmpty,
       "ingestDocs: DocStores routes vector stores but no vectors frame was supplied")
+    // forgetDocs' empty-request rule, mirrored: an empty batch would
+    // still stamp phantom batch partitions (a 0-doc _meta row) that
+    // advance the stores' replay bookkeeping for no content — the
+    // streaming twin (ingestBatch) already no-ops quiet feed ticks
+    require(!docs.isEmpty, "ingestDocs: empty ingest batch")
     // all admission guards run before the first mutation, so a refusal
     // leaves every store untouched
     stores.signatures.foreach(p =>
@@ -227,13 +260,22 @@ object Pipeline {
       requireNoPendingRetraction(s, p, "doc_id", docs, "LM model"))
     stores.nbModel.foreach(p =>
       requireNoPendingRetraction(s, p, "doc_id", docs, "NB model"))
+    stores.lmModel.foreach(p =>
+      requireNewDocsInModel(s, p, docs, batchId, "LM model"))
+    stores.nbModel.foreach(p =>
+      requireNewDocsInModel(s, p, docs, batchId, "NB model"))
     stores.signatures.foreach { p =>
       graft.sources.Stores.recover(s, p)
+      // persisted for its two consumers (Bloom absorb + the partition
+      // write) — gateBatch's discipline; signature derivation is the
+      // expensive half of the admission
       val sig = Dedup.signaturesOf(docs.select("doc_id", "text"))
-        .withColumn("batch_id", lit(batchId))
-      // superset-before-admission (the Bloom soundness ordering)
-      Dedup.absorbIntoBloom(s, p, sig.select("bucket"))
-      graft.sources.Sinks.overwritePartitionsDynamic(sig, p, Seq("shard", "batch_id"))
+        .withColumn("batch_id", lit(batchId)).persist()
+      try {
+        // superset-before-admission (the Bloom soundness ordering)
+        Dedup.absorbIntoBloom(s, p, sig.select("bucket"))
+        graft.sources.Sinks.overwritePartitionsDynamic(sig, p, Seq("shard", "batch_id"))
+      } finally sig.unpersist()
     }
     stores.vectors.foreach { p =>
       if (isIvfStore(s, p)) Similarity.appendIvfIndexBatch(s, vectors.get, p, batchId)

@@ -654,6 +654,16 @@ object TextOps {
   private def bigramsOfWords: Column =
     expr("transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")
 
+  /** Explicit store schemas for the model-plane counts reads: a corpus
+    * that never produced a count row (every doc < 2 words for the LM,
+    * empty classifier domain for the NB) writes partition dirs with no
+    * parquet files, and a schema-less read of that layout dies on
+    * inference instead of reaching the empty-vocabulary refusals. */
+  private val lmCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "bg STRING, c2 BIGINT, batch_id BIGINT")
+  private val nbCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "w STRING, c_pos BIGINT, c_neg BIGINT, batch_id BIGINT")
+
   private def lmGrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(normText(col("text")), " ").as("words"))
       .filter(size(col("words")) >= 2)
@@ -888,7 +898,8 @@ object TextOps {
       .groupBy(col("k").as("bg")).agg(sum("c").as("cfut"))
     val futW = futDistinct.filter(col("kind") === "w")
       .groupBy(col("k").as("w")).agg(sum("c").as("dffut"))
-    val lm2 = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
+    val lm2 = s.read.schema(lmCountsSchema).parquet(path)
+      .groupBy("bg").agg(sum("c2").as("c2"))
     val vw = s.read.parquet(path + "/_vocab").groupBy("w").agg(sum("df").as("df"))
     val badBg = fut2.join(lm2, Seq("bg"), "left")
       .filter(coalesce(col("c2"), lit(0L)) < col("cfut"))
@@ -940,7 +951,15 @@ object TextOps {
     // rows (every doc < 2 words) has no counts partitions but real
     // _vocab partitions that must still fold.
     def batchDirs(p: String): Set[Long] = graft.sources.Stores.batchIdDirs(s, p)
-    if (batchDirs(path).isEmpty && batchDirs(path + "/_vocab").isEmpty) return
+    if (batchDirs(path).isEmpty && batchDirs(path + "/_vocab").isEmpty) {
+      // a store with NO batch layout anywhere is either absent (no-op)
+      // or foreign — and silently returning on one that carries pending
+      // retractions would strand them forever (compactNbModel's rule)
+      require(!graft.sources.Stores.hasTombstones(s, path),
+        s"stored LM at $path has no batch-scoped layout but carries pending " +
+          "retractions — re-train with writeLmModel before compacting")
+      return
+    }
     val ids = (batchDirs(path) ++ batchDirs(path + "/_vocab"))
       .filter(b => b >= 0 && b < foldBelow)
     // pending retractions force the rewrite even with nothing to fold:
@@ -950,7 +969,7 @@ object TextOps {
       graft.sources.Stores.replayProtectedRemain(s, path, foldBelow) ||
         graft.sources.Stores.replayProtectedRemain(s, path + "/_vocab", foldBelow)
     val absorb = graft.sources.Stores.hasTombstones(s, path) && !scopedRemain
-    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+    graft.sources.Stores.compactInPlace(s, path, Some(lmCountsSchema)) { df0 =>
       val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
       val folded0 = df.filter(col("batch_id") < foldBelow)
         .groupBy("bg").agg(sum("c2").as("c2"))
@@ -1007,7 +1026,8 @@ object TextOps {
     // subtract as negative corrections ([[lmCorrections]]), dropping
     // net-zero grams/words, so the model a scorer sees IS the model a
     // retrain on the surviving corpus would produce
-    val lm2all = s.read.parquet(path).groupBy("bg").agg(sum("c2").as("c2"))
+    val lm2all = s.read.schema(lmCountsSchema).parquet(path)
+      .groupBy("bg").agg(sum("c2").as("c2"))
     val vwAll = s.read.parquet(path + "/_vocab").groupBy("w").agg(sum("df").as("df"))
     val (lm2, v) =
       if (!graft.sources.Stores.hasTombstones(s, path))
@@ -1073,7 +1093,7 @@ object TextOps {
       asOf: Long): DataFrame = {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
-    val lm2all = s.read.parquet(path)
+    val lm2all = s.read.schema(lmCountsSchema).parquet(path)
       .filter(col("batch_id").cast("long") <= asOf)
       .groupBy("bg").agg(sum("c2").as("c2"))
     val vwAll = s.read.parquet(path + "/_vocab")
@@ -1339,7 +1359,7 @@ object TextOps {
     // distinct) — [[retractLmDocs]]' replay-tolerant form of the guard;
     // checked against the SUMMED (cross-batch) counts, the model a
     // reader actually sees
-    val cls = s.read.parquet(path).groupBy("w")
+    val cls = s.read.schema(nbCountsSchema).parquet(path).groupBy("w")
       .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
     val future =
       if (!graft.sources.Stores.hasTombstones(s, path)) rows
@@ -1392,13 +1412,7 @@ object TextOps {
       : (DataFrame, Long, Long, Long, Long, Long, Long) = {
     def sliced(df: DataFrame): DataFrame =
       asOf.fold(df)(a => df.filter(col("batch_id").cast("long") <= a))
-    // explicit schema: an empty-DOMAIN model (every doc < 2 words)
-    // writes zero count rows, and a schema-less read of the fileless
-    // partition layout would die on inference instead of reaching the
-    // empty-vocabulary refusal below
-    val clsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "w STRING, c_pos BIGINT, c_neg BIGINT, batch_id BIGINT")
-    val cls = sliced(s.read.schema(clsSchema).parquet(path)).groupBy("w")
+    val cls = sliced(s.read.schema(nbCountsSchema).parquet(path)).groupBy("w")
       .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))
     val side: Option[DataFrame] =
       if (!graft.sources.Stores.hasTombstones(s, path)) None
@@ -1506,7 +1520,7 @@ object TextOps {
     def labCorr = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
       .filter(col("kind") === "label")
       .agg(count(lit(1)).as("d"), coalesce(sum("flagged"), lit(0L)).as("f"))
-    graft.sources.Stores.compactInPlace(s, path) { df0 =>
+    graft.sources.Stores.compactInPlace(s, path, Some(nbCountsSchema)) { df0 =>
       val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
       val folded0 = df.filter(col("batch_id") < foldBelow).groupBy("w")
         .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg"))

@@ -105,7 +105,9 @@ object Stores {
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
     * swap. No-op when the store does not exist. `write` receives the
     * TEMP location and must produce the store's canonical layout. */
-  def compactInPlace(s: SparkSession, path: String)(transform: DataFrame => DataFrame)(
+  def compactInPlace(s: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)(
+      transform: DataFrame => DataFrame)(
       write: (DataFrame, String) => Unit): Unit = {
     recover(s, path)
     val fs = fsOf(s, path)
@@ -120,7 +122,13 @@ object Stores {
     // recover() would wrongly restore after a live-dir loss. Clear both
     // up front (live dir exists here, so this is the safe case).
     clearResidue(s, path)
-    write(transform(s.read.parquet(path)), tmp.toString)
+    // callers whose primary frame can be legitimately EMPTY (a model
+    // store whose corpus never produced a count row writes partition
+    // dirs with no files) pass the schema explicitly — a schema-less
+    // read of a fileless layout dies on inference instead of folding
+    val df0 = schema.map(sc => s.read.schema(sc).parquet(path))
+      .getOrElse(s.read.parquet(path))
+    write(transform(df0), tmp.toString)
     mv(fs, p, bak)              // crash here → recover() restores
     mv(fs, tmp, p)
     fs.delete(bak, true)

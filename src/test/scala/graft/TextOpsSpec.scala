@@ -192,6 +192,16 @@ class TextOpsSpec extends AnyFunSuite {
     // compacting a store that does not exist is a no-op, not a crash
     TextOps.compactLmModel(spark,
       java.nio.file.Files.createTempDirectory("graft-lmnone").toString + "/never", 5L)
+    // a counts-LESS LM store (every doc 1 word) has a real vocabulary
+    // but ZERO bigram rows — a fileless partition layout; the
+    // schema-pinned reads must score pure-OOV (ln(1/v)) instead of
+    // dying on parquet schema inference
+    val lmOovPath = java.nio.file.Files.createTempDirectory("graft-lmoov").toString + "/model"
+    TextOps.writeLmModel(spark, Seq((1L, "solo"), (2L, "word")).toDF("doc_id", "text"), lmOovPath)
+    val oov = TextOps.lmScoreStored(spark,
+      Seq((9L, "alpha beta")).toDF("doc_id", "text"), lmOovPath).collect()(0)
+    assert(oov.getLong(1) === 1L && oov.getDouble(2) === -0.693147,
+      s"pure-OOV scoring under an empty count table must be ln(1/v), got $oov")
     // a batch of only short docs writes a _vocab partition but no counts
     // partition; compaction must fold it anyway
     val lmPath = java.nio.file.Files.createTempDirectory("graft-lmshort").toString + "/model"
