@@ -384,6 +384,30 @@ trait LifecycleBehaviors extends AnyFunSuite {
       "failed and refused runs close with zero records")
   }
 
+  test("orchestrator: a child module WAIT-polls a still-running parent and proceeds on its SUCCESS") {
+    val (store, _, sleeper, lc) = fixture()
+    store.putBatchMaster(Seq(master(95, "ORCH_SLOW"), master(96, "ORCH_AFTER")))
+    store.putDependencies(Seq(BatchDependency(95, 96, "MANDATORY")))
+    store.putRunCommands(Seq(RunCommand("ORCH_AFTER", "graft.query q_count")))
+    val orch = new Orchestrator(spark, lc, TestSpark.sfDir, SparkEntry.queries)
+    // parent goes RUNNING by hand (an external driver still mid-flight —
+    // the reference's cron-estate shape: drivers coordinate only through
+    // the store), and the child's startup poll loop observes its endup
+    // between quanta via the fake sleeper
+    val parent = lc.startup("ORCH_SLOW", Some(1)).toOption.get
+    var polls = 0
+    sleeper.onSleep = _ => {
+      polls += 1
+      if (polls == 2) lc.endup(parent, RunStatus.Success, Some(5L), Some(0L))
+    }
+    val out = orch.runModule("ORCH_AFTER", runLevel = Some(1))
+    assert(out.isInstanceOf[Orchestrator.Completed], s"got $out")
+    assert(polls >= 2, "the child must have genuinely polled the RUNNING parent")
+    val state = store.monitorState.orderBy("module_id").collect()
+      .map(r => (r.getAs[Long]("module_id"), r.getAs[String]("run_status")))
+    assert(state.toSeq === Seq(95L -> RunStatus.Success, 96L -> RunStatus.Success))
+  }
+
   // ---- parameter prefix (body:290-301) ------------------------------------
   test("paramPrefix mirrors the SUBSTR/INSTR semantics incl. NULL edges") {
     val (_, _, _, lc) = fixture()
