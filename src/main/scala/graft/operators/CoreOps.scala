@@ -1192,9 +1192,48 @@ object CoreOps {
       .orderBy("lang")
   }
 
+  /** [[qCsvLoad]]'s JSONL twin over
+    * [[graft.sources.Sinks.readJsonlWithRejects]]: derive a JSON-lines
+    * file from the documents table, TRUNCATE every doc_id % 29 = 3 line
+    * mid-object (the torn-write shape an interrupted producer leaves),
+    * and report per-lang totals over the good rows plus the
+    * `__rejected` count. A malformed JSON line parses NO field, so the
+    * reject count goes through coalesce(doc_id, 0) — a real referenced
+    * column (the corrupt-only-scan refusal) that is null on every
+    * reject (hence the coalesce). Oracle derives both halves from the
+    * predicates alone. */
+  def qJsonlLoad(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
+    val path = graft.sources.TmpStores.scopedPath("graft-jsonlload", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      val line = to_json(struct(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars")))
+      docs.select(when(pmod(col("doc_id"), lit(29L)) === 3,
+          substring(line, 1, 10)).otherwise(line).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    val (good, bad) = graft.sources.Sinks.readJsonlWithRejects(s, path, schema)
+    good.groupBy("lang")
+      .agg(count(col("doc_id")).as("n_rows"), sum("n_chars").as("sum_chars"))
+      .unionByName(
+        // count over a NULLABLE doc_id expression: count(coalesce(x, 0))
+        // is non-nullable, so Catalyst rewrites it to count(1) and
+        // prunes doc_id — leaving the corrupt-only scan Spark refuses.
+        // A torn JSON line parses NO field, so doc_id IS NULL counts
+        // exactly the rejects while keeping doc_id referenced.
+        bad.agg(count(when(col("doc_id").isNull, lit(1))).as("n_rows"),
+            sum(col("n_chars")).as("sum_chars")) // all NULL on rejects
+          .select(lit("__rejected").as("lang"), col("n_rows"), col("sum_chars")))
+      .filter(col("n_rows") >= 0) // the qCsvLoad pruning-stability guard
+      .orderBy("lang")
+  }
+
   /** Query registry (name → builder). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_load"        -> qCsvLoad _,
+    "q_jsonl_load"      -> qJsonlLoad _,
     "q_scan_project"    -> qScanProject _,
     "q_filter_ci"       -> qFilterCi _,
     "q_nullsafe_eq"     -> qNullsafeEq _,
@@ -1279,6 +1318,18 @@ object CoreOps {
         |UNION ALL
         |SELECT '__rejected', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
         |FROM d WHERE doc_id % 31 = 4
+        |ORDER BY lang""".stripMargin,
+    // JSONL twin: same derivation, %29 torn-line corruption (see qJsonlLoad)
+    "q_jsonl_load" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d WHERE doc_id % 29 <> 3 GROUP BY lang
+        |UNION ALL
+        |SELECT '__rejected', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM d WHERE doc_id % 29 = 3
         |ORDER BY lang""".stripMargin,
     // data skipping is answer-invisible: both oracles are plain filtered
     // scans of the source table (no manifest, no layout)

@@ -81,6 +81,30 @@ object Sinks {
   def readOrc(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** JSONL ingest with the same reject contract as
+    * [[readCsvWithRejects]] — the format the contract matters MOST for:
+    * JSONL is the corpus interchange format external tooling lands, and
+    * a single truncated line must neither abort a 100 TB ingest
+    * (FAILFAST) nor vanish silently (DROPMALFORMED). Malformed lines
+    * carry their verbatim text in the corrupt-record column; the
+    * pruning caveat is milder than CSV's (extracting ANY field requires
+    * parsing the whole JSON object, so corruption is detected whenever
+    * at least one real column is referenced) but the corrupt-only-scan
+    * refusal still applies — consumers count rejects through a real
+    * column (qJsonlLoad's coalesce shape). */
+  def readJsonlWithRejects(s: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val loaded = s.read.schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+    (loaded.filter(org.apache.spark.sql.functions.col(corrupt).isNull)
+      .drop(corrupt),
+      loaded.filter(org.apache.spark.sql.functions.col(corrupt).isNotNull))
+  }
+
   /** CSV ingest with SQL*Loader reject semantics (the reference's
     * loader writes rejected rows to a BAD file rather than failing the
     * load, `pkg_batch_util` body's sqlldr contract): the file parses
