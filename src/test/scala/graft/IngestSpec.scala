@@ -100,6 +100,23 @@ class IngestSpec extends AnyFunSuite {
       Pipeline.ingestDocs(spark, stores, late, batchId = 8L)
     }
     assert(e.getMessage.contains("no vectors frame"))
+    // an EMPTY batch refuses (forgetDocs' rule — a phantom 0-doc _meta
+    // partition would advance replay bookkeeping for no content)
+    val emptyE = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, stores, late.limit(0), batchId = 8L,
+        vectors = Some(vecs.filter(latePredV)))
+    }
+    assert(emptyE.getMessage.contains("empty ingest batch"))
+    // cross-batch doc-disjointness: the SAME docs under a DIFFERENT
+    // batch id would double-count model contributions — the guard
+    // refuses via the _docs membership before anything lands
+    val dup = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, stores, late, batchId = 8L,
+        vectors = Some(vecs.filter(latePredV)))
+    }
+    assert(dup.getMessage.contains("another batch id"),
+      s"re-ingest under a new batch id must refuse, got: ${dup.getMessage}")
+    checkAllIngested() // and the refusal left every store untouched
 
     // ---- the re-ingest rule (forget → refuse → compact → re-admit) ----
     Pipeline.forgetDocs(spark, stores, late)
