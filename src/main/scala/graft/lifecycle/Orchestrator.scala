@@ -75,8 +75,27 @@ final class Orchestrator(
               // store work, and doing that on a half-dead JVM masks the
               // fatal cause behind an ordinary batch failure
               case scala.util.control.NonFatal(e) =>
-                lc.endup(ctx, RunStatus.Failure, Some(0L), Some(0L))
-                Failed(batchName, s"query $name failed: ${e.getMessage}")
+                // endup itself can throw (store momentarily unavailable)
+                // — unguarded, that exception would MASK the original
+                // query failure AND leave the run row RUNNING, the
+                // phantom-active-run state this class exists to prevent.
+                // Guard the close, chain the query failure as suppressed
+                // so neither stack is lost, and surface both in the
+                // outcome (the RUNNING row is then an operator signal,
+                // not a silent lie).
+                val closeErr =
+                  try { lc.endup(ctx, RunStatus.Failure, Some(0L), Some(0L)); None }
+                  catch { case scala.util.control.NonFatal(e2) =>
+                    e2.addSuppressed(e); Some(e2)
+                  }
+                closeErr match {
+                  case None =>
+                    Failed(batchName, s"query $name failed: ${e.getMessage}")
+                  case Some(e2) => Failed(batchName,
+                    s"query $name failed: ${e.getMessage}; AND endup failed " +
+                      s"closing the run (${e2.getMessage}) — the run row is " +
+                      "left RUNNING and needs an operator close")
+                }
             }
         }
     }

@@ -1160,6 +1160,18 @@ object CoreOps {
     * round-trip a CSV field unambiguously — boundary-format rule). */
   def qCsvLoad(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("lang").isNotNull)
+      // derivation-safety guard, LOUD by design: a '|' inside lang would
+      // shift fields across the good/reject split relative to the oracle
+      // (which derives from the predicates, not the file), and a null
+      // text nulls the concat, which the text writer then rejects with an
+      // unrelated error. Both are corpus-shape assumptions — a future
+      // corpus change must fail here with the real reason, not diverge
+      // silently downstream.
+      .withColumn("lang",
+        when(col("lang").contains("|").or(col("text").isNull),
+          raise_error(concat(lit("qCsvLoad: derivation-unsafe document "),
+            col("doc_id"), lit(" (lang contains '|' or text is null)"))))
+          .otherwise(col("lang")))
     val path = graft.sources.TmpStores.scopedPath("graft-csvload", dir)
     graft.sources.TmpStores.buildOnce(path) {
       docs.select(concat(

@@ -188,6 +188,40 @@ object Pipeline {
         "doc-disjointness is the store's exactness precondition")
   }
 
+  /** Cross-batch doc-disjointness guard for an INDEX store (signature /
+    * vector), whose membership IS its own rows — no `_docs` sidecar
+    * needed: probe the store's id column for the incoming ids under
+    * ANOTHER batch id. Without it a re-ingest of an already-indexed doc
+    * under a fresh batch id would silently DUPLICATE rows — duplicate
+    * candidate pairs in the dedup gate, duplicate neighbors in top-k —
+    * the same exactness hazard [[requireNewDocsInModel]] guards for the
+    * count stores. Same-batch replays pass (idempotent resume).
+    *
+    * Cost: one scan of the store pruned to (id, batch_id) — the id is a
+    * plain column so partition pruning cannot help, but column pruning
+    * keeps the scan to a sliver of the store, the incoming side
+    * broadcasts (batch-sized), and ingest is batch-cadence work, not
+    * per-query. A deployment at ingest rates where even that scan
+    * dominates maintains external membership and pre-filters — the same
+    * escape hatch the model guards give pre-sidecar stores. */
+  private def requireNewDocsInIndex(s: SparkSession, path: String,
+      idCol: String, incoming: DataFrame, batchId: Long, family: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    val clash = s.read.parquet(path)
+      .select(col(idCol).cast(LongType).as(idCol), col("batch_id").cast(LongType).as("batch_id"))
+      .filter(col("batch_id") =!= batchId)
+      .join(broadcast(incoming.select(col(idCol).cast(LongType).as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      s"ingestDocs: batch $batchId re-ingests ids already present in the " +
+        s"$family store $path under another batch id — the duplicate rows " +
+        "would surface twice in every read face; cross-batch " +
+        "doc-disjointness is the store's exactness precondition")
+  }
+
   /** Does `path` hold an IVF index (centroid sidecar) rather than an
     * LSH one? The routing test [[ingestDocs]] uses for the
     * [[DocStores.vectors]] paths — [[forgetDocs]] never needed it
@@ -260,6 +294,10 @@ object Pipeline {
       requireNoPendingRetraction(s, p, "doc_id", docs, "LM model"))
     stores.nbModel.foreach(p =>
       requireNoPendingRetraction(s, p, "doc_id", docs, "NB model"))
+    stores.signatures.foreach(p =>
+      requireNewDocsInIndex(s, p, "doc_id", docs, batchId, "signature"))
+    stores.vectors.foreach(p =>
+      requireNewDocsInIndex(s, p, "vec_id", vectors.get, batchId, "vector"))
     stores.lmModel.foreach(p =>
       requireNewDocsInModel(s, p, docs, batchId, "LM model"))
     stores.nbModel.foreach(p =>

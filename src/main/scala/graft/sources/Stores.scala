@@ -182,8 +182,23 @@ object Stores {
 
   /** How long a cached "no pending retractions" answer may outlive its
     * listing before being re-verified (guards the same-mtime-tick
-    * cross-process insert described on [[tombstoneVerdicts]]). */
-  private val falseVerdictTtlMs = 2000L
+    * cross-process insert described on [[tombstoneVerdicts]]).
+    *
+    * THE RETRACTION VISIBILITY CONTRACT, multi-JVM: within the SAME
+    * JVM, [[retractRows]] invalidates the cache so a retraction is
+    * visible to the next read immediately. ACROSS JVMs there is a
+    * bounded staleness window of up to this TTL — another driver's
+    * retraction landing within the same coarse mtime tick as this
+    * JVM's cached `false` verdict stays invisible here until the TTL
+    * lapses and the sidecar is re-listed. Deployments whose readers
+    * must observe cross-process retractions faster (or that prefer a
+    * listing per read) tune it via
+    * `-Dgraft.tombstone.falseVerdictTtlMs=<ms>` (0 = re-list every
+    * read); `true` verdicts are unaffected (they are mtime-keyed and
+    * can only go stale toward an extra read, never a missed
+    * retraction). */
+  private[graft] val falseVerdictTtlMs: Long =
+    sys.props.get("graft.tombstone.falseVerdictTtlMs").map(_.toLong).getOrElse(2000L)
 
   private[graft] def invalidateTombstoneCache(path: String): Unit =
     tombstoneVerdicts.remove(path)

@@ -145,4 +145,40 @@ class IngestSpec extends AnyFunSuite {
       vectors = Some(vecs.filter(latePredV)))
     checkAllIngested()
   }
+
+  test("ingestDocs: cross-batch re-ingest refuses on INDEX-only store sets") {
+    // the r14 gap: the model stores' _docs membership carried the
+    // disjointness guard for the whole set, so a DocStores routing only
+    // a signature or vector store silently accepted duplicates — the
+    // index stores' membership is their own rows, and the guard must
+    // hold from them alone
+    val docs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(11L)) === 0).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(11L)) === 0)
+    val base = Files.createTempDirectory("graft-ingest-idx").toString
+
+    val sigOnly = Pipeline.DocStores(signatures = Some(base + "/sig"))
+    Pipeline.ingestDocs(spark, sigOnly, docs, batchId = 1L)
+    val before = spark.read.parquet(base + "/sig").count()
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, sigOnly, docs, batchId = 2L)
+    }
+    assert(e1.getMessage.contains("another batch id"),
+      s"signature-only re-ingest must refuse, got: ${e1.getMessage}")
+    assert(spark.read.parquet(base + "/sig").count() === before,
+      "the refusal must land before any mutation")
+    // SAME-batch replay stays legal (idempotent resume)
+    Pipeline.ingestDocs(spark, sigOnly, docs, batchId = 1L)
+    assert(spark.read.parquet(base + "/sig").count() === before)
+
+    val vecOnly = Pipeline.DocStores(vectors = Seq(base + "/lsh"))
+    Similarity.writeAnnIndexFrom(spark, vecs, base + "/lsh")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, vecOnly, docs, batchId = 2L, vectors = Some(vecs))
+    }
+    assert(e2.getMessage.contains("another batch id") &&
+      e2.getMessage.contains("vector"),
+      s"vector-only re-ingest must refuse, got: ${e2.getMessage}")
+  }
 }
