@@ -88,13 +88,17 @@ final class Orchestrator(
                   catch { case scala.util.control.NonFatal(e2) =>
                     e2.addSuppressed(e); Some(e2)
                   }
+                // toString, not getMessage: a null-message exception
+                // (NPE) must still name its class; the Throwable rides
+                // in the outcome so no stack (or suppressed chain) is
+                // lost to string formatting
                 closeErr match {
                   case None =>
-                    Failed(batchName, s"query $name failed: ${e.getMessage}")
+                    Failed(batchName, s"query $name failed: $e", Some(e))
                   case Some(e2) => Failed(batchName,
-                    s"query $name failed: ${e.getMessage}; AND endup failed " +
-                      s"closing the run (${e2.getMessage}) — the run row is " +
-                      "left RUNNING and needs an operator close")
+                    s"query $name failed: $e; AND endup failed " +
+                      s"closing the run ($e2) — the run row is " +
+                      "left RUNNING and needs an operator close", Some(e2))
                 }
             }
         }
@@ -118,8 +122,13 @@ object Orchestrator {
   final case class Completed(batchName: String, query: String, records: Long) extends Outcome
   /** Startup refused — the store carries the refusal event. */
   final case class NotRun(err: BatchError) extends Outcome
-  /** The run went RUNNING and closed FAILURE (bad command or thrown query). */
-  final case class Failed(batchName: String, reason: String) extends Outcome
+  /** The run went RUNNING and closed FAILURE (bad command or thrown
+    * query). `cause` carries the full Throwable — the query failure,
+    * or (when endup also failed) the endup exception with the query
+    * failure chained as suppressed — so callers log real stack traces,
+    * not the flattened `reason` string. */
+  final case class Failed(batchName: String, reason: String,
+      cause: Option[Throwable] = None) extends Outcome
 
   /** `graft.query <name>` → the registry key; anything else → None. */
   def parseCommand(cmd: String): Option[String] =

@@ -497,9 +497,13 @@ object Dedup {
     * batch_id = -2, so a store that was ever appended is distinguishable
     * from a pristine bootstrap write (-1) — the gate's re-cap triggers
     * off exactly that distinction. */
-  def appendSignatures(sig: DataFrame, path: String): Unit = {
+  def appendSignatures(sig: DataFrame, path: String): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     graft.sources.Stores.recover(sig.sparkSession, path)
     absorbIntoBloom(sig.sparkSession, path, sig.select("bucket"))
+    // the ingest guard's id-membership sidecar keeps its superset
+    // invariant through every append face (no-op while absent)
+    graft.sources.IdBloom.absorb(sig.sparkSession, path, sig.select("doc_id"))
     // -1 is reserved for one-shot deduped bootstrap writes: a caller
     // frame carrying batch_id = -1 would append duplicate rows into the
     // bootstrap partition while the layout still lists as pristine, so
@@ -722,7 +726,8 @@ object Dedup {
     * 100 TB the same shape runs against the object store, or the store
     * sits in a transactional table format and compaction is the
     * format's OPTIMIZE. */
-  def compactSignatures(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
+  def compactSignatures(s: SparkSession, path: String, foldBelow: Long = 0L): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     graft.sources.Stores.recover(s, path)
     // Pristine fast path: a store whose only batch partition is the
     // bootstrap `-1` (bootstrap write, or the result of a prior

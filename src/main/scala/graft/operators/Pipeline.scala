@@ -130,11 +130,16 @@ object Pipeline {
     val ids = docs.select(col("doc_id").cast(LongType)).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     require(ids.nonEmpty, "forgetDocs: empty deletion request")
-    stores.signatures.foreach(p => Dedup.retractSignatures(s, p, ids))
-    stores.vectors.foreach(p => Similarity.retractVectors(s, p, ids))
-    stores.postings.foreach(p => Search.retractSearchDocs(s, p, ids))
-    stores.lmModel.foreach(p => TextOps.retractLmDocs(s, p, docs))
-    stores.nbModel.foreach(p => TextOps.retractNbDocs(s, p, docs))
+    // each family's whole retraction runs under its store's writer claim
+    // (graft.sources.StoreLock) — one store at a time, in the fixed
+    // order, so a racing multi-store ingest cannot deadlock against us
+    def locked(p: String)(body: => Unit): Unit =
+      graft.sources.StoreLock.withLock(p, "forget")(body)
+    stores.signatures.foreach(p => locked(p)(Dedup.retractSignatures(s, p, ids)))
+    stores.vectors.foreach(p => locked(p)(Similarity.retractVectors(s, p, ids)))
+    stores.postings.foreach(p => locked(p)(Search.retractSearchDocs(s, p, ids)))
+    stores.lmModel.foreach(p => locked(p)(TextOps.retractLmDocs(s, p, docs)))
+    stores.nbModel.foreach(p => locked(p)(TextOps.retractNbDocs(s, p, docs)))
   }
 
   /** A routed store holds a PENDING retraction of an incoming doc →
@@ -190,30 +195,52 @@ object Pipeline {
 
   /** Cross-batch doc-disjointness guard for an INDEX store (signature /
     * vector), whose membership IS its own rows — no `_docs` sidecar
-    * needed: probe the store's id column for the incoming ids under
-    * ANOTHER batch id. Without it a re-ingest of an already-indexed doc
-    * under a fresh batch id would silently DUPLICATE rows — duplicate
-    * candidate pairs in the dedup gate, duplicate neighbors in top-k —
-    * the same exactness hazard [[requireNewDocsInModel]] guards for the
-    * count stores. Same-batch replays pass (idempotent resume).
+    * needed: probe the store for the incoming ids under ANOTHER batch
+    * id. Without it a re-ingest of an already-indexed doc under a fresh
+    * batch id would silently DUPLICATE rows — duplicate candidate pairs
+    * in the dedup gate, duplicate neighbors in top-k — the same
+    * exactness hazard [[requireNewDocsInModel]] guards for the count
+    * stores. Same-batch replays pass (idempotent resume).
     *
-    * Cost: one scan of the store pruned to (id, batch_id) — the id is a
-    * plain column so partition pruning cannot help, but column pruning
-    * keeps the scan to a sliver of the store, the incoming side
-    * broadcasts (batch-sized), and ingest is batch-cadence work, not
-    * per-query. A deployment at ingest rates where even that scan
-    * dominates maintains external membership and pre-filters — the same
-    * escape hatch the model guards give pre-sidecar stores. */
+    * Cost scales with the BATCH, not the store: the incoming ids probe
+    * the store's `_idbloom.bin` membership sidecar map-side
+    * ([[graft.sources.IdBloom]] — built lazily from one column-pruned
+    * id scan the first time this guard touches a store, then absorbed
+    * into by every append face). A batch of entirely novel ids — the
+    * common ingest — passes on the probe alone; only ids the filter
+    * cannot rule out reach the exact verification scan, which is
+    * column-pruned to (id, batch_id) and joined without a forced
+    * broadcast (a large batch's distinct ids would exceed driver
+    * limits under a mandatory broadcast build — AQE picks the
+    * strategy, as [[requireNewDocsInModel]] already does).
+    *
+    * A store path holding no VISIBLE data — a fresh store whose first
+    * ingest crashed mid-write leaves only underscore/dot staging
+    * residue — reads as ABSENT: the documented idempotent-resume retry
+    * of that first batch must converge, not die on parquet schema
+    * inference over residue. */
   private def requireNewDocsInIndex(s: SparkSession, path: String,
       idCol: String, incoming: DataFrame, batchId: Long, family: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(hp)) return
+    // Spark's FileIndex visibility rule: underscore/dot entries are not
+    // data, so a dir of pure staging residue is an absent store
+    val visible = fs.listStatus(hp).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!visible) return
+    val incIds = incoming.select(col(idCol).cast(LongType).as(idCol)).distinct()
+    val possible = incIds.filter(
+      graft.sources.IdBloom.mightContain(s,
+        col(idCol), graft.sources.IdBloom.ensure(s, path, idCol)))
+    if (possible.limit(1).count() == 0L) return // provably novel batch
     val clash = s.read.parquet(path)
       .select(col(idCol).cast(LongType).as(idCol), col("batch_id").cast(LongType).as("batch_id"))
       .filter(col("batch_id") =!= batchId)
-      .join(broadcast(incoming.select(col(idCol).cast(LongType).as(idCol)).distinct()),
-        Seq(idCol), "left_semi")
+      .join(possible, Seq(idCol), "left_semi")
       .limit(1).count()
     require(clash == 0L,
       s"ingestDocs: batch $batchId re-ingests ids already present in the " +
@@ -277,6 +304,22 @@ object Pipeline {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     require(stores.vectors.isEmpty || vectors.nonEmpty,
       "ingestDocs: DocStores routes vector stores but no vectors frame was supplied")
+    // ONE continuous writer claim per routed store for the WHOLE call
+    // (guards + appends), acquired in the fixed DocStores order — this
+    // closes the guard-to-append window the single-writer convention
+    // used to leave open: a forgetDocs or compaction racing this call
+    // now waits (or fails loudly) instead of mutating between our
+    // admission guards and our appends. The per-store append faces we
+    // call re-enter these claims for free (StoreLock is reentrant).
+    graft.sources.StoreLock.withLocks(
+      stores.signatures.toSeq ++ stores.vectors ++ stores.postings.toSeq ++
+        stores.lmModel.toSeq ++ stores.nbModel.toSeq, "ingest") {
+    ingestDocsBody(s, stores, docs, batchId, vectors)
+    }
+  }
+
+  private def ingestDocsBody(s: SparkSession, stores: DocStores, docs: DataFrame,
+      batchId: Long, vectors: Option[DataFrame]): Unit = {
     // forgetDocs' empty-request rule, mirrored: an empty batch would
     // still stamp phantom batch partitions (a 0-doc _meta row) that
     // advance the stores' replay bookkeeping for no content — the
@@ -310,8 +353,11 @@ object Pipeline {
       val sig = Dedup.signaturesOf(docs.select("doc_id", "text"))
         .withColumn("batch_id", lit(batchId)).persist()
       try {
-        // superset-before-admission (the Bloom soundness ordering)
+        // superset-before-admission (the Bloom soundness ordering),
+        // for both sidecars: the gate's bucket filter and the ingest
+        // guard's id-membership filter
         Dedup.absorbIntoBloom(s, p, sig.select("bucket"))
+        graft.sources.IdBloom.absorb(s, p, sig.select("doc_id"))
         graft.sources.Sinks.overwritePartitionsDynamic(sig, p, Seq("shard", "batch_id"))
       } finally sig.unpersist()
     }

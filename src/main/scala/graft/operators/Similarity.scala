@@ -778,8 +778,12 @@ object Similarity {
     * per batch would silently shift every list boundary). At-least-once:
     * a retried append duplicates its vectors under batch_id = -2;
     * replay-safe growth goes through [[appendIvfIndexBatch]]. */
-  def appendIvfIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+  def appendIvfIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     val cents = readCentroids(s, path)
+    // ingest-guard id-membership sidecar: superset-before-admission
+    // (no-op while absent — see graft.sources.IdBloom)
+    graft.sources.IdBloom.absorb(s, path, newVectors.select("vec_id"))
     graft.sources.Sinks.appendPartitioned(
       withNorm(s, newVectors)
         .withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
@@ -791,9 +795,11 @@ object Similarity {
     * overwrite of their (list_id, batch_id) partitions — the same
     * contract [[appendAnnIndexBatch]] carries for the LSH index. */
   def appendIvfIndexBatch(s: SparkSession, newVectors: DataFrame, path: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     val cents = readCentroids(s, path)
+    graft.sources.IdBloom.absorb(s, path, newVectors.select("vec_id"))
     graft.sources.Sinks.overwritePartitionsDynamic(
       withNorm(s, newVectors)
         .withColumn("list_id", ivfListId(s, cents)(col("embedding"), col("nrm")))
@@ -806,7 +812,8 @@ object Similarity {
     * crash-safe swap), with one extra obligation: the quantizer sidecar
     * must ride through the swap, because the lists are only meaningful
     * under the centroids that assigned them. */
-  def compactIvfIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
+  def compactIvfIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     graft.sources.Stores.recover(s, path)
     graft.sources.Stores.clearResidue(s, path)
     // pending retractions force the rewrite even on a pristine layout —
@@ -1305,8 +1312,10 @@ object Similarity {
     * would re-pay the full projection scan. At-least-once: a retried
     * append duplicates its vectors (they land under batch_id = -2) —
     * replay-safe growth goes through [[appendAnnIndexBatch]]. */
-  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+  def appendAnnIndex(s: SparkSession, newVectors: DataFrame, path: String): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     graft.sources.Stores.recover(s, path)
+    graft.sources.IdBloom.absorb(s, path, newVectors.select("vec_id"))
     graft.sources.Sinks.appendPartitioned(
       bucketed(s, newVectors).withColumn("batch_id", lit(-2L)),
       path, Seq("bucket", "batch_id"))
@@ -1318,9 +1327,11 @@ object Similarity {
     * partitions instead of duplicating vectors — the same contract the
     * dedup signature store's streaming admissions carry. */
   def appendAnnIndexBatch(s: SparkSession, newVectors: DataFrame, path: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
+    graft.sources.IdBloom.absorb(s, path, newVectors.select("vec_id"))
     graft.sources.Sinks.overwritePartitionsDynamic(
       bucketed(s, newVectors).withColumn("batch_id", lit(batchId)),
       path, Seq("bucket", "batch_id"))
@@ -1338,7 +1349,8 @@ object Similarity {
     * post-compaction replay into an insert of rows already absorbed.
     * Crash-safe via [[graft.sources.Stores.compactInPlace]]; run while
     * no writer is active. */
-  def compactAnnIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit = {
+  def compactAnnIndex(s: SparkSession, path: String, foldBelow: Long = 0L): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     graft.sources.Stores.recover(s, path)
     // Pristine fast path (compactSignatures' twin): an index whose only
     // batch partitions are the bootstrap `-1` was written deduped in one

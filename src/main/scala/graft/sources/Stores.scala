@@ -84,23 +84,24 @@ object Stores {
     * store, the old store restorable via [[recover]], or the new store
     * complete; stale temp/backup residue clears on the next write or
     * compaction. */
-  def overwriteAside(s: SparkSession, path: String)(write: String => Unit): Unit = {
-    recover(s, path)
-    val fs = fsOf(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    // the bootstrap owns the temp location outright (a crashed earlier
-    // write's partial content must not merge into this one), and a
-    // stale .bak beside the about-to-be-replaced live dir is
-    // pre-compaction content recover() would wrongly restore later
-    fs.delete(tmp, true)
-    if (fs.exists(p)) fs.delete(bak, true)
-    write(tmp.toString)
-    if (fs.exists(p)) mv(fs, p, bak) // crash after this → recover() restores
-    mv(fs, tmp, p)
-    fs.delete(bak, true)
-  }
+  def overwriteAside(s: SparkSession, path: String)(write: String => Unit): Unit =
+    StoreLock.withLock(path, "bootstrap") {
+      recover(s, path)
+      val fs = fsOf(s, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+      val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+      // the bootstrap owns the temp location outright (a crashed earlier
+      // write's partial content must not merge into this one), and a
+      // stale .bak beside the about-to-be-replaced live dir is
+      // pre-compaction content recover() would wrongly restore later
+      fs.delete(tmp, true)
+      if (fs.exists(p)) fs.delete(bak, true)
+      write(tmp.toString)
+      if (fs.exists(p)) mv(fs, p, bak) // crash after this → recover() restores
+      mv(fs, tmp, p)
+      fs.delete(bak, true)
+    }
 
   /** Rewrite `path` as `write(transform(read))` with the crash-safe
     * swap. No-op when the store does not exist. `write` receives the
@@ -108,31 +109,33 @@ object Stores {
   def compactInPlace(s: SparkSession, path: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None)(
       transform: DataFrame => DataFrame)(
-      write: (DataFrame, String) => Unit): Unit = {
-    recover(s, path)
-    val fs = fsOf(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) return
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    // a crashed prior run can leave a full .compact behind; under a
-    // session-wide dynamic partitionOverwriteMode the write below would
-    // only replace the partitions it produces, swapping the stale rest
-    // into the live store — and a stale .bak is pre-compaction content
-    // recover() would wrongly restore after a live-dir loss. Clear both
-    // up front (live dir exists here, so this is the safe case).
-    clearResidue(s, path)
-    // callers whose primary frame can be legitimately EMPTY (a model
-    // store whose corpus never produced a count row writes partition
-    // dirs with no files) pass the schema explicitly — a schema-less
-    // read of a fileless layout dies on inference instead of folding
-    val df0 = schema.map(sc => s.read.schema(sc).parquet(path))
-      .getOrElse(s.read.parquet(path))
-    write(transform(df0), tmp.toString)
-    mv(fs, p, bak)              // crash here → recover() restores
-    mv(fs, tmp, p)
-    fs.delete(bak, true)
-  }
+      write: (DataFrame, String) => Unit): Unit =
+    StoreLock.withLock(path, "compact") {
+      recover(s, path)
+      val fs = fsOf(s, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(p)) {
+        val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+        val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+        // a crashed prior run can leave a full .compact behind; under a
+        // session-wide dynamic partitionOverwriteMode the write below would
+        // only replace the partitions it produces, swapping the stale rest
+        // into the live store — and a stale .bak is pre-compaction content
+        // recover() would wrongly restore after a live-dir loss. Clear both
+        // up front (live dir exists here, so this is the safe case).
+        clearResidue(s, path)
+        // callers whose primary frame can be legitimately EMPTY (a model
+        // store whose corpus never produced a count row writes partition
+        // dirs with no files) pass the schema explicitly — a schema-less
+        // read of a fileless layout dies on inference instead of folding
+        val df0 = schema.map(sc => s.read.schema(sc).parquet(path))
+          .getOrElse(s.read.parquet(path))
+        write(transform(df0), tmp.toString)
+        mv(fs, p, bak)          // crash here → recover() restores
+        mv(fs, tmp, p)
+        fs.delete(bak, true)
+      }
+    }
 
   // ---- tombstone sidecar (logical deletes) --------------------------------
 
@@ -198,7 +201,13 @@ object Stores {
     * can only go stale toward an extra read, never a missed
     * retraction). */
   private[graft] val falseVerdictTtlMs: Long =
-    sys.props.get("graft.tombstone.falseVerdictTtlMs").map(_.toLong).getOrElse(2000L)
+    // toLongOption + a named failure: a malformed value must surface as
+    // "this property, this value", not as an ExceptionInInitializerError
+    // that poisons every later use of the object
+    sys.props.get("graft.tombstone.falseVerdictTtlMs")
+      .map(v => v.trim.toLongOption.getOrElse(sys.error(
+        s"graft.tombstone.falseVerdictTtlMs must be a long, got '$v'")))
+      .getOrElse(2000L)
 
   private[graft] def invalidateTombstoneCache(path: String): Unit =
     tombstoneVerdicts.remove(path)
@@ -236,7 +245,8 @@ object Stores {
     * never a half-written file a later read would choke on (the
     * writeBloomBytes/ensureDocsSidecar discipline). Stale temp residue
     * from crashed attempts is cleared opportunistically. */
-  def retractRows(s: SparkSession, path: String, rows: DataFrame): Unit = {
+  def retractRows(s: SparkSession, path: String, rows: DataFrame): Unit =
+      StoreLock.withLock(path, "retract") {
     recover(s, path)
     val fs = fsOf(s, path)
     val side = new org.apache.hadoop.fs.Path(tombstonePath(path))
@@ -259,6 +269,7 @@ object Stores {
     // landed within the cached stamp's mtime granularity
     invalidateTombstoneCache(path)
   }
+
 
   /** [[retractRows]] with a bare id column — the logical delete. */
   def retractIds(s: SparkSession, path: String, idCol: String, ids: Seq[Long]): Unit = {

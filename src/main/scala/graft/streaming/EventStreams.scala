@@ -157,13 +157,23 @@ object EventStreams {
             lit(id).as("batch_id"))
         Sinks.overwritePartitionsDynamic(verdicts, outPath, Seq("batch_id"))
         val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
-        // keep the Bloom sidecar a superset of stored buckets BEFORE the
-        // admission lands (Dedup.absorbIntoBloom's soundness ordering);
-        // the whole batch's buckets over-approximate the accepted set,
-        // which only costs false-positive bits
-        Dedup.absorbIntoBloom(batch.sparkSession, storePath, sig.select("bucket"))
-        Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
-          storePath, Seq("shard", "batch_id"))
+        // the store mutation section runs under the store's writer
+        // claim (StoreLock) — the stream is the one writer by protocol,
+        // but a concurrently-launched compaction or forget now
+        // serializes against the micro-batch instead of racing its swap
+        graft.sources.StoreLock.withLock(storePath, "gate-admit") {
+          // keep the Bloom sidecar a superset of stored buckets BEFORE
+          // the admission lands (Dedup.absorbIntoBloom's soundness
+          // ordering); the whole batch's buckets over-approximate the
+          // accepted set, which only costs false-positive bits
+          Dedup.absorbIntoBloom(batch.sparkSession, storePath, sig.select("bucket"))
+          // same superset ordering for the ingest guard's id-membership
+          // sidecar (no-op while absent)
+          graft.sources.IdBloom.absorb(batch.sparkSession, storePath,
+            sig.select("doc_id"))
+          Sinks.overwritePartitionsDynamic(sig.join(accepted, "doc_id"),
+            storePath, Seq("shard", "batch_id"))
+        }
       } finally gated.unpersist()
     } finally sig.unpersist()
   }

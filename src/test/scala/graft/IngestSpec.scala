@@ -168,9 +168,26 @@ class IngestSpec extends AnyFunSuite {
       s"signature-only re-ingest must refuse, got: ${e1.getMessage}")
     assert(spark.read.parquet(base + "/sig").count() === before,
       "the refusal must land before any mutation")
+    // the guard's first touch built the id-membership sidecar; every
+    // later guard probes it map-side instead of scanning the store
+    assert(new java.io.File(base + "/sig/_idbloom.bin").exists(),
+      "the disjointness guard must leave the lazily-built id-bloom sidecar")
     // SAME-batch replay stays legal (idempotent resume)
     Pipeline.ingestDocs(spark, sigOnly, docs, batchId = 1L)
     assert(spark.read.parquet(base + "/sig").count() === before)
+    // a DISJOINT batch passes on the Bloom probe alone (all-miss =
+    // provably novel) and its ids absorb into the sidecar, so the NEXT
+    // duplicate attempt — of the new batch — still refuses
+    val fresh = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(11L)) === 1).select("doc_id", "text")
+    Pipeline.ingestDocs(spark, sigOnly, fresh, batchId = 3L)
+    assert(spark.read.parquet(base + "/sig").count() > before,
+      "a novel batch must land")
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, sigOnly, fresh, batchId = 4L)
+    }
+    assert(e3.getMessage.contains("another batch id"),
+      s"post-absorb re-ingest must refuse, got: ${e3.getMessage}")
 
     val vecOnly = Pipeline.DocStores(vectors = Seq(base + "/lsh"))
     Similarity.writeAnnIndexFrom(spark, vecs, base + "/lsh")
@@ -180,5 +197,21 @@ class IngestSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("another batch id") &&
       e2.getMessage.contains("vector"),
       s"vector-only re-ingest must refuse, got: ${e2.getMessage}")
+  }
+
+  test("ingestDocs: a fresh store holding only crashed-write staging residue reads as absent") {
+    // a FIRST ingest into a fresh store that crashes mid-write leaves
+    // the dir containing only Spark staging residue (underscore/dot
+    // entries) — the documented idempotent-resume retry of that same
+    // batch must CONVERGE, not die permanently on parquet schema
+    // inference over the residue
+    val docs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(13L)) === 0).select("doc_id", "text")
+    val base = Files.createTempDirectory("graft-ingest-residue").toString
+    assert(new java.io.File(base + "/sig/_temporary/0").mkdirs())
+    val sigOnly = Pipeline.DocStores(signatures = Some(base + "/sig"))
+    Pipeline.ingestDocs(spark, sigOnly, docs, batchId = 1L)
+    assert(spark.read.parquet(base + "/sig").count() > 0L,
+      "the retried first batch must land")
   }
 }
