@@ -251,6 +251,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // the IN-REPO copy, next to bench_floors.json: two rounds of
+    // adjudication have depended on /tmp/bench.json outliving the run
+    // because the captured stdout line truncated its tail — a file the
+    // sweep itself commits into git is the durable record. Written only
+    // when the resources dir is visible from the cwd (a deployment
+    // running the bench elsewhere keeps the /tmp copy).
+    locally {
+      val res = java.nio.file.Paths.get("src/main/resources")
+      if (java.nio.file.Files.isDirectory(res))
+        try java.nio.file.Files.write(res.resolve("bench_last_run.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write bench_last_run.json: ${e.getMessage}")
+        }
+    }
     println(line)
     spark.stop()
   }
