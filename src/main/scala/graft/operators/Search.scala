@@ -254,7 +254,8 @@ object Search {
     * REJECTS a different-batch re-ingest instead of silently
     * double-counting it. */
   def appendSearchIndexBatch(s: SparkSession, newDocs: DataFrame, path: String,
-      batchId: Long, assertNewDocs: Boolean = false): Unit = {
+      batchId: Long, assertNewDocs: Boolean = false): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
     ensureDocsSidecar(s, path)
@@ -388,7 +389,8 @@ object Search {
     * underscore dir is invisible to the corpus read), so both artifacts
     * swap together. No-op when nothing folds. Run while no writer is
     * active. */
-  def compactSearchIndex(s: SparkSession, path: String, foldBelow: Long): Unit = {
+  def compactSearchIndex(s: SparkSession, path: String, foldBelow: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     graft.sources.Stores.recover(s, path)
     ensureDocsSidecar(s, path)
     graft.sources.Stores.clearResidue(s, path)

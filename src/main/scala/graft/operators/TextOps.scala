@@ -815,7 +815,8 @@ object TextOps {
     * ids counts twice, and [[retractLmDocs]] of that doc would subtract
     * only one copy. The one-shot bootstrap id -1 is reserved
     * ([[graft.operators.Dedup.appendSignatures]]' convention). */
-  def appendLmBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit = {
+  def appendLmBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
     graft.sources.Sinks.overwritePartitionsDynamic(
@@ -937,7 +938,8 @@ object TextOps {
     * subtracts the corrections from the folded counts/dfs, drops
     * net-zero rows, and omits the sidecar from the temp dir — physical
     * purge and tombstone clearance in one atomic swap. */
-  def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit = {
+  def compactLmModel(s: SparkSession, path: String, foldBelow: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     // negative watermarks would make the folded branch EMPTY while the
     // absorption path still subtracted corrections from _vocab and
     // dropped membership — a silently corrupted model; 0 = "fold
@@ -1307,7 +1309,8 @@ object TextOps {
     * depth ([[appendLmBatch]]' contract: counts and doc counts sum at
     * load). Batches must be doc-disjoint, the store family's shared
     * precondition. */
-  def appendNbBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit = {
+  def appendNbBatch(s: SparkSession, docs: DataFrame, path: String, batchId: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
     require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
     graft.sources.Stores.recover(s, path)
     val labels = nbLabels(docs)
@@ -1488,7 +1491,8 @@ object TextOps {
     * clearance in one atomic rename. The no-argument default folds
     * everything, preserving the historical "absorb now" call shape the
     * maintenance sweep uses. */
-  def compactNbModel(s: SparkSession, path: String, foldBelow: Long = Long.MaxValue): Unit = {
+  def compactNbModel(s: SparkSession, path: String, foldBelow: Long = Long.MaxValue): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
     // same guard and reason as compactLmModel: a negative watermark
     // empties the folded branch while absorption still mutates
     // _meta/_docs — refuse rather than corrupt

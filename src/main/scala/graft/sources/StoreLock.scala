@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.state.TxnLog
+
+/** Per-store WRITER CLAIM for the data-plane stores (signature / vector /
+  * posting / model) — the enforcement the store families' documented
+  * single-writer mutation protocol previously left to caller convention.
+  * Two drivers racing `Pipeline.ingestDocs`, or an ingest racing a
+  * compaction's directory swap, now SERIALIZE (bounded wait) or FAIL
+  * LOUDLY naming the holder — never interleave silently.
+  *
+  * Mechanism: a sibling lock file `<store>.lock` (outside the store dir,
+  * so compaction's live→`.bak`→swap renames never move it) claimed with
+  * one atomic put-if-absent on the [[TxnLog.ObjectStore]] seam — the
+  * conditional-PUT primitive the commit log already ships kill -9
+  * torture-proven. The default binding is [[TxnLog.FsObjectStore]]
+  * (hidden-temp + link(2): atomic on POSIX and NFS); an S3/GCS
+  * deployment rebinds [[objectStore]] to its SDK's conditional PUT
+  * (`If-None-Match: *` / `ifGenerationMatch=0`), exactly as the commit
+  * log documents. The payload names the holder (pid, op, timestamp) so
+  * contention errors are actionable.
+  *
+  * Semantics:
+  *  - REENTRANT per thread: the composition entry points
+  *    (`ingestDocs`) claim their routed stores up front and the
+  *    per-store append/retract faces they call re-enter for free, so
+  *    the guard-to-append window is closed under ONE continuous claim.
+  *  - Multi-store claims are acquired in the caller's FIXED order
+  *    (`DocStores` field order, the `forgetDocs` processing order), so
+  *    two racing multi-store writers cannot deadlock.
+  *  - Contention waits up to `-Dgraft.store.lock.waitMs` (default 0 =
+  *    fail fast) polling the claim, then fails loudly.
+  *  - A CLEAN exit releases (finally + a JVM shutdown hook, the
+  *    [[graft.state.StateStore]] discipline); a kill -9 leaves a stale
+  *    lock whose payload says who died — the next writer refuses loudly
+  *    and an operator (or an orchestrator restart policy that has
+  *    verified the holder is gone) clears it with [[forceBreak]]. No
+  *    lease auto-expiry: takeover without fencing would let a stalled—
+  *    not dead—holder resume mid-swap into a store another writer now
+  *    owns, the exact silent interleaving this class exists to prevent.
+  *  - READERS never lock: every read face is crash-consistent through
+  *    `recover()` + atomic directory swaps and tombstone subtraction;
+  *    the lock serializes MUTATIONS only.
+  *
+  * Scale: two object-store metadata calls per mutation (claim +
+  * release) — nothing touches the data plane; contention cost is
+  * O(writers) on a per-store file, independent of store size.
+  */
+object StoreLock {
+
+  /** The conditional-PUT binding — rebind for S3/GCS deployments (one
+    * assignment at driver start, before any store mutation). */
+  @volatile var objectStore: TxnLog.ObjectStore = TxnLog.FsObjectStore
+
+  /** How long a contended claim polls before failing loudly. */
+  private def waitMs: Long =
+    sys.props.get("graft.store.lock.waitMs")
+      .map(v => v.trim.toLongOption.getOrElse(sys.error(
+        s"graft.store.lock.waitMs must be a long, got '$v'")))
+      .getOrElse(0L)
+
+  def lockPath(store: String): String = normalize(store) + ".lock"
+
+  private def normalize(store: String): String = {
+    // same driver-local contract (and reason) as TxnLog under the
+    // DEFAULT binding: java.nio on a remote URI silently resolves a
+    // literal local path. A rebound object store lifts the restriction.
+    require((objectStore ne TxnLog.FsObjectStore) ||
+      (!store.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") && !store.startsWith("file:")),
+      s"StoreLock's default filesystem binding requires a driver-local store path, " +
+        s"got '$store' — rebind StoreLock.objectStore for remote stores")
+    Paths.get(store).toAbsolutePath.normalize.toString
+  }
+
+  // reentrancy bookkeeping: normalized store path -> (holder thread, depth)
+  private val held =
+    new java.util.concurrent.ConcurrentHashMap[String, (Thread, Int)]()
+
+  // a kill -9 cannot run this (that is the stale-lock story); a clean
+  // exit between a crash-interrupted `finally` and JVM death can
+  private lazy val shutdownHook: Thread = {
+    val t = new Thread(() => {
+      held.keySet().forEach { k =>
+        try objectStore.delete(Paths.get(k + ".lock"))
+        catch { case _: Throwable => () }
+      }
+    }, "graft-store-lock-release")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  private def holderInfo(lock: Path): String =
+    try new String(objectStore.get(lock), "UTF-8")
+    catch { case _: Throwable => "unknown" }
+
+  /** Run `body` holding the store's exclusive writer claim. Reentrant on
+    * the claiming thread; contended acquisition polls up to
+    * `graft.store.lock.waitMs` then throws naming the holder. */
+  def withLock[T](store: String, op: String)(body: => T): T = {
+    val key = normalize(store)
+    val me = Thread.currentThread()
+    val cur = held.get(key)
+    if (cur != null && (cur._1 eq me)) {
+      held.put(key, (me, cur._2 + 1))
+      try body
+      finally {
+        val d = held.get(key)
+        held.put(key, (d._1, d._2 - 1))
+      }
+    } else {
+      val lock = Paths.get(key + ".lock")
+      Option(lock.getParent).foreach(Files.createDirectories(_))
+      val payload =
+        (s"pid=${ProcessHandle.current().pid()} op=$op " +
+          s"thread=${me.getName} ts=${java.time.Instant.now()}").getBytes("UTF-8")
+      val deadline = System.currentTimeMillis() + waitMs
+      shutdownHook // register the release hook once, lazily
+      var won = objectStore.putIfAbsent(lock, payload)
+      while (!won && System.currentTimeMillis() < deadline) {
+        Thread.sleep(math.min(100L, math.max(1L, deadline - System.currentTimeMillis())))
+        won = objectStore.putIfAbsent(lock, payload)
+      }
+      if (!won) throw new IllegalStateException(
+        s"store $store is held by another writer (${holderInfo(lock)}); " +
+          "concurrent mutations would interleave appends and compaction swaps — " +
+          "wait for it (or raise -Dgraft.store.lock.waitMs), or " +
+          "StoreLock.forceBreak the stale claim if that driver crashed")
+      held.put(key, (me, 1))
+      try body
+      finally {
+        held.remove(key)
+        try objectStore.delete(lock)
+        catch { case e: Throwable =>
+          System.err.println(s"[store-lock] could not release $lock: $e")
+        }
+      }
+    }
+  }
+
+  /** Acquire the stores' claims in the given FIXED order, run `body`,
+    * release in reverse — the multi-store entry points' shape
+    * ([[graft.operators.Pipeline.ingestDocs]]). */
+  def withLocks[T](stores: Seq[String], op: String)(body: => T): T =
+    stores match {
+      case Seq() => body
+      case h +: t => withLock(h, op)(withLocks(t, op)(body))
+    }
+
+  /** Operator escape hatch: clear a stale claim after verifying its
+    * holder is dead (the payload names the pid). Deleting a LIVE
+    * writer's claim reintroduces exactly the interleaving the lock
+    * prevents — this is a human/orchestrator decision, never automatic. */
+  def forceBreak(store: String): Unit =
+    objectStore.delete(Paths.get(lockPath(store)))
+
+  /** True iff a claim file currently exists (diagnostics/specs). */
+  def isHeld(store: String): Boolean = Files.exists(Paths.get(lockPath(store)))
+}

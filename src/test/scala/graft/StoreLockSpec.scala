@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline}
+import graft.sources.{StoreLock, Tables}
+
+/** [[graft.sources.StoreLock]] — the data-plane stores' writer-claim
+  * enforcement. Three layers:
+  *
+  *  1. the LOCK itself, Spark-free: reentrancy, same-JVM cross-thread
+  *     exclusion, bounded-wait serialization;
+  *  2. CROSS-PROCESS mutual exclusion and the kill -9 stale-claim
+  *     story, against real JVMs (the [[TxnTortureMain]] honesty
+  *     argument: only a real `destroyForcibly` exercises what a dying
+  *     holder actually leaves);
+  *  3. the RACING-DRIVERS contract on a store family: an ingest racing
+  *     a compaction on one signature store serializes through the
+  *     claims into a sequential-equivalent final state.
+  */
+class StoreLockSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def withWait[T](ms: Long)(body: => T): T = {
+    val k = "graft.store.lock.waitMs"
+    val old = sys.props.get(k)
+    sys.props(k) = ms.toString
+    try body
+    finally old match { case Some(v) => sys.props(k) = v; case None => sys.props -= k }
+  }
+
+  test("reentrant on the claiming thread; released only at outermost exit") {
+    val store = Files.createTempDirectory("graft-lock").toString + "/s"
+    StoreLock.withLock(store, "outer") {
+      assert(StoreLock.isHeld(store))
+      StoreLock.withLock(store, "inner") {
+        assert(StoreLock.isHeld(store))
+      }
+      assert(StoreLock.isHeld(store), "inner exit must not release the outer claim")
+    }
+    assert(!StoreLock.isHeld(store), "outermost exit must release")
+    // released claim is re-acquirable
+    StoreLock.withLock(store, "again")(())
+  }
+
+  test("a second thread is excluded (fail-fast) and serialized (bounded wait)") {
+    val store = Files.createTempDirectory("graft-lock").toString + "/s"
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // fail-fast: default waitMs=0 refuses loudly naming the holder
+    StoreLock.withLock(store, "holder") {
+      val e = intercept[IllegalStateException] {
+        Await.result(Future(StoreLock.withLock(store, "intruder")(())), Duration.Inf)
+      }
+      assert(e.getMessage.contains("held by another writer") &&
+        e.getMessage.contains("op=holder"), e.getMessage)
+    }
+    // bounded wait: two threads hammer a deliberately non-atomic
+    // read-modify-write; serialization through the lock is the only
+    // thing that can keep every increment
+    withWait(60000) {
+      var n = 0L
+      val fs = (1 to 2).map(_ => Future {
+        (1 to 200).foreach { _ =>
+          StoreLock.withLock(store, "rmw") {
+            val v = n; Thread.`yield`(); n = v + 1
+          }
+        }
+      })
+      Await.result(Future.sequence(fs), Duration.Inf)
+      assert(n === 400L, "the bounded-wait path must serialize, not drop updates")
+    }
+    assert(!StoreLock.isHeld(store))
+  }
+
+  test("cross-PROCESS mutual exclusion: two racing JVMs lose no read-modify-write") {
+    val d = Files.createTempDirectory("graft-lock-proc").toString
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val procs = (1 to 2).map(_ =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.StoreLockTortureMain", d, "150")
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.INHERIT)
+        .start())
+    try {
+      assert(procs.forall(_.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)),
+        "torture processes must terminate")
+      assert(procs.forall(_.exitValue() == 0), "torture processes must exit clean")
+    } finally { procs.foreach(_.destroyForcibly()); procs.foreach(_.waitFor()) }
+    val n = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(d, "counter")), "UTF-8").trim.toLong
+    assert(n === 300L,
+      s"every increment must survive (lost updates = broken mutex), got $n")
+    assert(!StoreLock.isHeld(d + "/store"), "clean exits must release")
+  }
+
+  test("kill -9 leaves a stale claim: loud refusal, operator forceBreak, then proceed") {
+    val d = Files.createTempDirectory("graft-lock-kill").toString
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val p = new ProcessBuilder(javaBin, "-cp", cp, "graft.StoreLockTortureMain", d, "hold")
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!Files.exists(java.nio.file.Paths.get(d, "holding")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(Files.exists(java.nio.file.Paths.get(d, "holding")),
+        "holder process must have claimed the store")
+    } finally { p.destroyForcibly(); p.waitFor() }
+    // the kill -9'd holder could not release: the claim is stale on disk
+    assert(StoreLock.isHeld(d + "/store"), "kill -9 must leave the stale claim")
+    val e = intercept[IllegalStateException] {
+      StoreLock.withLock(d + "/store", "successor")(())
+    }
+    assert(e.getMessage.contains("held by another writer") &&
+      e.getMessage.contains("op=torture-hold") &&
+      e.getMessage.contains("forceBreak"), e.getMessage)
+    // the operator path: verify the holder is dead (we killed it), break, proceed
+    StoreLock.forceBreak(d + "/store")
+    StoreLock.withLock(d + "/store", "successor")(())
+    assert(!StoreLock.isHeld(d + "/store"))
+  }
+
+  test("racing drivers on one store family: ingest vs compaction serialize to the sequential state") {
+    // the multi-writer contract on DocStores, driven for real: one
+    // writer ingests a batch through Pipeline.ingestDocs while another
+    // loops compactSignatures on the same store. Under the writer
+    // claims every interleaving is sequential-equivalent: compaction
+    // never swaps mid-append, the guard-to-append window stays closed,
+    // and the final logical content equals one-shot signatures over the
+    // full corpus. (Cross-PROCESS atomicity of the claim primitive is
+    // proven above; Spark drivers race here as threads because two
+    // local[4] sessions in one test JVM is the honest equivalent.)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val boot = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val late = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    val base = Files.createTempDirectory("graft-lock-race").toString
+    val sig = base + "/sig"
+    Dedup.writeSignatures(Dedup.signaturesOf(boot), sig)
+    withWait(120000) {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val ingest = Future {
+        Pipeline.ingestDocs(spark,
+          Pipeline.DocStores(signatures = Some(sig)), late, batchId = 5L)
+      }
+      val compact = Future {
+        (1 to 3).foreach { _ => Dedup.compactSignatures(spark, sig); Thread.sleep(20) }
+      }
+      Await.result(Future.sequence(Seq(ingest, compact)), Duration.Inf)
+    }
+    // final fold, then the sequential-equivalence check
+    Dedup.compactSignatures(spark, sig, foldBelow = 100L)
+    val stored = spark.read.parquet(sig).drop("batch_id")
+    val oneShot = Dedup.signaturesOf(docs)
+    assert(stored.count() === oneShot.count() &&
+      stored.exceptAll(oneShot).count() === 0L,
+      "racing ingest/compaction must serialize to the one-shot store content")
+    assert(!StoreLock.isHeld(sig), "all claims released")
+  }
+}
