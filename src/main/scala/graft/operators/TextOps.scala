@@ -247,25 +247,90 @@ object TextOps {
   def writeBpeModel(s: SparkSession, docs: DataFrame, path: String): Unit = {
     val merges = bpeMergesOf(docs)
     graft.sources.Stores.overwriteAside(s, path) { tmp =>
-      import s.implicits._
-      merges.zipWithIndex
-        .map { case ((l, r), i) => (i, l, r) }
-        .toDF("rank", "left", "right")
-        .coalesce(1).write.parquet(tmp)
+      bpeVersionDf(s, merges, 0L).write.partitionBy("version").parquet(tmp)
     }
   }
 
-  /** Load a stored merge table, rank-ordered — the exact
-    * `IndexedSeq[(left, right)]` [[bpeTokensCol]] encodes under, so a
-    * stored model and an in-query training run are interchangeable
-    * (TextOpsSpec asserts encode-equality end to end). */
-  def loadBpeModel(s: SparkSession, path: String): IndexedSeq[(String, String)] = {
+  private def bpeVersionDf(s: SparkSession,
+      merges: IndexedSeq[(String, String)], version: Long): DataFrame = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r, version) }
+      .toDF("rank", "left", "right", "version")
+      .coalesce(1)
+  }
+
+  /** The store's trained VERSIONS, from a directory listing alone. */
+  def bpeVersions(s: SparkSession, path: String): Seq[Long] = {
     graft.sources.Stores.recover(s, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      s.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toLong).toSeq.sorted
+  }
+
+  /** RETRAIN the stored tokenizer as a NEW version: merges trained on
+    * `docs` land under `version=V` while every prior version's rank
+    * table stays readable verbatim — the audit face a tokenizer store
+    * was missing. The LM/NB stores answer "score under the model as of
+    * batch N" through batch-scoped corrections; a merge table has no
+    * per-doc corrections ([[writeBpeModel]]: retraining reorders the
+    * global argmax sequence), so its history is whole VERSIONS, and
+    * "which merge table tokenized shard N" becomes
+    * [[loadBpeModelAt]](path, versionRecordedForShardN).
+    *
+    * Crash contract: the version's rows land as a dynamic overwrite of
+    * their own `version=V` partition (a replayed retrain on the same
+    * corpus rewrites identical content), under the store's writer claim
+    * ([[graft.sources.StoreLock]]). `version` is caller-assigned like
+    * every batch id here: monotonically growing by convention, and a
+    * re-assignment of an EXISTING version is the replay contract, not a
+    * silent history rewrite — callers version-bump per retrain. */
+  def appendBpeVersion(s: SparkSession, docs: DataFrame, path: String,
+      version: Long): Unit = {
+    require(version >= 1,
+      "retrained versions are >= 1 (version 0 is the bootstrap write)")
+    graft.sources.StoreLock.withLock(path, "bpe-retrain") {
+      graft.sources.Stores.recover(s, path)
+      require(bpeVersions(s, path).nonEmpty,
+        s"BPE store $path has no versioned layout — bootstrap with writeBpeModel first " +
+          "(a pre-versioning flat store predates the audit contract; re-train it)")
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        bpeVersionDf(s, bpeMergesOf(docs), version), path, Seq("version"))
+    }
+  }
+
+  /** The merge table AS OF `version`, rank-ordered — the exact
+    * `IndexedSeq[(left, right)]` [[bpeTokensCol]] encodes under, frozen
+    * at that retrain. Loud refusal when the version was never trained. */
+  def loadBpeModelAt(s: SparkSession, path: String, version: Long): IndexedSeq[(String, String)] = {
+    graft.sources.Stores.recover(s, path)
+    val vs = bpeVersions(s, path)
+    require(vs.contains(version),
+      s"BPE store $path has no version $version (trained versions: " +
+        s"${if (vs.isEmpty) "none — legacy flat layout or absent store" else vs.mkString(", ")})")
     // by NAME, not ordinal (qualityClassifierStored's rule): left and
     // right are same-typed, so a writer column reorder would otherwise
     // swap merge sides silently — a wrong tokenizer with no error
-    s.read.parquet(path).orderBy("rank").collect()
+    s.read.parquet(path).filter(col("version") === version)
+      .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toIndexedSeq
+  }
+
+  /** The LATEST stored merge table — what a production encode uses; a
+    * stored model and an in-query training run are interchangeable
+    * (TextOpsSpec asserts encode-equality end to end). Pre-versioning
+    * flat stores refuse loudly: silently reading an unversioned rank
+    * table would serve a tokenizer no audit can ever name. */
+  def loadBpeModel(s: SparkSession, path: String): IndexedSeq[(String, String)] = {
+    val vs = bpeVersions(s, path)
+    require(vs.nonEmpty,
+      s"BPE store $path has no trained versions — absent store, or a " +
+        "pre-versioning flat layout (re-train with writeBpeModel)")
+    loadBpeModelAt(s, path, vs.max)
   }
 
   /** [[tokenBpeOf]] served from a STORED model instead of retraining —
@@ -287,6 +352,26 @@ object TextOps {
     graft.sources.TmpStores.buildOnce(path)(
       writeBpeModel(s, Tables.documents(s, dir), path))
     tokenBpeStoredOf(s, Tables.documents(s, dir), path)
+  }
+
+  /** The versioned tokenizer's AS-OF face, oracle-gated end to end:
+    * bootstrap version 0 on the early corpus (without the `%10 = 5`
+    * docs — the q_provenance split), retrain version 1 on the full
+    * corpus via [[appendBpeVersion]], then answer the audit question —
+    * encode TODAY's corpus under the merge table AS OF version 0
+    * ([[loadBpeModelAt]]). The differential Expected twin trains its
+    * own tokenizer on the same early slice and encodes everything, so
+    * green pins version isolation (v1's retrain must not leak into the
+    * v0 read), the versioned layout, and the loader in one hash. */
+  def qBpeAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val late = pmod(col("doc_id"), lit(10L)) === 5
+    val path = modelPath("bpemodel-asof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeBpeModel(s, docs.filter(!late), path)
+      appendBpeVersion(s, docs, path, version = 1L)
+    }
+    tokenBpeWith(s, docs, loadBpeModelAt(s, path, 0L))
   }
 
   /** [[qTokenBpe]] over an arbitrary (doc_id, text) frame — the seam
@@ -1825,6 +1910,7 @@ object TextOps {
     "q_nb_retract"  -> qNbRetract _,
     "q_nb_asof"     -> qNbAsof _,
     "q_bpe_probe"   -> qBpeProbe _,
+    "q_bpe_asof"    -> qBpeAsof _,
   )
 
   /** Shared DuckDB CTE chains (one SQL body per scoring path, the

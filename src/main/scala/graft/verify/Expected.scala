@@ -170,14 +170,22 @@ object Expected {
     * tokenizer or the differential tests nothing); the distributed word
     * counting, the merge-table broadcast, and the per-doc aggregation are
     * what the hash compare verifies. */
-  def bpeRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Option[Double])] = {
+  def bpeRows(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Option[Double])] =
+    bpeRowsTrainedOn(docs, docs)
+
+  /** [[bpeRows]] with the tokenizer trained on a SUBSET — the versioned
+    * store's as-of twin (q_bpe_asof): the merge table is frozen at the
+    * training slice, the encode runs over the full corpus. */
+  def bpeRowsTrainedOn(docs: Seq[(Long, String)],
+      trainDocs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Option[Double])] = {
     import graft.functions.Bpe
     import graft.operators.TextOps
-    val wordsPerDoc = docs.map { case (id, t) =>
+    def wordsOf(ds: Seq[(Long, String)]) = ds.map { case (id, t) =>
       (id, splitWords(normText(t)).filter(_.nonEmpty).toSeq)
     }
+    val wordsPerDoc = wordsOf(docs)
     val wc = mutable.Map.empty[String, Long]
-    wordsPerDoc.foreach { case (_, ws) =>
+    wordsOf(trainDocs).foreach { case (_, ws) =>
       ws.foreach(w => wc.updateWith(w)(o => Some(o.getOrElse(0L) + 1L)))
     }
     val top = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(TextOps.BpeTrainVocab)
@@ -546,6 +554,11 @@ object Expected {
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
     val bpe = write("q_token_bpe", bpeRows(docs)
       .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token"))
+    // the as-of face trains on the early slice (q_provenance's %10 = 5
+    // split), encodes the full corpus — see TextOps.qBpeAsof
+    val bpeAsof = write("q_bpe_asof",
+      bpeRowsTrainedOn(docs, docs.filterNot(_._1 % 10 == 5))
+        .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token"))
     val img = write("q_image_neardup",
       imageNeardupRows(docs).toDF("media_a", "media_b", "hamming"))
     val cr = write("q_compress_ratio", compressRows(docs)
@@ -569,6 +582,8 @@ object Expected {
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
       // the stored-model face shares the artifact (stored ≡ in-query)
       "q_bpe_probe"     -> sql(bpe,
+        "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
+      "q_bpe_asof"      -> sql(bpeAsof,
         "doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token", "doc_id"),
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
       "q_compress_ratio" -> sql(cr,

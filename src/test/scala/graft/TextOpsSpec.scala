@@ -267,6 +267,45 @@ class TextOpsSpec extends AnyFunSuite {
       "a frozen stored tokenizer must encode exactly like the training run that built it")
   }
 
+  test("versioned BPE store: retrains append, history stays frozen, legacy layouts refuse") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val early = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpever").toString + "/model"
+    // retrain before bootstrap refuses (nothing to version against)
+    val e0 = intercept[IllegalArgumentException] {
+      TextOps.appendBpeVersion(spark, docs, path, version = 1L)
+    }
+    assert(e0.getMessage.contains("writeBpeModel first"), e0.getMessage)
+    TextOps.writeBpeModel(spark, early, path) // version 0
+    val v0 = TextOps.loadBpeModel(spark, path)
+    TextOps.appendBpeVersion(spark, docs, path, version = 1L)
+    assert(TextOps.bpeVersions(spark, path) === Seq(0L, 1L))
+    // the retrain did not touch version 0; the latest is the full-corpus table
+    assert(TextOps.loadBpeModelAt(spark, path, 0L) === v0,
+      "history must stay frozen through a retrain")
+    assert(TextOps.loadBpeModelAt(spark, path, 0L) === TextOps.bpeMergesOf(early))
+    assert(TextOps.loadBpeModel(spark, path) === TextOps.bpeMergesOf(docs),
+      "the plain loader must serve the latest version")
+    // replay of the same retrain is a pure overwrite of its own partition
+    TextOps.appendBpeVersion(spark, docs, path, version = 1L)
+    assert(TextOps.bpeVersions(spark, path) === Seq(0L, 1L) &&
+      TextOps.loadBpeModelAt(spark, path, 1L) === TextOps.bpeMergesOf(docs))
+    // never-trained versions refuse loudly, naming what exists
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.loadBpeModelAt(spark, path, 7L)
+    }
+    assert(e1.getMessage.contains("no version 7") &&
+      e1.getMessage.contains("0, 1"), e1.getMessage)
+    // a pre-versioning FLAT layout refuses instead of serving an
+    // unauditable tokenizer (the legacy-layout loud-refusal discipline)
+    val flat = java.nio.file.Files.createTempDirectory("graft-bpeflat").toString + "/model"
+    import spark.implicits._
+    Seq((0, "a", "b")).toDF("rank", "left", "right").write.parquet(flat)
+    val e2 = intercept[IllegalArgumentException] { TextOps.loadBpeModel(spark, flat) }
+    assert(e2.getMessage.contains("pre-versioning"), e2.getMessage)
+  }
+
   test("BPE native path survives an EMPTY trained merge table") {
     import spark.implicits._
     // every word is a single distinct character: no adjacent pair ever
