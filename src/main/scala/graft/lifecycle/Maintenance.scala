@@ -122,4 +122,59 @@ object Maintenance {
     }
     data ++ control
   }
+
+  /** The maintenance sweep as ORCHESTRATOR MODULES — the DAG face of
+    * [[standardTasks]]: one registry entry per data store, so
+    * operations point each module's run command at
+    * `graft.query maint_compact_<store>` and sequence the DAG through
+    * the dependency DECODE matrix (compactions behind the ingest
+    * module, exactly like any other batch estate), instead of one
+    * monolithic task batch. Each entry runs the store's compaction and
+    * returns the POST-COMPACTION store frame, so the orchestrator's
+    * endup records the surviving row count — the monitor view then
+    * shows per-store fold volume, not just a task tally (the
+    * rows-folded-as-record-count convention the reference's loaders
+    * used for their insert counts).
+    *
+    * Fold watermarks: when `ingestCheckpoint` names the ingest stream's
+    * checkpoint dir, every foldBelow is DERIVED from it
+    * ([[graft.streaming.EventStreams.committedWatermark]] + 1 — a batch
+    * with a durable commit can never be replayed), so the orchestrated
+    * sweep needs no human in the watermark loop; without one, the
+    * layout's asserted values hold (0 = fold nothing scoped, always
+    * safe). Model stores read back under their pinned count schemas —
+    * a legitimately-empty fileless layout must report 0, not die on
+    * schema inference. */
+  def moduleRegistry(layout: StoreLayout, ingestCheckpoint: Option[String] = None)
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import graft.operators.{Dedup, Search, Similarity, TextOps}
+    def wm(s: SparkSession, asserted: Long): Long = ingestCheckpoint
+      .map(cp => graft.streaming.EventStreams.committedWatermark(s, cp) + 1L)
+      .getOrElse(asserted)
+    Seq(
+      layout.searchIndex.map { case (p, w) => "maint_compact_search" ->
+        ((s: SparkSession, _: String) => {
+          Search.compactSearchIndex(s, p, wm(s, w)); s.read.parquet(p) }) },
+      layout.lmModel.map { case (p, w) => "maint_compact_lm" ->
+        ((s: SparkSession, _: String) => {
+          TextOps.compactLmModel(s, p, wm(s, w))
+          s.read.schema(TextOps.lmCountsSchema).parquet(p) }) },
+      layout.nbModel.map { case (p, w) => "maint_compact_nb" ->
+        ((s: SparkSession, _: String) => {
+          TextOps.compactNbModel(s, p, wm(s, w))
+          s.read.schema(TextOps.nbCountsSchema).parquet(p) }) },
+      layout.signatureStore.map(p => "maint_compact_signatures" ->
+        ((s: SparkSession, _: String) => {
+          Dedup.compactSignatures(s, p, wm(s, layout.retractionFoldBelow))
+          s.read.parquet(p) })),
+      layout.annIndex.map(p => "maint_compact_ann" ->
+        ((s: SparkSession, _: String) => {
+          Similarity.compactAnnIndex(s, p, wm(s, layout.retractionFoldBelow))
+          s.read.parquet(p) })),
+      layout.ivfIndex.map(p => "maint_compact_ivf" ->
+        ((s: SparkSession, _: String) => {
+          Similarity.compactIvfIndex(s, p, wm(s, layout.retractionFoldBelow))
+          s.read.parquet(p) })),
+    ).flatten.toMap
+  }
 }

@@ -744,9 +744,9 @@ object TextOps {
     * empty classifier domain for the NB) writes partition dirs with no
     * parquet files, and a schema-less read of that layout dies on
     * inference instead of reaching the empty-vocabulary refusals. */
-  private val lmCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+  private[graft] val lmCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "bg STRING, c2 BIGINT, batch_id BIGINT")
-  private val nbCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+  private[graft] val nbCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "w STRING, c_pos BIGINT, c_neg BIGINT, batch_id BIGINT")
 
   private def lmGrams(docs: DataFrame): DataFrame =

@@ -108,4 +108,86 @@ class MaintenanceSpec extends AnyFunSuite {
     val lc = fixture(store)
     assert(Maintenance.runBatch(lc, "UNREGISTERED", Seq.empty) === Left(NoRecordBatchMaster))
   }
+
+  test("orchestrated maintenance DAG: compaction modules behind the DECODE matrix, watermark from the checkpoint, both control stores") {
+    // the DAG face of the sweep: each store's compaction is an
+    // Orchestrator MODULE (run-command indirection + dependency gate),
+    // its endup records the post-compaction row count, and the fold
+    // watermark is DERIVED from the ingest stream's checkpoint commits
+    // — no human-asserted foldBelow anywhere in the chain
+    def drive(store: ControlStore): Unit = {
+      store.putBatchMaster(Seq(BatchMaster(200, "MAINT_INGEST", 1, Some("OPS"), None),
+        BatchMaster(201, "MAINT_SIG", 1, Some("OPS"), None),
+        BatchMaster(202, "MAINT_SEARCH", 1, Some("OPS"), None)))
+      store.putDependencies(Seq(BatchDependency(200, 201, "MANDATORY"),
+        BatchDependency(200, 202, "MANDATORY")))
+      store.putRunCommands(Seq(RunCommand("MAINT_INGEST", "graft.query q_count"),
+        RunCommand("MAINT_SIG", "graft.query maint_compact_signatures"),
+        RunCommand("MAINT_SEARCH", "graft.query maint_compact_search")))
+      val lc = fixture(store)
+
+      val base = Files.createTempDirectory("graft-maint-dag").toString
+      val sig = base + "/signatures"
+      val idx = base + "/postings"
+      val late = Seq((4L, "a second batch of text rides in as its own partition"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.writeSignatures(
+        graft.operators.Dedup.signaturesOf(corpus), sig)
+      graft.operators.Search.writeSearchIndexFrom(spark, corpus, idx)
+      Pipeline2.ingest(spark, sig, idx, late)
+      graft.operators.Dedup.retractSignatures(spark, sig, Seq(1L))
+      val probeBefore = SearchProbe.scores(spark, idx)
+      // the ingest stream's ledger: batches 0..2 durably committed →
+      // derived foldBelow 3 covers the scoped batch 2 and lets the
+      // pending retraction physically complete
+      val ckpt = base + "/ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(ckpt, "commits"))
+      Seq("0", "1", "2").foreach(n =>
+        Files.write(java.nio.file.Paths.get(ckpt, "commits", n), "v1".getBytes))
+      assert(graft.streaming.EventStreams.committedWatermark(spark, ckpt) === 2L)
+
+      val registry = SparkEntry.queries ++ Maintenance.moduleRegistry(
+        Maintenance.StoreLayout(searchIndex = Some((idx, 0L)), signatureStore = Some(sig)),
+        ingestCheckpoint = Some(ckpt))
+      val orch = new Orchestrator(spark, lc, TestSpark.sfDir, registry)
+      val outcomes = orch.runChain(Seq("MAINT_INGEST", "MAINT_SIG", "MAINT_SEARCH"),
+        runLevel = Some(1))
+      val completed = outcomes.collect { case (_, c: Orchestrator.Completed) => c }
+      assert(completed.map(_.query) ===
+        Seq("q_count", "maint_compact_signatures", "maint_compact_search"),
+        s"all three modules must complete, got $outcomes")
+      // the derived watermark let the fold absorb the retraction...
+      assert(!graft.sources.Stores.hasTombstones(spark, sig),
+        "the checkpoint-derived watermark must complete the physical purge")
+      assert(spark.read.parquet(sig).filter(
+        org.apache.spark.sql.functions.col("doc_id") === 1L).count() === 0L)
+      // ...compaction preserved search semantics...
+      assert(SearchProbe.scores(spark, idx) === probeBefore)
+      // ...and the monitor records the post-compaction row counts
+      val state = store.monitorState.orderBy("module_id").collect()
+        .map(r => (r.getAs[Long]("module_id"), r.getAs[String]("run_status"),
+          r.getAs[Long]("records_processed")))
+      assert(state.map(t => (t._1, t._2)).toSeq === Seq(200L -> RunStatus.Success,
+        201L -> RunStatus.Success, 202L -> RunStatus.Success))
+      assert(state(1)._3 === spark.read.parquet(sig).count() &&
+        state(2)._3 === spark.read.parquet(idx).count(),
+        "endup must record each store's surviving rows")
+      store match { case sw: StateStore => sw.close(); case _ => () }
+    }
+    drive(new MwStateStore(spark, Files.createTempDirectory("graft-maint5").toString))
+    drive(new StateStore(spark, Files.createTempDirectory("graft-maint6").toString))
+  }
+
+  /** Tiny helper: land a scoped batch in both stores the way the ingest
+    * stream does (batch-scoped partitions under one id). */
+  private object Pipeline2 {
+    def ingest(s: org.apache.spark.sql.SparkSession, sig: String, idx: String,
+        docs: org.apache.spark.sql.DataFrame): Unit = {
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        graft.operators.Dedup.signaturesOf(docs)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(2L)),
+        sig, Seq("shard", "batch_id"))
+      graft.operators.Search.appendSearchIndexBatch(s, docs, idx, batchId = 2L)
+    }
+  }
 }
