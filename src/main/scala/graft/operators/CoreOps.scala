@@ -847,6 +847,94 @@ object CoreOps {
       .orderBy("o_year")
   }
 
+  /** Derived PARTSUPP: the testdata ships no partsupp table, so the two
+    * remaining expressible TPC-H join shapes (Q9's 2-key fact-to-
+    * partsupp join, Q20's availability-vs-shipped gate) run over a
+    * DETERMINISTIC derivation both engines compute identically —
+    * dbgen's own supplier-assignment formula (each part gets 4
+    * suppliers: `(p + i·(S/4 + (p−1)/S)) mod S + 1`, TPC-H spec §4.2.3)
+    * with availqty/supplycost as fixed modular functions of the key
+    * pair, exact in integer/decimal arithmetic on both sides. The
+    * supplier COUNT parameterizes the formula at any SF; it is a
+    * dimension-sized driver scalar (the broadcast-dim rule). At scale
+    * partsupp is |part|×4 — dimension-sized next to lineitem, which is
+    * why Q9 broadcasts it below. */
+  private[operators] def partsuppOf(s: SparkSession, dir: String): DataFrame = {
+    val nSupp = Tables.supplier(s, dir).count()
+    Tables.part(s, dir).select(col("p_partkey").as("ps_partkey"))
+      .withColumn("i", explode(array((0L to 3L).map(lit): _*)))
+      .withColumn("ps_suppkey",
+        pmod(col("ps_partkey") + col("i") *
+          (lit(nSupp / 4) + expr(s"(ps_partkey - 1) div $nSupp")), lit(nSupp)) + lit(1L))
+      .drop("i")
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 11, lit(9999L)) + lit(1L))
+      .withColumn("ps_supplycost",
+        (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(20000L))
+          .cast("decimal(18,2)") / lit(100) + lit(1)).cast("decimal(18,2)"))
+  }
+
+  /** Q9 analogue — product-type profit: every lineitem of the '%bolt%'
+    * parts, profit = revenue − supply cost, by supplier nation and
+    * order year. The signature shape partsupp exists for: the fact
+    * table joins partsupp on the COMPOSITE (partkey, suppkey) — one
+    * broadcast here, since the name-filtered partsupp slice is
+    * dimension-sized — then orders (the one fact-fact shuffle),
+    * supplier ∘ nation broadcast. Profit sums in decimal end-to-end. */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val ps = broadcast(partsuppOf(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").like("%bolt%"))
+        .select("p_partkey"),
+        col("ps_partkey") === col("p_partkey"), "left_semi"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum(revenueExpr -
+          col("ps_supplycost") * col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q20 analogue — excess-stock suppliers: suppliers in nation 1
+    * holding more than half a year's shipments of any 'red%' part
+    * (ps_availqty > 0.5 × qty shipped in 1997 for that (part, supp)
+    * pair). The correlated scalar subquery of the official query
+    * becomes a grouped shipment aggregate joined back on the composite
+    * key; the half-of-qty comparison is re-expressed integer-exactly
+    * (availqty × 2 > qty, both in decimal) so neither engine compares
+    * float sums. Semi-join chain end-to-end — the supplier row is the
+    * output, nothing fans out. */
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir).filter(col("p_name").like("red%"))
+      .select("p_partkey")
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+    val eligible = partsuppOf(s, dir)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("decimal(18,2)") * lit(2) > col("qty"))
+      .select("ps_suppkey").distinct()
+    Tables.supplier(s, dir).filter(col("s_nationkey") === 1)
+      .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey").cast(LongType).as("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** Q15 analogue — top supplier(s): per-supplier revenue over one
     * quarter, keeping exactly the supplier(s) achieving the GLOBAL
     * maximum. The classic view + correlated `= (SELECT max(...))`
@@ -1306,6 +1394,8 @@ object CoreOps {
     "q_tpch_q19"        -> qTpchQ19 _,
     "q_tpch_q21"        -> qTpchQ21 _,
     "q_tpch_q8"         -> qTpchQ8 _,
+    "q_tpch_q9"         -> qTpchQ9 _,
+    "q_tpch_q20"        -> qTpchQ20 _,
     "q_tpch_q15"        -> qTpchQ15 _,
     "q_setops"          -> qSetOps _,
     "q_setops_all"      -> qSetOpsAll _,
@@ -1317,6 +1407,22 @@ object CoreOps {
   )
 
   /** DuckDB-dialect oracles, column names matched to the Spark outputs. */
+  /** Shared DuckDB CTE chain deriving PARTSUPP — the exact dbgen
+    * formula [[partsuppOf]] computes Spark-side, so the two oracles
+    * cannot drift from the derivation (`//` is DuckDB integer
+    * division, matching Spark's `div`). */
+  private val duckPartsuppCtes: String =
+    """ns AS (SELECT count(*) AS n FROM supplier),
+      |ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + i * (ns.n // 4 + (p_partkey - 1) // ns.n)) % ns.n + 1 AS ps_suppkey
+      |  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) CROSS JOIN ns),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+      |    cast((ps_partkey * 31 + ps_suppkey * 17) % 20000 AS decimal(18,2)) / 100 + 1 AS ps_supplycost
+      |  FROM ps0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // CSV loader: both halves derive from the planted-corruption
     // predicate alone (see qCsvLoad)
@@ -1840,6 +1946,35 @@ object CoreOps {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_tpch_q9" ->
+      s"""WITH $duckPartsuppCtes
+        |SELECT n_name AS nation, cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))
+        |    - ps_supplycost * cast(l_quantity AS decimal(18,2))) AS double) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_tpch_q20" ->
+      s"""WITH $duckPartsuppCtes,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(cast(l_quantity AS decimal(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT DISTINCT ps_suppkey FROM partsupp
+        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND cast(ps_availqty AS decimal(18,2)) * 2 > qty)
+        |SELECT cast(s_suppkey AS bigint) AS s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey = 1 AND s_suppkey IN (SELECT ps_suppkey FROM eligible)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q8" ->
       """SELECT cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
         |  round(cast(

@@ -369,6 +369,33 @@ class PlanSpec extends AnyFunSuite {
     assert(allScans(dfQ5.queryExecution.executedPlan)
         .exists(_.metadata.getOrElse("PushedFilters", "").contains("o_orderdate")),
       "Q5's order-date range must reach the orders scan")
+    // Q9 (derived partsupp): the composite-key partsupp join rides the
+    // broadcast (the name-filtered slice is dimension-sized), lineitem→
+    // orders is the one shuffled fact-fact join, supplier∘nation
+    // broadcast — so the tree carries ≥3 broadcast joins, no cartesian,
+    // and the profit aggregate combines map-side
+    val dfQ9 = SparkEntry.queries("q_tpch_q9")(spark, TestSpark.sfDir)
+    dfQ9.collect()
+    val p9 = dfQ9.queryExecution.executedPlan.toString
+    assert(!p9.contains("CartesianProduct") && !p9.contains("NestedLoop"),
+      s"Q9 must keep every join keyed (incl. the composite partsupp key):\n$p9")
+    assert("BroadcastHashJoin".r.findAllIn(p9).length >= 3,
+      s"Q9 must broadcast partsupp, supplier and nation:\n$p9")
+    assert(p9.contains("partial_sum"),
+      s"Q9's profit aggregate must combine map-side:\n$p9")
+    // Q20: the semi-join chain stays semi end-to-end (LeftSemi joins,
+    // nothing fans out to be re-distinct-ed), the 1997 ship-date range
+    // reaches the lineitem scan, no cartesian. STATIC plan: at this SF
+    // the result can be empty, and AQE's empty-relation propagation
+    // would collapse the finalized tree to a LocalTableScan with no
+    // scans left to assert on
+    val p20 = plan("q_tpch_q20")
+    assert(!p20.contains("CartesianProduct") && !p20.contains("NestedLoop"),
+      s"Q20 must keep every join keyed:\n$p20")
+    assert("LeftSemi".r.findAllIn(p20).length >= 2,
+      s"Q20's eligibility chain must stay semi-join shaped:\n$p20")
+    assert(p20.contains("PushedFilters") && p20.contains("l_shipdate)"),
+      s"Q20's 1997 ship-date range must reach the lineitem scan:\n$p20")
     // Q12: the lateness predicate compares columns of BOTH join sides, so
     // it must sit post-join as a Filter — and must NOT degrade the join
     // itself to a nested loop
