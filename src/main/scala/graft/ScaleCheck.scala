@@ -81,7 +81,12 @@ object ScaleCheck {
     // counts + membership-scoped corrections), both vector-store as-of
     // probes (store bootstrap + append + retract + pruned probe), and
     // the ingest/forget provenance audit (five membership joins)
-    "q_nb_asof", "q_ann_asof", "q_ivf_asof", "q_provenance")
+    "q_nb_asof", "q_ann_asof", "q_ivf_asof", "q_provenance",
+    // round-16: the reject-contract loaders (CSV/JSONL derivation +
+    // parse + reject split at 10x), the derived-partsupp join shapes,
+    // and the versioned tokenizer's as-of face (train 2 versions at
+    // 10x vocabulary pressure, encode under the frozen v0)
+    "q_csv_load", "q_jsonl_load", "q_tpch_q9", "q_tpch_q20", "q_bpe_asof")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
@@ -161,11 +166,36 @@ object ScaleCheck {
         + (if (flip) s"   PLAN FLIP $shapeSmall -> $shapeBig" else ""))
       (n, tSmall, tBig, flip)
     }
+    // The ORCHESTRATOR path at sf1 (the one driver-side composition with
+    // no bench query): a 2-module MANDATORY chain whose run commands are
+    // registered queries, driven against the sf1 dataset under a real
+    // control store — records wall time and that both modules complete
+    // with nonzero counts. Control-plane cost is scale-independent by
+    // design; this is the off-paper record of that claim.
+    val orchSecs = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-orch").toString
+      val store = new graft.state.MwStateStore(spark, dir)
+      store.putBatchMaster(Seq(graft.state.BatchMaster(300, "SCALE_A", 1, Some("OPS"), None),
+        graft.state.BatchMaster(301, "SCALE_B", 1, Some("OPS"), None)))
+      store.putDependencies(Seq(graft.state.BatchDependency(300, 301, "MANDATORY")))
+      store.putRunCommands(Seq(graft.state.RunCommand("SCALE_A", "graft.query q_count"),
+        graft.state.RunCommand("SCALE_B", "graft.query q_tpch_q9")))
+      val lc = new graft.lifecycle.Lifecycle(store, graft.lifecycle.SystemClock,
+        graft.lifecycle.SystemSleeper)
+      val orch = new graft.lifecycle.Orchestrator(spark, lc, sf1Dir, SparkEntry.queries)
+      val t0 = System.nanoTime()
+      val outcomes = orch.runChain(Seq("SCALE_A", "SCALE_B"), runLevel = Some(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = outcomes.forall(_._2.isInstanceOf[graft.lifecycle.Orchestrator.Completed])
+      System.err.println(f"[scale] orchestrator 2-module chain at sf1: $sec%7.2f s  allCompleted=$ok")
+      require(ok, s"orchestrated chain must complete at sf1, got $outcomes")
+      sec
+    }
     def ms3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = rows.map { case (n, a, b, f) =>
       s""""$n":{"sf01":${ms3(a)},"sf1":${ms3(b)},"ratio":${ms3(b / a)},"plan_flip":$f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"flips":${rows.count(_._4)}}""")
+    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":${ms3(orchSecs)},"flips":${rows.count(_._4)}}""")
     spark.stop()
   }
 }
