@@ -255,9 +255,10 @@ object Bench {
     // adjudication have depended on /tmp/bench.json outliving the run
     // because the captured stdout line truncated its tail — a file the
     // sweep itself commits into git is the durable record. Written only
-    // when the resources dir is visible from the cwd (a deployment
-    // running the bench elsewhere keeps the /tmp copy).
-    locally {
+    // for FULL sweeps (a BENCH_ONLY dev subset must not overwrite the
+    // full record) and only when the resources dir is visible from the
+    // cwd (a deployment running the bench elsewhere keeps the /tmp copy).
+    if (only.isEmpty) {
       val res = java.nio.file.Paths.get("src/main/resources")
       if (java.nio.file.Files.isDirectory(res))
         try java.nio.file.Files.write(res.resolve("bench_last_run.json"),

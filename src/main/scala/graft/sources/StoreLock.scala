@@ -155,6 +155,13 @@ object StoreLock {
   def forceBreak(store: String): Unit =
     objectStore.delete(Paths.get(lockPath(store)))
 
-  /** True iff a claim file currently exists (diagnostics/specs). */
-  def isHeld(store: String): Boolean = Files.exists(Paths.get(lockPath(store)))
+  /** True iff a claim currently exists (diagnostics/specs) — answered
+    * through the bound store so a rebinding changes this too. */
+  def isHeld(store: String): Boolean = {
+    val lock = Paths.get(lockPath(store))
+    Option(lock.getParent) match {
+      case Some(parent) => objectStore.list(parent).contains(lock.getFileName.toString)
+      case None => Files.exists(lock)
+    }
+  }
 }
