@@ -151,10 +151,23 @@ object Maintenance {
     def wm(s: SparkSession, asserted: Long): Long = ingestCheckpoint
       .map(cp => graft.streaming.EventStreams.committedWatermark(s, cp) + 1L)
       .getOrElse(asserted)
+    // Post-compaction readback for the stores WITHOUT pinned count
+    // schemas: an absent store or an all-rows-folded fileless layout is
+    // a SUCCESSFUL compaction with 0 survivors — report a 0-row frame,
+    // never die on schema inference and fail the module (which would
+    // cascade FAILURE into every MANDATORY dependent of the DAG while
+    // standardTasks over the identical layout succeeds).
+    def countFrame(s: SparkSession, p: String): org.apache.spark.sql.DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(p)) &&
+          graft.sources.Stores.subPartitionDirs(s, p).nonEmpty) s.read.parquet(p)
+      else s.range(0).toDF("rows")
+    }
     Seq(
       layout.searchIndex.map { case (p, w) => "maint_compact_search" ->
         ((s: SparkSession, _: String) => {
-          Search.compactSearchIndex(s, p, wm(s, w)); s.read.parquet(p) }) },
+          Search.compactSearchIndex(s, p, wm(s, w)); countFrame(s, p) }) },
       layout.lmModel.map { case (p, w) => "maint_compact_lm" ->
         ((s: SparkSession, _: String) => {
           TextOps.compactLmModel(s, p, wm(s, w))
@@ -166,15 +179,15 @@ object Maintenance {
       layout.signatureStore.map(p => "maint_compact_signatures" ->
         ((s: SparkSession, _: String) => {
           Dedup.compactSignatures(s, p, wm(s, layout.retractionFoldBelow))
-          s.read.parquet(p) })),
+          countFrame(s, p) })),
       layout.annIndex.map(p => "maint_compact_ann" ->
         ((s: SparkSession, _: String) => {
           Similarity.compactAnnIndex(s, p, wm(s, layout.retractionFoldBelow))
-          s.read.parquet(p) })),
+          countFrame(s, p) })),
       layout.ivfIndex.map(p => "maint_compact_ivf" ->
         ((s: SparkSession, _: String) => {
           Similarity.compactIvfIndex(s, p, wm(s, layout.retractionFoldBelow))
-          s.read.parquet(p) })),
+          countFrame(s, p) })),
     ).flatten.toMap
   }
 }

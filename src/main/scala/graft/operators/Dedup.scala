@@ -450,18 +450,27 @@ object Dedup {
   /** Persist a signature frame as the on-disk store, partitioned by
     * (shard, batch_id) so gate-side reads prune on shard (PlanSpec
     * asserts the pruning filters reach the scan) and batch-scoped
-    * rewrites stay surgical. */
-  def writeSignatures(sig: DataFrame, path: String): Unit = {
-    // one task per shard: without the repartition every shuffle partition
-    // writes a sliver into every shard dir (shards × partitions small
-    // files — the object-store listing killer compaction exists to fix)
-    graft.sources.Sinks.overwritePartitioned(
-      withBatchId(sig).repartition(col("shard")), path, Seq("shard", "batch_id"))
-    // the Bloom sidecar rides every bootstrap (one extra bucket-column
-    // pass) so the pre-gate never pays a build at probe time
-    writeBloomBytes(sig.sparkSession, path,
-      bloomOfBuckets(sig.sparkSession, sig.select("bucket")))
-  }
+    * rewrites stay surgical. Runs under the store's writer claim via
+    * the [[graft.sources.Stores.overwriteAside]] swap (the
+    * `writeSearchIndexFrom` shape): a bootstrap racing a compaction's
+    * directory renames refuses loudly instead of interleaving, and the
+    * whole-dir swap retires EVERY prior sidecar (`_idbloom.bin`,
+    * `_tombstones`) with the corpus it described — a dynamic-mode
+    * partition overwrite would leave them stale at the store root,
+    * and a stale id-bloom can MISS the new corpus's ids, silently
+    * voiding the ingest guard's no-false-negative invariant. */
+  def writeSignatures(sig: DataFrame, path: String): Unit =
+    graft.sources.Stores.overwriteAside(sig.sparkSession, path) { tmp =>
+      // one task per shard: without the repartition every shuffle partition
+      // writes a sliver into every shard dir (shards × partitions small
+      // files — the object-store listing killer compaction exists to fix)
+      graft.sources.Sinks.overwritePartitioned(
+        withBatchId(sig).repartition(col("shard")), tmp, Seq("shard", "batch_id"))
+      // the Bloom sidecar rides every bootstrap (one extra bucket-column
+      // pass) so the pre-gate never pays a build at probe time
+      writeBloomBytes(sig.sparkSession, tmp,
+        bloomOfBuckets(sig.sparkSession, sig.select("bucket")))
+    }
 
   /** Union `buckets` into the store's Bloom sidecar — called by every
     * append path BEFORE its data lands, so the sidecar (when present)
@@ -481,10 +490,7 @@ object Dedup {
     * sidecar the failure mode is a silent false negative, not a
     * detectable layout conflict. */
   private[graft] def absorbIntoBloom(s: SparkSession, path: String, buckets: DataFrame): Unit =
-    readBloomBytes(s, path).foreach { cur =>
-      writeBloomBytes(s, path,
-        graft.functions.GBloom.union(cur, bloomOfBuckets(s, buckets)))
-    }
+    bucketBloom.absorb(s, path, buckets)
 
   /** Grow the store in place: append a gated batch's ACCEPTED signatures
     * so the next batch is gated against everything admitted before it —
@@ -569,86 +575,43 @@ object Dedup {
   private[graft] val BloomBits = 1 << 20
   private[graft] val BloomHashes = 5
 
+  /** The pre-gate sidecar (`_bloom.bin`) — the shared
+    * [[graft.sources.BloomSidecar]] protocol (build / atomic replace /
+    * lazy ensure / map-side probe) keyed by the signature BUCKET
+    * strings; `_idbloom.bin` ([[graft.sources.IdBloom]]) is the same
+    * implementation keyed by doc ids, so the rename-failure discipline
+    * and the native-vs-fallback fork are maintained ONCE. */
+  private val bucketBloom =
+    new graft.sources.BloomSidecar("_bloom.bin", BloomBits, BloomHashes)
+
   /** Build the Bloom filter of a bucket column: the `graft_bloom`
     * partial aggregate when the session has GraftExtensions (map tasks
     * carry bit arrays, never the bucket stream), else the same filter
     * folded per partition and OR-merged on the driver — identical bits
     * either way (OR is associative; DedupSpec asserts native ≡
     * fallback). */
-  private[graft] def bloomOfBuckets(s: SparkSession, buckets: DataFrame): Array[Byte] = {
-    import s.implicits._
-    if (s.catalog.functionExists("graft_bloom"))
-      buckets.agg(call_function("graft_bloom",
-          col("bucket"), lit(BloomBits), lit(BloomHashes)).as("f"))
-        .collect()(0).getAs[Array[Byte]](0)
-    else {
-      val ds = buckets.select(col("bucket").cast("string")).as[String]
-      ds.rdd.mapPartitions { it =>
-        val bits = new Array[Long](BloomBits / 64)
-        it.foreach(b => graft.functions.GBloom.add(bits, BloomHashes,
-          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        Iterator.single(graft.functions.GBloom.encode(bits, BloomHashes))
-      }.fold(graft.functions.GBloom.encode(new Array[Long](BloomBits / 64), BloomHashes))(
-        graft.functions.GBloom.union)
-    }
-  }
+  private[graft] def bloomOfBuckets(s: SparkSession, buckets: DataFrame): Array[Byte] =
+    bucketBloom.buildOf(s, buckets)
 
-  private def bloomPath(path: String) = path + "/_bloom.bin"
+  private def writeBloomBytes(s: SparkSession, path: String, bytes: Array[Byte]): Unit =
+    bucketBloom.write(s, path, bytes)
 
-  private def writeBloomBytes(s: SparkSession, path: String, bytes: Array[Byte]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(bloomPath(path) + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(bloomPath(path))
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    // Hadoop FS reports delete/rename failure by RETURNING FALSE, not by
-    // throwing — an unchecked failure here would leave a STALE sidecar
-    // missing newly absorbed buckets, which breaks the pre-gate's
-    // no-false-negative soundness silently. Fail loudly instead.
-    if (fs.exists(dst)) require(fs.delete(dst, false),
-      s"could not replace bloom sidecar at $dst")
-    require(fs.rename(tmp, dst), // crash before this leaves only .tmp residue
-      s"could not move bloom sidecar into place at $dst")
-  }
-
-  private def readBloomBytes(s: SparkSession, path: String): Option[Array[Byte]] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(bloomPath(path))
-    if (!fs.exists(p)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try { in.readFully(buf); Some(buf) } finally in.close()
-    }
-  }
+  private def readBloomBytes(s: SparkSession, path: String): Option[Array[Byte]] =
+    bucketBloom.read(s, path)
 
   /** The store's Bloom sidecar, built from the stored buckets if absent
     * (one column scan, paid once per store version — the `_docs`
     * backfill pattern). The underscore name keeps it invisible to the
     * corpus parquet read. */
   private[graft] def ensureBloomSidecar(s: SparkSession, path: String): Array[Byte] =
-    readBloomBytes(s, path).getOrElse {
-      val bytes = bloomOfBuckets(s, s.read.parquet(path).select("bucket"))
-      writeBloomBytes(s, path, bytes)
-      bytes
-    }
+    bucketBloom.ensureFrom(s, path)(s.read.parquet(path).select("bucket"))
 
   /** The membership probe as a Column — native expression with the
     * filter riding as a literal when the extension is registered, else
-    * a UDF over the same [[graft.functions.GBloom]] bits. */
+    * a UDF over the same [[graft.functions.GBloom]] bits (null-safe:
+    * gateAgg's coalesce routes null probes to the conservative branch). */
   private[graft] def bloomContainsCol(s: SparkSession, bucket: Column, bytes: Array[Byte]): Column =
-    if (s.catalog.functionExists("graft_bloom_contains"))
-      call_function("graft_bloom_contains", bucket, lit(bytes))
-    else {
-      val (k, bits) = graft.functions.GBloom.decode(bytes)
-      // Option return = null-safe like the native expression (null in,
-      // null out); gateAgg's coalesce then routes null probes to the
-      // conservative branch
-      udf((b: String) => Option(b).map(v => graft.functions.GBloom.contains(bits, k,
-        v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).apply(bucket)
-    }
+    bucketBloom.mightContain(s, bucket, bytes)
 
   /** Gate an incoming signature batch against the STORED corpus: the
     * incoming batch's shard set (≤ [[SigShards]] values — control-plane,

@@ -233,20 +233,26 @@ object Pipeline {
     }
     if (!visible) return
     val incIds = incoming.select(col(idCol).cast(LongType).as(idCol)).distinct()
+    // persist the probe survivors: the emptiness check and the exact
+    // verification join otherwise EACH re-run the incoming distinct and
+    // re-ship the 2 MiB filter as a plan literal — one pass, cached
+    // (bounded by the batch's distinct ids), does the work once
     val possible = incIds.filter(
       graft.sources.IdBloom.mightContain(s,
-        col(idCol), graft.sources.IdBloom.ensure(s, path, idCol)))
-    if (possible.limit(1).count() == 0L) return // provably novel batch
-    val clash = s.read.parquet(path)
-      .select(col(idCol).cast(LongType).as(idCol), col("batch_id").cast(LongType).as("batch_id"))
-      .filter(col("batch_id") =!= batchId)
-      .join(possible, Seq(idCol), "left_semi")
-      .limit(1).count()
-    require(clash == 0L,
-      s"ingestDocs: batch $batchId re-ingests ids already present in the " +
-        s"$family store $path under another batch id — the duplicate rows " +
-        "would surface twice in every read face; cross-batch " +
-        "doc-disjointness is the store's exactness precondition")
+        col(idCol), graft.sources.IdBloom.ensure(s, path, idCol))).persist()
+    try {
+      if (possible.count() == 0L) return // provably novel batch
+      val clash = s.read.parquet(path)
+        .select(col(idCol).cast(LongType).as(idCol), col("batch_id").cast(LongType).as("batch_id"))
+        .filter(col("batch_id") =!= batchId)
+        .join(possible, Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"ingestDocs: batch $batchId re-ingests ids already present in the " +
+          s"$family store $path under another batch id — the duplicate rows " +
+          "would surface twice in every read face; cross-batch " +
+          "doc-disjointness is the store's exactness precondition")
+    } finally possible.unpersist()
   }
 
   /** Does `path` hold an IVF index (centroid sidecar) rather than an

@@ -1284,16 +1284,23 @@ object Similarity {
 
   /** [[writeAnnIndex]] over a caller-supplied vector frame (the
     * [[writeIvfIndexFrom]] shape) — the bootstrap face store-building
-    * specs and the as-of scenario construct corpora with. */
+    * specs and the as-of scenario construct corpora with. Runs under
+    * the store's writer claim via the
+    * [[graft.sources.Stores.overwriteAside]] swap, which also retires
+    * every prior sidecar (`_idbloom.bin`, `_tombstones`) with the
+    * corpus it described — see [[graft.operators.Dedup.writeSignatures]]
+    * for the stale-id-bloom hazard this closes. */
   def writeAnnIndexFrom(s: SparkSession, vectors: DataFrame, path: String): Unit =
-    // one task per bucket (writeSignatures' discipline): without the
-    // repartition every shuffle partition emits a sliver file into every
-    // bucket directory — buckets × partitions small files, the
-    // object-store listing killer compaction exists to fix
-    graft.sources.Sinks.overwritePartitioned(
-      bucketed(s, vectors).withColumn("batch_id", lit(-1L))
-        .repartition(col("bucket")),
-      path, Seq("bucket", "batch_id"))
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      // one task per bucket (writeSignatures' discipline): without the
+      // repartition every shuffle partition emits a sliver file into every
+      // bucket directory — buckets × partitions small files, the
+      // object-store listing killer compaction exists to fix
+      graft.sources.Sinks.overwritePartitioned(
+        bucketed(s, vectors).withColumn("batch_id", lit(-1L))
+          .repartition(col("bucket")),
+        tmp, Seq("bucket", "batch_id"))
+    }
 
   /** The index row shape: vector + norm + sign bucket under the index's
     * plane family (bucket stays the FIRST partition level, so probe

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * false positive costs one pruned scan, never a wrong refusal).
   *
   * Lifecycle, mirroring the bucket-Bloom sidecar (`_bloom.bin`,
-  * [[graft.operators.Dedup]]):
+  * [[graft.operators.Dedup]]) — both ride the ONE shared
+  * [[BloomSidecar]] protocol implementation (build / atomic replace /
+  * lazy ensure / superset-before-append absorb / map-side probe):
   *  - built LAZILY by [[ensure]] from one column-pruned scan of the store
   *    the first time a guard needs it (bootstrap writers stay untouched —
   *    a deployment that never uses `ingestDocs` never pays for it);
@@ -46,85 +48,32 @@ object IdBloom {
   val Bits: Int = 1 << 24
   val Hashes: Int = 5
 
-  def path(store: String): String = store + "/_idbloom.bin"
+  private val sidecar = new BloomSidecar("_idbloom.bin", Bits, Hashes)
 
-  private def fsOf(s: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+  def path(store: String): String = sidecar.path(store)
 
-  def read(s: SparkSession, store: String): Option[Array[Byte]] = {
-    val fs = fsOf(s, store)
-    val p = new org.apache.hadoop.fs.Path(path(store))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(in.readAllBytes()) finally in.close()
-    }
-  }
-
-  /** Atomic replace: write aside, rename in (the `_bloom.bin`
-    * discipline) — a crash leaves the previous filter or the new one,
-    * never a torn file. */
-  private def write(s: SparkSession, store: String, bytes: Array[Byte]): Unit = {
-    val fs = fsOf(s, store)
-    val tmp = new org.apache.hadoop.fs.Path(path(store) + ".tmp")
-    val dst = new org.apache.hadoop.fs.Path(path(store))
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (fs.exists(dst)) require(fs.delete(dst, false),
-      s"could not replace id-bloom sidecar at $dst")
-    require(fs.rename(tmp, dst),
-      s"could not move id-bloom sidecar into place at $dst")
-  }
+  def read(s: SparkSession, store: String): Option[Array[Byte]] =
+    sidecar.read(s, store)
 
   /** Canonical key bytes for an id: its decimal string. */
   private def keyCol(id: Column): Column = id.cast("long").cast("string")
-
-  /** Build the filter of a one-column id frame — the `graft_bloom`
-    * partial aggregate when the extensions are installed (map-side bit
-    * arrays, bit-OR merge), a per-partition fold otherwise. */
-  private def bloomOf(s: SparkSession, ids: DataFrame): Array[Byte] = {
-    val keys = ids.select(keyCol(col(ids.columns.head)).as("k"))
-    if (s.catalog.functionExists("graft_bloom"))
-      keys.agg(call_function("graft_bloom", col("k"), lit(Bits), lit(Hashes)).as("f"))
-        .head().getAs[Array[Byte]]("f")
-    else
-      keys.select("k").rdd.mapPartitions { it =>
-        val bits = new Array[Long](Bits / 64)
-        it.foreach(r => if (!r.isNullAt(0))
-          graft.functions.GBloom.add(bits, Hashes,
-            r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        Iterator.single(graft.functions.GBloom.encode(bits, Hashes))
-      }.fold(graft.functions.GBloom.encode(new Array[Long](Bits / 64), Hashes))(
-        graft.functions.GBloom.union)
-  }
 
   /** Union a batch's ids into the sidecar BEFORE its rows land — no-op
     * while the sidecar is absent (only [[ensure]] creates it, and its
     * full-store build covers whatever was appended before). */
   def absorb(s: SparkSession, store: String, ids: DataFrame): Unit =
-    read(s, store).foreach { cur =>
-      write(s, store, graft.functions.GBloom.union(cur, bloomOf(s, ids)))
-    }
+    sidecar.absorb(s, store,
+      ids.select(keyCol(col(ids.columns.head)).as("k")))
 
   /** The store's id filter, built from a column-pruned scan of `idCol`
     * if absent — one O(store-ids) job that every later guard amortizes
     * to an O(batch) map-side probe. */
   def ensure(s: SparkSession, store: String, idCol: String): Array[Byte] =
-    read(s, store).getOrElse {
-      val bytes = bloomOf(s, s.read.parquet(store).select(idCol))
-      write(s, store, bytes)
-      bytes
-    }
+    sidecar.ensureFrom(s, store)(
+      s.read.parquet(store).select(keyCol(col(idCol)).as("k")))
 
   /** Map-side membership probe of an id column against an encoded
     * filter (the native expression when installed, a UDF otherwise). */
   def mightContain(s: SparkSession, id: Column, bytes: Array[Byte]): Column =
-    if (s.catalog.functionExists("graft_bloom_contains"))
-      call_function("graft_bloom_contains", keyCol(id), lit(bytes))
-    else {
-      val (k, bits) = graft.functions.GBloom.decode(bytes)
-      udf((key: String) => Option(key).map(v =>
-        graft.functions.GBloom.contains(bits, k,
-          v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).apply(keyCol(id))
-    }
+    sidecar.mightContain(s, keyCol(id), bytes)
 }

@@ -19,8 +19,12 @@ import graft.state.TxnLog
   * (hidden-temp + link(2): atomic on POSIX and NFS); an S3/GCS
   * deployment rebinds [[objectStore]] to its SDK's conditional PUT
   * (`If-None-Match: *` / `ifGenerationMatch=0`), exactly as the commit
-  * log documents. The payload names the holder (pid, op, timestamp) so
-  * contention errors are actionable.
+  * log documents; the binding owns the mapping from the driver's
+  * scheme-less ABSOLUTE store path into its bucket namespace (URI-form
+  * and, under a rebinding, relative paths are refused loudly — java.nio
+  * would mangle them into cwd-dependent keys and silently void the
+  * mutual exclusion). The payload names the holder (pid, op, timestamp)
+  * so contention errors are actionable.
   *
   * Semantics:
   *  - REENTRANT per thread: the composition entry points
@@ -64,13 +68,21 @@ object StoreLock {
   def lockPath(store: String): String = normalize(store) + ".lock"
 
   private def normalize(store: String): String = {
-    // same driver-local contract (and reason) as TxnLog under the
-    // DEFAULT binding: java.nio on a remote URI silently resolves a
-    // literal local path. A rebound object store lifts the restriction.
-    require((objectStore ne TxnLog.FsObjectStore) ||
-      (!store.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") && !store.startsWith("file:")),
-      s"StoreLock's default filesystem binding requires a driver-local store path, " +
-        s"got '$store' — rebind StoreLock.objectStore for remote stores")
+    // same scheme-less contract (and reason) as TxnLog: java.nio cannot
+    // faithfully represent a URI ("//" collapses, toAbsolutePath prefixes
+    // the cwd), so a URI-form path would mangle SILENTLY into a
+    // cwd-dependent key — two drivers would claim DIFFERENT locks for the
+    // same store, voiding the mutual exclusion. Refuse loudly instead: a
+    // remote deployment's rebound binding owns the mapping from the
+    // driver's scheme-less absolute path into its bucket namespace.
+    require(!store.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") && !store.startsWith("file:"),
+      s"StoreLock requires a scheme-less store path, got '$store' — a rebound " +
+        "object-store binding maps absolute paths into its own namespace")
+    // under a rebound binding the key must not depend on this driver's
+    // cwd (another claimer may run elsewhere): require absolute up front
+    require((objectStore eq TxnLog.FsObjectStore) || Paths.get(store).isAbsolute,
+      s"StoreLock under a rebound object store requires an ABSOLUTE store path, " +
+        s"got '$store' — a relative path would resolve against each driver's cwd")
     Paths.get(store).toAbsolutePath.normalize.toString
   }
 
@@ -111,7 +123,8 @@ object StoreLock {
       }
     } else {
       val lock = Paths.get(key + ".lock")
-      Option(lock.getParent).foreach(Files.createDirectories(_))
+      // no local mkdir here: FsObjectStore.putIfAbsent creates parents
+      // itself, and a rebound remote binding must see no local FS writes
       val payload =
         (s"pid=${ProcessHandle.current().pid()} op=$op " +
           s"thread=${me.getName} ts=${java.time.Instant.now()}").getBytes("UTF-8")
