@@ -86,7 +86,11 @@ object ScaleCheck {
     // parse + reject split at 10x), the derived-partsupp join shapes,
     // and the versioned tokenizer's as-of face (train 2 versions at
     // 10x vocabulary pressure, encode under the frozen v0)
-    "q_csv_load", "q_jsonl_load", "q_tpch_q9", "q_tpch_q20", "q_bpe_asof")
+    "q_csv_load", "q_jsonl_load", "q_tpch_q9", "q_tpch_q20", "q_bpe_asof",
+    // the rest of the derived-partsupp family: Q2's window-min over
+    // broadcast joins, Q11's 1-row global threshold broadcast-back,
+    // Q16's distinct-count behind broadcast part/anti-supplier filters
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")

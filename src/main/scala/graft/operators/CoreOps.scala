@@ -935,6 +935,96 @@ object CoreOps {
       .orderBy("s_suppkey")
   }
 
+  /** Q2 analogue — min-cost supplier: for each mid-size STANDARD part,
+    * the EUROPE-region supplier(s) offering it at the region's minimum
+    * supply cost. The official query's correlated `= (SELECT min …)`
+    * becomes a per-part window MIN over the region-filtered offer
+    * slice: supplier ∘ nation ∘ region is dimension-sized (one
+    * broadcast), partsupp is |part|×4 (dimension-scale next to the
+    * facts), so the whole query runs broadcast joins plus ONE shuffle —
+    * the window's ps_partkey partition. Ties share the minimum (both
+    * engines return the full tie set; the ORDER BY is total, so the
+    * compare is deterministic). */
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.part(s, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    val eu = broadcast(Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    partsuppOf(s, dir)
+      .join(broadcast(sized), col("ps_partkey") === col("p_partkey"))
+      .join(eu, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost",
+        min("ps_supplycost").over(Window.partitionBy("ps_partkey")))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").cast(LongType).as("p_partkey"), col("p_brand"),
+        col("ps_supplycost").cast(DoubleType).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  /** Q11 analogue — important stock: per-part inventory value
+    * (supplycost × availqty) held by one nation's suppliers, keeping
+    * parts whose value exceeds 1.5× the nation's mean per-part value.
+    * The official fixed fraction is 1/SF-scaled by hand; the mean-based
+    * threshold is SCALE-INVariant (the kept share converges as parts
+    * grow), and the comparison is re-expressed integer-exactly —
+    * value·cnt·2 > total·3 — so neither engine compares float ratios.
+    * Plan: nation's suppliers broadcast into a left-semi over the
+    * dimension-scale partsupp, ONE groupBy shuffle, then the 1-row
+    * (total, cnt) aggregate broadcasts back as a filter (the
+    * q_tpch_q15 global-scalar shape). */
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_7")
+        .select("n_nationkey"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey"))
+    val v = partsuppOf(s, dir)
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost") * col("ps_availqty").cast(DecimalType(18, 2)))
+        .as("value"))
+    val tot = v.agg(sum("value").as("total"), count(lit(1)).as("cnt"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value") * col("cnt") * lit(2) > col("total") * lit(3))
+      // double conversion goes through decimal(18,2) on BOTH sides: the
+      // value is exactly 2dp, and DuckDB's int128 wide-decimal → double
+      // cast can land 1 ULP off the correctly-rounded conversion
+      .select(col("ps_partkey").cast(LongType).as("ps_partkey"),
+        col("value").cast(DecimalType(18, 2)).cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** Q16 analogue — supplier diversity: distinct supplier counts per
+    * (brand, type, size) over a size list, excluding one brand, one
+    * type, and the negative-balance suppliers (the complaints filter
+    * re-expressed over the columns the testdata carries). Both filters
+    * broadcast (part and the excluded-supplier set are dims); the only
+    * shuffle is the two-phase distinct aggregate Spark plans for
+    * countDistinct — partial per (brand,type,size,suppkey), then the
+    * final count. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 14, 20, 25, 32))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    partsuppOf(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast(LongType).as("p_size"))
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** Q15 analogue — top supplier(s): per-supplier revenue over one
     * quarter, keeping exactly the supplier(s) achieving the GLOBAL
     * maximum. The classic view + correlated `= (SELECT max(...))`
@@ -1396,6 +1486,9 @@ object CoreOps {
     "q_tpch_q8"         -> qTpchQ8 _,
     "q_tpch_q9"         -> qTpchQ9 _,
     "q_tpch_q20"        -> qTpchQ20 _,
+    "q_tpch_q2"         -> qTpchQ2 _,
+    "q_tpch_q11"        -> qTpchQ11 _,
+    "q_tpch_q16"        -> qTpchQ16 _,
     "q_tpch_q15"        -> qTpchQ15 _,
     "q_setops"          -> qSetOps _,
     "q_setops_all"      -> qSetOpsAll _,
@@ -1975,6 +2068,47 @@ object CoreOps {
         |FROM supplier
         |WHERE s_nationkey = 1 AND s_suppkey IN (SELECT ps_suppkey FROM eligible)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q2" ->
+      s"""WITH $duckPartsuppCtes,
+        |eu AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_brand
+        |  FROM partsupp
+        |  JOIN (SELECT p_partkey, p_brand FROM part
+        |        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD') p
+        |    ON ps_partkey = p_partkey
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |m AS (SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+        |      FROM eu)
+        |SELECT s_acctbal, s_name, n_name, cast(ps_partkey AS bigint) AS p_partkey,
+        |  p_brand, cast(ps_supplycost AS double) AS ps_supplycost
+        |FROM m WHERE ps_supplycost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH $duckPartsuppCtes,
+        |v AS (
+        |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7' GROUP BY ps_partkey),
+        |tot AS (SELECT sum(value) AS total, count(*) AS cnt FROM v)
+        |SELECT cast(ps_partkey AS bigint) AS ps_partkey,
+        |  cast(cast(value AS decimal(18,2)) AS double) AS value
+        |FROM v CROSS JOIN tot WHERE value * cnt * 2 > total * 3
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q_tpch_q16" ->
+      s"""WITH $duckPartsuppCtes
+        |SELECT p_brand, p_type, cast(p_size AS bigint) AS p_size,
+        |  cast(count(DISTINCT ps_suppkey) AS bigint) AS supplier_cnt
+        |FROM partsupp JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 20, 25, 32)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_tpch_q8" ->
       """SELECT cast(extract(year FROM o_orderdate) AS bigint) AS o_year,
         |  round(cast(

@@ -406,6 +406,43 @@ class PlanSpec extends AnyFunSuite {
       s"Q12's orderkey equi-join must carry the lateness filter as residual:\n$p12")
     assert(p12.contains("partial_sum"),
       s"Q12's conditional counts must combine map-side:\n$p12")
+    // Q2 (derived partsupp): every join broadcast (part slice, supplier∘
+    // nation∘region), the correlated min a WINDOW over ps_partkey — one
+    // shuffle total, no cartesian
+    val dfQ2 = SparkEntry.queries("q_tpch_q2")(spark, TestSpark.sfDir)
+    dfQ2.collect()
+    val p2 = dfQ2.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("NestedLoop"),
+      s"Q2 must keep every join keyed:\n$p2")
+    assert("BroadcastHashJoin".r.findAllIn(p2).length >= 2,
+      s"Q2 must broadcast the part slice and the region-filtered suppliers:\n$p2")
+    assert(p2.contains("Window"),
+      s"Q2's per-part minimum must be a window, not a re-join:\n$p2")
+    // Q11: nation's suppliers ride a broadcast LeftSemi into partsupp,
+    // the value aggregate combines map-side, and the ONLY nested-loop is
+    // the intended 1-row global (total, cnt) broadcast-back
+    val dfQ11 = SparkEntry.queries("q_tpch_q11")(spark, TestSpark.sfDir)
+    dfQ11.collect()
+    val p11 = dfQ11.queryExecution.executedPlan.toString
+    assert(p11.contains("LeftSemi"),
+      s"Q11's nation filter must stay semi-join shaped:\n$p11")
+    assert(p11.contains("partial_sum"),
+      s"Q11's value aggregate must combine map-side:\n$p11")
+    assert(!p11.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p11).length <= 1,
+      s"Q11's only unkeyed join is the 1-row global threshold broadcast:\n$p11")
+    // Q16: part slice broadcast, the complaints exclusion a broadcast
+    // LeftAnti, no cartesian — the one shuffle is countDistinct's
+    // two-phase aggregate
+    val dfQ16 = SparkEntry.queries("q_tpch_q16")(spark, TestSpark.sfDir)
+    dfQ16.collect()
+    val p16 = dfQ16.queryExecution.executedPlan.toString
+    assert(!p16.contains("CartesianProduct") && !p16.contains("NestedLoop"),
+      s"Q16 must keep every join keyed:\n$p16")
+    assert(p16.contains("LeftAnti"),
+      s"Q16's supplier exclusion must stay anti-join shaped:\n$p16")
+    assert("BroadcastHashJoin".r.findAllIn(p16).length >= 1,
+      s"Q16 must broadcast the filtered part slice:\n$p16")
   }
 
   test("q_ivf_probe: probe assignment is a plan node (Generate under the broadcast), not a driver loop") {
