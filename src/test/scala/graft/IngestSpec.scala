@@ -199,6 +199,48 @@ class IngestSpec extends AnyFunSuite {
       s"vector-only re-ingest must refuse, got: ${e2.getMessage}")
   }
 
+  test("a re-bootstrap retires the stale id-bloom sidecar with the corpus it described") {
+    // writeSignatures replaces the WHOLE corpus; an `_idbloom.bin` built
+    // over the old corpus does not contain the new corpus's ids, and a
+    // Bloom MISS is treated as provably novel — so a surviving stale
+    // sidecar would let a duplicate ingest pass the disjointness guard
+    // silently. The overwriteAside swap must retire it with the data.
+    val a = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(17L)) === 0).select("doc_id", "text")
+    val c = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(17L)) === 1).select("doc_id", "text")
+    val base = Files.createTempDirectory("graft-reboot").toString
+    val sig = base + "/sig"
+    val sigOnly = Pipeline.DocStores(signatures = Some(sig))
+    Dedup.writeSignatures(Dedup.signaturesOf(a), sig)
+    // first guard touch builds the sidecar over corpus A (+ batch 1)
+    Pipeline.ingestDocs(spark, sigOnly,
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(17L)) === 2)
+        .select("doc_id", "text"), batchId = 1L)
+    assert(new java.io.File(sig + "/_idbloom.bin").exists())
+    // re-bootstrap over corpus C: the sidecar must go with the old corpus
+    Dedup.writeSignatures(Dedup.signaturesOf(c), sig)
+    assert(!new java.io.File(sig + "/_idbloom.bin").exists(),
+      "a bootstrap overwrite must retire the old corpus's id-bloom")
+    assert(!graft.sources.StoreLock.isHeld(sig), "bootstrap claim released")
+    // the rebuilt guard sees corpus C: a duplicate of C refuses loudly
+    val dup = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark, sigOnly, c, batchId = 7L)
+    }
+    assert(dup.getMessage.contains("another batch id"),
+      s"post-re-bootstrap duplicate must refuse, got: ${dup.getMessage}")
+    // same retirement contract on the ANN bootstrap face
+    val vecs = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(17L)) === 0)
+    val lsh = base + "/lsh"
+    Similarity.writeAnnIndexFrom(spark, vecs, lsh)
+    graft.sources.IdBloom.ensure(spark, lsh, "vec_id")
+    assert(new java.io.File(lsh + "/_idbloom.bin").exists())
+    Similarity.writeAnnIndexFrom(spark, vecs, lsh)
+    assert(!new java.io.File(lsh + "/_idbloom.bin").exists(),
+      "the ANN bootstrap must retire the stale id-bloom too")
+  }
+
   test("ingestDocs: a fresh store holding only crashed-write staging residue reads as absent") {
     // a FIRST ingest into a fresh store that crashes mid-write leaves
     // the dir containing only Spark staging residue (underscore/dot

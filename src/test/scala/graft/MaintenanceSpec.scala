@@ -29,6 +29,31 @@ class MaintenanceSpec extends AnyFunSuite {
     (3L, "sphinx of black quartz judge my vow before the winter ends")
   ).toDF("doc_id", "text")
 
+  test("module readback reports 0 for an absent or all-folded store instead of failing the module") {
+    // a compaction that folds/purges EVERY row (or a layout naming a
+    // store that was never written) is a SUCCESSFUL sweep with 0
+    // survivors — the module's record count must say so, not die on
+    // parquet schema inference and cascade FAILURE into every MANDATORY
+    // dependent of the DAG (standardTasks over the identical layout
+    // succeeds)
+    val base = Files.createTempDirectory("graft-maint-empty").toString
+    val layout = Maintenance.StoreLayout(
+      signatureStore = Some(base + "/never-written"),
+      annIndex = Some(base + "/ann"))
+    // an all-retracted ANN store: bootstrap, retract everything, so the
+    // module's compaction physically purges every row
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 50)
+    graft.operators.Similarity.writeAnnIndexFrom(spark, vecs, base + "/ann")
+    graft.operators.Similarity.retractVectors(spark, base + "/ann",
+      vecs.select("vec_id").collect().map(_.getLong(0)).toSeq)
+    val registry = Maintenance.moduleRegistry(layout)
+    assert(registry("maint_compact_signatures")(spark, "").count() === 0L,
+      "an absent store must read back as 0 survivors")
+    assert(registry("maint_compact_ann")(spark, "").count() === 0L,
+      "an all-purged store must read back as 0 survivors")
+  }
+
   test("healthy sweep: every store compacts, batch ends SUCCESS with counts") {
     val store = new MwStateStore(spark, Files.createTempDirectory("graft-maint").toString)
     val lc = fixture(store)

@@ -165,4 +165,60 @@ class StoreLockSpec extends AnyFunSuite {
       "racing ingest/compaction must serialize to the one-shot store content")
     assert(!StoreLock.isHeld(sig), "all claims released")
   }
+
+  test("path contract: URIs refuse loudly; a rebound binding requires absolute paths and gets stable keys") {
+    // java.nio cannot faithfully represent a URI ("//" collapses,
+    // toAbsolutePath prefixes the cwd) — a mangled key would claim a
+    // DIFFERENT lock per driver and silently void the exclusion, so the
+    // contract refuses up front under EVERY binding
+    val uri = intercept[IllegalArgumentException] {
+      StoreLock.withLock("s3a://bucket/sig", "op")(())
+    }
+    assert(uri.getMessage.contains("scheme-less"), uri.getMessage)
+    // in-memory conditional-PUT binding (the S3 semantics, the TxnLog
+    // seam-contract shape): claims must go through the BOUND store and
+    // normalize cwd-independently
+    object mem extends graft.state.TxnLog.ObjectStore {
+      val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+      def putIfAbsent(key: java.nio.file.Path, bytes: Array[Byte]): Boolean =
+        objects.putIfAbsent(key.toString, bytes.clone()) == null
+      def get(key: java.nio.file.Path): Array[Byte] = {
+        val b = objects.get(key.toString)
+        if (b == null) throw new java.nio.file.NoSuchFileException(key.toString)
+        b.clone()
+      }
+      def list(prefix: java.nio.file.Path): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val p = prefix.toString + "/"
+        objects.keySet().asScala.filter(_.startsWith(p))
+          .map(k => java.nio.file.Paths.get(k).getFileName.toString).toSeq
+      }
+      def delete(key: java.nio.file.Path): Unit = objects.remove(key.toString)
+    }
+    val prev = StoreLock.objectStore
+    StoreLock.objectStore = mem
+    try {
+      // a relative path would resolve against EACH driver's cwd —
+      // refused before any claim lands
+      val rel = intercept[IllegalArgumentException] {
+        StoreLock.withLock("data/sig", "op")(())
+      }
+      assert(rel.getMessage.contains("ABSOLUTE"), rel.getMessage)
+      // two spellings of one absolute path → ONE normalized key: the
+      // second claimer contends instead of silently claiming a twin,
+      // and isHeld answers through the bound store (no filesystem)
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      StoreLock.withLock("/graft-mem/x/../x/store", "holder") {
+        assert(StoreLock.isHeld("/graft-mem/x/store"))
+        val e = intercept[IllegalStateException] {
+          Await.result(
+            Future(StoreLock.withLock("/graft-mem/x/store", "intruder")(())),
+            Duration.Inf)
+        }
+        assert(e.getMessage.contains("holder"), e.getMessage)
+      }
+      assert(!StoreLock.isHeld("/graft-mem/x/store"))
+      assert(mem.objects.isEmpty, "release must go through the bound store")
+    } finally StoreLock.objectStore = prev
+  }
 }
