@@ -1503,7 +1503,11 @@ object CoreOps {
   /** Shared DuckDB CTE chain deriving PARTSUPP — the exact dbgen
     * formula [[partsuppOf]] computes Spark-side, so the two oracles
     * cannot drift from the derivation (`//` is DuckDB integer
-    * division, matching Spark's `div`). */
+    * division, matching Spark's `div`). Supplycost stays DECIMAL the
+    * whole way: DuckDB's `/` promotes ANY operands to DOUBLE, so the
+    * cents are scaled by a decimal 0.01 multiply instead — otherwise
+    * Q11's threshold compare would be float on the oracle side while
+    * Spark compares exact decimal. */
   private val duckPartsuppCtes: String =
     """ns AS (SELECT count(*) AS n FROM supplier),
       |ps0 AS (
@@ -1513,7 +1517,8 @@ object CoreOps {
       |partsupp AS (
       |  SELECT ps_partkey, ps_suppkey,
       |    (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
-      |    cast((ps_partkey * 31 + ps_suppkey * 17) % 20000 AS decimal(18,2)) / 100 + 1 AS ps_supplycost
+      |    cast((ps_partkey * 31 + ps_suppkey * 17) % 20000 AS decimal(18,2))
+      |      * cast(0.01 AS decimal(3,2)) + 1 AS ps_supplycost
       |  FROM ps0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
