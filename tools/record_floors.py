@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Re-record the per-query floor table from an honest full sweep.
+
+Usage: record_floors.py BENCH.json [--write]
+
+Reads a graft.Bench output line (or a file containing it — the
+/tmp/bench.json copy or src/main/resources/bench_last_run.json), checks it
+covers the full registry (refuses a BENCH_ONLY subset: floors must come
+from ONE uniform sweep, the r12+ discipline), and emits
+
+  - src/main/resources/bench_floors.json   (sorted by name)
+  - the 4-column BASELINE.md floor table   (sorted by seconds, descending)
+
+Prints both to stdout; only --write touches the resources file. Dev-only
+tool — not part of the shipped library.
+"""
+import json
+import sys
+
+
+def main(path, write):
+    with open(path) as f:
+        rec = json.loads(f.read().strip())
+    queries = rec["queries"]
+    try:
+        with open("src/main/resources/bench_floors.json") as f:
+            old = json.load(f)
+    except FileNotFoundError:
+        old = {}
+    missing = sorted(set(old) - set(queries))
+    if missing:
+        sys.exit(f"REFUSED: sweep lacks {len(missing)} queries with existing "
+                 f"floors (BENCH_ONLY subset?): {', '.join(missing[:8])}…")
+    floors = {k: queries[k] for k in sorted(queries)}
+    print(json.dumps(floors, indent=1, sort_keys=True))
+    print()
+    ordered = sorted(queries.items(), key=lambda kv: (-kv[1], kv[0]))
+    ncol, nrow = 4, (len(ordered) + 3) // 4
+    print("| query | s | query | s | query | s | query | s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in range(nrow):
+        cells = []
+        for c in range(ncol):
+            i = c * nrow + r
+            cells.append(f"{ordered[i][0]} | {ordered[i][1]:.3f}"
+                         if i < len(ordered) else " | ")
+        print("| " + " | ".join(cells) + " |")
+    if write:
+        with open("src/main/resources/bench_floors.json", "w") as f:
+            json.dump(floors, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"\nwrote {len(floors)} floors", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    main(sys.argv[1], "--write" in sys.argv)
