@@ -175,8 +175,10 @@ object ScaleCheck {
     // registered queries, driven against the sf1 dataset under a real
     // control store — records wall time and that both modules complete
     // with nonzero counts. Control-plane cost is scale-independent by
-    // design; this is the off-paper record of that claim.
-    val orchSecs = {
+    // design; this is the off-paper record of that claim. A
+    // SCALE_ONLY dev subset skips it (the Bench only-gating shape) —
+    // a one-query iteration loop must not pay the full chain.
+    val orchSecs = if (only.nonEmpty) 0.0 else {
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-orch").toString
       val store = new graft.state.MwStateStore(spark, dir)
       store.putBatchMaster(Seq(graft.state.BatchMaster(300, "SCALE_A", 1, Some("OPS"), None),

@@ -157,12 +157,19 @@ object Maintenance {
     // never die on schema inference and fail the module (which would
     // cascade FAILURE into every MANDATORY dependent of the DAG while
     // standardTasks over the identical layout succeeds).
-    def countFrame(s: SparkSession, p: String): org.apache.spark.sql.DataFrame = {
+    def countFrame(s: SparkSession, p: String): org.apache.spark.sql.DataFrame =
+      if (graft.sources.Stores.hasVisibleData(s, p)) s.read.parquet(p)
+      else s.range(0).toDF("rows")
+    // Model stores carry pinned count schemas, so an EXISTING-but-
+    // fileless layout already reads as 0 rows — but a NEVER-written
+    // path (configured before the first train) must too, not die on
+    // PATH_NOT_FOUND and cascade FAILURE through the DAG's dependents.
+    def schemaFrame(s: SparkSession, p: String,
+        schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(p)) &&
-          graft.sources.Stores.subPartitionDirs(s, p).nonEmpty) s.read.parquet(p)
-      else s.range(0).toDF("rows")
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) s.read.schema(schema).parquet(p)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     Seq(
       layout.searchIndex.map { case (p, w) => "maint_compact_search" ->
@@ -171,11 +178,11 @@ object Maintenance {
       layout.lmModel.map { case (p, w) => "maint_compact_lm" ->
         ((s: SparkSession, _: String) => {
           TextOps.compactLmModel(s, p, wm(s, w))
-          s.read.schema(TextOps.lmCountsSchema).parquet(p) }) },
+          schemaFrame(s, p, TextOps.lmCountsSchema) }) },
       layout.nbModel.map { case (p, w) => "maint_compact_nb" ->
         ((s: SparkSession, _: String) => {
           TextOps.compactNbModel(s, p, wm(s, w))
-          s.read.schema(TextOps.nbCountsSchema).parquet(p) }) },
+          schemaFrame(s, p, TextOps.nbCountsSchema) }) },
       layout.signatureStore.map(p => "maint_compact_signatures" ->
         ((s: SparkSession, _: String) => {
           Dedup.compactSignatures(s, p, wm(s, layout.retractionFoldBelow))

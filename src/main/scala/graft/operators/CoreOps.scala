@@ -859,8 +859,16 @@ object CoreOps {
     * dimension-sized driver scalar (the broadcast-dim rule). At scale
     * partsupp is |part|×4 — dimension-sized next to lineitem, which is
     * why Q9 broadcasts it below. */
+  /** Supplier count per (session, sf-dir), memoized: five queries build
+    * [[partsuppOf]] and Bench/Verify/ScaleCheck invoke each repeatedly —
+    * the 1-row count action is deterministic per dir, so paying the scan
+    * on every DataFrame CONSTRUCTION (before any job even runs) is pure
+    * waste. Dimension-sized driver scalar, the broadcast-dim rule. */
+  private val nSuppMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   private[operators] def partsuppOf(s: SparkSession, dir: String): DataFrame = {
-    val nSupp = Tables.supplier(s, dir).count()
+    val nSupp = nSuppMemo.getOrElseUpdate((s, dir), Tables.supplier(s, dir).count())
     Tables.part(s, dir).select(col("p_partkey").as("ps_partkey"))
       .withColumn("i", explode(array((0L to 3L).map(lit): _*)))
       .withColumn("ps_suppkey",

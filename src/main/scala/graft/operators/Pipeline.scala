@@ -221,17 +221,9 @@ object Pipeline {
     * inference over residue. */
   private def requireNewDocsInIndex(s: SparkSession, path: String,
       idCol: String, incoming: DataFrame, batchId: Long, family: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      s.sparkContext.hadoopConfiguration)
-    val hp = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(hp)) return
-    // Spark's FileIndex visibility rule: underscore/dot entries are not
-    // data, so a dir of pure staging residue is an absent store
-    val visible = fs.listStatus(hp).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (!visible) return
+    // a dir of pure underscore/dot staging residue is an absent store
+    // (the FileIndex visibility rule, shared in Stores.hasVisibleData)
+    if (!graft.sources.Stores.hasVisibleData(s, path)) return
     val incIds = incoming.select(col(idCol).cast(LongType).as(idCol)).distinct()
     // persist the probe survivors: the emptiness check and the exact
     // verification join otherwise EACH re-run the incoming distinct and

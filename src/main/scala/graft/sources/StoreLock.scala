@@ -16,15 +16,19 @@ import graft.state.TxnLog
   * one atomic put-if-absent on the [[TxnLog.ObjectStore]] seam — the
   * conditional-PUT primitive the commit log already ships kill -9
   * torture-proven. The default binding is [[TxnLog.FsObjectStore]]
-  * (hidden-temp + link(2): atomic on POSIX and NFS); an S3/GCS
-  * deployment rebinds [[objectStore]] to its SDK's conditional PUT
+  * (hidden-temp + link(2): atomic on POSIX and NFS) for scheme-less
+  * local/NFS store paths. A URI-addressed store (hdfs://, s3a:// — the
+  * Hadoop-FS paths every data-plane face accepts) locks through a
+  * REBOUND [[objectStore]] sharing the writers' medium:
+  * [[TxnLog.HadoopObjectStore]] for HDFS (create-no-overwrite, which
+  * the NameNode serializes), the SDK's conditional PUT for S3/GCS
   * (`If-None-Match: *` / `ifGenerationMatch=0`), exactly as the commit
-  * log documents; the binding owns the mapping from the driver's
-  * scheme-less ABSOLUTE store path into its bucket namespace (URI-form
-  * and, under a rebinding, relative paths are refused loudly — java.nio
-  * would mangle them into cwd-dependent keys and silently void the
-  * mutual exclusion). The payload names the holder (pid, op, timestamp)
-  * so contention errors are actionable.
+  * log documents. Keys normalize cwd-independently (java.net.URI for
+  * URI form — java.nio would mangle "//" and prefix the cwd, silently
+  * voiding the exclusion); a URI under the default LOCAL binding and a
+  * relative path under a rebinding are refused loudly. The payload
+  * names the holder (pid, op, timestamp) so contention errors are
+  * actionable.
   *
   * Semantics:
   *  - REENTRANT per thread: the composition entry points
@@ -67,24 +71,40 @@ object StoreLock {
 
   def lockPath(store: String): String = normalize(store) + ".lock"
 
-  private def normalize(store: String): String = {
-    // same scheme-less contract (and reason) as TxnLog: java.nio cannot
-    // faithfully represent a URI ("//" collapses, toAbsolutePath prefixes
-    // the cwd), so a URI-form path would mangle SILENTLY into a
-    // cwd-dependent key — two drivers would claim DIFFERENT locks for the
-    // same store, voiding the mutual exclusion. Refuse loudly instead: a
-    // remote deployment's rebound binding owns the mapping from the
-    // driver's scheme-less absolute path into its bucket namespace.
-    require(!store.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") && !store.startsWith("file:"),
-      s"StoreLock requires a scheme-less store path, got '$store' — a rebound " +
-        "object-store binding maps absolute paths into its own namespace")
-    // under a rebound binding the key must not depend on this driver's
-    // cwd (another claimer may run elsewhere): require absolute up front
-    require((objectStore eq TxnLog.FsObjectStore) || Paths.get(store).isAbsolute,
-      s"StoreLock under a rebound object store requires an ABSOLUTE store path, " +
-        s"got '$store' — a relative path would resolve against each driver's cwd")
-    Paths.get(store).toAbsolutePath.normalize.toString
-  }
+  private def normalize(store: String): String =
+    if (store.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) {
+      // URI-addressed store (hdfs://, s3a://, … — every data-plane face
+      // speaks Hadoop FS, so the lock must too). java.nio cannot
+      // faithfully represent a URI ("//" collapses, toAbsolutePath
+      // prefixes the cwd), so the key is built from java.net.URI alone:
+      // the canonical, cwd-independent `/scheme/authority/path` form
+      // that [[TxnLog.HadoopObjectStore]] decodes back to the
+      // filesystem. Under the DEFAULT local binding a URI still refuses
+      // loudly — a lock file on THIS machine's disk cannot exclude a
+      // writer on another machine from a shared remote store, which
+      // would silently void the mutual exclusion this class exists for.
+      require(!(objectStore eq TxnLog.FsObjectStore),
+        s"StoreLock: URI-addressed store '$store' under the default local " +
+          "object-store binding — a local lock cannot exclude remote " +
+          "writers. Bind StoreLock.objectStore to the deployment's shared " +
+          "medium first (TxnLog.HadoopObjectStore for HDFS, the SDK " +
+          "conditional-PUT binding for S3/GCS)")
+      val u = java.net.URI.create(store).normalize()
+      require(u.getPath != null && u.getPath.startsWith("/"),
+        s"StoreLock: URI store path must be absolute, got '$store'")
+      val auth = Option(u.getAuthority).filter(_.nonEmpty).getOrElse("-")
+      // trailing-slash spellings must not claim a twin key
+      val p = if (u.getPath.length > 1) u.getPath.reverse.dropWhile(_ == '/').reverse
+              else u.getPath
+      s"/${u.getScheme.toLowerCase(java.util.Locale.ROOT)}/$auth$p"
+    } else {
+      // under a rebound binding the key must not depend on this driver's
+      // cwd (another claimer may run elsewhere): require absolute up front
+      require((objectStore eq TxnLog.FsObjectStore) || Paths.get(store).isAbsolute,
+        s"StoreLock under a rebound object store requires an ABSOLUTE store path, " +
+          s"got '$store' — a relative path would resolve against each driver's cwd")
+      Paths.get(store).toAbsolutePath.normalize.toString
+    }
 
   // reentrancy bookkeeping: normalized store path -> (holder thread, depth)
   private val held =

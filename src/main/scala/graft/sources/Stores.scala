@@ -64,6 +64,21 @@ object Stores {
     * scoping on this level, so "does this store need a compaction fold"
     * and "is this store pristine" are answerable for the cost of two
     * directory listings. */
+  /** Does `path` hold any VISIBLE data? Spark's FileIndex visibility
+    * rule in one place: underscore/dot entries (sidecars, staging
+    * residue from a crashed first write) are not data, so a dir of
+    * pure residue reads as ABSENT — the shape both the ingest guard
+    * and the maintenance readback need, kept here so a future fix to
+    * the rule cannot silently miss one of them. */
+  def hasVisibleData(s: SparkSession, path: String): Boolean = {
+    val fs = fsOf(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   def subPartitionDirs(s: SparkSession, path: String): Set[String] = {
     val fs = fsOf(s, path)
     val p = new org.apache.hadoop.fs.Path(path)

@@ -445,6 +445,70 @@ object TxnLog {
     }
   }
 
+  /** Hadoop-FS-backed [[ObjectStore]] for URI-addressed stores (the
+    * [[graft.sources.StoreLock]] rebinding an HDFS deployment needs):
+    * keys arrive in StoreLock's canonical `/scheme/authority/path` form
+    * (`-` = empty authority) and decode back to the filesystem URI —
+    * the java.nio key is OPAQUE here, never resolved locally.
+    * `putIfAbsent` is `FileSystem.create(overwrite = false)`: on HDFS
+    * the NameNode serializes the create, so exactly one claimer wins —
+    * the same one-winner primitive link(2) gives [[FsObjectStore]]. On
+    * S3A create-no-overwrite is check-then-act, NOT atomic: an S3/GCS
+    * deployment binds its SDK's conditional PUT instead, as the
+    * [[ConditionalPut]] scaladoc documents. Local `file` URIs carry
+    * the same caveat, which is fine for what they are used for
+    * (single-machine tests of this binding's mechanics). */
+  final class HadoopObjectStore(conf: org.apache.hadoop.conf.Configuration)
+      extends ObjectStore {
+    private def uriOf(key: Path): java.net.URI = {
+      val segs = (0 until key.getNameCount).map(key.getName(_).toString)
+      require(key.isAbsolute && segs.length >= 2,
+        s"HadoopObjectStore keys are /scheme/authority/path, got '$key'")
+      new java.net.URI(segs.head, if (segs(1) == "-") null else segs(1),
+        segs.drop(2).mkString("/", "/", ""), null, null)
+    }
+    private def fsPath(key: Path) = {
+      val u = uriOf(key)
+      (org.apache.hadoop.fs.FileSystem.get(u, conf),
+        new org.apache.hadoop.fs.Path(u))
+    }
+
+    def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean = {
+      val (fs, p) = fsPath(key)
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        // HDFS signals the lost race as FileAlreadyExists; other IO
+        // failures where the key now exists mean the same thing
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
+
+    def get(key: Path): Array[Byte] = {
+      val (fs, p) = fsPath(key)
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+
+    def list(prefix: Path): Seq[String] = {
+      val (fs, p) = fsPath(prefix)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+    }
+
+    def delete(key: Path): Unit = {
+      val (fs, p) = fsPath(key)
+      fs.delete(p, false); ()
+    }
+  }
+
   /** S3/GCS-style conditional-put publisher: a commit is one OBJECT
     * `<v>.commit` whose existence is claimed by a single put-if-absent
     * call on the injected [[ObjectStore]]. Contrast with the POSIX

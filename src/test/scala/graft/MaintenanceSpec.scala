@@ -39,7 +39,12 @@ class MaintenanceSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-maint-empty").toString
     val layout = Maintenance.StoreLayout(
       signatureStore = Some(base + "/never-written"),
-      annIndex = Some(base + "/ann"))
+      annIndex = Some(base + "/ann"),
+      // the model stores' pinned schemas skip inference but NOT path
+      // resolution — a configured-before-first-train path must read 0,
+      // not die on PATH_NOT_FOUND
+      lmModel = Some((base + "/lm-never-written", 0L)),
+      nbModel = Some((base + "/nb-never-written", 0L)))
     // an all-retracted ANN store: bootstrap, retract everything, so the
     // module's compaction physically purges every row
     val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sfDir)
@@ -52,6 +57,10 @@ class MaintenanceSpec extends AnyFunSuite {
       "an absent store must read back as 0 survivors")
     assert(registry("maint_compact_ann")(spark, "").count() === 0L,
       "an all-purged store must read back as 0 survivors")
+    assert(registry("maint_compact_lm")(spark, "").count() === 0L,
+      "a never-written LM model store must read back as 0 survivors")
+    assert(registry("maint_compact_nb")(spark, "").count() === 0L,
+      "a never-written NB model store must read back as 0 survivors")
   }
 
   test("healthy sweep: every store compacts, batch ends SUCCESS with counts") {

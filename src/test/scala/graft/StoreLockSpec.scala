@@ -166,15 +166,15 @@ class StoreLockSpec extends AnyFunSuite {
     assert(!StoreLock.isHeld(sig), "all claims released")
   }
 
-  test("path contract: URIs refuse loudly; a rebound binding requires absolute paths and gets stable keys") {
-    // java.nio cannot faithfully represent a URI ("//" collapses,
-    // toAbsolutePath prefixes the cwd) — a mangled key would claim a
-    // DIFFERENT lock per driver and silently void the exclusion, so the
-    // contract refuses up front under EVERY binding
+  test("path contract: URIs refuse under the local binding, claim under a rebound one; stable keys throughout") {
+    // a lock file on THIS machine's disk cannot exclude a writer on
+    // another machine from a shared remote store — a URI under the
+    // default local binding refuses loudly instead of silently voiding
+    // the exclusion
     val uri = intercept[IllegalArgumentException] {
       StoreLock.withLock("s3a://bucket/sig", "op")(())
     }
-    assert(uri.getMessage.contains("scheme-less"), uri.getMessage)
+    assert(uri.getMessage.contains("local"), uri.getMessage)
     // in-memory conditional-PUT binding (the S3 semantics, the TxnLog
     // seam-contract shape): claims must go through the BOUND store and
     // normalize cwd-independently
@@ -219,6 +219,59 @@ class StoreLockSpec extends AnyFunSuite {
       }
       assert(!StoreLock.isHeld("/graft-mem/x/store"))
       assert(mem.objects.isEmpty, "release must go through the bound store")
+      // URI-addressed stores (the Hadoop-FS paths every data-plane face
+      // accepts) claim under the rebound binding: spellings of one URI
+      // normalize to ONE cwd-independent /scheme/authority/path key —
+      // java.net.URI semantics, never java.nio mangling
+      StoreLock.withLock("hdfs://nn:8020/data/../data/idx/", "holder") {
+        assert(StoreLock.isHeld("hdfs://nn:8020/data/idx"))
+        assert(mem.objects.keys().nextElement() == "/hdfs/nn:8020/data/idx.lock",
+          "the key must be the canonical decodable form")
+        val e = intercept[IllegalStateException] {
+          Await.result(
+            Future(StoreLock.withLock("hdfs://nn:8020/data/idx", "intruder")(())),
+            Duration.Inf)
+        }
+        assert(e.getMessage.contains("holder"), e.getMessage)
+      }
+      assert(!StoreLock.isHeld("hdfs://nn:8020/data/idx"))
+      assert(mem.objects.isEmpty, "URI release must go through the bound store")
+    } finally StoreLock.objectStore = prev
+  }
+
+  test("HadoopObjectStore: create-no-overwrite one-winner claims over a real FileSystem") {
+    // the HDFS rebinding's mechanics driven against the local Hadoop
+    // FileSystem (file scheme, '-' = empty authority in the key form —
+    // the atomicity CLAIM is the NameNode's create serialization, which
+    // local FS cannot demonstrate; this proves the binding's key
+    // decode, payload round-trip, list and idempotent delete)
+    val store = new graft.state.TxnLog.HadoopObjectStore(
+      new org.apache.hadoop.conf.Configuration())
+    val base = Files.createTempDirectory("graft-hos").toString // e.g. /tmp/...
+    val key = java.nio.file.Paths.get("/file/-" + base + "/claims/a.lock")
+    assert(store.putIfAbsent(key, "pid=1 op=ingest".getBytes("UTF-8")),
+      "first claim wins (parents auto-created)")
+    assert(!store.putIfAbsent(key, "pid=2 op=compact".getBytes("UTF-8")),
+      "second claim loses without clobbering")
+    assert(new String(store.get(key), "UTF-8") == "pid=1 op=ingest",
+      "the winner's payload survives the lost race")
+    assert(store.list(java.nio.file.Paths.get("/file/-" + base + "/claims"))
+      == Seq("a.lock"))
+    store.delete(key)
+    store.delete(key) // idempotent
+    assert(store.list(java.nio.file.Paths.get("/file/-" + base + "/claims")).isEmpty)
+    // end to end: StoreLock over this binding with a URI store path
+    val prev = StoreLock.objectStore
+    StoreLock.objectStore = store
+    try {
+      var ran = false
+      StoreLock.withLock(s"file://$base/uri-store", "op") {
+        ran = true
+        assert(StoreLock.isHeld(s"file://$base/uri-store"))
+        assert(Files.exists(java.nio.file.Paths.get(s"$base/uri-store.lock")),
+          "the claim must land on the DECODED filesystem, not a local java.nio key")
+      }
+      assert(ran && !StoreLock.isHeld(s"file://$base/uri-store"))
     } finally StoreLock.objectStore = prev
   }
 }

@@ -5,8 +5,11 @@ Usage: record_floors.py BENCH.json [--write]
 
 Reads a graft.Bench output line (or a file containing it — the
 /tmp/bench.json copy or src/main/resources/bench_last_run.json), checks it
-covers the full registry (refuses a BENCH_ONLY subset: floors must come
-from ONE uniform sweep, the r12+ discipline), and emits
+covers every query that already has a floor (refuses a BENCH_ONLY subset:
+floors must come from ONE uniform sweep, the r12+ discipline; with no
+existing floors file the guard has nothing to check against and refuses
+without --init; queries newer than the floors file cannot be checked —
+eyeball the emitted count against the registry's), and emits
 
   - src/main/resources/bench_floors.json   (sorted by name)
   - the 4-column BASELINE.md floor table   (sorted by seconds, descending)
@@ -26,7 +29,12 @@ def main(path, write):
         with open("src/main/resources/bench_floors.json") as f:
             old = json.load(f)
     except FileNotFoundError:
-        old = {}
+        old = None
+    if not old and "--init" not in sys.argv:
+        sys.exit("REFUSED: no existing bench_floors.json to check coverage "
+                 "against — any subset would record as authoritative. Pass "
+                 "--init only for a genuinely fresh repo.")
+    old = old or {}
     missing = sorted(set(old) - set(queries))
     if missing:
         sys.exit(f"REFUSED: sweep lacks {len(missing)} queries with existing "
