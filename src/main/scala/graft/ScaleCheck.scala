@@ -177,8 +177,10 @@ object ScaleCheck {
     // with nonzero counts. Control-plane cost is scale-independent by
     // design; this is the off-paper record of that claim. A
     // SCALE_ONLY dev subset skips it (the Bench only-gating shape) —
-    // a one-query iteration loop must not pay the full chain.
-    val orchSecs = if (only.nonEmpty) 0.0 else {
+    // a one-query iteration loop must not pay the full chain — and the
+    // record says null, so a skipped measurement can never read as a
+    // measured ~0 s.
+    val orchSecs: Option[Double] = if (only.nonEmpty) None else Some {
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-orch").toString
       val store = new graft.state.MwStateStore(spark, dir)
       store.putBatchMaster(Seq(graft.state.BatchMaster(300, "SCALE_A", 1, Some("OPS"), None),
@@ -201,7 +203,8 @@ object ScaleCheck {
     val qs = rows.map { case (n, a, b, f) =>
       s""""$n":{"sf01":${ms3(a)},"sf1":${ms3(b)},"ratio":${ms3(b / a)},"plan_flip":$f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":${ms3(orchSecs)},"flips":${rows.count(_._4)}}""")
+    val orchJson = orchSecs.map(ms3).getOrElse("null")
+    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":$orchJson,"flips":${rows.count(_._4)}}""")
     spark.stop()
   }
 }

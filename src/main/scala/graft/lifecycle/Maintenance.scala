@@ -157,20 +157,28 @@ object Maintenance {
     // never die on schema inference and fail the module (which would
     // cascade FAILURE into every MANDATORY dependent of the DAG while
     // standardTasks over the identical layout succeeds).
+    // two layers: hasVisibleData rules out absent/residue-only dirs
+    // cheaply, and the catch covers layouts the top-level listing
+    // cannot see through (a visible shard dir whose every batch dir
+    // folded away leaves files NOWHERE — schema inference dies where
+    // an explicit schema would read 0)
     def countFrame(s: SparkSession, p: String): org.apache.spark.sql.DataFrame =
-      if (graft.sources.Stores.hasVisibleData(s, p)) s.read.parquet(p)
-      else s.range(0).toDF("rows")
+      if (!graft.sources.Stores.hasVisibleData(s, p)) s.range(0).toDF("rows")
+      else try s.read.parquet(p)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase(java.util.Locale.ROOT)
+              .contains("unable to infer schema") =>
+          s.range(0).toDF("rows")
+      }
     // Model stores carry pinned count schemas, so an EXISTING-but-
     // fileless layout already reads as 0 rows — but a NEVER-written
     // path (configured before the first train) must too, not die on
     // PATH_NOT_FOUND and cascade FAILURE through the DAG's dependents.
     def schemaFrame(s: SparkSession, p: String,
-        schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(p))) s.read.schema(schema).parquet(p)
+        schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+      if (graft.sources.Stores.pathExists(s, p)) s.read.schema(schema).parquet(p)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
     Seq(
       layout.searchIndex.map { case (p, w) => "maint_compact_search" ->
         ((s: SparkSession, _: String) => {

@@ -863,7 +863,11 @@ object CoreOps {
     * [[partsuppOf]] and Bench/Verify/ScaleCheck invoke each repeatedly —
     * the 1-row count action is deterministic per dir, so paying the scan
     * on every DataFrame CONSTRUCTION (before any job even runs) is pure
-    * waste. Dimension-sized driver scalar, the broadcast-dim rule. */
+    * waste. Dimension-sized driver scalar, the broadcast-dim rule. Same
+    * staleness contract as [[Dedup]]'s cluster memo: REGENERATING the
+    * dataset under a memoized dir inside one session serves the old
+    * value — production datasets are immutable-per-path (TESTDATA's
+    * contract); a dev shell that rewrites a dir starts a new session. */
   private val nSuppMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 

@@ -26,9 +26,14 @@ import graft.state.TxnLog
   * log documents. Keys normalize cwd-independently (java.net.URI for
   * URI form — java.nio would mangle "//" and prefix the cwd, silently
   * voiding the exclusion); a URI under the default LOCAL binding and a
-  * relative path under a rebinding are refused loudly. The payload
-  * names the holder (pid, op, timestamp) so contention errors are
-  * actionable.
+  * relative path under a rebinding are refused loudly. One CANONICAL
+  * spelling per store: the lock key is derived from the path as
+  * written, so drivers addressing one physical store as BOTH
+  * "hdfs://nn/idx" and (defaultFS-relative) "/idx" would claim
+  * different keys — [[TxnLog.HadoopObjectStore]] refuses the
+  * scheme-less key form loudly; a generic SDK binding cannot tell and
+  * the deployment owns the discipline. The payload names the holder
+  * (pid, op, timestamp) so contention errors are actionable.
   *
   * Semantics:
   *  - REENTRANT per thread: the composition entry points
@@ -72,7 +77,11 @@ object StoreLock {
   def lockPath(store: String): String = normalize(store) + ".lock"
 
   private def normalize(store: String): String =
-    if (store.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) {
+    // URI form = scheme followed by a slashed path ("hdfs://nn/x",
+    // "file:/x") — a bare colon inside a path segment ("runs:2026/sig")
+    // stays a filesystem path, matching what FileSystem.get would make
+    // of each
+    if (store.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) {
       // URI-addressed store (hdfs://, s3a://, … — every data-plane face
       // speaks Hadoop FS, so the lock must too). java.nio cannot
       // faithfully represent a URI ("//" collapses, toAbsolutePath
@@ -93,9 +102,16 @@ object StoreLock {
       require(u.getPath != null && u.getPath.startsWith("/"),
         s"StoreLock: URI store path must be absolute, got '$store'")
       val auth = Option(u.getAuthority).filter(_.nonEmpty).getOrElse("-")
-      // trailing-slash spellings must not claim a twin key
-      val p = if (u.getPath.length > 1) u.getPath.reverse.dropWhile(_ == '/').reverse
-              else u.getPath
+      // URI.normalize removes dot segments but NOT empty or trailing
+      // ones — '//' and trailing-slash spellings must not claim a twin
+      // key (worse: Paths.get collapses '//' later, so the in-process
+      // reentrancy map and the object-store key would disagree and a
+      // thread could contend with itself)
+      val p = u.getPath.replaceAll("/+", "/") match {
+        case "/" => "/"
+        case q if q.endsWith("/") => q.dropRight(1)
+        case q => q
+      }
       s"/${u.getScheme.toLowerCase(java.util.Locale.ROOT)}/$auth$p"
     } else {
       // under a rebound binding the key must not depend on this driver's

@@ -79,6 +79,11 @@ object Stores {
     }
   }
 
+  /** Hadoop-FS existence through the same path resolution the rest of
+    * this object uses — callers must not re-inline the fsOf plumbing. */
+  def pathExists(s: SparkSession, path: String): Boolean =
+    fsOf(s, path).exists(new org.apache.hadoop.fs.Path(path))
+
   def subPartitionDirs(s: SparkSession, path: String): Set[String] = {
     val fs = fsOf(s, path)
     val p = new org.apache.hadoop.fs.Path(path)

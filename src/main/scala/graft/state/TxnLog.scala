@@ -462,8 +462,17 @@ object TxnLog {
       extends ObjectStore {
     private def uriOf(key: Path): java.net.URI = {
       val segs = (0 until key.getNameCount).map(key.getName(_).toString)
-      require(key.isAbsolute && segs.length >= 2,
-        s"HadoopObjectStore keys are /scheme/authority/path, got '$key'")
+      // a scheme-less store path produces a key like '/data/idx.lock',
+      // whose first segment would decode as a nonsense scheme — refuse
+      // with the actual mistake named, not 'No FileSystem for scheme:
+      // data' (mixing URI and scheme-less spellings of one store would
+      // otherwise claim DIFFERENT locks, the exact hole the canonical
+      // key form exists to close)
+      require(key.isAbsolute && segs.length >= 3 &&
+          segs.head.matches("[A-Za-z][A-Za-z0-9+.-]*"),
+        s"HadoopObjectStore keys decode /scheme/authority/path (StoreLock's " +
+          s"URI-form mapping), got '$key' — address the store by its full " +
+          "URI (hdfs://authority/path), one canonical spelling per store")
       new java.net.URI(segs.head, if (segs(1) == "-") null else segs(1),
         segs.drop(2).mkString("/", "/", ""), null, null)
     }
@@ -475,15 +484,23 @@ object TxnLog {
 
     def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean = {
       val (fs, p) = fsPath(key)
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        // HDFS signals the lost race as FileAlreadyExists; other IO
-        // failures where the key now exists mean the same thing
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      val out =
+        try fs.create(p, false)
+        catch {
+          // HDFS signals the lost race as FileAlreadyExists; other IO
+          // failures where the key exists mean the same thing
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException => if (fs.exists(p)) return false else throw e
+        }
+      // past create, the key is OURS: a failed write/close must not
+      // leave a holder-less empty claim that reads as "another writer
+      // won" and blocks the store until a human forceBreaks — delete
+      // our own partial object and surface the real failure
+      try { out.write(bytes); out.close(); true }
+      catch { case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        throw e
       }
     }
 

@@ -61,6 +61,14 @@ class MaintenanceSpec extends AnyFunSuite {
       "a never-written LM model store must read back as 0 survivors")
     assert(registry("maint_compact_nb")(spark, "").count() === 0L,
       "a never-written NB model store must read back as 0 survivors")
+    // a VISIBLE but file-less layout (a shard dir whose every batch dir
+    // folded away) defeats the top-level listing AND schema inference —
+    // still a successful sweep with 0 survivors
+    Files.createDirectories(java.nio.file.Paths.get(base, "hollow", "shard=0"))
+    val hollow = Maintenance.moduleRegistry(
+      Maintenance.StoreLayout(signatureStore = Some(base + "/hollow")))
+    assert(hollow("maint_compact_signatures")(spark, "").count() === 0L,
+      "an all-folded hollow layout must read back as 0 survivors")
   }
 
   test("healthy sweep: every store compacts, batch ends SUCCESS with counts") {

@@ -175,6 +175,11 @@ class StoreLockSpec extends AnyFunSuite {
       StoreLock.withLock("s3a://bucket/sig", "op")(())
     }
     assert(uri.getMessage.contains("local"), uri.getMessage)
+    // a bare colon inside a path segment is NOT a URI — it stays a
+    // local path under the default binding, as FileSystem would treat it
+    val colonDir = Files.createTempDirectory("graft-colon").toString
+    StoreLock.withLock(colonDir + "/runs:2026/sig", "op")(
+      assert(StoreLock.isHeld(colonDir + "/runs:2026/sig")))
     // in-memory conditional-PUT binding (the S3 semantics, the TxnLog
     // seam-contract shape): claims must go through the BOUND store and
     // normalize cwd-independently
@@ -227,6 +232,11 @@ class StoreLockSpec extends AnyFunSuite {
         assert(StoreLock.isHeld("hdfs://nn:8020/data/idx"))
         assert(mem.objects.keys().nextElement() == "/hdfs/nn:8020/data/idx.lock",
           "the key must be the canonical decodable form")
+        // a '//' spelling (naive path concatenation) must RE-ENTER the
+        // same claim, not contend with its own thread — URI.normalize
+        // keeps empty segments, the key builder must not
+        StoreLock.withLock("hdfs://nn:8020/data//idx", "holder")(
+          assert(mem.objects.size() == 1, "one claim, all spellings"))
         val e = intercept[IllegalStateException] {
           Await.result(
             Future(StoreLock.withLock("hdfs://nn:8020/data/idx", "intruder")(())),
@@ -260,6 +270,13 @@ class StoreLockSpec extends AnyFunSuite {
     store.delete(key)
     store.delete(key) // idempotent
     assert(store.list(java.nio.file.Paths.get("/file/-" + base + "/claims")).isEmpty)
+    // a scheme-less key form (a store addressed without its URI) must
+    // refuse naming the mistake, not decode a nonsense scheme — mixing
+    // spellings of one store would otherwise claim different locks
+    val bad = intercept[IllegalArgumentException] {
+      store.putIfAbsent(java.nio.file.Paths.get("/data/idx.lock"), Array[Byte](1))
+    }
+    assert(bad.getMessage.contains("canonical spelling"), bad.getMessage)
     // end to end: StoreLock over this binding with a URI store path
     val prev = StoreLock.objectStore
     StoreLock.objectStore = store

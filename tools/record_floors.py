@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Re-record the per-query floor table from an honest full sweep.
 
-Usage: record_floors.py BENCH.json [--write]
+Usage: record_floors.py BENCH.json [--write] [--init]
 
 Reads a graft.Bench output line (or a file containing it — the
 /tmp/bench.json copy or src/main/resources/bench_last_run.json), checks it
@@ -31,9 +31,9 @@ def main(path, write):
     except FileNotFoundError:
         old = None
     if not old and "--init" not in sys.argv:
-        sys.exit("REFUSED: no existing bench_floors.json to check coverage "
-                 "against — any subset would record as authoritative. Pass "
-                 "--init only for a genuinely fresh repo.")
+        sys.exit("REFUSED: no (non-empty) bench_floors.json to check "
+                 "coverage against — any subset would record as "
+                 "authoritative. Pass --init only for a genuinely fresh repo.")
     old = old or {}
     missing = sorted(set(old) - set(queries))
     if missing:
@@ -61,6 +61,7 @@ def main(path, write):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(paths) != 1:
         sys.exit(__doc__)
-    main(sys.argv[1], "--write" in sys.argv)
+    main(paths[0], "--write" in sys.argv)
