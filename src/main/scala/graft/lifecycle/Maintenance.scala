@@ -167,8 +167,9 @@ object Maintenance {
       else try s.read.parquet(p)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.toLowerCase(java.util.Locale.ROOT)
-              .contains("unable to infer schema") =>
+            if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.toLowerCase(java.util.Locale.ROOT)
+                .contains("unable to infer schema") =>
           s.range(0).toDF("rows")
       }
     // Model stores carry pinned count schemas, so an EXISTING-but-
