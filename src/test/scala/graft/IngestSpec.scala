@@ -146,6 +146,21 @@ class IngestSpec extends AnyFunSuite {
     checkAllIngested()
   }
 
+  test("ingestDocs: a URI-addressed store under the local lock binding refuses BEFORE any mutation") {
+    // the StoreLock path contract must surface through the composition
+    // entry point, not just the unit: a remote-addressed store with the
+    // default local binding would get a lock that excludes nobody on
+    // other machines — the refusal lands up front, while every store is
+    // still untouched
+    val docs = Tables.documents(spark, dir).limit(5).select("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.ingestDocs(spark,
+        Pipeline.DocStores(signatures = Some("s3a://bucket/sig")), docs, batchId = 1L)
+    }
+    assert(e.getMessage.contains("local"), e.getMessage)
+    assert(e.getMessage.contains("Bind"), s"the refusal must name the fix: ${e.getMessage}")
+  }
+
   test("ingestDocs: cross-batch re-ingest refuses on INDEX-only store sets") {
     // the r14 gap: the model stores' _docs membership carried the
     // disjointness guard for the whole set, so a DocStores routing only
