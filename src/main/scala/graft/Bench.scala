@@ -76,9 +76,30 @@ object Bench {
     // every LATER query in the sweep. Failures report their wall time
     // but are flagged so a fast failure can never masquerade as a fast
     // success in the min().
+    // Host-load telemetry (round-17, verdict item 6): three r16 sweeps
+    // within an hour disagreed by 6 s and 3 flags with no uniform smear
+    // signature, and the adjudication had to argue from inference. The
+    // 1-minute loadavg, sampled before and after every rep, lets the next
+    // adjudication argue from data: a flagged query whose reps all ran
+    // under loadavg >> cpus was measured inside an external-load window.
+    // /proc/loadavg first (Linux), MXBean fallback elsewhere; -1 = unknown.
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+")(0).toDouble finally src.close()
+      } catch { case _: Throwable =>
+        try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+        catch { case _: Throwable => -1.0 }
+      }
+    val sweepLoadStart = loadavg()
+    // per-query MAX loadavg seen across its reps (before/after samples):
+    // the max is the adjudication-relevant figure — one contended rep is
+    // enough to poison a min-of-k when ALL reps share the window.
+    val queryLoad = scala.collection.mutable.Map.empty[String, Double]
     def measureOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         label: String): (Double, Boolean) = {
       spark.catalog.clearCache()
+      val l0 = loadavg()
       val t0 = System.nanoTime()
       val ok = graft.lifecycle.Observability.withJobGroup(spark, name, label) {
         // NonFatal only: after an OutOfMemoryError or other fatal JVM
@@ -89,7 +110,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val l = math.max(l0, loadavg())
+      queryLoad(name) = math.max(queryLoad.getOrElse(name, -1.0), l)
+      (sec, ok)
     }
     // The stage/task counters feed from an ASYNC listener: events still
     // queued on the bus when a fast query returns would be attributed to
@@ -207,7 +231,7 @@ object Bench {
     // queries their time-separated rep before the verdict is recorded.
     val regressions = results.filter { case (n, sec) => gateFlags(n, sec) }
     regressions.foreach { case (n, sec) =>
-      System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s")
+      System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s  (max loadavg ${queryLoad.getOrElse(n, -1.0)}%.2f)")
     }
     // guard-suppressed ratio outliers (post-re-measure): visible, not fatal
     val watch = results.filter { case (n, sec) =>
@@ -240,8 +264,17 @@ object Bench {
       .mkString("{", ",", "}")
     val watchJson = watch.map { case (n, v) => s"\"" + n + "\":" + ms3(v) }
       .mkString("{", ",", "}")
+    // loadavg telemetry in the record (2 decimals — load is a coarse
+    // signal; the per-query map is the adjudication payload, start/end
+    // bound the sweep's ambient window)
+    def l2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val loadJson = {
+      val per = results.flatMap { case (n, _) => queryLoad.get(n).map(v => s"\"" + n + "\":" + l2(v)) }
+        .mkString("{", ",", "}")
+      s"""{"cpus":$cpus,"start":${l2(sweepLoadStart)},"end":${l2(loadavg())},"queries":$per}"""
+    }
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","regressions":$regr,"watch":$watchJson,"queries":$qs,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","regressions":$regr,"watch":$watchJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     // durability: bounded log captures have twice truncated the stdout
     // line's head (r8/r9 BENCH artifacts parsed as null) — a file copy,
     // written BEFORE the print, survives any log-capture policy
