@@ -869,10 +869,24 @@ object CoreOps {
     * value — production datasets are immutable-per-path (TESTDATA's
     * contract); a dev shell that rewrites a dir starts a new session. */
   private val nSuppMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+    // WEAK session keys: a (SparkSession, dir) tuple key in a
+    // process-lifetime map would pin each stopped session's whole object
+    // graph in a long-lived multi-session JVM (r16 advice). Entries die
+    // with their session; the inner per-dir map is the concurrent one.
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Long]]())
 
   private[operators] def partsuppOf(s: SparkSession, dir: String): DataFrame = {
-    val nSupp = nSuppMemo.getOrElseUpdate((s, dir), Tables.supplier(s, dir).count())
+    val perDir = nSuppMemo.synchronized {
+      var m = nSuppMemo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Long]
+        nSuppMemo.put(s, m)
+      }
+      m
+    }
+    val nSupp = perDir.getOrElseUpdate(dir, Tables.supplier(s, dir).count())
     Tables.part(s, dir).select(col("p_partkey").as("ps_partkey"))
       .withColumn("i", explode(array((0L to 3L).map(lit): _*)))
       .withColumn("ps_suppkey",

@@ -89,12 +89,44 @@ final class BloomSidecar(sidecarName: String, val bits: Int, val hashes: Int) {
 
   /** The store's filter, built from `keys` (one column-pruned store
     * scan) if absent — paid once per store version, amortized by every
-    * later map-side probe. */
+    * later map-side probe.
+    *
+    * The build-and-PERSIST branch runs under the store's writer claim
+    * (r16 advice): a lock-free backfill could race a locked append right
+    * after a compaction dropped the sidecar — the append's [[absorb]]
+    * no-ops (sidecar absent), the backfill builds from a PRE-append
+    * store scan and writes it, and every later reader trusts a persisted
+    * filter missing the appended keys: a silent false negative in the
+    * pre-gate, the exact soundness hole the no-false-negative protocol
+    * forbids. Under the claim the build's store scan is append-stable,
+    * and the post-acquire re-[[read]] keeps the backfill idempotent
+    * against a concurrent writer that already restored it. Probe-only
+    * reads (the [[read]] hit above) stay lock-free. When the claim is
+    * unavailable — contended under the fail-fast default, or a
+    * URI-addressed store under the default local binding (probe-only
+    * readers never bound an object store) — the filter is built and
+    * USED but not persisted: sound for this reader (consistent with its
+    * own snapshot), and no stale bits outlive the call. */
   def ensureFrom(s: SparkSession, store: String)(keys: => DataFrame): Array[Byte] =
     read(s, store).getOrElse {
-      val bytes = buildOf(s, keys)
-      write(s, store, bytes)
-      bytes
+      try
+        StoreLock.withLock(store, s"$sidecarName-backfill") {
+          read(s, store).getOrElse {
+            val bytes = buildOf(s, keys)
+            write(s, store, bytes)
+            bytes
+          }
+        }
+      catch {
+        // IllegalState = contended claim; IllegalArgument = URI store
+        // under the default local binding (StoreLock's refusal) — both
+        // mean "this reader may not persist", neither means "may not
+        // answer"
+        case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+          System.err.println(s"[bloom-sidecar] backfill of ${path(store)} not " +
+            s"persisted (${e.getMessage.takeWhile(_ != '\n')}); built for this use only")
+          buildOf(s, keys)
+      }
     }
 
   /** Map-side membership probe of a string-typed key column against an

@@ -146,7 +146,18 @@ object StoreLock {
   /** Run `body` holding the store's exclusive writer claim. Reentrant on
     * the claiming thread; contended acquisition polls up to
     * `graft.store.lock.waitMs` then throws naming the holder. */
-  def withLock[T](store: String, op: String)(body: => T): T = {
+  def withLock[T](store: String, op: String)(body: => T): T =
+    withLockWaiting(store, op, 0L)(body)
+
+  /** As [[withLock]] but with a FLOOR on the contention wait: the
+    * effective wait is max(graft.store.lock.waitMs, minWaitMs). For
+    * callers that must not fail fast under transient contention — a
+    * streaming micro-batch's admit claim racing a maintenance sweep
+    * should serialize behind the sweep's seconds-long hold, not kill
+    * the streaming query (r16 advice). The system property still RAISES
+    * the wait deployment-wide; the floor only prevents the default
+    * fail-fast from applying where fail-fast is the wrong semantics. */
+  def withLockWaiting[T](store: String, op: String, minWaitMs: Long)(body: => T): T = {
     val key = normalize(store)
     val me = Thread.currentThread()
     val cur = held.get(key)
@@ -164,7 +175,7 @@ object StoreLock {
       val payload =
         (s"pid=${ProcessHandle.current().pid()} op=$op " +
           s"thread=${me.getName} ts=${java.time.Instant.now()}").getBytes("UTF-8")
-      val deadline = System.currentTimeMillis() + waitMs
+      val deadline = System.currentTimeMillis() + math.max(waitMs, minWaitMs)
       shutdownHook // register the release hook once, lazily
       var won = objectStore.putIfAbsent(lock, payload)
       while (!won && System.currentTimeMillis() < deadline) {
@@ -205,12 +216,20 @@ object StoreLock {
     objectStore.delete(Paths.get(lockPath(store)))
 
   /** True iff a claim currently exists (diagnostics/specs) — answered
-    * through the bound store so a rebinding changes this too. */
+    * through the bound store so a rebinding changes this too. Probes the
+    * lock KEY directly (GET + not-found) rather than listing its parent:
+    * for a URI store directly under the authority root ("hdfs://nn/idx")
+    * the parent key "/hdfs/nn" has only two segments, which
+    * [[TxnLog.HadoopObjectStore]]'s key decoder rightly refuses — a
+    * parent listing would error for valid store paths (r16 advice). */
   def isHeld(store: String): Boolean = {
     val lock = Paths.get(lockPath(store))
-    Option(lock.getParent) match {
-      case Some(parent) => objectStore.list(parent).contains(lock.getFileName.toString)
-      case None => Files.exists(lock)
+    try { objectStore.get(lock); true }
+    catch {
+      // the two not-found spellings the bindings throw: java.nio
+      // (FsObjectStore, in-memory emulations) and java.io (Hadoop FS)
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.io.FileNotFoundException => false
     }
   }
 }

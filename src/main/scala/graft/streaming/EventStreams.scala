@@ -159,9 +159,16 @@ object EventStreams {
         val accepted = gated.filter(col("is_duplicate") === 0).select("doc_id")
         // the store mutation section runs under the store's writer
         // claim (StoreLock) — the stream is the one writer by protocol,
-        // but a concurrently-launched compaction or forget now
-        // serializes against the micro-batch instead of racing its swap
-        graft.sources.StoreLock.withLock(storePath, "gate-admit") {
+        // but a concurrently-launched compaction or forget serializes
+        // against the micro-batch instead of racing its swap. The claim
+        // uses a 30 s wait FLOOR (withLockWaiting), not the global
+        // default's fail-fast: a maintenance sweep holding the store for
+        // seconds must delay the micro-batch, not kill the streaming
+        // query. Past the floor the batch still fails loudly naming the
+        // holder — a wedged sweep is an operator incident, and
+        // foreachBatch's at-least-once replay re-runs the batch
+        // idempotently after restart.
+        graft.sources.StoreLock.withLockWaiting(storePath, "gate-admit", 30000L) {
           // keep the Bloom sidecar a superset of stored buckets BEFORE
           // the admission lands (Dedup.absorbIntoBloom's soundness
           // ordering); the whole batch's buckets over-approximate the

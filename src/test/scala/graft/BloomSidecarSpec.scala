@@ -22,6 +22,40 @@ class BloomSidecarSpec extends AnyFunSuite {
     ks.toDF("k")
   }
 
+  test("backfill serializes with writers: under another thread's claim it answers but never persists") {
+    // the r16-advice race: a compaction drops the sidecar, an append's
+    // absorb no-ops (absent), and a LOCK-FREE backfill built from a
+    // pre-append scan would persist a filter missing the appended keys —
+    // a silent false negative every later reader inherits. The fix:
+    // ensureFrom's build-and-persist branch claims the store's writer
+    // lock; while a writer holds it, the backfill still returns a filter
+    // usable for THIS read (consistent with its own snapshot) but leaves
+    // nothing on disk for later readers to trust.
+    val sc = new BloomSidecar("_t4.bin", 1 << 12, 5)
+    val store = Files.createTempDirectory("graft-bloomlk").toString + "/st"
+    Files.createDirectories(java.nio.file.Paths.get(store))
+    val ks = (0 until 50).map(i => s"k-$i")
+    graft.sources.StoreLock.withLock(store, "append-in-flight") {
+      // run ensureFrom from ANOTHER thread (the lock is reentrant per
+      // thread, so the race only exists across threads/processes)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val bytes = Await.result(Future(sc.ensureFrom(s, store)(keysDf(ks))), Duration.Inf)
+      val (k, bits) = graft.functions.GBloom.decode(bytes)
+      ks.foreach(key => assert(graft.functions.GBloom.contains(bits, k,
+        key.getBytes("UTF-8")), "the unpersisted filter still answers"))
+      assert(sc.read(s, store).isEmpty,
+        "a contended backfill must NOT persist a possibly-stale filter")
+    }
+    // claim released: the backfill persists and is idempotent
+    val bytes = sc.ensureFrom(s, store)(keysDf(ks))
+    assert(sc.read(s, store).map(_.toSeq).contains(bytes.toSeq))
+    assert(!graft.sources.StoreLock.isHeld(store),
+      "the backfill's own claim must release")
+  }
+
   test("superset invariant end to end: ensure, absorb, probe — no false negative anywhere") {
     val sc = new BloomSidecar("_t1.bin", 1 << 12, 5)
     val store = Files.createTempDirectory("graft-bloomsc").toString

@@ -79,6 +79,46 @@ class StoreLockSpec extends AnyFunSuite {
     assert(!StoreLock.isHeld(store))
   }
 
+  test("withLockWaiting floors the contention wait without touching the global default") {
+    val store = Files.createTempDirectory("graft-lock-floor").toString + "/s"
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // default waitMs=0 (fail-fast) stays in force for plain withLock —
+    // but the floored variant polls past a transient hold and wins
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holderIn = new java.util.concurrent.CountDownLatch(1)
+    val holder = Future {
+      StoreLock.withLock(store, "sweep") { holderIn.countDown(); release.await() }
+    }
+    holderIn.await()
+    // plain withLock under the default still fails fast
+    intercept[IllegalStateException](StoreLock.withLock(store, "batch")(()))
+    val waiter = Future {
+      StoreLock.withLockWaiting(store, "batch", 30000L) { "ran" }
+    }
+    Thread.sleep(300) // the waiter is now polling inside its floor
+    release.countDown()
+    Await.result(holder, Duration.Inf)
+    assert(Await.result(waiter, Duration.Inf) == "ran",
+      "a floored claim must serialize behind a transient hold, not die")
+    assert(!StoreLock.isHeld(store))
+  }
+
+  test("isHeld answers for a URI store directly under the authority root") {
+    // r16 advice: the lock key's PARENT for "scheme://auth/x" is the
+    // 2-segment "/scheme/auth", which HadoopObjectStore's key decoder
+    // rightly refuses — a parent LISTING made isHeld error for valid
+    // store paths. isHeld now probes the lock key itself (GET +
+    // not-found), which always decodes.
+    val store = new graft.state.TxnLog.HadoopObjectStore(
+      new org.apache.hadoop.conf.Configuration())
+    val prev = StoreLock.objectStore
+    StoreLock.objectStore = store
+    try {
+      assert(!StoreLock.isHeld("file:///graft-absent-authority-root-store"),
+        "an unclaimed authority-root store must answer false, not throw")
+    } finally StoreLock.objectStore = prev
+  }
+
   test("cross-PROCESS mutual exclusion: two racing JVMs lose no read-modify-write") {
     val d = Files.createTempDirectory("graft-lock-proc").toString
     val cp = System.getProperty("java.class.path")
