@@ -1,0 +1,259 @@
+package graft.state
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The cloud object-store binding, integration-shaped: a
+  * [[TxnLog.ObjectStore]] client that speaks the REST surface a real
+  * S3/GCS deployment binds — conditional PUT (`If-None-Match: *`,
+  * HTTP 412 on the lost race, the exact header S3 documents; GCS's
+  * `ifGenerationMatch=0` is the same one-winner claim spelled as a
+  * query parameter), GET/404, delimiter LIST, idempotent DELETE —
+  * over `java.net.http.HttpClient`, plus the in-repo bucket emulation
+  * ([[HttpBucket.Server]]) that serves those semantics over real HTTP
+  * round trips with injectable latency and transient-5xx faults.
+  *
+  * Why this exists (r16 verdict item 2): `TxnLog.ConditionalPut` and
+  * `StoreLock` were proven against a FILESYSTEM emulation of the
+  * object-store contract — atomicity came from link(2), not from an
+  * acknowledged network PUT. This pair proves the protocol end to end
+  * across a real network hop: the client carries every
+  * deployment-grade concern an SDK binding needs —
+  *
+  *  - bounded retry with backoff on 5xx (the transient-fault contract
+  *    every cloud SDK implements);
+  *  - the lost-response ambiguity: if our first conditional PUT was
+  *    APPLIED but its 200 never reached us, the retry reads 412 — the
+  *    client disambiguates by GETting the object and comparing
+  *    payloads byte-for-byte, claiming the win iff they match. Sound
+  *    because every payload in this codebase names its writer
+  *    (commit payloads embed pid+attempt, lock payloads pid+thread+ts),
+  *    so byte-equality proves authorship — a requirement on CALLERS,
+  *    documented here, inherited from how real S3 deployments resolve
+  *    the same ambiguity;
+  *  - percent-encoded key segments (keys are opaque absolute paths).
+  *
+  * Zero-egress: the emulation binds 127.0.0.1 only. A production
+  * deployment replaces [[HttpBucket.HttpObjectStore]]'s base URI with
+  * its bucket endpoint + SigV4 signing middleware; nothing else in the
+  * commit/lock plane changes — `TxnLog.publisherNamed("http=<uri>")`
+  * is the process-boundary seam the cross-process tortures use.
+  */
+object HttpBucket {
+
+  /** REST client implementation of the [[TxnLog.ObjectStore]] seam.
+    * Thread-safe; one instance per process is the intended shape
+    * (HttpClient pools connections internally). */
+  final class HttpObjectStore(base: URI, maxRetries: Int = 5)
+      extends TxnLog.ObjectStore {
+    private val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+    private def urlOf(key: Path, query: String = null): URI = {
+      val segs = (0 until key.getNameCount).map { i =>
+        java.net.URLEncoder.encode(key.getName(i).toString, "UTF-8")
+          .replace("+", "%20")
+      }
+      val b = base.toString.stripSuffix("/")
+      URI.create(b + segs.mkString("/", "/", "") +
+        (if (query == null) "" else "?" + query))
+    }
+
+    /** Bounded-retry send: 5xx responses (and connect-level IO errors)
+      * back off and retry; anything else returns to the caller. The
+      * retry budget is small and bounded — an unreachable endpoint
+      * fails loudly, it does not hang the commit plane. */
+    private def send(req: HttpRequest): HttpResponse[Array[Byte]] = {
+      var attempt = 0
+      while (true) {
+        val resp =
+          try Right(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
+          catch { case e: java.io.IOException => Left(e) }
+        resp match {
+          case Right(r) if r.statusCode() < 500 => return r
+          case Right(r) if attempt >= maxRetries =>
+            throw new java.io.IOException(
+              s"bucket returned ${r.statusCode()} after $attempt retries: ${req.uri()}")
+          case Left(e) if attempt >= maxRetries => throw e
+          case _ => // transient: back off and go again
+            Thread.sleep(math.min(200L, 10L << attempt))
+        }
+        attempt += 1
+      }
+      sys.error("unreachable")
+    }
+
+    /** Did WE make this attempt happen at some earlier try whose
+      * response was lost? True iff the stored payload is byte-equal to
+      * ours — callers' payloads are writer-unique by contract. */
+    private def weWon(key: Path, payload: Array[Byte]): Boolean =
+      try java.util.Arrays.equals(get(key), payload)
+      catch { case _: java.nio.file.NoSuchFileException => false }
+
+    def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean = {
+      val req = HttpRequest.newBuilder(urlOf(key))
+        .header("If-None-Match", "*")
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()
+      var attempt = 0
+      while (true) {
+        val resp =
+          try Right(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
+          catch { case e: java.io.IOException => Left(e) }
+        resp match {
+          case Right(r) if r.statusCode() / 100 == 2 => return true
+          // 412 Precondition Failed = the key exists. On the FIRST
+          // attempt that is simply a lost race; after a retry it is
+          // ambiguous (our earlier PUT may have been applied before its
+          // response was lost) — disambiguate by payload.
+          case Right(r) if r.statusCode() == 412 =>
+            return attempt > 0 && weWon(key, bytes)
+          case Right(r) if r.statusCode() >= 500 && attempt < maxRetries => ()
+          case Right(r) => throw new java.io.IOException(
+            s"conditional PUT of $key failed with ${r.statusCode()}")
+          case Left(e) if attempt >= maxRetries => throw e
+          case Left(_) => ()
+        }
+        Thread.sleep(math.min(200L, 10L << attempt))
+        attempt += 1
+      }
+      sys.error("unreachable")
+    }
+
+    def get(key: Path): Array[Byte] = {
+      val r = send(HttpRequest.newBuilder(urlOf(key)).GET().build())
+      if (r.statusCode() == 404)
+        throw new java.nio.file.NoSuchFileException(key.toString)
+      if (r.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"GET $key failed with ${r.statusCode()}")
+      r.body()
+    }
+
+    def list(prefix: Path): Seq[String] = {
+      val r = send(HttpRequest.newBuilder(urlOf(prefix, "list")).GET().build())
+      if (r.statusCode() == 404) Seq.empty
+      else if (r.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"LIST $prefix failed with ${r.statusCode()}")
+      else new String(r.body(), "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+    }
+
+    def delete(key: Path): Unit = {
+      val r = send(HttpRequest.newBuilder(urlOf(key)).DELETE().build())
+      if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
+        throw new java.io.IOException(s"DELETE $key failed with ${r.statusCode()}")
+    }
+
+    /** Lifecycle-rule analogue: asks the bucket to reap incomplete
+      * multipart staging older than the cutoff (a real deployment
+      * configures this as a bucket rule instead of calling it). */
+    override def sweepResidue(prefix: Path, cutoffMs: Long): Unit = {
+      val r = send(HttpRequest.newBuilder(urlOf(prefix, s"sweep=$cutoffMs"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
+      if (r.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"SWEEP $prefix failed with ${r.statusCode()}")
+    }
+  }
+
+  /** In-repo bucket emulation: the 2020+ object-store consistency model
+    * (atomic one-winner conditional PUT, read-after-write GET/LIST,
+    * idempotent DELETE) served over real loopback HTTP. Objects live in
+    * a concurrent map whose `putIfAbsent` IS the bucket's atomicity;
+    * `latencyMs` adds an HTTP-shape pause per request; `failFirstPuts`
+    * injects N transient 503s per key before a PUT is served
+    * (deterministic SDK-retry drill) and `applyBeforeFail` makes those
+    * 503s land AFTER the put applied — the lost-response case the
+    * client's 412 disambiguation exists for.
+    *
+    * Incomplete-multipart residue is modeled as real files under
+    * `staging` (they are what bucket lifecycle rules reap); committed
+    * objects never touch the filesystem. */
+  final class Server(staging: Path, latencyMs: Long = 0L,
+      failFirstPuts: Int = 0, applyBeforeFail: Boolean = false) {
+    private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+    private val putFails = new ConcurrentHashMap[String, AtomicInteger]()
+
+    private val http = {
+      val s = com.sun.net.httpserver.HttpServer
+        .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+      s.createContext("/", handler)
+      s.start()
+      s
+    }
+
+    /** The bucket endpoint the client binds. */
+    def uri: String = s"http://127.0.0.1:${http.getAddress.getPort}"
+
+    def stop(): Unit = http.stop(0)
+
+    /** Committed object count (assertions). */
+    def size: Int = objects.size()
+
+    private def handler: com.sun.net.httpserver.HttpHandler = exchange => {
+      try {
+        if (latencyMs > 0) Thread.sleep(latencyMs)
+        val key = java.net.URLDecoder.decode(
+          exchange.getRequestURI.getRawPath, "UTF-8")
+        val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        def respond(code: Int, body: Array[Byte] = Array.emptyByteArray): Unit = {
+          exchange.sendResponseHeaders(code,
+            if (body.isEmpty) -1 else body.length.toLong)
+          if (body.nonEmpty) exchange.getResponseBody.write(body)
+          exchange.close()
+        }
+        (exchange.getRequestMethod, query) match {
+          case ("PUT", _) =>
+            // only the conditional form is served: an UNconditional PUT
+            // from this codebase would be a protocol bug — refuse it
+            // loudly instead of silently clobbering a won version
+            if (exchange.getRequestHeaders.getFirst("If-None-Match") != "*")
+              respond(400)
+            else {
+              val body = exchange.getRequestBody.readAllBytes()
+              def apply(): Boolean = objects.putIfAbsent(key, body) == null
+              val fails = putFails.computeIfAbsent(key, _ => new AtomicInteger(0))
+              if (fails.getAndIncrement() < failFirstPuts) {
+                if (applyBeforeFail) apply() // applied, then the response is "lost"
+                respond(503)
+              } else if (apply()) respond(200)
+              else respond(412)
+            }
+          case ("GET", "list") =>
+            // delimiter listing: DIRECT children of the prefix only
+            val p = key.stripSuffix("/") + "/"
+            import scala.jdk.CollectionConverters._
+            val names = objects.keySet().asScala.filter(_.startsWith(p))
+              .map(_.stripPrefix(p).takeWhile(_ != '/')).toSeq.distinct.sorted
+            respond(200, names.mkString("\n").getBytes("UTF-8"))
+          case ("GET", _) =>
+            objects.get(key) match {
+              case null => respond(404)
+              case b => respond(200, b)
+            }
+          case ("DELETE", _) =>
+            objects.remove(key); respond(204)
+          case ("POST", q) if q.startsWith("sweep=") =>
+            val cutoff = q.stripPrefix("sweep=").toLong
+            if (Files.isDirectory(staging)) {
+              val s = Files.list(staging)
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala
+                  .filter(f => Files.getLastModifiedTime(f).toMillis < cutoff)
+                  .foreach(f => Files.deleteIfExists(f))
+              } finally s.close()
+            }
+            respond(204)
+          case _ => respond(405)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[http-bucket] handler error: $e")
+          try { exchange.sendResponseHeaders(500, -1); exchange.close() }
+          catch { case _: Throwable => () }
+      }
+    }
+  }
+}

@@ -560,12 +560,18 @@ object TxnLog {
   val ConditionalPutFs: CommitPublisher = new ConditionalPut(FsObjectStore)
 
   /** Resolve a publisher by name — the process-boundary seam the
-    * torture driver uses (`TxnTortureMain <dir> <max> <publisher>`). */
+    * torture driver uses (`TxnTortureMain <dir> <max> <publisher>`).
+    * `http=<endpoint>` binds the conditional-put protocol to a bucket
+    * endpoint over [[graft.state.HttpBucket.HttpObjectStore]] — how the
+    * cross-process tortures race real network PUTs against one bucket. */
   def publisherNamed(name: String): CommitPublisher = name match {
     case "hardlink" => HardLink
     case "dirrename" => DirRename
     case "conditionalput" => ConditionalPutFs
+    case http if http.startsWith("http=") =>
+      new ConditionalPut(new graft.state.HttpBucket.HttpObjectStore(
+        java.net.URI.create(http.stripPrefix("http="))))
     case other => throw new IllegalArgumentException(
-      s"unknown commit publisher '$other' (hardlink | dirrename | conditionalput)")
+      s"unknown commit publisher '$other' (hardlink | dirrename | conditionalput | http=<uri>)")
   }
 }

@@ -289,6 +289,38 @@ class StoreLockSpec extends AnyFunSuite {
     } finally StoreLock.objectStore = prev
   }
 
+  test("writer claims over the HTTP bucket binding: URI stores claim, contend, re-enter and release across a real network hop") {
+    // the cloud-deployment shape end to end: StoreLock rebound to the
+    // conditional-PUT REST client, store addressed by its bucket-scheme
+    // URI — the exact configuration the scaladoc prescribes for S3/GCS,
+    // here against the in-repo bucket emulation (1 ms HTTP latency)
+    val staging = Files.createTempDirectory("graft-bucket-lock")
+    val server = new graft.state.HttpBucket.Server(staging, latencyMs = 1)
+    val prev = StoreLock.objectStore
+    StoreLock.objectStore =
+      new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(server.uri))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      StoreLock.withLock("s3a://bucket/corpus/sig", "ingest") {
+        assert(StoreLock.isHeld("s3a://bucket/corpus/sig"),
+          "isHeld must answer through the HTTP binding")
+        // reentrant across URI spellings of the same store
+        StoreLock.withLock("s3a://bucket/corpus//sig", "ingest")(())
+        val e = intercept[IllegalStateException] {
+          Await.result(
+            Future(StoreLock.withLock("s3a://bucket/corpus/sig", "compact")(())),
+            Duration.Inf)
+        }
+        assert(e.getMessage.contains("op=ingest"), e.getMessage)
+      }
+      assert(!StoreLock.isHeld("s3a://bucket/corpus/sig"))
+      assert(server.size == 0, "release must delete the claim object")
+    } finally {
+      StoreLock.objectStore = prev
+      server.stop()
+    }
+  }
+
   test("HadoopObjectStore: create-no-overwrite one-winner claims over a real FileSystem") {
     // the HDFS rebinding's mechanics driven against the local Hadoop
     // FileSystem (file scheme, '-' = empty authority in the key form —

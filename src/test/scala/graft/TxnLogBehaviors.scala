@@ -23,6 +23,10 @@ trait TxnLogBehaviors extends AnyFunSuite {
   protected def spark: org.apache.spark.sql.SparkSession
   def publisher: CommitPublisher
   def publisherName: String
+  /** What a racing torture PROCESS passes to `TxnLog.publisherNamed` to
+    * bind the same primitive — the publisher name itself except for
+    * bindings that carry dynamic endpoints (the HTTP bucket's URI). */
+  def tortureToken: String = publisherName
   /** Plant the wreckage of a writer killed between staging and publish,
     * in THIS publisher's staging representation; returns the planted
     * path (for the sweep assertion). */
@@ -131,7 +135,7 @@ trait TxnLogBehaviors extends AnyFunSuite {
     try {
       (1 to 3).foreach { _ =>
         procs += new ProcessBuilder(
-            java, "-cp", cp, "graft.TxnTortureMain", dir, "100000", publisherName)
+            java, "-cp", cp, "graft.TxnTortureMain", dir, "100000", tortureToken)
           .redirectOutput(ProcessBuilder.Redirect.DISCARD)
           .redirectError(ProcessBuilder.Redirect.DISCARD)
           .start()
@@ -311,4 +315,80 @@ class ConditionalPutMwLifecycleSpec extends LifecycleBehaviors {
   def makeStore(dir: String): graft.state.ControlStore =
     new MwStateStore(spark, dir, checkpointEvery = 7,
       publisher = TxnLog.ConditionalPutFs)
+}
+
+/** [[TxnLogBehaviors]] over the CLOUD-shape binding (r16 verdict item
+  * 2): commits published through [[graft.state.HttpBucket
+  * .HttpObjectStore]] — a real REST client doing `If-None-Match: *`
+  * conditional PUTs over loopback HTTP against the in-repo bucket
+  * emulation, per-request latency included. Same protocol matrix as
+  * the filesystem emulation, plus the two fault drills a network
+  * binding adds: transient-5xx retry and the lost-response 412
+  * ambiguity. The kill -9 torture races three writer PROCESSES through
+  * real network PUTs against one bucket (the `http=<uri>` token). */
+class TxnLogHttpPutSpec extends TxnLogBehaviors
+    with org.scalatest.BeforeAndAfterAll {
+  protected lazy val spark = TestSpark.spark
+  private lazy val staging = Files.createTempDirectory("graft-bucket-staging")
+  private lazy val server = new graft.state.HttpBucket.Server(staging, latencyMs = 1)
+  private lazy val store =
+    new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(server.uri))
+  def publisher: CommitPublisher = new TxnLog.ConditionalPut(store)
+  def publisherName: String = "httpput"
+  override def tortureToken: String = s"http=${server.uri}"
+  def plantCrashedStaging(txnDir: Path): Path =
+    // incomplete-multipart residue: the one crash artifact a real bucket
+    // has, reaped by lifecycle rules (the sweep endpoint here)
+    Files.write(staging.resolve(".part-crashed"), "k\nghost".getBytes)
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
+
+  test("[httpput] transient 503s: bounded client retry, still exactly one winner") {
+    val st2 = Files.createTempDirectory("graft-bucket-flaky")
+    val flaky = new graft.state.HttpBucket.Server(st2, failFirstPuts = 2)
+    try {
+      val c = new graft.state.HttpBucket.HttpObjectStore(
+        java.net.URI.create(flaky.uri))
+      val key = Paths.get("/flaky/_txn/1.commit")
+      assert(c.putIfAbsent(key, "k\na".getBytes("UTF-8")),
+        "the claim must survive two injected 503s")
+      assert(!c.putIfAbsent(key, "k\nb".getBytes("UTF-8")),
+        "the loser still loses once the key is served")
+      assert(new String(c.get(key), "UTF-8") == "k\na")
+    } finally flaky.stop()
+  }
+
+  test("[httpput] lost 200: an applied PUT whose response was lost reports the WIN, not a phantom loss") {
+    val st3 = Files.createTempDirectory("graft-bucket-lost")
+    // the server applies the put, then the 503 stands in for the lost
+    // response — the client's retry reads 412 and must disambiguate by
+    // payload (writer-unique by contract) instead of conceding
+    val lossy = new graft.state.HttpBucket.Server(st3,
+      failFirstPuts = 1, applyBeforeFail = true)
+    try {
+      val c = new graft.state.HttpBucket.HttpObjectStore(
+        java.net.URI.create(lossy.uri))
+      val key = Paths.get("/lossy/_txn/1.commit")
+      assert(c.putIfAbsent(key, "k\nwinner-pid-7".getBytes("UTF-8")),
+        "applied-but-unacknowledged must resolve to true via payload equality")
+      assert(!c.putIfAbsent(key, "k\nother-pid-9".getBytes("UTF-8")),
+        "a genuinely different writer still reads the 412 as a loss")
+    } finally lossy.stop()
+  }
+}
+
+/** The full [[LifecycleBehaviors]] matrix with commits crossing the
+  * HTTP bucket binding — the fourth green publisher column. */
+class HttpPutMwLifecycleSpec extends LifecycleBehaviors
+    with org.scalatest.BeforeAndAfterAll {
+  private lazy val staging = Files.createTempDirectory("graft-bucket-mw")
+  private lazy val server = new graft.state.HttpBucket.Server(staging, latencyMs = 1)
+  def makeStore(dir: String): graft.state.ControlStore =
+    new MwStateStore(spark, dir, checkpointEvery = 7,
+      publisher = new TxnLog.ConditionalPut(
+        new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(server.uri))))
+  override def afterAll(): Unit = {
+    try server.stop() finally super.afterAll()
+  }
 }
