@@ -131,6 +131,33 @@ object ScaleCheck {
       .map(k => k -> k.r.findAllIn(plan).length).filter(_._2 > 0).toMap
   }
 
+  /** The iterative-CC family's own two-scale row (r16 verdict item 4):
+    * `q_dedup_clusters` cannot ride the normal sweep because its
+    * converged stage memoizes per (session, dir) — the second rep and
+    * the post-planShape measure would read the cache, not the operator.
+    * This drives the SAME machinery un-memoized through the public
+    * [[graft.operators.Dedup.clusterPairs]] (every call recomputes the
+    * full star-contraction loop; Local checkpoint blocks are released
+    * at job end, the documented transient-caller contract), so the
+    * recorded ratio is the honest iterative cost at 10×. q_pagerank
+    * needs no twin — its face never memoizes. */
+  private def ccRows(spark: SparkSession, baseDir: String, sf1Dir: String,
+      only: Option[Set[String]]): Seq[(String, Double, Double, Boolean)] = {
+    if (!only.forall(_.contains("q_dedup_clusters_unmemoized"))) return Seq.empty
+    def measureCc(dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.clusterPairs(
+        graft.operators.Dedup.qDedupNgram(spark, dir).select("doc_a", "doc_b"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tSmall = Seq(measureCc(baseDir), measureCc(baseDir)).min
+    val tBig = Seq(measureCc(sf1Dir), measureCc(sf1Dir)).min
+    System.err.println(f"[scale] q_dedup_clusters_unmemoized sf0.1 $tSmall%7.2f s   sf1 $tBig%7.2f s   ratio ${tBig / tSmall}%5.2f")
+    Seq(("q_dedup_clusters_unmemoized", tSmall, tBig, false))
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
@@ -169,7 +196,7 @@ object ScaleCheck {
       System.err.println(f"[scale] $n%-22s sf0.1 $tSmall%7.2f s   sf1 $tBig%7.2f s   ratio ${tBig / tSmall}%5.2f"
         + (if (flip) s"   PLAN FLIP $shapeSmall -> $shapeBig" else ""))
       (n, tSmall, tBig, flip)
-    }
+    } ++ ccRows(spark, baseDir, sf1Dir, only)
     // The ORCHESTRATOR path at sf1 (the one driver-side composition with
     // no bench query): a 2-module MANDATORY chain whose run commands are
     // registered queries, driven against the sf1 dataset under a real
