@@ -158,6 +158,145 @@ object ScaleCheck {
     Seq(("q_dedup_clusters_unmemoized", tSmall, tBig, false))
   }
 
+  /** The deployment's NIGHTLY shape as ONE orchestrated sf1 scenario
+    * (r16 verdict item 5): grow a REAL six-store estate through the
+    * composition entry points — bootstrap, a batch [[graft.operators
+    * .Pipeline.ingestDocs]] leg (docs + vectors, batch 7), a REAL
+    * [[graft.streaming.EventStreams.gateDocStream]] leg (three
+    * micro-batches under a durable checkpoint), a [[graft.operators
+    * .Pipeline.forgetDocs]] deletion request — then run the FULL
+    * compact-all-stores DAG as orchestrator modules behind the DECODE
+    * dependency matrix, fold watermarks DERIVED from the stream's
+    * checkpoint, and assert every store's post-compaction READ FACE
+    * answers exactly what it answered before the fold (with the
+    * forgotten docs physically purged and no tombstone left anywhere).
+    * Returns the orchestrated DAG's wall seconds. */
+  private def maintenanceDagAtSf1(spark: SparkSession, sf1Dir: String): Double = {
+    import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
+    import graft.sources.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft-scale-dag").toString
+    val (sig, idx, lm, nb, ann, ivf) = (s"$base/signatures", s"$base/postings",
+      s"$base/lm", s"$base/nb", s"$base/ann", s"$base/ivf")
+    val ckpt = s"$base/ckpt"
+
+    val docs = Tables.documents(spark, sf1Dir).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf1Dir).select("vec_id", "embedding")
+    val allStores = Pipeline.DocStores(
+      Some(sig), Seq(ann, ivf), Some(idx), Some(lm), Some(nb))
+    // the stream leg's docs: one writer protocol per store (the stores'
+    // single-writer contract), so EVERYTHING post-bootstrap arrives
+    // through the ingest stream — micro-batch ids are the scoped batch
+    // ids, and the checkpoint's commit ledger is what the orchestrated
+    // sweep later derives every fold watermark from
+    val streamed = pmod(col("doc_id"), lit(5L)) === 2
+    // deletion request spans BOTH planes: bootstrap docs and streamed
+    // docs — the derived watermark must cover every scoped admission so
+    // the compaction sweep can physically complete the whole purge
+    val retr = pmod(col("doc_id"), lit(7L)) === 3
+
+    // 1. bootstrap all six stores over the non-streamed corpus
+    val boot = docs.filter(!streamed)
+    val streamedVecIds = vecs.select("vec_id")
+      .join(docs.filter(streamed).select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Dedup.writeSignatures(Dedup.signaturesOf(boot), sig)
+    Search.writeSearchIndexFrom(spark, boot, idx)
+    TextOps.writeLmModel(spark, boot, lm)
+    TextOps.writeNbModel(spark, boot, nb)
+    Similarity.writeAnnIndexFrom(spark,
+      vecs.join(streamedVecIds, Seq("vec_id"), "left_anti"), ann)
+    Similarity.writeIvfIndexFrom(spark,
+      vecs.join(streamedVecIds, Seq("vec_id"), "left_anti"), ivf)
+    // 2. the STREAM ingest: three REAL micro-batches through the
+    //    composition's streaming twin, docs + their vectors, one durable
+    //    checkpoint across all six stores
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val rows = docs.filter(streamed).as[(Long, String)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.EventStreams.ingestDocStream(
+        input.toDF().toDF("doc_id", "text"), allStores, ckpt,
+        vectorsFor = b => Some(vecs.join(
+          b.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")))
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // 3. the deletion request
+    Pipeline.forgetDocs(spark, allStores, docs.filter(retr))
+
+    // every store's READ FACE, rendered semantically (no batch_id — the
+    // fold rewrites provenance columns by design, never answers)
+    val probeDocs = docs.filter(pmod(col("doc_id"), lit(97L)) === 1 && !retr)
+    val annBuckets = spark.read.parquet(ann).select("bucket").distinct()
+      .orderBy("bucket").limit(6).collect()
+      .map(_.getAs[Number](0).longValue()).toSeq
+    def faces(): Seq[Seq[String]] = {
+      val gateIn = Dedup.signaturesOf(docs.filter(pmod(col("doc_id"), lit(101L)) === 2))
+        .withColumn("batch_id", lit(99L))
+      Seq(
+        Dedup.gateAgainstStored(spark, sig, gateIn,
+            corpusFilter = col("batch_id") < 99, ordered = false)
+          .select("doc_id", "is_duplicate", "n_dup_matches"),
+        Search.scoreBm25(
+          Search.probeSearchIndex(spark, idx, Search.QueryTerms)
+            .select("doc_id", "dl", "word", "tf"),
+          Search.searchStats(spark, idx)),
+        TextOps.lmScoreStored(spark, probeDocs, lm),
+        TextOps.qualityClassifierStored(spark, probeDocs, nb),
+        Similarity.probeAnnIndex(spark, ann, annBuckets).select("vec_id", "bucket"),
+        Similarity.qIvfProbeStored(spark, ivf)
+      ).map(_.collect().map(_.toString).sorted.toSeq)
+    }
+    val before = faces()
+
+    // 5. the orchestrated DAG: one ingest-estate root, six MANDATORY
+    //    compaction modules behind the DECODE matrix
+    val stores = Seq(sig, idx, lm, nb, ann, ivf)
+    val ctl = new graft.state.MwStateStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-scale-dag-ctl").toString)
+    val names = Seq("DAG_SIG", "DAG_SEARCH", "DAG_LM", "DAG_NB", "DAG_ANN", "DAG_IVF")
+    ctl.putBatchMaster(graft.state.BatchMaster(400, "DAG_ROOT", 1, Some("OPS"), None) +:
+      names.zipWithIndex.map { case (n, i) =>
+        graft.state.BatchMaster(401L + i, n, 1, Some("OPS"), None) })
+    ctl.putDependencies(names.indices.map(i =>
+      graft.state.BatchDependency(400, 401L + i, "MANDATORY")))
+    ctl.putRunCommands(graft.state.RunCommand("DAG_ROOT", "graft.query q_count") +:
+      Seq("maint_compact_signatures", "maint_compact_search", "maint_compact_lm",
+        "maint_compact_nb", "maint_compact_ann", "maint_compact_ivf")
+        .zip(names).map { case (q, n) => graft.state.RunCommand(n, s"graft.query $q") })
+    val registry = SparkEntry.queries ++ graft.lifecycle.Maintenance.moduleRegistry(
+      graft.lifecycle.Maintenance.StoreLayout(
+        searchIndex = Some((idx, 0L)), lmModel = Some((lm, 0L)), nbModel = Some((nb, 0L)),
+        signatureStore = Some(sig), annIndex = Some(ann), ivfIndex = Some(ivf)),
+      ingestCheckpoint = Some(ckpt))
+    val lc = new graft.lifecycle.Lifecycle(ctl, graft.lifecycle.SystemClock,
+      graft.lifecycle.SystemSleeper)
+    val orch = new graft.lifecycle.Orchestrator(spark, lc, sf1Dir, registry)
+    val t0 = System.nanoTime()
+    val outcomes = orch.runChain("DAG_ROOT" +: names, runLevel = Some(1))
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(outcomes.forall(_._2.isInstanceOf[graft.lifecycle.Orchestrator.Completed]),
+      s"the nightly DAG must complete every module at sf1, got $outcomes")
+
+    // 6. post-compaction: faces answer identically, purge is physical
+    val after = faces()
+    before.zip(after).zipWithIndex.foreach { case ((b, a), i) =>
+      require(b == a, s"read face $i changed across the orchestrated compaction " +
+        s"(before ${b.length} rows, after ${a.length})")
+    }
+    stores.foreach { p =>
+      require(!graft.sources.Stores.hasTombstones(spark, p),
+        s"the derived watermark must let the fold absorb every tombstone: $p")
+    }
+    val leftovers = spark.read.parquet(sig)
+      .join(docs.filter(retr).select("doc_id"), Seq("doc_id"), "left_semi").count()
+    require(leftovers == 0L, s"forgotten docs must be physically purged, found $leftovers")
+    System.err.println(f"[scale] orchestrated NIGHTLY DAG (6-store estate, sf1): $sec%7.2f s  faces equal, purge physical")
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/tmp/sf1")
@@ -226,12 +365,18 @@ object ScaleCheck {
       require(ok, s"orchestrated chain must complete at sf1, got $outcomes")
       sec
     }
+    // The full nightly maintenance DAG over a really-grown 6-store estate
+    // (dev loops opt in with SCALE_ONLY=maint_dag_full; full sweeps run it)
+    val dagSecs: Option[Double] =
+      if (only.forall(_.contains("maint_dag_full"))) Some(maintenanceDagAtSf1(spark, sf1Dir))
+      else None
     def ms3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = rows.map { case (n, a, b, f) =>
       s""""$n":{"sf01":${ms3(a)},"sf1":${ms3(b)},"ratio":${ms3(b / a)},"plan_flip":$f}"""
     }.mkString("{", ",", "}")
     val orchJson = orchSecs.map(ms3).getOrElse("null")
-    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":$orchJson,"flips":${rows.count(_._4)}}""")
+    val dagJson = dagSecs.map(ms3).getOrElse("null")
+    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":$orchJson,"maintenance_dag_sf1_sec":$dagJson,"flips":${rows.count(_._4)}}""")
     spark.stop()
   }
 }
