@@ -624,6 +624,63 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Sequence-PACKING plan — the concat-and-chunk step every LLM
+    * pretraining pipeline runs between cleaning and batching: docs are
+    * laid head-to-tail in a deterministic order and cut into
+    * fixed-token-budget training sequences; a doc's sequence id is its
+    * START offset div the budget. One row per (shard, seq_id) with the
+    * doc span and token mass that landed in it — the shuffle-safe plan
+    * view (the actual byte concat is a map-side `mapPartitions` over
+    * this plan's ordering, no extra exchange).
+    *
+    * Scale: the running-offset window partitions by shard — at 100 TB
+    * the shard count is the parallelism knob and each shard's window is
+    * a single sorted pass; no global ordering anywhere. */
+  private[graft] val PackBudget = 256L
+  private[graft] val PackShards = 8L
+
+  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        wordCount(col("text")).as("tok"))
+      .withColumn("start_tok", sum("tok").over(w) - col("tok"))
+      .withColumn("seq_id", expr(s"start_tok div $PackBudget"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
+  /** Token-BUDGET sampling plan — the arithmetic a mixture-weighted
+    * pretraining run does before sampling: given the per-language
+    * available token mass and the mixture weights ([[qDataMixture]]'s
+    * convention: zh 0.6, the rest uniform), size each language's slice
+    * of a corpus-derived training budget (half the corpus tokens here)
+    * and report the sampling rate — or the epoch multiplier when the
+    * target EXCEEDS the available mass (the under-resourced-language
+    * case, where a real run repeats data). Dimension-sized end to end:
+    * one scan to the per-lang aggregate, then driver-scale arithmetic. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), wordCount(col("text")).as("tok"))
+      .groupBy("lang").agg(sum("tok").as("avail_tokens"))
+    val tot = toks.agg(sum("avail_tokens").as("corpus_tokens"),
+      count(lit(1)).as("n_langs"))
+    val weight = when(col("lang") === "zh", lit(0.6))
+      .otherwise(lit(0.4) / (col("n_langs") - 1))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(weight * expr("corpus_tokens div 2")).cast(LongType))
+      .withColumn("rate",
+        round(least(lit(1.0), col("target_tokens") / col("avail_tokens")), 6))
+      .withColumn("epochs_needed",
+        round(col("target_tokens") / col("avail_tokens"), 3))
+      .select("lang", "avail_tokens", "target_tokens", "rate", "epochs_needed")
+      .orderBy("lang")
+  }
+
   // ---- repetition filters (Gopher-style quality rules) -------------------
 
   /** Flag thresholds. The repetition pair sits at ≈p90 of each signal on
@@ -1898,6 +1955,8 @@ object TextOps {
     "q_stratified_sample" -> qStratifiedSample _,
     "q_token_shards" -> qTokenShards _,
     "q_data_mixture" -> qDataMixture _,
+    "q_seq_pack"    -> qSeqPack _,
+    "q_token_budget" -> qTokenBudget _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
@@ -2226,6 +2285,41 @@ object TextOps {
         |SELECT lang, shard_id, count(*) AS n_docs,
         |  cast(sum(n_tokens) AS bigint) AS shard_tokens
         |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % $PackShards AS shard,
+        |    length(regexp_split_to_array(trim(text), ' +')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, tok,
+        |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tok AS start_tok
+        |  FROM t)
+        |SELECT shard, cast(start_tok // $PackBudget AS bigint) AS seq_id,
+        |  cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(tok) AS bigint) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_token_budget" ->
+      """WITH a AS (
+        |  SELECT lang, cast(sum(length(regexp_split_to_array(trim(text), ' +')))
+        |    AS bigint) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT cast(sum(avail_tokens) AS bigint) AS corpus_tokens,
+        |  count(*) AS n_langs FROM a),
+        |-- literals cast to DOUBLE (the q_data_mixture rule): bare 0.6/0.4
+        |-- would make the weight DECIMAL in DuckDB while Spark uses double
+        |p AS (
+        |  SELECT lang, avail_tokens,
+        |    cast(floor((CASE WHEN lang = 'zh' THEN CAST(0.6 AS DOUBLE)
+        |      ELSE CAST(0.4 AS DOUBLE) / (n_langs - 1) END)
+        |      * (corpus_tokens // 2)) AS bigint) AS target_tokens
+        |  FROM a, t)
+        |SELECT lang, avail_tokens, target_tokens,
+        |  round(least(CAST(1.0 AS DOUBLE),
+        |    target_tokens / avail_tokens), 6) AS rate,
+        |  round(target_tokens / avail_tokens, 3) AS epochs_needed
+        |FROM p ORDER BY lang""".stripMargin,
     "q_data_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_lang) AS n_corpus, count(*) AS n_langs FROM c),
