@@ -90,7 +90,10 @@ object ScaleCheck {
     // the rest of the derived-partsupp family: Q2's window-min over
     // broadcast joins, Q11's 1-row global threshold broadcast-back,
     // Q16's distinct-count behind broadcast part/anti-supplier filters
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16")
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q16",
+    // round-17: the packing plan's per-shard running-offset window at
+    // 10x rows-per-shard, and the budget plan's dimension-sized rollup
+    "q_seq_pack", "q_token_budget")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
