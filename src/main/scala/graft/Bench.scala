@@ -271,7 +271,10 @@ object Bench {
     val loadJson = {
       val per = results.flatMap { case (n, _) => queryLoad.get(n).map(v => s"\"" + n + "\":" + l2(v)) }
         .mkString("{", ",", "}")
-      s"""{"cpus":$cpus,"start":${l2(sweepLoadStart)},"end":${l2(loadavg())},"queries":$per}"""
+      // cpus is a raw env string ("*" = all cores is legal for local[..])
+      // — quote non-numeric values or the whole JSON line is corrupt
+      val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+      s"""{"cpus":$cpusJson,"start":${l2(sweepLoadStart)},"end":${l2(loadavg())},"queries":$per}"""
     }
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","regressions":$regr,"watch":$watchJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""

@@ -163,17 +163,20 @@ object ScaleCheck {
 
   /** The deployment's NIGHTLY shape as ONE orchestrated sf1 scenario
     * (r16 verdict item 5): grow a REAL six-store estate through the
-    * composition entry points — bootstrap, a batch [[graft.operators
-    * .Pipeline.ingestDocs]] leg (docs + vectors, batch 7), a REAL
-    * [[graft.streaming.EventStreams.gateDocStream]] leg (three
-    * micro-batches under a durable checkpoint), a [[graft.operators
-    * .Pipeline.forgetDocs]] deletion request — then run the FULL
-    * compact-all-stores DAG as orchestrator modules behind the DECODE
-    * dependency matrix, fold watermarks DERIVED from the stream's
-    * checkpoint, and assert every store's post-compaction READ FACE
-    * answers exactly what it answered before the fold (with the
-    * forgotten docs physically purged and no tombstone left anywhere).
-    * Returns the orchestrated DAG's wall seconds. */
+    * composition entry points — bootstrap over the non-streamed corpus,
+    * then a REAL [[graft.streaming.EventStreams.ingestDocStream]] run
+    * (three micro-batches of docs + their vectors across ALL six stores
+    * under one durable checkpoint — ONE writer protocol per store, so
+    * everything post-bootstrap arrives through the stream and every
+    * scoped batch id is checkpoint-covered), then a [[graft.operators
+    * .Pipeline.forgetDocs]] deletion request spanning bootstrap AND
+    * streamed docs — then run the FULL compact-all-stores DAG as
+    * orchestrator modules behind the DECODE dependency matrix, fold
+    * watermarks DERIVED from the stream's checkpoint, and assert every
+    * store's post-compaction READ FACE answers exactly what it answered
+    * before the fold (with the forgotten docs physically purged and no
+    * tombstone left anywhere). Returns the orchestrated DAG's wall
+    * seconds. */
   private def maintenanceDagAtSf1(spark: SparkSession, sf1Dir: String): Double = {
     import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
     import graft.sources.Tables
@@ -250,11 +253,22 @@ object ScaleCheck {
         TextOps.qualityClassifierStored(spark, probeDocs, nb),
         Similarity.probeAnnIndex(spark, ann, annBuckets).select("vec_id", "bucket"),
         Similarity.qIvfProbeStored(spark, ivf)
-      ).map(_.collect().map(_.toString).sorted.toSeq)
+      ).map { df =>
+        // canonicalize doubles to 6 decimals before rendering: the
+        // score faces sum doubles whose partial-aggregation order
+        // follows file layout, which the compaction rewrites — a raw
+        // byte-compare would be ulp-sensitive to the fold itself
+        val cols = df.schema.fields.map {
+          case f if f.dataType == org.apache.spark.sql.types.DoubleType =>
+            round(col(f.name), 6).as(f.name)
+          case f => col(f.name)
+        }
+        df.select(cols.toSeq: _*).collect().map(_.toString).sorted.toSeq
+      }
     }
     val before = faces()
 
-    // 5. the orchestrated DAG: one ingest-estate root, six MANDATORY
+    // 4. the orchestrated DAG: one ingest-estate root, six MANDATORY
     //    compaction modules behind the DECODE matrix
     val stores = Seq(sig, idx, lm, nb, ann, ivf)
     val ctl = new graft.state.MwStateStore(spark,
@@ -283,7 +297,7 @@ object ScaleCheck {
     require(outcomes.forall(_._2.isInstanceOf[graft.lifecycle.Orchestrator.Completed]),
       s"the nightly DAG must complete every module at sf1, got $outcomes")
 
-    // 6. post-compaction: faces answer identically, purge is physical
+    // 5. post-compaction: faces answer identically, purge is physical
     val after = faces()
     before.zip(after).zipWithIndex.foreach { case ((b, a), i) =>
       require(b == a, s"read face $i changed across the orchestrated compaction " +

@@ -878,14 +878,10 @@ object CoreOps {
         scala.collection.concurrent.TrieMap[String, Long]]())
 
   private[operators] def partsuppOf(s: SparkSession, dir: String): DataFrame = {
-    val perDir = nSuppMemo.synchronized {
-      var m = nSuppMemo.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Long]
-        nSuppMemo.put(s, m)
-      }
-      m
-    }
+    // computeIfAbsent locks the synchronizedMap's own mutex — atomic
+    // without an extra synchronized block around get/put
+    val perDir = nSuppMemo.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty[String, Long])
     val nSupp = perDir.getOrElseUpdate(dir, Tables.supplier(s, dir).count())
     Tables.part(s, dir).select(col("p_partkey").as("ps_partkey"))
       .withColumn("i", explode(array((0L to 3L).map(lit): _*)))

@@ -109,23 +109,21 @@ final class BloomSidecar(sidecarName: String, val bits: Int, val hashes: Int) {
     * own snapshot), and no stale bits outlive the call. */
   def ensureFrom(s: SparkSession, store: String)(keys: => DataFrame): Array[Byte] =
     read(s, store).getOrElse {
-      try
-        StoreLock.withLock(store, s"$sidecarName-backfill") {
-          read(s, store).getOrElse {
-            val bytes = buildOf(s, keys)
-            write(s, store, bytes)
-            bytes
-          }
+      // withLockIfAvailable scopes the fallback to ACQUISITION failures
+      // only: a build/persist failure inside the claim (e.g. write's
+      // loud rename refusal) PROPAGATES — swallowing it would be the
+      // silent-degradation mode this file's header forbids.
+      StoreLock.withLockIfAvailable(store, s"$sidecarName-backfill") {
+        read(s, store).getOrElse {
+          val bytes = buildOf(s, keys)
+          write(s, store, bytes)
+          bytes
         }
-      catch {
-        // IllegalState = contended claim; IllegalArgument = URI store
-        // under the default local binding (StoreLock's refusal) — both
-        // mean "this reader may not persist", neither means "may not
-        // answer"
-        case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
-          System.err.println(s"[bloom-sidecar] backfill of ${path(store)} not " +
-            s"persisted (${e.getMessage.takeWhile(_ != '\n')}); built for this use only")
-          buildOf(s, keys)
+      }.getOrElse {
+        System.err.println(s"[bloom-sidecar] backfill of ${path(store)} could not " +
+          "claim the store (writer contention or an unbound remote store); " +
+          "built for this use only, not persisted")
+        buildOf(s, keys)
       }
     }
 

@@ -149,14 +149,54 @@ object StoreLock {
   def withLock[T](store: String, op: String)(body: => T): T =
     withLockWaiting(store, op, 0L)(body)
 
+  /** Run `body` under the claim IF it can be acquired; [[None]] iff the
+    * claim is UNAVAILABLE — contended past the wait, or this store's
+    * addressing is refused by the current binding (a URI under the
+    * default local binding, a relative path under a rebound one).
+    * Exceptions from `body` itself PROPAGATE: only acquisition is
+    * optional, never the work — a caller that treated its own failure
+    * as "claim unavailable" would silently swallow it (the
+    * BloomSidecar backfill's review finding). */
+  def withLockIfAvailable[T](store: String, op: String)(body: => T): Option[T] = {
+    // `entered` separates acquisition failures (body never started →
+    // None) from the body's own IllegalState/IllegalArgument exceptions
+    // (entered → rethrown) — the body still runs UNDER the claim.
+    var entered = false
+    try Some(withLock(store, op) { entered = true; body })
+    catch {
+      case _: IllegalStateException if !entered => None // contended past the wait
+      case _: IllegalArgumentException if !entered => None // binding refuses this addressing
+    }
+  }
+
+  // Thread-scoped wait floor (see withWaitFloor): foreachBatch bodies
+  // run their whole micro-batch on one thread, so a scope around the
+  // body floors EVERY claim the batch's store mutations take — including
+  // the ones buried inside Pipeline.ingestDocs/forgetDocs and the append
+  // faces, which a per-call-site floor could never reach.
+  private val waitFloorMs = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
+
+  /** Run `body` with every [[withLock]] acquisition ON THIS THREAD
+    * flooring its contention wait at `minWaitMs` (nested scopes keep the
+    * larger floor). The streaming admission plane wraps each micro-batch
+    * in this: a maintenance sweep holding a store for seconds must DELAY
+    * the batch, not kill the streaming query — and the property still
+    * only raises waits, never lowers the deployment-wide setting. */
+  def withWaitFloor[T](minWaitMs: Long)(body: => T): T = {
+    val prev = waitFloorMs.get()
+    waitFloorMs.set(math.max(prev, minWaitMs))
+    try body finally waitFloorMs.set(prev)
+  }
+
   /** As [[withLock]] but with a FLOOR on the contention wait: the
-    * effective wait is max(graft.store.lock.waitMs, minWaitMs). For
-    * callers that must not fail fast under transient contention — a
-    * streaming micro-batch's admit claim racing a maintenance sweep
-    * should serialize behind the sweep's seconds-long hold, not kill
-    * the streaming query (r16 advice). The system property still RAISES
-    * the wait deployment-wide; the floor only prevents the default
-    * fail-fast from applying where fail-fast is the wrong semantics. */
+    * effective wait is max(graft.store.lock.waitMs, minWaitMs, any
+    * enclosing [[withWaitFloor]] scope). For callers that must not fail
+    * fast under transient contention — a streaming micro-batch's admit
+    * claim racing a maintenance sweep should serialize behind the
+    * sweep's seconds-long hold, not kill the streaming query (r16
+    * advice). The system property still RAISES the wait
+    * deployment-wide; the floor only prevents the default fail-fast
+    * from applying where fail-fast is the wrong semantics. */
   def withLockWaiting[T](store: String, op: String, minWaitMs: Long)(body: => T): T = {
     val key = normalize(store)
     val me = Thread.currentThread()
@@ -175,7 +215,8 @@ object StoreLock {
       val payload =
         (s"pid=${ProcessHandle.current().pid()} op=$op " +
           s"thread=${me.getName} ts=${java.time.Instant.now()}").getBytes("UTF-8")
-      val deadline = System.currentTimeMillis() + math.max(waitMs, minWaitMs)
+      val deadline = System.currentTimeMillis() +
+        math.max(waitMs, math.max(minWaitMs, waitFloorMs.get()))
       shutdownHook // register the release hook once, lazily
       var won = objectStore.putIfAbsent(lock, payload)
       while (!won && System.currentTimeMillis() < deadline) {

@@ -104,12 +104,16 @@ object HttpBucket {
           catch { case e: java.io.IOException => Left(e) }
         resp match {
           case Right(r) if r.statusCode() / 100 == 2 => return true
-          // 412 Precondition Failed = the key exists. On the FIRST
-          // attempt that is simply a lost race; after a retry it is
-          // ambiguous (our earlier PUT may have been applied before its
-          // response was lost) — disambiguate by payload.
+          // 412 Precondition Failed = the key exists. Ambiguous even on
+          // the FIRST attempt of THIS call: an earlier call's PUT may
+          // have been applied before its response was lost (the orphaned
+          // win — a prior putIfAbsent that threw after exhausting its
+          // retry budget, yet landed server-side). Disambiguate by
+          // payload unconditionally: payloads are writer-unique by
+          // contract, so byte-equality proves authorship, and the one
+          // extra GET per lost race is control-plane noise.
           case Right(r) if r.statusCode() == 412 =>
-            return attempt > 0 && weWon(key, bytes)
+            return weWon(key, bytes)
           case Right(r) if r.statusCode() >= 500 && attempt < maxRetries => ()
           case Right(r) => throw new java.io.IOException(
             s"conditional PUT of $key failed with ${r.statusCode()}")

@@ -31,6 +31,21 @@ final case class SessionState(lastTsMicros: Long, sessionId: Long)
   * key cardinality, not the stream length.
   */
 object EventStreams {
+  /** Every micro-batch seam below runs under this lock-wait FLOOR
+    * (graft.sources.StoreLock.withWaitFloor): a maintenance sweep
+    * holding a store for seconds must DELAY a streaming batch, not kill
+    * the streaming query under the fail-fast default — and the floor
+    * reaches every claim the batch takes, including the ones inside
+    * Pipeline.ingestDocs/forgetDocs and the per-store append faces
+    * (r16 advice, widened from the gate-admit claim to the whole
+    * streaming admission plane in the r17 review). Past the floor a
+    * batch still fails loudly naming the holder — a wedged sweep is an
+    * operator incident, and foreachBatch's at-least-once replay re-runs
+    * the batch idempotently after restart. */
+  private val StreamLockWaitFloorMs = 30000L
+  private def flooredBatch[T](body: => T): T =
+    graft.sources.StoreLock.withWaitFloor(StreamLockWaitFloorMs)(body)
+
 
   /** Hourly windowed counts + decimal-exact value sums — the streaming twin
     * of EventOps.qWindowHourly (same decimal accumulation so results are
@@ -139,7 +154,8 @@ object EventStreams {
     * same id (exactly what an at-least-once crash-replay does) must leave
     * verdicts and store bit-identical to running it once (StreamingSpec
     * asserts this by literally replaying a batch). */
-  def gateBatch(batch: DataFrame, id: Long, storePath: String, outPath: String): Unit = {
+  def gateBatch(batch: DataFrame, id: Long, storePath: String, outPath: String): Unit =
+      flooredBatch {
     import graft.operators.Dedup
     import graft.sources.Sinks
     val sig = Dedup.signaturesOf(batch)
@@ -160,15 +176,10 @@ object EventStreams {
         // the store mutation section runs under the store's writer
         // claim (StoreLock) — the stream is the one writer by protocol,
         // but a concurrently-launched compaction or forget serializes
-        // against the micro-batch instead of racing its swap. The claim
-        // uses a 30 s wait FLOOR (withLockWaiting), not the global
-        // default's fail-fast: a maintenance sweep holding the store for
-        // seconds must delay the micro-batch, not kill the streaming
-        // query. Past the floor the batch still fails loudly naming the
-        // holder — a wedged sweep is an operator incident, and
-        // foreachBatch's at-least-once replay re-runs the batch
-        // idempotently after restart.
-        graft.sources.StoreLock.withLockWaiting(storePath, "gate-admit", 30000L) {
+        // against the micro-batch instead of racing its swap; the
+        // enclosing flooredBatch scope gives this claim (like every
+        // streaming admit claim) the 30 s contention-wait floor.
+        graft.sources.StoreLock.withLock(storePath, "gate-admit") {
           // keep the Bloom sidecar a superset of stored buckets BEFORE
           // the admission lands (Dedup.absorbIntoBloom's soundness
           // ordering); the whole batch's buckets over-approximate the
@@ -215,7 +226,8 @@ object EventStreams {
     * is: running it twice with the same id must leave the index
     * bit-identical to running it once. */
   def ingestVectorBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
-    graft.operators.Similarity.appendIvfIndexBatch(batch.sparkSession, batch, indexPath, id)
+    flooredBatch(
+      graft.operators.Similarity.appendIvfIndexBatch(batch.sparkSession, batch, indexPath, id))
 
   /** Stream (doc_id, text) documents into a STORED search index
     * (bootstrap via [[graft.operators.Search.writeSearchIndex]]): each
@@ -238,7 +250,8 @@ object EventStreams {
   /** One micro-batch of the posting ingest — exposed for the replay
     * contract, like [[ingestVectorBatch]]. */
   def ingestPostingsBatch(batch: DataFrame, id: Long, indexPath: String): Unit =
-    graft.operators.Search.appendSearchIndexBatch(batch.sparkSession, batch, indexPath, id)
+    flooredBatch(
+      graft.operators.Search.appendSearchIndexBatch(batch.sparkSession, batch, indexPath, id))
 
   /** Highest micro-batch id the streaming checkpoint's commit log
     * records as COMMITTED, or -1 when none have. This is the fact a
@@ -295,7 +308,8 @@ object EventStreams {
 
   /** One micro-batch of the LM ingest — the replay-contract seam. */
   def ingestLmBatch(batch: DataFrame, id: Long, modelPath: String): Unit =
-    graft.operators.TextOps.appendLmBatch(batch.sparkSession, batch, modelPath, id)
+    flooredBatch(
+      graft.operators.TextOps.appendLmBatch(batch.sparkSession, batch, modelPath, id))
 
   /** [[compactPostingsFromCheckpoint]] for the stored LM. */
   def compactLmFromCheckpoint(s: SparkSession, modelPath: String,
@@ -334,7 +348,7 @@ object EventStreams {
   def forgetBatch(batch: DataFrame, id: Long,
       stores: graft.operators.Pipeline.DocStores): Unit =
     if (!batch.isEmpty)
-      graft.operators.Pipeline.forgetDocs(batch.sparkSession, stores, batch)
+      flooredBatch(graft.operators.Pipeline.forgetDocs(batch.sparkSession, stores, batch))
 
   /** Streaming corpus ingest into every configured store — the stream
     * twin of [[graft.operators.Pipeline.ingestDocs]] and the admission
@@ -376,8 +390,8 @@ object EventStreams {
       stores: graft.operators.Pipeline.DocStores,
       vectorsFor: DataFrame => Option[DataFrame] = _ => None): Unit =
     if (!batch.isEmpty)
-      graft.operators.Pipeline.ingestDocs(batch.sparkSession, stores, batch,
-        batchId = id, vectors = vectorsFor(batch))
+      flooredBatch(graft.operators.Pipeline.ingestDocs(batch.sparkSession, stores, batch,
+        batchId = id, vectors = vectorsFor(batch)))
 
   // ---- custom state: flatMapGroupsWithState ------------------------------
 

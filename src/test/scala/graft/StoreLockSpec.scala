@@ -103,6 +103,51 @@ class StoreLockSpec extends AnyFunSuite {
     assert(!StoreLock.isHeld(store))
   }
 
+  test("withLockIfAvailable: None only for acquisition failures; body failures propagate; floor scopes reach nested claims") {
+    val store = Files.createTempDirectory("graft-lock-avail").toString + "/s"
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // acquired: runs under the claim, returns Some
+    assert(StoreLock.withLockIfAvailable(store, "op") {
+      assert(StoreLock.isHeld(store)); 42
+    } === Some(42))
+    // contended (fail-fast default): None — the backfill fallback signal
+    StoreLock.withLock(store, "holder") {
+      assert(Await.result(
+        Future(StoreLock.withLockIfAvailable(store, "op")(42)), Duration.Inf).isEmpty)
+    }
+    // a body failure is NOT an unavailable claim — it must propagate,
+    // even when it is itself an IllegalArgumentException (the
+    // BloomSidecar review finding: a swallowed persist failure would be
+    // silent degradation)
+    val e = intercept[IllegalArgumentException] {
+      StoreLock.withLockIfAvailable(store, "op") {
+        require(false, "rename refused"); 0
+      }
+    }
+    assert(e.getMessage.contains("rename refused"))
+    assert(!StoreLock.isHeld(store), "the claim must release after a body failure")
+    // withWaitFloor: a PLAIN withLock inside the scope inherits the
+    // floor — the streaming admission plane's shape, where the claims
+    // live levels below the foreachBatch body that sets the policy
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holderIn = new java.util.concurrent.CountDownLatch(1)
+    val holder = Future {
+      StoreLock.withLock(store, "sweep") { holderIn.countDown(); release.await() }
+    }
+    holderIn.await()
+    val waiter = Future {
+      StoreLock.withWaitFloor(30000L) {
+        StoreLock.withLock(store, "batch") { "ran" }
+      }
+    }
+    Thread.sleep(300)
+    release.countDown()
+    Await.result(holder, Duration.Inf)
+    assert(Await.result(waiter, Duration.Inf) == "ran",
+      "a floored scope must make nested plain claims wait, not die")
+    assert(!StoreLock.isHeld(store))
+  }
+
   test("isHeld answers for a URI store directly under the authority root") {
     // r16 advice: the lock key's PARENT for "scheme://auth/x" is the
     // 2-segment "/scheme/auth", which HadoopObjectStore's key decoder
