@@ -180,6 +180,28 @@ object ScaleCheck {
   private def maintenanceDagAtSf1(spark: SparkSession, sf1Dir: String): Double = {
     import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
     import graft.sources.Tables
+    // The CLOUD deployment shape, not just the local one: every writer
+    // claim this scenario takes — bootstrap swaps, each micro-batch's
+    // ingest claims, forgetDocs' retraction claims, all six compaction
+    // modules — goes through the HTTP bucket binding (real conditional
+    // PUTs over loopback HTTP against the in-repo emulation), exactly
+    // how an S3/GCS estate locks. Restored in the finally.
+    val lockStaging = java.nio.file.Files.createTempDirectory("graft-scale-dag-lock")
+    val lockBucket = new graft.state.HttpBucket.Server(lockStaging, latencyMs = 1)
+    val prevBinding = graft.sources.StoreLock.objectStore
+    graft.sources.StoreLock.objectStore =
+      new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(lockBucket.uri))
+    try maintenanceDagBody(spark, sf1Dir, lockBucket)
+    finally {
+      graft.sources.StoreLock.objectStore = prevBinding
+      lockBucket.stop()
+    }
+  }
+
+  private def maintenanceDagBody(spark: SparkSession, sf1Dir: String,
+      lockBucket: graft.state.HttpBucket.Server): Double = {
+    import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
+    import graft.sources.Tables
     val base = java.nio.file.Files.createTempDirectory("graft-scale-dag").toString
     val (sig, idx, lm, nb, ann, ivf) = (s"$base/signatures", s"$base/postings",
       s"$base/lm", s"$base/nb", s"$base/ann", s"$base/ivf")
@@ -310,7 +332,9 @@ object ScaleCheck {
     val leftovers = spark.read.parquet(sig)
       .join(docs.filter(retr).select("doc_id"), Seq("doc_id"), "left_semi").count()
     require(leftovers == 0L, s"forgotten docs must be physically purged, found $leftovers")
-    System.err.println(f"[scale] orchestrated NIGHTLY DAG (6-store estate, sf1): $sec%7.2f s  faces equal, purge physical")
+    require(lockBucket.size == 0,
+      s"every writer claim must have released through the bucket binding, ${lockBucket.size} remain")
+    System.err.println(f"[scale] orchestrated NIGHTLY DAG (6-store estate, sf1): $sec%7.2f s  faces equal, purge physical, locks via HTTP bucket (all released)")
     sec
   }
 
