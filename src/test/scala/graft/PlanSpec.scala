@@ -85,6 +85,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q_seq_pack: the packing rollup reuses the window's shard exchange") {
+    // the running-offset window partitions by shard, and the (shard,
+    // seq_id) rollup is satisfied by that same partitioning (same-shard
+    // rows are co-located) — exactly ONE hash exchange; the second
+    // Exchange is the harness sort's range partitioning. At 100 TB the
+    // shard count is the parallelism knob and nothing orders globally.
+    val p = plan("q_seq_pack")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"q_seq_pack plans $hashEx hash exchanges (want 1):\n$p")
+    assert(p.contains("Window"), "the running offset is a window pass")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("q_unpivot: a generate/expand projection, no hash shuffle") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand") || p.contains("Generate"),
