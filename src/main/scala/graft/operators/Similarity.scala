@@ -165,6 +165,28 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@5 of the multi-probe LSH tier against EXACT brute-force
+    * top-5 — the quality metric an ANN deployment actually tunes on
+    * (planes/probes trade recall for read volume; this face MEASURES
+    * the trade instead of asserting it). One row per probe query:
+    * |LSH∩exact| / |exact|, both sides the registered faces' own
+    * results, so the metric can never drift from what the engine
+    * serves. Scale: composes two already-bounded faces — the exact side
+    * is the documented brute-force tier over the probe-query slice, the
+    * LSH side is bucket-pruned — joined on (query, neighbor), which is
+    * probe-count × k rows. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnTopk(s, dir).select("q_id", "neighbor_id")
+    val lsh = qAnnLsh(s, dir).select("q_id", "neighbor_id")
+    val hits = exact.join(lsh, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("k"), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
   // ---- MMR diversity re-ranking -------------------------------------------
 
   /** λ and 1−λ as SEPARATE literals: `1 - 0.7` is 0.30000000000000004
@@ -1466,6 +1488,7 @@ object Similarity {
     "q_embed_pipeline" -> qEmbedPipeline _,
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
+    "q_ann_recall"    -> qAnnRecall _,
     "q_mmr_rerank"    -> qMmrRerank _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_asof"      -> qAnnAsof _,
@@ -1605,6 +1628,21 @@ object Similarity {
     "q_ann_topk" -> duckAnnTopkSql,
     "q_ann_topk_agg" -> duckAnnTopkSql,
     "q_mmr_rerank" -> duckMmrSql,
+    // recall = the two faces' own oracles joined on (query, neighbor);
+    // nested WITHs shadow cleanly in DuckDB, and bigint/bigint `/`
+    // promotes to double exactly as Spark's long/long division does
+    "q_ann_recall" ->
+      s"""WITH brute AS ($duckAnnTopkSql),
+         |lsh AS ($duckAnnLshSql),
+         |hit AS (
+         |  SELECT b.q_id, count(*) AS n_hit
+         |  FROM brute b JOIN lsh l
+         |    ON l.q_id = b.q_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY 1),
+         |k AS (SELECT q_id, count(*) AS k FROM brute GROUP BY 1)
+         |SELECT k.q_id, round(coalesce(hit.n_hit, 0) / k.k, 6) AS recall_at_5
+         |FROM k LEFT JOIN hit ON hit.q_id = k.q_id
+         |ORDER BY k.q_id""".stripMargin,
   )
 
   /** The MMR oracle: the greedy selection unrolled as
