@@ -92,8 +92,11 @@ object ScaleCheck {
     // Q16's distinct-count behind broadcast part/anti-supplier filters
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q16",
     // round-17: the packing plan's per-shard running-offset window at
-    // 10x rows-per-shard, and the budget plan's dimension-sized rollup
-    "q_seq_pack", "q_token_budget")
+    // 10x rows-per-shard, the budget plan's dimension-sized rollup, and
+    // the LSH-vs-exact recall metric (its brute side is the documented
+    // bounded probe-slice crossJoin — the ratio shows whether that
+    // bound holds at 10x corpus)
+    "q_seq_pack", "q_token_budget", "q_ann_recall")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
