@@ -181,8 +181,6 @@ object ScaleCheck {
     * tombstone left anywhere). Returns the orchestrated DAG's wall
     * seconds. */
   private def maintenanceDagAtSf1(spark: SparkSession, sf1Dir: String): Double = {
-    import graft.operators.{Dedup, Pipeline, Search, Similarity, TextOps}
-    import graft.sources.Tables
     // The CLOUD deployment shape, not just the local one: every writer
     // claim this scenario takes — bootstrap swaps, each micro-batch's
     // ingest claims, forgetDocs' retraction claims, all six compaction
@@ -198,6 +196,7 @@ object ScaleCheck {
     finally {
       graft.sources.StoreLock.objectStore = prevBinding
       lockBucket.stop()
+      java.nio.file.Files.deleteIfExists(lockStaging)
     }
   }
 

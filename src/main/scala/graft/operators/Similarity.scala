@@ -176,14 +176,17 @@ object Similarity {
     * LSH side is bucket-pruned — joined on (query, neighbor), which is
     * probe-count × k rows. */
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    // ONE left join + ONE aggregate: count(m) counts matched neighbors
+    // (nulls skipped), count(*) is k — no second aggregate or join-back.
+    // Sound because the LSH side is unique per (q_id, neighbor_id):
+    // each corpus vector has exactly one bucket and probe buckets are
+    // XOR-distinct per query, so the left join never fans out.
     val exact = qAnnTopk(s, dir).select("q_id", "neighbor_id")
     val lsh = qAnnLsh(s, dir).select("q_id", "neighbor_id")
-    val hits = exact.join(lsh, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"),
-        round(coalesce(col("n_hit"), lit(0L)) / col("k"), 6).as("recall_at_5"))
+      .withColumn("m", lit(1))
+    exact.join(lsh, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(round(count(col("m")) / count(lit(1)), 6).as("recall_at_5"))
       .orderBy("q_id")
   }
 
@@ -1633,16 +1636,12 @@ object Similarity {
     // promotes to double exactly as Spark's long/long division does
     "q_ann_recall" ->
       s"""WITH brute AS ($duckAnnTopkSql),
-         |lsh AS ($duckAnnLshSql),
-         |hit AS (
-         |  SELECT b.q_id, count(*) AS n_hit
-         |  FROM brute b JOIN lsh l
-         |    ON l.q_id = b.q_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY 1),
-         |k AS (SELECT q_id, count(*) AS k FROM brute GROUP BY 1)
-         |SELECT k.q_id, round(coalesce(hit.n_hit, 0) / k.k, 6) AS recall_at_5
-         |FROM k LEFT JOIN hit ON hit.q_id = k.q_id
-         |ORDER BY k.q_id""".stripMargin,
+         |lsh AS ($duckAnnLshSql)
+         |SELECT b.q_id,
+         |  round(count(l.neighbor_id) / count(*), 6) AS recall_at_5
+         |FROM brute b LEFT JOIN lsh l
+         |  ON l.q_id = b.q_id AND l.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The MMR oracle: the greedy selection unrolled as

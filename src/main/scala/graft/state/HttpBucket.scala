@@ -178,10 +178,11 @@ object HttpBucket {
     private val objects = new ConcurrentHashMap[String, Array[Byte]]()
     private val putFails = new ConcurrentHashMap[String, AtomicInteger]()
 
+    private val pool = java.util.concurrent.Executors.newCachedThreadPool()
     private val http = {
       val s = com.sun.net.httpserver.HttpServer
         .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-      s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+      s.setExecutor(pool)
       s.createContext("/", handler)
       s.start()
       s
@@ -190,7 +191,13 @@ object HttpBucket {
     /** The bucket endpoint the client binds. */
     def uri: String = s"http://127.0.0.1:${http.getAddress.getPort}"
 
-    def stop(): Unit = http.stop(0)
+    /** Stops the listener AND its handler pool: the cached pool's
+      * threads are non-daemon with a 60 s keep-alive, so an unstopped
+      * pool pins a forked runMain JVM past main's return. */
+    def stop(): Unit = {
+      http.stop(0)
+      pool.shutdownNow()
+    }
 
     /** Committed object count (assertions). */
     def size: Int = objects.size()
