@@ -294,6 +294,46 @@ class StreamingSpec extends AnyFunSuite {
       "the cross-batch duplicate must be gated by signatures admitted in batch 1")
   }
 
+  test("a maintenance sweep holding the store DELAYS a live micro-batch instead of killing the stream") {
+    // the r16-advice semantics, driven at the STREAM level: the batch
+    // seams run under StoreLock.withWaitFloor, so the gate's admit claim
+    // polls behind a concurrently-held writer claim (a compaction/forget
+    // sweep) and the micro-batch completes AFTER the sweep releases —
+    // under the fail-fast default it would have thrown and killed the
+    // streaming query.
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swrace").toString
+    val (store, out, ckpt) = (s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    Dedup.writeSignatures(Dedup.signaturesOf(Seq(
+      DocText(1L, "the quick brown fox jumps over the lazy dog today")).toDF()), store)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocText]
+    val q = graft.streaming.EventStreams.gateDocStream(input.toDF(), store, out, ckpt)
+    try {
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val held = new java.util.concurrent.CountDownLatch(1)
+      val sweep = new Thread(() =>
+        graft.sources.StoreLock.withLock(store, "maintenance-sweep") {
+          held.countDown(); release.await()
+        })
+      sweep.start()
+      held.await()
+      input.addData(
+        DocText(30L, "a fresh unique document arriving mid-sweep with its own words"))
+      // let the micro-batch reach the contended claim, then release the
+      // sweep — the floored wait turns what was a stream-killing throw
+      // into a delay
+      val t = new Thread(() => { Thread.sleep(1500); release.countDown() })
+      t.start()
+      q.processAllAvailable() // would rethrow the batch failure if the claim fail-fasted
+      t.join(); sweep.join()
+      val verdicts = spark.read.parquet(out).select("doc_id", "is_duplicate")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(verdicts === Map(30L -> 0), "the delayed batch must complete and admit")
+      assert(!graft.sources.StoreLock.isHeld(store), "both claims released")
+    } finally q.stop()
+  }
+
   test("gate batch replay is idempotent (the at-least-once contract, literally)") {
     import graft.operators.Dedup
     val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
