@@ -190,6 +190,22 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** [[qAnnRecall]]'s twin for the IVF tier: recall@5 of the
+    * list-pruned probe against exact brute force — together the two
+    * metrics bound where each index tier's pruning starts costing
+    * answers. No SQL oracle (the quantizer trains iteratively); the
+    * [[graft.verify.Expected.ivfRecallRows]] twin recomputes it
+    * sequentially under the shared quantizer. */
+  def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnTopk(s, dir).select("q_id", "neighbor_id")
+    val ivf = qAnnIvf(s, dir).select("q_id", "neighbor_id")
+      .withColumn("m", lit(1))
+    exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(round(count(col("m")) / count(lit(1)), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
   // ---- MMR diversity re-ranking -------------------------------------------
 
   /** λ and 1−λ as SEPARATE literals: `1 - 0.7` is 0.30000000000000004
@@ -1492,6 +1508,7 @@ object Similarity {
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
     "q_ann_recall"    -> qAnnRecall _,
+    "q_ivf_recall"    -> qIvfRecall _,
     "q_mmr_rerank"    -> qMmrRerank _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_asof"      -> qAnnAsof _,

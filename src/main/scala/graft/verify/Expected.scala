@@ -290,6 +290,26 @@ object Expected {
     ivfRowsOver(boot, boot.filter(_._1 % 7 != 3))
   }
 
+  /** Recall@5 of the IVF tier against EXACT top-5 (q_ivf_recall's
+    * twin): the IVF side reuses [[ivfRowsOver]] (the shared-quantizer
+    * contract — the twin must rank under the centroids the engine
+    * trains, or the differential tests nothing), while the EXACT side
+    * is re-derived here as a full sequential scan per probe query, so a
+    * regression in either the engine's list pruning or its exact tier
+    * moves the measured recall and fails the hash gate. */
+  def ivfRecallRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Double)] = {
+    val withNrm = normed(embs)
+    val ivfPairs = ivfRowsOver(withNrm, withNrm).map(r => (r._1, r._3)).toSet
+    withNrm.filter(_._1 % 100 == 0).map { case (qid, qd, qn) =>
+      val exact = withNrm.iterator.filter(_._1 != qid)
+        .map { case (nid, nd, nn) => (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid) }
+        .toSeq.sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5).map(_._2)
+      val hit = exact.count(nid => ivfPairs((qid, nid)))
+      (qid, round6(hit.toDouble / exact.size))
+    }.sortBy(_._1)
+  }
+
   /** The shared IVF ranking body: quantizer from `train`, assignment /
     * probing / top-5 over `serve`. */
   private def ivfRowsOver(train: Seq[(Long, Array[Double], Double)],
@@ -563,6 +583,7 @@ object Expected {
       imageNeardupRows(docs).toDF("media_a", "media_b", "hamming"))
     val cr = write("q_compress_ratio", compressRows(docs)
       .toDF("doc_id", "n_bytes", "deflate_len", "compress_ratio", "flagged"))
+    val ivfRec = write("q_ivf_recall", ivfRecallRows(embs).toDF("q_id", "recall_at_5"))
     val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
     val cs = write("q_cluster_sample",
       clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
@@ -588,6 +609,7 @@ object Expected {
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
       "q_compress_ratio" -> sql(cr,
         "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),
+      "q_ivf_recall"     -> sql(ivfRec, "q_id, recall_at_5", "q_id"),
       "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),
       "q_cluster_sample" -> sql(cs, "cluster_id, vec_id", "cluster_id, vec_id"),
     )
