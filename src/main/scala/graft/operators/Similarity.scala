@@ -175,20 +175,23 @@ object Similarity {
     * is the documented brute-force tier over the probe-query slice, the
     * LSH side is bucket-pruned — joined on (query, neighbor), which is
     * probe-count × k rows. */
-  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    // ONE left join + ONE aggregate: count(m) counts matched neighbors
-    // (nulls skipped), count(*) is k — no second aggregate or join-back.
-    // Sound because the LSH side is unique per (q_id, neighbor_id):
-    // each corpus vector has exactly one bucket and probe buckets are
-    // XOR-distinct per query, so the left join never fans out.
-    val exact = qAnnTopk(s, dir).select("q_id", "neighbor_id")
-    val lsh = qAnnLsh(s, dir).select("q_id", "neighbor_id")
-      .withColumn("m", lit(1))
-    exact.join(lsh, Seq("q_id", "neighbor_id"), "left")
+  /** Recall@k of an approximate top-k frame against the exact one —
+    * ONE left join + ONE aggregate: count(m) counts matched neighbors
+    * (nulls skipped), count(*) is k. Sound because every index tier's
+    * result is unique per (q_id, neighbor_id) — each corpus vector has
+    * one bucket/list and probes are distinct per query — so the left
+    * join never fans out. ONE body for both metric faces, so a recall
+    * formula change cannot silently diverge them. */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("q_id", "neighbor_id")
+      .join(approx.select("q_id", "neighbor_id").withColumn("m", lit(1)),
+        Seq("q_id", "neighbor_id"), "left")
       .groupBy("q_id")
       .agg(round(count(col("m")) / count(lit(1)), 6).as("recall_at_5"))
       .orderBy("q_id")
-  }
+
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnTopk(s, dir), qAnnLsh(s, dir))
 
   /** [[qAnnRecall]]'s twin for the IVF tier: recall@5 of the
     * list-pruned probe against exact brute force — together the two
@@ -196,15 +199,8 @@ object Similarity {
     * answers. No SQL oracle (the quantizer trains iteratively); the
     * [[graft.verify.Expected.ivfRecallRows]] twin recomputes it
     * sequentially under the shared quantizer. */
-  def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = qAnnTopk(s, dir).select("q_id", "neighbor_id")
-    val ivf = qAnnIvf(s, dir).select("q_id", "neighbor_id")
-      .withColumn("m", lit(1))
-    exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
-      .groupBy("q_id")
-      .agg(round(count(col("m")) / count(lit(1)), 6).as("recall_at_5"))
-      .orderBy("q_id")
-  }
+  def qIvfRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnTopk(s, dir), qAnnIvf(s, dir))
 
   // ---- MMR diversity re-ranking -------------------------------------------
 

@@ -92,7 +92,7 @@ object StoreLock {
       // loudly — a lock file on THIS machine's disk cannot exclude a
       // writer on another machine from a shared remote store, which
       // would silently void the mutual exclusion this class exists for.
-      require(!(objectStore eq TxnLog.FsObjectStore),
+      if (objectStore eq TxnLog.FsObjectStore) throw new AddressingRefused(
         s"StoreLock: URI-addressed store '$store' under the default local " +
           "object-store binding — a local lock cannot exclude remote " +
           "writers. Bind StoreLock.objectStore to the deployment's shared " +
@@ -116,11 +116,20 @@ object StoreLock {
     } else {
       // under a rebound binding the key must not depend on this driver's
       // cwd (another claimer may run elsewhere): require absolute up front
-      require((objectStore eq TxnLog.FsObjectStore) || Paths.get(store).isAbsolute,
-        s"StoreLock under a rebound object store requires an ABSOLUTE store path, " +
-          s"got '$store' — a relative path would resolve against each driver's cwd")
+      if (!(objectStore eq TxnLog.FsObjectStore) && !Paths.get(store).isAbsolute)
+        throw new AddressingRefused(
+          s"StoreLock under a rebound object store requires an ABSOLUTE store path, " +
+            s"got '$store' — a relative path would resolve against each driver's cwd")
       Paths.get(store).toAbsolutePath.normalize.toString
     }
+
+  /** The lock plane's DELIBERATE addressing refusals (a URI store under
+    * the default local binding, a relative path under a rebound one) —
+    * its own type so [[withLockIfAvailable]] can classify exactly these
+    * as "may not claim" while a malformed store string (URI.create's own
+    * IllegalArgumentException, a binding's key-decode refusal) stays a
+    * LOUD caller bug. */
+  final class AddressingRefused(msg: String) extends IllegalArgumentException(msg)
 
   // reentrancy bookkeeping: normalized store path -> (holder thread, depth)
   private val held =
@@ -159,13 +168,19 @@ object StoreLock {
     * BloomSidecar backfill's review finding). */
   def withLockIfAvailable[T](store: String, op: String)(body: => T): Option[T] = {
     // `entered` separates acquisition failures (body never started →
-    // None) from the body's own IllegalState/IllegalArgument exceptions
-    // (entered → rethrown) — the body still runs UNDER the claim.
+    // None) from the body's own exceptions (entered → rethrown) — the
+    // body still runs UNDER the claim. Pre-entry None covers exactly:
+    // contention past the wait, the two deliberate AddressingRefused
+    // cases, and a lock-MEDIUM IO failure (an unreachable bucket must
+    // not kill a read path that only wanted to persist a cache — the
+    // r17 review's 'READERS never lock' regression). A malformed store
+    // string (plain IllegalArgumentException) stays loud.
     var entered = false
     try Some(withLock(store, op) { entered = true; body })
     catch {
       case _: IllegalStateException if !entered => None // contended past the wait
-      case _: IllegalArgumentException if !entered => None // binding refuses this addressing
+      case _: AddressingRefused if !entered => None // binding refuses this addressing
+      case _: java.io.IOException if !entered => None // lock medium unreachable
     }
   }
 
@@ -218,11 +233,40 @@ object StoreLock {
       val deadline = System.currentTimeMillis() +
         math.max(waitMs, math.max(minWaitMs, waitFloorMs.get()))
       shutdownHook // register the release hook once, lazily
-      var won = objectStore.putIfAbsent(lock, payload)
-      while (!won && System.currentTimeMillis() < deadline) {
-        Thread.sleep(math.min(100L, math.max(1L, deadline - System.currentTimeMillis())))
-        won = objectStore.putIfAbsent(lock, payload)
-      }
+      def lockAbsent(): Boolean =
+        try { objectStore.get(lock); false }
+        catch {
+          case _: java.nio.file.NoSuchFileException => true
+          case _: java.io.FileNotFoundException => true
+        }
+      val won =
+        try {
+          var w = objectStore.putIfAbsent(lock, payload)
+          while (!w && System.currentTimeMillis() < deadline) {
+            Thread.sleep(math.min(100L, math.max(1L, deadline - System.currentTimeMillis())))
+            // probe-first poll (r17 review): while the claim is held, a
+            // GET answers the question without re-uploading the payload —
+            // against a billed bucket a 30 s floored wait would otherwise
+            // cost ~600 write-path request pairs per waiter. The PUT
+            // still arbitrates the race once the key reads absent.
+            if (lockAbsent()) w = objectStore.putIfAbsent(lock, payload)
+          }
+          w
+        } catch { case e: Throwable =>
+          // Best-effort orphan cleanup: over a network binding our PUT
+          // may have been APPLIED even though the attempt ultimately
+          // threw (every response lost) — an unreleased claim naming a
+          // LIVE pid would wedge the store against forceBreak's
+          // verify-the-holder-is-dead rule. If the stored payload is
+          // byte-ours, delete it before surfacing the failure; if even
+          // this cleanup cannot reach the bucket, the claim ages into
+          // the documented stale-claim operator story.
+          try {
+            if (java.util.Arrays.equals(objectStore.get(lock), payload))
+              objectStore.delete(lock)
+          } catch { case _: Throwable => () }
+          throw e
+        }
       if (!won) throw new IllegalStateException(
         s"store $store is held by another writer (${holderInfo(lock)}); " +
           "concurrent mutations would interleave appends and compaction swaps — " +

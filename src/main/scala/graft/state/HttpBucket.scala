@@ -202,6 +202,15 @@ object HttpBucket {
     /** Committed object count (assertions). */
     def size: Int = objects.size()
 
+    /** Where a given prefix's incomplete-multipart residue lives —
+      * PER-PREFIX, because sweepResidue's contract is "residue under
+      * `prefix`": two logs sharing one bucket must not reap each
+      * other's fresh in-flight staging when one vacuums with an
+      * aggressive cutoff (r17 review). Exposed so tests plant crash
+      * wreckage exactly where the sweep looks. */
+    def stagingDirFor(prefix: String): Path =
+      staging.resolve(java.net.URLEncoder.encode(prefix, "UTF-8"))
+
     private def handler: com.sun.net.httpserver.HttpHandler = exchange => {
       try {
         if (latencyMs > 0) Thread.sleep(latencyMs)
@@ -247,8 +256,9 @@ object HttpBucket {
             objects.remove(key); respond(204)
           case ("POST", q) if q.startsWith("sweep=") =>
             val cutoff = q.stripPrefix("sweep=").toLong
-            if (Files.isDirectory(staging)) {
-              val s = Files.list(staging)
+            val dir = stagingDirFor(key)
+            if (Files.isDirectory(dir)) {
+              val s = Files.list(dir)
               try {
                 import scala.jdk.CollectionConverters._
                 s.iterator().asScala

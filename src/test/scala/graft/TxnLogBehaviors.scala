@@ -336,10 +336,15 @@ class TxnLogHttpPutSpec extends TxnLogBehaviors
   def publisher: CommitPublisher = new TxnLog.ConditionalPut(store)
   def publisherName: String = "httpput"
   override def tortureToken: String = s"http=${server.uri}"
-  def plantCrashedStaging(txnDir: Path): Path =
+  def plantCrashedStaging(txnDir: Path): Path = {
     // incomplete-multipart residue: the one crash artifact a real bucket
-    // has, reaped by lifecycle rules (the sweep endpoint here)
-    Files.write(staging.resolve(".part-crashed"), "k\nghost".getBytes)
+    // has, reaped by lifecycle rules (the sweep endpoint here) — planted
+    // under the PREFIX's own staging area, where this log's sweep looks
+    // and other logs' sweeps do not
+    val dir = server.stagingDirFor(txnDir.toString)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(".part-crashed"), "k\nghost".getBytes)
+  }
   override def afterAll(): Unit = {
     try server.stop() finally super.afterAll()
   }
