@@ -202,6 +202,13 @@ object Similarity {
   def qIvfRecall(s: SparkSession, dir: String): DataFrame =
     recallOf(qAnnTopk(s, dir), qAnnIvf(s, dir))
 
+  /** The trio's third face: recall@5 of the PQ tier (ADC over 16-byte
+    * codes) vs exact — what code compression costs in answers, next to
+    * what bucket pruning (LSH) and list pruning (IVF) cost. Gated
+    * through [[graft.verify.Expected.pqRecallRows]]. */
+  def qPqRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnTopk(s, dir), qAnnPq(s, dir))
+
   // ---- MMR diversity re-ranking -------------------------------------------
 
   /** λ and 1−λ as SEPARATE literals: `1 - 0.7` is 0.30000000000000004
@@ -1505,6 +1512,7 @@ object Similarity {
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
     "q_ann_recall"    -> qAnnRecall _,
     "q_ivf_recall"    -> qIvfRecall _,
+    "q_pq_recall"     -> qPqRecall _,
     "q_mmr_rerank"    -> qMmrRerank _,
     "q_ann_lsh"       -> qAnnLsh _,
     "q_ann_asof"      -> qAnnAsof _,

@@ -299,16 +299,28 @@ object Expected {
     * moves the measured recall and fails the hash gate. */
   def ivfRecallRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Double)] = {
     val withNrm = normed(embs)
-    val ivfPairs = ivfRowsOver(withNrm, withNrm).map(r => (r._1, r._3)).toSet
+    recallRowsOf(withNrm, ivfRowsOver(withNrm, withNrm).map(r => (r._1, r._3)).toSet)
+  }
+
+  /** Recall@5 of the PQ (ADC-scored) tier vs exact (q_pq_recall's twin)
+    * — completes the tier trio with [[ivfRecallRows]]; the approximate
+    * side reuses [[pqRows]] under the shared codebook trainer. */
+  def pqRecallRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Double)] =
+    recallRowsOf(normed(embs), pqRows(embs).map(r => (r._1, r._3)).toSet)
+
+  /** ONE exact-side body for every recall twin: full sequential scan
+    * per probe query, (cosine desc, id) top-5, hit-rate against the
+    * approximate tier's (q_id, neighbor_id) pairs. */
+  private def recallRowsOf(withNrm: Seq[(Long, Array[Double], Double)],
+      approxPairs: Set[(Long, Long)]): Seq[(Long, Double)] =
     withNrm.filter(_._1 % 100 == 0).map { case (qid, qd, qn) =>
       val exact = withNrm.iterator.filter(_._1 != qid)
         .map { case (nid, nd, nn) => (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid) }
         .toSeq.sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
         .take(5).map(_._2)
-      val hit = exact.count(nid => ivfPairs((qid, nid)))
+      val hit = exact.count(nid => approxPairs((qid, nid)))
       (qid, round6(hit.toDouble / exact.size))
     }.sortBy(_._1)
-  }
 
   /** The shared IVF ranking body: quantizer from `train`, assignment /
     * probing / top-5 over `serve`. */
@@ -584,6 +596,7 @@ object Expected {
     val cr = write("q_compress_ratio", compressRows(docs)
       .toDF("doc_id", "n_bytes", "deflate_len", "compress_ratio", "flagged"))
     val ivfRec = write("q_ivf_recall", ivfRecallRows(embs).toDF("q_id", "recall_at_5"))
+    val pqRec = write("q_pq_recall", pqRecallRows(embs).toDF("q_id", "recall_at_5"))
     val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
     val cs = write("q_cluster_sample",
       clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
@@ -610,6 +623,7 @@ object Expected {
       "q_compress_ratio" -> sql(cr,
         "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),
       "q_ivf_recall"     -> sql(ivfRec, "q_id, recall_at_5", "q_id"),
+      "q_pq_recall"      -> sql(pqRec, "q_id, recall_at_5", "q_id"),
       "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),
       "q_cluster_sample" -> sql(cs, "cluster_id, vec_id", "cluster_id, vec_id"),
     )
