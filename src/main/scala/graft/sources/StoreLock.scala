@@ -180,7 +180,15 @@ object StoreLock {
     catch {
       case _: IllegalStateException if !entered => None // contended past the wait
       case _: AddressingRefused if !entered => None // binding refuses this addressing
-      case _: java.io.IOException if !entered => None // lock medium unreachable
+      case e: java.io.IOException if !entered =>
+        // lock medium unreachable — still None (a read path that only
+        // wanted to persist a cache must not die), but NAMED (r17
+        // advice): a permanently misbound endpoint would otherwise be
+        // indistinguishable from contention while every call silently
+        // pays the full rebuild
+        System.err.println(s"[store-lock] claim unavailable for $store ($op): " +
+          s"lock medium IO failure ${e.getClass.getName}: ${e.getMessage}")
+        None
     }
   }
 
@@ -227,9 +235,15 @@ object StoreLock {
       val lock = Paths.get(key + ".lock")
       // no local mkdir here: FsObjectStore.putIfAbsent creates parents
       // itself, and a rebound remote binding must see no local FS writes
+      // nonce enforces the object-store seam's writer-unique-payload
+      // contract STRUCTURALLY (r17 advice): pid/thread/ts alone are
+      // unique only as long as Instant resolution and thread naming
+      // cooperate; the per-call nonce makes two claim attempts never
+      // byte-equal, so 412-by-payload disambiguation can never co-claim
       val payload =
         (s"pid=${ProcessHandle.current().pid()} op=$op " +
-          s"thread=${me.getName} ts=${java.time.Instant.now()}").getBytes("UTF-8")
+          s"thread=${me.getName} ts=${java.time.Instant.now()} " +
+          s"nonce=${java.util.UUID.randomUUID()}").getBytes("UTF-8")
       val deadline = System.currentTimeMillis() +
         math.max(waitMs, math.max(minWaitMs, waitFloorMs.get()))
       shutdownHook // register the release hook once, lazily
@@ -257,14 +271,16 @@ object StoreLock {
           // may have been APPLIED even though the attempt ultimately
           // threw (every response lost) — an unreleased claim naming a
           // LIVE pid would wedge the store against forceBreak's
-          // verify-the-holder-is-dead rule. If the stored payload is
-          // byte-ours, delete it before surfacing the failure; if even
-          // this cleanup cannot reach the bucket, the claim ages into
-          // the documented stale-claim operator story.
-          try {
-            if (java.util.Arrays.equals(objectStore.get(lock), payload))
-              objectStore.delete(lock)
-          } catch { case _: Throwable => () }
+          // verify-the-holder-is-dead rule. GUARDED delete through the
+          // seam (r17 advice): only removed while the payload is still
+          // byte-ours, so a forceBreak + rival re-claim landing mid-
+          // cleanup keeps the rival's live claim (atomic under the HTTP
+          // binding's If-Match; the filesystem default's tiny residual
+          // window is documented at the seam). If even this cleanup
+          // cannot reach the bucket, the claim ages into the documented
+          // stale-claim operator story.
+          try objectStore.deleteIfPayload(lock, payload)
+          catch { case _: Throwable => () }
           throw e
         }
       if (!won) throw new IllegalStateException(

@@ -44,6 +44,12 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object HttpBucket {
 
+  /** Hex SHA-256 — the etag form the conditional DELETE arbitrates on
+    * (client header and server compare must agree byte-for-byte). */
+  private[state] def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
   /** REST client implementation of the [[TxnLog.ObjectStore]] seam.
     * Thread-safe; one instance per process is the intended shape
     * (HttpClient pools connections internally). */
@@ -147,6 +153,20 @@ object HttpBucket {
       val r = send(HttpRequest.newBuilder(urlOf(key)).DELETE().build())
       if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
         throw new java.io.IOException(s"DELETE $key failed with ${r.statusCode()}")
+    }
+
+    /** ATOMIC guarded delete (overrides the seam's GET→compare→DELETE
+      * default and its TOCTOU window): `If-Match: <sha256(expected)>`,
+      * arbitrated server-side in one compare-and-remove — S3's
+      * conditional delete / GCS `ifGenerationMatch` shape. 412 = the
+      * key now holds someone else's payload (left alone, by design);
+      * 404 = already gone (idempotent success). */
+    override def deleteIfPayload(key: Path, expected: Array[Byte]): Unit = {
+      val r = send(HttpRequest.newBuilder(urlOf(key))
+        .header("If-Match", sha256Hex(expected)).DELETE().build())
+      if (r.statusCode() / 100 != 2 && r.statusCode() != 404 && r.statusCode() != 412)
+        throw new java.io.IOException(
+          s"conditional DELETE $key failed with ${r.statusCode()}")
     }
 
     /** Lifecycle-rule analogue: asks the bucket to reap incomplete
@@ -253,7 +273,20 @@ object HttpBucket {
               case b => respond(200, b)
             }
           case ("DELETE", _) =>
-            objects.remove(key); respond(204)
+            exchange.getRequestHeaders.getFirst("If-Match") match {
+              case null => objects.remove(key); respond(204)
+              case etag =>
+                // one-shot atomic compare-and-remove: ConcurrentHashMap
+                // .remove(key, value) IS the arbitration — no window
+                // between the hash compare and the removal
+                objects.get(key) match {
+                  case null => respond(404)
+                  case cur if sha256Hex(cur) == etag =>
+                    if (objects.remove(key, cur)) respond(204)
+                    else respond(412) // raced: someone replaced it mid-flight
+                  case _ => respond(412)
+                }
+            }
           case ("POST", q) if q.startsWith("sweep=") =>
             val cutoff = q.stripPrefix("sweep=").toLong
             val dir = stagingDirFor(key)

@@ -374,7 +374,18 @@ object TxnLog {
     * durability is the store's PUT acknowledgment. */
   trait ObjectStore {
     /** PUT with `If-None-Match: *`: true iff the key did not exist and
-      * now durably holds `bytes` in full. */
+      * now durably holds `bytes` in full.
+      *
+      * CALLER CONTRACT — writer-unique payloads: every payload PUT
+      * through this seam must identify its writer uniquely (embed
+      * pid+attempt, a per-call nonce, or equivalent). Network bindings
+      * resolve the lost-response ambiguity (our PUT applied but its 2xx
+      * never arrived; the retry reads 412) by GETting the object and
+      * claiming the win iff the stored bytes equal ours — two writers
+      * racing with byte-identical payloads would BOTH claim the win and
+      * silently co-own the key. In-repo writers honor this (commit
+      * payloads embed pid+attempt, lock payloads a per-call nonce); a
+      * new caller must too. */
     def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean
     /** GET — the full committed payload, verbatim. */
     def get(key: Path): Array[Byte]
@@ -383,6 +394,22 @@ object TxnLog {
     def list(prefix: Path): Seq[String]
     /** DELETE — idempotent (deleting a missing key succeeds). */
     def delete(key: Path): Unit
+    /** Guarded DELETE: remove `key` only while its payload byte-equals
+      * `expected` — the form orphan cleanup needs (delete OUR claim,
+      * never a rival's that re-landed after a forceBreak). The default
+      * is GET→compare→DELETE, which leaves a tiny TOCTOU window between
+      * the compare and the delete (an operator forceBreak plus a
+      * rival's re-claim inside it would void the guard — documented
+      * residual race, r17 advice); bindings with a native conditional
+      * delete (HTTP `If-Match`, GCS `ifGenerationMatch`) override this
+      * atomically. Missing key = success (idempotent like [[delete]]). */
+    def deleteIfPayload(key: Path, expected: Array[Byte]): Unit =
+      try {
+        if (java.util.Arrays.equals(get(key), expected)) delete(key)
+      } catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.io.FileNotFoundException => ()
+      }
     /** Remove emulation-side residue under `prefix` older than
       * `cutoffMs`. A real object store has none — a crashed PUT is
       * never visible (incomplete multipart uploads are not objects and

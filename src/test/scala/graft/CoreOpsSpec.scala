@@ -82,9 +82,20 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(floors == q,
       s"floor/registry divergence — floors without queries: ${floors -- q}; " +
         s"queries without floors: ${q -- floors}")
+    // Resolve the docs against the REPO ROOT, not the test cwd (r17
+    // advice): a forked test JVM may run with any working directory, so
+    // walk up from user.dir to the first ancestor holding build.sbt —
+    // the invariant under test is the doc content, not cwd luck.
+    val repoRoot: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      while (d != null && !java.nio.file.Files.isRegularFile(d.resolve("build.sbt")))
+        d = d.getParent
+      assert(d != null, s"no build.sbt above ${sys.props("user.dir")} — cannot locate repo root")
+      d
+    }
     def countsIn(path: String, re: scala.util.matching.Regex): Seq[Int] = {
-      val p = java.nio.file.Paths.get(path)
-      assert(java.nio.file.Files.isReadable(p), s"$path not readable from test cwd")
+      val p = repoRoot.resolve(path)
+      assert(java.nio.file.Files.isReadable(p), s"$path not readable under repo root $repoRoot")
       val txt = new String(java.nio.file.Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8)
       val hits = re.findAllMatchIn(txt).map(_.group(1).toInt).toSeq

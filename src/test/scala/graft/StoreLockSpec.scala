@@ -360,6 +360,23 @@ class StoreLockSpec extends AnyFunSuite {
       }
       assert(!StoreLock.isHeld("s3a://bucket/corpus/sig"))
       assert(server.size == 0, "release must delete the claim object")
+
+      // the guarded delete the orphan-cleanup path now uses (r17
+      // advice): If-Match arbitration server-side — our payload is
+      // removed, a rival's that re-landed after a forceBreak is NOT
+      val store = StoreLock.objectStore
+      val k = java.nio.file.Paths.get("/bucket/corpus/sig.lock")
+      val ours = "pid=1 op=ingest nonce=a".getBytes("UTF-8")
+      val rivals = "pid=2 op=compact nonce=b".getBytes("UTF-8")
+      assert(store.putIfAbsent(k, ours))
+      store.deleteIfPayload(k, ours)
+      assert(server.size == 0, "byte-ours claim must be removed")
+      store.deleteIfPayload(k, ours) // idempotent on a missing key
+      assert(store.putIfAbsent(k, rivals))
+      store.deleteIfPayload(k, ours) // guarded: rival's claim survives
+      assert(new String(store.get(k), "UTF-8") == new String(rivals, "UTF-8"),
+        "conditional delete must never remove another writer's live claim")
+      store.delete(k)
     } finally {
       StoreLock.objectStore = prev
       server.stop()
