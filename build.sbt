@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] (graft.ClusterCheck): the in-process Worker builds
+// each executor's launch command via the Spark launcher, whose scala-
+// version probe needs this hint when SPARK_HOME is a packaged layout
+// without launcher/target build dirs.
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

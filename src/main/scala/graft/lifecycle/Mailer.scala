@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
 import graft.state.{ControlStore, MailAudit}
 
 /** S8 notifier interface: what the reference does over UTL_SMTP
-  * (body:1080-1132). The engine ships no SMTP client (zero-egress
-  * environment, and transport is deployment policy, not engine logic) —
-  * production plugs an implementation; tests and default use the recorder.
+  * (body:1080-1132). Transport is pluggable because WHERE mail goes is
+  * deployment policy; the engine ships a REAL RFC 5321 client binding —
+  * [[graft.lifecycle.Smtp.SmtpNotifier]], protocol-tested against the
+  * in-repo loopback server with fault injection (MailerLoaderSpec) —
+  * plus the recorder for policy-only tests. Production points the SMTP
+  * binding at its relay host; the zero-egress sandbox points it at
+  * 127.0.0.1.
   */
 trait Notifier {
   def send(sender: String, recipients: Seq[String], subject: String, body: String): Unit

@@ -1,0 +1,269 @@
+package graft.lifecycle
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The S8 transport, made a TESTED PROTOCOL CLIENT instead of a stub
+  * (r17 verdict item 2 — the HttpBucket treatment applied to the last
+  * stubbed reference behavior): `proc_send_mail_group` opens a UTL_SMTP
+  * conversation — helo/mail/rcpt/data/quit (reference
+  * db/src/main/etl_batch/pkg_batch_util_body.sql:1080-1132); this is
+  * the same conversation as a minimal RFC 5321 client over a raw
+  * socket, plus the in-repo loopback server emulation that serves those
+  * semantics with injectable transient faults and dropped connections.
+  *
+  * Zero-egress: the server binds 127.0.0.1 only, and the client is
+  * handed an explicit host:port — production points it at the relay
+  * the deployment policy names (the reference hard-codes 'mailhost');
+  * nothing else in the Mailer path changes, because [[SmtpNotifier]]
+  * is just a [[Notifier]] and the audit insert stays where it is.
+  *
+  * Client semantics, deployment-grade like the bucket client's:
+  *  - reply parsing honors RFC 5321 multiline replies (`250-...` /
+  *    `250 ...`) — EHLO capability lists are the normal case;
+  *  - 4yz replies and connection-level IO failures are TRANSIENT: the
+  *    whole mail transaction retries (bounded, with backoff) from a
+  *    fresh connection — SMTP transactions are not resumable, so
+  *    retry-the-conversation is the correct unit, and at-least-once
+  *    delivery is the protocol's own contract (receivers dedup on
+  *    Message-ID if they care);
+  *  - 5yz replies are PERMANENT: fail loudly, never retry — retrying a
+  *    550 mailbox-unknown would just hammer the relay;
+  *  - DATA payload is dot-stuffed (a body line starting with '.' must
+  *    not terminate the transfer early — RFC 5321 §4.5.2), terminated
+  *    with CRLF '.' CRLF, headers Date/From/To/Cc/Bcc/Subject exactly
+  *    the set the reference assembles (body:1110-1126).
+  */
+object Smtp {
+
+  /** One SMTP reply: `code` plus every line of a multiline response. */
+  final case class Reply(code: Int, lines: Seq[String]) {
+    def transient: Boolean = code >= 400 && code < 500
+    def permanent: Boolean = code >= 500
+  }
+
+  /** Raised on a 5yz — the do-not-retry class. */
+  final class PermanentFailure(msg: String) extends RuntimeException(msg)
+
+  /** Minimal RFC 5321 client. One instance per target relay;
+    * [[send]] opens a fresh connection per transaction (SMTP pipelining
+    * and connection reuse are relay optimizations the control plane
+    * does not need — batch mail volume is O(module failures)). */
+  final class Client(host: String, port: Int, maxRetries: Int = 3,
+      connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000,
+      clock: Clock = SystemClock) {
+
+    /** Run the full mail transaction; retries transient failures
+      * (4yz, dropped connections) up to `maxRetries` times from a
+      * fresh connection. Returns the number of connection attempts
+      * made (≥1, specs assert the retry discipline). */
+    def send(sender: String, recipients: Seq[String], subject: String,
+        body: String, cc: String = "", bcc: String = ""): Int = {
+      require(recipients.nonEmpty, "SMTP transaction needs at least one recipient")
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try {
+          transact(sender, recipients, subject, body, cc, bcc)
+          return attempt
+        } catch {
+          case e: PermanentFailure => throw e
+          case scala.util.control.NonFatal(e) if attempt <= maxRetries =>
+            Thread.sleep(math.min(200L, 10L << attempt))
+          case scala.util.control.NonFatal(e) =>
+            throw new java.io.IOException(
+              s"SMTP transaction to $host:$port failed after $attempt attempts: $e", e)
+        }
+      }
+      sys.error("unreachable")
+    }
+
+    private def transact(sender: String, recipients: Seq[String],
+        subject: String, body: String, cc: String, bcc: String): Unit = {
+      val sock = new Socket()
+      try {
+        sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+        sock.setSoTimeout(readTimeoutMs)
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "US-ASCII"))
+        val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, "US-ASCII"))
+        def readReply(): Reply = {
+          val lines = ArrayBuffer.empty[String]
+          var done = false
+          var code = 0
+          while (!done) {
+            val line = in.readLine()
+            if (line == null) throw new java.io.IOException("connection closed mid-reply")
+            require(line.length >= 3, s"malformed SMTP reply line: '$line'")
+            code = line.take(3).toInt
+            lines += line.drop(4)
+            done = line.length == 3 || line.charAt(3) != '-'
+          }
+          Reply(code, lines.toSeq)
+        }
+        def cmd(c: String, expect: Int): Reply = {
+          out.write(c); out.write("\r\n"); out.flush()
+          val r = readReply()
+          if (r.code != expect) {
+            if (r.permanent) throw new PermanentFailure(
+              s"'${c.takeWhile(_ != '<')}' rejected ${r.code}: ${r.lines.headOption.getOrElse("")}")
+            throw new java.io.IOException(s"'$c' answered ${r.code}, expected $expect")
+          }
+          r
+        }
+        val greet = readReply()
+        if (greet.code != 220) throw new java.io.IOException(s"greeting was ${greet.code}")
+        cmd("EHLO graft.local", 250)
+        cmd(s"MAIL FROM:<$sender>", 250)
+        recipients.foreach(r => cmd(s"RCPT TO:<$r>", 250))
+        cmd("DATA", 354)
+        // the reference's header block (body:1110-1126), Date in its
+        // TO_CHAR(dd Mon yy hh24:mi:ss) rendering via the shared clock
+        val date = java.time.format.DateTimeFormatter
+          .ofPattern("dd MMM yy HH:mm:ss", java.util.Locale.ROOT)
+          .withZone(java.time.ZoneOffset.UTC).format(clock.now())
+        val msg = Seq(
+          s"Date: $date", s"From: $sender", s"To: ${recipients.mkString(" ")}",
+          s"Cc: $cc", s"Bcc: $bcc", s"Subject: $subject", "") ++
+          body.split("\r?\n", -1).toSeq
+        msg.foreach { line =>
+          // dot-stuffing (RFC 5321 §4.5.2)
+          out.write(if (line.startsWith(".")) "." + line else line)
+          out.write("\r\n")
+        }
+        out.write(".\r\n"); out.flush()
+        val fin = readReply()
+        if (fin.code != 250) {
+          if (fin.permanent) throw new PermanentFailure(s"DATA rejected ${fin.code}")
+          throw new java.io.IOException(s"DATA answered ${fin.code}")
+        }
+        out.write("QUIT\r\n"); out.flush()
+        // best-effort 221 — the transaction is already accepted
+        try readReply() catch { case _: java.io.IOException => () }
+      } finally sock.close()
+    }
+  }
+
+  /** The production-shaped [[Notifier]]: Mailer policy (env gates,
+    * sender derivation, recipient split, audit) stays exactly where it
+    * is; this binds the transport leg to a real SMTP conversation. */
+  final class SmtpNotifier(host: String, port: Int, maxRetries: Int = 3,
+      clock: Clock = SystemClock) extends Notifier {
+    private[lifecycle] val client = new Client(host, port, maxRetries, clock = clock)
+    /** Connection attempts across all sends (specs assert retries). */
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def send(sender: String, recipients: Seq[String],
+        subject: String, body: String): Unit =
+      attempts.addAndGet(client.send(sender, recipients, subject, body))
+  }
+
+  /** A delivered message as the server recorded it. */
+  final case class Delivered(sender: String, recipients: Seq[String], data: String)
+
+  /** Loopback SMTP server emulation: enough of RFC 5321 to drive the
+    * client's full surface — greeting, EHLO/HELO (multiline capability
+    * reply, deliberately, so the client's multiline parsing is always
+    * exercised), MAIL/RCPT/DATA/RSET/NOOP/QUIT, dot-unstuffing —
+    * with fault injection:
+    *   `failFirstMails` — first N MAIL commands answer 451 (transient;
+    *     the SDK-retry drill, [[HttpBucket.Server]]'s failFirstPuts
+    *     analogue);
+    *   `dropFirstConnections` — first N connections are closed right
+    *     after the greeting (the mid-conversation network fault);
+    *   `rejectRecipient` — this mailbox answers 550 (permanent).
+    */
+  final class Server(failFirstMails: Int = 0, dropFirstConnections: Int = 0,
+      rejectRecipient: Option[String] = None) {
+    private val delivered0 = new java.util.concurrent.ConcurrentLinkedQueue[Delivered]()
+    private val mailSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val connSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var running = true
+
+    private val server = {
+      val s = new ServerSocket()
+      s.bind(new InetSocketAddress("127.0.0.1", 0))
+      s
+    }
+    def port: Int = server.getLocalPort
+    def host: String = "127.0.0.1"
+
+    /** Messages accepted with a final 250 (the durable side of the
+      * at-least-once contract — the client may have sent one twice). */
+    def delivered: Seq[Delivered] = {
+      import scala.jdk.CollectionConverters._
+      delivered0.iterator().asScala.toSeq
+    }
+    /** MAIL commands observed, including the fault-injected refusals. */
+    def mailCommands: Int = mailSeen.get()
+
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          new Thread(() => handle(sock), "graft-smtp-conn").start()
+        } catch { case _: Throwable => () } // closed during stop()
+      }
+    }, "graft-smtp-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def stop(): Unit = { running = false; server.close() }
+
+    private def handle(sock: Socket): Unit = {
+      try {
+        sock.setSoTimeout(15000)
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "US-ASCII"))
+        val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, "US-ASCII"))
+        def w(s: String): Unit = { out.write(s); out.write("\r\n"); out.flush() }
+        w("220 graft-loopback ESMTP")
+        if (connSeen.getAndIncrement() < dropFirstConnections) { sock.close(); return }
+        var sender: String = null
+        var rcpts = Vector.empty[String]
+        var line = in.readLine()
+        while (line != null) {
+          val upper = line.toUpperCase(java.util.Locale.ROOT)
+          if (upper.startsWith("EHLO") || upper.startsWith("HELO")) {
+            // multiline on purpose — the client must parse 250-/250
+            w("250-graft-loopback greets you"); w("250-SIZE 1048576"); w("250 OK")
+          } else if (upper.startsWith("MAIL FROM:")) {
+            if (mailSeen.getAndIncrement() < failFirstMails)
+              w("451 4.3.0 transient local error, try again")
+            else {
+              sender = line.drop("MAIL FROM:".length).trim.stripPrefix("<").stripSuffix(">")
+              rcpts = Vector.empty
+              w("250 OK")
+            }
+          } else if (upper.startsWith("RCPT TO:")) {
+            val r = line.drop("RCPT TO:".length).trim.stripPrefix("<").stripSuffix(">")
+            if (sender == null) w("503 5.5.1 need MAIL first")
+            else if (rejectRecipient.contains(r)) w("550 5.1.1 mailbox unknown")
+            else { rcpts :+= r; w("250 OK") }
+          } else if (upper == "DATA") {
+            if (sender == null || rcpts.isEmpty) w("503 5.5.1 need MAIL and RCPT first")
+            else {
+              w("354 end with <CRLF>.<CRLF>")
+              val sb = new StringBuilder
+              var l = in.readLine()
+              while (l != null && l != ".") {
+                sb.append(if (l.startsWith("..")) l.drop(1) else l).append("\r\n")
+                l = in.readLine()
+              }
+              if (l == null) return // dropped mid-DATA; nothing durable
+              delivered0.add(Delivered(sender, rcpts, sb.toString))
+              sender = null; rcpts = Vector.empty
+              w("250 OK queued")
+            }
+          } else if (upper == "RSET" || upper == "NOOP") {
+            if (upper == "RSET") { sender = null; rcpts = Vector.empty }
+            w("250 OK")
+          } else if (upper == "QUIT") {
+            w("221 bye"); sock.close(); return
+          } else w("500 5.5.2 unrecognized")
+          line = in.readLine()
+        }
+      } catch { case _: Throwable => () }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    }
+  }
+}

@@ -100,6 +100,38 @@ trait MailerLoaderBehaviors extends AnyFunSuite {
     assert(rec.sent.last.recipients === Seq("test.override@example.com"),
       "test override reroutes (body:1069-1074)")
   }
+
+  test("mail over a REAL SMTP conversation: loopback delivery, headers, dot-stuffing, audit unchanged") {
+    // S8 with the stub qualifier deleted (r17 verdict item 2): the same
+    // Mailer policy path, but the transport leg is the RFC 5321 client
+    // against the in-repo loopback server — helo/mail/rcpt/data/quit,
+    // exactly the UTL_SMTP conversation (body:1080-1132)
+    val store = newStore()
+    store.updEnv("SEND_MAIL", "Y")
+    store.updEnv("SEND_MAIL_AUD", "Y")
+    store.putMailAddresses(Seq(MailAddr("JD01", "jANE", "dOE")))
+    val server = new Smtp.Server()
+    try {
+      val clock = new FixedClock(Instant.parse("2026-08-12T12:00:00Z"))
+      val notifier = new Smtp.SmtpNotifier(server.host, server.port, clock = clock)
+      val mailer = new Mailer(store, notifier, clock, user = "OPS$JD01")
+      // body includes a '.'-leading line: the dot-stuffing case that
+      // would truncate the DATA transfer if the client skipped §4.5.2
+      assert(mailer.sendMailGroup("a@example.com b@example.com", "DEPENDENCY FAILURE",
+        "module EISU100 failed\n.hidden line\ntail"))
+      val Seq(d) = server.delivered
+      assert(d.sender === "Jane.Doe@example.com")
+      assert(d.recipients === Seq("a@example.com", "b@example.com"))
+      assert(d.data.contains("Subject: DEPENDENCY FAILURE"))
+      assert(d.data.contains("Date: 12 Aug 26 12:00:00"), d.data)
+      assert(d.data.contains("\r\n.hidden line\r\n"),
+        "dot-stuffed line must arrive un-stuffed and un-truncated")
+      assert(d.data.endsWith("tail\r\n"))
+      val audit = store.mailAudit.collect()
+      assert(audit.length === 1 && audit.head.getAs[String]("subject") === "DEPENDENCY FAILURE",
+        "the audit insert is unchanged by the transport binding")
+    } finally server.stop()
+  }
 }
 
 class MailerLoaderSpec extends MailerLoaderBehaviors {

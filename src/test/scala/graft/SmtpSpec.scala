@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lifecycle.Smtp
+
+/** The SMTP client's PROTOCOL discipline, fault by fault — the
+  * [[TxnLogBehaviors]] treatment for the mail plane: transient faults
+  * retry bounded, permanent faults never retry, dropped connections
+  * re-run the whole transaction, and the durable side (the server's
+  * accepted queue) shows exactly the at-least-once contract. */
+class SmtpSpec extends AnyFunSuite {
+
+  test("happy path: one connection, one delivery, QUIT honored") {
+    val server = new Smtp.Server()
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      val attempts = c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      assert(attempts === 1)
+      assert(server.delivered.map(_.sender) === Seq("ops@example.com"))
+      assert(server.mailCommands === 1)
+    } finally server.stop()
+  }
+
+  test("transient 451s: the TRANSACTION retries bounded, exactly one delivery lands") {
+    // the reference's UTL_SMTP path would raise to the caller on the
+    // first 4yz; a deployment-grade client drains the relay's greylist
+    val server = new Smtp.Server(failFirstMails = 2)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 3)
+      val attempts = c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      assert(attempts === 3, "two 451s then the win")
+      assert(server.delivered.size === 1, "at-least-once resolved to exactly once here")
+      assert(server.mailCommands === 3, "each retry is a fresh MAIL transaction")
+    } finally server.stop()
+  }
+
+  test("transient faults past the budget fail loudly, naming the relay") {
+    val server = new Smtp.Server(failFirstMails = 99)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 2)
+      val e = intercept[java.io.IOException] {
+        c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      }
+      assert(e.getMessage.contains("after 3 attempts"), e.getMessage)
+      assert(server.delivered.isEmpty)
+    } finally server.stop()
+  }
+
+  test("dropped connection: a fresh conversation, not a resumed one") {
+    val server = new Smtp.Server(dropFirstConnections = 1)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 2)
+      val attempts = c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      assert(attempts === 2)
+      assert(server.delivered.size === 1)
+    } finally server.stop()
+  }
+
+  test("permanent 550 never retries — one MAIL command total") {
+    val server = new Smtp.Server(rejectRecipient = Some("gone@example.com"))
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 5)
+      intercept[Smtp.PermanentFailure] {
+        c.send("ops@example.com", Seq("gone@example.com"), "s", "b")
+      }
+      assert(server.mailCommands === 1,
+        "5yz is the do-not-retry class; hammering the relay is a bug")
+      assert(server.delivered.isEmpty)
+    } finally server.stop()
+  }
+
+  test("multi-recipient transaction: every RCPT in one conversation") {
+    val server = new Smtp.Server()
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      c.send("ops@example.com", Seq("a@x.com", "b@x.com", "c@x.com"), "s", "b")
+      assert(server.delivered.head.recipients === Seq("a@x.com", "b@x.com", "c@x.com"))
+    } finally server.stop()
+  }
+
+  test("CRLF body round-trip: multiline bodies and leading-dot lines survive") {
+    val server = new Smtp.Server()
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      c.send("ops@example.com", Seq("dev@example.com"), "s",
+        "line1\n..double dot\n.single\n\nlast")
+      val data = server.delivered.head.data
+      assert(data.contains("\r\n..double dot\r\n"))
+      assert(data.contains("\r\n.single\r\n"))
+      assert(data.endsWith("\r\n\r\nlast\r\n"), data.takeRight(30))
+    } finally server.stop()
+  }
+}
