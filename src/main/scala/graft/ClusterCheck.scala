@@ -115,7 +115,12 @@ object ClusterCheck {
     }
     val registrySec = (System.nanoTime() - t0) / 1e9
     val failed = results.collect { case (n, Left(m), _) => (n, m) }
-    val zeroRows = results.collect { case (n, Right(0L), _) => n }
+    // q_anti is genuinely empty at sf0.01 — the DuckDB oracle returns 0
+    // rows too (CORRECTNESS_r17: spark_rows=0, oracle_rows=0, hashes
+    // match), so an empty anti join is the CORRECT answer, not a
+    // missing-input symptom; its plan still executed on the executors.
+    val knownZero = Set("q_anti")
+    val zeroRows = results.collect { case (n, Right(0L), _) if !knownZero(n) => n }
 
     // ---- phases 2+3 (skipped under a dev-subset ONLY, like Bench) ---
     val streaming: Map[String, String] =

@@ -38,9 +38,13 @@ import java.util.concurrent.atomic.AtomicInteger
   *
   * Zero-egress: the emulation binds 127.0.0.1 only. A production
   * deployment replaces [[HttpBucket.HttpObjectStore]]'s base URI with
-  * its bucket endpoint + SigV4 signing middleware; nothing else in the
-  * commit/lock plane changes — `TxnLog.publisherNamed("http=<uri>")`
-  * is the process-boundary seam the cross-process tortures use.
+  * its bucket endpoint and passes a [[SigV4.Signer]] — the signing
+  * middleware is implemented (r18) and proven against this server's
+  * signature-VALIDATING mode (`credentials=Some(...)`): every request
+  * signed per attempt, conditional headers under the signature, 403 on
+  * mismatch. Nothing else in the commit/lock plane changes —
+  * `TxnLog.publisherNamed("http=<uri>")` is the process-boundary seam
+  * the cross-process tortures use.
   */
 object HttpBucket {
 
@@ -52,8 +56,16 @@ object HttpBucket {
 
   /** REST client implementation of the [[TxnLog.ObjectStore]] seam.
     * Thread-safe; one instance per process is the intended shape
-    * (HttpClient pools connections internally). */
-  final class HttpObjectStore(base: URI, maxRetries: Int = 5)
+    * (HttpClient pools connections internally). Passing `signer`
+    * turns on SigV4: every request carries x-amz-date,
+    * x-amz-content-sha256 and Authorization, recomputed PER ATTEMPT
+    * (a retry is a fresh x-amz-date and a fresh signature — the SDK
+    * discipline; replaying a stale signature would eventually hit the
+    * skew window). The conditional headers ride under the signature,
+    * so the one-winner precondition is authenticated, not just
+    * transported. */
+  final class HttpObjectStore(base: URI, maxRetries: Int = 5,
+      signer: Option[SigV4.Signer] = None)
       extends TxnLog.ObjectStore {
     private val client = HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
@@ -68,13 +80,33 @@ object HttpBucket {
         (if (query == null) "" else "?" + query))
     }
 
+    /** One signed (or plain) request. Built fresh per attempt by the
+      * retry loops so each retry re-signs. */
+    private def build(method: String, uri: URI,
+        semanticHeaders: Seq[(String, String)],
+        body: Array[Byte]): HttpRequest = {
+      val b = HttpRequest.newBuilder(uri)
+      semanticHeaders.foreach { case (k, v) => b.header(k, v) }
+      signer.foreach(_.headers(method, uri, semanticHeaders, body)
+        .foreach { case (k, v) => b.header(k, v) })
+      method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofByteArray(body))
+        case "POST" => b.POST(HttpRequest.BodyPublishers.noBody())
+      }
+      b.build()
+    }
+
     /** Bounded-retry send: 5xx responses (and connect-level IO errors)
-      * back off and retry; anything else returns to the caller. The
-      * retry budget is small and bounded — an unreachable endpoint
+      * back off and retry — each attempt REBUILDS the request (fresh
+      * signature under SigV4); anything else returns to the caller.
+      * The retry budget is small and bounded — an unreachable endpoint
       * fails loudly, it does not hang the commit plane. */
-    private def send(req: HttpRequest): HttpResponse[Array[Byte]] = {
+    private def send(mkReq: () => HttpRequest): HttpResponse[Array[Byte]] = {
       var attempt = 0
       while (true) {
+        val req = mkReq()
         val resp =
           try Right(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
           catch { case e: java.io.IOException => Left(e) }
@@ -100,11 +132,12 @@ object HttpBucket {
       catch { case _: java.nio.file.NoSuchFileException => false }
 
     def putIfAbsent(key: Path, bytes: Array[Byte]): Boolean = {
-      val req = HttpRequest.newBuilder(urlOf(key))
-        .header("If-None-Match", "*")
-        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build()
       var attempt = 0
       while (true) {
+        // fresh build per attempt: a signed retry carries a fresh
+        // x-amz-date/signature, and the lost-response 412 resolution
+        // below must hold across exactly those re-signed retries
+        val req = build("PUT", urlOf(key), Seq("If-None-Match" -> "*"), bytes)
         val resp =
           try Right(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
           catch { case e: java.io.IOException => Left(e) }
@@ -133,7 +166,7 @@ object HttpBucket {
     }
 
     def get(key: Path): Array[Byte] = {
-      val r = send(HttpRequest.newBuilder(urlOf(key)).GET().build())
+      val r = send(() => build("GET", urlOf(key), Nil, Array.emptyByteArray))
       if (r.statusCode() == 404)
         throw new java.nio.file.NoSuchFileException(key.toString)
       if (r.statusCode() / 100 != 2)
@@ -142,7 +175,7 @@ object HttpBucket {
     }
 
     def list(prefix: Path): Seq[String] = {
-      val r = send(HttpRequest.newBuilder(urlOf(prefix, "list")).GET().build())
+      val r = send(() => build("GET", urlOf(prefix, "list"), Nil, Array.emptyByteArray))
       if (r.statusCode() == 404) Seq.empty
       else if (r.statusCode() / 100 != 2)
         throw new java.io.IOException(s"LIST $prefix failed with ${r.statusCode()}")
@@ -150,7 +183,7 @@ object HttpBucket {
     }
 
     def delete(key: Path): Unit = {
-      val r = send(HttpRequest.newBuilder(urlOf(key)).DELETE().build())
+      val r = send(() => build("DELETE", urlOf(key), Nil, Array.emptyByteArray))
       if (r.statusCode() / 100 != 2 && r.statusCode() != 404)
         throw new java.io.IOException(s"DELETE $key failed with ${r.statusCode()}")
     }
@@ -162,8 +195,8 @@ object HttpBucket {
       * key now holds someone else's payload (left alone, by design);
       * 404 = already gone (idempotent success). */
     override def deleteIfPayload(key: Path, expected: Array[Byte]): Unit = {
-      val r = send(HttpRequest.newBuilder(urlOf(key))
-        .header("If-Match", sha256Hex(expected)).DELETE().build())
+      val r = send(() => build("DELETE", urlOf(key),
+        Seq("If-Match" -> sha256Hex(expected)), Array.emptyByteArray))
       if (r.statusCode() / 100 != 2 && r.statusCode() != 404 && r.statusCode() != 412)
         throw new java.io.IOException(
           s"conditional DELETE $key failed with ${r.statusCode()}")
@@ -173,8 +206,8 @@ object HttpBucket {
       * multipart staging older than the cutoff (a real deployment
       * configures this as a bucket rule instead of calling it). */
     override def sweepResidue(prefix: Path, cutoffMs: Long): Unit = {
-      val r = send(HttpRequest.newBuilder(urlOf(prefix, s"sweep=$cutoffMs"))
-        .POST(HttpRequest.BodyPublishers.noBody()).build())
+      val r = send(() => build("POST", urlOf(prefix, s"sweep=$cutoffMs"),
+        Nil, Array.emptyByteArray))
       if (r.statusCode() / 100 != 2)
         throw new java.io.IOException(s"SWEEP $prefix failed with ${r.statusCode()}")
     }
@@ -194,8 +227,11 @@ object HttpBucket {
     * `staging` (they are what bucket lifecycle rules reap); committed
     * objects never touch the filesystem. */
   final class Server(staging: Path, latencyMs: Long = 0L,
-      failFirstPuts: Int = 0, applyBeforeFail: Boolean = false) {
+      failFirstPuts: Int = 0, applyBeforeFail: Boolean = false,
+      credentials: Option[SigV4.Credentials] = None) {
     private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+    /** Requests refused 403 by the SigV4 validator (assertions). */
+    val authRejections = new AtomicInteger(0)
     private val putFails = new ConcurrentHashMap[String, AtomicInteger]()
 
     private val pool = java.util.concurrent.Executors.newCachedThreadPool()
@@ -243,7 +279,27 @@ object HttpBucket {
           if (body.nonEmpty) exchange.getResponseBody.write(body)
           exchange.close()
         }
-        (exchange.getRequestMethod, query) match {
+        // the body is read ONCE up front: the SigV4 validator hashes it
+        // and the PUT branch stores it
+        val reqBody = exchange.getRequestBody.readAllBytes()
+        // signature-validating mode: recompute SigV4 from the RAW
+        // request (method, encoded path, query, the SignedHeaders as
+        // received, body) — independent of the client's construction
+        // path, so encoding/ordering bugs fail here instead of
+        // cancelling out. Bad signature = 403, the loud non-retried
+        // class, exactly a real bucket's behavior.
+        val authFail: Option[String] = credentials.flatMap { creds =>
+          SigV4.validate(exchange.getRequestMethod,
+            exchange.getRequestURI.getRawPath,
+            Option(exchange.getRequestURI.getRawQuery).getOrElse(""),
+            n => Option(exchange.getRequestHeaders.getFirst(n)),
+            reqBody,
+            ak => Some(creds).filter(_.accessKey == ak))
+        }
+        if (authFail.isDefined) {
+          authRejections.incrementAndGet()
+          respond(403, s"SignatureDoesNotMatch: ${authFail.get}".getBytes("UTF-8"))
+        } else (exchange.getRequestMethod, query) match {
           case ("PUT", _) =>
             // only the conditional form is served: an UNconditional PUT
             // from this codebase would be a protocol bug — refuse it
@@ -251,7 +307,7 @@ object HttpBucket {
             if (exchange.getRequestHeaders.getFirst("If-None-Match") != "*")
               respond(400)
             else {
-              val body = exchange.getRequestBody.readAllBytes()
+              val body = reqBody
               def apply(): Boolean = objects.putIfAbsent(key, body) == null
               val fails = putFails.computeIfAbsent(key, _ => new AtomicInteger(0))
               if (fails.getAndIncrement() < failFirstPuts) {

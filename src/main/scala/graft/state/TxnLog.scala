@@ -598,7 +598,22 @@ object TxnLog {
     case http if http.startsWith("http=") =>
       new ConditionalPut(new graft.state.HttpBucket.HttpObjectStore(
         java.net.URI.create(http.stripPrefix("http="))))
+    case signed if signed.startsWith("sigv4=") =>
+      // sigv4=<uri>;<accessKey>;<secretKey>[;<region>;<service>] — the
+      // SIGNED cloud binding for cross-process tortures: every racing
+      // process signs its own PUTs against the validating bucket
+      signed.stripPrefix("sigv4=").split(";") match {
+        case Array(uri, ak, sk, rest @ _*) =>
+          val creds = graft.state.SigV4.Credentials(ak, sk,
+            region = rest.headOption.getOrElse("us-east-1"),
+            service = rest.lift(1).getOrElse("s3"))
+          new ConditionalPut(new graft.state.HttpBucket.HttpObjectStore(
+            java.net.URI.create(uri),
+            signer = Some(new graft.state.SigV4.Signer(creds))))
+        case _ => throw new IllegalArgumentException(
+          s"malformed sigv4 publisher token '$signed'")
+      }
     case other => throw new IllegalArgumentException(
-      s"unknown commit publisher '$other' (hardlink | dirrename | conditionalput | http=<uri>)")
+      s"unknown commit publisher '$other' (hardlink | dirrename | conditionalput | http=<uri> | sigv4=<uri>;ak;sk[;region;service])")
   }
 }

@@ -397,3 +397,136 @@ class HttpPutMwLifecycleSpec extends LifecycleBehaviors
     try server.stop() finally super.afterAll()
   }
 }
+
+/** [[TxnLogBehaviors]] over the SIGNED cloud binding (r17 verdict item
+  * 3): the same HTTP conditional-put protocol, but every request
+  * carries SigV4 — canonical request / signing-key chain / per-attempt
+  * re-signing — against the bucket emulation in signature-VALIDATING
+  * mode (wrong or missing signature = 403, recomputed server-side from
+  * the raw request, independently of the client's construction path).
+  * The kill -9 torture races three writer PROCESSES, each signing its
+  * own PUTs (the `sigv4=<uri>;ak;sk` token). On top of the matrix:
+  * the two network-fault drills under signatures (each retry must
+  * RE-sign, and the lost-response 412 resolution must survive signed
+  * retries), and the tamper drills (no signature, wrong secret,
+  * stripped precondition header). */
+class TxnLogSignedHttpPutSpec extends TxnLogBehaviors
+    with org.scalatest.BeforeAndAfterAll {
+  protected lazy val spark = TestSpark.spark
+  private val creds = graft.state.SigV4.Credentials("GRAFTKEY", "graft-secret-7")
+  private def signedClient(uri: String, maxRetries: Int = 5) =
+    new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(uri),
+      maxRetries = maxRetries, signer = Some(new graft.state.SigV4.Signer(creds)))
+  private lazy val staging = Files.createTempDirectory("graft-bucket-signed")
+  private lazy val server = new graft.state.HttpBucket.Server(staging,
+    latencyMs = 1, credentials = Some(creds))
+  def publisher: CommitPublisher = new TxnLog.ConditionalPut(signedClient(server.uri))
+  def publisherName: String = "sigv4put"
+  override def tortureToken: String =
+    s"sigv4=${server.uri};${creds.accessKey};${creds.secretKey}"
+  def plantCrashedStaging(txnDir: Path): Path = {
+    val dir = server.stagingDirFor(txnDir.toString)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(".part-crashed"), "k\nghost".getBytes)
+  }
+  override def afterAll(): Unit = {
+    try {
+      assert(server.authRejections.get() === 0,
+        "the matrix must run with every request verifying — a rejection would mean retried-as-accident coverage")
+      server.stop()
+    } finally super.afterAll()
+  }
+
+  test("[sigv4put] transient 503s: every retry re-signs, one winner, zero auth rejections") {
+    val st = Files.createTempDirectory("graft-signed-flaky")
+    val flaky = new graft.state.HttpBucket.Server(st, failFirstPuts = 2,
+      credentials = Some(creds))
+    try {
+      val c = signedClient(flaky.uri)
+      val key = Paths.get("/signed/_txn/1.commit")
+      assert(c.putIfAbsent(key, "k\na".getBytes("UTF-8")),
+        "the claim must survive two injected 503s with fresh signatures")
+      assert(!c.putIfAbsent(key, "k\nb".getBytes("UTF-8")))
+      assert(new String(c.get(key), "UTF-8") == "k\na")
+      assert(flaky.authRejections.get() === 0,
+        "re-signed retries must all verify — a stale-signature replay would 403")
+    } finally flaky.stop()
+  }
+
+  test("[sigv4put] lost 200 under signatures: the 412 ambiguity resolves by payload across re-signed retries") {
+    val st = Files.createTempDirectory("graft-signed-lost")
+    val lossy = new graft.state.HttpBucket.Server(st,
+      failFirstPuts = 1, applyBeforeFail = true, credentials = Some(creds))
+    try {
+      val c = signedClient(lossy.uri)
+      val key = Paths.get("/signed/_txn/1.commit")
+      assert(c.putIfAbsent(key, "k\nwinner-pid-7".getBytes("UTF-8")),
+        "applied-but-unacknowledged must still resolve to the WIN when every hop is signed")
+      assert(!c.putIfAbsent(key, "k\nother-pid-9".getBytes("UTF-8")))
+      assert(lossy.authRejections.get() === 0)
+    } finally lossy.stop()
+  }
+
+  test("[sigv4put] unsigned and wrong-secret clients are refused 403, loudly") {
+    val key = Paths.get("/signed/_tamper/1.commit")
+    val unsigned = new graft.state.HttpBucket.HttpObjectStore(
+      java.net.URI.create(server.uri), maxRetries = 0)
+    val e1 = intercept[java.io.IOException] {
+      unsigned.putIfAbsent(key, "k\nx".getBytes("UTF-8"))
+    }
+    assert(e1.getMessage.contains("403"), e1.getMessage)
+    val badCreds = graft.state.SigV4.Credentials(creds.accessKey, "not-the-secret")
+    val wrong = new graft.state.HttpBucket.HttpObjectStore(
+      java.net.URI.create(server.uri), maxRetries = 0,
+      signer = Some(new graft.state.SigV4.Signer(badCreds)))
+    val e2 = intercept[java.io.IOException] {
+      wrong.putIfAbsent(key, "k\nx".getBytes("UTF-8"))
+    }
+    assert(e2.getMessage.contains("403"), e2.getMessage)
+    assert(server.authRejections.getAndSet(0) === 2)
+    // nothing landed: the tamper attempts must not have claimed the key
+    intercept[java.nio.file.NoSuchFileException] {
+      signedClient(server.uri).get(key)
+    }
+  }
+
+  test("[sigv4put] a stripped precondition header invalidates the signature — the one-winner claim is AUTHENTICATED") {
+    // sign a PUT with If-None-Match under SignedHeaders, then send it
+    // WITHOUT the header (the middlebox-strips-the-precondition attack
+    // the scaladoc claims the signature prevents): the validator must
+    // 403 it, never serve it as an unconditional PUT
+    val uri = java.net.URI.create(s"${server.uri}/signed/_tamper/2.commit")
+    val payload = "k\nstripped".getBytes("UTF-8")
+    val hdrs = new graft.state.SigV4.Signer(creds)
+      .headers("PUT", uri, Seq("If-None-Match" -> "*"), payload)
+    val b = java.net.http.HttpRequest.newBuilder(uri)
+    hdrs.foreach { case (k, v) => b.header(k, v) } // signature headers only
+    val req = b.PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+    val resp = java.net.http.HttpClient.newHttpClient()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 403, s"got ${resp.statusCode()}: ${resp.body()}")
+    assert(resp.body().contains("if-none-match"), resp.body())
+    server.authRejections.set(0)
+  }
+}
+
+/** The full [[LifecycleBehaviors]] matrix with commits crossing the
+  * SIGNED bucket binding — the fifth green publisher column. */
+class SignedHttpPutMwLifecycleSpec extends LifecycleBehaviors
+    with org.scalatest.BeforeAndAfterAll {
+  private val creds = graft.state.SigV4.Credentials("GRAFTKEY", "graft-secret-7")
+  private lazy val staging = Files.createTempDirectory("graft-bucket-signed-mw")
+  private lazy val server = new graft.state.HttpBucket.Server(staging,
+    credentials = Some(creds))
+  def makeStore(dir: String): graft.state.ControlStore =
+    new MwStateStore(spark, dir, checkpointEvery = 7,
+      publisher = new TxnLog.ConditionalPut(
+        new graft.state.HttpBucket.HttpObjectStore(java.net.URI.create(server.uri),
+          signer = Some(new graft.state.SigV4.Signer(creds)))))
+  override def afterAll(): Unit = {
+    try {
+      assert(server.authRejections.get() === 0)
+      server.stop()
+    } finally super.afterAll()
+  }
+}
