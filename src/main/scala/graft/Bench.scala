@@ -7,7 +7,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Fallback-mode sweep (r17 verdict item 7): SPARK_GRAFT_NO_EXTENSIONS=1
+    // runs the whole registry WITHOUT GraftExtensions, so the UDF /
+    // interpreted fallbacks (TextOps, Dedup — the extension-less path the
+    // equality specs pin but never price) get a recorded cost. A
+    // deployment that forgets the extension should know the bill, not
+    // discover it. The mode is excluded from the floor gate and never
+    // overwrites bench_last_run.json — different execution profile,
+    // separate record (BASELINE.md).
+    val noExt = sys.env.get("SPARK_GRAFT_NO_EXTENSIONS")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // UTC is the precondition of Tables.events' NTZ→TIMESTAMP cast
@@ -15,9 +25,11 @@ object Bench {
       // (Verify/Explain/TestSpark) already pins it
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = (if (noExt) builder
+      else builder.config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
+    if (noExt) System.err.println("[bench] FALLBACK MODE: GraftExtensions not installed — UDF/interpreted paths priced")
     spark.sparkContext.setLogLevel("WARN")
     // X5 observability: per-run stage/task counters via SparkListener
     // (the engine analogue of DBMS_APPLICATION_INFO session longops,
@@ -168,6 +180,13 @@ object Bench {
     // gate's verdict can feed it (see below). Semantics documented at the
     // gate itself.
     val floors: Map[String, Double] =
+      if (noExt) {
+        // floors were recorded on the extension path; gating the
+        // deliberately-slower fallback sweep against them would flag
+        // the mode itself
+        System.err.println("[bench] fallback mode: floor gate skipped")
+        Map.empty
+      } else
       Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
@@ -276,8 +295,9 @@ object Bench {
       val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
       s"""{"cpus":$cpusJson,"start":${l2(sweepLoadStart)},"end":${l2(loadavg())},"queries":$per}"""
     }
+    val mode = if (noExt) "no_extensions" else "default"
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","regressions":$regr,"watch":$watchJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","mode":"$mode","regressions":$regr,"watch":$watchJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     // durability: bounded log captures have twice truncated the stdout
     // line's head (r8/r9 BENCH artifacts parsed as null) — a file copy,
     // written BEFORE the print, survives any log-capture policy
@@ -294,7 +314,7 @@ object Bench {
     // for FULL sweeps (a BENCH_ONLY dev subset must not overwrite the
     // full record) and only when the resources dir is visible from the
     // cwd (a deployment running the bench elsewhere keeps the /tmp copy).
-    if (only.isEmpty) {
+    if (only.isEmpty && !noExt) {
       val res = java.nio.file.Paths.get("src/main/resources")
       if (java.nio.file.Files.isDirectory(res))
         try java.nio.file.Files.write(res.resolve("bench_last_run.json"),

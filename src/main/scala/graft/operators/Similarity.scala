@@ -1209,6 +1209,62 @@ object Similarity {
       .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
   }
 
+  // ---- PQ + exact re-rank (the standard refinement stage) ----------------
+
+  /** Shortlist size for [[qPqRefine]] — at this corpus scale 50 plays
+    * the role production's ~4k candidates do: comfortably above k=5,
+    * small enough that the re-rank's exact reads stay a rounding error
+    * next to the ADC scan. */
+  private[graft] val PqRefineR = 50
+
+  /** The PQ tier's REFINEMENT stage (r17 verdict item 6): ADC over the
+    * compressed codes shortlists [[PqRefineR]] candidates per query,
+    * then EXACT cosine re-ranks just that shortlist to the final
+    * top-5 — the standard two-stage serve path (shortlist on codes,
+    * refine on originals) that turns PQ from "measured recall" into
+    * "tunable to a recall target" (raise R until recall@5 meets the
+    * target; the ADC stage's cost is unchanged).
+    *
+    * Scale shape: stage 1 is [[qAnnPqFrom]]'s machinery verbatim (one
+    * corpus scan over 16-byte codes, broadcast query LUTs, partial-
+    * aggregate top-R — k before the shuffle); stage 2 touches ONLY
+    * |queries|×R rows — the shortlist broadcasts into an id-join
+    * against the corpus (at deployment scale: a pruned point-read face
+    * of the vector store, the bounded "extra reads" of the refine
+    * stage), so the full-precision vectors are never scanned, only
+    * fetched for the shortlist. */
+  def qPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(s, dir)
+    val cb = trainPqOnSample(pqSample(vectors))
+    val e = withNorm(s, vectors)
+    val corpus = e.select(col("vec_id").as("n_id"),
+        pqCodeCols(s, cb)(col("embedding")).as("codes"))
+      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
+        pqLut(s, cb)(col("embedding")).as("lut"))
+    // stage 1: ADC shortlist of R (same scan as qAnnPq, deeper top-k)
+    val shortlist = corpus.crossJoin(broadcast(queries))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc",
+        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("adc"), col("n_id"), PqRefineR).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.neighbor_id").as("n_id"))
+    // stage 2: exact cosine over the |queries|×R shortlist only
+    val exactQ = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val exactC = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    explodeRanks(exactC.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(exactQ), Seq("q_id"))
+      .withColumn("cosine",
+        round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+  }
+
   // ---- IVF-PQ (the production pairing of the two tiers) ------------------
   /** IVF list pruning COMPOSED with PQ ADC scoring — the standard
     * large-scale ANN deployment (FAISS's IVFPQ shape, Jégou et al. 2011):
@@ -1520,6 +1576,7 @@ object Similarity {
     "q_ann_probe"     -> qAnnProbe _,
     "q_ann_ivf"       -> qAnnIvf _,
     "q_ann_pq"        -> qAnnPq _,
+    "q_pq_refine"     -> qPqRefine _,
     "q_ivf_pq"        -> qIvfPq _,
     "q_ivf_probe"     -> qIvfProbe _,
     "q_dedup_semantic" -> qDedupSemantic _,

@@ -417,6 +417,53 @@ object Expected {
     }.sortBy(r => (r._1, r._2))
   }
 
+  // ---- q_pq_refine ---------------------------------------------------------
+  /** Expected rows for the PQ refinement face: [[pqRows]]' ADC scan
+    * deepened to [[Similarity.PqRefineR]] candidates, then EXACT cosine
+    * re-ranks just that shortlist to top-5 — both stages re-derived
+    * sequentially, so drift in the shortlist depth, the ADC scoring OR
+    * the exact re-rank is a hash mismatch. Corpus rows skip normed()
+    * like [[pqRows]] (stage 1 never divides by a corpus norm); in
+    * stage 2 a zero-norm shortlisted row never ranks — the engine's
+    * topkCol null-drop contract, mirrored. */
+  def pqRefineRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val pq = new PqTwinModel(embs)
+    val raw = embs.map { case (id, e) => (id, e.map(_.toDouble)) }
+    val corpus = raw.map { case (id, d) =>
+      val codes = pq.codes(d)
+      (id, d, codes, pq.recon(codes))
+    }
+    raw.filter(_._1 % 100 == 0).map { case (qid, qd) =>
+      val qn = math.sqrt(Similarity.ddot(qd, qd))
+      require(qn != 0.0,
+        s"vec_id=$qid has zero norm: the engine's ANSI division fails fast; the twin mirrors it")
+      (qid, qd, qn)
+    }.flatMap { case (qid, qd, qn) =>
+      val lut = pq.lut(qd)
+      val shortlist = corpus.iterator
+        .filter(_._1 != qid)
+        .map { case (nid, _, codes, recon) =>
+          (round6(pq.adc(lut, codes) / (qn * recon)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(Similarity.PqRefineR).map(_._2).toSet
+      corpus.iterator
+        .filter { case (nid, nd, _, _) =>
+          shortlist(nid) && Similarity.ddot(nd, nd) != 0.0
+        }
+        .map { case (nid, nd, _, _) =>
+          val nn = math.sqrt(Similarity.ddot(nd, nd))
+          (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5)
+        .zipWithIndex
+        .map { case ((cos, nid), r) => (qid, (r + 1).toLong, nid, cos) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
   // ---- q_ivf_pq ----------------------------------------------------------
   /** Expected rows for the IVF-PQ composition: the [[ivfRows]] probe
     * pipeline (shared coarse quantizer, probed-list filter) scored the
@@ -581,6 +628,8 @@ object Expected {
     val ivfAsof = write("q_ivf_asof",
       ivfAsofRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val pq = write("q_ann_pq", pqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val pqRef = write("q_pq_refine",
+      pqRefineRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val ivfpq = write("q_ivf_pq", ivfPqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
@@ -608,6 +657,7 @@ object Expected {
       "q_dedup_simhash" -> sql(sh, "doc_a, doc_b, hamming", "doc_a, doc_b"),
       "q_ann_ivf"       -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ann_pq"        -> sql(pq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_pq_refine"     -> sql(pqRef, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_pq"        -> sql(ivfpq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_asof"      -> sql(ivfAsof, "q_id, rank, neighbor_id, cosine", "q_id, rank"),

@@ -128,6 +128,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ refinement: exact re-rank of the ADC shortlist beats raw PQ and the IVF tier on recall") {
+    // r17 verdict item 6's done-criterion: refine recall@5 >= the IVF
+    // tier's at bounded extra reads (|queries| x PqRefineR id-fetches).
+    // The shortlist is 10x k, so almost every true top-5 member survives
+    // stage 1 and the exact re-rank restores its rank — the tunable-to-
+    // a-recall-target property the refinement stage exists for.
+    val refined = collect(Similarity.qPqRefine(spark, dir))
+    assert(refined.nonEmpty)
+    val exactSet = exact.map(h => (h.qId, h.nId)).toSet
+    def recallOf(hits: Seq[Hit]) = hits.count(h => exactSet((h.qId, h.nId))).toDouble / exactSet.size
+    val rRef = recallOf(refined)
+    val rPq = recallOf(collect(Similarity.qAnnPq(spark, dir)))
+    val rIvf = recallOf(collect(Similarity.qAnnIvf(spark, dir)))
+    assert(rRef >= rPq, f"refined $rRef%.3f must not lose to raw PQ $rPq%.3f")
+    assert(rRef >= rIvf, f"refined $rRef%.3f must reach the IVF tier $rIvf%.3f")
+    assert(rRef >= 0.9, f"a 10x-k shortlist should recover nearly all of top-5, got $rRef%.3f")
+    // re-ranked cosines are EXACT: every reported pair matches brute force
+    val exactCos = exact.map(h => (h.qId, h.nId) -> h.cos).toMap
+    refined.foreach(h => exactCos.get((h.qId, h.nId)).foreach(c => assert(c == h.cos)))
+    refined.groupBy(_.qId).foreach { case (q, hits) =>
+      assert(hits.map(_.rank).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"query $q")
+    }
+  }
+
   test("IVF-PQ composition: pruning+quantization still recovers a usable top-5") {
     val got = collect(Similarity.qIvfPq(spark, dir))
     assert(got.nonEmpty)
