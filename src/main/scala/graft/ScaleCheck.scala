@@ -298,15 +298,21 @@ object ScaleCheck {
     val ctl = new graft.state.MwStateStore(spark,
       java.nio.file.Files.createTempDirectory("graft-scale-dag-ctl").toString)
     val names = Seq("DAG_SIG", "DAG_SEARCH", "DAG_LM", "DAG_NB", "DAG_ANN", "DAG_IVF")
+    // DAG_AUDIT sits BEHIND the signature compaction — the dependent
+    // that must route to DEPENDENCY FAILURE when DAG_SIG is killed in
+    // the failure-injection leg below (r17 verdict item 8)
     ctl.putBatchMaster(graft.state.BatchMaster(400, "DAG_ROOT", 1, Some("OPS"), None) +:
-      names.zipWithIndex.map { case (n, i) =>
-        graft.state.BatchMaster(401L + i, n, 1, Some("OPS"), None) })
+      (names.zipWithIndex.map { case (n, i) =>
+        graft.state.BatchMaster(401L + i, n, 1, Some("OPS"), None) } :+
+        graft.state.BatchMaster(407L, "DAG_AUDIT", 1, Some("OPS"), None)))
     ctl.putDependencies(names.indices.map(i =>
-      graft.state.BatchDependency(400, 401L + i, "MANDATORY")))
-    ctl.putRunCommands(graft.state.RunCommand("DAG_ROOT", "graft.query q_count") +:
+      graft.state.BatchDependency(400, 401L + i, "MANDATORY")) :+
+      graft.state.BatchDependency(401L, 407L, "MANDATORY"))
+    ctl.putRunCommands((graft.state.RunCommand("DAG_ROOT", "graft.query q_count") +:
       Seq("maint_compact_signatures", "maint_compact_search", "maint_compact_lm",
         "maint_compact_nb", "maint_compact_ann", "maint_compact_ivf")
-        .zip(names).map { case (q, n) => graft.state.RunCommand(n, s"graft.query $q") })
+        .zip(names).map { case (q, n) => graft.state.RunCommand(n, s"graft.query $q") }) :+
+      graft.state.RunCommand("DAG_AUDIT", "graft.query q_count"))
     val registry = SparkEntry.queries ++ graft.lifecycle.Maintenance.moduleRegistry(
       graft.lifecycle.Maintenance.StoreLayout(
         searchIndex = Some((idx, 0L)), lmModel = Some((lm, 0L)), nbModel = Some((nb, 0L)),
@@ -316,7 +322,7 @@ object ScaleCheck {
       graft.lifecycle.SystemSleeper)
     val orch = new graft.lifecycle.Orchestrator(spark, lc, sf1Dir, registry)
     val t0 = System.nanoTime()
-    val outcomes = orch.runChain("DAG_ROOT" +: names, runLevel = Some(1))
+    val outcomes = orch.runChain("DAG_ROOT" +: names :+ "DAG_AUDIT", runLevel = Some(1))
     val sec = (System.nanoTime() - t0) / 1e9
     require(outcomes.forall(_._2.isInstanceOf[graft.lifecycle.Orchestrator.Completed]),
       s"the nightly DAG must complete every module at sf1, got $outcomes")
@@ -337,7 +343,86 @@ object ScaleCheck {
     require(lockBucket.size == 0,
       s"every writer claim must have released through the bucket binding, ${lockBucket.size} remain")
     System.err.println(f"[scale] orchestrated NIGHTLY DAG (6-store estate, sf1): $sec%7.2f s  faces equal, purge physical, locks via HTTP bucket (all released)")
+
+    // 6. FAILURE INJECTION at sf1 (r17 verdict item 8): rerun the
+    //    SIG→AUDIT leg with the compaction module killed at the worst
+    //    store moment — after the backup-move, before the swap-in (the
+    //    exact on-disk state a kill -9 leaves; LifecycleBehaviors runs
+    //    the same scenario at spec scale on both control stores). The
+    //    MANDATORY dependent must route to DEPENDENCY FAILURE through
+    //    the DECODE matrix, and the RESTARTED nightly must recover the
+    //    sf1-sized store and complete with the read faces unchanged.
+    locally {
+      val killed: (SparkSession, String) => DataFrame = (s, _) => {
+        val fs = new org.apache.hadoop.fs.Path(sig)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(fs.rename(new org.apache.hadoop.fs.Path(sig),
+          new org.apache.hadoop.fs.Path(sig + ".bak")), "backup-move must apply")
+        sys.error("kill -9 between backup-move and swap-in")
+      }
+      val orchKilled = new graft.lifecycle.Orchestrator(spark, lc, sf1Dir,
+        registry ++ Map("maint_compact_signatures" -> killed))
+      val crash = orchKilled.runChain(Seq("DAG_SIG", "DAG_AUDIT"), runLevel = Some(1))
+      require(crash(0)._2.isInstanceOf[graft.lifecycle.Orchestrator.Failed],
+        s"the killed compaction must close FAILURE, got ${crash(0)}")
+      require(crash(1)._2 == graft.lifecycle.Orchestrator.NotRun(
+        graft.lifecycle.DependencyFailed),
+        s"the dependent must route to DEPENDENCY FAILURE, got ${crash(1)}")
+      val t1 = System.nanoTime()
+      val rerun = orch.runChain(Seq("DAG_SIG", "DAG_AUDIT"), runLevel = Some(1))
+      val recoverSec = (System.nanoTime() - t1) / 1e9
+      require(rerun.forall(_._2.isInstanceOf[graft.lifecycle.Orchestrator.Completed]),
+        s"the restarted leg must recover and complete, got $rerun")
+      val afterCrash = faces()
+      before.zip(afterCrash).zipWithIndex.foreach { case ((b, a), i) =>
+        require(b == a, s"read face $i changed across the crash+recovery cycle")
+      }
+      require(!graft.sources.Stores.hasTombstones(spark, sig) &&
+        spark.read.parquet(sig).join(docs.filter(retr).select("doc_id"),
+          Seq("doc_id"), "left_semi").count() == 0L,
+        "recovery must not resurrect purged docs or tombstones")
+      System.err.println(f"[scale] failure injection: killed mid-swap -> FAILURE + DEPENDENCY FAILURE; restarted leg recovered the sf1 store in $recoverSec%6.2f s, faces intact")
+    }
     sec
+  }
+
+  /** The sf3 tier (r17 verdict item 5): push the three WORST sf1
+    * scalers one more 3× step (30 key-shifted copies of sf0.1) and
+    * decompose growth into OUTPUT vs COMPUTE — each measurement
+    * records wall seconds AND result rows, so a super-linear wall
+    * ratio with a matching output ratio is output-bound by the data
+    * (q_fuzzy_join's documented shape: the duplicated-corpus replicas
+    * multiply matching pairs), while a wall ratio far above the output
+    * ratio would be the unexplained compute term the claims exclude:
+    *  - q_ivf_pq: the one-time index build amortizes — its share of
+    *    wall must FALL from sf1 to sf3;
+    *  - q_fuzzy_join: output-bound with the block cap holding;
+    *  - q_embed_pipeline: pair volume bounded by banding.
+    * Returns the JSON fragment for the record line. */
+  private def sf3Tier(spark: SparkSession, baseDir: String, sf1Dir: String,
+      sf3Dir: String): String = {
+    buildSf1(spark, baseDir, sf3Dir, copies = 30)
+    val qs = Seq("q_ivf_pq", "q_fuzzy_join", "q_embed_pipeline")
+    def m(n: String, dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def ms3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val frags = qs.map { n =>
+      // min-of-2 per scale, the standing sweep's convention, so the
+      // recorded sf0.1/sf1 points stay comparable with prior rounds
+      val (aT, aR) = Seq(m(n, baseDir), m(n, baseDir)).minBy(_._1)
+      val (bT, bR) = Seq(m(n, sf1Dir), m(n, sf1Dir)).minBy(_._1)
+      val (cT, cR) = Seq(m(n, sf3Dir), m(n, sf3Dir)).minBy(_._1)
+      val wall31 = cT / bT
+      val out31 = if (bR > 0) cR.toDouble / bR else Double.NaN
+      System.err.println(f"[scale] sf3 $n%-18s sf0.1 $aT%7.2f s/$aR%8d r   sf1 $bT%7.2f s/$bR%9d r   sf3 $cT%7.2f s/$cR%9d r   wall3:1 $wall31%5.2f  out3:1 $out31%5.2f")
+      s""""$n":{"sf01":{"sec":${ms3(aT)},"rows":$aR},"sf1":{"sec":${ms3(bT)},"rows":$bR},""" +
+        s""""sf3":{"sec":${ms3(cT)},"rows":$cR},"wall_ratio_3_1":${ms3(wall31)},"out_ratio_3_1":${ms3(out31)}}"""
+    }
+    frags.mkString("{", ",", "}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -413,13 +498,21 @@ object ScaleCheck {
     val dagSecs: Option[Double] =
       if (only.forall(_.contains("maint_dag_full"))) Some(maintenanceDagAtSf1(spark, sf1Dir))
       else None
+    // sf3 tier for the worst sf1 scalers (dev loops opt in with
+    // SCALE_ONLY=sf3_tier; full sweeps always run it)
+    val sf3Json: Option[String] =
+      if (only.forall(_.contains("sf3_tier")))
+        Some(sf3Tier(spark, baseDir, sf1Dir,
+          sys.env.getOrElse("SPARK_GRAFT_SF3_DIR", "/root/repo/tmp/sf3")))
+      else None
     def ms3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = rows.map { case (n, a, b, f) =>
       s""""$n":{"sf01":${ms3(a)},"sf1":${ms3(b)},"ratio":${ms3(b / a)},"plan_flip":$f}"""
     }.mkString("{", ",", "}")
     val orchJson = orchSecs.map(ms3).getOrElse("null")
     val dagJson = dagSecs.map(ms3).getOrElse("null")
-    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":$orchJson,"maintenance_dag_sf1_sec":$dagJson,"flips":${rows.count(_._4)}}""")
+    val sf3Field = sf3Json.getOrElse("null")
+    println(s"""{"metric":"scale_check","copies":10,"queries":$qs,"orchestrator_sf1_sec":$orchJson,"maintenance_dag_sf1_sec":$dagJson,"sf3_tier":$sf3Field,"flips":${rows.count(_._4)}}""")
     spark.stop()
   }
 }

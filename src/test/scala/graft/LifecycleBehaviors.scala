@@ -415,4 +415,84 @@ trait LifecycleBehaviors extends AnyFunSuite {
     assert(lc.paramPrefix("Run_level=<3>") === None, "INSTR=1 → negative SUBSTR length → NULL")
     assert(lc.paramPrefix("no marker") === None, "INSTR=0 → NULL")
   }
+
+  // ---- orchestrated failure injection (r17 verdict item 8) ----------------
+  test("orchestrator: a compaction module killed mid-swap fails the DAG leg; the re-run recovers and completes idempotently") {
+    // The kill -9 discipline applied at ORCHESTRATION level: the
+    // compaction module dies at the worst store moment (after the
+    // backup-move, before the swap-in — live dir gone, full content in
+    // .bak), its MANDATORY dependent routes to DEPENDENCY FAILURE via
+    // the DECODE matrix, and the restarted DAG's compaction RECOVERS
+    // the store and completes with the read face intact — the
+    // crash-consistency contract and the dependency matrix proven as
+    // one scenario, on both control stores.
+    val (store, _, _, lc) = fixture()
+    val sig = Files.createTempDirectory("graft-orch-kill").toString + "/sig"
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+    graft.operators.Dedup.writeSignatures(graft.operators.Dedup.signaturesOf(docs), sig)
+    def face(): (Long, Long) = {
+      val df = spark.read.parquet(sig)
+      (df.count(), df.select("doc_id").distinct().count())
+    }
+    val before = face()
+    assert(before._1 > 0L)
+
+    store.putBatchMaster(Seq(master(97, "ORCH_INGEST"), master(98, "ORCH_COMPACT"),
+      master(99, "ORCH_AUDIT")))
+    store.putDependencies(Seq(
+      BatchDependency(97, 98, "MANDATORY"),
+      BatchDependency(98, 99, "MANDATORY")))
+    store.putRunCommands(Seq(
+      RunCommand("ORCH_INGEST", "graft.query q_count"),
+      RunCommand("ORCH_COMPACT", "graft.query maint_compact_signatures"),
+      RunCommand("ORCH_AUDIT", "graft.query q_agg_max")))
+    val compactRegistry = graft.lifecycle.Maintenance.moduleRegistry(
+      graft.lifecycle.Maintenance.StoreLayout(signatureStore = Some(sig)))
+
+    // run 1: the module is "killed" mid-swap — the registry entry
+    // plants EXACTLY the on-disk state a kill -9 between backup-move
+    // and swap-in leaves, then dies
+    val killed: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => {
+        val fs = new org.apache.hadoop.fs.Path(sig)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(sig),
+          new org.apache.hadoop.fs.Path(sig + ".bak")), "backup-move must apply")
+        sys.error("kill -9 between backup-move and swap-in")
+      }
+    val orch1 = new Orchestrator(spark, lc, TestSpark.sfDir,
+      SparkEntry.queries ++ Map("maint_compact_signatures" -> killed))
+    val out1 = orch1.runChain(Seq("ORCH_INGEST", "ORCH_COMPACT", "ORCH_AUDIT"),
+      runLevel = Some(1))
+    assert(out1(0)._2.isInstanceOf[Orchestrator.Completed], s"got ${out1(0)}")
+    assert(out1(1)._2.isInstanceOf[Orchestrator.Failed], s"got ${out1(1)}")
+    assert(out1(2)._2 === Orchestrator.NotRun(DependencyFailed),
+      "the DECODE matrix must refuse the dependent of the killed compaction")
+    val mid = store.monitorState.orderBy("module_id").collect()
+      .map(r => (r.getAs[Long]("module_id"), r.getAs[String]("run_status")))
+    assert(mid.toSeq === Seq(97L -> RunStatus.Success, 98L -> RunStatus.Failure,
+      99L -> RunStatus.DependencyFailure))
+
+    // run 2 (the restarted nightly): the REAL compaction module —
+    // recover() absorbs the .bak wreckage, the fold completes, the
+    // dependent runs, and the read face answers exactly as before
+    val orch2 = new Orchestrator(spark, lc, TestSpark.sfDir,
+      SparkEntry.queries ++ compactRegistry)
+    val out2 = orch2.runChain(Seq("ORCH_INGEST", "ORCH_COMPACT", "ORCH_AUDIT"),
+      runLevel = Some(1))
+    assert(out2.forall(_._2.isInstanceOf[Orchestrator.Completed]),
+      s"the restarted DAG must complete every module, got $out2")
+    assert(face() === before, "the recovered+compacted store must answer the pre-crash face")
+    val fs = new org.apache.hadoop.fs.Path(sig)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sig + ".bak")),
+      "no crash residue may survive the recovered compaction")
+    // run 3: replaying the whole chain once more is a no-op fold — the
+    // idempotence half of the at-least-once orchestration contract
+    val out3 = orch2.runChain(Seq("ORCH_INGEST", "ORCH_COMPACT", "ORCH_AUDIT"),
+      runLevel = Some(1))
+    assert(out3.forall(_._2.isInstanceOf[Orchestrator.Completed]), s"got $out3")
+    assert(face() === before, "the replayed compaction must be idempotent")
+  }
 }
