@@ -201,7 +201,11 @@ object Smtp {
       while (running) {
         try {
           val sock = server.accept()
-          new Thread(() => handle(sock), "graft-smtp-conn").start()
+          val t = new Thread(() => handle(sock), "graft-smtp-conn")
+          // daemon: a connection blocked in readLine (15 s SO_TIMEOUT)
+          // must not pin a forked JVM past main's return
+          t.setDaemon(true)
+          t.start()
         } catch { case _: Throwable => () } // closed during stop()
       }
     }, "graft-smtp-accept")
