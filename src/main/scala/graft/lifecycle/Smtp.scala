@@ -102,21 +102,26 @@ object Smtp {
           }
           Reply(code, lines.toSeq)
         }
-        def cmd(c: String, expect: Int): Reply = {
+        def cmd(c: String, expect: Int*): Reply = {
           out.write(c); out.write("\r\n"); out.flush()
           val r = readReply()
-          if (r.code != expect) {
+          if (!expect.contains(r.code)) {
             if (r.permanent) throw new PermanentFailure(
               s"'${c.takeWhile(_ != '<')}' rejected ${r.code}: ${r.lines.headOption.getOrElse("")}")
-            throw new java.io.IOException(s"'$c' answered ${r.code}, expected $expect")
+            throw new java.io.IOException(s"'$c' answered ${r.code}, expected ${expect.mkString("/")}")
           }
           r
         }
         val greet = readReply()
         if (greet.code != 220) throw new java.io.IOException(s"greeting was ${greet.code}")
-        cmd("EHLO graft.local", 250)
+        // EHLO first (RFC 5321 §3.2), HELO on a 5yz — a legacy relay
+        // that never learned ESMTP must not read as a permanent
+        // failure; HELO is the reference's own conversation (body:1081)
+        try cmd("EHLO graft.local", 250)
+        catch { case _: PermanentFailure => cmd("HELO graft.local", 250) }
         cmd(s"MAIL FROM:<$sender>", 250)
-        recipients.foreach(r => cmd(s"RCPT TO:<$r>", 250))
+        // 251 = "user not local; will forward" — an accepted recipient
+        recipients.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
         cmd("DATA", 354)
         // the reference's header block (body:1110-1126), Date in its
         // TO_CHAR(dd Mon yy hh24:mi:ss) rendering via the shared clock
@@ -171,10 +176,15 @@ object Smtp {
     *     analogue);
     *   `dropFirstConnections` — first N connections are closed right
     *     after the greeting (the mid-conversation network fault);
-    *   `rejectRecipient` — this mailbox answers 550 (permanent).
+    *   `rejectRecipient` — this mailbox answers 550 (permanent);
+    *   `rejectEhlo` — EHLO answers 502 (a pre-ESMTP relay; the client
+    *     must fall back to HELO, the reference's own verb);
+    *   `forwardRecipient` — this mailbox answers 251 (accepted,
+    *     will forward — still a delivery).
     */
   final class Server(failFirstMails: Int = 0, dropFirstConnections: Int = 0,
-      rejectRecipient: Option[String] = None) {
+      rejectRecipient: Option[String] = None, rejectEhlo: Boolean = false,
+      forwardRecipient: Option[String] = None) {
     private val delivered0 = new java.util.concurrent.ConcurrentLinkedQueue[Delivered]()
     private val mailSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     private val connSeen = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -227,7 +237,9 @@ object Smtp {
         var line = in.readLine()
         while (line != null) {
           val upper = line.toUpperCase(java.util.Locale.ROOT)
-          if (upper.startsWith("EHLO") || upper.startsWith("HELO")) {
+          if (upper.startsWith("EHLO") && rejectEhlo) {
+            w("502 5.5.1 command not implemented") // pre-ESMTP relay
+          } else if (upper.startsWith("EHLO") || upper.startsWith("HELO")) {
             // multiline on purpose — the client must parse 250-/250
             w("250-graft-loopback greets you"); w("250-SIZE 1048576"); w("250 OK")
           } else if (upper.startsWith("MAIL FROM:")) {
@@ -242,6 +254,7 @@ object Smtp {
             val r = line.drop("RCPT TO:".length).trim.stripPrefix("<").stripSuffix(">")
             if (sender == null) w("503 5.5.1 need MAIL first")
             else if (rejectRecipient.contains(r)) w("550 5.1.1 mailbox unknown")
+            else if (forwardRecipient.contains(r)) { rcpts :+= r; w("251 user not local; will forward") }
             else { rcpts :+= r; w("250 OK") }
           } else if (upper == "DATA") {
             if (sender == null || rcpts.isEmpty) w("503 5.5.1 need MAIL and RCPT first")

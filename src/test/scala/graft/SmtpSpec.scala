@@ -79,6 +79,25 @@ class SmtpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("pre-ESMTP relay: EHLO 502 falls back to HELO (the reference's own verb) in the same conversation") {
+    val server = new Smtp.Server(rejectEhlo = true)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 0)
+      assert(c.send("ops@example.com", Seq("dev@example.com"), "s", "b") === 1,
+        "the fallback is within the conversation, not a transaction retry")
+      assert(server.delivered.size === 1)
+    } finally server.stop()
+  }
+
+  test("RCPT 251 (user not local; will forward) is an accepted recipient, not a failure") {
+    val server = new Smtp.Server(forwardRecipient = Some("moved@example.com"))
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      c.send("ops@example.com", Seq("dev@example.com", "moved@example.com"), "s", "b")
+      assert(server.delivered.head.recipients === Seq("dev@example.com", "moved@example.com"))
+    } finally server.stop()
+  }
+
   test("CRLF body round-trip: multiline bodies and leading-dot lines survive") {
     val server = new Smtp.Server()
     try {
