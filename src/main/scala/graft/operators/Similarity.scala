@@ -1314,6 +1314,55 @@ object Similarity {
       .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
   }
 
+  /** The COMPLETE production serve path (r18, completing the triple):
+    * IVF list-prune → PQ ADC shortlist of [[PqRefineR]] → EXACT cosine
+    * re-rank of just the shortlist to top-5. [[qIvfPq]] composes the
+    * two pruning tiers; this adds the refinement stage a deployment
+    * actually serves with — the probed-lists scan never touches
+    * full-precision vectors (16-byte codes only), and the exact reads
+    * are |queries|×R id-fetches. Recall invariant (SimilaritySpec):
+    * refined recall@5 ≥ [[qIvfPq]]'s per construction — every
+    * true-top-5 member the ADC put in its top-5 is also in the top-R
+    * shortlist, where the exact re-rank can only rank it HIGHER (at
+    * most 4 vectors beat it globally, so at most 4 in the shortlist),
+    * and members the ADC mis-ranked 6..R are RECOVERED. */
+  def qIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, Tables.embeddings(s, dir))
+    // the shared seed sample → both trainers (qIvfPqFrom's discipline:
+    // one corpus-wide sample job, bit-identical models to the tiers')
+    val raw = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
+      .select("embedding", "nrm").collect()
+      .map(r => (r.getSeq[Float](0), r.getDouble(1)))
+    val cents = trainQuantizerOnSample(raw.map { case (v, n) => v.map(_ / n).toArray })
+    val cb = trainPqOnSample(raw.map { case (v, _) => v.map(_.toDouble).toArray })
+    val corpus = e.select(col("vec_id").as("n_id"),
+        ivfListId(s, cents)(col("embedding"), col("nrm")).as("bucket"),
+        pqCodeCols(s, cb)(col("embedding")).as("codes"))
+      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
+    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
+        pqLut(s, cb)(col("embedding")).as("lut"),
+        ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
+    val shortlist = corpus.join(broadcast(queries), "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc",
+        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("adc"), col("n_id"), PqRefineR).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.neighbor_id").as("n_id"))
+    val exactQ = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val exactC = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    explodeRanks(exactC.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(exactQ), Seq("q_id"))
+      .withColumn("cosine",
+        round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+      .groupBy("q_id")
+      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+  }
+
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------
   /** Symmetric per-vector int8 quantization: scale = max|v|/127, each
     * component stored as round(v/scale) — 4× smaller than float32, the
@@ -1578,6 +1627,7 @@ object Similarity {
     "q_ann_pq"        -> qAnnPq _,
     "q_pq_refine"     -> qPqRefine _,
     "q_ivf_pq"        -> qIvfPq _,
+    "q_ivf_pq_refine" -> qIvfPqRefine _,
     "q_ivf_probe"     -> qIvfProbe _,
     "q_dedup_semantic" -> qDedupSemantic _,
     "q_kmeans"        -> qKmeans _,

@@ -500,6 +500,47 @@ object Expected {
     }.sortBy(r => (r._1, r._2))
   }
 
+  // ---- q_ivf_pq_refine -----------------------------------------------------
+  /** Expected rows for the COMPLETE serve path: [[ivfPqRows]]' probe
+    * pipeline with the ADC top-5 deepened to [[Similarity.PqRefineR]],
+    * then EXACT cosine re-ranking the shortlist to top-5 — all three
+    * stages (coarse probe, ADC shortlist, exact refine) re-derived
+    * sequentially under the shared trainers. */
+  def ivfPqRefineRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = normed(embs)
+    val cents = quantizerFor(withNrm)
+    def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
+      cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
+    val pq = new PqTwinModel(embs)
+    val corpus = withNrm.map { case (id, d, n) =>
+      val codes = pq.codes(d)
+      (id, d, n, codes, pq.recon(codes), scores(d, n).max(byScore)._2)
+    }
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      val probed = scores(qd, qn).sorted(byScore).reverse
+        .take(Similarity.IvfProbes).map(_._2).toSet
+      val lut = pq.lut(qd)
+      val shortlist = corpus.iterator
+        .filter { case (nid, _, _, _, _, list) => probed(list) && nid != qid }
+        .map { case (nid, _, _, codes, recon, _) =>
+          (round6(pq.adc(lut, codes) / (qn * recon)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(Similarity.PqRefineR).map(_._2).toSet
+      corpus.iterator
+        .filter { case (nid, _, _, _, _, _) => shortlist(nid) }
+        .map { case (nid, nd, nn, _, _, _) =>
+          (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid)
+        }
+        .toSeq
+        .sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5)
+        .zipWithIndex
+        .map { case ((cos, nid), r) => (qid, (r + 1).toLong, nid, cos) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
   // ---- q_dedup_semantic --------------------------------------------------
   /** Expected (drop_id, keep_id, list_id, cosine) rows for the
     * SemDeDup-style semantic dedup: same quantizer + nearest-list
@@ -631,6 +672,8 @@ object Expected {
     val pqRef = write("q_pq_refine",
       pqRefineRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val ivfpq = write("q_ivf_pq", ivfPqRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
+    val ivfpqRef = write("q_ivf_pq_refine",
+      ivfPqRefineRows(embs).toDF("q_id", "rank", "neighbor_id", "cosine"))
     val sem = write("q_dedup_semantic",
       semanticRows(embs).toDF("drop_id", "keep_id", "list_id", "cosine"))
     val bpe = write("q_token_bpe", bpeRows(docs)
@@ -659,6 +702,7 @@ object Expected {
       "q_ann_pq"        -> sql(pq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_pq_refine"     -> sql(pqRef, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_pq"        -> sql(ivfpq, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
+      "q_ivf_pq_refine" -> sql(ivfpqRef, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_probe"     -> sql(ivf, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_ivf_asof"      -> sql(ivfAsof, "q_id, rank, neighbor_id, cosine", "q_id, rank"),
       "q_dedup_semantic" -> sql(sem, "drop_id, keep_id, list_id, cosine", "drop_id"),

@@ -152,6 +152,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ-refine: the complete serve path dominates IVF-PQ on recall, with exact reported cosines") {
+    // the per-construction invariant: every true-top-5 member the ADC
+    // put in its top-5 is also in the top-R shortlist (R=50 > 5), where
+    // the exact re-rank can only move it UP — so refined recall >= the
+    // unrefined composition's, query for query, hence in aggregate
+    val refined = collect(Similarity.qIvfPqRefine(spark, dir))
+    val plain = collect(Similarity.qIvfPq(spark, dir))
+    assert(refined.nonEmpty)
+    val exactSet = exact.map(h => (h.qId, h.nId)).toSet
+    def recallOf(hits: Seq[Hit]) = hits.count(h => exactSet((h.qId, h.nId))).toDouble / exactSet.size
+    val (rRef, rPlain) = (recallOf(refined), recallOf(plain))
+    assert(rRef >= rPlain, f"refined $rRef%.3f must dominate unrefined $rPlain%.3f")
+    // reported cosines are EXACT (the refine stage's whole point):
+    // every pair shared with brute force matches to the rounded digit
+    val exactCos = exact.map(h => (h.qId, h.nId) -> h.cos).toMap
+    refined.foreach(h => exactCos.get((h.qId, h.nId)).foreach(c => assert(c == h.cos)))
+    refined.groupBy(_.qId).foreach { case (q, hits) =>
+      assert(hits.map(_.rank).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"query $q")
+    }
+  }
+
   test("IVF-PQ composition: pruning+quantization still recovers a usable top-5") {
     val got = collect(Similarity.qIvfPq(spark, dir))
     assert(got.nonEmpty)
