@@ -40,7 +40,7 @@ object Smtp {
 
   /** One SMTP reply: `code` plus every line of a multiline response. */
   final case class Reply(code: Int, lines: Seq[String]) {
-    def transient: Boolean = code >= 400 && code < 500
+    /** 5yz = do-not-retry; everything else unexpected is transient. */
     def permanent: Boolean = code >= 500
   }
 

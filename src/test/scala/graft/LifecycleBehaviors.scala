@@ -474,11 +474,26 @@ trait LifecycleBehaviors extends AnyFunSuite {
     assert(mid.toSeq === Seq(97L -> RunStatus.Success, 98L -> RunStatus.Failure,
       99L -> RunStatus.DependencyFailure))
 
+    // a real kill -9 dies HOLDING the store's writer claim — plant the
+    // dead holder's leftover lock (directly on the object-store seam,
+    // the state a crashed JVM leaves: no finally ran)
+    val staleLock = java.nio.file.Paths.get(
+      graft.sources.StoreLock.lockPath(sig))
+    assert(graft.sources.StoreLock.objectStore.putIfAbsent(staleLock,
+      "pid=999999 op=compact thread=dead ts=2026-08-15T00:00:00Z nonce=x".getBytes("UTF-8")))
+
     // run 2 (the restarted nightly): the REAL compaction module —
-    // recover() absorbs the .bak wreckage, the fold completes, the
-    // dependent runs, and the read face answers exactly as before
+    // but the stale claim must FAIL it LOUDLY first, naming the dead
+    // holder; takeover without verification would be the silent
+    // interleaving the lock exists to prevent
     val orch2 = new Orchestrator(spark, lc, TestSpark.sfDir,
       SparkEntry.queries ++ compactRegistry)
+    val blocked = orch2.runModule("ORCH_COMPACT", runLevel = Some(1))
+    assert(blocked.isInstanceOf[Orchestrator.Failed] &&
+      blocked.asInstanceOf[Orchestrator.Failed].reason.contains("pid=999999"),
+      s"the restart must refuse the stale claim naming the holder, got $blocked")
+    // the operator runbook: verify pid 999999 is dead, then break
+    graft.sources.StoreLock.forceBreak(sig)
     val out2 = orch2.runChain(Seq("ORCH_INGEST", "ORCH_COMPACT", "ORCH_AUDIT"),
       runLevel = Some(1))
     assert(out2.forall(_._2.isInstanceOf[Orchestrator.Completed]),
