@@ -97,10 +97,11 @@ object ScaleCheck {
     // bounded probe-slice crossJoin — the ratio shows whether that
     // bound holds at 10x corpus)
     "q_seq_pack", "q_token_budget", "q_ann_recall",
-    // round-18: the PQ refinement stage — its claim is that stage 2's
-    // exact re-rank stays |queries|xR id-fetches (bounded extra reads),
-    // so wall must track the ADC scan (~data ratio), not the shortlist
-    "q_pq_refine")
+    // round-18: the refinement stages — the claim is that the exact
+    // re-rank stays |queries|xR id-fetches (bounded extra reads), so
+    // wall must track the candidate scan (flat ADC for q_pq_refine,
+    // the probed-lists slice for q_ivf_pq_refine), not the shortlist
+    "q_pq_refine", "q_ivf_pq_refine")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
