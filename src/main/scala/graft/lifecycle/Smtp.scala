@@ -62,11 +62,16 @@ object Smtp {
     def send(sender: String, recipients: Seq[String], subject: String,
         body: String, cc: String = "", bcc: String = ""): Int = {
       require(recipients.nonEmpty, "SMTP transaction needs at least one recipient")
+      // ONE Message-ID per logical send, STABLE across retries: the
+      // at-least-once contract is only dedupable if the duplicate a
+      // retried transaction queues carries the same key (r18 review —
+      // the scaladoc promised receivers could dedup on it; now they can)
+      val msgId = s"<${java.util.UUID.randomUUID()}@graft.local>"
       var attempt = 0
       while (true) {
         attempt += 1
         try {
-          transact(sender, recipients, subject, body, cc, bcc)
+          transact(sender, recipients, subject, body, cc, bcc, msgId)
           return attempt
         } catch {
           case e: PermanentFailure => throw e
@@ -81,7 +86,8 @@ object Smtp {
     }
 
     private def transact(sender: String, recipients: Seq[String],
-        subject: String, body: String, cc: String, bcc: String): Unit = {
+        subject: String, body: String, cc: String, bcc: String,
+        msgId: String): Unit = {
       val sock = new Socket()
       try {
         sock.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -113,6 +119,10 @@ object Smtp {
           r
         }
         val greet = readReply()
+        // a 5yz greeting (554 "no service") is the relay REFUSING the
+        // client — the do-not-retry class, same as any other 5yz
+        if (greet.permanent) throw new PermanentFailure(
+          s"relay refused at greeting: ${greet.code} ${greet.lines.headOption.getOrElse("")}")
         if (greet.code != 220) throw new java.io.IOException(s"greeting was ${greet.code}")
         // EHLO first (RFC 5321 §3.2), HELO on a 5yz — a legacy relay
         // that never learned ESMTP must not read as a permanent
@@ -129,8 +139,13 @@ object Smtp {
           .ofPattern("dd MMM yy HH:mm:ss", java.util.Locale.ROOT)
           .withZone(java.time.ZoneOffset.UTC).format(clock.now())
         val msg = Seq(
-          s"Date: $date", s"From: $sender", s"To: ${recipients.mkString(" ")}",
-          s"Cc: $cc", s"Bcc: $bcc", s"Subject: $subject", "") ++
+          // RFC 5322 address-list: comma-separated (the reference echoes
+          // its space-delimited input verbatim, body:1115 — a header a
+          // strict MTA check rejects; the ENVELOPE semantics are
+          // identical, so correctness here costs no fidelity)
+          s"Date: $date", s"From: $sender", s"To: ${recipients.mkString(", ")}",
+          s"Cc: $cc", s"Bcc: $bcc", s"Subject: $subject",
+          s"Message-ID: $msgId", "") ++
           body.split("\r?\n", -1).toSeq
         msg.foreach { line =>
           // dot-stuffing (RFC 5321 §4.5.2)
@@ -144,8 +159,11 @@ object Smtp {
           throw new java.io.IOException(s"DATA answered ${fin.code}")
         }
         out.write("QUIT\r\n"); out.flush()
-        // best-effort 221 — the transaction is already accepted
-        try readReply() catch { case _: java.io.IOException => () }
+        // best-effort 221 — the transaction is ALREADY accepted, so no
+        // goodbye-line problem may re-run it (NonFatal, not just
+        // IOException: a malformed 221 would otherwise escape as
+        // IllegalArgumentException and retry a durably-queued mail)
+        try readReply() catch { case scala.util.control.NonFatal(_) => () }
       } finally sock.close()
     }
   }
@@ -180,13 +198,20 @@ object Smtp {
     *   `rejectEhlo` — EHLO answers 502 (a pre-ESMTP relay; the client
     *     must fall back to HELO, the reference's own verb);
     *   `forwardRecipient` — this mailbox answers 251 (accepted,
-    *     will forward — still a delivery).
+    *     will forward — still a delivery);
+    *   `refuseService` — the greeting itself is 554 (RFC 5321 §3.1's
+    *     reject-at-connect; the client must treat it as permanent);
+    *   `dropAfterData` — the first N DATA transfers are QUEUED but the
+    *     250 ack is "lost" (socket closed) — the duplicate-delivery
+    *     case the stable Message-ID exists for.
     */
   final class Server(failFirstMails: Int = 0, dropFirstConnections: Int = 0,
       rejectRecipient: Option[String] = None, rejectEhlo: Boolean = false,
-      forwardRecipient: Option[String] = None) {
+      forwardRecipient: Option[String] = None, refuseService: Boolean = false,
+      dropAfterData: Int = 0) {
     private val delivered0 = new java.util.concurrent.ConcurrentLinkedQueue[Delivered]()
     private val mailSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val dataDrops = new java.util.concurrent.atomic.AtomicInteger(0)
     private val connSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile private var running = true
 
@@ -230,6 +255,7 @@ object Smtp {
         val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "US-ASCII"))
         val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, "US-ASCII"))
         def w(s: String): Unit = { out.write(s); out.write("\r\n"); out.flush() }
+        if (refuseService) { w("554 no SMTP service here"); sock.close(); return }
         w("220 graft-loopback ESMTP")
         if (connSeen.getAndIncrement() < dropFirstConnections) { sock.close(); return }
         var sender: String = null
@@ -269,6 +295,11 @@ object Smtp {
               if (l == null) return // dropped mid-DATA; nothing durable
               delivered0.add(Delivered(sender, rcpts, sb.toString))
               sender = null; rcpts = Vector.empty
+              if (dataDrops.getAndIncrement() < dropAfterData) {
+                // queued durably, ack "lost" — the client will retry
+                // the whole transaction and the relay holds two copies
+                sock.close(); return
+              }
               w("250 OK queued")
             }
           } else if (upper == "RSET" || upper == "NOOP") {

@@ -1192,7 +1192,17 @@ object Similarity {
   def qAnnPq(s: SparkSession, dir: String): DataFrame =
     qAnnPqFrom(s, Tables.embeddings(s, dir))
 
-  private[graft] def qAnnPqFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+  private[graft] def qAnnPqFrom(s: SparkSession, vectors: DataFrame): DataFrame =
+    explodeRanks(pqAdcTop(s, vectors, 5))
+
+  /** The flat PQ ADC scan aggregated to top-`k` per query — ONE body
+    * for the served top-5 face ([[qAnnPq]], k=5) and the refinement
+    * shortlist ([[qPqRefine]], k=[[PqRefineR]]); r18 review: the two
+    * were near-copies, one drift away from silently diverging from
+    * their shared Expected twin machinery. One corpus scan over
+    * 16-byte codes, broadcast query LUTs, partial-aggregate top-k —
+    * k before the shuffle. */
+  private def pqAdcTop(s: SparkSession, vectors: DataFrame, k: Int): DataFrame = {
     val cb = trainPqOnSample(pqSample(vectors))
     val e = withNorm(s, vectors)
     val corpus = e.select(col("vec_id").as("n_id"),
@@ -1201,58 +1211,34 @@ object Similarity {
     val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
         pqLut(s, cb)(col("embedding")).as("lut"))
-    explodeRanks(corpus.crossJoin(broadcast(queries))
+    corpus.crossJoin(broadcast(queries))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine",
         round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
       .groupBy("q_id")
-      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+      .agg(topkCol(s, col("cosine"), col("n_id"), k).as("top"))
   }
 
   // ---- PQ + exact re-rank (the standard refinement stage) ----------------
 
-  /** Shortlist size for [[qPqRefine]] — at this corpus scale 50 plays
-    * the role production's ~4k candidates do: comfortably above k=5,
-    * small enough that the re-rank's exact reads stay a rounding error
-    * next to the ADC scan. */
+  /** Shortlist size for the refinement faces — at this corpus scale 50
+    * plays the role production's ~4k candidates do: comfortably above
+    * k=5, small enough that the re-rank's exact reads stay a rounding
+    * error next to the candidate scan. */
   private[graft] val PqRefineR = 50
 
-  /** The PQ tier's REFINEMENT stage (r17 verdict item 6): ADC over the
-    * compressed codes shortlists [[PqRefineR]] candidates per query,
-    * then EXACT cosine re-ranks just that shortlist to the final
-    * top-5 — the standard two-stage serve path (shortlist on codes,
-    * refine on originals) that turns PQ from "measured recall" into
-    * "tunable to a recall target" (raise R until recall@5 meets the
-    * target; the ADC stage's cost is unchanged).
-    *
-    * Scale shape: stage 1 is [[qAnnPqFrom]]'s machinery verbatim (one
-    * corpus scan over 16-byte codes, broadcast query LUTs, partial-
-    * aggregate top-R — k before the shuffle); stage 2 touches ONLY
-    * |queries|×R rows — the shortlist broadcasts into an id-join
-    * against the corpus (at deployment scale: a pruned point-read face
-    * of the vector store, the bounded "extra reads" of the refine
-    * stage), so the full-precision vectors are never scanned, only
-    * fetched for the shortlist. */
-  def qPqRefine(s: SparkSession, dir: String): DataFrame = {
-    val vectors = Tables.embeddings(s, dir)
-    val cb = trainPqOnSample(pqSample(vectors))
-    val e = withNorm(s, vectors)
-    val corpus = e.select(col("vec_id").as("n_id"),
-        pqCodeCols(s, cb)(col("embedding")).as("codes"))
-      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
-    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
-        pqLut(s, cb)(col("embedding")).as("lut"))
-    // stage 1: ADC shortlist of R (same scan as qAnnPq, deeper top-k)
-    val shortlist = corpus.crossJoin(broadcast(queries))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adc",
-        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
-      .groupBy("q_id")
-      .agg(topkCol(s, col("adc"), col("n_id"), PqRefineR).as("top"))
-      .select(col("q_id"), explode(col("top")).as("c"))
+  /** (q_id, n_id) candidate ids out of an aggregated top-k frame. */
+  private def shortlistIds(agg: DataFrame): DataFrame =
+    agg.select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.neighbor_id").as("n_id"))
-    // stage 2: exact cosine over the |queries|×R shortlist only
+
+  /** Stage 2 of BOTH refinement faces: EXACT cosine over the
+    * |queries|×R shortlist only, re-ranked to top-5. The shortlist
+    * broadcasts into an id-join against the corpus (at deployment
+    * scale: a pruned point-read face of the vector store — the bounded
+    * "extra reads" of the refine stage), so full-precision vectors are
+    * never scanned, only fetched for the shortlist. */
+  private def exactRerank(s: SparkSession, e: DataFrame, shortlist: DataFrame): DataFrame = {
     val exactQ = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val exactC = e.select(col("vec_id").as("n_id"),
@@ -1263,6 +1249,20 @@ object Similarity {
         round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
       .groupBy("q_id")
       .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+  }
+
+  /** The PQ tier's REFINEMENT stage (r17 verdict item 6): ADC over the
+    * compressed codes shortlists [[PqRefineR]] candidates per query
+    * ([[pqAdcTop]] — the served face's own scan, deeper top-k), then
+    * EXACT cosine re-ranks just that shortlist to the final top-5
+    * ([[exactRerank]]) — the standard two-stage serve path (shortlist
+    * on codes, refine on originals) that turns PQ from "measured
+    * recall" into "tunable to a recall target" (raise R until recall@5
+    * meets the target; the ADC stage's cost is unchanged). */
+  def qPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(s, dir)
+    exactRerank(s, withNorm(s, vectors),
+      shortlistIds(pqAdcTop(s, vectors, PqRefineR)))
   }
 
   // ---- IVF-PQ (the production pairing of the two tiers) ------------------
@@ -1281,7 +1281,14 @@ object Similarity {
   def qIvfPq(s: SparkSession, dir: String): DataFrame =
     qIvfPqFrom(s, Tables.embeddings(s, dir))
 
-  private[graft] def qIvfPqFrom(s: SparkSession, vectors: DataFrame): DataFrame = {
+  private[graft] def qIvfPqFrom(s: SparkSession, vectors: DataFrame): DataFrame =
+    explodeRanks(ivfPqTop(s, vectors, 5))
+
+  /** The IVF-pruned ADC scan aggregated to top-`k` per query — ONE
+    * body for the composed top-5 face ([[qIvfPq]], k=5) and the
+    * complete serve path's shortlist ([[qIvfPqRefine]],
+    * k=[[PqRefineR]]). */
+  private def ivfPqTop(s: SparkSession, vectors: DataFrame, k: Int): DataFrame = {
     val e = withNorm(s, vectors)
     // ONE seed-sample collect serves BOTH trainers: trainQuantizer and
     // pqSample would otherwise each run a byte-identical corpus-wide
@@ -1306,61 +1313,32 @@ object Similarity {
         ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
     // a corpus vector lives in exactly one list, so a (query, neighbor)
     // pair can match at most one probed bucket — no dedup needed
-    explodeRanks(corpus.join(broadcast(queries), "bucket")
+    corpus.join(broadcast(queries), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine",
         round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
       .groupBy("q_id")
-      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+      .agg(topkCol(s, col("cosine"), col("n_id"), k).as("top"))
   }
 
   /** The COMPLETE production serve path (r18, completing the triple):
-    * IVF list-prune → PQ ADC shortlist of [[PqRefineR]] → EXACT cosine
-    * re-rank of just the shortlist to top-5. [[qIvfPq]] composes the
-    * two pruning tiers; this adds the refinement stage a deployment
-    * actually serves with — the probed-lists scan never touches
-    * full-precision vectors (16-byte codes only), and the exact reads
-    * are |queries|×R id-fetches. Recall invariant (SimilaritySpec):
-    * refined recall@5 ≥ [[qIvfPq]]'s per construction — every
-    * true-top-5 member the ADC put in its top-5 is also in the top-R
-    * shortlist, where the exact re-rank can only rank it HIGHER (at
-    * most 4 vectors beat it globally, so at most 4 in the shortlist),
-    * and members the ADC mis-ranked 6..R are RECOVERED. */
+    * IVF list-prune → PQ ADC shortlist of [[PqRefineR]] ([[ivfPqTop]] —
+    * the composed face's own probe scan, deeper top-k) → EXACT cosine
+    * re-rank of just the shortlist to top-5 ([[exactRerank]]).
+    * [[qIvfPq]] composes the two pruning tiers; this adds the
+    * refinement stage a deployment actually serves with — the
+    * probed-lists scan never touches full-precision vectors (16-byte
+    * codes only), and the exact reads are |queries|×R id-fetches.
+    * Recall invariant (SimilaritySpec): refined recall@5 ≥ [[qIvfPq]]'s
+    * per construction — every true-top-5 member the ADC put in its
+    * top-5 is also in the top-R shortlist, where the exact re-rank can
+    * only rank it HIGHER (at most 4 vectors beat it globally, so at
+    * most 4 in the shortlist), and members the ADC mis-ranked 6..R are
+    * RECOVERED. */
   def qIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
-    // the shared seed sample → both trainers (qIvfPqFrom's discipline:
-    // one corpus-wide sample job, bit-identical models to the tiers')
-    val raw = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfSeedSample)
-      .select("embedding", "nrm").collect()
-      .map(r => (r.getSeq[Float](0), r.getDouble(1)))
-    val cents = trainQuantizerOnSample(raw.map { case (v, n) => v.map(_ / n).toArray })
-    val cb = trainPqOnSample(raw.map { case (v, _) => v.map(_.toDouble).toArray })
-    val corpus = e.select(col("vec_id").as("n_id"),
-        ivfListId(s, cents)(col("embedding"), col("nrm")).as("bucket"),
-        pqCodeCols(s, cb)(col("embedding")).as("codes"))
-      .withColumn("recon_nrm", pqReconNorm(cb)(col("codes")))
-    val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"),
-        pqLut(s, cb)(col("embedding")).as("lut"),
-        ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("bucket"))
-    val shortlist = corpus.join(broadcast(queries), "bucket")
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adc",
-        round(pqAdc(col("lut"), col("codes")) / (col("q_nrm") * col("recon_nrm")), 6))
-      .groupBy("q_id")
-      .agg(topkCol(s, col("adc"), col("n_id"), PqRefineR).as("top"))
-      .select(col("q_id"), explode(col("top")).as("c"))
-      .select(col("q_id"), col("c.neighbor_id").as("n_id"))
-    val exactQ = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val exactC = e.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-    explodeRanks(exactC.join(broadcast(shortlist), Seq("n_id"))
-      .join(broadcast(exactQ), Seq("q_id"))
-      .withColumn("cosine",
-        round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
-      .groupBy("q_id")
-      .agg(topkCol(s, col("cosine"), col("n_id"), 5).as("top")))
+    val vectors = Tables.embeddings(s, dir)
+    exactRerank(s, withNorm(s, vectors),
+      shortlistIds(ivfPqTop(s, vectors, PqRefineR)))
   }
 
   // ---- int8 embedding quantization (storage path for 100 TB ANN) --------

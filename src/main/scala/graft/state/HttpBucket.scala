@@ -49,10 +49,11 @@ import java.util.concurrent.atomic.AtomicInteger
 object HttpBucket {
 
   /** Hex SHA-256 — the etag form the conditional DELETE arbitrates on
-    * (client header and server compare must agree byte-for-byte). */
+    * (client header and server compare must agree byte-for-byte). ONE
+    * implementation, shared with the SigV4 payload hash (r18 review:
+    * a drifted twin would silently break the If-Match contract). */
   private[state] def sha256Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map(b => f"$b%02x").mkString
+    SigV4.sha256Hex(bytes)
 
   /** REST client implementation of the [[TxnLog.ObjectStore]] seam.
     * Thread-safe; one instance per process is the intended shape

@@ -130,7 +130,22 @@ object SigV4 {
   def validate(method: String, rawPath: String, rawQuery: String,
       header: String => Option[String], payload: Array[Byte],
       secretFor: String => Option[Credentials],
-      now: () => java.time.Instant = () => java.time.Instant.now()): Option[String] = {
+      now: () => java.time.Instant = () => java.time.Instant.now()): Option[String] =
+    // a malformed request (unparseable x-amz-date, bad percent-escapes
+    // in the query, …) is a REJECTION, not a server error: letting the
+    // exception escape would turn it into a 5xx, which clients treat as
+    // transient and retry — the non-retried 403 class is the contract
+    // (r18 review). ControlThrowable (the `return Some(...)` mechanism
+    // below) passes through NonFatal untouched.
+    try validateImpl(method, rawPath, rawQuery, header, payload, secretFor, now)
+    catch { case scala.util.control.NonFatal(e) =>
+      Some(s"malformed request: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def validateImpl(method: String, rawPath: String, rawQuery: String,
+      header: String => Option[String], payload: Array[Byte],
+      secretFor: String => Option[Credentials],
+      now: () => java.time.Instant): Option[String] = {
     val auth = header("Authorization").getOrElse(return Some("missing Authorization"))
     if (!auth.startsWith("AWS4-HMAC-SHA256 ")) return Some("not SigV4")
     val parts = auth.drop("AWS4-HMAC-SHA256 ".length).split(",").map(_.trim)

@@ -98,6 +98,45 @@ class SmtpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("a 554 greeting is the relay refusing service — permanent, one connection total") {
+    val server = new Smtp.Server(refuseService = true)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 5)
+      intercept[Smtp.PermanentFailure] {
+        c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      }
+      assert(server.mailCommands === 0, "refused at greeting; no MAIL may follow")
+    } finally server.stop()
+  }
+
+  test("lost 250 after DATA: the duplicate delivery carries the SAME Message-ID (the dedup key)") {
+    // the at-least-once case itself: the relay queues the mail, the ack
+    // is lost, the client retries the whole transaction — two copies
+    // land, and the stable Message-ID is what lets a receiver collapse
+    // them (a per-attempt id would make the promise in the scaladoc a lie)
+    val server = new Smtp.Server(dropAfterData = 1)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 2)
+      val attempts = c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      assert(attempts === 2)
+      assert(server.delivered.size === 2, "queued twice — at-least-once, literally")
+      val ids = server.delivered.map(_.data.linesIterator
+        .find(_.startsWith("Message-ID:")).get)
+      assert(ids.distinct.size === 1, s"both copies must share the dedup key, got $ids")
+      // and the To header is a valid RFC 5322 address-list
+      assert(server.delivered.head.data.contains("To: dev@example.com\r\n"))
+    } finally server.stop()
+  }
+
+  test("multi-recipient To header is comma-separated (RFC 5322 address-list)") {
+    val server = new Smtp.Server()
+    try {
+      new Smtp.Client(server.host, server.port)
+        .send("ops@example.com", Seq("a@x.com", "b@x.com"), "s", "b")
+      assert(server.delivered.head.data.contains("To: a@x.com, b@x.com\r\n"))
+    } finally server.stop()
+  }
+
   test("CRLF body round-trip: multiline bodies and leading-dot lines survive") {
     val server = new Smtp.Server()
     try {

@@ -490,6 +490,28 @@ class TxnLogSignedHttpPutSpec extends TxnLogBehaviors
     }
   }
 
+  test("[sigv4put] a malformed x-amz-date is a 403 rejection, never a retried 5xx") {
+    // r18 review: the validator must CLASSIFY garbage as a rejection —
+    // an escaping parse exception would surface as 500, which the
+    // client treats as transient and retries to exhaustion
+    val uri = java.net.URI.create(s"${server.uri}/signed/_tamper/3.commit")
+    val payload = "k\nx".getBytes("UTF-8")
+    val hdrs = new graft.state.SigV4.Signer(creds)
+      .headers("PUT", uri, Seq("If-None-Match" -> "*"), payload)
+      .map { case ("x-amz-date", v) =>
+               // keep the credential-scope date prefix so the request
+               // reaches the PARSE, not the earlier prefix check
+               ("x-amz-date", v.take(8) + "Tnotatime")
+             case kv => kv }
+    val b = java.net.http.HttpRequest.newBuilder(uri).header("If-None-Match", "*")
+    hdrs.foreach { case (k, v) => b.header(k, v) }
+    val resp = java.net.http.HttpClient.newHttpClient().send(
+      b.PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 403, s"got ${resp.statusCode()}: ${resp.body()}")
+    server.authRejections.set(0)
+  }
+
   test("[sigv4put] a stripped precondition header invalidates the signature — the one-winner claim is AUTHENTICATED") {
     // sign a PUT with If-None-Match under SignedHeaders, then send it
     // WITHOUT the header (the middlebox-strips-the-precondition attack
