@@ -85,6 +85,11 @@ object Smtp {
       sys.error("unreachable")
     }
 
+    /** Space- or comma-delimited address string → clean list (the
+      * reference's recipient strings are space-delimited). */
+    private def splitAddrs(s: String): Seq[String] =
+      s.split("[ ,]").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
     private def transact(sender: String, recipients: Seq[String],
         subject: String, body: String, cc: String, bcc: String,
         msgId: String): Unit = {
@@ -130,22 +135,32 @@ object Smtp {
         try cmd("EHLO graft.local", 250)
         catch { case _: PermanentFailure => cmd("HELO graft.local", 250) }
         cmd(s"MAIL FROM:<$sender>", 250)
+        // the ENVELOPE is everyone — To, Cc AND Bcc (the reference only
+        // ever RCPTs its main list and stuffs Cc/Bcc into headers,
+        // body:1106-1121, which never delivers to them at all);
         // 251 = "user not local; will forward" — an accepted recipient
-        recipients.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
+        val ccList = splitAddrs(cc)
+        val bccList = splitAddrs(bcc)
+        (recipients ++ ccList ++ bccList).foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
         cmd("DATA", 354)
         // the reference's header block (body:1110-1126), Date in its
         // TO_CHAR(dd Mon yy hh24:mi:ss) rendering via the shared clock
         val date = java.time.format.DateTimeFormatter
           .ofPattern("dd MMM yy HH:mm:ss", java.util.Locale.ROOT)
           .withZone(java.time.ZoneOffset.UTC).format(clock.now())
-        val msg = Seq(
+        val msg = (Seq(
           // RFC 5322 address-list: comma-separated (the reference echoes
           // its space-delimited input verbatim, body:1115 — a header a
           // strict MTA check rejects; the ENVELOPE semantics are
-          // identical, so correctness here costs no fidelity)
-          s"Date: $date", s"From: $sender", s"To: ${recipients.mkString(", ")}",
-          s"Cc: $cc", s"Bcc: $bcc", s"Subject: $subject",
-          s"Message-ID: $msgId", "") ++
+          // identical, so correctness here costs no fidelity). Cc only
+          // when non-empty (an empty address-list is itself invalid);
+          // Bcc NEVER as a header — RFC 5322 §3.6.3's whole point is
+          // that blind recipients ride the envelope only (the reference
+          // wrote 'Bcc:' into DATA, body:1119-1121, disclosing them to
+          // every recipient — r18 review; fidelity stops at a bug)
+          s"Date: $date", s"From: $sender", s"To: ${recipients.mkString(", ")}") ++
+          (if (ccList.nonEmpty) Seq(s"Cc: ${ccList.mkString(", ")}") else Nil) ++
+          Seq(s"Subject: $subject", s"Message-ID: $msgId", "")) ++
           body.split("\r?\n", -1).toSeq
         msg.foreach { line =>
           // dot-stuffing (RFC 5321 §4.5.2)

@@ -132,14 +132,18 @@ object SigV4 {
       secretFor: String => Option[Credentials],
       now: () => java.time.Instant = () => java.time.Instant.now()): Option[String] =
     // a malformed request (unparseable x-amz-date, bad percent-escapes
-    // in the query, …) is a REJECTION, not a server error: letting the
-    // exception escape would turn it into a 5xx, which clients treat as
-    // transient and retry — the non-retried 403 class is the contract
-    // (r18 review). ControlThrowable (the `return Some(...)` mechanism
-    // below) passes through NonFatal untouched.
+    // in the query, a short Credential) is a REJECTION, not a server
+    // error: letting the exception escape would turn it into a 5xx,
+    // which clients treat as transient and retry — the non-retried 403
+    // class is the contract (r18 review). NARROW catch, deliberately:
+    // DateTimeException + IllegalArgumentException are exactly what the
+    // parse/decode sites throw on client-supplied garbage; a validator-
+    // internal defect (NPE, a failing secretFor callback) still
+    // surfaces as the server error it is, not a client-attributed 403.
     try validateImpl(method, rawPath, rawQuery, header, payload, secretFor, now)
-    catch { case scala.util.control.NonFatal(e) =>
-      Some(s"malformed request: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    catch {
+      case e @ (_: java.time.DateTimeException | _: IllegalArgumentException) =>
+        Some(s"malformed request: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
   private def validateImpl(method: String, rawPath: String, rawQuery: String,

@@ -128,6 +128,30 @@ class SmtpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("Bcc rides the envelope only: RCPT'd and delivered, never a header; empty Cc emits no header") {
+    // the reference stuffs 'Bcc:' into DATA (body:1119-1121), which
+    // DISCLOSES blind recipients to everyone — here the envelope gets
+    // them and the header never exists (RFC 5322 §3.6.3)
+    val server = new Smtp.Server()
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      c.send("ops@example.com", Seq("dev@example.com"), "s", "b",
+        cc = "watch@example.com", bcc = "secret@example.com")
+      val Seq(d) = server.delivered
+      assert(d.recipients === Seq("dev@example.com", "watch@example.com", "secret@example.com"),
+        "To, Cc AND Bcc must all be RCPT'd — a headers-only 'send' delivers to no one")
+      assert(d.data.contains("Cc: watch@example.com\r\n"))
+      assert(!d.data.contains("secret@example.com"),
+        "the blind recipient must not appear anywhere in the delivered bytes")
+      assert(!d.data.contains("Bcc"), "no Bcc header, ever")
+      // and with the defaults, no empty-address-list headers at all
+      c.send("ops@example.com", Seq("dev@example.com"), "s2", "b2")
+      val d2 = server.delivered.last
+      assert(!d2.data.contains("Cc:") && !d2.data.contains("Bcc:"),
+        "empty Cc/Bcc must omit the headers — an empty address-list is itself invalid")
+    } finally server.stop()
+  }
+
   test("multi-recipient To header is comma-separated (RFC 5322 address-list)") {
     val server = new Smtp.Server()
     try {
