@@ -44,8 +44,10 @@ object Smtp {
     def permanent: Boolean = code >= 500
   }
 
-  /** Raised on a 5yz — the do-not-retry class. */
-  final class PermanentFailure(msg: String) extends RuntimeException(msg)
+  /** Raised on a 5yz — the do-not-retry class. Carries the reply code
+    * so policy decisions (EHLO→HELO fallback on 500/502 only) can
+    * distinguish "verb unknown" from "you are refused". */
+  final class PermanentFailure(msg: String, val code: Int = 0) extends RuntimeException(msg)
 
   /** Minimal RFC 5321 client. One instance per target relay;
     * [[send]] opens a fresh connection per transaction (SMTP pipelining
@@ -62,6 +64,21 @@ object Smtp {
     def send(sender: String, recipients: Seq[String], subject: String,
         body: String, cc: String = "", bcc: String = ""): Int = {
       require(recipients.nonEmpty, "SMTP transaction needs at least one recipient")
+      // CR/LF in any value that is interpolated into an SMTP command or
+      // an RFC 5322 header line would inject headers or raw protocol
+      // commands (r18 review). Addresses additionally must not carry
+      // '<'/'>' (they are wrapped in angle brackets on the wire).
+      // Addresses REJECT loudly — a CRLF there is never legitimate and
+      // retrying cannot fix it; the subject, which carries free-form
+      // module-failure text, is FOLDED to one line instead so a
+      // multiline error message still notifies.
+      def checkAddrs(what: String, s: String): Unit =
+        require(!s.exists(c => c == '\r' || c == '\n' || c == '<' || c == '>'),
+          s"$what contains CR/LF or angle bracket — header/command injection refused")
+      checkAddrs("sender", sender)
+      recipients.foreach(checkAddrs("recipient", _))
+      checkAddrs("cc list", cc); checkAddrs("bcc list", bcc)
+      val subjectFolded = subject.replaceAll("[\r\n]+[ \t]*", " ")
       // ONE Message-ID per logical send, STABLE across retries: the
       // at-least-once contract is only dedupable if the duplicate a
       // retried transaction queues carries the same key (r18 review —
@@ -71,7 +88,7 @@ object Smtp {
       while (true) {
         attempt += 1
         try {
-          transact(sender, recipients, subject, body, cc, bcc, msgId)
+          transact(sender, recipients, subjectFolded, body, cc, bcc, msgId)
           return attempt
         } catch {
           case e: PermanentFailure => throw e
@@ -118,7 +135,7 @@ object Smtp {
           val r = readReply()
           if (!expect.contains(r.code)) {
             if (r.permanent) throw new PermanentFailure(
-              s"'${c.takeWhile(_ != '<')}' rejected ${r.code}: ${r.lines.headOption.getOrElse("")}")
+              s"'${c.takeWhile(_ != '<')}' rejected ${r.code}: ${r.lines.headOption.getOrElse("")}", r.code)
             throw new java.io.IOException(s"'$c' answered ${r.code}, expected ${expect.mkString("/")}")
           }
           r
@@ -127,13 +144,19 @@ object Smtp {
         // a 5yz greeting (554 "no service") is the relay REFUSING the
         // client — the do-not-retry class, same as any other 5yz
         if (greet.permanent) throw new PermanentFailure(
-          s"relay refused at greeting: ${greet.code} ${greet.lines.headOption.getOrElse("")}")
+          s"relay refused at greeting: ${greet.code} ${greet.lines.headOption.getOrElse("")}", greet.code)
         if (greet.code != 220) throw new java.io.IOException(s"greeting was ${greet.code}")
-        // EHLO first (RFC 5321 §3.2), HELO on a 5yz — a legacy relay
-        // that never learned ESMTP must not read as a permanent
-        // failure; HELO is the reference's own conversation (body:1081)
+        // EHLO first (RFC 5321 §3.2), HELO ONLY on 500/502 ("command
+        // unrecognized"/"not implemented" — the pre-ESMTP relay case;
+        // HELO is the reference's own conversation, body:1081). Any
+        // other 5yz to EHLO (550/554 policy rejection) means the relay
+        // is refusing the SESSION, not the verb — that stays permanent
+        // (r18 review: the blanket fallback gave those a spurious retry)
         try cmd("EHLO graft.local", 250)
-        catch { case _: PermanentFailure => cmd("HELO graft.local", 250) }
+        catch {
+          case e: PermanentFailure if e.code == 500 || e.code == 502 =>
+            cmd("HELO graft.local", 250)
+        }
         cmd(s"MAIL FROM:<$sender>", 250)
         // the ENVELOPE is everyone — To, Cc AND Bcc (the reference only
         // ever RCPTs its main list and stuffs Cc/Bcc into headers,
@@ -170,15 +193,18 @@ object Smtp {
         out.write(".\r\n"); out.flush()
         val fin = readReply()
         if (fin.code != 250) {
-          if (fin.permanent) throw new PermanentFailure(s"DATA rejected ${fin.code}")
+          if (fin.permanent) throw new PermanentFailure(s"DATA rejected ${fin.code}", fin.code)
           throw new java.io.IOException(s"DATA answered ${fin.code}")
         }
-        out.write("QUIT\r\n"); out.flush()
-        // best-effort 221 — the transaction is ALREADY accepted, so no
-        // goodbye-line problem may re-run it (NonFatal, not just
-        // IOException: a malformed 221 would otherwise escape as
-        // IllegalArgumentException and retry a durably-queued mail)
-        try readReply() catch { case scala.util.control.NonFatal(_) => () }
+        // best-effort QUIT+221 — the transaction is ALREADY accepted,
+        // so NOTHING in the goodbye phase may re-run it: the WRITE and
+        // FLUSH ride inside the same guard as the read (a relay that
+        // closes right after its 250 makes the flush itself throw
+        // broken-pipe — r18 review caught the write outside the try),
+        // and NonFatal rather than IOException so a malformed 221
+        // cannot escape as IllegalArgumentException either
+        try { out.write("QUIT\r\n"); out.flush(); readReply() }
+        catch { case scala.util.control.NonFatal(_) => () }
       } finally sock.close()
     }
   }
@@ -218,12 +244,21 @@ object Smtp {
     *     reject-at-connect; the client must treat it as permanent);
     *   `dropAfterData` — the first N DATA transfers are QUEUED but the
     *     250 ack is "lost" (socket closed) — the duplicate-delivery
-    *     case the stable Message-ID exists for.
+    *     case the stable Message-ID exists for;
+    *   `rejectEhloPolicy` — EHLO answers 554 (access denied: the relay
+    *     refuses the SESSION; a correct client must NOT fall back to
+    *     HELO — this server would happily 250 the HELO, so a wrong
+    *     fallback turns into a visible spurious delivery);
+    *   `closeAfterAck` — the connection is torn down immediately after
+    *     the final 250 (a common relay habit): the client's goodbye
+    *     phase must swallow the broken pipe, not re-run the accepted
+    *     transaction.
     */
   final class Server(failFirstMails: Int = 0, dropFirstConnections: Int = 0,
       rejectRecipient: Option[String] = None, rejectEhlo: Boolean = false,
       forwardRecipient: Option[String] = None, refuseService: Boolean = false,
-      dropAfterData: Int = 0) {
+      dropAfterData: Int = 0, rejectEhloPolicy: Boolean = false,
+      closeAfterAck: Boolean = false) {
     private val delivered0 = new java.util.concurrent.ConcurrentLinkedQueue[Delivered]()
     private val mailSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     private val dataDrops = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -278,7 +313,9 @@ object Smtp {
         var line = in.readLine()
         while (line != null) {
           val upper = line.toUpperCase(java.util.Locale.ROOT)
-          if (upper.startsWith("EHLO") && rejectEhlo) {
+          if (upper.startsWith("EHLO") && rejectEhloPolicy) {
+            w("554 5.7.1 access denied") // session refusal, not a verb problem
+          } else if (upper.startsWith("EHLO") && rejectEhlo) {
             w("502 5.5.1 command not implemented") // pre-ESMTP relay
           } else if (upper.startsWith("EHLO") || upper.startsWith("HELO")) {
             // multiline on purpose — the client must parse 250-/250
@@ -316,6 +353,12 @@ object Smtp {
                 sock.close(); return
               }
               w("250 OK queued")
+              if (closeAfterAck) {
+                // accepted-then-gone: a relay that hangs up right after
+                // its 250 — the goodbye-phase broken pipe the client's
+                // guarded QUIT exists for
+                sock.close(); return
+              }
             }
           } else if (upper == "RSET" || upper == "NOOP") {
             if (upper == "RSET") { sender = null; rcpts = Vector.empty }

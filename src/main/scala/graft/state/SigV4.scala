@@ -14,9 +14,16 @@ import java.net.URI
   * [[Signer]] builds its canonical request from the OUTGOING request
   * parts (method, URI, the headers it is about to attach), while the
   * server-side [[validate]] rebuilds it from the RAW incoming exchange
-  * (path/query/headers/body as received) — so an encoding or
-  * header-ordering bug on either side fails the round trip instead of
-  * cancelling out. Only the low-level crypto (SHA-256, HMAC) is shared.
+  * (path/query/headers/body as received) — and, since round 19, the
+  * validator's encode/decode/sort/collapse logic is a SEPARATE
+  * implementation (the `srv*` functions below, byte-stream mechanics
+  * vs the client's StringBuilder mechanics), so a shared
+  * canonicalization bug cannot cancel out across the round trip. Only
+  * the low-level crypto (SHA-256, HMAC) is shared. Both sides
+  * percent-decode strictly (RFC 3986): '+' in a query is a literal
+  * plus that canonicalizes to %2B — NOT form-decoding's space, which
+  * is the divergence-from-real-S3 class the independent paths exist
+  * to catch.
   *
   * What the signature COVERS here matters for the commit plane: the
   * conditional headers (`If-None-Match`, `If-Match`) are part of
@@ -62,17 +69,45 @@ object SigV4 {
     sb.toString
   }
 
-  /** Canonical query string: each pair AWS-encoded, `k` alone becomes
-    * `k=`, sorted by name then value. */
+  /** Strict RFC 3986 percent-decode (client side). Unlike
+    * `URLDecoder.decode` (form decoding), '+' stays a literal plus —
+    * AWS query canonicalization percent-encodes it as %2B, it is never
+    * a space. Malformed escapes throw IllegalArgumentException, which
+    * the validator maps to the non-retried 403 class. */
+  private[state] def pctDecode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    val buf = new java.io.ByteArrayOutputStream(4)
+    def flushBytes(): Unit = if (buf.size() > 0) {
+      sb ++= new String(buf.toByteArray, "UTF-8"); buf.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length)
+          throw new IllegalArgumentException(s"truncated percent escape at offset $i")
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi < 0 || lo < 0)
+          throw new IllegalArgumentException(s"bad percent escape '${s.substring(i, i + 3)}'")
+        buf.write(hi * 16 + lo); i += 3
+      } else { flushBytes(); sb += c; i += 1 }
+    }
+    flushBytes()
+    sb.toString
+  }
+
+  /** Canonical query string: each pair strictly percent-decoded then
+    * AWS-encoded, `k` alone becomes `k=`, sorted by name then value. */
   private def canonicalQuery(rawQuery: String): String =
     if (rawQuery == null || rawQuery.isEmpty) ""
     else rawQuery.split('&').filter(_.nonEmpty).map { tok =>
       val i = tok.indexOf('=')
       val (k, v) = if (i < 0) (tok, "") else (tok.take(i), tok.drop(i + 1))
       // the raw query arrives percent-encoded from the wire/URI; decode
-      // before re-encoding so both sides canonicalize from the same text
-      (awsEncode(java.net.URLDecoder.decode(k, "UTF-8")),
-        awsEncode(java.net.URLDecoder.decode(v, "UTF-8")))
+      // (strictly — '+' is NOT a space) before re-encoding so both
+      // sides canonicalize from the same text
+      (awsEncode(pctDecode(k)), awsEncode(pctDecode(v)))
     }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
   private def canonicalRequest(method: String, rawPath: String, rawQuery: String,
@@ -118,6 +153,104 @@ object SigV4 {
         "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
           s"SignedHeaders=$signedHeaders, Signature=$sig"))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Server-side canonicalization — an INDEPENDENT implementation.
+  // Deliberately does not call awsEncode/pctDecode/canonicalQuery/
+  // canonicalRequest above: the validator exists to catch the client's
+  // canonicalization bugs, which it can only do if a defect cannot be
+  // shared. Mechanics differ on purpose (byte-array walks and manual
+  // buffers here vs the client's Char/StringBuilder style); any
+  // behavioral divergence between the two paths fails the round trip
+  // loudly in the specs instead of surfacing as a 403 against a real
+  // bucket.
+  // ------------------------------------------------------------------
+
+  /** Server-side RFC 3986 percent-decode to raw BYTES ('+' literal). */
+  private def srvDecodeBytes(s: String): Array[Byte] = {
+    val in = s.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    var i = 0
+    while (i < in.length) {
+      if (in(i) == '%') {
+        if (i + 2 >= in.length)
+          throw new IllegalArgumentException("truncated percent escape in query")
+        val hi = Character.digit(in(i + 1).toChar, 16)
+        val lo = Character.digit(in(i + 2).toChar, 16)
+        if (hi < 0 || lo < 0)
+          throw new IllegalArgumentException("invalid percent escape in query")
+        out.write((hi << 4) | lo); i += 3
+      } else { out.write(in(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Server-side AWS uri-encode over raw bytes (unreserved =
+    * A-Za-z0-9 - . _ ~; everything else %XX uppercase). */
+  private def srvEncode(bytes: Array[Byte]): String = {
+    val out = new java.lang.StringBuilder(bytes.length * 3)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val unreserved =
+        (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' || b == '~'
+      if (unreserved) out.append(b.toChar)
+      else { out.append('%'); out.append("0123456789ABCDEF".charAt(b >>> 4)); out.append("0123456789ABCDEF".charAt(b & 0xf)) }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Server-side canonical query: decode-then-encode each pair, bare
+    * `k` → `k=`, byte-order sort on (name, value). Exposed
+    * private[state] so the spec can pin '+'→%2B directly. */
+  private[state] def srvCanonicalQuery(rawQuery: String): String = {
+    if (rawQuery == null || rawQuery.isEmpty) return ""
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    rawQuery.split("&", -1).foreach { tok =>
+      if (tok.nonEmpty) {
+        val eq = tok.indexOf('=')
+        val rawK = if (eq < 0) tok else tok.substring(0, eq)
+        val rawV = if (eq < 0) "" else tok.substring(eq + 1)
+        pairs += ((srvEncode(srvDecodeBytes(rawK)), srvEncode(srvDecodeBytes(rawV))))
+      }
+    }
+    pairs.sorted.iterator.map { case (k, v) => k + "=" + v }.mkString("&")
+  }
+
+  /** Server-side canonical request: lowercase names, trim + collapse
+    * internal whitespace runs in values, sort by name, one `k:v\n`
+    * line each. Returns (canonicalRequest, signedHeadersRebuilt). */
+  private def srvCanonicalRequest(method: String, rawPath: String,
+      rawQuery: String, headers: Seq[(String, String)],
+      payloadHash: String): (String, String) = {
+    val norm = headers.map { case (name, value) =>
+      val n = name.toLowerCase(java.util.Locale.ROOT)
+      // collapse runs of SP/HTAB to one space, trim ends — manual walk
+      val v = value.trim
+      val vb = new java.lang.StringBuilder(v.length)
+      var j = 0
+      var inWs = false
+      while (j < v.length) {
+        val ch = v.charAt(j)
+        if (ch == ' ' || ch == '\t') { if (!inWs) vb.append(' '); inWs = true }
+        else { vb.append(ch); inWs = false }
+        j += 1
+      }
+      (n, vb.toString)
+    }.sortBy(_._1)
+    val signed = norm.iterator.map(_._1).mkString(";")
+    val lines = new java.lang.StringBuilder
+    lines.append(method).append('\n')
+    lines.append(rawPath).append('\n')
+    lines.append(srvCanonicalQuery(rawQuery)).append('\n')
+    norm.foreach { case (k, v) => lines.append(k).append(':').append(v).append('\n') }
+    lines.append('\n')
+    lines.append(signed).append('\n')
+    lines.append(payloadHash)
+    (lines.toString, signed)
   }
 
   /** Server-side validation from the RAW incoming request. Returns
@@ -178,7 +311,7 @@ object SigV4 {
     val hdrs = signedHeaders.split(";").toSeq.map { name =>
       name -> header(name).getOrElse(return Some(s"signed header $name absent"))
     }
-    val (cr, shRebuilt) = canonicalRequest(method, rawPath, rawQuery, hdrs, contentSha)
+    val (cr, shRebuilt) = srvCanonicalRequest(method, rawPath, rawQuery, hdrs, contentSha)
     if (shRebuilt != signedHeaders) return Some("SignedHeaders not sorted canonically")
     val scope = s"$date/$region/$service/aws4_request"
     val sts = Seq("AWS4-HMAC-SHA256", amzDate, scope, sha256Hex(cr.getBytes("UTF-8"))).mkString("\n")

@@ -161,6 +161,65 @@ class SmtpSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("EHLO 554 (policy rejection) stays PERMANENT — no HELO fallback, no retry") {
+    // the r18 blanket fallback retried HELO on ANY 5yz; this server
+    // would 250 a HELO, so a wrong fallback becomes a visible delivery
+    val server = new Smtp.Server(rejectEhloPolicy = true)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 3)
+      val e = intercept[Smtp.PermanentFailure] {
+        c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      }
+      assert(e.code === 554, e.getMessage)
+      assert(server.delivered.isEmpty, "a HELO fallback would have delivered — session refusal must stand")
+      assert(server.mailCommands === 0)
+    } finally server.stop()
+  }
+
+  test("relay hangs up right after the final 250: accepted once, never re-run from the goodbye phase") {
+    val server = new Smtp.Server(closeAfterAck = true)
+    try {
+      val c = new Smtp.Client(server.host, server.port, maxRetries = 3)
+      val attempts = c.send("ops@example.com", Seq("dev@example.com"), "s", "b")
+      assert(attempts === 1, "the QUIT write/flush/221 are all inside the swallow guard — no retry")
+      assert(server.delivered.size === 1, "a goodbye-phase broken pipe must not duplicate an accepted mail")
+    } finally server.stop()
+  }
+
+  test("CRLF in an address is refused before any connection — header/command injection") {
+    val server = new Smtp.Server()
+    try {
+      val c = new Smtp.Client(server.host, server.port)
+      intercept[IllegalArgumentException] {
+        c.send("ops@example.com", Seq("dev@example.com\r\nRCPT TO:<evil@x.com>"), "s", "b")
+      }
+      intercept[IllegalArgumentException] {
+        c.send("ops@example.com>\r\nMAIL FROM:<evil@x.com", Seq("dev@example.com"), "s", "b")
+      }
+      intercept[IllegalArgumentException] {
+        c.send("ops@example.com", Seq("dev@example.com"), "s", "b", bcc = "a@x.com\r\nDATA")
+      }
+      assert(server.mailCommands === 0 && server.delivered.isEmpty,
+        "injection attempts must die before the socket opens")
+    } finally server.stop()
+  }
+
+  test("CRLF in the subject folds to one line — failure text cannot inject headers") {
+    // the subject carries free-form module-failure text; folding keeps
+    // the notification flowing while the injected 'header' stays inert
+    val server = new Smtp.Server()
+    try {
+      new Smtp.Client(server.host, server.port)
+        .send("ops@example.com", Seq("dev@example.com"),
+          "job failed:\r\nX-Evil: injected\r\n boom", "b")
+      val data = server.delivered.head.data
+      assert(data.contains("Subject: job failed: X-Evil: injected boom\r\n"),
+        s"subject must fold, got: ${data.linesIterator.find(_.startsWith("Subject")).getOrElse("?")}")
+      assert(!data.linesIterator.exists(_.startsWith("X-Evil")),
+        "no injected header line may materialize")
+    } finally server.stop()
+  }
+
   test("CRLF body round-trip: multiline bodies and leading-dot lines survive") {
     val server = new Smtp.Server()
     try {
