@@ -1,7 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import java.util.concurrent.atomic.AtomicLong
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,17 +29,12 @@ object Bench {
       .getOrCreate()
     if (noExt) System.err.println("[bench] FALLBACK MODE: GraftExtensions not installed — UDF/interpreted paths priced")
     spark.sparkContext.setLogLevel("WARN")
-    // X5 observability: per-run stage/task counters via SparkListener
-    // (the engine analogue of DBMS_APPLICATION_INFO session longops,
-    // body:1253-1266) — logged per query so regressions localize.
-    val stages = new AtomicLong(0)
-    val tasks = new AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet()
-        tasks.addAndGet(sc.stageInfo.numTasks)
-      }
-    })
+    // X5 observability: per-run plan metrics via SparkListener (the
+    // engine analogue of DBMS_APPLICATION_INFO session longops,
+    // body:1253-1266) — stage/task counts AND shuffle bytes per query,
+    // so a regression flag adjudicates from data: metrics flat + wall
+    // up = host smear; metrics moved = the plan drifted (r18 item 2).
+    val meter = new graft.lifecycle.Observability.PlanMeter().attach(spark)
     // Untimed warmup at the smallest SF available: touches the parquet
     // reader, whole-stage codegen, and window paths once so the first
     // measured query reports its own work instead of JVM/JIT start-up.
@@ -127,25 +120,11 @@ object Bench {
       queryLoad(name) = math.max(queryLoad.getOrElse(name, -1.0), l)
       (sec, ok)
     }
-    // The stage/task counters feed from an ASYNC listener: events still
-    // queued on the bus when a fast query returns would be attributed to
-    // the NEXT query, wobbling the per-query plan-size column the bench
-    // reports for cross-round comparability. listenerBus/waitUntilEmpty
-    // are private[spark] (public at bytecode level) — reflection is the
-    // supported-surface-free way to drain; best-effort by design.
+    // The plan meter feeds from an ASYNC listener: drain before every
+    // snapshot or a fast query's events get attributed to the NEXT one
+    // (shared impl in Observability; the metric-stability spec uses it).
     def drainListenerBus(): Unit =
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").map(_.invoke(sc))
-        bus.foreach { b =>
-          b.getClass.getMethods
-            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-            .map(_.invoke(b))
-            .getOrElse(b.getClass.getMethods
-              .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
-              .foreach(_.invoke(b, java.lang.Long.valueOf(10000L))))
-        }
-      } catch { case _: Throwable => () }
+      graft.lifecycle.Observability.drainListenerBus(spark)
     val firstPass = selected.map { case (name, fn) =>
       // min of repeated measurements: sub-second queries otherwise pick
       // up position-dependent GC/scheduling jitter that reads as a
@@ -159,22 +138,22 @@ object Bench {
       // cache, not the operator.
       val reps = if (name == "q_dedup_clusters") 1 else 2
       def measure(): (Double, Boolean) = measureOnce(name, fn, s"graft bench: $name")
-      // the stage column covers the FIRST run only: it reports the
-      // query's plan size, which must stay comparable across rounds
-      // regardless of how many jitter-damping reps this round takes
+      // the plan-metrics column covers the FIRST run only: it reports
+      // the query's plan footprint, which must stay comparable across
+      // rounds regardless of how many jitter-damping reps this takes
       drainListenerBus()
-      val s0 = stages.get()
+      val s0 = meter.snapshot
       val first = measure()
       drainListenerBus()
-      val planStages = stages.get() - s0
+      val plan = meter.snapshot - s0
       var ms = Vector(first) ++ (2 to reps).map(_ => measure())
       if (reps > 1 && ms.map(_._1).min < 1.0) ms ++= Seq(measure(), measure())
       // min over SUCCESSFUL reps; a query that never succeeded reports
       // its (visibly flagged) failure wall time rather than vanishing
       val succ = ms.filter(_._2)
       val sec = (if (succ.nonEmpty) succ else ms).map(_._1).min
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s  $planStages%3d stages")
-      (name, fn, sec)
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s  ${plan.stages}%3d stages ${plan.tasks}%5d tasks shr=${plan.shuffleRead}%d shw=${plan.shuffleWrite}%d")
+      (name, fn, sec, plan)
     }
     // Per-query floor table, loaded BEFORE the re-measure pass so the
     // gate's verdict can feed it (see below). Semantics documented at the
@@ -223,18 +202,20 @@ object Bench {
     // that needed it. q_dedup_clusters is excluded for the same reason it
     // is single-shot above: a re-run would measure its memoized stage,
     // not the operator.
-    val results = firstPass.map { case (name, fn, sec) =>
+    val resultsWithPlan = firstPass.map { case (name, fn, sec, plan) =>
       if ((sec <= 0.75 && !gateFlags(name, sec) && !ratioOutlier(name, sec))
-          || name == "q_dedup_clusters") name -> sec
+          || name == "q_dedup_clusters") (name, sec, plan)
       else {
         val (again, ok) = measureOnce(name, fn, s"graft bench re-measure: $name")
         if (ok && again < sec)
           System.err.println(f"[bench] $name%-22s $again%8.3f s  (re-measure; first pass $sec%.3f)")
         // a FAILED re-measure (fast crash) must never replace an honest
         // first-pass success
-        name -> (if (ok) math.min(sec, again) else sec)
+        (name, if (ok) math.min(sec, again) else sec, plan)
       }
     }
+    val results = resultsWithPlan.map { case (n, s, _) => n -> s }
+    val planByQuery = resultsWithPlan.map { case (n, _, p) => n -> p }.toMap
     // Per-query regression gate (round-12): BASELINE.md's per-query floor
     // table (src/main/resources/bench_floors.json, the honest post-cache-fix
     // numbers) turns silent per-query noise into a red signal — round 10's
@@ -248,15 +229,39 @@ object Bench {
     // build failure). The floor table itself is loaded above the
     // re-measure pass, which uses the same predicate to grant flagged
     // queries their time-separated rep before the verdict is recorded.
+    // Prior run's plan metrics (bench_last_run.json rides the classpath
+    // next to bench_floors.json): the mechanical smear-vs-regression
+    // discriminator. A flagged query whose stage/task counts match the
+    // prior run exactly and whose shuffle bytes sit within 10% ran the
+    // SAME physical plan — the wall-time delta is host smear; moved
+    // metrics mean the plan genuinely drifted and the flag is real.
+    val priorPlan: Map[String, graft.lifecycle.Observability.PlanSnap] =
+      Option(getClass.getResourceAsStream("/bench_last_run.json")).map { in =>
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        ("\"([^\"]+)\":\\{\"stages\":(\\d+),\"tasks\":(\\d+),\"shr\":(\\d+),\"shw\":(\\d+)\\}").r
+          .findAllMatchIn(txt).map { m =>
+            m.group(1) -> graft.lifecycle.Observability.PlanSnap(
+              m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+          }.toMap
+      }.getOrElse(Map.empty)
+    def planVerdict(n: String): String = (planByQuery.get(n), priorPlan.get(n)) match {
+      case (Some(cur), Some(prev)) =>
+        def close(a: Long, b: Long): Boolean =
+          math.abs(a - b) <= math.max(65536L, (math.max(a, b) * 0.10).toLong)
+        if (cur.stages == prev.stages && cur.tasks == prev.tasks &&
+            close(cur.shuffleRead, prev.shuffleRead) && close(cur.shuffleWrite, prev.shuffleWrite))
+          "plan-stable" else "plan-drifted"
+      case _ => "no-prior"
+    }
     val regressions = results.filter { case (n, sec) => gateFlags(n, sec) }
     regressions.foreach { case (n, sec) =>
-      System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s  (max loadavg ${queryLoad.getOrElse(n, -1.0)}%.2f)")
+      System.err.println(f"[bench] REGRESSION $n%-22s $sec%8.3f s  > 2x recorded floor ${floors(n)}%.3f s  (max loadavg ${queryLoad.getOrElse(n, -1.0)}%.2f, ${planVerdict(n)})")
     }
     // guard-suppressed ratio outliers (post-re-measure): visible, not fatal
     val watch = results.filter { case (n, sec) =>
       ratioOutlier(n, sec) && !gateFlags(n, sec) }
     watch.foreach { case (n, sec) =>
-      System.err.println(f"[bench] WATCH $n%-22s $sec%8.3f s  > 3x recorded floor ${floors(n)}%.3f s (under the 0.5 s gate guard)")
+      System.err.println(f"[bench] WATCH $n%-22s $sec%8.3f s  > 3x recorded floor ${floors(n)}%.3f s (under the 0.5 s gate guard, ${planVerdict(n)})")
     }
     val newQueries = results.collect { case (n, _) if floors.nonEmpty && !floors.contains(n) => n }
     if (newQueries.nonEmpty)
@@ -272,7 +277,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    System.err.println(s"[bench] total stages=${stages.get()} tasks=${tasks.get()}")
+    locally { val t = meter.snapshot
+      System.err.println(s"[bench] total stages=${t.stages} tasks=${t.tasks} shuffleRead=${t.shuffleRead} shuffleWrite=${t.shuffleWrite}") }
     // totals FIRST on their own short line, so a capture that keeps either
     // end of the log always retains them even if the long line truncates
     System.err.println(
@@ -296,14 +302,25 @@ object Bench {
       s"""{"cpus":$cpusJson,"start":${l2(sweepLoadStart)},"end":${l2(loadavg())},"queries":$per}"""
     }
     val mode = if (noExt) "no_extensions" else "default"
+    // plan verdicts ride the compact stdout line (small — flagged
+    // queries only); the full per-query plan map goes to the FILE
+    // copies, where truncation cannot eat it (the stdout line has been
+    // head-truncated by bounded log captures twice)
+    val verdictJson = (regressions ++ watch).map { case (n, _) =>
+      s"\"" + n + "\":\"" + planVerdict(n) + "\"" }.mkString("{", ",", "}")
+    val planJson = resultsWithPlan.map { case (n, _, p) =>
+      s"\"$n\":{\"stages\":${p.stages},\"tasks\":${p.tasks},\"shr\":${p.shuffleRead},\"shw\":${p.shuffleWrite}}"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","mode":"$mode","regressions":$regr,"watch":$watchJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","mode":"$mode","regressions":$regr,"watch":$watchJson,"plan_verdicts":$verdictJson,"queries":$qs,"loadavg":$loadJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+    // the durable file record carries the plan map too
+    val fileLine = line.dropRight(1) + s""","plan":$planJson}"""
     // durability: bounded log captures have twice truncated the stdout
     // line's head (r8/r9 BENCH artifacts parsed as null) — a file copy,
     // written BEFORE the print, survives any log-capture policy
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
@@ -318,7 +335,7 @@ object Bench {
       val res = java.nio.file.Paths.get("src/main/resources")
       if (java.nio.file.Files.isDirectory(res))
         try java.nio.file.Files.write(res.resolve("bench_last_run.json"),
-          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         catch { case e: Throwable =>
           System.err.println(s"[bench] could not write bench_last_run.json: ${e.getMessage}")
         }

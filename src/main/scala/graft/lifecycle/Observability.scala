@@ -34,6 +34,65 @@ object Observability {
     }
   }
 
+  /** A query's physical-plan footprint: stage count, task count, and
+    * shuffle bytes read/written. Two runs of the SAME plan over the
+    * same data report identical stages/tasks and (data-determined)
+    * shuffle bytes — which makes a bench-gate flag adjudicable from
+    * data instead of inference: metrics flat + wall up = host smear;
+    * metrics moved = the plan actually drifted (r18 verdict item 2). */
+  final case class PlanSnap(stages: Long, tasks: Long,
+      shuffleRead: Long, shuffleWrite: Long) {
+    def -(o: PlanSnap): PlanSnap = PlanSnap(stages - o.stages,
+      tasks - o.tasks, shuffleRead - o.shuffleRead, shuffleWrite - o.shuffleWrite)
+  }
+
+  /** Accumulating plan meter. Attach once per session; diff
+    * [[snapshot]]s around a query (draining the listener bus first —
+    * stage-completed events are ASYNC) to get that query's footprint. */
+  final class PlanMeter {
+    import java.util.concurrent.atomic.AtomicLong
+    private val stages = new AtomicLong(0)
+    private val tasks = new AtomicLong(0)
+    private val shr = new AtomicLong(0)
+    private val shw = new AtomicLong(0)
+    val listener: SparkListener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(sc.stageInfo.numTasks)
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          // totalBytesRead is private[spark]; its two public addends are the same figure
+          shr.addAndGet(m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead)
+          shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    def attach(spark: SparkSession): this.type = {
+      spark.sparkContext.addSparkListener(listener); this
+    }
+    def snapshot: PlanSnap = PlanSnap(stages.get, tasks.get, shr.get, shw.get)
+  }
+
+  /** Block until the async listener bus has delivered every queued
+    * event — without this, a fast query's stage events land AFTER the
+    * snapshot and get attributed to the NEXT query. listenerBus /
+    * waitUntilEmpty are private[spark] (public at bytecode level);
+    * reflection is the supported-surface-free drain, best-effort by
+    * design. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").map(_.invoke(sc))
+      bus.foreach { b =>
+        b.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .map(_.invoke(b))
+          .getOrElse(b.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+            .foreach(_.invoke(b, java.lang.Long.valueOf(10000L))))
+      }
+    } catch { case _: Throwable => () }
+
   /** Session-longops analogue: a listener reporting completed stages and
     * task counts through `report` (e.g. a logger or the batch_log).
     * Returns the listener so callers can remove it. */
