@@ -61,12 +61,13 @@ object Bench {
         }
       }
     }
-    // Deterministic name order: hash-map order would let the shared
-    // cluster stage (memoized across q_dedup_clusters / q_pipeline_e2e)
-    // land on a different query between runs, silently shifting which of
-    // the two reports the full iteration cost. Sorted, q_dedup_clusters
-    // always pays it and q_pipeline_e2e always measures the composition
-    // over the materialized stage.
+    // Deterministic name order: hash-map order would let a memoized
+    // stage (q_dedup_clusters' cluster labels) land on a different
+    // query between runs, silently shifting which consumer reports the
+    // full iteration cost. (q_pipeline_e2e no longer shares that memo —
+    // since r19 it clusters its own gated-survivor corpus — but sorted
+    // order stays the contract: floors are only comparable under one
+    // fixed measurement order.)
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (the
     // driver never sets it, so round benches always measure everything).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

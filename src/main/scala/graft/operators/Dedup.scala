@@ -280,16 +280,24 @@ object Dedup {
     round(inter / union.cast("double"), 6)
   }
 
-  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val base = gramBuckets(s, dir)
+  /** N-gram near-dup candidate pairs over an arbitrary (doc_id, text)
+    * frame — the banded self-join behind [[qDedupNgram]], exposed so
+    * compositions (the capstone pipeline) can run it over an already
+    * gated corpus instead of re-fingerprinting raw documents the
+    * earlier stages dropped (the real pipeline order: cheap gates
+    * first, the expensive pass only on survivors). */
+  def ngramPairsOf(docs: DataFrame): DataFrame = {
+    val base = gramBucketsOf(docs)
     val a = base.select(col("doc_id").as("doc_a"), col("bucket"), col("grams").as("grams_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("bucket"), col("grams").as("grams_b"))
     a.join(b, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", jaccardCol)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramPairsOf(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
 
   // ---- incremental dedup (ingest gate) -----------------------------------
   /** The gate aggregation shared by the in-query and stored-table
@@ -1179,12 +1187,15 @@ object Dedup {
 
   /** The normalized-text → capped-bucket gram-set chain (`g` CTE) — one
     * definition shared by the ngram, clusters/pipeline, and incremental
-    * oracles, mirroring the single [[gramBuckets]] on the Spark side. */
-  private[operators] val duckGramCtes: String =
-    """n AS (
+    * oracles, mirroring the single [[gramBucketsOf]] on the Spark side.
+    * Parameterized on the corpus source CTE/table, exactly as the Spark
+    * side is parameterized on the docs frame — so the pipeline oracle
+    * can fingerprint the GATED corpus the way [[ngramPairsOf]] does. */
+  private[operators] def duckGramCtesFrom(src: String): String =
+    s"""n AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS norm
-      |  FROM documents),
+      |  FROM $src),
       |w AS (
       |  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
       |  WHERE length(string_split(norm, ' ')) >= 3),
@@ -1198,18 +1209,24 @@ object Dedup {
       |    SELECT g0.*, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM g0) t
       |  WHERE rn <= 256)""".stripMargin
 
+  private[operators] val duckGramCtes: String = duckGramCtesFrom("documents")
+
   /** DuckDB Jaccard between two grams lists. */
   private def duckJaccard(a: String, b: String): String =
     s"""round(length(list_intersect($a, $b)) /
        |        cast(length($a) + length($b) - length(list_intersect($a, $b)) AS double), 6)""".stripMargin
 
-  private[operators] val duckClusterCtes: String =
-    s"""$duckGramCtes,
+  /** Gram chain + banded edges + transitive reach over an arbitrary
+    * corpus source — [[ngramPairsOf]]+[[clusterPairs]] in SQL. */
+  private[operators] def duckClusterCtesFrom(src: String): String =
+    s"""${duckGramCtesFrom(src)},
       |edges AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       |  WHERE ${duckJaccard("a.grams", "b.grams")} >= 0.5),
       |${duckReachCtes("edges", "doc_a", "doc_b")}""".stripMargin
+
+  private[operators] val duckClusterCtes: String = duckClusterCtesFrom("documents")
 
   /** The gate oracle with a parameterized corpus predicate — one chain
     * for the plain, stored, Bloom and retraction variants, so a gate

@@ -23,31 +23,51 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val nWords = size(split(trim(t), " +")).cast(LongType)
-    // empty-text guard mirrors qTextQuality's: the funnel FILTER
-    // evaluates the ratio before n_words can exclude the doc, so an
-    // unguarded 0/0 would abort the pipeline under ANSI
-    val punctRatio = when(length(t) > 0,
-      length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double")).otherwise(lit(0.0))
-    val qualityScore = round(lit(0.001) * nWords + lit(1.0) - punctRatio, 6)
+  private def nWordsCol = size(split(trim(col("text")), " +")).cast(LongType)
+  // empty-text guard mirrors qTextQuality's: the funnel FILTER
+  // evaluates the ratio before n_words can exclude the doc, so an
+  // unguarded 0/0 would abort the pipeline under ANSI
+  private def punctRatioCol = when(length(col("text")) > 0,
+    length(regexp_replace(col("text"), "[a-z ]", "")) / length(col("text")).cast("double"))
+    .otherwise(lit(0.0))
 
+  /** Stages 1+2 of the capstone — quality gate, then exact dedup (keep
+    * min doc_id per 128-bit content hash). Exposed so a spec can pin
+    * the stage-INPUT contract: the expensive near-dup fingerprint pass
+    * reads THIS frame, strictly smaller than the raw corpus. */
+  def gatedSurvivors(s: SparkSession, dir: String): DataFrame = {
     // 1. quality gate (TextOps.qTextQuality's signals)
     val gated = Tables.documents(s, dir)
-      .filter(nWords >= 20 && punctRatio < 0.2)
-    // 2. exact dedup: min doc_id per 128-bit content hash (Dedup.qDedupExact)
-    val byHash = Window.partitionBy(md5(t.cast("binary"))).orderBy("doc_id")
-    val exactKept = gated.withColumn("__rn", row_number().over(byHash))
+      .filter(nWordsCol >= 20 && punctRatioCol < 0.2)
+    // 2. exact dedup: min doc_id per content hash (Dedup.qDedupExact)
+    val byHash = Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+    gated.withColumn("__rn", row_number().over(byHash))
       .filter(col("__rn") === 1).drop("__rn")
-    // 3. near-dup drop set: cluster non-survivors (Dedup.qDedupClusters)
-    val nearDrops = Dedup.qDedupClusters(s, dir)
-      .filter(col("is_survivor") === 0).select("doc_id")
-    val cleaned = exactKept.join(nearDrops, Seq("doc_id"), "leftanti")
+  }
+
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val qualityScore = round(lit(0.001) * nWordsCol + lit(1.0) - punctRatioCol, 6)
+    // lazy local checkpoint: the survivor frame feeds BOTH the near-dup
+    // fingerprint pass and the final anti-join — one materialization,
+    // and the CC iterations inherit a truncated lineage (gateAgg's
+    // documented pattern; persist() would pin blocks past this query)
+    val survivors = gatedSurvivors(s, dir).localCheckpoint(eager = false)
+    // 3. near-dup drop set over the SURVIVORS, not the raw corpus (r18
+    // verdict item 3): the real pipeline order is cheap gates first —
+    // at 100 TB, fingerprinting+clustering docs the gate already
+    // dropped is one avoidable full-corpus pass. Same banded pair
+    // generation and O(log n) large-star/small-star contraction as the
+    // standalone q_dedup_clusters, composed over the gated frame.
+    val pairs = Dedup.ngramPairsOf(survivors.select("doc_id", "text"))
+    val labels = Dedup.clusterPairs(pairs.select("doc_a", "doc_b"),
+      ckpt = Checkpointer.fromConf(s))
+    val nearDrops = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val cleaned = survivors.join(nearDrops, Seq("doc_id"), "leftanti")
     // 4. per-language corpus statistics (decimal sums → order-independent)
     cleaned.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(nWords).as("total_ws_tokens"),
+        sum(nWordsCol).as("total_ws_tokens"),
         sum(qualityScore.cast("decimal(18,6)")).cast(DoubleType).as("sum_quality"))
       .orderBy("lang")
   }
@@ -480,10 +500,12 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle applies the SAME stage order as the Spark side: gate →
+    // exact dedup → near-dup fingerprint/cluster OVER THE SURVIVORS (the
+    // gram/edge/reach chain reads `ek`, not `documents`) — so the green
+    // differential pins the reordered semantics, not just the output shape
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE
-         |${Dedup.duckClusterCtes},
-         |drops AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)),
         |q AS (
         |  SELECT doc_id, lang, text,
         |    length(regexp_split_to_array(trim(text), ' +')) AS n_words,
@@ -494,6 +516,8 @@ object Pipeline {
         |  SELECT * FROM (
         |    SELECT qf.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qf) t
         |  WHERE rn = 1),
+        |${Dedup.duckClusterCtesFrom("ek")},
+        |drops AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)),
         |cleaned AS (
         |  SELECT * FROM ek WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = ek.doc_id))
         |SELECT lang, count(*) AS n_docs,
