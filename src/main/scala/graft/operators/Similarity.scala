@@ -35,7 +35,7 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** ANN bucket planes: 16 buckets; with Hamming-1 multi-probe each query
     * touches 5/16 of the bucket space. On clustered production embeddings
@@ -43,7 +43,7 @@ object Similarity {
     * synthetic near-uniform corpus this depth is what sustains recall —
     * the tradeoff is planes vs recall, and the probe set scales linearly
     * with planes either way. */
-  private val AnnPlanes = 4
+  private[graft] val AnnPlanes = 4
 
   /** Near-dup banding: 4 bands × 2 planes (OR-construction). A pair
     * collides if any band agrees: recall 1-(1-p²)⁴ for per-plane
@@ -59,7 +59,7 @@ object Similarity {
     * uniform in [-0.5, 0.5), derived from a 64-bit avalanche hash so no
     * RNG state is needed (reproducible across executors by construction).
     */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     var h = (plane.toLong << 32) | (dim.toLong & 0xFFFFFFFFL)
     h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
     h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
@@ -208,6 +208,113 @@ object Similarity {
     * through [[graft.verify.Expected.pqRecallRows]]. */
   def qPqRecall(s: SparkSession, dir: String): DataFrame =
     recallOf(qAnnTopk(s, dir), qAnnPq(s, dir))
+
+  // ---- ANN tier planner ---------------------------------------------------
+  /** The serving tiers the planner chooses among. Every entry is a
+    * registered face with its own correctness gate, so whatever the
+    * planner picks is something the engine already proves it serves
+    * right. */
+  private[graft] val annTierFaces: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "brute"         -> (qAnnTopk _),
+    "lsh"           -> (qAnnLsh _),
+    "ivf"           -> (qAnnIvf _),
+    "pq"            -> (qAnnPq _),
+    "pq_refine"     -> (qPqRefine _),
+    "ivf_pq"        -> (qIvfPq _),
+    "ivf_pq_refine" -> (qIvfPqRefine _))
+
+  /** Relative per-query probe COST of a serving tier, in scan-bytes:
+    * fraction of the corpus a query touches × bytes per touched vector,
+    * plus the refine stages' exact re-read of their R-row shortlist.
+    * Every constant is the shipped face's own (AnnPlanes probes of
+    * 2^AnnPlanes buckets, IvfProbes/IvfLists, PqSubspaces 1-byte codes,
+    * PqRefineR), so the cost model cannot drift from what actually
+    * executes. This is the I/O-dominated large-corpus model — the right
+    * regime for the planner's whole reason to exist. */
+  private[graft] def annTierCost(tier: String, nVectors: Long): Double = {
+    val full = 4.0 * Dim                                        // float32 vector
+    val codes = PqSubspaces.toDouble                            // 1 byte/subspace
+    val lshFrac = (AnnPlanes + 1).toDouble / (1L << AnnPlanes)  // multi-probe buckets
+    val ivfFrac = IvfProbes.toDouble / IvfLists                 // probed lists
+    val refine = PqRefineR * full                               // exact re-read, per query
+    tier match {
+      case "brute"         => nVectors * full
+      case "lsh"           => nVectors * lshFrac * full
+      case "ivf"           => nVectors * ivfFrac * full
+      case "pq"            => nVectors * codes
+      case "pq_refine"     => nVectors * codes + refine
+      case "ivf_pq"        => nVectors * ivfFrac * codes
+      case "ivf_pq_refine" => nVectors * ivfFrac * codes + refine
+      case other => throw new IllegalArgumentException(s"unknown ANN tier '$other'")
+    }
+  }
+
+  /** THE planner decision: cheapest tier whose MEASURED mean recall@5
+    * meets the target; brute force (recall 1.0 by definition) is the
+    * always-eligible fallback, so any target ≤ 1 has an answer. Ties
+    * break toward higher recall, then name — a total order, so the
+    * choice is independent of map iteration order. Shared verbatim by
+    * the engine face and the differential twin: the two sides feed it
+    * INDEPENDENTLY measured recalls (Spark faces vs the sequential
+    * generators), so a recall regression on either side flips the
+    * choice and fails the q_ann_plan hash gate. */
+  def chooseAnnTier(measured: Map[String, Double], nVectors: Long,
+      recallTarget: Double): String = {
+    require(recallTarget <= 1.0, s"recall target $recallTarget is unattainable")
+    (measured + ("brute" -> 1.0)).toSeq
+      .filter { case (_, r) => r + 1e-9 >= recallTarget }
+      .minBy { case (t, r) => (annTierCost(t, nVectors), -r, t) }._1
+  }
+
+  /** q_ann_plan's pinned target: high enough that the rawest tiers'
+    * measured pruning losses matter, low enough that a refine tier
+    * (rather than only brute) can clear it on the synthetic corpus. */
+  private[graft] val AnnPlanRecallTarget = 0.9
+
+  /** Mean recall@5 per approximate tier, measured on THIS corpus via
+    * the registered faces (the exact side computed once). Means round
+    * to 6 like every per-query recall, so the stored measurement is
+    * engine-order-independent. */
+  def measuredTierRecall(s: SparkSession, dir: String): Map[String, Double] = {
+    val exact = qAnnTopk(s, dir)
+    def mean(approx: DataFrame): Double = {
+      val m = recallOf(exact, approx).agg(avg("recall_at_5")).head.getDouble(0)
+      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    annTierFaces.keys.filter(_ != "brute").map { t =>
+      t -> mean(annTierFaces(t)(s, dir))
+    }.toMap
+  }
+
+  /** Tmp-scoped recall-measurement store for [[qAnnPlan]]. */
+  private def annPlanStorePath(dir: String): String =
+    graft.sources.TmpStores.scopedPath("graft-annplan", dir)
+
+  /** Persist the measured tier recalls — the "stored recall
+    * measurements" a deployment's planner consults instead of
+    * re-benchmarking every tier per query. */
+  def writeAnnRecallStore(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    measuredTierRecall(s, dir).toSeq.sorted.toDF("tier", "recall_at_5")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The planner FACE: read the stored recall measurements, choose the
+    * cheapest tier meeting [[AnnPlanRecallTarget]] for this corpus
+    * size, and SERVE that tier's own registered face, stamped with the
+    * decision. Oracle-gated end to end: the differential twin re-makes
+    * the choice from its sequentially measured recalls and replays the
+    * chosen tier's expected rows — a drift in any tier's recall, in the
+    * cost model, or in the served rows fails the hash. */
+  def qAnnPlan(s: SparkSession, dir: String): DataFrame = {
+    val path = annPlanStorePath(dir)
+    graft.sources.TmpStores.buildOnce(path)(writeAnnRecallStore(s, dir, path))
+    val measured = s.read.parquet(path).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = Tables.embeddings(s, dir).count()
+    val choice = chooseAnnTier(measured, n, AnnPlanRecallTarget)
+    annTierFaces(choice)(s, dir).withColumn("tier", lit(choice))
+  }
 
   // ---- MMR diversity re-ranking -------------------------------------------
 
@@ -1594,6 +1701,7 @@ object Similarity {
     "q_ann_topk"      -> qAnnTopk _,
     "q_ann_topk_agg"  -> qAnnTopkAgg _,
     "q_ann_recall"    -> qAnnRecall _,
+    "q_ann_plan"      -> qAnnPlan _,
     "q_ivf_recall"    -> qIvfRecall _,
     "q_pq_recall"     -> qPqRecall _,
     "q_mmr_rerank"    -> qMmrRerank _,

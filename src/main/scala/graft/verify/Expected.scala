@@ -308,6 +308,62 @@ object Expected {
   def pqRecallRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Double)] =
     recallRowsOf(normed(embs), pqRows(embs).map(r => (r._1, r._3)).toSet)
 
+  /** Sequential exact-cosine top-5 rows (the brute tier's twin, and the
+    * planner fallback's expected artifact). Same probe slice, rounding,
+    * and (cosine desc, id) tie-break as every other tier twin. */
+  def bruteRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = normed(embs)
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      withNrm.iterator.filter(_._1 != qid)
+        .map { case (nid, nd, nn) => (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid) }
+        .toSeq.sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5).zipWithIndex
+        .map { case ((c, nid), i) => (qid, (i + 1).toLong, nid, c) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** Sequential multi-probe sign-LSH top-5 rows (q_ann_lsh's twin for
+    * the planner): buckets from the shared [[Similarity.planeComponent]]
+    * hyperplanes, each query probing its own bucket plus every
+    * Hamming-1 neighbor — exactly the served face's candidate set. */
+  def lshRows(embs: Seq[(Long, Array[Float])]): Seq[(Long, Long, Long, Double)] = {
+    val withNrm = normed(embs)
+    val planes = (0 until Similarity.AnnPlanes).map(p =>
+      (0 until Similarity.Dim).map(d => Similarity.planeComponent(p, d)).toArray)
+    def bucketOf(d: Array[Double]): Long =
+      planes.zipWithIndex.map { case (pl, k) =>
+        if (Similarity.ddot(d, pl) > 0) 1L << k else 0L }.sum
+    val buckets = withNrm.map { case (id, d, _) => id -> bucketOf(d) }.toMap
+    withNrm.filter(_._1 % 100 == 0).flatMap { case (qid, qd, qn) =>
+      val probes = (Seq(0L) ++ (0 until Similarity.AnnPlanes).map(p => 1L << p))
+        .map(buckets(qid) ^ _).toSet
+      withNrm.iterator
+        .filter { case (nid, _, _) => nid != qid && probes(buckets(nid)) }
+        .map { case (nid, nd, nn) => (round6(Similarity.ddot(qd, nd) / (qn * nn)), nid) }
+        .toSeq.sorted(Ordering.Tuple2(D.reverse, Ordering.Long))
+        .take(5).zipWithIndex
+        .map { case ((c, nid), i) => (qid, (i + 1).toLong, nid, c) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** Mean recall@5 per serving tier from the SEQUENTIAL twins — the
+    * oracle side of the planner's evidence. Means round to 6 exactly as
+    * the engine's [[Similarity.measuredTierRecall]] does. */
+  def annPlanMeasured(embs: Seq[(Long, Array[Float])]): Map[String, Double] = {
+    val withNrm = normed(embs)
+    def mean(rows: Seq[(Long, Long, Long, Double)]): Double = {
+      val rec = recallRowsOf(withNrm, rows.map(r => (r._1, r._3)).toSet)
+      round6(rec.map(_._2).sum / rec.size)
+    }
+    Map(
+      "lsh"           -> mean(lshRows(embs)),
+      "ivf"           -> mean(ivfRows(embs)),
+      "pq"            -> mean(pqRows(embs)),
+      "pq_refine"     -> mean(pqRefineRows(embs)),
+      "ivf_pq"        -> mean(ivfPqRows(embs)),
+      "ivf_pq_refine" -> mean(ivfPqRefineRows(embs)))
+  }
+
   /** ONE exact-side body for every recall twin: full sequential scan
     * per probe query, (cosine desc, id) top-5, hit-rate against the
     * approximate tier's (q_id, neighbor_id) pairs. */
@@ -689,6 +745,24 @@ object Expected {
       .toDF("doc_id", "n_bytes", "deflate_len", "compress_ratio", "flagged"))
     val ivfRec = write("q_ivf_recall", ivfRecallRows(embs).toDF("q_id", "recall_at_5"))
     val pqRec = write("q_pq_recall", pqRecallRows(embs).toDF("q_id", "recall_at_5"))
+    // the planner twin: re-make the tier choice from the SEQUENTIALLY
+    // measured recalls (the engine chooses from its Spark-measured
+    // ones — only the decision FUNCTION is shared), then replay the
+    // chosen tier's expected rows stamped with the choice
+    val planChoice = Similarity.chooseAnnTier(annPlanMeasured(embs),
+      embs.size.toLong, Similarity.AnnPlanRecallTarget)
+    val planRows = planChoice match {
+      case "brute"         => bruteRows(embs)
+      case "lsh"           => lshRows(embs)
+      case "ivf"           => ivfRows(embs)
+      case "pq"            => pqRows(embs)
+      case "pq_refine"     => pqRefineRows(embs)
+      case "ivf_pq"        => ivfPqRows(embs)
+      case "ivf_pq_refine" => ivfPqRefineRows(embs)
+    }
+    val plan = write("q_ann_plan", planRows.toDF("q_id", "rank", "neighbor_id", "cosine")
+      .withColumn(
+        "tier", org.apache.spark.sql.functions.lit(planChoice)))
     val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
     val cs = write("q_cluster_sample",
       clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
@@ -716,6 +790,7 @@ object Expected {
       "q_image_neardup" -> sql(img, "media_a, media_b, hamming", "media_a, media_b"),
       "q_compress_ratio" -> sql(cr,
         "doc_id, n_bytes, deflate_len, compress_ratio, flagged", "doc_id"),
+      "q_ann_plan"       -> sql(plan, "q_id, rank, neighbor_id, cosine, tier", "q_id, rank"),
       "q_ivf_recall"     -> sql(ivfRec, "q_id, recall_at_5", "q_id"),
       "q_pq_recall"      -> sql(pqRec, "q_id, recall_at_5", "q_id"),
       "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),

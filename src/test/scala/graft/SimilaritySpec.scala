@@ -698,4 +698,49 @@ class SimilaritySpec extends AnyFunSuite {
       "the watermark fold must physically purge the retracted vectors")
     assert(visible() === before -- Set(3L, scoped))
   }
+
+  test("ANN planner: cheapest tier meeting the target, across targets and corpus sizes") {
+    // a synthetic decision table pins the procedure independently of
+    // what this corpus happens to measure
+    val measured = Map(
+      "lsh" -> 0.92, "ivf" -> 0.90, "pq" -> 0.95,
+      "pq_refine" -> 0.99, "ivf_pq" -> 0.85, "ivf_pq_refine" -> 0.97)
+    val n = 1000000L
+    // cost order at large n: ivf_pq < ivf_pq_refine < pq < pq_refine < ivf = lsh < brute
+    assert(Similarity.chooseAnnTier(measured, n, 0.5) === "ivf_pq",
+      "everything clears a low bar; the cheapest tier must win")
+    assert(Similarity.chooseAnnTier(measured, n, 0.9) === "ivf_pq_refine",
+      "ivf_pq (0.85) misses 0.9; the refined composition is the next-cheapest that clears it")
+    assert(Similarity.chooseAnnTier(measured, n, 0.98) === "pq_refine")
+    assert(Similarity.chooseAnnTier(measured, n, 1.0) === "brute",
+      "only brute force guarantees exactness")
+    // corpus size flips refine economics: at 10 vectors the refine
+    // stage's fixed per-query re-read dwarfs the scan it saves
+    assert(Similarity.chooseAnnTier(measured, 10L, 0.9) === "pq",
+      "a tiny corpus makes the code scan cheaper than any refine constant")
+    // equal cost ties break toward higher recall (ivf and lsh price
+    // identically here: 5/16 of the corpus at full precision)
+    assert(Similarity.chooseAnnTier(Map("lsh" -> 0.92, "ivf" -> 0.90), n, 0.9) === "lsh")
+    intercept[IllegalArgumentException] {
+      Similarity.chooseAnnTier(measured, n, 1.5)
+    }
+  }
+
+  test("q_ann_plan serves the chosen tier's own registered results, stamped with the choice") {
+    val planned = Similarity.qAnnPlan(spark, dir)
+    val tiers = planned.select("tier").distinct().collect().map(_.getString(0))
+    assert(tiers.length === 1, "one decision per corpus")
+    val tier = tiers.head
+    val served = collect(planned.drop("tier"))
+    val standalone = collect(Similarity.annTierFaces(tier)(spark, dir))
+    assert(served === standalone,
+      s"the planner must serve tier '$tier' verbatim — a re-derivation could drift")
+    // the decision honors the target: the chosen tier's measured recall
+    // clears it (brute needs no measurement)
+    if (tier != "brute") {
+      val m = Similarity.measuredTierRecall(spark, dir)
+      assert(m(tier) + 1e-9 >= Similarity.AnnPlanRecallTarget,
+        s"chosen tier $tier measures ${m(tier)} below the target")
+    }
+  }
 }
