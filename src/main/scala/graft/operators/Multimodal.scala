@@ -15,11 +15,15 @@ import graft.sources.Tables
   * 0 and emits actual dimensions, and an animated GIF reports its true
   * frame count, which makes the frame-sampling fan-out real rather than
   * stub arithmetic (MultimodalSpec decodes real PNG/JPEG/BMP bytes and a
-  * written multi-frame GIF). Payloads in formats the JDK cannot decode
-  * (video/audio codecs, and the synthetic testdata's text-bytes
-  * stand-ins) fall back to `fakeDecode`, which derives deterministic
-  * pseudo-features from the raw bytes — an honest, loudly-documented
-  * stub for the codecs this container lacks.
+  * written multi-frame GIF) — and WAV/AIFF/AU via `javax.sound.sampled`.
+  * MP3 and ADTS/AAC, which have no JDK codec, get REAL frame-header
+  * METADATA from a zero-dependency bit-field walk ([[readMpegAudioMeta]]
+  * — sample rate, channels, PCM frame count, duration, CBR bitrate);
+  * only their PCM decode remains external, behind the [[MediaCodec]]
+  * seam. Everything else (video codecs, and the synthetic testdata's
+  * text-bytes stand-ins) falls back to `fakeDecode`, which derives
+  * deterministic pseudo-features from the raw bytes — an honest,
+  * loudly-documented stub for the codecs this container lacks.
   *
   * Scale: decode runs via mapPartitions so per-record codec setup is
   * amortized per partition (the reason mapInPandas/mapPartitions exists);
@@ -181,6 +185,146 @@ object Multimodal {
       }
     }.flatMap(Option(_))
 
+  // ---- MPEG audio frame-header metadata (zero-dependency bit parse) -------
+  // MP3 and ADTS/AAC have no JDK codec, so their PCM decode stays behind
+  // the MediaCodec seam — but their FRAME HEADERS are plain bit fields
+  // (public format: ISO/IEC 11172-3 §2.4.1.3 / 14496-3 §1.A.3), so real
+  // duration/bitrate/frame-count metadata needs no codec at all. This
+  // shrinks the documented fallback residue to PCM decode only
+  // (r18 verdict item 6).
+
+  /** Parsed MPEG-audio stream summary. `sampleFrames` = PCM frames the
+    * stream decodes to (per-frame samples × frame count); duration and
+    * mean bitrate derive from it. */
+  final case class MpegAudioMeta(container: String, sampleRate: Int,
+      channels: Int, nFrames: Int, sampleFrames: Long, bitrateKbps: Option[Int]) {
+    def durationMs: Long = sampleFrames * 1000L / sampleRate
+  }
+
+  /** MPEG1/2/2.5 Layer III bitrate table (kbps; index 0 = free, 15 = bad). */
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000)
+
+  /** ID3v2 prefix length (syncsafe size), 0 when absent. */
+  private def id3v2Len(p: Array[Byte]): Int =
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3')
+      10 + (((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) | ((p(8) & 0x7F) << 7) | (p(9) & 0x7F))
+    else 0
+
+  /** Frame-header walk over an MP3 (Layer III) or ADTS/AAC stream.
+    * Deliberately strict — this runs on arbitrary corpus bytes, so
+    * false positives are the failure mode to design against: sync must
+    * sit at offset 0 (or immediately after an ID3v2 tag — no resync
+    * scan), at least TWO consecutive valid frames must parse, and the
+    * stream must end within one header of the last frame (truncated
+    * tails reject). None → the caller falls through to the codec seam
+    * and then the stub, the malformed-record doctrine. */
+  private[graft] def readMpegAudioMeta(p: Array[Byte]): Option[MpegAudioMeta] = {
+    val start = id3v2Len(p)
+    if (start < 0 || start + 4 > p.length) return None
+    def u(i: Int): Int = p(i) & 0xFF
+    // ---- MP3 (Layer III) walk ----
+    def mp3: Option[MpegAudioMeta] = {
+      var o = start
+      var frames = 0
+      var sampleFrames = 0L
+      var rate = -1
+      var ch = -1
+      var brSum = 0L
+      while (o + 4 <= p.length && u(o) == 0xFF && (u(o + 1) & 0xE0) == 0xE0) {
+        val ver = (u(o + 1) >> 3) & 3   // 0=2.5, 1=rsvd, 2=MPEG2, 3=MPEG1
+        val layer = (u(o + 1) >> 1) & 3 // 1 = Layer III
+        val brIdx = (u(o + 2) >> 4) & 0xF
+        val rIdx = (u(o + 2) >> 2) & 3
+        val pad = (u(o + 2) >> 1) & 1
+        if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || rIdx == 3) return None
+        val r = (if (ver == 3) Mp3RateV1 else if (ver == 2) Mp3RateV2 else Mp3RateV25)(rIdx)
+        val br = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000
+        val c = if (((u(o + 3) >> 6) & 3) == 3) 1 else 2
+        if (rate < 0) { rate = r; ch = c }
+        else if (r != rate) return None // rate switch mid-stream: not a stream we claim
+        val spf = if (ver == 3) 1152 else 576
+        val len = spf / 8 * br / r + pad
+        if (len < 4 || o + len > p.length) return None
+        frames += 1; sampleFrames += spf; brSum += br
+        o += len
+      }
+      if (frames >= 2 && p.length - o < 4)
+        Some(MpegAudioMeta("mp3", rate, ch, frames, sampleFrames,
+          Some((brSum / frames / 1000).toInt)))
+      else None
+    }
+    // ---- ADTS (AAC) walk ----
+    def adts: Option[MpegAudioMeta] = {
+      var o = start
+      var frames = 0
+      var rate = -1
+      var ch = -1
+      while (o + 7 <= p.length && u(o) == 0xFF && (u(o + 1) & 0xF6) == 0xF0) {
+        val fIdx = (u(o + 2) >> 2) & 0xF
+        val cfg = ((u(o + 2) & 1) << 2) | ((u(o + 3) >> 6) & 3)
+        if (fIdx >= AdtsRates.length || cfg == 0) return None
+        val r = AdtsRates(fIdx)
+        val c = if (cfg == 7) 8 else cfg
+        if (rate < 0) { rate = r; ch = c } else if (r != rate) return None
+        val len = ((u(o + 3) & 3) << 11) | (u(o + 4) << 3) | ((u(o + 5) >> 5) & 7)
+        if (len < 7 || o + len > p.length) return None
+        frames += 1
+        o += len
+      }
+      if (frames >= 2 && p.length - o < 7)
+        Some(MpegAudioMeta("aac", rate, ch, frames, frames.toLong * 1024, None))
+      else None
+    }
+    mp3.orElse(adts)
+  }
+
+  /** Deterministic MPEG1 Layer III stream (128 kbps CBR, `nFrames`
+    * frames, zero payload) behind an ID3v2 tag — the planted fixture
+    * the meta face and specs parse back. rateIdx: 0=44100 1=48000
+    * 2=32000. */
+  private[graft] def synthMp3(nFrames: Int, rateIdx: Int, stereo: Boolean): Array[Byte] = {
+    val rate = Mp3RateV1(rateIdx)
+    val frameLen = 144 * 128000 / rate // padding 0
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 tag with a 10-byte body: the parser must skip 20 bytes
+    out.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10))
+    out.write(new Array[Byte](10))
+    (0 until nFrames).foreach { _ =>
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xFF.toByte
+      f(1) = 0xFB.toByte                                  // MPEG1, Layer III, no CRC
+      f(2) = (0x90 | (rateIdx << 2)).toByte               // bitrate idx 9 = 128k, no padding
+      f(3) = (if (stereo) 0x00 else 0xC0).toByte          // channel mode
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic ADTS/AAC-LC stream (`nFrames` frames of 20 bytes).
+    * freqIdx indexes [[AdtsRates]]; channels is the channel config. */
+  private[graft] def synthAdts(nFrames: Int, freqIdx: Int, channels: Int): Array[Byte] = {
+    val len = 20 // 7-byte header + 13 payload bytes
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { _ =>
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte
+      f(1) = 0xF1.toByte                                   // MPEG-4, layer 00, no CRC
+      f(2) = (0x40 | (freqIdx << 2) | (channels >> 2)).toByte // AAC-LC profile
+      f(3) = (((channels & 3) << 6) | ((len >> 11) & 3)).toByte
+      f(4) = ((len >> 3) & 0xFF).toByte
+      f(5) = (((len & 7) << 5) | 0x1F).toByte              // fullness = 0x7FF (VBR)
+      f(6) = 0xFC.toByte
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
   /** STUB decode (???-equivalent) for formats the JDK has no codec for:
     * dimensions/frames are deterministic arithmetic over the byte length.
     */
@@ -242,7 +386,15 @@ object Multimodal {
       // readAudioMeta). The synthetic corpus' text-byte "audio" payloads
       // never sniff as RIFF/FORM/.snd, so the oracle arithmetic for the
       // differential faces is untouched; MultimodalSpec plants real WAVs.
-      else if (r.kind == "audio") sniffAudioFormat(r.payload).flatMap(_ => readAudioMeta(r.payload))
+      else if (r.kind == "audio")
+        sniffAudioFormat(r.payload).flatMap(_ => readAudioMeta(r.payload))
+          // MP3/ADTS: no JDK codec, but the frame headers are public
+          // bit fields — real (sample_rate, channels, sample_frames)
+          // metadata from the header walk; PCM decode for these two
+          // containers remains the MediaCodec seam's job
+          .orElse(readMpegAudioMeta(r.payload).map(m =>
+            (m.sampleRate, m.channels,
+              math.min(m.sampleFrames, Int.MaxValue.toLong).toInt)))
       else None
     val viaExternal = viaCodec.orElse {
       codecs.iterator.flatMap { c =>
@@ -515,17 +667,51 @@ object Multimodal {
     Dedup.bandedHammingPairs(hashed, "media_id", "dhash", 3, "media_a", "media_b")
   }
 
-  /** SQL-expressible metadata slice (byte length, content hash, stub dims)
-    * — the differential-testable face of the same plumbing.
-    */
-  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+  /** One q_multimodal_meta output row (the MPEG columns are None for
+    * payloads that are not MPEG audio — the whole text corpus). */
+  private final case class MetaRow(doc_id: Long, n_bytes: Long,
+      content_hash: String, fake_w: Long, fake_h: Long,
+      container: Option[String], sample_rate: Option[Long],
+      channels: Option[Long], n_frames: Option[Long],
+      sample_frames: Option[Long], duration_ms: Option[Long],
+      bitrate_kbps: Option[Long])
+
+  /** Metadata slice of the media plumbing, now carrying REAL MPEG
+    * frame-header metadata: every %10=0 doc plants a deterministic MP3
+    * stream and every %10=5 an ADTS/AAC stream (parameters derived from
+    * doc_id), parsed back by [[readMpegAudioMeta]] on the executors;
+    * text payloads exercise the not-claimed path (UTF-8 never contains
+    * the 0xFF sync byte). The DuckDB oracle replays the plant
+    * parameters as pure arithmetic, so a header-walk bug — wrong table,
+    * wrong bit offset, missed ID3 skip — shows up as a hash mismatch.
+    * Runs as a Dataset map (the module's mapPartitions doctrine: this
+    * is byte-level parsing, not expression work). */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
-        md5(encode(col("text"), "UTF-8")).as("content_hash"),
-        (pmod(octet_length(encode(col("text"), "UTF-8")).cast(LongType), lit(640L)) + 1).as("fake_w"),
-        (pmod(col("doc_id"), lit(480L)) + 1).as("fake_h"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, txt) =>
+        val k = id / 10
+        val payload =
+          if (id % 10 == 0) synthMp3((k % 6).toInt + 2, (k % 3).toInt, stereo = k % 2 == 1)
+          else if (id % 10 == 5) synthAdts((k % 6).toInt + 2, 3 + (k % 3).toInt, (k % 2).toInt + 1)
+          else txt
+        val meta = readMpegAudioMeta(payload)
+        val hash = {
+          val d = java.security.MessageDigest.getInstance("MD5").digest(txt)
+          d.map(b => f"${b & 0xff}%02x").mkString
+        }
+        MetaRow(id, txt.length.toLong, hash,
+          txt.length.toLong % 640 + 1, id % 480 + 1,
+          meta.map(_.container), meta.map(_.sampleRate.toLong),
+          meta.map(_.channels.toLong), meta.map(_.nFrames.toLong),
+          meta.map(_.sampleFrames), meta.map(_.durationMs),
+          meta.flatMap(_.bitrateKbps.map(_.toLong)))
+      }
+      .toDF()
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
@@ -539,13 +725,40 @@ object Multimodal {
     * path — deterministic by design); checksum columns are excluded from
     * the differential face and pinned by MultimodalSpec. */
   val oracles: Map[String, String] = Map(
+    // the MPEG columns replay the PLANT parameters as arithmetic: the
+    // engine parses real synthesized streams, the oracle knows what was
+    // planted — disagreement means the header walk misread a bit field
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS content_hash,
-        |  octet_length(encode(text)) % 640 + 1 AS fake_w,
-        |  doc_id % 480 + 1 AS fake_h
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, doc_id // 10 AS k,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'mp3'
+        |         WHEN doc_id % 10 = 5 THEN 'aac' END AS container
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, container,
+        |    CASE container
+        |      WHEN 'mp3' THEN CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |      WHEN 'aac' THEN CASE k % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END END AS sample_rate,
+        |    CASE WHEN container IS NOT NULL THEN k % 2 + 1 END AS channels,
+        |    CASE WHEN container IS NOT NULL THEN k % 6 + 2 END AS n_frames,
+        |    CASE container WHEN 'mp3' THEN (k % 6 + 2) * 1152
+        |                   WHEN 'aac' THEN (k % 6 + 2) * 1024 END AS sample_frames,
+        |    CASE container WHEN 'mp3' THEN 128 END AS bitrate_kbps
+        |  FROM m)
+        |SELECT d.doc_id,
+        |  octet_length(encode(d.text)) AS n_bytes,
+        |  md5(d.text) AS content_hash,
+        |  octet_length(encode(d.text)) % 640 + 1 AS fake_w,
+        |  d.doc_id % 480 + 1 AS fake_h,
+        |  x.container,
+        |  CAST(x.sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(x.channels AS BIGINT) AS channels,
+        |  CAST(x.n_frames AS BIGINT) AS n_frames,
+        |  CAST(x.sample_frames AS BIGINT) AS sample_frames,
+        |  CAST(x.sample_frames * 1000 // x.sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(x.bitrate_kbps AS BIGINT) AS bitrate_kbps
+        |FROM documents d JOIN x ON d.doc_id = x.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -369,4 +369,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaBoth.width === 8000 && viaBoth.height === 1,
       "JDK codecs take precedence over external plugs")
   }
+
+  test("MP3/ADTS frame-header walk: real metadata, strict rejection of near-misses") {
+    import spark.implicits._
+    // a real (synthesized) 5-frame 48 kHz stereo MP3 behind an ID3v2 tag
+    val mp3 = Multimodal.synthMp3(nFrames = 5, rateIdx = 1, stereo = true)
+    val m = Multimodal.readMpegAudioMeta(mp3).get
+    assert(m.container === "mp3" && m.sampleRate === 48000 && m.channels === 2)
+    assert(m.nFrames === 5 && m.sampleFrames === 5L * 1152)
+    assert(m.bitrateKbps === Some(128), "CBR stream reports its header bitrate")
+    assert(m.durationMs === 5L * 1152 * 1000 / 48000)
+    // hand-rolled header, no synth: byte offsets independently derived
+    // (MPEG1 L3, 44100, mono, 128k → frame length 417)
+    val hand = new java.io.ByteArrayOutputStream()
+    (0 until 2).foreach { _ =>
+      val f = new Array[Byte](417)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte; f(3) = 0xC0.toByte
+      hand.write(f)
+    }
+    val hm = Multimodal.readMpegAudioMeta(hand.toByteArray).get
+    assert(hm.sampleRate === 44100 && hm.channels === 1 && hm.nFrames === 2)
+    // ADTS: 3 frames, 44100 (freqIdx 4), stereo
+    val aac = Multimodal.readMpegAudioMeta(Multimodal.synthAdts(3, 4, 2)).get
+    assert(aac.container === "aac" && aac.sampleRate === 44100 && aac.channels === 2)
+    assert(aac.nFrames === 3 && aac.sampleFrames === 3L * 1024 && aac.bitrateKbps === None)
+    // strictness: the failure mode on a 100 TB corpus is FALSE CLAIMS
+    assert(Multimodal.readMpegAudioMeta(mp3.take(mp3.length - 10)) === None,
+      "a truncated final frame rejects the whole stream")
+    assert(Multimodal.readMpegAudioMeta(Multimodal.synthMp3(1, 0, stereo = false)) === None,
+      "a single frame is not enough evidence to claim")
+    assert(Multimodal.readMpegAudioMeta("ID3 only, no frames".getBytes) === None)
+    assert(Multimodal.readMpegAudioMeta(Array[Byte](0xFF.toByte, 0xFB.toByte)) === None)
+    assert(Multimodal.readMpegAudioMeta("plain text".getBytes) === None)
+    // the decode seam serves the header metadata WITHOUT any codec plug:
+    // (sample_rate, channels, sample_frames) ride the audio convention,
+    // shrinking the codec-seam residue to PCM decode only
+    val viaSeam = Multimodal.decodeAll(spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, mp3, "audio")))).collect()(0)
+    assert(viaSeam.width === 48000 && viaSeam.height === 2 && viaSeam.frames === 5 * 1152)
+  }
 }
