@@ -101,7 +101,15 @@ object ScaleCheck {
     // re-rank stays |queries|xR id-fetches (bounded extra reads), so
     // wall must track the candidate scan (flat ADC for q_pq_refine,
     // the probed-lists slice for q_ivf_pq_refine), not the shortlist
-    "q_pq_refine", "q_ivf_pq_refine")
+    "q_pq_refine", "q_ivf_pq_refine",
+    // round-19: the planner face (measures every tier's recall once into
+    // its store, then serves the chosen tier — the ratio shows the
+    // store-build amortizes and the served tier scales like its
+    // standalone self), the reordered capstone (near-dup fingerprints
+    // now run on gated survivors — wall must track the SURVIVOR count,
+    // not the raw corpus), and the meta face's MPEG header walk (pure
+    // per-row byte parsing — must scale linearly)
+    "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
@@ -387,6 +395,57 @@ object ScaleCheck {
           Seq("doc_id"), "left_semi").count() == 0L,
         "recovery must not resurrect purged docs or tombstones")
       System.err.println(f"[scale] failure injection: killed mid-swap -> FAILURE + DEPENDENCY FAILURE; restarted leg recovered the sf1 store in $recoverSec%6.2f s, faces intact")
+    }
+
+    // 7. STREAMING-ADMISSION KILL at sf1 (r18 verdict item 8): the one
+    //    crash window the mid-swap injection doesn't cover — the driver
+    //    dies INSIDE a micro-batch's store admission: Bloom/IdBloom
+    //    sidecars absorbed, the partition overwrite HALF-committed, and
+    //    the writer claim still held (through the HTTP bucket binding,
+    //    exactly how a cloud estate would wedge). Recovery protocol:
+    //    verify the holder is dead → forceBreak → let the at-least-once
+    //    replay re-run the batch. The sf1 store must converge to the
+    //    once-run state bit-identically (StreamingSpec proves the same
+    //    window at spec scale on BOTH streaming stores).
+    locally {
+      import graft.streaming.EventStreams
+      val hfs = new org.apache.hadoop.fs.Path(sig)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sigRef = s"$base/sigRef"
+      require(org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(sig),
+        hfs, new org.apache.hadoop.fs.Path(sigRef), false,
+        spark.sparkContext.hadoopConfiguration), "reference store copy must apply")
+      // a fresh micro-batch: id-shifted, text-suffixed docs (some will
+      // gate as near-dups of their originals — the realistic mix)
+      val killBatch = docs
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" admission kill leg")).as("text"))
+        .filter(pmod(col("doc_id"), lit(101L)) === 7)
+      val (gOutRef, gOutCrash) = (s"$base/gateOutRef", s"$base/gateOutCrash")
+      EventStreams.gateBatch(killBatch, 999L, sigRef, gOutRef) // the once-run reference
+      // plant the kill on the live estate store: absorbs landed, HALF
+      // of the once-run admission's rows committed, claim held
+      val sigRows = Dedup.signaturesOf(killBatch).withColumn("batch_id", lit(999L))
+      Dedup.absorbIntoBloom(spark, sig, sigRows.select("bucket"))
+      graft.sources.IdBloom.absorb(spark, sig, sigRows.select("doc_id"))
+      val admitted = spark.read.parquet(sigRef).filter(col("batch_id") === 999L)
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        admitted.filter(pmod(col("doc_id"), lit(2L)) === 0), sig, Seq("shard", "batch_id"))
+      require(graft.sources.StoreLock.objectStore.putIfAbsent(
+        java.nio.file.Paths.get(graft.sources.StoreLock.lockPath(sig)),
+        "pid=99999999 op=gate-admit thread=dead ts=1970-01-01T00:00:00Z".getBytes("UTF-8")),
+        "the dead writer's claim must plant")
+      val t2 = System.nanoTime()
+      graft.sources.StoreLock.forceBreak(sig) // holder verified dead (we are it)
+      EventStreams.gateBatch(killBatch, 999L, sig, gOutCrash)
+      val replaySec = (System.nanoTime() - t2) / 1e9
+      def snap(p: String): Seq[String] =
+        spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+      require(snap(sig) == snap(sigRef),
+        "the replayed admission must converge the half-committed sf1 store to the once-run state")
+      require(snap(gOutCrash) == snap(gOutRef),
+        "replayed verdicts must equal the uninterrupted run's")
+      System.err.println(f"[scale] streaming-admission kill: stale claim broken, at-least-once replay converged the sf1 gate store in $replaySec%6.2f s, verdicts identical")
     }
     sec
   }

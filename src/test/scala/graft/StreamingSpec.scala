@@ -367,6 +367,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(v20 === 1)
   }
 
+  test("kill DURING store admission: stale claim + partial write, forceBreak + replay converges (both streaming stores)") {
+    // The one crash window the mid-compaction injection doesn't cover
+    // (r18 verdict item 8): the driver dies INSIDE a micro-batch's
+    // admission — Bloom/IdBloom sidecars absorbed, the partition
+    // overwrite partially committed, and the writer claim still on disk
+    // naming the dead pid. The documented recovery protocol (verify the
+    // holder is dead → forceBreak → let the at-least-once replay re-run
+    // the batch) must converge both streaming stores to the once-run
+    // state, bit-identically.
+    import java.nio.file.Paths
+    import graft.operators.{Dedup, Similarity}
+    import graft.sources.{IdBloom, Sinks, StoreLock}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-admitkill").toString
+    def snap(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    // ---- signature/gate store ----
+    val (ref, crash, outRef, outCrash) =
+      (s"$tmp/ref", s"$tmp/crash", s"$tmp/outRef", s"$tmp/outCrash")
+    val bootTxt = "the quick brown fox jumps over the lazy dog today"
+    Seq(ref, crash).foreach(p =>
+      Dedup.writeSignatures(Dedup.signaturesOf(Seq(DocText(1L, bootTxt)).toDF()), p))
+    val b1 = Seq(
+      DocText(10L, bootTxt), // duplicate of the bootstrap → rejected
+      DocText(11L, "a brand new document with fresh unique wording entirely"),
+      DocText(12L, "another different sentence that matches nothing stored here")).toDF()
+    EventStreams.gateBatch(b1, 1L, ref, outRef) // the once-run reference
+    // plant the kill state on the crash store: sidecars absorbed,
+    // admission HALF-committed (doc 11's partitions only), claim held
+    val sig = Dedup.signaturesOf(b1).withColumn("batch_id", lit(1L))
+    Dedup.absorbIntoBloom(spark, crash, sig.select("bucket"))
+    IdBloom.absorb(spark, crash, sig.select("doc_id"))
+    Sinks.overwritePartitionsDynamic(sig.filter(col("doc_id") === 11L),
+      crash, Seq("shard", "batch_id"))
+    assert(StoreLock.objectStore.putIfAbsent(Paths.get(StoreLock.lockPath(crash)),
+      "pid=99999999 op=gate-admit thread=dead ts=1970-01-01T00:00:00Z".getBytes("UTF-8")),
+      "the dead writer's claim must plant")
+    assert(StoreLock.isHeld(crash))
+    // operator recovery: holder verified dead → break → replay the batch
+    StoreLock.forceBreak(crash)
+    EventStreams.gateBatch(b1, 1L, crash, outCrash)
+    assert(snap(crash) === snap(ref),
+      "the replayed admission must converge the half-committed store to the once-run state")
+    assert(snap(outCrash) === snap(outRef),
+      "replayed verdicts must equal the uninterrupted run's")
+    assert(!StoreLock.isHeld(crash), "the replay's claim must release cleanly")
+    // and the recovered store GATES like the reference: a later batch
+    // sees identical verdicts on both
+    val b2 = Seq(
+      DocText(20L, "a brand new document with fresh unique wording entirely"),
+      DocText(21L, "wholly novel content for the post-recovery admission batch")).toDF()
+    EventStreams.gateBatch(b2, 2L, ref, outRef)
+    EventStreams.gateBatch(b2, 2L, crash, outCrash)
+    assert(snap(outCrash) === snap(outRef),
+      "post-recovery gating must be indistinguishable from the uninterrupted store")
+    // ---- vector/IVF index store ----
+    implicit val sqlCtx = spark.sqlContext
+    val (refIdx, crashIdx) = (s"$tmp/refIdx", s"$tmp/crashIdx")
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val half = emb.filter(col("vec_id") < 250)
+    Similarity.writeIvfIndexFrom(spark, half, refIdx)
+    Similarity.writeIvfIndexFrom(spark, half, crashIdx)
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select("vec_id", "embedding").as[VecRow].collect().toSeq
+    EventStreams.ingestVectorBatch(rest.toDF(), 1L, refIdx)
+    // kill state: half the batch's (list_id, batch_id) partitions
+    // committed, claim held by the dead pid
+    Similarity.appendIvfIndexBatch(spark, rest.take(rest.length / 2).toDF(), crashIdx, 1L)
+    assert(StoreLock.objectStore.putIfAbsent(Paths.get(StoreLock.lockPath(crashIdx)),
+      "pid=99999999 op=ivf-append thread=dead ts=1970-01-01T00:00:00Z".getBytes("UTF-8")))
+    StoreLock.forceBreak(crashIdx)
+    EventStreams.ingestVectorBatch(rest.toDF(), 1L, crashIdx)
+    def content(path: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(path).select("vec_id", "list_id", "batch_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getAs[Number](2).longValue)).toSet
+    assert(content(crashIdx) === content(refIdx),
+      "the replayed vector batch must converge the half-committed index")
+    assert(Similarity.readCentroids(spark, crashIdx).map { case (i, c, n) => (i, c.toSeq, n) } ===
+      Similarity.readCentroids(spark, refIdx).map { case (i, c, n) => (i, c.toSeq, n) },
+      "recovery must not retrain the frozen quantizer")
+  }
+
   test("replay straddling a compaction stays idempotent when the bucket cap binds") {
     // The sharp edge of "scoped partitions preserved verbatim": all docs
     // below share ONE blocking bucket (same 40-char prefix), the bucket
