@@ -325,6 +325,325 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- Video container/bitstream metadata (zero-dependency bit parse) -----
+  // H.264 and the codecs inside MP4 have no JDK decoder, so PIXEL decode
+  // stays behind the MediaCodec seam — but the container structures are
+  // plain big-endian byte/bit fields (public formats: ISO/IEC 14496-12's
+  // box model; ISO/IEC 14496-10 §7.3.2.1 SPS over Annex-B byte streams),
+  // so real width/height/frame-count/duration metadata needs no codec.
+  // The r19 twin of the r18 MPEG-audio walk: with both, the documented
+  // codec residue is pixel/PCM decode only.
+
+  /** Parsed video-stream summary. `durationMs` is None for raw Annex-B
+    * elementary streams — without a container (or SPS VUI timing, which
+    * encoders rarely emit and the strict claim does not require) the
+    * bitstream carries no clock. */
+  final case class VideoMeta(container: String, codec: String, width: Int,
+      height: Int, nFrames: Int, durationMs: Option[Long])
+
+  /** MSB-first bit reader over RBSP bytes (exp-Golomb ue/se per
+    * ISO/IEC 14496-10 §9.1); reading past the end throws — the callers
+    * catch and reject, the strict-claim doctrine. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def bit(): Int = { val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; r }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    def ue(): Int = {
+      var z = 0
+      while (bit() == 0) { z += 1; require(z <= 31, "ue overflow") }
+      (1 << z) - 1 + (if (z > 0) bits(z) else 0)
+    }
+    def se(): Int = { val k = ue(); if (k % 2 == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** ISO BMFF (MP4) box walk. Strict claim: the file must LEAD with an
+    * `ftyp` box (no scan), every box size must nest exactly, and the
+    * moov/trak/mdia/minf/stbl spine must be present and well-formed —
+    * None otherwise, arbitrary corpus bytes never parse half-way. Reads
+    * mvhd timescale+duration (v0 and v1 layouts), the first visual
+    * trak's tkhd 16.16 width/height, its stsz sample count (= coded
+    * frames) and the stsd entry fourcc (the codec). */
+  private[graft] def readMp4Meta(p: Array[Byte]): Option[VideoMeta] = {
+    def u32(i: Int): Long = ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+      ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int): String = new String(p, i, 4, "ISO-8859-1")
+    if (p.length < 16 || fourcc(4) != "ftyp") return None
+    // children of [from,to) as (type, payloadStart, payloadEnd); None on
+    // any malformed size (overflow, truncation, non-exact nesting)
+    def boxes(from: Int, to: Int): Option[List[(String, Int, Int)]] = {
+      val acc = List.newBuilder[(String, Int, Int)]
+      var o = from
+      while (o < to) {
+        if (o + 8 > to) return None
+        var sz = u32(o); var hdr = 8
+        if (sz == 1) { if (o + 16 > to) return None; sz = u64(o + 8); hdr = 16 }
+        else if (sz == 0) sz = (to - o).toLong
+        if (sz < hdr || sz > to - o) return None
+        acc += ((fourcc(o + 4), o + hdr, o + sz.toInt))
+        o += sz.toInt
+      }
+      Some(acc.result())
+    }
+    def child(bs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+    try {
+      val top = boxes(0, p.length).getOrElse(return None)
+      val (moovS, moovE) = child(top, "moov").getOrElse(return None)
+      val moov = boxes(moovS, moovE).getOrElse(return None)
+      val (mvhdS, mvhdE) = child(moov, "mvhd").getOrElse(return None)
+      val mvhdV = p(mvhdS) & 0xFF
+      val (timescale, duration) =
+        if (mvhdV == 0) { if (mvhdE - mvhdS < 20) return None; (u32(mvhdS + 12), u32(mvhdS + 16)) }
+        else { if (mvhdE - mvhdS < 32) return None; (u32(mvhdS + 20), u64(mvhdS + 24)) }
+      if (timescale <= 0) return None
+      // first trak whose tkhd carries a nonzero visual width
+      moov.collect { case ("trak", s, e) => (s, e) }.flatMap { case (ts, te) =>
+        for {
+          trak <- boxes(ts, te)
+          (tkS, tkE) <- child(trak, "tkhd")
+          wOff = if ((p(tkS) & 0xFF) == 0) tkS + 76 else tkS + 88
+          if tkE - wOff >= 8
+          w = (u32(wOff) >> 16).toInt
+          h = (u32(wOff + 4) >> 16).toInt
+          if w > 0 && h > 0
+          (mdS, mdE) <- child(trak, "mdia")
+          mdia <- boxes(mdS, mdE)
+          (mnS, mnE) <- child(mdia, "minf")
+          minf <- boxes(mnS, mnE)
+          (sbS, sbE) <- child(minf, "stbl")
+          stbl <- boxes(sbS, sbE)
+          (szS, szE) <- child(stbl, "stsz")
+          if szE - szS >= 12
+          frames = u32(szS + 8).toInt
+          (sdS, sdE) <- child(stbl, "stsd")
+          if sdE - sdS >= 16
+          codec = fourcc(sdS + 12)
+        } yield VideoMeta("mp4", codec, w, h, frames,
+          Some(duration * 1000L / timescale))
+      }.headOption
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** H.264 Annex-B elementary-stream walk. Strict claim: a start code at
+    * offset 0 and the FIRST NAL must be an SPS (type 7) that parses to
+    * the end of its size fields — no resync scan. Width/height come from
+    * the SPS macroblock counts minus frame cropping (§7.3.2.1.1 with the
+    * SubWidthC/SubHeightC crop units of the parsed chroma format);
+    * frames = coded slices (NAL type 1/5) whose first_mb_in_slice is 0,
+    * i.e. picture starts, so multi-slice pictures are not double-counted. */
+  private[graft] def readH264Meta(p: Array[Byte]): Option[VideoMeta] = {
+    // split at 00 00 01 start codes; a NAL's payload runs to the next
+    // code's first byte, minus any trailing zero bytes (Annex B's
+    // trailing_zero_8bits — a 4-byte next code's leading zero, or
+    // encoder padding, must not read as payload)
+    def nalUnits: List[(Int, Int)] = {
+      val starts = List.newBuilder[Int]           // payload starts
+      val codeAt = List.newBuilder[Int]           // 00 00 01 positions
+      var i = 0
+      while (i + 3 <= p.length) {
+        if (p(i) == 0 && p(i + 1) == 0 && p(i + 2) == 1) { codeAt += i; starts += (i + 3); i += 3 }
+        else i += 1
+      }
+      val s = starts.result()
+      s.zip(codeAt.result().drop(1) :+ p.length).map { case (a, rawEnd) =>
+        var e = rawEnd
+        while (e > a && p(e - 1) == 0) e -= 1
+        (a, e)
+      }
+    }
+    if (p.length < 8) return None
+    val codeLen = if (p(0) == 0 && p(1) == 0 && p(2) == 0 && p(3) == 1) 4
+      else if (p(0) == 0 && p(1) == 0 && p(2) == 1) 3 else return None
+    val nals = nalUnits
+    if (nals.isEmpty) return None
+    // RBSP: strip emulation-prevention bytes (00 00 03 -> 00 00)
+    def rbsp(from: Int, to: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(to - from)
+      var i = from
+      while (i < to) {
+        if (i + 2 < to && p(i) == 0 && p(i + 1) == 0 && p(i + 2) == 3) {
+          out.write(0); out.write(0); i += 3
+        } else { out.write(p(i)); i += 1 }
+      }
+      out.toByteArray
+    }
+    try {
+      val (spsS, spsE) = nals.head
+      if (spsS != codeLen) return None        // first NAL at offset 0's code
+      if ((p(spsS) & 0x1F) != 7) return None  // and it must be the SPS
+      val r = new BitReader(rbsp(spsS + 1, spsE))
+      val profile = r.bits(8); r.bits(8); r.bits(8); r.ue() // constraints, level, sps_id
+      var chroma = 1
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)(profile)) {
+        chroma = r.ue()
+        if (chroma == 3) r.bit()
+        r.ue(); r.ue(); r.bit()
+        if (r.bit() == 1) {                    // scaling matrices: skip
+          val n = if (chroma != 3) 8 else 12
+          (0 until n).foreach { i =>
+            if (r.bit() == 1) {
+              var last = 8; var next = 8
+              (0 until (if (i < 6) 16 else 64)).foreach { _ =>
+                if (next != 0) next = (last + r.se() + 256) % 256
+                if (next != 0) last = next
+              }
+            }
+          }
+        }
+      }
+      r.ue()                                   // log2_max_frame_num_minus4
+      r.ue() match {
+        case 0 => r.ue()
+        case 1 =>
+          r.bit(); r.se(); r.se()
+          (0 until r.ue()).foreach(_ => r.se())
+        case _ => ()
+      }
+      r.ue(); r.bit()                          // max_num_ref_frames, gaps flag
+      val wMbs = r.ue() + 1
+      val hUnits = r.ue() + 1
+      val frameMbsOnly = r.bit()
+      if (frameMbsOnly == 0) r.bit()
+      r.bit()                                  // direct_8x8_inference
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.bit() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      val cropX = if (chroma == 1 || chroma == 2) 2 else 1
+      val cropY = (if (chroma == 1) 2 else 1) * (2 - frameMbsOnly)
+      val w = wMbs * 16 - (cl + cr) * cropX
+      val h = (2 - frameMbsOnly) * hUnits * 16 - (ct + cb) * cropY
+      if (w <= 0 || h <= 0) return None
+      val frames = nals.count { case (s, e) =>
+        e > s && Set(1, 5)(p(s) & 0x1F) &&
+          (try new BitReader(rbsp(s + 1, math.min(e, s + 9))).ue() == 0
+           catch { case scala.util.control.NonFatal(_) => false })
+      }
+      if (frames == 0) None
+      else Some(VideoMeta("h264", "avc", w, h, frames, None))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container walk first (MP4 carries timing the raw stream cannot),
+    * raw Annex-B second; None → codec seam → stub, as for audio. */
+  private[graft] def readVideoMeta(p: Array[Byte]): Option[VideoMeta] =
+    readMp4Meta(p).orElse(readH264Meta(p))
+
+  /** Deterministic minimal-but-well-formed MP4: ftyp + moov(mvhd v0 +
+    * trak(tkhd + mdia(minf(stbl(stsd(avc1 VisualSampleEntry) + stsz)))))
+    * + mdat — the planted fixture the meta face and specs parse back.
+    * `durationMs` is mvhd units at timescale 1000. */
+  private[graft] def synthMp4(width: Int, height: Int, nFrames: Int,
+      durationMs: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    val identity33 = // 3x3 16.16/2.30 fixed-point identity transform
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd", new Array[Byte](4),      // version 0 + flags
+      be32(0), be32(0),                              // creation, modification
+      be32(1000), be32(durationMs),                  // timescale, duration
+      be32(0x00010000L), be16(0x0100), new Array[Byte](10), // rate, volume, reserved
+      identity33, new Array[Byte](24), be32(2))      // pre_defined, next_track_ID
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),  // v0, enabled|in_movie|in_preview
+      be32(0), be32(0), be32(1), be32(0), be32(durationMs),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      identity33,
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val avc1 = box("avc1", new Array[Byte](6), be16(1), // reserved, data_ref_idx
+      new Array[Byte](16),                           // pre_defined/reserved
+      be16(width), be16(height),
+      be32(0x00480000L), be32(0x00480000L),          // 72 dpi h/v
+      be32(0), be16(1),                              // reserved, frame_count
+      new Array[Byte](32), be16(24), be16(0xFFFF))   // compressorname, depth, pre_defined
+    val stsd = box("stsd", new Array[Byte](4), be32(1), avc1)
+    val stsz = box("stsz", new Array[Byte](4), be32(0), be32(nFrames.toLong))
+    val stbl = box("stbl", stsd, stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200),
+      "isom".getBytes("ISO-8859-1")) ++ moov ++ box("mdat", Array[Byte](0))
+  }
+
+  /** MSB-first bit writer with exp-Golomb ue, byte-aligned flush. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def bit(b: Int): this.type = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { out.write(cur); cur = 0; n = 0 }
+      this
+    }
+    def bits(v: Int, w: Int): this.type = { (w - 1 to 0 by -1).foreach(i => bit((v >> i) & 1)); this }
+    def ue(v: Int): this.type = {
+      val z = 32 - Integer.numberOfLeadingZeros(v + 1) - 1
+      (0 until z).foreach(_ => bit(0)); bits(v + 1, z + 1)
+    }
+    /** RBSP stop bit + zero padding to a byte boundary. */
+    def stop(): Array[Byte] = {
+      bit(1); while (n != 0) bit(0)
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic H.264 Annex-B stream: a baseline-profile SPS sized
+    * `widthMbs`×`heightMbs` macroblocks (no cropping), a PPS, and
+    * `nFrames` one-NAL IDR pictures (first_mb_in_slice = 0), all behind
+    * 4-byte start codes with emulation-prevention escaping applied. */
+  private[graft] def synthH264(widthMbs: Int, heightMbs: Int, nFrames: Int): Array[Byte] = {
+    def escape(rbsp: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(rbsp.length + 4)
+      var zeros = 0
+      rbsp.foreach { b =>
+        if (zeros >= 2 && (b & 0xFC) == 0) { out.write(3); zeros = 0 }
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toByteArray
+    }
+    val code = Array[Byte](0, 0, 0, 1)
+    val sps = new BitWriter()
+      .bits(0x67, 8)          // nal_ref_idc 3, type 7 (SPS)
+      .bits(66, 8)            // profile_idc: baseline
+      .bits(0, 8).bits(30, 8) // constraint flags, level 3.0
+      .ue(0)                  // sps_id
+      .ue(0)                  // log2_max_frame_num_minus4
+      .ue(0).ue(0)            // pic_order_cnt_type 0, log2_max_poc_lsb_minus4
+      .ue(1).bit(0)           // max_num_ref_frames, gaps flag
+      .ue(widthMbs - 1).ue(heightMbs - 1)
+      .bit(1)                 // frame_mbs_only
+      .bit(1)                 // direct_8x8_inference
+      .bit(0).bit(0)          // no cropping, no VUI
+      .stop()
+    val pps = new BitWriter()
+      .bits(0x68, 8)          // type 8 (PPS)
+      .ue(0).ue(0)            // pps_id, sps_id
+      .bit(0).bit(0)          // entropy CAVLC, no pic_order_present
+      .ue(0)                  // one slice group
+      .ue(0).ue(0)            // ref idx defaults
+      .bit(0).bits(0, 2)      // no weighted pred
+      .stop()
+    val slice = new BitWriter()
+      .bits(0x65, 8)          // nal_ref_idc 3, type 5 (IDR slice)
+      .ue(0)                  // first_mb_in_slice = 0: a picture start
+      .ue(7).ue(0)            // slice_type I (7), pps_id
+      .stop()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(code); out.write(escape(sps))
+    out.write(code); out.write(escape(pps))
+    (0 until nFrames).foreach { _ => out.write(code); out.write(escape(slice)) }
+    out.toByteArray
+  }
+
   /** STUB decode (???-equivalent) for formats the JDK has no codec for:
     * dimensions/frames are deterministic arithmetic over the byte length.
     */
@@ -381,6 +700,11 @@ object Multimodal {
   def decode(r: MediaRecord, codecs: Seq[MediaCodec] = Nil): MediaFeatures = {
     val viaCodec =
       if (r.kind == "image" || r.kind == "video") sniffFormat(r.payload).flatMap(_ => readImageMeta(r.payload))
+        // MP4 / raw H.264: no JDK codec, but the box model and the SPS
+        // are public byte/bit fields — real (width, height, frames)
+        // from the container walk; pixel decode stays behind the seam
+        .orElse(if (r.kind == "video") readVideoMeta(r.payload)
+          .map(v => (v.width, v.height, v.nFrames)) else None)
       // audio: real WAV/AIFF/AU header decode — (sample_rate, channels,
       // sample_frames) ride the width/height/frames slots (see
       // readAudioMeta). The synthetic corpus' text-byte "audio" payloads
@@ -713,8 +1037,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One q_video_meta output row (video columns are None for payloads
+    * the strict walks do not claim — the whole text corpus). */
+  private final case class VideoRow(doc_id: Long, container: Option[String],
+      codec: Option[String], width: Option[Long], height: Option[Long],
+      n_frames: Option[Long], duration_ms: Option[Long])
+
+  /** The video twin of [[qMultimodalMeta]]: every %10=1 doc plants a
+    * deterministic MP4 and every %10=6 a raw Annex-B H.264 stream
+    * (dimensions/frame counts derived from doc_id), parsed back by
+    * [[readVideoMeta]] on the executors; text payloads exercise the
+    * not-claimed path (UTF-8 text never leads with an ftyp box or a
+    * zero-byte start code). The DuckDB oracle replays the plant
+    * parameters as arithmetic, so a misread box offset, a wrong
+    * exp-Golomb decode, or a missed emulation-prevention byte fails the
+    * hash. */
+  def qVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, txt) =>
+        val k = id / 10
+        val payload =
+          if (id % 10 == 1)
+            synthMp4(((k % 8).toInt + 2) * 16, ((k % 5).toInt + 2) * 16,
+              (k % 24).toInt + 1, ((k % 24) + 1) * 40L)
+          else if (id % 10 == 6)
+            synthH264((k % 8).toInt + 2, (k % 5).toInt + 2, (k % 24).toInt + 1)
+          else txt
+        val meta = readVideoMeta(payload)
+        VideoRow(id, meta.map(_.container), meta.map(_.codec),
+          meta.map(_.width.toLong), meta.map(_.height.toLong),
+          meta.map(_.nFrames.toLong), meta.flatMap(_.durationMs))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
+    "q_video_meta"        -> qVideoMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
     "q_image_neardup"     -> qImageNeardup _,
@@ -759,6 +1122,22 @@ object Multimodal {
         |  CAST(x.bitrate_kbps AS BIGINT) AS bitrate_kbps
         |FROM documents d JOIN x ON d.doc_id = x.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // video columns replay the PLANT parameters, like the audio face:
+    // the engine walks real synthesized MP4 boxes / H.264 SPS bits, the
+    // oracle knows what was planted
+    "q_video_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id // 10 AS k,
+        |    CASE WHEN doc_id % 10 = 1 THEN 'mp4'
+        |         WHEN doc_id % 10 = 6 THEN 'h264' END AS container
+        |  FROM documents)
+        |SELECT doc_id, container,
+        |  CASE container WHEN 'mp4' THEN 'avc1' WHEN 'h264' THEN 'avc' END AS codec,
+        |  CAST(CASE WHEN container IS NOT NULL THEN (k % 8 + 2) * 16 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN container IS NOT NULL THEN (k % 5 + 2) * 16 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN container IS NOT NULL THEN k % 24 + 1 END AS BIGINT) AS n_frames,
+        |  CAST(CASE container WHEN 'mp4' THEN (k % 24 + 1) * 40 END AS BIGINT) AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -408,4 +408,77 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaRecord(1L, mp3, "audio")))).collect()(0)
     assert(viaSeam.width === 48000 && viaSeam.height === 2 && viaSeam.frames === 5 * 1152)
   }
+
+  test("MP4 box walk / H.264 SPS parse: real video metadata, strict rejection") {
+    import spark.implicits._
+    // synthesized MP4: 320x240, 25 frames, 1000 ms at the mvhd clock
+    val mp4 = Multimodal.synthMp4(320, 240, 25, 1000L)
+    val m = Multimodal.readMp4Meta(mp4).get
+    assert(m.container === "mp4" && m.codec === "avc1")
+    assert(m.width === 320 && m.height === 240 && m.nFrames === 25)
+    assert(m.durationMs === Some(1000L))
+    // synthesized Annex-B H.264: 4x3 macroblocks = 64x48, 6 IDR pictures
+    val h264 = Multimodal.synthH264(widthMbs = 4, heightMbs = 3, nFrames = 6)
+    val hm = Multimodal.readH264Meta(h264).get
+    assert(hm.container === "h264" && hm.codec === "avc")
+    assert(hm.width === 64 && hm.height === 48 && hm.nFrames === 6)
+    assert(hm.durationMs === None, "a raw elementary stream carries no clock")
+    // hand-rolled SPS, no synth: bit offsets independently derived
+    // (baseline 66, 2x1 macroblocks, frame cropping 1 left chroma unit →
+    // 30x16; the 00 00 03 emulation-prevention byte after the zero
+    // constraint/level bytes must be STRIPPED before bit reading)
+    val handSps = Array(0x67, 0x42, 0x00, 0x00, 0x03, 0x1E, 0xF4, 0x5E, 0xBA).map(_.toByte)
+    val slice = Array(0x65, 0x88).map(_.toByte)
+    val code = Array[Byte](0, 0, 0, 1)
+    val hand = code ++ handSps ++ code ++ slice
+    val hv = Multimodal.readH264Meta(hand).get
+    assert(hv.width === 30 && hv.height === 16 && hv.nFrames === 1,
+      s"hand SPS: crop arithmetic (2*16 - 1*2 = 30) and level=0 via emulation bytes, got $hv")
+    // multi-slice pictures are ONE frame: only first_mb_in_slice == 0
+    // starts a picture (second slice of the same picture has mb > 0:
+    // ue(1) = bits 010 → byte 0x48)
+    val midSlice = Array(0x65, 0x48).map(_.toByte)
+    val twoSlices = code ++ handSps ++ code ++ slice ++ code ++ midSlice
+    assert(Multimodal.readH264Meta(twoSlices).get.nFrames === 1,
+      "a continuation slice must not count as a second picture")
+    // strictness: the failure mode on a 100 TB corpus is FALSE CLAIMS
+    assert(Multimodal.readVideoMeta("plain text payload".getBytes) === None)
+    assert(Multimodal.readMp4Meta(mp4.take(40)) === None,
+      "a moov box whose size overruns the payload rejects")
+    assert(Multimodal.readMp4Meta(mp4.take(16)) === None, "ftyp alone is not a claim")
+    assert(Multimodal.readH264Meta(code ++ handSps) === None,
+      "an SPS with zero coded pictures rejects")
+    assert(Multimodal.readH264Meta(h264.take(8)) === None,
+      "a truncated SPS rejects instead of throwing")
+    assert(Multimodal.readH264Meta(code ++ slice) === None,
+      "the first NAL must be the SPS — no resync scan")
+    // the decode seam serves container metadata WITHOUT any codec plug:
+    // (width, height, frames) for a kind="video" record, so the
+    // MediaCodec residue is pixel decode only
+    val viaSeam = Multimodal.decodeAll(spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, mp4, "video"),
+      Multimodal.MediaRecord(2L, h264, "video")))).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(viaSeam(1L).width === 320 && viaSeam(1L).height === 240 && viaSeam(1L).frames === 25)
+    assert(viaSeam(2L).width === 64 && viaSeam(2L).height === 48 && viaSeam(2L).frames === 6)
+    // an animated GIF declared "video" still routes through the JDK
+    // image codec FIRST (readVideoMeta never sees bytes ImageIO claims)
+    val gif = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until 3).foreach { s =>
+        val im = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(x => (0 until 6).foreach(y => im.setRGB(x, y, (x * 31 + y + s) & 0xFFFFFF)))
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val g = Multimodal.decodeAll(spark.createDataset(Seq(
+      Multimodal.MediaRecord(3L, gif, "video")))).collect()(0)
+    assert(g.frames === 3, "GIF keeps its imageio decode under the video walk")
+  }
 }
