@@ -74,7 +74,17 @@ object ClusterCheck {
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // Timed tier (r18 verdict item 4): PRICE the boundary, don't just
+    // prove it — the correctness phases run at sf0.01 where wall time is
+    // meaningless; this mode runs the top-10 floor-table queries at the
+    // floors' own scale (sf0.1) under the cluster master, so
+    // serialization/RPC/boundary overhead gets a measured cost next to
+    // the local[32] floors (the number a deployment sizing a real
+    // cluster starts from).
+    val timed = sys.env.get("SPARK_GRAFT_CLUSTER_TIMED")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      if (timed) "/root/testdata/sf0.1" else "/root/testdata/sf0.01")
     val master = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,2,2048]")
     val only = sys.env.get("SPARK_GRAFT_CLUSTER_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -95,6 +105,8 @@ object ClusterCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     require(spark.sparkContext.master == master, s"not on $master")
+
+    if (timed) { timedTier(spark, sfDir, master); spark.stop(); return }
 
     // ---- phase 1: the full oracle-gated registry --------------------
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
@@ -150,6 +162,64 @@ object ClusterCheck {
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
+  }
+
+  /** The timed tier: top-10 floor-table queries at the floors' own scale
+    * under the cluster master, Bench's honesty rules applied (clearCache
+    * per rep, min over successful reps, q_dedup_clusters single-shot
+    * because its converged stage memoizes per (session, dir), warmup at
+    * the sf0.001 sibling so the first measured query reports its own
+    * work and not executor-side JIT/classloading — which is FAR heavier
+    * here than under local[32]: each executor process loads the engine +
+    * Spark classes from scratch). Selection is dynamic from the recorded
+    * floor table so the tier keeps following the most expensive queries
+    * as floors move between rounds. */
+  private def timedTier(spark: SparkSession, sfDir: String, master: String): Unit = {
+    val floors: Map[String, Double] =
+      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(sys.error("no bench_floors.json resource — the timed tier compares against floors"))
+    val top = floors.filter { case (n, _) => SparkEntry.queries.contains(n) }
+      .toSeq.sortBy(-_._2).take(10).map(_._1).sorted
+    System.err.println(s"[cluster-timed] top-10 by floor: ${top.mkString(", ")}")
+    locally {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      val w = if (sibling.isDirectory) sibling.getPath else sfDir
+      top.foreach { n =>
+        try SparkEntry.queries(n)(spark, w).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[cluster-timed] warmup $n failed on $w: ${e.getMessage}")
+        }
+      }
+    }
+    def measureOnce(n: String): (Double, Boolean) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[cluster-timed] $n FAILED: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val results = top.map { n =>
+      val reps = if (n == "q_dedup_clusters") 1 else 2
+      val ms = (1 to reps).map(_ => measureOnce(n))
+      val succ = ms.filter(_._2)
+      val sec = (if (succ.nonEmpty) succ else ms).map(_._1).min
+      val ratio = sec / floors(n)
+      System.err.println(f"[cluster-timed] $n%-24s $sec%8.3f s  floor ${floors(n)}%6.3f s  x$ratio%5.2f")
+      (n, sec, ratio, succ.nonEmpty)
+    }
+    val ok = results.forall(_._4)
+    def jm(f: ((String, Double, Double, Boolean)) => Double) =
+      results.map(r => s""""${r._1}":${"%.3f".formatLocal(java.util.Locale.ROOT, f(r))}""").mkString("{", ",", "}")
+    println(s"""{"metric":"cluster_timed","master":"$master","sf":"$sfDir",""" +
+      s""""queries":${jm(_._2)},"floors":${jm(r => floors(r._1))},"ratios":${jm(_._3)},""" +
+      s""""total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, results.map(_._2).sum)},"ok":$ok}""")
+    if (!ok) { spark.stop(); sys.exit(1) }
   }
 
   /** Phase 2: the four flatMapGroupsWithState twins, state providers on
