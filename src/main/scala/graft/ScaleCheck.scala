@@ -107,9 +107,9 @@ object ScaleCheck {
     // store-build amortizes and the served tier scales like its
     // standalone self), the reordered capstone (near-dup fingerprints
     // now run on gated survivors — wall must track the SURVIVOR count,
-    // not the raw corpus), and the meta face's MPEG header walk (pure
-    // per-row byte parsing — must scale linearly)
-    "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta")
+    // not the raw corpus), and the meta faces' MPEG/MP4/H.264 header
+    // walks (pure per-row byte parsing — must scale linearly)
+    "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta", "q_video_meta")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")

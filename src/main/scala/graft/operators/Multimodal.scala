@@ -518,8 +518,28 @@ object Multimodal {
           (try new BitReader(rbsp(s + 1, math.min(e, s + 9))).ue() == 0
            catch { case scala.util.control.NonFatal(_) => false })
       }
+      // VUI timing (§E.1.1): the one place a RAW stream can carry a
+      // clock — present only when an encoder chose to emit it. Walk the
+      // optional fields ahead of timing_info in declaration order;
+      // fps = time_scale / (2 * num_units_in_tick) per the spec's
+      // field-based tick convention.
+      var durationMs: Option[Long] = None
+      if (r.bit() == 1) {
+        if (r.bit() == 1) { if (r.bits(8) == 255) { r.bits(16); r.bits(16) } } // aspect_ratio
+        if (r.bit() == 1) r.bit()                                             // overscan
+        if (r.bit() == 1) { r.bits(3); r.bit()                                // video_signal_type
+          if (r.bit() == 1) { r.bits(8); r.bits(8); r.bits(8) } }
+        if (r.bit() == 1) { r.ue(); r.ue() }                                  // chroma_sample_loc
+        if (r.bit() == 1) {                                                   // timing_info
+          val nuit = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
+          val ts = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
+          r.bit()                                                             // fixed_frame_rate
+          if (nuit > 0 && ts > 0)
+            durationMs = Some(frames.toLong * 2L * nuit * 1000L / ts)
+        }
+      }
       if (frames == 0) None
-      else Some(VideoMeta("h264", "avc", w, h, frames, None))
+      else Some(VideoMeta("h264", "avc", w, h, frames, durationMs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -598,8 +618,11 @@ object Multimodal {
   /** Deterministic H.264 Annex-B stream: a baseline-profile SPS sized
     * `widthMbs`×`heightMbs` macroblocks (no cropping), a PPS, and
     * `nFrames` one-NAL IDR pictures (first_mb_in_slice = 0), all behind
-    * 4-byte start codes with emulation-prevention escaping applied. */
-  private[graft] def synthH264(widthMbs: Int, heightMbs: Int, nFrames: Int): Array[Byte] = {
+    * 4-byte start codes with emulation-prevention escaping applied.
+    * `fps` > 0 emits VUI timing_info (num_units_in_tick = 1000,
+    * time_scale = 2000·fps) — the stream then carries its own clock. */
+  private[graft] def synthH264(widthMbs: Int, heightMbs: Int, nFrames: Int,
+      fps: Int = 0): Array[Byte] = {
     def escape(rbsp: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(rbsp.length + 4)
       var zeros = 0
@@ -611,7 +634,7 @@ object Multimodal {
       out.toByteArray
     }
     val code = Array[Byte](0, 0, 0, 1)
-    val sps = new BitWriter()
+    val spsW = new BitWriter()
       .bits(0x67, 8)          // nal_ref_idc 3, type 7 (SPS)
       .bits(66, 8)            // profile_idc: baseline
       .bits(0, 8).bits(30, 8) // constraint flags, level 3.0
@@ -622,8 +645,16 @@ object Multimodal {
       .ue(widthMbs - 1).ue(heightMbs - 1)
       .bit(1)                 // frame_mbs_only
       .bit(1)                 // direct_8x8_inference
-      .bit(0).bit(0)          // no cropping, no VUI
-      .stop()
+      .bit(0)                 // no cropping
+    if (fps > 0)
+      spsW.bit(1)             // vui_parameters_present
+        .bit(0).bit(0).bit(0).bit(0) // no aspect/overscan/signal/chroma-loc
+        .bit(1)               // timing_info_present
+        .bits(1000, 32).bits(2000 * fps, 32) // num_units_in_tick, time_scale
+        .bit(1)               // fixed_frame_rate
+        .bit(0).bit(0).bit(0).bit(0) // no HRD/pic_struct/restriction
+    else spsW.bit(0)          // no VUI
+    val sps = spsW.stop()
     val pps = new BitWriter()
       .bits(0x68, 8)          // type 8 (PPS)
       .ue(0).ue(0)            // pps_id, sps_id
@@ -993,7 +1024,7 @@ object Multimodal {
 
   /** One q_multimodal_meta output row (the MPEG columns are None for
     * payloads that are not MPEG audio — the whole text corpus). */
-  private final case class MetaRow(doc_id: Long, n_bytes: Long,
+  private[graft] final case class MetaRow(doc_id: Long, n_bytes: Long,
       content_hash: String, fake_w: Long, fake_h: Long,
       container: Option[String], sample_rate: Option[Long],
       channels: Option[Long], n_frames: Option[Long],
@@ -1039,7 +1070,7 @@ object Multimodal {
 
   /** One q_video_meta output row (video columns are None for payloads
     * the strict walks do not claim — the whole text corpus). */
-  private final case class VideoRow(doc_id: Long, container: Option[String],
+  private[graft] final case class VideoRow(doc_id: Long, container: Option[String],
       codec: Option[String], width: Option[Long], height: Option[Long],
       n_frames: Option[Long], duration_ms: Option[Long])
 
@@ -1064,7 +1095,10 @@ object Multimodal {
             synthMp4(((k % 8).toInt + 2) * 16, ((k % 5).toInt + 2) * 16,
               (k % 24).toInt + 1, ((k % 24) + 1) * 40L)
           else if (id % 10 == 6)
-            synthH264((k % 8).toInt + 2, (k % 5).toInt + 2, (k % 24).toInt + 1)
+            // half the raw streams carry VUI timing (25 fps), half are
+            // clockless — both real encoder shapes
+            synthH264((k % 8).toInt + 2, (k % 5).toInt + 2, (k % 24).toInt + 1,
+              fps = if (k % 2 == 0) 25 else 0)
           else txt
         val meta = readVideoMeta(payload)
         VideoRow(id, meta.map(_.container), meta.map(_.codec),
@@ -1136,7 +1170,9 @@ object Multimodal {
         |  CAST(CASE WHEN container IS NOT NULL THEN (k % 8 + 2) * 16 END AS BIGINT) AS width,
         |  CAST(CASE WHEN container IS NOT NULL THEN (k % 5 + 2) * 16 END AS BIGINT) AS height,
         |  CAST(CASE WHEN container IS NOT NULL THEN k % 24 + 1 END AS BIGINT) AS n_frames,
-        |  CAST(CASE container WHEN 'mp4' THEN (k % 24 + 1) * 40 END AS BIGINT) AS duration_ms
+        |  CAST(CASE WHEN container = 'mp4' THEN (k % 24 + 1) * 40
+        |            WHEN container = 'h264' AND k % 2 = 0 THEN (k % 24 + 1) * 40
+        |       END AS BIGINT) AS duration_ms
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,

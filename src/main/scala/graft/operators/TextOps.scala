@@ -893,6 +893,71 @@ object TextOps {
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): fit n-gram distributions over a TARGET slice (the
+    * data we want more of) and the raw POOL, weight every pool document
+    * by the summed log-ratio of its grams under the two, and keep the
+    * top-K. The published shape for "make 100 TB of crawl look like the
+    * high-quality target" — the selection pass a pretraining mixture
+    * actually runs.
+    *
+    * `featureOf` maps the shared bigram stream ([[lmGrams]] — the one
+    * tokenization contract) to a feature id: the raw gram string for
+    * the oracle-gated face, or a hashed bucket ([[dsirBucket]]) for the
+    * deployment path, where the distribution frames are capped at B
+    * rows regardless of corpus size (the paper's hashing trick — at
+    * 100 TB the raw-gram count table is itself corpus-sized; B buckets
+    * make the two model frames broadcastable constants). Weights are
+    * identical in expectation; DsirSpec pins the selection overlap on
+    * the test corpus.
+    *
+    * Laplace smoothing over a SHARED denominator base (pool-distinct
+    * feature count) keeps unseen-in-target grams finite; fixed-point
+    * log arithmetic (×1e6, summed as LONG) keeps the weight
+    * order-independent, the determinism discipline. Selection is
+    * orderBy+limit — Spark's TakeOrderedAndProject, a distributed
+    * K-heap per partition + K-bounded merge, never a global sort; the
+    * rank column is assigned over the ALREADY-K-BOUNDED frame, so the
+    * window's single task holds K rows, not the corpus
+    * (qCurriculum's ntile note, same trap, same refusal). */
+  private[graft] def dsirSelect(docs: DataFrame, targetPred: Column,
+      k: Int, featureOf: Column => Column = identity): DataFrame = {
+    val grams = lmGrams(docs).select(col("doc_id"), featureOf(col("bg")).as("f"))
+    val tgtGrams = grams.join(
+      docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
+    val ct = tgtGrams.groupBy("f").agg(count(lit(1)).as("ct"))
+    val cs = grams.groupBy("f").agg(count(lit(1)).as("cs"))
+    // three scalar constants in ONE broadcast frame: pool size, target
+    // size, shared smoothing base (pool-distinct features) — DERIVED
+    // from the two count tables (vocab-sized), not from two more
+    // corpus-scale passes over the gram stream
+    val tot = cs.agg(coalesce(sum("cs"), lit(0L)).as("ns"), count(lit(1)).as("v2"))
+      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+    val fp = round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v2"))) -
+        log((col("cs") + lit(1.0)) / (col("ns") + col("v2")))) * lit(1e6)).cast(LongType)
+    val perDoc = grams.join(cs, "f").join(ct, Seq("f"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", fp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("fp") / lit(1e6), 6).as("dsir_weight"))
+    val top = perDoc.orderBy(col("dsir_weight").desc, col("doc_id")).limit(k)
+    top.withColumn("sel_rank", row_number().over(
+        Window.orderBy(col("dsir_weight").desc, col("doc_id"))).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  /** The deployment feature map: gram → one of `b` hashed buckets. */
+  private[graft] def dsirBucket(b: Int)(gram: Column): Column =
+    pmod(xxhash64(gram), lit(b.toLong))
+
+  /** Oracle-gated DSIR face: target = the English slice, raw-gram
+    * features (the hashed path is [[dsirBucket]], overlap-pinned by
+    * DsirSpec), K = 100. */
+  def qDsir(s: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(s, dir), col("lang") === "en", k = 100)
+
   /** Materialize the corpus bigram LM as a stored MODEL: the
     * batch-scoped (bg, c2) count table plus a `_vocab` sidecar of
     * per-batch word sets — the train-once artifact that turns the
@@ -1960,6 +2025,7 @@ object TextOps {
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
+    "q_dsir"        -> qDsir _,
     "q_curriculum"  -> qCurriculum _,
     "q_lm_probe"    -> qLmProbe _,
     "q_lm_retract"  -> qLmRetract _,
@@ -2044,6 +2110,35 @@ object TextOps {
     s"""WITH $duckPartsCte,
       |$duckLmCtes
       |SELECT doc_id, n_bigrams, avg_logp FROM lmd ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of [[qDsir]]: the same gram stream, target/pool
+    * count tables, shared-base Laplace smoothing, fixed-point log-ratio
+    * sum, and top-100 by (weight DESC, doc_id) — rank over the
+    * K-bounded set. */
+  private[operators] val dsirSql: String =
+    s"""WITH $duckPartsCte,
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(parts) - 1),
+      |          i -> parts[i] || ' ' || parts[i+1])) AS f
+      |      FROM n WHERE len(parts) >= 2),
+      |tgt AS (SELECT g.doc_id, f FROM g JOIN documents USING (doc_id)
+      |        WHERE documents.lang = 'en'),
+      |ct AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tgt GROUP BY 1),
+      |cs AS (SELECT f, CAST(count(*) AS BIGINT) AS cs FROM g GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS ns,
+      |               (SELECT CAST(count(DISTINCT f) AS BIGINT) FROM g) AS v2,
+      |               (SELECT CAST(count(*) AS BIGINT) FROM tgt) AS nt),
+      |sc AS (SELECT g.doc_id,
+      |         CAST(round((ln((coalesce(ct, 0) + 1.0) / (nt + v2))
+      |                   - ln((cs + 1.0) / (ns + v2))) * 1000000.0) AS BIGINT) AS fp
+      |       FROM g JOIN cs USING (f) LEFT JOIN ct USING (f) CROSS JOIN tot),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |        round(sum(fp) / 1000000.0, 6) AS dsir_weight
+      |      FROM sc GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS sel_rank
+      |      FROM d)
+      |SELECT doc_id, n_bigrams, dsir_weight, CAST(sel_rank AS BIGINT) AS sel_rank
+      |FROM r WHERE sel_rank <= 100 ORDER BY doc_id""".stripMargin
 
   /** [[lmScoreSql]] trained AND scored on a filtered corpus — the
     * retraction oracle (the CTE chain derives the model from `n`, so
@@ -2146,6 +2241,7 @@ object TextOps {
         |  mean_word_len, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, flagged
         |FROM rep ORDER BY doc_id""".stripMargin,
     "q_lm_score" -> lmScoreSql,
+    "q_dsir" -> dsirSql,
     "q_curriculum" ->
       s"""WITH $duckPartsCte,
         |$duckLmCtes,

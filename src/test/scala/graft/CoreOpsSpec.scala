@@ -46,15 +46,16 @@ class CoreOpsSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val static = SparkEntry.oracleSql.keySet
     assert(static.subsetOf(q), s"oracles without queries: ${static -- q}")
-    // the static gap is exactly the nineteen queries DuckDB cannot replay
+    // the static gap is exactly the twenty queries DuckDB cannot replay
     // in SQL (xxhash64/perceptual fingerprints, iterative quantizer and
     // PQ-codebook training — including the as-of face's frozen-quantizer
-    // twin and the two refinement shortlists — iterative BPE merge
-    // training, all three faces, zlib deflate)...
+    // twin, the two refinement shortlists, and the planner face whose
+    // oracle is the chosen tier's own served results — iterative BPE
+    // merge training, all three faces, zlib deflate)...
     assert(q -- static ==
       Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_ivf_probe",
         "q_ivf_asof", "q_ann_pq", "q_pq_refine", "q_ivf_pq", "q_ivf_pq_refine",
-        "q_dedup_semantic",
+        "q_dedup_semantic", "q_ann_plan",
         "q_token_bpe", "q_bpe_probe", "q_bpe_asof", "q_image_neardup",
         "q_compress_ratio", "q_kmeans", "q_cluster_sample", "q_ivf_recall",
         "q_pq_recall"),

@@ -422,7 +422,14 @@ class MultimodalSpec extends AnyFunSuite {
     val hm = Multimodal.readH264Meta(h264).get
     assert(hm.container === "h264" && hm.codec === "avc")
     assert(hm.width === 64 && hm.height === 48 && hm.nFrames === 6)
-    assert(hm.durationMs === None, "a raw elementary stream carries no clock")
+    assert(hm.durationMs === None, "a clockless raw stream reports no duration")
+    // ...but a stream whose SPS carries VUI timing DOES have a clock:
+    // 25 fps x 6 frames = 240 ms
+    val timed = Multimodal.readH264Meta(
+      Multimodal.synthH264(4, 3, 6, fps = 25)).get
+    assert(timed.durationMs === Some(240L),
+      s"VUI timing_info must yield frames/fps duration, got $timed")
+    assert(timed.width === 64 && timed.height === 48 && timed.nFrames === 6)
     // hand-rolled SPS, no synth: bit offsets independently derived
     // (baseline 66, 2x1 macroblocks, frame cropping 1 left chroma unit →
     // 30x16; the 00 00 03 emulation-prevention byte after the zero
