@@ -107,9 +107,13 @@ object ScaleCheck {
     // store-build amortizes and the served tier scales like its
     // standalone self), the reordered capstone (near-dup fingerprints
     // now run on gated survivors — wall must track the SURVIVOR count,
-    // not the raw corpus), and the meta faces' MPEG/MP4/H.264 header
-    // walks (pure per-row byte parsing — must scale linearly)
-    "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta", "q_video_meta")
+    // not the raw corpus), the meta faces' MPEG/MP4/H.264 header
+    // walks (pure per-row byte parsing — must scale linearly), and the
+    // DSIR selection (two gram aggregates + count-table joins — the
+    // model frames are vocab-bounded, so wall must track the gram
+    // stream, i.e. the corpus)
+    "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta", "q_video_meta",
+    "q_dsir")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")
