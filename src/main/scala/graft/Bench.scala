@@ -2,6 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** The per-query floor table (BASELINE.md's regression-gate baseline),
+    * from the classpath resource. ONE parser for every consumer (the
+    * gate here, ClusterCheck's timed tier) so a format change cannot
+    * leave a second copy silently mis-reading it (r19 review). None =
+    * resource missing; the caller decides whether that skips a gate or
+    * fails a tier. */
+  private[graft] def loadFloors(): Option[Map[String, Double]] =
+    Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -167,11 +180,7 @@ object Bench {
         System.err.println("[bench] fallback mode: floor gate skipped")
         Map.empty
       } else
-      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse {
+      loadFloors().getOrElse {
         System.err.println("[bench] no bench_floors.json resource; regression gate skipped")
         Map.empty
       }

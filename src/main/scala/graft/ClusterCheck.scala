@@ -175,12 +175,8 @@ object ClusterCheck {
     * floor table so the tier keeps following the most expensive queries
     * as floors move between rounds. */
   private def timedTier(spark: SparkSession, sfDir: String, master: String): Unit = {
-    val floors: Map[String, Double] =
-      Option(getClass.getResourceAsStream("/bench_floors.json")).map { in =>
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(sys.error("no bench_floors.json resource — the timed tier compares against floors"))
+    val floors: Map[String, Double] = Bench.loadFloors()
+      .getOrElse(sys.error("no bench_floors.json resource — the timed tier compares against floors"))
     val top = floors.filter { case (n, _) => SparkEntry.queries.contains(n) }
       .toSeq.sortBy(-_._2).take(10).map(_._1).sorted
     System.err.println(s"[cluster-timed] top-10 by floor: ${top.mkString(", ")}")

@@ -247,7 +247,11 @@ object Multimodal {
         val br = (if (ver == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000
         val c = if (((u(o + 3) >> 6) & 3) == 3) 1 else 2
         if (rate < 0) { rate = r; ch = c }
-        else if (r != rate) return None // rate switch mid-stream: not a stream we claim
+        // a mid-stream rate OR channel-COUNT switch rejects (the strict
+        // doctrine, symmetric since the r19 review); stereo↔joint-stereo
+        // alternation keeps c == 2 and legitimately passes — real
+        // encoders switch those per frame
+        else if (r != rate || c != ch) return None
         val spf = if (ver == 3) 1152 else 576
         val len = spf / 8 * br / r + pad
         if (len < 4 || o + len > p.length) return None
@@ -271,7 +275,8 @@ object Multimodal {
         if (fIdx >= AdtsRates.length || cfg == 0) return None
         val r = AdtsRates(fIdx)
         val c = if (cfg == 7) 8 else cfg
-        if (rate < 0) { rate = r; ch = c } else if (r != rate) return None
+        if (rate < 0) { rate = r; ch = c }
+        else if (r != rate || c != ch) return None // same strict symmetry as the MP3 walk
         val len = ((u(o + 3) & 3) << 11) | (u(o + 4) << 3) | ((u(o + 5) >> 5) & 7)
         if (len < 7 || o + len > p.length) return None
         frames += 1
@@ -1046,23 +1051,26 @@ object Multimodal {
     Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (id, txt) =>
-        val k = id / 10
-        val payload =
-          if (id % 10 == 0) synthMp3((k % 6).toInt + 2, (k % 3).toInt, stereo = k % 2 == 1)
-          else if (id % 10 == 5) synthAdts((k % 6).toInt + 2, 3 + (k % 3).toInt, (k % 2).toInt + 1)
-          else txt
-        val meta = readMpegAudioMeta(payload)
-        val hash = {
-          val d = java.security.MessageDigest.getInstance("MD5").digest(txt)
-          d.map(b => f"${b & 0xff}%02x").mkString
+      // mapPartitions, not map: one MessageDigest per partition (digest()
+      // resets it), per the module's own per-record-setup amortization
+      // doctrine (r19 review)
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, txt) =>
+          val k = id / 10
+          val payload =
+            if (id % 10 == 0) synthMp3((k % 6).toInt + 2, (k % 3).toInt, stereo = k % 2 == 1)
+            else if (id % 10 == 5) synthAdts((k % 6).toInt + 2, 3 + (k % 3).toInt, (k % 2).toInt + 1)
+            else txt
+          val meta = readMpegAudioMeta(payload)
+          val hash = md5.digest(txt).map(b => f"${b & 0xff}%02x").mkString
+          MetaRow(id, txt.length.toLong, hash,
+            txt.length.toLong % 640 + 1, id % 480 + 1,
+            meta.map(_.container), meta.map(_.sampleRate.toLong),
+            meta.map(_.channels.toLong), meta.map(_.nFrames.toLong),
+            meta.map(_.sampleFrames), meta.map(_.durationMs),
+            meta.flatMap(_.bitrateKbps.map(_.toLong)))
         }
-        MetaRow(id, txt.length.toLong, hash,
-          txt.length.toLong % 640 + 1, id % 480 + 1,
-          meta.map(_.container), meta.map(_.sampleRate.toLong),
-          meta.map(_.channels.toLong), meta.map(_.nFrames.toLong),
-          meta.map(_.sampleFrames), meta.map(_.durationMs),
-          meta.flatMap(_.bitrateKbps.map(_.toLong)))
       }
       .toDF()
       .orderBy("doc_id")

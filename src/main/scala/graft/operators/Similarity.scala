@@ -276,14 +276,21 @@ object Similarity {
     * to 6 like every per-query recall, so the stored measurement is
     * engine-order-independent. */
   def measuredTierRecall(s: SparkSession, dir: String): Map[String, Double] = {
-    val exact = qAnnTopk(s, dir)
-    def mean(approx: DataFrame): Double = {
-      val m = recallOf(exact, approx).agg(avg("recall_at_5")).head.getDouble(0)
-      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    annTierFaces.keys.filter(_ != "brute").map { t =>
-      t -> mean(annTierFaces(t)(s, dir))
-    }.toMap
+    // one brute-force pass, not one per tier: the exact side is
+    // identical across the six recall aggregates, and at deployment
+    // scale it is the single most expensive scan in the measurement
+    // (r19 review). persist + unpersist, not localCheckpoint — the
+    // frame is |queries|x5 rows, pure cache, no lineage concern.
+    val exact = qAnnTopk(s, dir).persist()
+    try {
+      def mean(approx: DataFrame): Double = {
+        val m = recallOf(exact, approx).agg(avg("recall_at_5")).head.getDouble(0)
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      annTierFaces.keys.filter(_ != "brute").map { t =>
+        t -> mean(annTierFaces(t)(s, dir))
+      }.toMap
+    } finally exact.unpersist()
   }
 
   /** Tmp-scoped recall-measurement store for [[qAnnPlan]]. */

@@ -69,17 +69,18 @@ object SigV4 {
     sb.toString
   }
 
-  /** Strict RFC 3986 percent-decode (client side). Unlike
+  /** Strict RFC 3986 percent-decode to RAW BYTES (client side). Unlike
     * `URLDecoder.decode` (form decoding), '+' stays a literal plus —
     * AWS query canonicalization percent-encodes it as %2B, it is never
-    * a space. Malformed escapes throw IllegalArgumentException, which
-    * the validator maps to the non-retried 403 class. */
-  private[state] def pctDecode(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    val buf = new java.io.ByteArrayOutputStream(4)
-    def flushBytes(): Unit = if (buf.size() > 0) {
-      sb ++= new String(buf.toByteArray, "UTF-8"); buf.reset()
-    }
+    * a space. Bytes, not a String: round-tripping escaped bytes through
+    * a UTF-8 String turns well-formed non-UTF-8 escapes (a legal `%FF`)
+    * into U+FFFD, and a canonicalization that mangles what it re-encodes
+    * would sign a different request than the server validates (the r19
+    * review's divergence finding). Malformed escapes throw
+    * IllegalArgumentException, which the validator maps to the
+    * non-retried 403 class. */
+  private[state] def pctDecodeBytes(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -90,24 +91,41 @@ object SigV4 {
         val lo = Character.digit(s.charAt(i + 2), 16)
         if (hi < 0 || lo < 0)
           throw new IllegalArgumentException(s"bad percent escape '${s.substring(i, i + 3)}'")
-        buf.write(hi * 16 + lo); i += 3
-      } else { flushBytes(); sb += c; i += 1 }
+        out.write(hi * 16 + lo); i += 3
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
     }
-    flushBytes()
+    out.toByteArray
+  }
+
+  /** [[pctDecodeBytes]] as text, for callers (and specs) that assert on
+    * decoded VALID UTF-8; canonicalization itself never takes this
+    * lossy path. */
+  private[state] def pctDecode(s: String): String =
+    new String(pctDecodeBytes(s), "UTF-8")
+
+  /** AWS URI-encode straight from raw bytes — the byte-exact twin of
+    * [[awsEncode]] used where the input came off the wire already
+    * percent-encoded. */
+  private def awsEncodeBytes(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    bytes.foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c)) sb += c
+      else sb ++= f"%%${b & 0xff}%02X"
+    }
     sb.toString
   }
 
-  /** Canonical query string: each pair strictly percent-decoded then
-    * AWS-encoded, `k` alone becomes `k=`, sorted by name then value. */
+  /** Canonical query string: each pair strictly percent-decoded to raw
+    * bytes then AWS-encoded byte-for-byte (never through a String —
+    * see [[pctDecodeBytes]]), `k` alone becomes `k=`, sorted by name
+    * then value. */
   private def canonicalQuery(rawQuery: String): String =
     if (rawQuery == null || rawQuery.isEmpty) ""
     else rawQuery.split('&').filter(_.nonEmpty).map { tok =>
       val i = tok.indexOf('=')
       val (k, v) = if (i < 0) (tok, "") else (tok.take(i), tok.drop(i + 1))
-      // the raw query arrives percent-encoded from the wire/URI; decode
-      // (strictly — '+' is NOT a space) before re-encoding so both
-      // sides canonicalize from the same text
-      (awsEncode(pctDecode(k)), awsEncode(pctDecode(v)))
+      (awsEncodeBytes(pctDecodeBytes(k)), awsEncodeBytes(pctDecodeBytes(v)))
     }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
   private def canonicalRequest(method: String, rawPath: String, rawQuery: String,

@@ -398,6 +398,19 @@ class MultimodalSpec extends AnyFunSuite {
       "a truncated final frame rejects the whole stream")
     assert(Multimodal.readMpegAudioMeta(Multimodal.synthMp3(1, 0, stereo = false)) === None,
       "a single frame is not enough evidence to claim")
+    // mid-stream channel-COUNT switch rejects (strict symmetry with the
+    // rate switch); stereo↔joint-stereo alternation keeps count 2 and
+    // legitimately claims (r19 review)
+    def frameWithMode(mode: Int): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+      f(3) = ((mode & 3) << 6).toByte
+      f
+    }
+    assert(Multimodal.readMpegAudioMeta(frameWithMode(3) ++ frameWithMode(0)) === None,
+      "a mono→stereo splice is not one stream")
+    val js = Multimodal.readMpegAudioMeta(frameWithMode(0) ++ frameWithMode(1)).get
+    assert(js.channels === 2, "stereo↔joint-stereo alternation is one 2-channel stream")
     assert(Multimodal.readMpegAudioMeta("ID3 only, no frames".getBytes) === None)
     assert(Multimodal.readMpegAudioMeta(Array[Byte](0xFF.toByte, 0xFB.toByte)) === None)
     assert(Multimodal.readMpegAudioMeta("plain text".getBytes) === None)

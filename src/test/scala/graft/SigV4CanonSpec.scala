@@ -41,8 +41,12 @@ class SigV4CanonSpec extends AnyFunSuite {
     // the validator rebuilds from the RAW exchange with its own
     // encode/sort/collapse; any divergence between the implementations
     // fails right here instead of against a real bucket
+    // %FF is well-formed RFC 3986 but NOT valid UTF-8: a client path
+    // that round-trips decoded bytes through a String mangles it to
+    // U+FFFD and signs a different request than the byte-exact server
+    // rebuilds (the r19 review's divergence finding)
     val uri = java.net.URI.create(
-      "http://localhost:1/bucket/k%2Bey?z=last&tag=a+b&enc=%2B&u=caf%C3%A9&bare")
+      "http://localhost:1/bucket/k%2Bey?z=last&tag=a+b&enc=%2B&u=caf%C3%A9&raw=%FF&bare")
     val payload = "hello".getBytes("UTF-8")
     val signer = new SigV4.Signer(creds, clock = () => at)
     val hdrs = signer.headers("GET", uri, Seq("If-Match" -> "\"abc\""), payload) ++
@@ -54,7 +58,7 @@ class SigV4CanonSpec extends AnyFunSuite {
     assert(verdict === None, s"independent canonicalizations must agree: $verdict")
     // and a tampered query (the literal '+' swapped for a space-encode,
     // exactly the old shared-bug canonical form) must now FAIL
-    val tampered = SigV4.validate("GET", uri.getRawPath, "z=last&tag=a%20b&enc=%2B&u=caf%C3%A9&bare",
+    val tampered = SigV4.validate("GET", uri.getRawPath, "z=last&tag=a%20b&enc=%2B&u=caf%C3%A9&raw=%FF&bare",
       hget, payload, ak => Some(creds).filter(_.accessKey == ak), now = () => at)
     assert(tampered.contains("signature mismatch"), s"got $tampered")
   }
