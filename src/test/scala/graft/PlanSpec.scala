@@ -814,4 +814,29 @@ class PlanSpec extends AnyFunSuite {
       || "ReadSchema: struct<event_type:string,ts:".r.findFirstIn(p).nonEmpty,
       s"the scan must read only the grouping columns:\n$p")
   }
+
+  test("q_dsir: top-K is a bounded heap merge, never a global sort of the corpus") {
+    val p = plan("q_dsir")
+    // orderBy+limit(K) must plan as TakeOrderedAndProject — a per-
+    // partition K-heap + K-bounded driver merge; a global Sort before
+    // the limit would single-task the whole scored corpus at 100 TB
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the selection must be the K-bounded take, not sort-then-limit:\n$p")
+    // the rank window runs AFTER the take: its single task holds K rows
+    assert(p.contains("Window"), s"sel_rank rides a window over the K rows:\n$p")
+    // every document scan reads only the three needed columns
+    val scanned = allScans(SparkEntry.queries("q_dsir")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan)
+      .flatMap(_.requiredSchema.fieldNames).toSet
+    assert(scanned.subsetOf(Set("doc_id", "text", "lang")),
+      s"DSIR reads only (doc_id, text, lang), got $scanned")
+  }
+
+  test("q_video_meta: scan-shaped byte walk — one exchange (the harness sort), two columns") {
+    val p = plan("q_video_meta")
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q_video_meta plans $exchanges exchanges (want ≤1, the sort):\n$p")
+    assert("ReadSchema: struct<doc_id:[a-z]+,text:string>".r.findFirstIn(p).nonEmpty,
+      s"the container walk reads only (doc_id, text):\n$p")
+  }
 }
