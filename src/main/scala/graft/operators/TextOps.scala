@@ -826,6 +826,24 @@ object TextOps {
     lm2.withColumn("w1", substring_index(col("bg"), " ", 1))
       .groupBy("w1").agg(sum("c2").as("c1"))
 
+  /** Per-doc mean of the fixed-point log-probs, computed ENTIRELY in
+    * integer micro-units: half-away-from-zero integer division of the
+    * (always ≤ 0) fp sum by the gram count, then one exact /1e6. The
+    * naive `sum(fp)/1e6/count` leaves micro-units BEFORE the division
+    * by count, so a quotient landing on a .5 tie at the 6th decimal
+    * rounds differently in Spark (BigDecimal of the shortest-repr
+    * double) and DuckDB (scale-multiply) — the 1-ulp differential
+    * misses the sf0.1 cross-scale check surfaced (3 docs in 5000). The
+    * double division inside floor() is safe: operands are exact longs
+    * far under 2^53, ties land on exactly-representable integers, and
+    * non-ties sit ≥1/(2n) from any integer, 10^6 times the quotient's
+    * representation error. */
+  private def avgLogpCol: Column = {
+    val s = sum("fp")
+    val n = count(lit(1))
+    round(-floor(((-s) * lit(2L) + n) / (n * lit(2L))) / lit(1e6), 6)
+  }
+
   private[graft] def lmScore(docs: DataFrame, ordered: Boolean = true): DataFrame = {
     val grams = lmGrams(docs)
     val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
@@ -838,7 +856,7 @@ object TextOps {
       .withColumn("fp", logpFp)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
+        avgLogpCol.as("avg_logp"))
     if (ordered) out.orderBy("doc_id") else out
   }
 
@@ -1272,7 +1290,7 @@ object TextOps {
       .withColumn("fp", logpFp)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("fp") / lit(1e6) / count(lit(1)), 6).as("avg_logp"))
+        avgLogpCol.as("avg_logp"))
       .orderBy("doc_id")
   }
 
@@ -2103,7 +2121,7 @@ object TextOps {
       |          CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS fp
       |        FROM gr JOIN lm2 USING (bg) JOIN lm1 USING (w1) CROSS JOIN v),
       |lmd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |          round(sum(fp) / 1000000.0 / count(*), 6) AS avg_logp
+      |          round(-floor(((-sum(fp)) * 2 + count(*)) / (2.0 * count(*))) / 1000000.0, 6) AS avg_logp
       |        FROM lsc GROUP BY doc_id)""".stripMargin
 
   private[operators] val lmScoreSql: String =
