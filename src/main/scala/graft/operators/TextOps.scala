@@ -2121,7 +2121,7 @@ object TextOps {
       |          CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT) AS fp
       |        FROM gr JOIN lm2 USING (bg) JOIN lm1 USING (w1) CROSS JOIN v),
       |lmd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |          round(-floor(((-sum(fp)) * 2 + count(*)) / (2.0 * count(*))) / 1000000.0, 6) AS avg_logp
+      |          round((0.0 - floor(((-sum(fp)) * 2 + count(*)) / (2.0 * count(*)))) / 1000000.0, 6) AS avg_logp
       |        FROM lsc GROUP BY doc_id)""".stripMargin
 
   private[operators] val lmScoreSql: String =
