@@ -40,6 +40,23 @@ class DsirSpec extends AnyFunSuite {
     assert(sel(5L) < offTarget.min, s"doc 5 is the resampling win: $sel")
   }
 
+  test("domain edges: an empty target slice still selects (uniform target), short docs score nothing") {
+    val docs = Seq(
+      (1L, "xx", "alpha beta gamma delta"),
+      (2L, "xx", "beta gamma delta epsilon"),
+      (3L, "xx", "single"),           // <2 words: no bigrams, no score
+      (4L, "xx", "")                  // empty: same
+    ).toDF("doc_id", "lang", "text")
+    // no doc matches the target: nt=0, every gram takes the Laplace
+    // floor — the weights are all defined (no NaN/null) and the
+    // selection is still deterministic
+    val sel = TextOps.dsirSelect(docs, col("lang") === "en", k = 10).collect()
+    assert(sel.map(_.getLong(0)).toSet === Set(1L, 2L),
+      "only bigram-bearing docs are scorable; the empty target must not NaN them out")
+    assert(sel.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN),
+      "empty-target weights take the smoothing floor, never NaN")
+  }
+
   test("hashed-bucket features select nearly the same set as raw grams (the 100 TB path)") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
     val raw = TextOps.dsirSelect(docs, col("lang") === "en", k = 50)
