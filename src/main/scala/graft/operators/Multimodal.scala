@@ -330,6 +330,46 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** FLAC STREAMINFO metadata (zero-dependency bit parse; public format:
+    * the FLAC spec's METADATA_BLOCK_STREAMINFO, RFC 9639 §8.2). FLAC has
+    * no JDK codec, but the mandatory first metadata block carries
+    * sample rate (20 bits), channels (3), bits-per-sample (5) and total
+    * samples (36) as plain big-endian bit fields. Strict claim: `fLaC`
+    * magic at offset 0 AND the first block is a 34-byte STREAMINFO —
+    * the layout every conforming encoder must emit first. Returns the
+    * audio convention (sampleRate, channels, sampleFrames). */
+  private[graft] def readFlacMeta(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C') return None
+    def u(i: Int): Int = p(i) & 0xFF
+    val blockType = u(4) & 0x7F
+    val blockLen = (u(5) << 16) | (u(6) << 8) | u(7)
+    if (blockType != 0 || blockLen != 34) return None
+    val rate = (u(18) << 12) | (u(19) << 4) | (u(20) >> 4)
+    val channels = ((u(20) >> 1) & 7) + 1
+    val total = ((u(21) & 0x0F).toLong << 32) | (u(22).toLong << 24) |
+      (u(23).toLong << 16) | (u(24).toLong << 8) | u(25).toLong
+    if (rate <= 0) None else Some((rate, channels, total))
+  }
+
+  /** Deterministic minimal FLAC header (magic + STREAMINFO only) — the
+    * planted spec fixture. */
+  private[graft] def synthFlac(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](42)
+    Array[Byte]('f', 'L', 'a', 'C').copyToArray(out)
+    out(4) = 0x80.toByte                              // last block, type 0
+    out(7) = 34                                       // block length
+    out(18) = ((rate >> 12) & 0xFF).toByte
+    out(19) = ((rate >> 4) & 0xFF).toByte
+    out(20) = (((rate & 0xF) << 4) | (((channels - 1) & 7) << 1) |
+      (15 >> 4)).toByte                               // bps-1 = 15 (16-bit), top bit
+    out(21) = (((15 & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    out(22) = ((totalSamples >> 24) & 0xFF).toByte
+    out(23) = ((totalSamples >> 16) & 0xFF).toByte
+    out(24) = ((totalSamples >> 8) & 0xFF).toByte
+    out(25) = (totalSamples & 0xFF).toByte
+    out
+  }
+
   // ---- Video container/bitstream metadata (zero-dependency bit parse) -----
   // H.264 and the codecs inside MP4 have no JDK decoder, so PIXEL decode
   // stays behind the MediaCodec seam — but the container structures are
@@ -755,6 +795,10 @@ object Multimodal {
           .orElse(readMpegAudioMeta(r.payload).map(m =>
             (m.sampleRate, m.channels,
               math.min(m.sampleFrames, Int.MaxValue.toLong).toInt)))
+          // FLAC: same no-JDK-codec story — STREAMINFO carries the
+          // metadata as plain bit fields; PCM decode stays at the seam
+          .orElse(readFlacMeta(r.payload).map { case (rate, ch, total) =>
+            (rate, ch, math.min(total, Int.MaxValue.toLong).toInt) })
       else None
     val viaExternal = viaCodec.orElse {
       codecs.iterator.flatMap { c =>

@@ -414,6 +414,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.readMpegAudioMeta("ID3 only, no frames".getBytes) === None)
     assert(Multimodal.readMpegAudioMeta(Array[Byte](0xFF.toByte, 0xFB.toByte)) === None)
     assert(Multimodal.readMpegAudioMeta("plain text".getBytes) === None)
+    // FLAC STREAMINFO: round trip incl. a >32-bit total-samples field,
+    // strict rejection of a non-STREAMINFO first block and truncation
+    val big = 5L * 1024 * 1024 * 1024
+    assert(Multimodal.readFlacMeta(Multimodal.synthFlac(44100, 2, big))
+      === Some((44100, 2, big)))
+    assert(Multimodal.readFlacMeta(Multimodal.synthFlac(96000, 6, 1234L))
+      === Some((96000, 6, 1234L)))
+    val badFirst = Multimodal.synthFlac(44100, 2, 10L).clone()
+    badFirst(4) = 0x84.toByte // first block VORBIS_COMMENT, not STREAMINFO
+    assert(Multimodal.readFlacMeta(badFirst) === None)
+    assert(Multimodal.readFlacMeta(Multimodal.synthFlac(44100, 2, 10L).take(20)) === None)
+    assert(Multimodal.readFlacMeta("fLaC but not really a flac".getBytes) === None)
+    // ...and through the seam: (sample_rate, channels, sample_frames)
+    val flacSeam = Multimodal.decodeAll(spark.createDataset(Seq(
+      Multimodal.MediaRecord(9L, Multimodal.synthFlac(48000, 2, 4800L), "audio")))).collect()(0)
+    assert(flacSeam.width === 48000 && flacSeam.height === 2 && flacSeam.frames === 4800)
     // the decode seam serves the header metadata WITHOUT any codec plug:
     // (sample_rate, channels, sample_frames) ride the audio convention,
     // shrinking the codec-seam residue to PCM decode only
