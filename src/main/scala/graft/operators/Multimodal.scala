@@ -464,8 +464,14 @@ object Multimodal {
           (sdS, sdE) <- child(stbl, "stsd")
           if sdE - sdS >= 16
           codec = fourcc(sdS + 12)
-        } yield VideoMeta("mp4", codec, w, h, frames,
-          Some(duration * 1000L / timescale))
+          // mvhd all-ones duration is the spec's "duration unknown"
+          // sentinel (ISO 14496-12 §8.2.2.3: v0 0xFFFFFFFF, v1 all
+          // ones) — keep the metadata claim but report no duration
+          // rather than a bogus ~49-day figure
+          durMs = if ((mvhdV == 0 && duration == 0xFFFFFFFFL) ||
+                      (mvhdV != 0 && duration == -1L)) None
+                  else Some(duration * 1000L / timescale)
+        } yield VideoMeta("mp4", codec, w, h, frames, durMs)
       }.headOption
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -579,8 +585,14 @@ object Multimodal {
           val nuit = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
           val ts = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
           r.bit()                                                             // fixed_frame_rate
-          if (nuit > 0 && ts > 0)
-            durationMs = Some(frames.toLong * 2L * nuit * 1000L / ts)
+          // exact arithmetic: num_units_in_tick is a full u32, so
+          // frames*2*nuit*1000 can overflow Long for crafted VUI values
+          // — a negative durationMs would be off-doctrine for a parser
+          // that otherwise strictly rejects hostile bytes; drop the
+          // duration instead
+          if (nuit > 0 && ts > 0) durationMs =
+            try Some(Math.multiplyExact(Math.multiplyExact(frames.toLong * 2L, nuit), 1000L) / ts)
+            catch { case _: ArithmeticException => None }
         }
       }
       if (frames == 0) None

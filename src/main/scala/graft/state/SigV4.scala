@@ -58,16 +58,11 @@ object SigV4 {
     hmac(hmac(hmac(hmac(("AWS4" + secret).getBytes("UTF-8"), date),
       region), service), "aws4_request")
 
-  /** AWS URI-encode (unreserved = A-Za-z0-9 - . _ ~; space = %20). */
-  private def awsEncode(s: String): String = {
-    val sb = new StringBuilder
-    s.getBytes("UTF-8").foreach { b =>
-      val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c)) sb += c
-      else sb ++= f"%%${b & 0xff}%02X"
-    }
-    sb.toString
-  }
+  /** AWS URI-encode (unreserved = A-Za-z0-9 - . _ ~; space = %20).
+    * Defined THROUGH [[awsEncodeBytes]] so the client has exactly one
+    * byte-level encoder — a future tweak to the unreserved set cannot
+    * desynchronize path-encoding from query-encoding (r19 review). */
+  private def awsEncode(s: String): String = awsEncodeBytes(s.getBytes("UTF-8"))
 
   /** Strict RFC 3986 percent-decode to RAW BYTES (client side). Unlike
     * `URLDecoder.decode` (form decoding), '+' stays a literal plus —
@@ -92,7 +87,18 @@ object SigV4 {
         if (hi < 0 || lo < 0)
           throw new IllegalArgumentException(s"bad percent escape '${s.substring(i, i + 3)}'")
         out.write(hi * 16 + lo); i += 3
-      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      } else {
+        // UTF-8-encode the whole contiguous unescaped run, not one Java
+        // char at a time: a literal non-BMP character (legal in a raw
+        // java.net.URI query) is a surrogate PAIR, and encoding each
+        // lone surrogate separately turns both into '?' while the
+        // server-side srvDecodeBytes encodes the full string correctly
+        // — a client/server canonicalization divergence and a spurious
+        // signature mismatch (same class as the r19 %FF finding).
+        var j = i
+        while (j < s.length && s.charAt(j) != '%') j += 1
+        out.write(s.substring(i, j).getBytes("UTF-8")); i = j
+      }
     }
     out.toByteArray
   }
