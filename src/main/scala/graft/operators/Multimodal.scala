@@ -585,20 +585,26 @@ object Multimodal {
           val nuit = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
           val ts = (r.bits(16).toLong << 16) | (r.bits(16).toLong & 0xFFFF)
           r.bit()                                                             // fixed_frame_rate
-          // exact arithmetic: num_units_in_tick is a full u32, so
-          // frames*2*nuit*1000 can overflow Long for crafted VUI values
-          // — a negative durationMs would be off-doctrine for a parser
-          // that otherwise strictly rejects hostile bytes; drop the
-          // duration instead
-          if (nuit > 0 && ts > 0) durationMs =
-            try Some(Math.multiplyExact(Math.multiplyExact(frames.toLong * 2L, nuit), 1000L) / ts)
-            catch { case _: ArithmeticException => None }
+          durationMs = vuiDurationMs(frames, nuit, ts)
         }
       }
       if (frames == 0) None
       else Some(VideoMeta("h264", "avc", w, h, frames, durationMs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Duration from VUI timing (fps = time_scale / (2·num_units_in_tick),
+    * the spec's field-based tick convention) in EXACT arithmetic:
+    * num_units_in_tick is a full u32, so frames·2·nuit·1000 can overflow
+    * Long for crafted VUI values — a negative durationMs would be
+    * off-doctrine for a parser that otherwise strictly rejects hostile
+    * bytes; the duration drops instead while the rest of the metadata
+    * claim stands. */
+  private[graft] def vuiDurationMs(frames: Int, nuit: Long, ts: Long): Option[Long] =
+    if (nuit <= 0 || ts <= 0) None
+    else
+      try Some(Math.multiplyExact(Math.multiplyExact(frames.toLong * 2L, nuit), 1000L) / ts)
+      catch { case _: ArithmeticException => None }
 
   /** Container walk first (MP4 carries timing the raw stream cannot),
     * raw Annex-B second; None → codec seam → stub, as for audio. */

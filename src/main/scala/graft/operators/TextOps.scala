@@ -960,6 +960,15 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum("fp") / lit(1e6), 6).as("dsir_weight"))
+    dsirRank(perDoc, k)
+  }
+
+  /** The top-K + rank tail every DSIR selection face shares (in-query
+    * and stored) — one definition, so the faces can only differ in
+    * which model produced the weights, never in how selection ranks.
+    * TakeOrderedAndProject (never a global sort); the rank window runs
+    * over the already-K-bounded frame. */
+  private def dsirRank(perDoc: DataFrame, k: Int): DataFrame = {
     val top = perDoc.orderBy(col("dsir_weight").desc, col("doc_id")).limit(k)
     top.withColumn("sel_rank", row_number().over(
         Window.orderBy(col("dsir_weight").desc, col("doc_id"))).cast(LongType))
@@ -970,11 +979,227 @@ object TextOps {
   private[graft] def dsirBucket(b: Int)(gram: Column): Column =
     pmod(xxhash64(gram), lit(b.toLong))
 
+  /** The deployment bucket count: 2^16 keeps the two distribution
+    * frames at most 65536 rows each — broadcastable constants at any
+    * corpus size — while preserving the raw-gram selection (DsirSpec's
+    * ≥0.8 overlap bar at exactly this B). */
+  private[graft] val DsirBuckets: Int = 1 << 16
+
   /** Oracle-gated DSIR face: target = the English slice, raw-gram
     * features (the hashed path is [[dsirBucket]], overlap-pinned by
     * DsirSpec), K = 100. */
   def qDsir(s: SparkSession, dir: String): DataFrame =
     dsirSelect(Tables.documents(s, dir), col("lang") === "en", k = 100)
+
+  /** The DEPLOYMENT DSIR face, oracle-gated: hashed-bucket features
+    * ([[dsirBucket]] at [[DsirBuckets]]) — the path whose model frames
+    * stay B-row constants at 100 TB. Differential Expected oracle (the
+    * q_ann_ivf pattern; xxhash64 has no DuckDB replay):
+    * [[graft.verify.Expected.dsirBucketRows]]. */
+  def qDsirBucket(s: SparkSession, dir: String): DataFrame =
+    dsirSelect(Tables.documents(s, dir), col("lang") === "en", k = 100,
+      featureOf = dsirBucket(DsirBuckets))
+
+  // ---- stored DSIR model (the LM-store discipline) -------------------------
+  //
+  // The pass a pretraining mixture runs REPEATEDLY is "score a new crawl
+  // batch against the frozen target model" — retraining both
+  // distributions per query (the in-query faces above) is a one-shot
+  // shape. The store materializes the two bucket-count frames the same
+  // way writeLmModel materializes the bigram LM: batch-scoped additive
+  // counts (bootstrap = -1), grown by dynamic partition overwrites
+  // (replay-idempotent), folded by compaction, sliced by as-of partition
+  // filters. Counts are ADDITIVE in both frames, so the stored model is
+  // exact at any append depth; the shared smoothing base v2
+  // (pool-distinct features) is derived from the SUMMED pool frame at
+  // load, which keeps it exact too (distinct-of-union ≡ nonzero rows of
+  // the summed counts). Both frames are ≤ [[DsirBuckets]] rows —
+  // model-plane constants a scorer broadcasts.
+
+  private[graft] val dsirCountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "f BIGINT, c BIGINT, batch_id BIGINT")
+
+  /** The shared gram→bucket feature stream ([[lmGrams]] tokenization —
+    * the stored model cannot tokenize differently by construction). */
+  private def dsirFeats(docs: DataFrame): DataFrame =
+    lmGrams(docs).select(col("doc_id"), dsirBucket(DsirBuckets)(col("bg")).as("f"))
+
+  /** Bucket-count frames of one batch: (pool counts, target counts). */
+  private def dsirCounts(docs: DataFrame, targetPred: Column): (DataFrame, DataFrame) = {
+    val feats = dsirFeats(docs)
+    (feats.groupBy("f").agg(count(lit(1)).as("c")),
+      feats.join(docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("f").agg(count(lit(1)).as("c")))
+  }
+
+  /** Train-once bootstrap: pool counts at `path`, target counts at
+    * `path/_target`, both batch -1. Crash-safe via
+    * [[graft.sources.Stores.overwriteAside]]. An empty target slice is
+    * legal (a zero-row `_target` → nt = 0 → every gram takes the
+    * Laplace floor, the dsirSelect domain edge DsirSpec pins). */
+  def writeDsirModel(s: SparkSession, docs: DataFrame, targetPred: Column,
+      path: String): Unit =
+    graft.sources.Stores.overwriteAside(s, path) { tmp =>
+      val (cs, ct) = dsirCounts(docs, targetPred)
+      cs.withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      ct.withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_target")
+    }
+
+  /** Grow the stored model: the batch's bucket counts land as dynamic
+    * overwrites of their batch_id partition in BOTH frames —
+    * replay-idempotent (a retried batch rewrites itself) and exact at
+    * any depth, because counts sum at load. Batches must be
+    * doc-disjoint (the [[appendLmBatch]] precondition). */
+  def appendDsirBatch(s: SparkSession, docs: DataFrame, targetPred: Column,
+      path: String, batchId: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "append") {
+    require(batchId >= 0, "scoped batch ids are non-negative (negatives are store-internal)")
+    graft.sources.Stores.recover(s, path)
+    val (cs, ct) = dsirCounts(docs, targetPred)
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      cs.withColumn("batch_id", lit(batchId)).coalesce(1), path, Seq("batch_id"))
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      ct.withColumn("batch_id", lit(batchId)).coalesce(1),
+      path + "/_target", Seq("batch_id"))
+  }
+
+  /** Net model frames at `asOf` (None = live): counts sum across batch
+    * partitions; the as-of slice is a PARTITION FILTER pruned before a
+    * row is read. */
+  private def dsirModelFrames(s: SparkSession, path: String,
+      asOf: Option[Long]): (DataFrame, DataFrame) = {
+    def load(p: String): DataFrame = {
+      val raw = s.read.schema(dsirCountsSchema).parquet(p)
+      asOf.fold(raw)(a => raw.filter(col("batch_id").cast("long") <= a))
+        .groupBy("f").agg(sum("c").as("c"))
+    }
+    (load(path), load(path + "/_target"))
+  }
+
+  /** The scoring tail every stored-DSIR face shares: per-doc summed
+    * fixed-point log-ratios under the GIVEN net frames — the same
+    * formula as [[dsirSelect]]'s in-query fp (TextOpsSpec pins stored ≡
+    * in-query bit-for-bit over the training corpus), with LEFT joins so
+    * a NEW batch's out-of-model grams degrade to the smoothing floor
+    * instead of dropping (the [[lmScoreStored]] graceful-OOV shape).
+    * The three scalars collect driver-side (model-plane, ≤ B rows) and
+    * fold into the scan projection as literals; the count frames
+    * broadcast. */
+  private def scoreUnderDsirModel(s: SparkSession, docs: DataFrame,
+      cs: DataFrame, ct: DataFrame, path: String): DataFrame = {
+    val row = cs.agg(coalesce(sum("c"), lit(0L)).as("ns"), count(lit(1)).as("v2"))
+      .crossJoin(ct.agg(coalesce(sum("c"), lit(0L)).as("nt"))).collect()(0)
+    val (ns, v2, nt) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(v2 > 0, s"stored DSIR model at $path has an empty pool distribution — " +
+      "refusing to score (an unsmoothable model scores every gram log(1/0); " +
+      "re-train with writeDsirModel)")
+    val fp = round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit(nt + v2)) -
+        log((coalesce(col("cs"), lit(0L)) + lit(1.0)) / lit(ns + v2))) * lit(1e6))
+      .cast(LongType)
+    dsirFeats(docs)
+      .join(broadcast(cs.withColumnRenamed("c", "cs")), Seq("f"), "left")
+      .join(broadcast(ct.withColumnRenamed("c", "ct")), Seq("f"), "left")
+      .withColumn("fp", fp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("fp") / lit(1e6), 6).as("dsir_weight"))
+  }
+
+  /** Score a batch under the stored model — no retrain: the repeated
+    * pass of a mixture pipeline. Rows ordered by doc_id. */
+  def dsirScoreStored(s: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    val (cs, ct) = dsirModelFrames(s, path, None)
+    scoreUnderDsirModel(s, docs, cs, ct, path).orderBy("doc_id")
+  }
+
+  /** Top-K selection under the stored model — [[dsirScoreStored]]
+    * through the shared [[dsirRank]] tail. Defined to return what the
+    * in-query bucketed face returns when the model was trained on the
+    * scored corpus (shares q_dsir_bucket's Expected artifact). */
+  def dsirSelectStored(s: SparkSession, docs: DataFrame, path: String,
+      k: Int): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    val (cs, ct) = dsirModelFrames(s, path, None)
+    dsirRank(scoreUnderDsirModel(s, docs, cs, ct, path), k)
+  }
+
+  /** [[dsirScoreStored]] AS OF admission batch `asOf` — the mixture
+    * pipeline's reproducibility face ("score this crawl under the
+    * selection model as the corpus stood at batch N"), the
+    * [[lmScoreStoredAsOf]] semantics minus retraction (the DSIR store
+    * carries no tombstones): a pure partition filter on both frames,
+    * horizon-guarded by the shared
+    * [[graft.sources.Stores.requireAsOfReconstructable]]. */
+  def dsirScoreStoredAsOf(s: SparkSession, docs: DataFrame, path: String,
+      asOf: Long): DataFrame = {
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.requireAsOfReconstructable(s, path, asOf)
+    val (cs, ct) = dsirModelFrames(s, path, Some(asOf))
+    scoreUnderDsirModel(s, docs, cs, ct, path).orderBy("doc_id")
+  }
+
+  /** Compact the stored model: batch partitions below the watermark
+    * fold into the bootstrap in BOTH frames — counts sum, so the fold
+    * is score-preserving by construction — in one crash-safe swap, with
+    * the as-of horizon recorded atomically ([[compactLmModel]]'s rule,
+    * minus its tombstone interplay: the DSIR store has none). */
+  def compactDsirModel(s: SparkSession, path: String, foldBelow: Long): Unit =
+      graft.sources.StoreLock.withLock(path, "compact") {
+    require(foldBelow >= 0, s"compactDsirModel($path): foldBelow must be >= 0, got $foldBelow")
+    graft.sources.Stores.recover(s, path)
+    graft.sources.Stores.clearResidue(s, path)
+    val ids = (graft.sources.Stores.batchIdDirs(s, path) ++
+        graft.sources.Stores.batchIdDirs(s, path + "/_target"))
+      .filter(b => b >= 0 && b < foldBelow)
+    if (ids.isEmpty) return
+    def foldCounts(df0: DataFrame): DataFrame = {
+      val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
+      df.filter(col("batch_id") < foldBelow)
+        .groupBy("f").agg(sum("c").as("c"))
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(df.filter(col("batch_id") >= foldBelow))
+    }
+    graft.sources.Stores.compactInPlace(s, path, Some(dsirCountsSchema))(foldCounts) {
+      (df, tmp) =>
+        df.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+        foldCounts(s.read.schema(dsirCountsSchema).parquet(path + "/_target"))
+          .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_target")
+        graft.sources.Stores.writeHorizonInto(s, path, tmp,
+          math.min(foldBelow, ids.max + 1L))
+    }
+  }
+
+  /** [[qDsirBucket]] served END-TO-END from the stored model
+    * ([[writeDsirModel]] once, memoized, then [[dsirSelectStored]]) —
+    * shares q_dsir_bucket's Expected artifact because materializing the
+    * model must not move a weight. */
+  def qDsirProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = modelPath("dsirmodel", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      writeDsirModel(s, docs, col("lang") === "en", path))
+    dsirSelectStored(s, docs, path, k = 100)
+  }
+
+  /** The stored model scored AS OF its pre-append state (own store
+    * path): bootstrap without the %10 = 5 docs, append them as batch 7,
+    * score the FULL corpus as of batch 6 — the frozen-model pass over a
+    * new crawl, where the late docs' grams must neither shift the model
+    * (the partition filter) nor drop from scoring (the left-join OOV
+    * floor). Expected twin: [[graft.verify.Expected.dsirAsofRows]]. */
+  def qDsirAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val late = pmod(col("doc_id"), lit(10L)) === 5
+    val path = graft.sources.TmpStores.scopedPath("graft-dsirasof", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeDsirModel(s, docs.filter(!late), col("lang") === "en", path)
+      appendDsirBatch(s, docs.filter(late), col("lang") === "en", path, 7L)
+    }
+    dsirScoreStoredAsOf(s, docs, path, asOf = 6L)
+  }
 
   /** Materialize the corpus bigram LM as a stored MODEL: the
     * batch-scoped (bg, c2) count table plus a `_vocab` sidecar of
@@ -2044,6 +2269,9 @@ object TextOps {
     "q_repetition"  -> qRepetition _,
     "q_lm_score"    -> qLmScore _,
     "q_dsir"        -> qDsir _,
+    "q_dsir_bucket" -> qDsirBucket _,
+    "q_dsir_probe"  -> qDsirProbe _,
+    "q_dsir_asof"   -> qDsirAsof _,
     "q_curriculum"  -> qCurriculum _,
     "q_lm_probe"    -> qLmProbe _,
     "q_lm_retract"  -> qLmRetract _,

@@ -639,6 +639,77 @@ object Expected {
       .sortBy(_._1)
   }
 
+  // ---- q_dsir_bucket / q_dsir_probe / q_dsir_asof ------------------------
+  /** Spark's xxhash64 over one string column: XXH64 over the UTF-8
+    * bytes, seed 42 (DocHashes' string-hash contract). */
+  private def xxhash64Str(v: String): Long = {
+    val u = UTF8String.fromString(v)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** A doc's DSIR bucket-feature stream: the lmGrams tokenization
+    * (normText → single-space split → bigrams over docs with ≥2 words)
+    * hashed into [[graft.operators.TextOps.DsirBuckets]] buckets with
+    * Spark's pmod semantics. */
+  private def dsirFeats(text: String): Seq[Long] = {
+    val b = graft.operators.TextOps.DsirBuckets.toLong
+    val w = splitWords(normText(text))
+    if (w.length < 2) Nil
+    else w.iterator.sliding(2).withPartial(false)
+      .map { p => val h = xxhash64Str(p.head + " " + p(1)); ((h % b) + b) % b }
+      .toSeq
+  }
+
+  /** Per-doc (n_bigrams, dsir_weight) under a model trained on the
+    * `trainFilter` slice (target = lang "en" within it), scoring ALL
+    * docs with left-join OOV semantics — the sequential re-derivation
+    * of the engine's two count shuffles, the broadcast scalar frame,
+    * and the fixed-point weight sum. */
+  private def dsirScoredRowsOver(docs: Seq[(Long, String, String)],
+      trainFilter: Long => Boolean): Seq[(Long, Long, Double)] = {
+    val cs = mutable.Map.empty[Long, Long]
+    val ct = mutable.Map.empty[Long, Long]
+    docs.filter(d => trainFilter(d._1)).foreach { case (_, lang, text) =>
+      dsirFeats(text).foreach { f =>
+        cs.updateWith(f)(o => Some(o.getOrElse(0L) + 1L))
+        if (lang == "en") ct.updateWith(f)(o => Some(o.getOrElse(0L) + 1L))
+      }
+    }
+    val ns = cs.values.sum; val nt = ct.values.sum; val v2 = cs.size.toLong
+    docs.flatMap { case (id, _, text) =>
+      val fs = dsirFeats(text)
+      if (fs.isEmpty) None
+      else {
+        val sumFp = fs.iterator.map { f =>
+          // the engine's round((logdiff) * 1e6) — HALF_UP at scale 0
+          val d = (math.log((ct.getOrElse(f, 0L) + 1.0) / (nt + v2)) -
+            math.log((cs.getOrElse(f, 0L) + 1.0) / (ns + v2))) * 1e6
+          java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }.sum
+        Some((id, fs.size.toLong, round6(sumFp / 1e6)))
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Expected (doc_id, n_bigrams, dsir_weight, sel_rank) rows for the
+    * bucketed selection faces (q_dsir_bucket in-query; q_dsir_probe
+    * serves the same rows from the stored model): model trained on the
+    * full corpus, top-100 by (weight desc, doc_id). */
+  def dsirBucketRows(docs: Seq[(Long, String, String)]): Seq[(Long, Long, Double, Long)] =
+    dsirScoredRowsOver(docs, _ => true)
+      .sortBy { case (id, _, w) => (-w, id) }
+      .take(100).zipWithIndex
+      .map { case ((id, n, w), i) => (id, n, w, (i + 1).toLong) }
+      .sortBy(_._1)
+
+  /** Expected (doc_id, n_bigrams, dsir_weight) rows for the as-of face:
+    * the model is frozen at the bootstrap (doc_id % 10 ≠ 5 — batch 7's
+    * docs must not shift it), every doc scores (late docs' novel grams
+    * take the OOV floor, never drop). */
+  def dsirAsofRows(docs: Seq[(Long, String, String)]): Seq[(Long, Long, Double)] =
+    dsirScoredRowsOver(docs, _ % 10 != 5)
+
   // ---- q_kmeans / q_cluster_sample ---------------------------------------
   /** Spark's round(x * 1e6) → long: HALF_UP at scale 0 on the double. */
   private def fpRound(x: Double): Long =
@@ -712,6 +783,10 @@ object Expected {
     val embs = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // the DSIR twins need the target-slice column too
+    val docs3 = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
     def write(name: String, df: org.apache.spark.sql.DataFrame): String = {
       val path = s"$expectedDir/$name"
@@ -763,6 +838,12 @@ object Expected {
     val plan = write("q_ann_plan", planRows.toDF("q_id", "rank", "neighbor_id", "cosine")
       .withColumn(
         "tier", org.apache.spark.sql.functions.lit(planChoice)))
+    // one expected artifact for both bucketed-selection faces (stored
+    // probe ≡ in-query, the q_ivf pattern); the as-of face has its own
+    val dsirB = write("q_dsir_bucket",
+      dsirBucketRows(docs3).toDF("doc_id", "n_bigrams", "dsir_weight", "sel_rank"))
+    val dsirA = write("q_dsir_asof",
+      dsirAsofRows(docs3).toDF("doc_id", "n_bigrams", "dsir_weight"))
     val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
     val cs = write("q_cluster_sample",
       clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
@@ -793,6 +874,9 @@ object Expected {
       "q_ann_plan"       -> sql(plan, "q_id, rank, neighbor_id, cosine, tier", "q_id, rank"),
       "q_ivf_recall"     -> sql(ivfRec, "q_id, recall_at_5", "q_id"),
       "q_pq_recall"      -> sql(pqRec, "q_id, recall_at_5", "q_id"),
+      "q_dsir_bucket"    -> sql(dsirB, "doc_id, n_bigrams, dsir_weight, sel_rank", "doc_id"),
+      "q_dsir_probe"     -> sql(dsirB, "doc_id, n_bigrams, dsir_weight, sel_rank", "doc_id"),
+      "q_dsir_asof"      -> sql(dsirA, "doc_id, n_bigrams, dsir_weight", "doc_id"),
       "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),
       "q_cluster_sample" -> sql(cs, "cluster_id, vec_id", "cluster_id, vec_id"),
     )

@@ -57,6 +57,84 @@ class DsirSpec extends AnyFunSuite {
       "empty-target weights take the smoothing floor, never NaN")
   }
 
+  test("stored model ≡ in-query: weights, ranks and schema bit-for-bit over the training corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val path = tmpPath("dsir-eq")
+    TextOps.writeDsirModel(spark, docs, col("lang") === "en", path)
+    val stored = TextOps.dsirSelectStored(spark, docs, path, k = 50).collect().toSeq
+    val inQuery = TextOps.dsirSelect(docs, col("lang") === "en", k = 50,
+      featureOf = TextOps.dsirBucket(TextOps.DsirBuckets)).collect().toSeq
+    assert(stored === inQuery,
+      "materializing the model must not move a weight or a rank")
+  }
+
+  test("ingest loop: stored score at every append depth ≡ in-query over the union") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val path = tmpPath("dsir-ingest")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val en = col("lang") === "en"
+    TextOps.writeDsirModel(spark, b0, en, path)
+    TextOps.appendDsirBatch(spark, b1, en, path, 1L)
+    // replay of batch 1 must be a no-op (idempotent dynamic overwrite)
+    TextOps.appendDsirBatch(spark, b1, en, path, 1L)
+    TextOps.appendDsirBatch(spark, b2, en, path, 2L)
+    def weights(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val stored = weights(TextOps.dsirScoreStored(spark, docs, path))
+    val union = weights(TextOps.dsirSelect(docs, en, k = Int.MaxValue,
+      featureOf = TextOps.dsirBucket(TextOps.DsirBuckets)))
+    assert(stored === union,
+      "three appends (one replayed) must score exactly like a single-shot train")
+    // as-of 1 reconstructs the b0+b1 model while scoring ALL docs (b2's
+    // novel grams take the OOV floor, never drop)
+    val asOf1 = weights(TextOps.dsirScoreStoredAsOf(spark, docs, path, asOf = 1L))
+    val p01 = tmpPath("dsir-b01")
+    TextOps.writeDsirModel(spark, b0.unionByName(b1), en, p01)
+    val modelDocs = weights(TextOps.dsirScoreStored(spark, docs, p01))
+    assert(asOf1 === modelDocs, "as-of slice must equal the pre-append model")
+    assert(asOf1.keySet === stored.keySet,
+      "every gram-bearing doc scores under the as-of model — OOV floors, no drops")
+  }
+
+  test("compaction folds batches score-preserving and bounds the as-of horizon") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val path = tmpPath("dsir-compact")
+    val en = col("lang") === "en"
+    TextOps.writeDsirModel(spark, docs.filter(col("doc_id") % 2 === 0), en, path)
+    TextOps.appendDsirBatch(spark, docs.filter(col("doc_id") % 2 === 1), en, path, 3L)
+    val before = TextOps.dsirScoreStored(spark, docs, path).collect().toSeq
+    TextOps.compactDsirModel(spark, path, foldBelow = 10L)
+    val after = TextOps.dsirScoreStored(spark, docs, path).collect().toSeq
+    assert(before === after, "folding batch partitions must not move a weight")
+    // folded states are gone — the shared horizon guard refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dsirScoreStoredAsOf(spark, docs, path, asOf = 1L)
+    }
+    assert(e.getMessage.contains("oldest reconstructable"), e.getMessage)
+    // the folded bootstrap IS the final state: as-of at/above the
+    // horizon still serves
+    assert(TextOps.dsirScoreStoredAsOf(spark, docs, path, asOf = 3L)
+      .collect().toSeq === after)
+  }
+
+  test("an empty stored pool refuses to score loudly") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val path = tmpPath("dsir-empty")
+    TextOps.writeDsirModel(spark, empty, col("lang") === "en", path)
+    val docs = Seq((1L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dsirScoreStored(spark, docs, path).collect()
+    }
+    assert(e.getMessage.contains("empty pool distribution"), e.getMessage)
+  }
+
+  private def tmpPath(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
   test("hashed-bucket features select nearly the same set as raw grams (the 100 TB path)") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
     val raw = TextOps.dsirSelect(docs, col("lang") === "en", k = 50)

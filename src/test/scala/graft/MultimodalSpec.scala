@@ -477,6 +477,18 @@ class MultimodalSpec extends AnyFunSuite {
     val twoSlices = code ++ handSps ++ code ++ slice ++ code ++ midSlice
     assert(Multimodal.readH264Meta(twoSlices).get.nFrames === 1,
       "a continuation slice must not count as a second picture")
+    // mvhd all-ones duration is the spec's "unknown" sentinel (ISO
+    // 14496-12): the claim stands, the duration does not — a naive
+    // divide would report ~49 days
+    val unk = Multimodal.readMp4Meta(Multimodal.synthMp4(320, 240, 25, 0xFFFFFFFFL)).get
+    assert(unk.width === 320 && unk.nFrames === 25 && unk.durationMs === None,
+      s"all-ones mvhd duration must read as unknown, got $unk")
+    // VUI duration arithmetic is exact: crafted (frames, nuit) products
+    // that overflow Long drop the duration instead of going negative
+    assert(Multimodal.vuiDurationMs(6, 1000L, 50000L) === Some(240L))
+    assert(Multimodal.vuiDurationMs(Int.MaxValue, 0xFFFFFFFFL, 2L) === None,
+      "overflowing VUI product must drop the duration, not wrap negative")
+    assert(Multimodal.vuiDurationMs(6, 0L, 50000L) === None)
     // strictness: the failure mode on a 100 TB corpus is FALSE CLAIMS
     assert(Multimodal.readVideoMeta("plain text payload".getBytes) === None)
     assert(Multimodal.readMp4Meta(mp4.take(40)) === None,

@@ -63,6 +63,26 @@ class SigV4CanonSpec extends AnyFunSuite {
     assert(tampered.contains("signature mismatch"), s"got $tampered")
   }
 
+  test("literal non-BMP character in the raw query: client and server canonicalizations agree") {
+    // a literal 😀 is a surrogate PAIR in Java chars; encoding each lone
+    // surrogate separately yields '?' bytes while the server encodes the
+    // whole string correctly — the run-wise encode keeps them identical
+    val s = "a😀b"
+    assert(SigV4.pctDecodeBytes(s).toSeq === s.getBytes("UTF-8").toSeq,
+      "client decode of an unescaped run must be byte-exact UTF-8")
+    // full round trip with the literal char in the query (java.net.URI
+    // permits non-US-ASCII 'other' characters in a raw query)
+    val uri = java.net.URI.create("http://localhost:1/bucket/key?e=" + s)
+    val payload = Array.emptyByteArray
+    val signer = new SigV4.Signer(creds, clock = () => at)
+    val hdrs = signer.headers("GET", uri, Nil, payload) ++ Seq("host" -> uri.getAuthority)
+    val hmap = hdrs.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+    val hget = (n: String) => hmap.get(n.toLowerCase(java.util.Locale.ROOT))
+    val verdict = SigV4.validate("GET", uri.getRawPath, uri.getRawQuery,
+      hget, payload, ak => Some(creds).filter(_.accessKey == ak), now = () => at)
+    assert(verdict === None, s"surrogate-pair query must verify: $verdict")
+  }
+
   test("malformed percent escapes in the incoming query are a 403-class rejection, not a server error") {
     val uri = java.net.URI.create("http://localhost:1/bucket/key?ok=1")
     val payload = Array.emptyByteArray
