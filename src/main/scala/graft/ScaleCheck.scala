@@ -181,6 +181,29 @@ object ScaleCheck {
     Seq(("q_dedup_clusters_unmemoized", tSmall, tBig, false))
   }
 
+  /** The planner's one-time all-tier measurement build as its OWN
+    * two-scale row (r19 verdict item 3): q_ann_plan's sweep row measures
+    * the SERVE (store read + chosen tier's face — the build memoizes
+    * under buildOnce before the timed reps), so the build cost must be
+    * priced somewhere honest — here, into a fresh store path each rep,
+    * never the memoized one. */
+  private def annPlanBuildRows(spark: SparkSession, baseDir: String, sf1Dir: String,
+      only: Option[Set[String]]): Seq[(String, Double, Double, Boolean)] = {
+    if (!only.forall(_.contains("q_ann_plan_build"))) return Seq.empty
+    def measureBuild(dir: String): Double = {
+      spark.catalog.clearCache()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-scale-annplan").toString + "/store"
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.writeAnnRecallStore(spark, dir, out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tSmall = Seq(measureBuild(baseDir), measureBuild(baseDir)).min
+    val tBig = Seq(measureBuild(sf1Dir), measureBuild(sf1Dir)).min
+    System.err.println(f"[scale] q_ann_plan_build sf0.1 $tSmall%7.2f s   sf1 $tBig%7.2f s   ratio ${tBig / tSmall}%5.2f")
+    Seq(("q_ann_plan_build", tSmall, tBig, false))
+  }
+
   /** The deployment's NIGHTLY shape as ONE orchestrated sf1 scenario
     * (r16 verdict item 5): grow a REAL six-store estate through the
     * composition entry points — bootstrap over the non-streamed corpus,
@@ -531,7 +554,8 @@ object ScaleCheck {
       System.err.println(f"[scale] $n%-22s sf0.1 $tSmall%7.2f s   sf1 $tBig%7.2f s   ratio ${tBig / tSmall}%5.2f"
         + (if (flip) s"   PLAN FLIP $shapeSmall -> $shapeBig" else ""))
       (n, tSmall, tBig, flip)
-    } ++ ccRows(spark, baseDir, sf1Dir, only)
+    } ++ ccRows(spark, baseDir, sf1Dir, only) ++
+      annPlanBuildRows(spark, baseDir, sf1Dir, only)
     // The ORCHESTRATOR path at sf1 (the one driver-side composition with
     // no bench query): a 2-module MANDATORY chain whose run commands are
     // registered queries, driven against the sf1 dataset under a real

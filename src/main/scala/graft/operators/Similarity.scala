@@ -249,21 +249,97 @@ object Similarity {
     }
   }
 
+  /** [[annTierCost]] with the pruning fractions MEASURED on this corpus
+    * (per-query average candidate volumes of the bucket/list probes)
+    * instead of the uniform-occupancy assumption — the r19 advice: a
+    * skewed corpus whose LSH buckets collapse makes the heuristic
+    * under-price that tier by up to 1/lshFrac, and the planner should
+    * choose on what the probes will actually read. The byte constants
+    * stay the shipped faces' own; only the fractions become
+    * observations. Deterministic (candidate counts are exact integers),
+    * so the differential twin re-derives identical costs from its own
+    * sequential bucket/list assignments. */
+  private[graft] def annTierCostMeasured(tier: String, nVectors: Long,
+      lshCandPerQ: Double, ivfCandPerQ: Double): Double = {
+    val full = 4.0 * Dim
+    val codes = PqSubspaces.toDouble
+    val refine = PqRefineR * full
+    tier match {
+      case "brute"         => (nVectors - 1).toDouble * full
+      case "lsh"           => lshCandPerQ * full
+      case "ivf"           => ivfCandPerQ * full
+      case "pq"            => (nVectors - 1).toDouble * codes
+      case "pq_refine"     => (nVectors - 1).toDouble * codes + refine
+      case "ivf_pq"        => ivfCandPerQ * codes
+      case "ivf_pq_refine" => ivfCandPerQ * codes + refine
+      case other => throw new IllegalArgumentException(s"unknown ANN tier '$other'")
+    }
+  }
+
+  /** Measured per-query candidate volumes of the two pruned scans on a
+    * corpus: (n, lsh candidates/query, ivf candidates/query), each the
+    * exact count of corpus vectors a probe query's buckets/lists
+    * contain (self excluded — a query always probes its own
+    * bucket/list). Entirely model-plane arithmetic: the bucket and list
+    * HISTOGRAMS are ≤ 2^[[AnnPlanes]] / [[IvfLists]] rows, the query
+    * probe sets are |queries| rows of ≤ [[IvfProbes]] ints — nothing
+    * corpus-sized crosses the driver. */
+  private[graft] def measuredCandidatesFrom(s: SparkSession,
+      vectors: DataFrame): (Long, Double, Double) = {
+    val e = withNorm(s, vectors)
+    val b = e.withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
+    val hist = b.groupBy("bucket").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val n = hist.values.sum
+    val qBuckets = b.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1))
+    val nQ = qBuckets.map(_._2).sum
+    require(nQ > 0, "no probe queries (vec_id % 100 == 0) — cannot measure tier costs")
+    val lshCand = qBuckets.map { case (qb, cnt) =>
+      cnt * probeBuckets(qb).map(hist.getOrElse(_, 0L)).sum
+    }.sum - nQ
+    val cents = trainQuantizer(e)
+    val lists = e.withColumn("list_id",
+      ivfListId(s, cents)(col("embedding"), col("nrm")))
+    val lhist = lists.groupBy("list_id").count().collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+    // Σ_q Σ_{l ∈ probes(q)} |list l| = Σ_l (#queries probing l)·|list l|
+    val probed = lists.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .select(ivfProbeLists(s, cents)(col("embedding"), col("nrm")).as("l"))
+      .groupBy("l").count().collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getLong(1))
+    val ivfCand = probed.map { case (l, qc) => qc * lhist.getOrElse(l, 0L) }.sum - nQ
+    (n, lshCand.toDouble / nQ, ivfCand.toDouble / nQ)
+  }
+
+  /** Measured cost-bytes per tier on this dataset — the cost column of
+    * the recall store. */
+  def measuredTierCost(s: SparkSession, dir: String): Map[String, Double] = {
+    val (n, lshC, ivfC) = measuredCandidatesFrom(s, Tables.embeddings(s, dir))
+    (annTierFaces.keySet + "brute").map(t =>
+      t -> annTierCostMeasured(t, n, lshC, ivfC)).toMap
+  }
+
   /** THE planner decision: cheapest tier whose MEASURED mean recall@5
-    * meets the target; brute force (recall 1.0 by definition) is the
-    * always-eligible fallback, so any target ≤ 1 has an answer. Ties
-    * break toward higher recall, then name — a total order, so the
-    * choice is independent of map iteration order. Shared verbatim by
-    * the engine face and the differential twin: the two sides feed it
-    * INDEPENDENTLY measured recalls (Spark faces vs the sequential
-    * generators), so a recall regression on either side flips the
-    * choice and fails the q_ann_plan hash gate. */
-  def chooseAnnTier(measured: Map[String, Double], nVectors: Long,
+    * meets the target, priced by its MEASURED cost-bytes (the store's
+    * cost column on the engine side; the sequential twin's re-derived
+    * candidates on the oracle side); brute force (recall 1.0 by
+    * definition) is the always-eligible fallback, so any target ≤ 1 has
+    * an answer. Ties break toward higher recall, then name — a total
+    * order, so the choice is independent of map iteration order. Shared
+    * verbatim by the engine face and the differential twin: the two
+    * sides feed it INDEPENDENTLY measured recalls AND costs, so a
+    * regression in any tier's recall, any probe's pruning, or the cost
+    * model flips the choice and fails the q_ann_plan hash gate. */
+  def chooseAnnTier(measured: Map[String, Double], costs: Map[String, Double],
       recallTarget: Double): String = {
     require(recallTarget <= 1.0, s"recall target $recallTarget is unattainable")
-    (measured + ("brute" -> 1.0)).toSeq
+    val eligible = (measured + ("brute" -> 1.0)).toSeq
       .filter { case (_, r) => r + 1e-9 >= recallTarget }
-      .minBy { case (t, r) => (annTierCost(t, nVectors), -r, t) }._1
+    eligible.foreach { case (t, _) =>
+      require(costs.contains(t), s"no measured cost for eligible tier '$t'") }
+    eligible.minBy { case (t, r) => (costs(t), -r, t) }._1
   }
 
   /** q_ann_plan's pinned target: high enough that the rawest tiers'
@@ -297,29 +373,39 @@ object Similarity {
   private def annPlanStorePath(dir: String): String =
     graft.sources.TmpStores.scopedPath("graft-annplan", dir)
 
-  /** Persist the measured tier recalls — the "stored recall
-    * measurements" a deployment's planner consults instead of
-    * re-benchmarking every tier per query. */
+  /** Persist the measured tier recalls AND measured cost-bytes — the
+    * stored measurements a deployment's planner consults instead of
+    * re-benchmarking every tier per query. Brute's row carries its
+    * by-definition recall 1.0 and its measured full-scan cost, so the
+    * serve path never needs a corpus count. */
   def writeAnnRecallStore(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
-    measuredTierRecall(s, dir).toSeq.sorted.toDF("tier", "recall_at_5")
+    val recalls = measuredTierRecall(s, dir) + ("brute" -> 1.0)
+    val costs = measuredTierCost(s, dir)
+    recalls.toSeq.sorted.map { case (t, r) => (t, r, costs(t)) }
+      .toDF("tier", "recall_at_5", "cost_bytes")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** The planner FACE: read the stored recall measurements, choose the
-    * cheapest tier meeting [[AnnPlanRecallTarget]] for this corpus
-    * size, and SERVE that tier's own registered face, stamped with the
-    * decision. Oracle-gated end to end: the differential twin re-makes
-    * the choice from its sequentially measured recalls and replays the
-    * chosen tier's expected rows — a drift in any tier's recall, in the
-    * cost model, or in the served rows fails the hash. */
+  /** The planner FACE: read the stored (recall, cost) measurements,
+    * choose the cheapest tier meeting [[AnnPlanRecallTarget]], and
+    * SERVE that tier's own registered face, stamped with the decision.
+    * The SERVE path is the store read (7 rows) plus the chosen tier's
+    * face — the all-tier measurement build stays one-time under
+    * [[graft.sources.TmpStores.buildOnce]] and is priced as its own
+    * ScaleCheck line (`q_ann_plan_build`), not into this query.
+    * Oracle-gated end to end: the differential twin re-makes the choice
+    * from its sequentially measured recalls and candidate counts and
+    * replays the chosen tier's expected rows — a drift in any tier's
+    * recall, any probe's pruning, the cost model, or the served rows
+    * fails the hash. */
   def qAnnPlan(s: SparkSession, dir: String): DataFrame = {
     val path = annPlanStorePath(dir)
     graft.sources.TmpStores.buildOnce(path)(writeAnnRecallStore(s, dir, path))
-    val measured = s.read.parquet(path).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val n = Tables.embeddings(s, dir).count()
-    val choice = chooseAnnTier(measured, n, AnnPlanRecallTarget)
+    val rows = s.read.parquet(path).collect()
+    val measured = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val costs = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val choice = chooseAnnTier(measured, costs, AnnPlanRecallTarget)
     annTierFaces(choice)(s, dir).withColumn("tier", lit(choice))
   }
 

@@ -364,6 +364,50 @@ object Expected {
       "ivf_pq_refine" -> mean(ivfPqRefineRows(embs)))
   }
 
+  /** The twin's measured per-tier cost-bytes: candidate volumes
+    * re-derived sequentially (LSH bucket histogram + Hamming-1 probes;
+    * IVF assignments + top-[[Similarity.IvfProbes]] probed lists under
+    * the shared quantizer), priced through the SHARED
+    * [[Similarity.annTierCostMeasured]] formula — so a pruning
+    * regression in either engine's probe moves the cost column, flips
+    * the planner, and fails the hash gate. */
+  def annPlanCosts(embs: Seq[(Long, Array[Float])]): Map[String, Double] = {
+    val withNrm = normed(embs)
+    val n = withNrm.size.toLong
+    val qs = withNrm.filter(_._1 % 100 == 0)
+    val nQ = qs.size.toLong
+    // LSH: sign buckets under the shared hyperplanes, probes = own
+    // bucket + every Hamming-1 neighbor (the engine's probeBuckets)
+    val planes = (0 until Similarity.AnnPlanes).map(p =>
+      (0 until Similarity.Dim).map(d => Similarity.planeComponent(p, d)).toArray)
+    def bucketOf(d: Array[Double]): Long =
+      planes.zipWithIndex.map { case (pl, k) =>
+        if (Similarity.ddot(d, pl) > 0) 1L << k else 0L }.sum
+    val hist = mutable.Map.empty[Long, Long]
+    withNrm.foreach { case (_, d, _) =>
+      hist.updateWith(bucketOf(d))(o => Some(o.getOrElse(0L) + 1L)) }
+    val lshCand = qs.map { case (_, d, _) =>
+      val qb = bucketOf(d)
+      (Seq(0L) ++ (0 until Similarity.AnnPlanes).map(p => 1L << p))
+        .map(m => hist.getOrElse(qb ^ m, 0L)).sum
+    }.sum - nQ
+    // IVF: list histogram under the shared quantizer + per-query
+    // probed-list sets (same (score, list) orderings as ivfRowsOver)
+    val cents = quantizerFor(withNrm)
+    def scores(d: Array[Double], nrm: Double): Seq[(Double, Int)] =
+      cents.toSeq.map { case (i, c, cn) => (Similarity.ddot(d, c) / (nrm * cn), i) }
+    val lhist = mutable.Map.empty[Int, Long]
+    withNrm.foreach { case (_, d, nr) =>
+      lhist.updateWith(scores(d, nr).max(byScore)._2)(o => Some(o.getOrElse(0L) + 1L)) }
+    val ivfCand = qs.map { case (_, d, nr) =>
+      scores(d, nr).sorted(byScore).reverse.take(Similarity.IvfProbes)
+        .map { case (_, l) => lhist.getOrElse(l, 0L) }.sum
+    }.sum - nQ
+    (Similarity.annTierFaces.keySet + "brute").map(t =>
+      t -> Similarity.annTierCostMeasured(t, n,
+        lshCand.toDouble / nQ, ivfCand.toDouble / nQ)).toMap
+  }
+
   /** ONE exact-side body for every recall twin: full sequential scan
     * per probe query, (cosine desc, id) top-5, hit-rate against the
     * approximate tier's (q_id, neighbor_id) pairs. */
@@ -825,7 +869,7 @@ object Expected {
     // ones — only the decision FUNCTION is shared), then replay the
     // chosen tier's expected rows stamped with the choice
     val planChoice = Similarity.chooseAnnTier(annPlanMeasured(embs),
-      embs.size.toLong, Similarity.AnnPlanRecallTarget)
+      annPlanCosts(embs), Similarity.AnnPlanRecallTarget)
     val planRows = planChoice match {
       case "brute"         => bruteRows(embs)
       case "lsh"           => lshRows(embs)

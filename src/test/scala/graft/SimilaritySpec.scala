@@ -701,29 +701,75 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("ANN planner: cheapest tier meeting the target, across targets and corpus sizes") {
     // a synthetic decision table pins the procedure independently of
-    // what this corpus happens to measure
+    // what this corpus happens to measure; costs here take the
+    // uniform-occupancy values (lshCand = 5n/16, ivfCand = 5n/16) —
+    // the measured-cost flip case below is where they diverge
     val measured = Map(
       "lsh" -> 0.92, "ivf" -> 0.90, "pq" -> 0.95,
       "pq_refine" -> 0.99, "ivf_pq" -> 0.85, "ivf_pq_refine" -> 0.97)
+    def uniformCosts(n: Long): Map[String, Double] =
+      (measured.keySet + "brute").map(t => t -> Similarity.annTierCostMeasured(
+        t, n, 5.0 * n / 16, 5.0 * n / 16)).toMap
     val n = 1000000L
+    val costs = uniformCosts(n)
     // cost order at large n: ivf_pq < ivf_pq_refine < pq < pq_refine < ivf = lsh < brute
-    assert(Similarity.chooseAnnTier(measured, n, 0.5) === "ivf_pq",
+    assert(Similarity.chooseAnnTier(measured, costs, 0.5) === "ivf_pq",
       "everything clears a low bar; the cheapest tier must win")
-    assert(Similarity.chooseAnnTier(measured, n, 0.9) === "ivf_pq_refine",
+    assert(Similarity.chooseAnnTier(measured, costs, 0.9) === "ivf_pq_refine",
       "ivf_pq (0.85) misses 0.9; the refined composition is the next-cheapest that clears it")
-    assert(Similarity.chooseAnnTier(measured, n, 0.98) === "pq_refine")
-    assert(Similarity.chooseAnnTier(measured, n, 1.0) === "brute",
+    assert(Similarity.chooseAnnTier(measured, costs, 0.98) === "pq_refine")
+    assert(Similarity.chooseAnnTier(measured, costs, 1.0) === "brute",
       "only brute force guarantees exactness")
     // corpus size flips refine economics: at 10 vectors the refine
     // stage's fixed per-query re-read dwarfs the scan it saves
-    assert(Similarity.chooseAnnTier(measured, 10L, 0.9) === "pq",
+    assert(Similarity.chooseAnnTier(measured, uniformCosts(10L), 0.9) === "pq",
       "a tiny corpus makes the code scan cheaper than any refine constant")
     // equal cost ties break toward higher recall (ivf and lsh price
     // identically here: 5/16 of the corpus at full precision)
-    assert(Similarity.chooseAnnTier(Map("lsh" -> 0.92, "ivf" -> 0.90), n, 0.9) === "lsh")
+    assert(Similarity.chooseAnnTier(Map("lsh" -> 0.92, "ivf" -> 0.90),
+      uniformCosts(n), 0.9) === "lsh")
     intercept[IllegalArgumentException] {
-      Similarity.chooseAnnTier(measured, n, 1.5)
+      Similarity.chooseAnnTier(measured, costs, 1.5)
     }
+  }
+
+  test("measured cost, not recall, flips the tier on a bucket-collapsed corpus") {
+    import spark.implicits._
+    // a corpus built to defeat the uniform-occupancy assumption: every
+    // vector sits on the SAME side of all four hyperplanes (base = the
+    // plane sum, whose dot with each plane is ~|p|² >> the jitter
+    // term), so all LSH buckets collapse into one and a probe reads the
+    // whole corpus — while the heuristic would still price LSH at 5/16
+    val base = (0 until Similarity.Dim).map(d =>
+      (0 until Similarity.AnnPlanes).map(p => Similarity.planeComponent(p, d)).sum).toArray
+    val vecs = (0 until 400).map { i =>
+      val v = base.clone()
+      // deterministic small jitter: keeps every plane dot positive but
+      // spreads directions enough that the IVF quantizer still splits
+      (0 until Similarity.Dim).foreach { d =>
+        v(d) += 0.05 * (((i * 31 + d * 7) % 11) - 5) / 5.0
+      }
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (n, lshCandPerQ, ivfCandPerQ) = Similarity.measuredCandidatesFrom(spark, vecs)
+    assert(n === 400L)
+    assert(lshCandPerQ === (n - 1).toDouble,
+      s"the collapsed corpus must measure LSH candidates = the full corpus, got $lshCandPerQ")
+    assert(ivfCandPerQ < (n - 1).toDouble,
+      s"the IVF probe must still prune on this corpus, got $ivfCandPerQ of ${n - 1}")
+    // recalls where LSH and IVF are the only eligible tiers, LSH the
+    // better-recall one: under UNIFORM costs they tie on price and the
+    // tie breaks toward LSH; under MEASURED costs LSH prices at the
+    // full corpus and IVF wins — the flip is pure cost
+    val recalls = Map("lsh" -> 1.0, "ivf" -> 0.95)
+    val uniform = (recalls.keySet + "brute").map(t => t -> Similarity.annTierCostMeasured(
+      t, n, 5.0 * n / 16, 5.0 * n / 16)).toMap
+    val measuredC = (recalls.keySet + "brute").map(t => t -> Similarity.annTierCostMeasured(
+      t, n, lshCandPerQ, ivfCandPerQ)).toMap
+    assert(Similarity.chooseAnnTier(recalls, uniform, 0.9) === "lsh",
+      "uniform pricing ties the pruned tiers and recall breaks it toward lsh")
+    assert(Similarity.chooseAnnTier(recalls, measuredC, 0.9) === "ivf",
+      "measured pricing must expose the collapsed buckets and flip the choice to ivf")
   }
 
   test("q_ann_plan serves the chosen tier's own registered results, stamped with the choice") {
