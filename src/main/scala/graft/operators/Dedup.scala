@@ -901,11 +901,17 @@ object Dedup {
     * UDF with identical math on sessions without GraftExtensions. */
   private def minhashCol(s: SparkSession, words: Column): Column =
     if (s.catalog.functionExists("graft_minhash")) call_function("graft_minhash", words)
-    else udf((w: Seq[String]) => graft.functions.DocHashes.minhashSeq(w, 3, NumHashes)).apply(words)
+    else {
+      graft.functions.FallbackWarning.note("graft_minhash")
+      udf((w: Seq[String]) => graft.functions.DocHashes.minhashSeq(w, 3, NumHashes)).apply(words)
+    }
 
   private def simhashCol(s: SparkSession, words: Column): Column =
     if (s.catalog.functionExists("graft_simhash")) call_function("graft_simhash", words)
-    else udf((w: Seq[String]) => graft.functions.DocHashes.simhashSeq(w, 1)).apply(words)
+    else {
+      graft.functions.FallbackWarning.note("graft_simhash")
+      udf((w: Seq[String]) => graft.functions.DocHashes.simhashSeq(w, 1)).apply(words)
+    }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band. `n_bands` is the
     * number of agreeing bands; with 4 bands × 4 rows the collision curve

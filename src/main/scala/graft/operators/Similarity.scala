@@ -82,7 +82,7 @@ object Similarity {
     * interpreted fallback (same result, slower). */
   private[graft] def dotCol(s: SparkSession, a: Column, b: Column): Column =
     if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
-    else interpretedDot(a, b)
+    else { graft.functions.FallbackWarning.note("graft_dot"); interpretedDot(a, b) }
 
   private def planeArr(p: Int): Column =
     array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
@@ -538,13 +538,15 @@ object Similarity {
   private[graft] def topkCol(s: SparkSession, score: Column, id: Column, k: Int): Column =
     if (s.catalog.functionExists("graft_topk"))
       call_function("graft_topk", score, id, lit(k))
-    else
+    else {
+      graft.functions.FallbackWarning.note("graft_topk")
       transform(
         slice(array_sort(collect_list(
           when(score.isNotNull && id.isNotNull,
             struct((!isnan(score)).cast("int").as("nn"),
               (-score).as("ns"), id.as("i"))))), 1, k),
         x => struct(x.getField("i").as("neighbor_id"), (-x.getField("ns")).as("cosine")))
+    }
 
   /** [[qAnnTopk]] re-expressed as a bounded AGGREGATE instead of a
     * window: the window face sorts every scored candidate of a query
@@ -754,7 +756,10 @@ object Similarity {
     if (s.catalog.functionExists("graft_ivf_scores"))
       call_function("graft_ivf_scores", emb, nrm,
         typedlit(centroids.map { case (i, c, cn) => (i, c.toSeq, cn) }.toSeq))
-    else ivfScoresTree(s, centroids)(emb, nrm)
+    else {
+      graft.functions.FallbackWarning.note("graft_ivf_scores")
+      ivfScoresTree(s, centroids)(emb, nrm)
+    }
 
   /** Builtin-composition fallback / spec cross-check twin of the native
     * scores kernel. */
@@ -1328,7 +1333,10 @@ object Similarity {
   private def pqCodeCols(s: SparkSession, cb: Array[Array[Array[Double]]])(emb: Column): Column =
     if (s.catalog.functionExists("graft_pq_encode"))
       call_function("graft_pq_encode", emb, pqCbLit(cb))
-    else pqCodeColsTree(s, cb)(emb)
+    else {
+      graft.functions.FallbackWarning.note("graft_pq_encode")
+      pqCodeColsTree(s, cb)(emb)
+    }
 
   /** The builtin-composition fallback (and the spec's cross-check twin
     * for the native kernel — SimilaritySpec pins both paths equal). */
@@ -1363,7 +1371,10 @@ object Similarity {
   private def pqLut(s: SparkSession, cb: Array[Array[Array[Double]]])(qEmb: Column): Column =
     if (s.catalog.functionExists("graft_pq_lut"))
       call_function("graft_pq_lut", qEmb, pqCbLit(cb))
-    else pqLutTree(s, cb)(qEmb)
+    else {
+      graft.functions.FallbackWarning.note("graft_pq_lut")
+      pqLutTree(s, cb)(qEmb)
+    }
 
   /** Builtin-composition fallback / spec cross-check twin of the native
     * LUT kernel. */

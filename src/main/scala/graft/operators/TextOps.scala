@@ -208,6 +208,7 @@ object TextOps {
       call_function("graft_bpe", words,
         typedLit(merges.map { case (l, r) => Seq(l, r) }))
     else {
+      graft.functions.FallbackWarning.note("graft_bpe")
       val table = new graft.functions.Bpe.MergeTable(merges)
       udf((ws: Seq[String]) => graft.functions.Bpe.encodeWords(ws, table)).apply(words)
     }
@@ -2167,8 +2168,10 @@ object TextOps {
         words.groupBy("lang")
           .agg(call_function("graft_mg", col("word"), lit(HhCapacity)).as("sk"))
           .select(col("lang"), explode(col("sk.word")).as("word"))
-      else // extension absent: every distinct term is a candidate (exact, unbounded)
+      else { // extension absent: every distinct term is a candidate (exact, unbounded)
+        graft.functions.FallbackWarning.note("graft_mg")
         words.select("lang", "word").distinct()
+      }
     words.join(broadcast(cands), Seq("lang", "word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
       .join(broadcast(totals), "lang")
@@ -2199,9 +2202,12 @@ object TextOps {
   private def deflateLenCol(s: SparkSession, c: Column): Column =
     if (s.catalog.functionExists("graft_deflate_len"))
       call_function("graft_deflate_len", c)
-    else udf((t: String) =>
-      graft.functions.Zlib.deflateLen(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      .apply(c)
+    else {
+      graft.functions.FallbackWarning.note("graft_deflate_len")
+      udf((t: String) =>
+        graft.functions.Zlib.deflateLen(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        .apply(c)
+    }
 
   def qCompressRatio(s: SparkSession, dir: String): DataFrame =
     compressRatioOf(s, Tables.documents(s, dir))

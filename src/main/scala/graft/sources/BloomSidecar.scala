@@ -65,7 +65,8 @@ final class BloomSidecar(sidecarName: String, val bits: Int, val hashes: Int) {
     if (s.catalog.functionExists("graft_bloom"))
       k.agg(call_function("graft_bloom", col("k"), lit(bits), lit(hashes)).as("f"))
         .head().getAs[Array[Byte]]("f")
-    else
+    else {
+      graft.functions.FallbackWarning.note("graft_bloom")
       k.rdd.mapPartitions { it =>
         val b = new Array[Long](bits / 64)
         it.foreach(r => if (!r.isNullAt(0))
@@ -74,6 +75,7 @@ final class BloomSidecar(sidecarName: String, val bits: Int, val hashes: Int) {
         Iterator.single(graft.functions.GBloom.encode(b, hashes))
       }.fold(graft.functions.GBloom.encode(new Array[Long](bits / 64), hashes))(
         graft.functions.GBloom.union)
+    }
   }
 
   /** Union a batch's keys into the sidecar BEFORE its rows land — no-op
@@ -134,6 +136,7 @@ final class BloomSidecar(sidecarName: String, val bits: Int, val hashes: Int) {
     if (s.catalog.functionExists("graft_bloom_contains"))
       call_function("graft_bloom_contains", key, lit(bytes))
     else {
+      graft.functions.FallbackWarning.note("graft_bloom_contains")
       val (k, b) = graft.functions.GBloom.decode(bytes)
       udf((v: String) => Option(v).map(x => graft.functions.GBloom.contains(b, k,
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).apply(key)

@@ -733,6 +733,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("extension-less fallback warns LOUDLY exactly once per JVM, naming the kernel and the tax") {
+    // an isolated session whose registry lacks the native kernel — the
+    // forgot-GraftExtensions deployment, scoped to this test
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = graft.functions.FallbackWarning.sink
+    graft.functions.FallbackWarning.resetForSpec()
+    graft.functions.FallbackWarning.sink = m => buf.synchronized { buf += m }
+    import org.apache.spark.sql.functions.lit
+    try {
+      assert(!graft.functions.FallbackWarning.hasFired)
+      Similarity.dotCol(s2, lit(null), lit(null)) // first fallback: warns
+      Similarity.dotCol(s2, lit(null), lit(null)) // second: silent
+      graft.functions.FallbackWarning.note("graft_topk") // other kernels: silent too
+      assert(graft.functions.FallbackWarning.hasFired)
+      assert(buf.size === 1,
+        s"the warning must fire exactly once per JVM, got ${buf.size}: $buf")
+      assert(buf.head.contains("graft_dot") && buf.head.contains("GraftExtensions")
+        && buf.head.contains("+79%"),
+        s"the warning must name the kernel, the fix, and the measured tax: ${buf.head}")
+      // the extension-equipped session still dispatches natively: no warn
+      graft.functions.FallbackWarning.resetForSpec()
+      Similarity.dotCol(spark, lit(null), lit(null))
+      assert(!graft.functions.FallbackWarning.hasFired,
+        "a session WITH the extension must never warn")
+    } finally {
+      // leave the flag FIRED (absorbed by the buffer, not stderr) for
+      // the rest of the suite run: other specs construct fallback twins
+      // deliberately and must stay silent
+      graft.functions.FallbackWarning.note("graft_dot")
+      graft.functions.FallbackWarning.sink = prev
+    }
+  }
+
   test("measured cost, not recall, flips the tier on a bucket-collapsed corpus") {
     import spark.implicits._
     // a corpus built to defeat the uniform-occupancy assumption: every
