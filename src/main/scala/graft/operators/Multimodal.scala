@@ -370,6 +370,126 @@ object Multimodal {
     out
   }
 
+  /** Ogg container walk (RFC 3533 page structure) with Vorbis I and
+    * Opus (RFC 7845) identification headers — the round-20 members of
+    * the zero-dependency metadata family (MP3/ADTS, FLAC, MP4, H.264).
+    * Strict claim, the family doctrine: `OggS` capture pattern at
+    * offset 0 (no scan), stream-structure version 0, the FIRST page
+    * must carry the beginning-of-stream flag, every page's size derives
+    * from its segment table and the pages must tile the payload
+    * EXACTLY, one logical stream only (a second serial rejects), the
+    * last page must carry end-of-stream, and the first packet must be
+    * a well-formed `\x01vorbis` or `OpusHead` identification header.
+    * CRC bytes are not validated (that is an integrity check, not a
+    * structure claim — consistent with the other walks, which also
+    * skip checksums).
+    *
+    * Returns the audio convention: nFrames = page count (the container
+    * framing unit), sampleFrames = the final granule position (Vorbis:
+    * PCM samples at `sampleRate`; Opus: 48 kHz ticks — and the
+    * REPORTED rate for Opus is 48000, because RFC 7845 §5.1 defines
+    * decode output at 48 kHz and `input_sample_rate` as informational,
+    * so duration math stays honest). */
+  private[graft] def readOggMeta(p: Array[Byte]): Option[MpegAudioMeta] = {
+    def u(i: Int): Int = p(i) & 0xFF
+    if (p.length < 28 || u(0) != 'O' || u(1) != 'g' || u(2) != 'g' || u(3) != 'S') return None
+    def u32le(i: Int): Long = u(i).toLong | (u(i + 1).toLong << 8) |
+      (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def i64le(i: Int): Long = (0 until 8).map(j => (p(i + j) & 0xFFL) << (8 * j)).reduce(_ | _)
+    try {
+      var o = 0
+      var nPages = 0
+      var granule = -1L
+      var sawEos = false
+      var serial = 0L
+      var firstPacket: Array[Byte] = null
+      while (o < p.length) {
+        if (o + 27 > p.length) return None
+        if (u(o) != 'O' || u(o + 1) != 'g' || u(o + 2) != 'g' || u(o + 3) != 'S') return None
+        if (u(o + 4) != 0) return None                     // stream_structure_version
+        val flags = u(o + 5)
+        val g = i64le(o + 6)
+        val ser = u32le(o + 14)
+        if (nPages == 0) {
+          if ((flags & 2) == 0) return None                // first page must be BOS
+          serial = ser
+        } else if (ser != serial) return None              // one logical stream
+        val nSegs = u(o + 26)
+        if (o + 27 + nSegs > p.length) return None
+        var payloadLen = 0
+        (0 until nSegs).foreach(j => payloadLen += u(o + 27 + j))
+        val ps = o + 27 + nSegs
+        if (ps + payloadLen > p.length) return None
+        if (nPages == 0)
+          firstPacket = java.util.Arrays.copyOfRange(p, ps, ps + payloadLen)
+        if (g != -1L) granule = g                          // -1 = no packet ends here
+        if ((flags & 4) != 0) sawEos = true
+        nPages += 1
+        o = ps + payloadLen
+      }
+      if (!sawEos || granule < 0) return None
+      val fp = firstPacket
+      def fu(i: Int): Int = fp(i) & 0xFF
+      def fu32le(i: Int): Long = fu(i).toLong | (fu(i + 1).toLong << 8) |
+        (fu(i + 2).toLong << 16) | (fu(i + 3).toLong << 24)
+      if (fp.length >= 30 && fu(0) == 1 &&
+          new String(fp, 1, 6, "ISO-8859-1") == "vorbis") {
+        if (fu32le(7) != 0) return None                    // vorbis_version
+        val ch = fu(11)
+        val rate = fu32le(12)
+        if (ch == 0 || rate <= 0 || rate > Int.MaxValue) return None
+        Some(MpegAudioMeta("vorbis", rate.toInt, ch, nPages, granule, None))
+      } else if (fp.length >= 19 &&
+          new String(fp, 0, 8, "ISO-8859-1") == "OpusHead") {
+        if ((fu(8) >> 4) != 0) return None                 // version major 0 (v1 = 0x01)
+        val ch = fu(9)
+        val inputRate = fu32le(12)                         // informational; must parse sane
+        if (ch == 0 || inputRate < 0) return None
+        Some(MpegAudioMeta("opus", 48000, ch, nPages, granule, None))
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal Ogg stream: a BOS page carrying the Vorbis
+    * or Opus identification header, `dataPages` dummy data pages with
+    * rising granules, EOS + final granule on the last — the planted
+    * fixture the meta face and specs parse back. CRCs are zero (the
+    * strict walk checks structure, not checksums). */
+  private[graft] def synthOgg(codec: String, rate: Int, channels: Int,
+      totalSamples: Long, dataPages: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le64(v: Long): Array[Byte] =
+      (0 until 8).map(j => ((v >> (8 * j)) & 0xFF).toByte).toArray
+    def page(flags: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255, "single-segment synth pages only")
+      Array[Byte]('O', 'g', 'g', 'S', 0, flags.toByte) ++
+        le64(granule) ++ le32(0xD15EA5EL) ++ le32(seq.toLong) ++ le32(0L) ++
+        Array[Byte](1, payload.length.toByte) ++ payload
+    }
+    val idHeader = codec match {
+      case "vorbis" =>
+        Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+          le32(0L) ++ Array(channels.toByte) ++ le32(rate.toLong) ++
+          le32(0L) ++ le32(0L) ++ le32(0L) ++                  // bitrate max/nominal/min
+          Array[Byte](0xB8.toByte, 0x01)                       // blocksizes, framing
+      case "opus" =>
+        "OpusHead".getBytes("ISO-8859-1") ++
+          Array[Byte](1, channels.toByte) ++ Array[Byte](0x38, 1) ++ // pre-skip 312 LE
+          le32(rate.toLong) ++ Array[Byte](0, 0, 0)                  // gain, mapping family 0
+      case other => throw new IllegalArgumentException(s"unknown ogg codec '$other'")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(2, -1L, 0, idHeader)) // BOS; no packet ENDS here → granule -1
+    (1 to dataPages).foreach { i =>
+      val eos = if (i == dataPages) 4 else 0
+      val g = if (i == dataPages) totalSamples else totalSamples * i / dataPages
+      out.write(page(eos, g, i, Array.fill(10)(0x5A.toByte)))
+    }
+    out.toByteArray
+  }
+
   // ---- Video container/bitstream metadata (zero-dependency bit parse) -----
   // H.264 and the codecs inside MP4 have no JDK decoder, so PIXEL decode
   // stays behind the MediaCodec seam — but the container structures are
@@ -606,10 +726,171 @@ object Multimodal {
       try Some(Math.multiplyExact(Math.multiplyExact(frames.toLong * 2L, nuit), 1000L) / ts)
       catch { case _: ArithmeticException => None }
 
+  /** Matroska/WebM metadata via an EBML walk (RFC 8794 element syntax;
+    * the Matroska DTD's public element IDs) — the round-20 twin of the
+    * MP4 box walk. Strict claim, the family doctrine: the EBML header
+    * element (0x1A45DFA3) must LEAD at offset 0 (no scan), every
+    * element ID and size varint must parse, element sizes must nest
+    * EXACTLY (unknown-size elements reject — a streaming-only shape
+    * this walk does not claim), a Segment with a Tracks element must be
+    * present, and the first video TrackEntry must carry positive pixel
+    * dimensions. Reads: Info's TimecodeScale (default 10^6 ns) +
+    * Duration (float ticks) → durationMs; the video TrackEntry's
+    * CodecID + PixelWidth/PixelHeight; frames = SimpleBlock/Block count
+    * in Clusters whose lead varint (the block's track number) matches
+    * the video track. Container = "webm" for the WebM codec set
+    * (VP8/VP9/AV1), else "mkv". */
+  private[graft] def readEbmlMeta(p: Array[Byte]): Option[VideoMeta] = {
+    if (p.length < 8 || (p(0) & 0xFF) != 0x1A || (p(1) & 0xFF) != 0x45 ||
+      (p(2) & 0xFF) != 0xDF || (p(3) & 0xFF) != 0xA3) return None
+    // EBML varint at `o`: (value, encodedLength); IDs keep the length
+    // marker (the DTD writes IDs with it), sizes strip it. All-ones
+    // size = "unknown" → rejected by the caller's nesting check
+    // (value saturates past the payload).
+    def vint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= p.length) return None
+      val b0 = p(o) & 0xFF
+      if (b0 == 0) return None
+      val len = Integer.numberOfLeadingZeros(b0) - 23
+      if (len > 8 || o + len > p.length) return None
+      var v = if (keepMarker) b0.toLong else (b0 & (0xFF >>> len)).toLong
+      (1 until len).foreach(j => v = (v << 8) | (p(o + j) & 0xFFL))
+      Some((v, len))
+    }
+    // children of [from, to) as (id, payloadStart, payloadEnd); None on
+    // any malformed varint or non-exact nesting
+    def children(from: Int, to: Int): Option[List[(Long, Int, Int)]] = {
+      val acc = List.newBuilder[(Long, Int, Int)]
+      var o = from
+      while (o < to) {
+        val (id, il) = vint(o, keepMarker = true).getOrElse(return None)
+        val (sz, sl) = vint(o + il, keepMarker = false).getOrElse(return None)
+        val ps = o + il + sl
+        if (sz < 0 || sz > to - ps) return None
+        acc += ((id, ps, ps + sz.toInt))
+        o = ps + sz.toInt
+      }
+      Some(acc.result())
+    }
+    def uintOf(s: Int, e: Int): Long = {
+      var v = 0L; (s until e).foreach(i => v = (v << 8) | (p(i) & 0xFFL)); v
+    }
+    def floatOf(s: Int, e: Int): Option[Double] = (e - s) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(uintOf(s, e).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(uintOf(s, e)))
+      case _ => None
+    }
+    try {
+      val top = children(0, p.length).getOrElse(return None)
+      if (top.isEmpty || top.head._1 != 0x1A45DFA3L) return None
+      val (segS, segE) = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
+        .getOrElse(return None)
+      val seg = children(segS, segE).getOrElse(return None)
+      var tcScale = 1000000L
+      var durTicks: Option[Double] = None
+      seg.collectFirst { case (0x1549A966L, s, e) => (s, e) }.foreach { case (s, e) =>
+        children(s, e).getOrElse(return None).foreach {
+          case (0x2AD7B1L, a, b) => tcScale = uintOf(a, b)
+          case (0x4489L, a, b)   => durTicks = floatOf(a, b)
+          case _                 => ()
+        }
+      }
+      if (tcScale <= 0) return None
+      val (trS, trE) = seg.collectFirst { case (0x1654AE6BL, s, e) => (s, e) }
+        .getOrElse(return None)
+      val video = children(trS, trE).getOrElse(return None)
+        .collect { case (0xAEL, s, e) => children(s, e).getOrElse(return None) }
+        .flatMap { entry =>
+          def uint(id: Long): Option[Long] =
+            entry.collectFirst { case (`id`, a, b) => uintOf(a, b) }
+          for {
+            tt <- uint(0x83L) if tt == 1L                   // TrackType video
+            num <- uint(0xD7L)                              // TrackNumber
+            (vS, vE) <- entry.collectFirst { case (0xE0L, a, b) => (a, b) }
+            vk <- children(vS, vE)
+            w <- vk.collectFirst { case (0xB0L, a, b) => uintOf(a, b) }
+            h <- vk.collectFirst { case (0xBAL, a, b) => uintOf(a, b) }
+            if w > 0 && h > 0
+            codecId = entry.collectFirst { case (0x86L, a, b) =>
+              new String(p, a, b - a, "ISO-8859-1") }.getOrElse("")
+          } yield (num, w.toInt, h.toInt, codecId)
+        }.headOption.getOrElse(return None)
+      val (trackNum, w, h, codecId) = video
+      // frames: blocks of the video track across all clusters — the
+      // block payload LEADS with the track number as a size-style varint
+      val frames = seg.collect { case (0x1F43B675L, s, e) =>
+        children(s, e).getOrElse(return None).count {
+          case (0xA3L, a, _) =>   // SimpleBlock
+            vint(a, keepMarker = false).exists(_._1 == trackNum)
+          case (0xA0L, a, b) =>   // BlockGroup → its Block (0xA1)
+            children(a, b).exists(_.exists {
+              case (0xA1L, ba, _) =>
+                vint(ba, keepMarker = false).exists(_._1 == trackNum)
+              case _ => false
+            })
+          case _ => false
+        }
+      }.sum
+      if (frames == 0) return None
+      val codec = codecId.stripPrefix("V_").takeWhile(_ != '/')
+        .toLowerCase(java.util.Locale.ROOT)
+      val container = if (Set("vp8", "vp9", "av1")(codec)) "webm" else "mkv"
+      Some(VideoMeta(container, codec, w, h, frames,
+        durTicks.map(d => (d * tcScale / 1e6).toLong)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal WebM (EBML header + Segment(Info + Tracks +
+    * one Cluster of `nFrames` SimpleBlocks)) — the planted fixture the
+    * meta face and specs parse back. Duration lands in float ticks at
+    * the default 1 ms timecode scale. */
+  private[graft] def synthWebm(width: Int, height: Int, nFrames: Int,
+      durationMs: Long, codecId: String = "V_VP9"): Array[Byte] = {
+    def beMin(v: Long): Array[Byte] = {
+      var n = 1; while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      (0 until n).map(j => ((v >> (8 * (n - 1 - j))) & 0xFF).toByte).toArray
+    }
+    def sizeV(n: Int): Array[Byte] = {
+      require(n >= 0 && n < 0x3FFF, "synth sizes are 1-2 byte varints")
+      if (n < 0x7F) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    }
+    def el(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      id ++ sizeV(body.length) ++ body
+    }
+    def id(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    val header = el(id(0x1A, 0x45, 0xDF, 0xA3),
+      el(id(0x42, 0x82), "webm".getBytes("ISO-8859-1")))          // DocType
+    val info = el(id(0x15, 0x49, 0xA9, 0x66),
+      el(id(0x2A, 0xD7, 0xB1), beMin(1000000L)),                   // TimecodeScale 1 ms
+      el(id(0x44, 0x89), {                                         // Duration float32
+        val bits = java.lang.Float.floatToIntBits(durationMs.toFloat)
+        (0 until 4).map(j => ((bits >> (8 * (3 - j))) & 0xFF).toByte).toArray
+      }))
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B),
+      el(id(0xAE),
+        el(id(0xD7), beMin(1L)),                                   // TrackNumber
+        el(id(0x83), beMin(1L)),                                   // TrackType video
+        el(id(0x86), codecId.getBytes("ISO-8859-1")),              // CodecID
+        el(id(0xE0),
+          el(id(0xB0), beMin(width.toLong)),
+          el(id(0xBA), beMin(height.toLong)))))
+    val blocks = (0 until nFrames).map { i =>
+      el(id(0xA3), Array[Byte](0x81.toByte,                        // track 1 varint
+        ((i * 40) >> 8).toByte, (i * 40).toByte, 0x80.toByte, 0x5A))
+    }
+    val cluster = el(id(0x1F, 0x43, 0xB6, 0x75),
+      (el(id(0xE7), beMin(0L)) +: blocks): _*)                     // Timecode 0
+    val segment = el(id(0x18, 0x53, 0x80, 0x67), info, tracks, cluster)
+    header ++ segment
+  }
+
   /** Container walk first (MP4 carries timing the raw stream cannot),
-    * raw Annex-B second; None → codec seam → stub, as for audio. */
+    * raw Annex-B second, Matroska/WebM third; None → codec seam →
+    * stub, as for audio. */
   private[graft] def readVideoMeta(p: Array[Byte]): Option[VideoMeta] =
-    readMp4Meta(p).orElse(readH264Meta(p))
+    readMp4Meta(p).orElse(readH264Meta(p)).orElse(readEbmlMeta(p))
 
   /** Deterministic minimal-but-well-formed MP4: ftyp + moov(mvhd v0 +
     * trak(tkhd + mdia(minf(stbl(stsd(avc1 VisualSampleEntry) + stsz)))))
@@ -817,6 +1098,11 @@ object Multimodal {
           // metadata as plain bit fields; PCM decode stays at the seam
           .orElse(readFlacMeta(r.payload).map { case (rate, ch, total) =>
             (rate, ch, math.min(total, Int.MaxValue.toLong).toInt) })
+          // Ogg/Vorbis/Opus: page walk + identification header — the
+          // same container-metadata-without-codec story
+          .orElse(readOggMeta(r.payload).map(m =>
+            (m.sampleRate, m.channels,
+              math.min(m.sampleFrames, Int.MaxValue.toLong).toInt)))
       else None
     val viaExternal = viaCodec.orElse {
       codecs.iterator.flatMap { c =>
@@ -1123,8 +1409,16 @@ object Multimodal {
           val payload =
             if (id % 10 == 0) synthMp3((k % 6).toInt + 2, (k % 3).toInt, stereo = k % 2 == 1)
             else if (id % 10 == 5) synthAdts((k % 6).toInt + 2, 3 + (k % 3).toInt, (k % 2).toInt + 1)
+            // the r20 Ogg plants: Vorbis at %10=2, Opus at %10=7 —
+            // page-count and granule parameters derived from doc_id
+            else if (id % 10 == 2)
+              synthOgg("vorbis", Mp3RateV1((k % 3).toInt), (k % 2).toInt + 1,
+                ((k % 6) + 2) * 1024L, (k % 6).toInt + 2)
+            else if (id % 10 == 7)
+              synthOgg("opus", 48000, (k % 2).toInt + 1,
+                ((k % 6) + 2) * 960L, (k % 6).toInt + 2)
             else txt
-          val meta = readMpegAudioMeta(payload)
+          val meta = readMpegAudioMeta(payload).orElse(readOggMeta(payload))
           val hash = md5.digest(txt).map(b => f"${b & 0xff}%02x").mkString
           MetaRow(id, txt.length.toLong, hash,
             txt.length.toLong % 640 + 1, id % 480 + 1,
@@ -1169,6 +1463,11 @@ object Multimodal {
             // clockless — both real encoder shapes
             synthH264((k % 8).toInt + 2, (k % 5).toInt + 2, (k % 24).toInt + 1,
               fps = if (k % 2 == 0) 25 else 0)
+          // the r20 WebM plant: the EBML walk's fixture, same dimension
+          // and frame-count arithmetic as the MP4 plant
+          else if (id % 10 == 3)
+            synthWebm(((k % 8).toInt + 2) * 16, ((k % 5).toInt + 2) * 16,
+              (k % 24).toInt + 1, ((k % 24) + 1) * 40L)
           else txt
         val meta = readVideoMeta(payload)
         VideoRow(id, meta.map(_.container), meta.map(_.codec),
@@ -1199,17 +1498,25 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id, doc_id // 10 AS k,
         |    CASE WHEN doc_id % 10 = 0 THEN 'mp3'
-        |         WHEN doc_id % 10 = 5 THEN 'aac' END AS container
+        |         WHEN doc_id % 10 = 5 THEN 'aac'
+        |         WHEN doc_id % 10 = 2 THEN 'vorbis'
+        |         WHEN doc_id % 10 = 7 THEN 'opus' END AS container
         |  FROM documents),
         |x AS (
         |  SELECT doc_id, container,
         |    CASE container
         |      WHEN 'mp3' THEN CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
-        |      WHEN 'aac' THEN CASE k % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END END AS sample_rate,
+        |      WHEN 'aac' THEN CASE k % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END
+        |      WHEN 'vorbis' THEN CASE k % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |      WHEN 'opus' THEN 48000 END AS sample_rate,
         |    CASE WHEN container IS NOT NULL THEN k % 2 + 1 END AS channels,
-        |    CASE WHEN container IS NOT NULL THEN k % 6 + 2 END AS n_frames,
+        |    -- Ogg plants count PAGES: k%6+2 data pages + the BOS header page
+        |    CASE container WHEN 'vorbis' THEN k % 6 + 3 WHEN 'opus' THEN k % 6 + 3
+        |                   ELSE CASE WHEN container IS NOT NULL THEN k % 6 + 2 END END AS n_frames,
         |    CASE container WHEN 'mp3' THEN (k % 6 + 2) * 1152
-        |                   WHEN 'aac' THEN (k % 6 + 2) * 1024 END AS sample_frames,
+        |                   WHEN 'aac' THEN (k % 6 + 2) * 1024
+        |                   WHEN 'vorbis' THEN (k % 6 + 2) * 1024
+        |                   WHEN 'opus' THEN (k % 6 + 2) * 960 END AS sample_frames,
         |    CASE container WHEN 'mp3' THEN 128 END AS bitrate_kbps
         |  FROM m)
         |SELECT d.doc_id,
@@ -1233,15 +1540,18 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id, doc_id // 10 AS k,
         |    CASE WHEN doc_id % 10 = 1 THEN 'mp4'
-        |         WHEN doc_id % 10 = 6 THEN 'h264' END AS container
+        |         WHEN doc_id % 10 = 6 THEN 'h264'
+        |         WHEN doc_id % 10 = 3 THEN 'webm' END AS container
         |  FROM documents)
         |SELECT doc_id, container,
-        |  CASE container WHEN 'mp4' THEN 'avc1' WHEN 'h264' THEN 'avc' END AS codec,
+        |  CASE container WHEN 'mp4' THEN 'avc1' WHEN 'h264' THEN 'avc'
+        |                 WHEN 'webm' THEN 'vp9' END AS codec,
         |  CAST(CASE WHEN container IS NOT NULL THEN (k % 8 + 2) * 16 END AS BIGINT) AS width,
         |  CAST(CASE WHEN container IS NOT NULL THEN (k % 5 + 2) * 16 END AS BIGINT) AS height,
         |  CAST(CASE WHEN container IS NOT NULL THEN k % 24 + 1 END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN container = 'mp4' THEN (k % 24 + 1) * 40
         |            WHEN container = 'h264' AND k % 2 = 0 THEN (k % 24 + 1) * 40
+        |            WHEN container = 'webm' THEN (k % 24 + 1) * 40
         |       END AS BIGINT) AS duration_ms
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_multimodal_decode" ->

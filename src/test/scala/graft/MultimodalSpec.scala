@@ -438,6 +438,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaSeam.width === 48000 && viaSeam.height === 2 && viaSeam.frames === 5 * 1152)
   }
 
+  test("Ogg page walk (Vorbis/Opus) and EBML walk (WebM): real metadata, strict rejection") {
+    // Vorbis: 44.1 kHz stereo, 3 data pages, 4096 total samples
+    val ogg = Multimodal.synthOgg("vorbis", 44100, 2, 4096L, dataPages = 3)
+    val v = Multimodal.readOggMeta(ogg).get
+    assert(v.container === "vorbis" && v.sampleRate === 44100 && v.channels === 2)
+    assert(v.nFrames === 4, "page count = 3 data pages + the BOS header page")
+    assert(v.sampleFrames === 4096L && v.durationMs === 4096L * 1000 / 44100)
+    // Opus: granules tick at 48 kHz regardless of input rate (RFC 7845
+    // §5.1 — input_sample_rate is informational), so the reported rate
+    // is the decode rate
+    val opus = Multimodal.synthOgg("opus", 16000, 1, 2880L, dataPages = 2)
+    val o = Multimodal.readOggMeta(opus).get
+    assert(o.container === "opus" && o.sampleRate === 48000 && o.channels === 1)
+    assert(o.sampleFrames === 2880L && o.durationMs === 60L)
+    // strict rejections — arbitrary corpus bytes must never half-parse
+    assert(Multimodal.readOggMeta("OggS but not really a page".getBytes) === None)
+    assert(Multimodal.readOggMeta(ogg.take(ogg.length - 3)) === None,
+      "a truncated final page rejects (pages must tile exactly)")
+    assert(Multimodal.readOggMeta(ogg.drop(28)) === None, "no resync scan")
+    val badVer = ogg.clone(); badVer(4) = 1
+    assert(Multimodal.readOggMeta(badVer) === None, "unknown stream version rejects")
+    val noBos = ogg.clone(); noBos(5) = 0
+    assert(Multimodal.readOggMeta(noBos) === None, "a first page without BOS rejects")
+    // the no-EOS case: strip the EOS flag off the last page (pages are
+    // 27-byte header + 1 segment-table byte + 10 payload bytes)
+    val noEos = Multimodal.synthOgg("vorbis", 44100, 2, 4096L, 2)
+    val lastPageAt = noEos.length - (27 + 1 + 10)
+    noEos(lastPageAt + 5) = 0
+    assert(Multimodal.readOggMeta(noEos) === None, "a stream without EOS rejects")
+    // WebM/EBML: 96x64, 7 frames, 280 ms
+    val webm = Multimodal.synthWebm(96, 64, 7, 280L)
+    val w = Multimodal.readEbmlMeta(webm).get
+    assert(w.container === "webm" && w.codec === "vp9")
+    assert(w.width === 96 && w.height === 64 && w.nFrames === 7)
+    assert(w.durationMs === Some(280L))
+    // a non-WebM Matroska codec reads as mkv with the codec suffix
+    val mkv = Multimodal.readEbmlMeta(
+      Multimodal.synthWebm(32, 32, 1, 40L, codecId = "V_MPEG4/ISO/AVC")).get
+    assert(mkv.container === "mkv" && mkv.codec === "mpeg4")
+    // strict rejections
+    assert(Multimodal.readEbmlMeta("plain text".getBytes) === None)
+    assert(Multimodal.readEbmlMeta(webm.take(webm.length - 2)) === None,
+      "an element size overrunning the payload rejects (exact nesting)")
+    assert(Multimodal.readEbmlMeta(webm.take(12)) === None,
+      "the EBML header alone is not a claim — a Segment+Tracks must parse")
+    val zeroFrames = Multimodal.synthWebm(96, 64, 0, 280L)
+    assert(Multimodal.readEbmlMeta(zeroFrames) === None,
+      "a video track with zero blocks rejects (the H.264 zero-pictures rule)")
+    // the decode seam serves Ogg and WebM metadata without a codec plug
+    import spark.implicits._
+    val viaSeam = Multimodal.decodeAll(spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, ogg, "audio"),
+      Multimodal.MediaRecord(2L, webm, "video")))).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(viaSeam(1L).width === 44100 && viaSeam(1L).height === 2
+      && viaSeam(1L).frames === 4096)
+    assert(viaSeam(2L).width === 96 && viaSeam(2L).height === 64
+      && viaSeam(2L).frames === 7)
+  }
+
   test("MP4 box walk / H.264 SPS parse: real video metadata, strict rejection") {
     import spark.implicits._
     // synthesized MP4: 320x240, 25 frames, 1000 ms at the mvhd clock
