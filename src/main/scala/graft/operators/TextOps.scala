@@ -105,17 +105,25 @@ object TextOps {
     * domains × ~40 bytes — broadcastable to the per-doc filter join
     * ([[qSourceFilter]]), which is the point of aggregating at source
     * granularity before touching documents again. */
-  def sourceReputation(docs: DataFrame, blocklist: Seq[String] = SourceBlocklist): DataFrame = {
-    val t = col("text")
+  /** Per-document quality score — ONE definition shared by
+    * [[sourceReputation]]'s mean and [[urlDedup]]'s keeper rule (the
+    * two faces compose; two drifting copies would let the URL keeper
+    * silently rank under a different quality than the source verdicts
+    * it tie-breaks with). Fixed-point decimal so sums stay
+    * partition-order-independent. */
+  private def docQualityCol(t: Column): Column = {
     val punctRatio =
       when(length(t) > 0,
         length(regexp_replace(t, "[a-z ]", "")) / length(t).cast("double"))
         .otherwise(lit(0.0))
+    round(lit(0.001) * wordCount(t) + lit(1.0) - punctRatio, 6).cast("decimal(18,6)")
+  }
+
+  def sourceReputation(docs: DataFrame, blocklist: Seq[String] = SourceBlocklist): DataFrame = {
     val perDoc = docs.select(col("doc_id"), col("source"),
-      round(lit(0.001) * wordCount(t) + lit(1.0) - punctRatio, 6)
-        .cast("decimal(18,6)").as("qs"),
+      docQualityCol(col("text")).as("qs"),
       row_number().over(
-        Window.partitionBy(md5(t.cast("binary"))).orderBy("doc_id")).as("rn"))
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")).as("rn"))
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round((sum(col("qs")) / count(lit(1))).cast("double"), 6).as("mean_quality"),
@@ -146,6 +154,107 @@ object TextOps {
 
   def qSourceFilter(s: SparkSession, dir: String): DataFrame =
     sourceFilter(Tables.documents(s, dir))
+
+  // ---- URL canonicalization + URL-level dedup ------------------------------
+  // The CommonCrawl pipeline stage the text stack was missing (r19
+  // verdict item 7): a crawl sees the same page under dozens of URL
+  // spellings; canonicalize, then keep ONE document per canonical URL —
+  // the cheap dedup that runs BEFORE any content fingerprinting.
+
+  /** Canonicalize a URL with pure string expressions (codegen-friendly,
+    * no UDF, replayable in plain SQL). The canonicalization table —
+    * pinned case-by-case in TextOpsSpec:
+    *
+    *  1. trim; strip the fragment (`#…`);
+    *  2. scheme and host[:port] lowercase — path and query KEEP case
+    *     (most servers treat paths case-sensitively);
+    *  3. default ports drop: `:80` under http, `:443` under https —
+    *     non-default ports and other schemes' ports stay;
+    *  4. tracking parameters drop: `utm_*`, `gclid`, `fbclid`, `ref`
+    *     (exact names with values; `referer` is NOT `ref` and stays);
+    *     remaining parameters keep their order (reordering would need
+    *     evidence the server ignores order — it often doesn't);
+    *  5. trailing slashes strip; an empty path canonicalizes to `/`;
+    *  6. a string with no `scheme://host` is NOT a URL → null (the
+    *     strict-claim doctrine: arbitrary corpus bytes never half-claim).
+    */
+  def urlCanonicalize(u: Column): Column = {
+    val t = regexp_replace(trim(u), "#.*$", "")
+    val scheme = lower(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostPort = lower(regexp_extract(t, "^[^:/?#]+://([^/?#]*)", 1))
+    val tail = regexp_extract(t, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path0 = regexp_extract(tail, "^([^?]*)", 1)
+    val query0 = regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val kept = array_join(filter(split(query0, "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=") && p =!= lit("")), "&")
+    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
+  /** Deterministic messy-URL plant over the documents table (the
+    * multimodal plant pattern — the corpus has no URL column, so the
+    * face synthesizes one per doc with every canonicalization hazard:
+    * mixed scheme/host case, scheme-matching default ports, trailing
+    * slashes, tracking params, fragments), keyed so ~2+ docs share each
+    * canonical URL. The DuckDB oracle replays the PLANT arithmetic
+    * directly to the canonical form, so any misstep in
+    * [[urlCanonicalize]] over the full plant variety fails the hash. */
+  private[graft] def syntheticUrlCol: Column = {
+    val id = col("doc_id")
+    concat(
+      when(pmod(id, lit(2)) === 0, lit("http")).otherwise(lit("HTTPS")),
+      lit("://WWW.Example-"), pmod(id, lit(3)), lit(".COM"),
+      when(pmod(id, lit(4)) === 0 && pmod(id, lit(2)) === 0, lit(":80"))
+        .when(pmod(id, lit(4)) === 1 && pmod(id, lit(2)) === 1, lit(":443"))
+        .otherwise(lit("")),
+      lit("/docs/"), pmod(id, lit(20)),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0, lit("?utm_source=feed&utm_medium=rss"))
+        .when(pmod(id, lit(5)) === 1, concat(lit("?id="), pmod(id, lit(20)), lit("&utm_campaign=x")))
+        .when(pmod(id, lit(5)) === 2, concat(lit("?id="), pmod(id, lit(20))))
+        .otherwise(lit("")),
+      when(pmod(id, lit(6)) === 0, lit("#sec-2")).otherwise(lit("")))
+  }
+
+  /** URL-level dedup: one surviving document per canonical URL. The
+    * keeper COMPOSES with [[sourceReputation]]: best source verdict
+    * first (ok < low_quality < high_dup < blocked), then the shared
+    * per-doc quality score ([[docQualityCol]]) descending, then doc_id
+    * — so a spam mirror never outranks the original just by being
+    * crawled first. Scale shape: the reputation table broadcasts (it is
+    * |sources| rows); the window partitions by canonical URL —
+    * high-cardinality keys, bounded groups (a page's spelling variants),
+    * the qTopnPergroup shape. */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val rep = sourceReputation(docs).select(col("source"), col("verdict"))
+    val vRank = when(col("verdict") === "ok", 0)
+      .when(col("verdict") === "low_quality", 1)
+      .when(col("verdict") === "high_dup", 2)
+      .otherwise(3)
+    val scored = docs
+      .withColumn("canonical_url", urlCanonicalize(syntheticUrlCol))
+      .join(broadcast(rep), Seq("source"))
+      .withColumn("vrank", vRank)
+      .withColumn("qs", docQualityCol(col("text")))
+    val w = Window.partitionBy("canonical_url")
+      .orderBy(col("vrank"), col("qs").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("rn") === 1, col("source"))).as("keep_source"),
+        min(when(col("rn") === 1, col("verdict"))).as("keep_verdict"))
+      .orderBy("canonical_url")
+  }
+
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    urlDedup(Tables.documents(s, dir))
 
   // Token counting, three tiers: whitespace tokens; the chars/4 estimate
   // (the standard subword-per-char rule of thumb); and a GPT-2-style
@@ -2261,6 +2370,7 @@ object TextOps {
     "q_text_quality" -> qTextQuality _,
     "q_source_reputation" -> qSourceReputation _,
     "q_source_filter" -> qSourceFilter _,
+    "q_url_dedup" -> qUrlDedup _,
     "q_token_count" -> qTokenCount _,
     "q_token_bpe"   -> qTokenBpe _,
     "q_fingerprint" -> qFingerprint _,
@@ -2552,6 +2662,40 @@ object TextOps {
     // the reputation chain is one definition used by BOTH source-filter
     // oracles (aggregate face + per-doc face) so thresholds cannot drift
     "q_source_reputation" -> (duckSourceReputationSql + "\nORDER BY source"),
+    // q_url_dedup's oracle replays the PLANT arithmetic straight to the
+    // canonical form — the engine canonicalizes the real messy strings,
+    // the oracle knows what was planted (the multimodal-meta pattern);
+    // the keeper rule re-derives through the shared quality formula and
+    // the reputation verdicts
+    "q_url_dedup" ->
+      s"""WITH rep AS (${duckSourceReputationSql}),
+         |sq AS (
+         |  SELECT doc_id,
+         |    cast(round(0.001 * length(regexp_split_to_array(trim(text), ' +')) + 1.0 -
+         |      CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[a-z ]', '', 'g')) /
+         |        cast(length(text) AS double) ELSE cast(0 AS double) END, 6) AS decimal(18,6)) AS qs
+         |  FROM documents),
+         |c AS (
+         |  SELECT d.doc_id, d.source,
+         |    (CASE d.doc_id % 2 WHEN 0 THEN 'http' ELSE 'https' END) ||
+         |    '://www.example-' || CAST(d.doc_id % 3 AS VARCHAR) || '.com/docs/' ||
+         |    CAST(d.doc_id % 20 AS VARCHAR) ||
+         |    (CASE WHEN d.doc_id % 5 IN (1, 2)
+         |          THEN '?id=' || CAST(d.doc_id % 20 AS VARCHAR) ELSE '' END) AS canonical_url
+         |  FROM documents d),
+         |j AS (
+         |  SELECT c.canonical_url, c.doc_id, c.source, rep.verdict,
+         |    row_number() OVER (PARTITION BY c.canonical_url ORDER BY
+         |      CASE rep.verdict WHEN 'ok' THEN 0 WHEN 'low_quality' THEN 1
+         |                       WHEN 'high_dup' THEN 2 ELSE 3 END,
+         |      sq.qs DESC, c.doc_id) AS rn
+         |  FROM c JOIN rep ON c.source = rep.source JOIN sq ON c.doc_id = sq.doc_id)
+         |SELECT canonical_url,
+         |  count(*) AS n_variants,
+         |  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  min(CASE WHEN rn = 1 THEN source END) AS keep_source,
+         |  min(CASE WHEN rn = 1 THEN verdict END) AS keep_verdict
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_source_filter" ->
       s"""WITH rep AS (${duckSourceReputationSql})
          |SELECT doc_id, d.source, verdict,

@@ -953,4 +953,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("oldest reconstructable state is as of batch 5"),
       s"horizon refusal must name the oldest reconstructable state, got: ${e.getMessage}")
   }
+
+  test("URL canonicalization table: the documented rules, case by case") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default port drops, trailing slash strips
+      ("HTTP://WWW.Example.COM:80/a/b/", "http://www.example.com/a/b"),
+      // https default port; tracking params drop, kept params keep order
+      ("https://Host.com:443/x?utm_source=a&id=3&fbclid=z#frag", "https://host.com/x?id=3"),
+      // non-default ports stay
+      ("https://host.com:8443/x", "https://host.com:8443/x"),
+      // empty path canonicalizes to /
+      ("http://host.com", "http://host.com/"),
+      // all-tracking query drops the '?' entirely
+      ("http://host.com/?utm_source=a&utm_medium=b", "http://host.com/"),
+      ("http://host.com/a?ref=x&gclid=1", "http://host.com/a"),
+      // 'referer' is NOT 'ref' — it stays; empty '&&' tokens drop
+      ("http://host.com/a?ref=x&&referer=y", "http://host.com/a?referer=y"),
+      // multiple trailing slashes all strip; bare slashes -> /
+      ("http://host.com//", "http://host.com/"),
+      // path case is KEPT (servers are case-sensitive there)
+      ("http://HOST.com/CaseKept/File.HTML", "http://host.com/CaseKept/File.HTML"),
+      // other schemes: no default-port rule, ports stay
+      ("FTP://Host/x:y", "ftp://host/x:y"),
+      ("ftp://host:80/x", "ftp://host:80/x"),
+      // fragments strip even with no path
+      ("http://host.com#top", "http://host.com/"),
+      // whitespace trims
+      ("  http://host.com/a  ", "http://host.com/a"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.urlCanonicalize(col("u"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have === want, s"canonicalize($in)")
+    }
+    // not a URL -> null, never a half-claim
+    val nulls = Seq("not a url", "host.com/path", "://x", "")
+      .toDF("u").select(TextOps.urlCanonicalize(col("u"))).collect()
+    assert(nulls.forall(_.isNullAt(0)), "scheme-less strings must canonicalize to null")
+    // the dedup face composes: every canonical group keeps exactly one
+    // doc, group sizes sum to the corpus, keeper is a member
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val out = TextOps.urlDedup(docs).collect()
+    assert(out.map(_.getLong(1)).sum === docs.count(),
+      "variant counts must partition the corpus")
+    assert(out.map(_.getLong(2)).distinct.length === out.length,
+      "one keeper per canonical URL, no keeper serves two groups")
+  }
 }
