@@ -113,7 +113,13 @@ object ScaleCheck {
     // model frames are vocab-bounded, so wall must track the gram
     // stream, i.e. the corpus)
     "q_ann_plan", "q_pipeline_e2e", "q_multimodal_meta", "q_video_meta",
-    "q_dsir")
+    "q_dsir",
+    // round-20: the DSIR deployment faces (bucketed in-query selection;
+    // frozen-model scoring from the stored B-row frames — wall must
+    // track the gram stream, the model joins are broadcast constants)
+    // and URL dedup (canonical-URL window — high-cardinality keys,
+    // bounded groups, plus the broadcast reputation join)
+    "q_dsir_bucket", "q_dsir_probe", "q_url_dedup")
 
   def buildSf1(spark: SparkSession, baseDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_SCALE_OK")

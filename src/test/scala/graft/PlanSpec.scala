@@ -839,4 +839,27 @@ class PlanSpec extends AnyFunSuite {
     assert("ReadSchema: struct<doc_id:[a-z]+,text:string>".r.findFirstIn(p).nonEmpty,
       s"the container walk reads only (doc_id, text):\n$p")
   }
+
+  test("q_dsir_probe: the stored model frames ride broadcasts; selection stays a bounded heap") {
+    val p = plan("q_dsir_probe")
+    // the B-row count frames join the gram stream as broadcasts — the
+    // corpus must never shuffle to meet index metadata
+    assert(p.contains("BroadcastHashJoin"), s"model-frame joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge against the B-row model frames means the broadcast regressed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"stored top-K must stay a bounded heap merge, never a global sort:\n$p")
+  }
+
+  test("q_url_dedup: reputation broadcasts; the keeper window partitions on canonical_url") {
+    val p = plan("q_url_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row reputation table must broadcast onto the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the only window partitions on the high-cardinality canonical URL —
+    // bounded groups (one page's spelling variants), never a global sort
+    assert("windowspecdefinition\\(canonical_url".r.findFirstIn(p.toLowerCase).nonEmpty ||
+      p.contains("canonical_url"),
+      s"the keeper window must partition by canonical_url:\n$p")
+  }
 }
