@@ -1155,6 +1155,11 @@ object TextOps {
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
       ct.withColumn("batch_id", lit(-1L))
         .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_target")
+      // admission membership (doc_id, batch_id) — the LM's `_docs`
+      // discipline: the as-of face applies only those retraction
+      // corrections whose doc was a member at the queried state
+      docs.select(col("doc_id")).distinct().withColumn("batch_id", lit(-1L))
+        .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_docs")
     }
 
   /** Grow the stored model: the batch's bucket counts land as dynamic
@@ -1173,11 +1178,81 @@ object TextOps {
     graft.sources.Sinks.overwritePartitionsDynamic(
       ct.withColumn("batch_id", lit(batchId)).coalesce(1),
       path + "/_target", Seq("batch_id"))
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      docs.select(col("doc_id")).distinct()
+        .withColumn("batch_id", lit(batchId)).coalesce(1),
+      path + "/_docs", Seq("batch_id"))
+  }
+
+  /** The DSIR store's pending-retraction corrections: negative bucket
+    * counts per frame, keyed ready to subtract from the stored sums.
+    * The sidecar's `distinct()` is the replay-idempotency mechanism
+    * (the [[lmCorrections]] argument verbatim). */
+  private def dsirCorrections(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val side = s.read.parquet(graft.sources.Stores.tombstonePath(path)).distinct()
+    def neg(kind: String): DataFrame = side.filter(col("kind") === kind)
+      .groupBy(col("k").cast("long").as("f")).agg(sum("c").as("cneg"))
+    (neg("cs"), neg("ct"))
+  }
+
+  /** Retract documents from the stored DSIR model — the trained-MODEL
+    * deletion face, completing the family parity with
+    * [[retractLmDocs]]: the caller supplies the retracted docs VERBATIM
+    * plus the SAME target predicate the model was trained with (a count
+    * model aggregates identity away at training, so both frame
+    * contributions re-derive through [[dsirFeats]]/`targetPred` and
+    * land as negative corrections in the tombstone sidecar). Every
+    * reader subtracts them, so surviving weights equal a retrain on the
+    * surviving corpus IMMEDIATELY and bit-for-bit (DsirSpec pins the
+    * equality); compaction's final fold absorbs them physically.
+    * Replay-idempotent via the sidecar distinct; retracting a doc the
+    * store never trained on (or with drifted text/target membership)
+    * refuses LOUDLY via the future-set subtractability check on BOTH
+    * frames before anything is written. */
+  def retractDsirDocs(s: SparkSession, path: String, docs: DataFrame,
+      targetPred: Column): Unit = {
+    graft.sources.Stores.recover(s, path)
+    val feats = dsirFeats(docs)
+    val csRows = feats.groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), lit("cs").as("kind"), col("f").cast("string").as("k"), col("c"))
+    val ctRows = feats
+      .join(docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), lit("ct").as("kind"), col("f").cast("string").as("k"), col("c"))
+    val rows = csRows.unionByName(ctRows)
+    require(!rows.isEmpty, s"retractDsirDocs($path): empty retraction set")
+    val future =
+      if (!graft.sources.Stores.hasTombstones(s, path)) rows
+      else s.read.parquet(graft.sources.Stores.tombstonePath(path)).unionByName(rows)
+    val futDistinct = future.distinct()
+    def check(kind: String, p: String, label: String): Unit = {
+      val fut = futDistinct.filter(col("kind") === kind)
+        .groupBy(col("k").cast("long").as("f")).agg(sum("c").as("cfut"))
+      val net = s.read.schema(dsirCountsSchema).parquet(p)
+        .groupBy("f").agg(sum("c").as("c"))
+      val bad = fut.join(net, Seq("f"), "left")
+        .filter(coalesce(col("c"), lit(0L)) < col("cfut"))
+        .select("f").limit(5).collect().map(_.getLong(0))
+      require(bad.isEmpty,
+        s"retractDsirDocs($path): retraction subtracts $label bucket counts the " +
+          s"stored model does not hold (e.g. ${bad.mkString(", ")}) — the docs were " +
+          "not trained into this store (or were already retracted with different " +
+          "text or target membership)")
+    }
+    check("cs", path, "pool")
+    check("ct", path + "/_target", "target")
+    graft.sources.Stores.retractRows(s, path, rows)
   }
 
   /** Net model frames at `asOf` (None = live): counts sum across batch
-    * partitions; the as-of slice is a PARTITION FILTER pruned before a
-    * row is read. */
+    * partitions — the as-of slice is a PARTITION FILTER pruned before a
+    * row is read — then pending retraction corrections subtract,
+    * dropping net-zero buckets, so the model a scorer sees IS the model
+    * a retrain on the surviving corpus would produce. As-of corrections
+    * are scoped to docs that were MEMBERS at `asOf` via the `_docs`
+    * admission sidecar (retraction erases history, but a doc trained
+    * only after `asOf` must not shrink the as-of model — the
+    * [[lmScoreStoredAsOf]] membership discipline). */
   private def dsirModelFrames(s: SparkSession, path: String,
       asOf: Option[Long]): (DataFrame, DataFrame) = {
     def load(p: String): DataFrame = {
@@ -1185,7 +1260,32 @@ object TextOps {
       asOf.fold(raw)(a => raw.filter(col("batch_id").cast("long") <= a))
         .groupBy("f").agg(sum("c").as("c"))
     }
-    (load(path), load(path + "/_target"))
+    val (csAll, ctAll) = (load(path), load(path + "/_target"))
+    if (!graft.sources.Stores.hasTombstones(s, path)) (csAll, ctAll)
+    else {
+      val (csNeg0, ctNeg0) = asOf match {
+        case None => dsirCorrections(s, path)
+        case Some(a) =>
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+          require(fs.exists(new org.apache.hadoop.fs.Path(path + "/_docs")),
+            s"stored DSIR model at $path carries retractions but predates the _docs " +
+              "admission sidecar — as-of reads cannot scope corrections to " +
+              "membership; re-train with writeDsirModel")
+          val present = s.read.parquet(path + "/_docs")
+            .filter(col("batch_id").cast("long") <= a).select("doc_id")
+          val side = s.read.parquet(graft.sources.Stores.tombstonePath(path))
+            .distinct().join(present, Seq("doc_id"), "left_semi")
+          def neg(kind: String): DataFrame = side.filter(col("kind") === kind)
+            .groupBy(col("k").cast("long").as("f")).agg(sum("c").as("cneg"))
+          (neg("cs"), neg("ct"))
+      }
+      def minus(all: DataFrame, negs: DataFrame): DataFrame =
+        all.join(negs, Seq("f"), "left")
+          .select(col("f"), (col("c") - coalesce(col("cneg"), lit(0L))).as("c"))
+          .filter(col("c") > 0)
+      (minus(csAll, csNeg0), minus(ctAll, ctNeg0))
+    }
   }
 
   /** The scoring tail every stored-DSIR face shares: per-doc summed
@@ -1254,8 +1354,14 @@ object TextOps {
   /** Compact the stored model: batch partitions below the watermark
     * fold into the bootstrap in BOTH frames — counts sum, so the fold
     * is score-preserving by construction — in one crash-safe swap, with
-    * the as-of horizon recorded atomically ([[compactLmModel]]'s rule,
-    * minus its tombstone interplay: the DSIR store has none). */
+    * the as-of horizon recorded atomically. Retraction interplay is
+    * [[compactLmModel]]'s rule verbatim: while replay-protected scoped
+    * batches remain the sidecar rides through the swap (a replayed
+    * append could re-insert the retracted docs' counts), and the FINAL
+    * fold subtracts the corrections from both frames, drops net-zero
+    * buckets, folds the `_docs` membership dropping tombstoned docs,
+    * and omits the sidecar — physical purge and tombstone clearance in
+    * one atomic swap. */
   def compactDsirModel(s: SparkSession, path: String, foldBelow: Long): Unit =
       graft.sources.StoreLock.withLock(path, "compact") {
     require(foldBelow >= 0, s"compactDsirModel($path): foldBelow must be >= 0, got $foldBelow")
@@ -1264,21 +1370,35 @@ object TextOps {
     val ids = (graft.sources.Stores.batchIdDirs(s, path) ++
         graft.sources.Stores.batchIdDirs(s, path + "/_target"))
       .filter(b => b >= 0 && b < foldBelow)
-    if (ids.isEmpty) return
-    def foldCounts(df0: DataFrame): DataFrame = {
+    if (ids.isEmpty && !graft.sources.Stores.hasTombstones(s, path)) return
+    val scopedRemain =
+      graft.sources.Stores.replayProtectedRemain(s, path, foldBelow) ||
+        graft.sources.Stores.replayProtectedRemain(s, path + "/_target", foldBelow)
+    val absorb = graft.sources.Stores.hasTombstones(s, path) && !scopedRemain
+    def foldCounts(df0: DataFrame, negs: => DataFrame): DataFrame = {
       val df = df0.withColumn("batch_id", col("batch_id").cast("long"))
-      df.filter(col("batch_id") < foldBelow)
+      val folded0 = df.filter(col("batch_id") < foldBelow)
         .groupBy("f").agg(sum("c").as("c"))
-        .withColumn("batch_id", lit(-1L))
+      val folded =
+        if (!absorb) folded0
+        else folded0.join(negs, Seq("f"), "left")
+          .select(col("f"), (col("c") - coalesce(col("cneg"), lit(0L))).as("c"))
+          .filter(col("c") > 0)
+      folded.withColumn("batch_id", lit(-1L))
         .unionByName(df.filter(col("batch_id") >= foldBelow))
     }
-    graft.sources.Stores.compactInPlace(s, path, Some(dsirCountsSchema))(foldCounts) {
+    graft.sources.Stores.compactInPlace(s, path, Some(dsirCountsSchema))(
+      df0 => foldCounts(df0, dsirCorrections(s, path)._1)) {
       (df, tmp) =>
         df.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
-        foldCounts(s.read.schema(dsirCountsSchema).parquet(path + "/_target"))
+        foldCounts(s.read.schema(dsirCountsSchema).parquet(path + "/_target"),
+            dsirCorrections(s, path)._2)
           .coalesce(1).write.partitionBy("batch_id").parquet(tmp + "/_target")
+        graft.sources.Stores.foldDocsSidecarInto(s, path, tmp, foldBelow,
+          dropTombstoned = absorb)
+        if (!absorb) graft.sources.Stores.carryTombstonesInto(s, path, tmp)
         graft.sources.Stores.writeHorizonInto(s, path, tmp,
-          math.min(foldBelow, ids.max + 1L))
+          math.min(foldBelow, ids.maxOption.map(_ + 1L).getOrElse(0L)))
     }
   }
 
@@ -1292,6 +1412,24 @@ object TextOps {
     graft.sources.TmpStores.buildOnce(path)(
       writeDsirModel(s, docs, col("lang") === "en", path))
     dsirSelectStored(s, docs, path, k = 100)
+  }
+
+  /** The stored model after a RETRACTION (own store path): train on the
+    * full corpus, retract every doc_id % 7 = 3 (same target predicate),
+    * score the SURVIVORS. The Expected twin trains on a corpus the
+    * retracted docs were simply never part of — retracted and
+    * never-trained must be indistinguishable to a scorer, which needs
+    * the corrections to land on counts in BOTH frames AND on the
+    * distinct-bucket smoothing base v2 to hold bit-for-bit. */
+  def qDsirRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val retracted = pmod(col("doc_id"), lit(7L)) === 3
+    val path = graft.sources.TmpStores.scopedPath("graft-dsirretract", dir)
+    graft.sources.TmpStores.buildOnce(path) {
+      writeDsirModel(s, docs, col("lang") === "en", path)
+      retractDsirDocs(s, path, docs.filter(retracted), col("lang") === "en")
+    }
+    dsirScoreStored(s, docs.filter(!retracted), path)
   }
 
   /** The stored model scored AS OF its pre-append state (own store
@@ -2388,6 +2526,7 @@ object TextOps {
     "q_dsir_bucket" -> qDsirBucket _,
     "q_dsir_probe"  -> qDsirProbe _,
     "q_dsir_asof"   -> qDsirAsof _,
+    "q_dsir_retract" -> qDsirRetract _,
     "q_curriculum"  -> qCurriculum _,
     "q_lm_probe"    -> qLmProbe _,
     "q_lm_retract"  -> qLmRetract _,

@@ -754,6 +754,13 @@ object Expected {
   def dsirAsofRows(docs: Seq[(Long, String, String)]): Seq[(Long, Long, Double)] =
     dsirScoredRowsOver(docs, _ % 10 != 5)
 
+  /** Expected rows for the retraction face: a model trained on a corpus
+    * the retracted docs (% 7 = 3) were never part of, scoring the
+    * survivors — retracted ≡ never-trained, the model-retraction
+    * contract. */
+  def dsirRetractRows(docs: Seq[(Long, String, String)]): Seq[(Long, Long, Double)] =
+    dsirScoredRowsOver(docs.filterNot(_._1 % 7 == 3), _ => true)
+
   // ---- q_kmeans / q_cluster_sample ---------------------------------------
   /** Spark's round(x * 1e6) → long: HALF_UP at scale 0 on the double. */
   private def fpRound(x: Double): Long =
@@ -888,6 +895,8 @@ object Expected {
       dsirBucketRows(docs3).toDF("doc_id", "n_bigrams", "dsir_weight", "sel_rank"))
     val dsirA = write("q_dsir_asof",
       dsirAsofRows(docs3).toDF("doc_id", "n_bigrams", "dsir_weight"))
+    val dsirR = write("q_dsir_retract",
+      dsirRetractRows(docs3).toDF("doc_id", "n_bigrams", "dsir_weight"))
     val km = write("q_kmeans", kmeansRows(embs).toDF("cluster_id", "n", "mean_sim"))
     val cs = write("q_cluster_sample",
       clusterSampleRows(embs).toDF("cluster_id", "vec_id"))
@@ -921,6 +930,7 @@ object Expected {
       "q_dsir_bucket"    -> sql(dsirB, "doc_id, n_bigrams, dsir_weight, sel_rank", "doc_id"),
       "q_dsir_probe"     -> sql(dsirB, "doc_id, n_bigrams, dsir_weight, sel_rank", "doc_id"),
       "q_dsir_asof"      -> sql(dsirA, "doc_id, n_bigrams, dsir_weight", "doc_id"),
+      "q_dsir_retract"   -> sql(dsirR, "doc_id, n_bigrams, dsir_weight", "doc_id"),
       "q_kmeans"         -> sql(km, "cluster_id, n, mean_sim", "cluster_id"),
       "q_cluster_sample" -> sql(cs, "cluster_id, vec_id", "cluster_id, vec_id"),
     )

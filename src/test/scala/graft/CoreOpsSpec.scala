@@ -58,7 +58,9 @@ class CoreOpsSpec extends AnyFunSuite {
         "q_dedup_semantic", "q_ann_plan",
         "q_token_bpe", "q_bpe_probe", "q_bpe_asof", "q_image_neardup",
         "q_compress_ratio", "q_kmeans", "q_cluster_sample", "q_ivf_recall",
-        "q_pq_recall"),
+        "q_pq_recall",
+        // the DSIR family hashes grams with xxhash64 (r20)
+        "q_dsir_bucket", "q_dsir_probe", "q_dsir_asof", "q_dsir_retract"),
       s"unexpected static-oracle gap: ${q -- static}")
     // ...and the differential expected-parquet oracles close it: the FULL
     // map Verify dumps covers every registered query — no rows-only rows.

@@ -119,6 +119,65 @@ class DsirSpec extends AnyFunSuite {
       .collect().toSeq === after)
   }
 
+  test("retraction equals retraining on the survivors; replay no-ops; compaction absorbs") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val en = col("lang") === "en"
+    val retr = col("doc_id") % 7 === 3
+    val path = tmpPath("dsir-retract")
+    TextOps.writeDsirModel(spark, docs, en, path)
+    TextOps.retractDsirDocs(spark, path, docs.filter(retr), en)
+    // exact replay is a no-op (the sidecar distinct collapses it)
+    TextOps.retractDsirDocs(spark, path, docs.filter(retr), en)
+    val survivors = docs.filter(!retr)
+    val after = TextOps.dsirScoreStored(spark, survivors, path).collect().toSeq
+    val p2 = tmpPath("dsir-retrain")
+    TextOps.writeDsirModel(spark, survivors, en, p2)
+    val retrain = TextOps.dsirScoreStored(spark, survivors, p2).collect().toSeq
+    assert(after === retrain,
+      "retracted and never-trained must be indistinguishable to a scorer")
+    // retracting a doc the store never trained on refuses LOUDLY (the
+    // repeated bigram drives its bucket's future count far past any
+    // hash-collision mass the real corpus could hold there)
+    val alien = Seq((999999L, "en",
+      Seq.fill(80)("zzqqxv wwvvkk").mkString(" "))).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.retractDsirDocs(spark, path, alien, en)
+    }
+    assert(e.getMessage.contains("not trained into this store"), e.getMessage)
+    // compaction with a covering watermark absorbs: sidecar cleared,
+    // scores still equal the retrain
+    TextOps.compactDsirModel(spark, path, foldBelow = 1L)
+    assert(!graft.sources.Stores.hasTombstones(spark, path),
+      "the covering fold must clear the tombstone sidecar")
+    assert(TextOps.dsirScoreStored(spark, survivors, path).collect().toSeq === retrain,
+      "physical absorption must not move a weight")
+  }
+
+  test("retraction as-of: corrections scope to admission membership") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
+    val en = col("lang") === "en"
+    val late = col("doc_id") % 10 === 5
+    val path = tmpPath("dsir-retr-asof")
+    TextOps.writeDsirModel(spark, docs.filter(!late), en, path)
+    TextOps.appendDsirBatch(spark, docs.filter(late), en, path, 7L)
+    // retract docs that exist ONLY in batch 7: the as-of-6 model must
+    // not shrink (they were no members then), while the live model must
+    val lateRetr = late && col("doc_id") % 7 === 3
+    TextOps.retractDsirDocs(spark, path, docs.filter(lateRetr), en)
+    val asOf6 = TextOps.dsirScoreStoredAsOf(spark, docs, path, asOf = 6L)
+      .collect().toSeq
+    val pBoot = tmpPath("dsir-boot")
+    TextOps.writeDsirModel(spark, docs.filter(!late), en, pBoot)
+    assert(asOf6 === TextOps.dsirScoreStored(spark, docs, pBoot).collect().toSeq,
+      "as-of 6 must equal the pure bootstrap model — batch-7 members' " +
+        "corrections must not apply to a state they were never part of")
+    val live = TextOps.dsirScoreStored(spark, docs, path).collect().toSeq
+    val pSurv = tmpPath("dsir-surv")
+    TextOps.writeDsirModel(spark, docs.filter(!lateRetr), en, pSurv)
+    assert(live === TextOps.dsirScoreStored(spark, docs, pSurv).collect().toSeq,
+      "the live model must equal a retrain without the retracted late docs")
+  }
+
   test("an empty stored pool refuses to score loudly") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     val path = tmpPath("dsir-empty")
