@@ -198,11 +198,14 @@ object ScaleCheck {
     if (!only.forall(_.contains("q_ann_plan_build"))) return Seq.empty
     def measureBuild(dir: String): Double = {
       spark.catalog.clearCache()
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-scale-annplan").toString + "/store"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scale-annplan")
       val t0 = System.nanoTime()
-      graft.operators.Similarity.writeAnnRecallStore(spark, dir, out)
-      (System.nanoTime() - t0) / 1e9
+      graft.operators.Similarity.writeAnnRecallStore(spark, dir, tmp.toString + "/store")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the store only exists to be timed — delete it, don't accumulate
+      // orphaned /tmp trees across ScaleCheck runs
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      sec
     }
     val tSmall = Seq(measureBuild(baseDir), measureBuild(baseDir)).min
     val tBig = Seq(measureBuild(sf1Dir), measureBuild(sf1Dir)).min

@@ -443,9 +443,14 @@ object Multimodal {
           new String(fp, 0, 8, "ISO-8859-1") == "OpusHead") {
         if ((fu(8) >> 4) != 0) return None                 // version major 0 (v1 = 0x01)
         val ch = fu(9)
+        val preSkip = fu(10) | (fu(11) << 8)               // u16 LE, RFC 7845 §5.1
         val inputRate = fu32le(12)                         // informational; must parse sane
         if (ch == 0 || inputRate < 0) return None
-        Some(MpegAudioMeta("opus", 48000, ch, nPages, granule, None))
+        // playback duration excludes the pre-skip priming samples
+        // (RFC 7845 §4.2: "the PCM sample position ... includes the
+        // pre-skip"), so the reported sample frames subtract it
+        Some(MpegAudioMeta("opus", 48000, ch, nPages,
+          math.max(0L, granule - preSkip), None))
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -587,10 +592,14 @@ object Multimodal {
           // mvhd all-ones duration is the spec's "duration unknown"
           // sentinel (ISO 14496-12 §8.2.2.3: v0 0xFFFFFFFF, v1 all
           // ones) — keep the metadata claim but report no duration
-          // rather than a bogus ~49-day figure
+          // rather than a bogus ~49-day figure. The v1 ×1000 product is
+          // exact arithmetic: a crafted 64-bit duration must drop the
+          // duration, never wrap negative (the vuiDurationMs doctrine)
           durMs = if ((mvhdV == 0 && duration == 0xFFFFFFFFL) ||
-                      (mvhdV != 0 && duration == -1L)) None
-                  else Some(duration * 1000L / timescale)
+                      (mvhdV != 0 && duration == -1L) || duration < 0) None
+                  else
+                    try Some(Math.multiplyExact(duration, 1000L) / timescale)
+                    catch { case _: ArithmeticException => None }
         } yield VideoMeta("mp4", codec, w, h, frames, durMs)
       }.headOption
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -773,6 +782,10 @@ object Multimodal {
       Some(acc.result())
     }
     def uintOf(s: Int, e: Int): Long = {
+      // an unsigned-int element wider than 8 bytes (or empty) cannot be
+      // read without truncation — reject instead of misreading (the
+      // require lands in the walk's NonFatal catch → None)
+      require(e - s >= 1 && e - s <= 8, s"EBML uint of ${e - s} bytes")
       var v = 0L; (s until e).foreach(i => v = (v << 8) | (p(i) & 0xFFL)); v
     }
     def floatOf(s: Int, e: Int): Option[Double] = (e - s) match {
@@ -810,7 +823,9 @@ object Multimodal {
             vk <- children(vS, vE)
             w <- vk.collectFirst { case (0xB0L, a, b) => uintOf(a, b) }
             h <- vk.collectFirst { case (0xBAL, a, b) => uintOf(a, b) }
-            if w > 0 && h > 0
+            // dimensions above Int range would truncate at .toInt —
+            // reject the claim instead of confidently misreading it
+            if w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue
             codecId = entry.collectFirst { case (0x86L, a, b) =>
               new String(p, a, b - a, "ISO-8859-1") }.getOrElse("")
           } yield (num, w.toInt, h.toInt, codecId)
@@ -1513,10 +1528,11 @@ object Multimodal {
         |    -- Ogg plants count PAGES: k%6+2 data pages + the BOS header page
         |    CASE container WHEN 'vorbis' THEN k % 6 + 3 WHEN 'opus' THEN k % 6 + 3
         |                   ELSE CASE WHEN container IS NOT NULL THEN k % 6 + 2 END END AS n_frames,
+        |    -- opus: playback samples exclude the planted 312 pre-skip
         |    CASE container WHEN 'mp3' THEN (k % 6 + 2) * 1152
         |                   WHEN 'aac' THEN (k % 6 + 2) * 1024
         |                   WHEN 'vorbis' THEN (k % 6 + 2) * 1024
-        |                   WHEN 'opus' THEN (k % 6 + 2) * 960 END AS sample_frames,
+        |                   WHEN 'opus' THEN (k % 6 + 2) * 960 - 312 END AS sample_frames,
         |    CASE container WHEN 'mp3' THEN 128 END AS bitrate_kbps
         |  FROM m)
         |SELECT d.doc_id,

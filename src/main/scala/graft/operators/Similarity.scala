@@ -223,42 +223,22 @@ object Similarity {
     "ivf_pq"        -> (qIvfPq _),
     "ivf_pq_refine" -> (qIvfPqRefine _))
 
-  /** Relative per-query probe COST of a serving tier, in scan-bytes:
-    * fraction of the corpus a query touches × bytes per touched vector,
-    * plus the refine stages' exact re-read of their R-row shortlist.
-    * Every constant is the shipped face's own (AnnPlanes probes of
-    * 2^AnnPlanes buckets, IvfProbes/IvfLists, PqSubspaces 1-byte codes,
-    * PqRefineR), so the cost model cannot drift from what actually
-    * executes. This is the I/O-dominated large-corpus model — the right
-    * regime for the planner's whole reason to exist. */
-  private[graft] def annTierCost(tier: String, nVectors: Long): Double = {
-    val full = 4.0 * Dim                                        // float32 vector
-    val codes = PqSubspaces.toDouble                            // 1 byte/subspace
-    val lshFrac = (AnnPlanes + 1).toDouble / (1L << AnnPlanes)  // multi-probe buckets
-    val ivfFrac = IvfProbes.toDouble / IvfLists                 // probed lists
-    val refine = PqRefineR * full                               // exact re-read, per query
-    tier match {
-      case "brute"         => nVectors * full
-      case "lsh"           => nVectors * lshFrac * full
-      case "ivf"           => nVectors * ivfFrac * full
-      case "pq"            => nVectors * codes
-      case "pq_refine"     => nVectors * codes + refine
-      case "ivf_pq"        => nVectors * ivfFrac * codes
-      case "ivf_pq_refine" => nVectors * ivfFrac * codes + refine
-      case other => throw new IllegalArgumentException(s"unknown ANN tier '$other'")
-    }
-  }
-
-  /** [[annTierCost]] with the pruning fractions MEASURED on this corpus
-    * (per-query average candidate volumes of the bucket/list probes)
-    * instead of the uniform-occupancy assumption — the r19 advice: a
-    * skewed corpus whose LSH buckets collapse makes the heuristic
-    * under-price that tier by up to 1/lshFrac, and the planner should
-    * choose on what the probes will actually read. The byte constants
-    * stay the shipped faces' own; only the fractions become
-    * observations. Deterministic (candidate counts are exact integers),
-    * so the differential twin re-derives identical costs from its own
-    * sequential bucket/list assignments. */
+  /** Per-query probe COST of a serving tier, in scan-bytes: candidate
+    * volume a query's probes actually touch × bytes per touched vector
+    * (float32 vectors vs 1-byte PQ codes), plus the refine stages'
+    * exact re-read of their R-row shortlist. The pruning volumes are
+    * MEASURED on the corpus (per-query average candidates of the
+    * bucket/list probes — [[measuredCandidatesFrom]]) rather than the
+    * uniform-occupancy fractions ((AnnPlanes+1)/2^AnnPlanes,
+    * IvfProbes/IvfLists) an earlier heuristic assumed — the r19 advice:
+    * a skewed corpus whose LSH buckets collapse makes the uniform
+    * assumption under-price that tier by up to 2^AnnPlanes/(AnnPlanes+1),
+    * and the planner should choose on what the probes will actually
+    * read. The byte constants stay the shipped faces' own
+    * ([[PqSubspaces]], [[PqRefineR]], [[Dim]]), so the cost model
+    * cannot drift from what executes. Deterministic (candidate counts
+    * are exact integers), so the differential twin re-derives identical
+    * costs from its own sequential bucket/list assignments. */
   private[graft] def annTierCostMeasured(tier: String, nVectors: Long,
       lshCandPerQ: Double, ivfCandPerQ: Double): Double = {
     val full = 4.0 * Dim

@@ -175,8 +175,13 @@ object TextOps {
     *     remaining parameters keep their order (reordering would need
     *     evidence the server ignores order — it often doesn't);
     *  5. trailing slashes strip; an empty path canonicalizes to `/`;
-    *  6. a string with no `scheme://host` is NOT a URL → null (the
-    *     strict-claim doctrine: arbitrary corpus bytes never half-claim).
+    *  6. a string with no `scheme://host` — or with whitespace INSIDE
+    *     the trimmed string (a raw URL cannot contain unencoded spaces
+    *     or line terminators, and a `$`-anchored extraction over one
+    *     would silently truncate at the newline and merge distinct junk
+    *     strings into one canonical group) — is NOT a URL → null (the
+    *     strict-claim doctrine: arbitrary corpus bytes never
+    *     half-claim).
     */
   def urlCanonicalize(u: Column): Column = {
     val t = regexp_replace(trim(u), "#.*$", "")
@@ -192,7 +197,8 @@ object TextOps {
     val path = when(stripped === "", lit("/")).otherwise(stripped)
     val kept = array_join(filter(split(query0, "&"),
       p => !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=") && p =!= lit("")), "&")
-    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+    when(scheme === "" || hostPort === "" || t.rlike("\\s"),
+        lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path,
         when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
@@ -1338,11 +1344,13 @@ object TextOps {
 
   /** [[dsirScoreStored]] AS OF admission batch `asOf` — the mixture
     * pipeline's reproducibility face ("score this crawl under the
-    * selection model as the corpus stood at batch N"), the
-    * [[lmScoreStoredAsOf]] semantics minus retraction (the DSIR store
-    * carries no tombstones): a pure partition filter on both frames,
-    * horizon-guarded by the shared
-    * [[graft.sources.Stores.requireAsOfReconstructable]]. */
+    * selection model as the corpus stood at batch N"), the FULL
+    * [[lmScoreStoredAsOf]] semantics: a pure partition filter on both
+    * frames, horizon-guarded by the shared
+    * [[graft.sources.Stores.requireAsOfReconstructable]], with
+    * [[retractDsirDocs]] corrections applied membership-scoped via the
+    * `_docs` sidecar (see [[dsirModelFrames]] — retraction erases
+    * history, but only for docs that were members at `asOf`). */
   def dsirScoreStoredAsOf(s: SparkSession, docs: DataFrame, path: String,
       asOf: Long): DataFrame = {
     graft.sources.Stores.recover(s, path)

@@ -447,11 +447,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v.sampleFrames === 4096L && v.durationMs === 4096L * 1000 / 44100)
     // Opus: granules tick at 48 kHz regardless of input rate (RFC 7845
     // §5.1 — input_sample_rate is informational), so the reported rate
-    // is the decode rate
+    // is the decode rate; playback samples exclude the 312 pre-skip the
+    // synth plants
     val opus = Multimodal.synthOgg("opus", 16000, 1, 2880L, dataPages = 2)
     val o = Multimodal.readOggMeta(opus).get
     assert(o.container === "opus" && o.sampleRate === 48000 && o.channels === 1)
-    assert(o.sampleFrames === 2880L && o.durationMs === 60L)
+    assert(o.sampleFrames === 2880L - 312L && o.durationMs === (2880L - 312L) * 1000 / 48000)
     // strict rejections — arbitrary corpus bytes must never half-parse
     assert(Multimodal.readOggMeta("OggS but not really a page".getBytes) === None)
     assert(Multimodal.readOggMeta(ogg.take(ogg.length - 3)) === None,

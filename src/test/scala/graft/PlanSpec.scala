@@ -858,8 +858,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     // the only window partitions on the high-cardinality canonical URL —
     // bounded groups (one page's spelling variants), never a global sort
-    assert("windowspecdefinition\\(canonical_url".r.findFirstIn(p.toLowerCase).nonEmpty ||
-      p.contains("canonical_url"),
+    assert("windowspecdefinition\\(canonical_url".r.findFirstIn(p).nonEmpty,
       s"the keeper window must partition by canonical_url:\n$p")
   }
 }

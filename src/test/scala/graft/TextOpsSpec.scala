@@ -986,10 +986,14 @@ class TextOpsSpec extends AnyFunSuite {
     cases.zip(got).foreach { case ((in, want), have) =>
       assert(have === want, s"canonicalize($in)")
     }
-    // not a URL -> null, never a half-claim
-    val nulls = Seq("not a url", "host.com/path", "://x", "")
+    // not a URL -> null, never a half-claim; interior whitespace is a
+    // non-URL too (a $-anchored extraction over a newline would silently
+    // truncate and merge distinct junk into one canonical group)
+    val nulls = Seq("not a url", "host.com/path", "://x", "",
+        "http://host/a\nb", "http://host/a b", "http://ho st/a")
       .toDF("u").select(TextOps.urlCanonicalize(col("u"))).collect()
-    assert(nulls.forall(_.isNullAt(0)), "scheme-less strings must canonicalize to null")
+    assert(nulls.forall(_.isNullAt(0)),
+      "scheme-less or whitespace-bearing strings must canonicalize to null")
     // the dedup face composes: every canonical group keeps exactly one
     // doc, group sizes sum to the corpus, keeper is a member
     val docs = graft.sources.Tables.documents(spark, TestSpark.sfDir)
