@@ -420,8 +420,23 @@ object Multimodal {
         (0 until nSegs).foreach(j => payloadLen += u(o + 27 + j))
         val ps = o + 27 + nSegs
         if (ps + payloadLen > p.length) return None
-        if (nPages == 0)
-          firstPacket = java.util.Arrays.copyOfRange(p, ps, ps + payloadLen)
+        if (nPages == 0) {
+          // the FIRST PACKET per the segment-table lacing: sum lacing
+          // values up to the first < 255 terminator. A BOS page whose
+          // packet never terminates (all-255 lacing — the id header
+          // continues on the next page) is not the claimed shape, and
+          // same-page trailing packets stay OUT of the id-header parse
+          // — the strict first-packet contract, enforced rather than
+          // assumed (r20 review)
+          var plen = 0; var j = 0; var terminated = false
+          while (j < nSegs && !terminated) {
+            val l = u(o + 27 + j); plen += l
+            if (l < 255) terminated = true
+            j += 1
+          }
+          if (!terminated) return None
+          firstPacket = java.util.Arrays.copyOfRange(p, ps, ps + plen)
+        }
         if (g != -1L) granule = g                          // -1 = no packet ends here
         if ((flags & 4) != 0) sawEos = true
         nPages += 1
@@ -444,8 +459,9 @@ object Multimodal {
         if ((fu(8) >> 4) != 0) return None                 // version major 0 (v1 = 0x01)
         val ch = fu(9)
         val preSkip = fu(10) | (fu(11) << 8)               // u16 LE, RFC 7845 §5.1
-        val inputRate = fu32le(12)                         // informational; must parse sane
-        if (ch == 0 || inputRate < 0) return None
+        // input_sample_rate is informational and MAY be 0 = "unknown"
+        // (RFC 7845 §5.1) — no sanity bound exists to enforce on it
+        if (ch == 0) return None
         // playback duration excludes the pre-skip priming samples
         // (RFC 7845 §4.2: "the PCM sample position ... includes the
         // pre-skip"), so the reported sample frames subtract it
@@ -832,15 +848,20 @@ object Multimodal {
         }.headOption.getOrElse(return None)
       val (trackNum, w, h, codecId) = video
       // frames: blocks of the video track across all clusters — the
-      // block payload LEADS with the track number as a size-style varint
+      // block payload LEADS with the track number as a size-style
+      // varint, which must fit INSIDE the block element (a varint
+      // bounded only by the payload's end would read the next sibling's
+      // bytes on a short/zero-size block and count a phantom frame —
+      // the exact-nesting doctrine applies to block-internal reads too)
+      def blockTrack(a: Int, b: Int): Boolean =
+        vint(a, keepMarker = false).exists { case (v, len) =>
+          a + len <= b && v == trackNum }
       val frames = seg.collect { case (0x1F43B675L, s, e) =>
         children(s, e).getOrElse(return None).count {
-          case (0xA3L, a, _) =>   // SimpleBlock
-            vint(a, keepMarker = false).exists(_._1 == trackNum)
-          case (0xA0L, a, b) =>   // BlockGroup → its Block (0xA1)
+          case (0xA3L, a, b) => blockTrack(a, b)      // SimpleBlock
+          case (0xA0L, a, b) =>                       // BlockGroup → Block
             children(a, b).exists(_.exists {
-              case (0xA1L, ba, _) =>
-                vint(ba, keepMarker = false).exists(_._1 == trackNum)
+              case (0xA1L, ba, bb) => blockTrack(ba, bb)
               case _ => false
             })
           case _ => false
@@ -859,8 +880,12 @@ object Multimodal {
     * one Cluster of `nFrames` SimpleBlocks)) — the planted fixture the
     * meta face and specs parse back. Duration lands in float ticks at
     * the default 1 ms timecode scale. */
+  /** `rawClusterBytes` lands verbatim inside the Cluster ahead of the
+    * well-formed blocks — the spec's hook for planting malformed block
+    * elements under correct outer nesting. */
   private[graft] def synthWebm(width: Int, height: Int, nFrames: Int,
-      durationMs: Long, codecId: String = "V_VP9"): Array[Byte] = {
+      durationMs: Long, codecId: String = "V_VP9",
+      rawClusterBytes: Array[Byte] = Array.empty): Array[Byte] = {
     def beMin(v: Long): Array[Byte] = {
       var n = 1; while (n < 8 && (v >> (8 * n)) != 0) n += 1
       (0 until n).map(j => ((v >> (8 * (n - 1 - j))) & 0xFF).toByte).toArray
@@ -896,7 +921,7 @@ object Multimodal {
         ((i * 40) >> 8).toByte, (i * 40).toByte, 0x80.toByte, 0x5A))
     }
     val cluster = el(id(0x1F, 0x43, 0xB6, 0x75),
-      (el(id(0xE7), beMin(0L)) +: blocks): _*)                     // Timecode 0
+      (el(id(0xE7), beMin(0L)) +: rawClusterBytes +: blocks): _*)  // Timecode 0
     val segment = el(id(0x18, 0x53, 0x80, 0x67), info, tracks, cluster)
     header ++ segment
   }

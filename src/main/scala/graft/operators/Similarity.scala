@@ -266,7 +266,18 @@ object Similarity {
     * corpus-sized crosses the driver. */
   private[graft] def measuredCandidatesFrom(s: SparkSession,
       vectors: DataFrame): (Long, Double, Double) = {
-    val e = withNorm(s, vectors)
+    // one materialization serves the bucket histogram, the quantizer's
+    // training sample, the list histogram and both probe-set jobs —
+    // this runs inside the one-time q_ann_plan_build, where re-scanning
+    // the corpus per aggregate would inflate the priced build (r20
+    // review); persist + unpersist, corpus-sized but build-plane
+    val e = withNorm(s, vectors).persist()
+    try measuredCandidatesOver(s, e)
+    finally { e.unpersist(); () }
+  }
+
+  private def measuredCandidatesOver(s: SparkSession,
+      e: DataFrame): (Long, Double, Double) = {
     val b = e.withColumn("bucket", lshBucket(s, col("embedding"), 0 until AnnPlanes))
     val hist = b.groupBy("bucket").count().collect()
       .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap

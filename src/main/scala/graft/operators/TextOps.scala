@@ -216,8 +216,10 @@ object TextOps {
     concat(
       when(pmod(id, lit(2)) === 0, lit("http")).otherwise(lit("HTTPS")),
       lit("://WWW.Example-"), pmod(id, lit(3)), lit(".COM"),
-      when(pmod(id, lit(4)) === 0 && pmod(id, lit(2)) === 0, lit(":80"))
-        .when(pmod(id, lit(4)) === 1 && pmod(id, lit(2)) === 1, lit(":443"))
+      // %4==0 is always even (http), %4==1 always odd (HTTPS) — the
+      // planted default port always matches its scheme
+      when(pmod(id, lit(4)) === 0, lit(":80"))
+        .when(pmod(id, lit(4)) === 1, lit(":443"))
         .otherwise(lit("")),
       lit("/docs/"), pmod(id, lit(20)),
       when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),

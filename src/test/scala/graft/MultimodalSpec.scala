@@ -487,6 +487,24 @@ class MultimodalSpec extends AnyFunSuite {
     val zeroFrames = Multimodal.synthWebm(96, 64, 0, 280L)
     assert(Multimodal.readEbmlMeta(zeroFrames) === None,
       "a video track with zero blocks rejects (the H.264 zero-pictures rule)")
+    // malformed blocks under correct outer nesting must neither count
+    // nor throw: a zero-size SimpleBlock (its track varint would read
+    // the next sibling's bytes unbounded) and a 1-byte block whose
+    // track varint CLAIMS two bytes
+    val malformedBlocks = Array[Byte](0xA3.toByte, 0x80.toByte) ++
+      Array[Byte](0xA3.toByte, 0x81.toByte, 0x41)
+    val withJunk = Multimodal.readEbmlMeta(
+      Multimodal.synthWebm(96, 64, 7, 280L, rawClusterBytes = malformedBlocks)).get
+    assert(withJunk.nFrames === 7,
+      s"block-internal varints must stay inside their block — got $withJunk")
+    // an Ogg BOS page whose only lacing value is 255 (the id header
+    // CONTINUES on the next page) is not the claimed shape, even when
+    // the payload leads with a valid-looking vorbis header
+    val vorbisBos = ogg.take(58) // 27 hdr + 1 segtable + 30 id header
+    val contPayload = vorbisBos.drop(28) ++ Array.fill(225)(0.toByte)
+    val contPage = vorbisBos.take(26) ++ Array[Byte](1, 255.toByte) ++ contPayload
+    assert(Multimodal.readOggMeta(contPage ++ ogg.drop(58)) === None,
+      "a continued (all-255-lacing) first packet must not half-claim")
     // the decode seam serves Ogg and WebM metadata without a codec plug
     import spark.implicits._
     val viaSeam = Multimodal.decodeAll(spark.createDataset(Seq(
