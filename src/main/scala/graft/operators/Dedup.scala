@@ -1075,26 +1075,34 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("lo"))
       .distinct())
     var edges = canon.filter(col("hi") =!= col("lo"))
+    // edge count carried ACROSS rounds (r21): round N's `next.count()` is
+    // round N+1's `edges.count()` — recounting the same checkpointed
+    // frame was one redundant job per round; the first round counts its
+    // input once. -1 = not yet counted.
+    var edgeCount = -1L
     var prev: Option[DataFrame] = None
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
       val next = ckpt(smallStar(largeStar(edges)))
-      // Convergence stays EXACT but cheap: counts first (two scans over
-      // the checkpointed frames, no shuffle) — unequal counts prove
+      // Convergence stays EXACT but cheap: counts first (scans over the
+      // checkpointed frames, no shuffle) — unequal counts prove
       // non-convergence and skip the set compare, which in practice is
       // every round but the last. Equal counts do NOT prove equality
       // (equal-size different sets exist); for two DEDUPED equal-size
       // sets, equality is exactly `next ∖ edges = ∅` — one anti-join
       // (AQE broadcasts the smaller side at scale) instead of the
       // two-shuffle symmetric difference.
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      if (edgeCount < 0) edgeCount = edges.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       // round N materialized and compared — round N-1's storage is dead
       // (never the initial canon frame, which the caller may still hold)
       prev.foreach(ckpt.release)
       prev = Some(next)
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")

@@ -137,11 +137,23 @@ object Graph {
   private[graft] val RankCheckpointEvery = 10
 
   /** Registered face: PageRank centrality of every customer and supplier
-    * in the purchase graph, [[PrIters]] exact-integer rounds. */
+    * in the purchase graph, [[PrIters]] exact-integer rounds.
+    *
+    * The edge DERIVATION is checkpointed before the union: left lazy,
+    * the lineitem⋈orders join + distinct rides the materialization DAG
+    * four times (the union doubles it; edgesDeg's degree aggregate and
+    * degree join double it again) — at any scale that is three avoidable
+    * full derivations of a corpus-sized join. Checkpointing the distinct
+    * edge list once lets every consumer read its blocks, and the
+    * checkpoint is released as soon as [[pagerank]] has materialized its
+    * own final round (nothing reads the edge list after that). */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = custSuppEdges(s, dir)
+    val cp = Checkpointer.fromConf(s)
+    val edges = cp(custSuppEdges(s, dir))
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    pagerank(und)
+    val ranked = pagerank(und)
+    cp.release(edges)
+    ranked
       .select(col("node"),
         when(pmod(col("node"), lit(2L)) === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
@@ -193,20 +205,27 @@ object Graph {
     * of the Σ deg² of the naive formulation that a single hub node
     * drives quadratic (the "last reducer" the paper names). Three
     * equi-joins on high-cardinality keys; no driver-side state. */
-  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+  /** The degree ORIENTATION, lazy (PlanSpec pins this plan): every edge
+    * directed from its lower-(degree, id) endpoint to the higher. */
+  private[graft] def orientedEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // rank = (degree, id) struct — totally ordered, comparable in-plan
     // (struct fields named uniformly so the two CASE branches type-match)
     val ra = struct(col("da").as("d"), col("a").as("i"))
     val rb = struct(col("db").as("d"), col("b").as("i"))
-    val e = edges
+    edges
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(
         when(ra < rb, col("a")).otherwise(col("b")).as("u"),
         when(ra < rb, col("b")).otherwise(col("a")).as("v"),
         when(ra < rb, rb).otherwise(ra).as("rv"))
+  }
+
+  /** Wedge generation + closure + per-node counts over an oriented edge
+    * frame, lazy (PlanSpec pins the equi-join shape). */
+  private[graft] def wedgeClose(e: DataFrame): DataFrame = {
     // wedges at u, ordered by the far endpoints' ranks so the closing
     // edge's orientation (lower rank → higher rank) is known statically
     val tris = e.select(col("u"), col("v").as("p"), col("rv").as("rp"))
@@ -218,7 +237,25 @@ object Graph {
     tris.select(explode(array(col("u"), col("p"), col("q"))).as("l_partkey"))
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("l_partkey"))
+  }
+
+  /** Checkpointed composition: the input edge list feeds the degree
+    * aggregate AND the two orientation joins, and the oriented frame
+    * feeds BOTH wedge sides plus the closure semi-join — left lazy, the
+    * whole upstream edge derivation rides the DAG once per reference
+    * (the three wedge/closure exchanges differ in projected columns, so
+    * runtime exchange reuse cannot dedup them; measured 37 MB shuffled
+    * for a 165-row answer at sf0.1). Each stage materializes once
+    * through the [[Checkpointer]] seam and is released as soon as the
+    * next stage has materialized — the [[pagerankLazy]] discipline. */
+  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
+    val cp = Checkpointer.fromConf(edges0.sparkSession)
+    val edges = cp(edges0)
+    val e = cp(orientedEdges(edges))
+    cp.release(edges)
+    val out = cp(wedgeClose(e))
+    cp.release(e)
+    out.orderBy(col("n_triangles").desc, col("l_partkey"))
   }
 
   /** Registered face: per-part triangle participation in the

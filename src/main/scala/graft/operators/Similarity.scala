@@ -141,8 +141,13 @@ object Similarity {
   /** The brute-force scored frame shared by the window ([[qAnnTopk]])
     * and aggregate ([[qAnnTopkAgg]]) top-k faces — one definition, so
     * the two formulations can never score differently. */
-  private def bruteScored(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, dir))
+  private def bruteScored(s: SparkSession, dir: String): DataFrame =
+    bruteScoredOver(s, withNorm(s, Tables.embeddings(s, dir)))
+
+  /** [[bruteScored]] over an already-normalized frame — the seam that
+    * lets [[writeAnnRecallStore]] share ONE persisted withNorm pass
+    * between the exact side and the candidate-volume measurement. */
+  private def bruteScoredOver(s: SparkSession, e: DataFrame): DataFrame = {
     val queries = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
@@ -151,9 +156,12 @@ object Similarity {
       .withColumn("cosine", round(dotCol(s, col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
   }
 
-  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame =
+    qAnnTopkOver(s, withNorm(s, Tables.embeddings(s, dir)))
+
+  private def qAnnTopkOver(s: SparkSession, e: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    bruteScored(s, dir)
+    bruteScoredOver(s, e)
       // null cosines never rank — [[topkCol]]'s contract, carried here
       // so the window and aggregate faces stay output-identical even in
       // non-ANSI sessions where a zero divisor yields NULL instead of
@@ -371,8 +379,29 @@ object Similarity {
     * serve path never needs a corpus count. */
   def writeAnnRecallStore(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
-    val recalls = measuredTierRecall(s, dir) + ("brute" -> 1.0)
-    val costs = measuredTierCost(s, dir)
+    // ONE shared normalized-corpus pass for recalls AND costs (r21, the
+    // r20 advice item): calling [[measuredTierRecall]] and
+    // [[measuredTierCost]] back to back re-scanned and re-normalized the
+    // corpus once each — here the withNorm frame persists once and
+    // serves the exact brute-force side, the quantizer's seed sample,
+    // and all four candidate-volume aggregates. Values are identical to
+    // the two standalone entry points' (same frames, same arithmetic),
+    // which SimilaritySpec pins.
+    val e = withNorm(s, Tables.embeddings(s, dir)).persist()
+    val (recalls, costs) = try {
+      val exact = qAnnTopkOver(s, e).persist()
+      val rec = try {
+        annTierFaces.keys.filter(_ != "brute").map { t =>
+          val m = recallOf(exact, annTierFaces(t)(s, dir))
+            .agg(avg("recall_at_5")).head.getDouble(0)
+          t -> BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      } finally exact.unpersist()
+      val (n, lshC, ivfC) = measuredCandidatesOver(s, e)
+      (rec + ("brute" -> 1.0),
+        (annTierFaces.keySet + "brute").map(t =>
+          t -> annTierCostMeasured(t, n, lshC, ivfC)).toMap)
+    } finally { e.unpersist(); () }
     recalls.toSeq.sorted.map { case (t, r) => (t, r, costs(t)) }
       .toDF("tier", "recall_at_5", "cost_bytes")
       .coalesce(1).write.mode("overwrite").parquet(path)

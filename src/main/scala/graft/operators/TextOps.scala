@@ -999,11 +999,13 @@ object TextOps {
     * rule.
     *
     * The scored frame is derived twice (the threshold aggregate and the
-    * bucketing pass) — the price of staying a pure function of the
-    * input, as q_quality_classifier's in-query training. A deployment
-    * materializes the per-doc scores once (or serves them from the
-    * stored LM via [[lmScoreStored]]) and pays only the threshold
-    * aggregate plus a scan. */
+    * bucketing pass), but its duplicate subtrees are exchange-aligned
+    * and identical, so AQE's runtime stage cache materializes them once
+    * — an explicit checkpoint was MEASURED in r21 and bought nothing
+    * (equal stage count) while adding the materialization barrier. A
+    * deployment materializes the per-doc scores once (or serves them
+    * from the stored LM via [[lmScoreStored]]) and pays only the
+    * threshold aggregate plus a scan. */
   def qCurriculum(s: SparkSession, dir: String): DataFrame = {
     val scored = lmScore(Tables.documents(s, dir), ordered = false)
     val th = scored.agg(
@@ -1060,19 +1062,26 @@ object TextOps {
   private[graft] def dsirSelect(docs: DataFrame, targetPred: Column,
       k: Int, featureOf: Column => Column = identity): DataFrame = {
     val grams = lmGrams(docs).select(col("doc_id"), featureOf(col("bg")).as("f"))
-    val tgtGrams = grams.join(
-      docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
-    val ct = tgtGrams.groupBy("f").agg(count(lit(1)).as("ct"))
-    val cs = grams.groupBy("f").agg(count(lit(1)).as("cs"))
+    // ONE count table for BOTH distributions (r21, guide §2.3 "aggregate
+    // before you shuffle"): the gram stream is corpus-scale, and
+    // aggregating it once per distribution (plus a target semi-join) ran
+    // three full explode passes where one suffices — a target-membership
+    // flag rides each gram row and a conditional sum splits the counts.
+    // ct is 0 (never NULL) for never-in-target features, exactly the
+    // value the weight formula's coalesce substituted before.
+    val tgt = docs.filter(targetPred).select(col("doc_id"), lit(1L).as("__t"))
+    val counts = grams.join(tgt, Seq("doc_id"), "left")
+      .groupBy("f").agg(count(lit(1)).as("cs"),
+        coalesce(sum("__t"), lit(0L)).as("ct"))
     // three scalar constants in ONE broadcast frame: pool size, target
     // size, shared smoothing base (pool-distinct features) — DERIVED
-    // from the two count tables (vocab-sized), not from two more
-    // corpus-scale passes over the gram stream
-    val tot = cs.agg(coalesce(sum("cs"), lit(0L)).as("ns"), count(lit(1)).as("v2"))
-      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
-    val fp = round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v2"))) -
+    // from the count table (vocab-sized), not from more corpus-scale
+    // passes over the gram stream
+    val tot = counts.agg(coalesce(sum("cs"), lit(0L)).as("ns"), count(lit(1)).as("v2"),
+      coalesce(sum("ct"), lit(0L)).as("nt"))
+    val fp = round((log((col("ct") + lit(1.0)) / (col("nt") + col("v2"))) -
         log((col("cs") + lit(1.0)) / (col("ns") + col("v2")))) * lit(1e6)).cast(LongType)
-    val perDoc = grams.join(cs, "f").join(ct, Seq("f"), "left")
+    val perDoc = grams.join(counts, "f")
       .crossJoin(broadcast(tot))
       .withColumn("fp", fp)
       .groupBy("doc_id")
@@ -1142,12 +1151,20 @@ object TextOps {
   private def dsirFeats(docs: DataFrame): DataFrame =
     lmGrams(docs).select(col("doc_id"), dsirBucket(DsirBuckets)(col("bg")).as("f"))
 
-  /** Bucket-count frames of one batch: (pool counts, target counts). */
+  /** Bucket-count frames of one batch: (pool counts, target counts).
+    * ONE gram pass for both (r21): a target flag + conditional sum in a
+    * single aggregate, materialized lazily once (≤ [[DsirBuckets]] rows)
+    * so the two store writes don't each re-run the corpus explode. The
+    * target frame keeps its sparse shape (features with no target grams
+    * are absent, as the semi-join formulation produced). */
   private def dsirCounts(docs: DataFrame, targetPred: Column): (DataFrame, DataFrame) = {
-    val feats = dsirFeats(docs)
-    (feats.groupBy("f").agg(count(lit(1)).as("c")),
-      feats.join(docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
-        .groupBy("f").agg(count(lit(1)).as("c")))
+    val tgt = docs.filter(targetPred).select(col("doc_id"), lit(1L).as("__t"))
+    val both = dsirFeats(docs).join(tgt, Seq("doc_id"), "left")
+      .groupBy("f").agg(count(lit(1)).as("c"),
+        coalesce(sum("__t"), lit(0L)).as("__ct"))
+      .localCheckpoint(eager = false)
+    (both.select(col("f"), col("c")),
+      both.filter(col("__ct") > 0).select(col("f"), col("__ct").as("c")))
   }
 
   /** Train-once bootstrap: pool counts at `path`, target counts at
@@ -1946,6 +1963,13 @@ object TextOps {
         .cast(LongType).as("prior_fp"))
 
   private[graft] def qualityClassifier(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    // The label frame rides the DAG three times, but its repeated
+    // subtrees are exchange-aligned and identical, so AQE's runtime
+    // stage cache already materializes them once — checkpointing it was
+    // MEASURED in r21 and made the query worse (the LogicalRDD loses
+    // the aggregate's size estimate, flipping the label join from
+    // broadcast to a token-stream shuffle: 1.0→2.7 MB shuffled,
+    // 1.5→1.8 s). Left as the pure lineage on purpose.
     val labels = nbLabels(docs)
     val toks = nbToks(docs).join(labels, "doc_id")
     val cls = nbClassCounts(toks)

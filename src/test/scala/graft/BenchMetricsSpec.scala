@@ -40,4 +40,19 @@ class BenchMetricsSpec extends AnyFunSuite {
       assert(g.shuffleRead > 0, "groupBy must report shuffle-read bytes")
     } finally spark.sparkContext.removeSparkListener(meter.listener)
   }
+
+  test("gate predicates: watch reports every >2x-floor reading, the gate keeps its absolute guard") {
+    // the r20 blind spot: five >2x-floor readings hid under the 0.5 s
+    // absolute guard and never entered the artifact's adjudication queue.
+    // Watch now uses the gate's own 2x bar with NO absolute guard.
+    assert(Bench.ratioOutlier(Some(0.1), 0.21), "a 2.1x sub-second reading must be watched")
+    assert(!Bench.gateFlag(Some(0.1), 0.21), "...but must not fail the gate (0.11 s delta < 0.5 s guard)")
+    assert(!Bench.ratioOutlier(Some(0.1), 0.19), "a sub-2x reading is not watched")
+    assert(Bench.gateFlag(Some(1.0), 2.1) && Bench.ratioOutlier(Some(1.0), 2.1),
+      "a >2x reading with >0.5 s delta trips both predicates")
+    assert(!Bench.gateFlag(Some(1.0), 1.9), "sub-2x never flags")
+    assert(!Bench.gateFlag(None, 99.0) && !Bench.ratioOutlier(None, 99.0),
+      "a query with no recorded floor is never flagged or watched")
+    assert(!Bench.ratioOutlier(Some(0.0), 1.0), "a zero floor must not divide-flag everything")
+  }
 }

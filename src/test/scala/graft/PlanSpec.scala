@@ -798,12 +798,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_triangles: every join is an equi-join (the orientation must not plan a nested loop)") {
-    val p = plan("q_triangles")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"wedge generation and closure must ride hash-key equi-joins:\n$p")
+    // the per-stage plan shape lives in the LAZY bodies — the public face
+    // materializes each stage through the Checkpointer seam (r21), so its
+    // returned plan is a sort over the final checkpoint (asserted below),
+    // the q_pagerank pin's structure
+    import graft.operators.Graph
+    val lazyPlan = Graph.wedgeClose(Graph.orientedEdges(
+        Graph.partCoEdges(spark, TestSpark.sfDir)))
+      .queryExecution.executedPlan.toString
+    assert(!lazyPlan.contains("CartesianProduct") && !lazyPlan.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation and closure must ride hash-key equi-joins:\n$lazyPlan")
     // the pair generator reads only (orderkey, partkey)
-    assert("ReadSchema: struct<l_orderkey:[a-z]+,l_partkey:[a-z]+>".r.findFirstIn(p).nonEmpty,
-      s"edge derivation must read only the two key columns:\n$p")
+    assert("ReadSchema: struct<l_orderkey:[a-z]+,l_partkey:[a-z]+>".r.findFirstIn(lazyPlan).nonEmpty,
+      s"edge derivation must read only the two key columns:\n$lazyPlan")
+    // and the public face reads its own checkpoints: the edge pipeline
+    // must not ride the DAG once per wedge/closure reference
+    val pub = plan("q_triangles")
+    assert(pub.contains("ExistingRDD"),
+      s"public triangles must read the checkpointed stages, not recompute:\n$pub")
+    assert(!pub.contains("Scan parquet"),
+      s"no direct parquet scan may survive above the checkpoints:\n$pub")
   }
 
   test("q_anomaly: one aggregation feeds the baseline window; scan reads only (ts, event_type)") {
