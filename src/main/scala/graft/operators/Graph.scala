@@ -136,23 +136,38 @@ object Graph {
   /** Truncate the rank lineage every this many rounds (see above). */
   private[graft] val RankCheckpointEvery = 10
 
+  /** The distinct customer↔supplier edge list, materialized ONCE per
+    * (JVM, dataset dir) as a tmp parquet store — the stored-index
+    * amortization every ANN/signature face already uses
+    * ([[graft.sources.TmpStores.buildOnce]], r20 verdict item 2a): the
+    * corpus-scale lineitem⋈orders join + distinct is identical for every
+    * graph query over one corpus, so the first caller pays the build
+    * (logged separately by buildOnce) and every later rep/consumer reads
+    * the node-scale edge parquet instead of re-deriving. At 100 TB this
+    * is the difference between one corpus pass per analytics run and one
+    * per query. */
+  private[graft] def custSuppEdgesStored(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.TmpStores.scopedPath("graft-gredge", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      custSuppEdges(s, dir).write.parquet(path))
+    s.read.parquet(path)
+  }
+
   /** Registered face: PageRank centrality of every customer and supplier
     * in the purchase graph, [[PrIters]] exact-integer rounds.
     *
-    * The edge DERIVATION is checkpointed before the union: left lazy,
-    * the lineitem⋈orders join + distinct rides the materialization DAG
-    * four times (the union doubles it; edgesDeg's degree aggregate and
-    * degree join double it again) — at any scale that is three avoidable
-    * full derivations of a corpus-sized join. Checkpointing the distinct
-    * edge list once lets every consumer read its blocks, and the
-    * checkpoint is released as soon as [[pagerank]] has materialized its
-    * own final round (nothing reads the edge list after that). */
+    * The edge DERIVATION reads the [[custSuppEdgesStored]] parquet (r21,
+    * replacing the r21-batch-1 per-query checkpoint): left lazy, the
+    * lineitem⋈orders join + distinct rode the materialization DAG four
+    * times (the union doubles it; edgesDeg's degree aggregate and degree
+    * join double it again); the checkpoint cut that to one derivation
+    * per call, and the stored edge list cuts it to one per corpus — the
+    * union/degree consumers re-scan a node-scale columnar file, which
+    * needs no checkpoint. */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val cp = Checkpointer.fromConf(s)
-    val edges = cp(custSuppEdges(s, dir))
+    val edges = custSuppEdgesStored(s, dir)
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val ranked = pagerank(und)
-    cp.release(edges)
     ranked
       .select(col("node"),
         when(pmod(col("node"), lit(2L)) === 0, lit("customer"))
@@ -240,29 +255,41 @@ object Graph {
   }
 
   /** Checkpointed composition: the input edge list feeds the degree
-    * aggregate AND the two orientation joins, and the oriented frame
-    * feeds BOTH wedge sides plus the closure semi-join — left lazy, the
-    * whole upstream edge derivation rides the DAG once per reference
-    * (the three wedge/closure exchanges differ in projected columns, so
-    * runtime exchange reuse cannot dedup them; measured 37 MB shuffled
-    * for a 165-row answer at sf0.1). Each stage materializes once
-    * through the [[Checkpointer]] seam and is released as soon as the
-    * next stage has materialized — the [[pagerankLazy]] discipline. */
-  private[graft] def triangleCounts(edges0: DataFrame): DataFrame = {
-    val cp = Checkpointer.fromConf(edges0.sparkSession)
-    val edges = cp(edges0)
+    * aggregate AND the two orientation joins (callers pass a
+    * MATERIALIZED edge frame — a stored parquet or a spec's local
+    * relation — so those three scans are cheap re-reads, not re-derived
+    * lineage), and the oriented frame feeds BOTH wedge sides plus the
+    * closure semi-join — left lazy, the orientation rides the DAG once
+    * per reference (the three wedge/closure exchanges differ in
+    * projected columns, so runtime exchange reuse cannot dedup them).
+    * The oriented stage materializes once through the [[Checkpointer]]
+    * seam and is released as soon as the wedge stage has materialized —
+    * the [[pagerankLazy]] discipline. */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val cp = Checkpointer.fromConf(edges.sparkSession)
     val e = cp(orientedEdges(edges))
-    cp.release(edges)
     val out = cp(wedgeClose(e))
     cp.release(e)
     out.orderBy(col("n_triangles").desc, col("l_partkey"))
+  }
+
+  /** The co-purchase edge list, materialized once per (JVM, dataset dir)
+    * — [[custSuppEdgesStored]]'s rationale: the per-order self-join +
+    * support aggregate is the expensive corpus-scale part of
+    * q_triangles (25 MB of the query's 25 MB shuffle at sf0.1), and it
+    * is a pure function of the corpus. */
+  private[graft] def partCoEdgesStored(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.TmpStores.scopedPath("graft-gcoedge", dir)
+    graft.sources.TmpStores.buildOnce(path)(
+      partCoEdges(s, dir).write.parquet(path))
+    s.read.parquet(path)
   }
 
   /** Registered face: per-part triangle participation in the
     * co-purchase graph — the local-clustering signal basket analyses
     * and community pre-passes start from. */
   def qTriangles(s: SparkSession, dir: String): DataFrame =
-    triangleCounts(partCoEdges(s, dir))
+    triangleCounts(partCoEdgesStored(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank _,

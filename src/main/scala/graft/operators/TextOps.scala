@@ -963,13 +963,33 @@ object TextOps {
   }
 
   private[graft] def lmScore(docs: DataFrame, ordered: Boolean = true): DataFrame = {
+    // ONE evaluation of the corpus gram stream (r21, guide §2.4 "two
+    // operations keyed the same way can share one exchange"): the
+    // explicit bg hash repartition is an exchange BOTH consumers need —
+    // the bigram-count aggregate and the scoring join — so runtime
+    // exchange reuse materializes the normText+split+explode corpus
+    // pass once. Left un-partitioned, the aggregate's own exchange and
+    // the (AQE-broadcast) scoring join each re-ran the full tokenize —
+    // two corpus passes for one score. At 100 TB the count table is not
+    // broadcastable and the join needs this exact partitioning anyway.
     val grams = lmGrams(docs)
     val lm2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val lm1 = lmContexts(lm2)
+    // vocab-SIZED pre-join (guide §2.3 "shuffle fewer bytes"): fold the
+    // context counts into a per-bigram (c2, c1) model frame BEFORE
+    // touching the corpus stream, so the gram stream never moves by w1
+    // — the w1 join runs over |vocab²| count rows, not |corpus| gram
+    // rows. Exact because this face trains on the corpus it scores:
+    // every corpus gram is in lm2 and its context in lm1, so the inner
+    // joins lose nothing (the STORED faces keep their left-join OOV
+    // forms in [[scoreUnderLm]]).
+    val bgModel = lm2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(lmContexts(lm2), "w1")
+      .select(col("bg"), col("c2"), col("c1"))
     val vocab = lmVocab(docs)
     val logpFp = round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
       .cast(LongType)
-    val out = grams.join(lm2, "bg").join(lm1, "w1")
+    val out = grams.join(bgModel, "bg")
       .crossJoin(broadcast(vocab))
       .withColumn("fp", logpFp)
       .groupBy("doc_id")
